@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (core.HotQueries.queries, core.HotQueries.oracles)
+      (core.HotQueries.queries, core.HotQueries.oracles),
+      (table.IcebergQueries.queries, table.IcebergQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

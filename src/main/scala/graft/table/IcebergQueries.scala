@@ -1,0 +1,157 @@
+package graft.table
+
+import graft.core.Oracle
+import graft.iceberg.{FieldIds, IcebergCommitter, LocalTableIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries over the COMMITTED Iceberg table — each one exercises the full
+  * ingest → sorted partitioned write → stats → snapshot-commit → manifest
+  * read-back pipeline, then is hash-checked against DuckDB computing the
+  * same answer from the raw events. The committed table is built once per
+  * (JVM, sfDir) and shared ([[CommittedTables]]).
+  *
+  * The metadata-only queries (manifest_stats, a1_file_stats,
+  * a4_manifest_totals, f7_watermarks) never touch row data — they prove the
+  * statistics and watermark plumbing that make 100 TB reads cheap.
+  */
+object IcebergQueries {
+  private def committed(s: SparkSession, dir: String): (DataFrame, IcebergCommitter) = {
+    val root = CommittedTables.tableRoot(s, dir)
+    (EventTable.readCommitted(s, root), new IcebergCommitter(new LocalTableIO(root), EventTable.Topic))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_committed_read" -> { (s, dir) =>
+      committed(s, dir)._1
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max("sequence").as("max_seq"),
+          min("timestamp_ms").as("min_ts"),
+          max("timestamp_ms").as("max_ts")
+        )
+    },
+    "q7_cold_read" -> { (s, dir) =>
+      committed(s, dir)._1
+        .filter(col("partition") === 1 && col("sequence") >= 50L)
+        .orderBy("sequence")
+        .limit(200)
+        .select(
+          col("sequence"),
+          col("partition").cast("int").as("part_id"),
+          col("timestamp_ms"),
+          col("payload").cast("string").as("props")
+        )
+    },
+    "q3_committed_time_pruned" -> { (s, dir) =>
+      // Manifest-level pruning first (file skipping via stats), then Spark
+      // row-group pruning — the scale path for time-range queries.
+      val root      = CommittedTables.tableRoot(s, dir)
+      val committer = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+      val files     = EventTable.pruneByTimeRange(committer, graft.core.HotQueries.RangeLo, graft.core.HotQueries.RangeHi)
+      EventTable
+        .readCommitted(s, root, files)
+        .filter(col("timestamp_ms") >= graft.core.HotQueries.RangeLo && col("timestamp_ms") < graft.core.HotQueries.RangeHi)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(count(lit(1)).as("n_events"), min("sequence").as("min_seq"), max("sequence").as("max_seq"))
+    },
+    "manifest_stats" -> { (s, dir) =>
+      import s.implicits._
+      val (_, committer) = committed(s, dir)
+      committer.maxCommittedSequencePerPartition().toSeq.toDF("part_id", "max_committed_seq")
+    },
+    "a1_file_stats" -> { (s, dir) =>
+      import s.implicits._
+      val (_, committer) = committed(s, dir)
+      committer
+        .activeDataFiles()
+        .map { f =>
+          (
+            f.lowerInt(FieldIds.EventDate).get,
+            f.lowerInt(FieldIds.EventHour).get,
+            f.lowerInt(FieldIds.Partition).get,
+            f.recordCount,
+            f.lowerLong(FieldIds.Sequence).get,
+            f.upperLong(FieldIds.Sequence).get,
+            f.lowerLong(FieldIds.TimestampMs).get,
+            f.upperLong(FieldIds.TimestampMs).get
+          )
+        }
+        .toDF("event_date_days", "event_hour", "part_id", "record_count", "min_seq", "max_seq", "min_ts", "max_ts")
+        .groupBy("event_date_days", "event_hour", "part_id")
+        .agg(
+          sum("record_count").as("n_events"),
+          min("min_seq").as("min_seq"),
+          max("max_seq").as("max_seq"),
+          min("min_ts").as("min_ts"),
+          max("max_ts").as("max_ts")
+        )
+    },
+    "a4_manifest_totals" -> { (s, dir) =>
+      import s.implicits._
+      val (_, committer) = committed(s, dir)
+      val summary        = committer.load().flatMap(_.currentSnapshot).map(_.summary).getOrElse(Map.empty)
+      Seq((summary("total-records").toLong, summary("total-data-files").toLong))
+        .toDF("total_records", "total_data_files")
+    },
+    "f7_watermarks" -> { (s, dir) =>
+      import s.implicits._
+      val (_, committer) = committed(s, dir)
+      committer.summaryWatermarks().toSeq.toDF("part_id", "watermark")
+    },
+    "post_compaction_read" -> { (s, dir) =>
+      // Fragmented ingest (4-way salted files per dir) → compact → read back.
+      // Proves C1–C3 preserve data and actually shrink file counts.
+      val root = CompactedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(count(lit(1)).as("n_events"), max("sequence").as("max_seq"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ingest_committed_read" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq,
+        |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
+        |FROM evlog GROUP BY 1""".stripMargin),
+    "q7_cold_read" -> Oracle.sql(
+      """SELECT sequence, part_id, timestamp_ms, props FROM evlog
+        |WHERE part_id = 1 AND sequence >= 50 ORDER BY sequence LIMIT 200""".stripMargin),
+    "q3_committed_time_pruned" -> Oracle.sql(
+      s"""SELECT part_id, count(*) AS n_events, min(sequence) AS min_seq, max(sequence) AS max_seq
+         |FROM evlog WHERE timestamp_ms >= ${graft.core.HotQueries.RangeLo} AND timestamp_ms < ${graft.core.HotQueries.RangeHi}
+         |GROUP BY 1""".stripMargin),
+    "manifest_stats" -> Oracle.sql(
+      "SELECT part_id, max(sequence) AS max_committed_seq FROM evlog GROUP BY 1"),
+    "a1_file_stats" -> Oracle.sql(
+      """SELECT event_date_days, event_hour, part_id, count(*) AS n_events,
+        |       min(sequence) AS min_seq, max(sequence) AS max_seq,
+        |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
+        |FROM evlog GROUP BY 1, 2, 3""".stripMargin),
+    "a4_manifest_totals" -> Oracle.sql(
+      """SELECT (SELECT count(*) FROM evlog) AS total_records,
+        |       (SELECT count(*) FROM (SELECT DISTINCT event_date_days, event_hour, part_id FROM evlog)) AS total_data_files""".stripMargin),
+    "f7_watermarks" -> Oracle.sql(
+      "SELECT part_id, max(sequence) AS watermark FROM evlog GROUP BY 1"),
+    "post_compaction_read" -> Oracle.sql(
+      "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1")
+  )
+}
+
+/** Fragmented-then-compacted table per (JVM, sfDir) for compaction queries. */
+object CompactedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, saltFiles = 4)
+        Compaction.compact(spark, root, Compaction.Config(minFilesPerGroup = 2, maxFilesPerRun = Int.MaxValue))
+        root
+      }
+    )
+  }
+}
