@@ -10,6 +10,8 @@ import scala.jdk.CollectionConverters._
   * committer only ever moves METADATA through this — row data is written by
   * Spark executors directly. */
 trait TableIO {
+  /** Stable identity of the table location — cache key for immutable files. */
+  def root: String
   def put(relPath: String, bytes: Array[Byte]): Unit
 
   /** Atomic create-if-absent — the commit point. Returns false if the path
@@ -95,10 +97,14 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
   def load(): Option[TableMetadata] = {
     val v = currentVersion()
     if (v == 0) None
-    else Some(TableMetadata.fromJson(new String(io.get(versionFile(v)), "UTF-8")))
+    else Some(IcebergCommitter.cachedMetadata(io, versionFile(v)))
   }
 
-  private def newSnapshotId(): Long = System.nanoTime() & 0x7fffffffffffffffL
+  /** Random positive 63-bit id — matching the reference's
+    * `generate_snapshot_id` (`/root/reference/src/storage/iceberg.rs:1118-1125`).
+    * nanoTime would have a per-JVM origin and can collide across restarts. */
+  private def newSnapshotId(): Long =
+    UUID.randomUUID().getMostSignificantBits & 0x7fffffffffffffffL
 
   /** Append `added` files as a new snapshot. Retries are the CALLER's job on
     * CommitConflict (matching the reference, which re-queues pending files). */
@@ -119,7 +125,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
   ): CommitResult = {
     val baseVersion = currentVersion()
     val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic") else
-      TableMetadata.fromJson(new String(io.get(versionFile(baseVersion)), "UTF-8"))
+      IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
 
     expectedSnapshotId.foreach { exp =>
       if (!base.currentSnapshotId.contains(exp))
@@ -142,7 +148,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
 
     // Carry forward the parent's manifest list (cumulative list semantics).
     val parentList: Seq[ManifestListEntry] = base.currentSnapshot match {
-      case Some(s) => ManifestIO.readManifestList(io.get(s.manifestList))
+      case Some(s) => IcebergCommitter.cachedManifestList(io, s.manifestList)
       case None    => Nil
     }
     val newEntry = ManifestListEntry(
@@ -204,12 +210,18 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
     CommitResult(snapshotId, nextVersion, next)
   }
 
-  /** All manifest entries of the current snapshot (in manifest-list order). */
+  /** All manifest entries of the current snapshot (in manifest-list order).
+    * Manifest and manifest-list files are immutable (UUID names, written
+    * once), so parses are cached per absolute path — repeated metadata
+    * queries never re-read the full chain (the reference caches the same
+    * way, `/root/reference/src/storage/iceberg_storage.rs:50-53,763-898`). */
   def currentEntries(): Seq[ManifestEntry] = load() match {
     case None => Nil
     case Some(meta) =>
       meta.currentSnapshot.toSeq.flatMap { s =>
-        ManifestIO.readManifestList(io.get(s.manifestList)).flatMap(mf => ManifestIO.readManifest(io.get(mf.manifestPath)))
+        IcebergCommitter
+          .cachedManifestList(io, s.manifestList)
+          .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
       }
   }
 
@@ -239,4 +251,22 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
     load().flatMap(_.currentSnapshot).map(_.summary).getOrElse(Map.empty).collect {
       case (k, v) if k.startsWith("zombi.watermark.") => k.stripPrefix("zombi.watermark.").toInt -> v.toLong
     }
+}
+
+/** Process-wide parse caches for IMMUTABLE table files: a `v{N}.metadata.json`
+  * is created once via create-if-absent, and manifests / manifest lists get
+  * UUID names — so a (table root, path) key can never go stale. */
+object IcebergCommitter {
+  private val metaCache     = new java.util.concurrent.ConcurrentHashMap[String, TableMetadata]()
+  private val listCache     = new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestListEntry]]()
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+
+  private def key(io: TableIO, rel: String) = io.root + "/" + rel
+
+  private[iceberg] def cachedMetadata(io: TableIO, rel: String): TableMetadata =
+    metaCache.computeIfAbsent(key(io, rel), _ => TableMetadata.fromJson(new String(io.get(rel), "UTF-8")))
+  private[iceberg] def cachedManifestList(io: TableIO, rel: String): Seq[ManifestListEntry] =
+    listCache.computeIfAbsent(key(io, rel), _ => ManifestIO.readManifestList(io.get(rel)))
+  private[iceberg] def cachedManifest(io: TableIO, rel: String): Seq[ManifestEntry] =
+    manifestCache.computeIfAbsent(key(io, rel), _ => ManifestIO.readManifest(io.get(rel)))
 }

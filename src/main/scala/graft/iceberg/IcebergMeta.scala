@@ -10,13 +10,15 @@ import scala.jdk.CollectionConverters._
   * mutually readable (`/root/reference/src/storage/iceberg.rs:16-39,126-184,
   * 458-494`).
   *
-  * One deliberate divergence, documented: the partition spec declares THREE
-  * identity fields (event_date/1000, event_hour/1001, partition/1002) where
-  * the reference declares two (`iceberg.rs:297-318`) while still laying files
-  * out under `partition=N/` dirs. Declaring `partition` in the spec means
-  * engines resolve column id 3 from partition metadata instead of expecting
-  * it in the data pages — required here because Spark's `partitionBy` writer
-  * stores partition values in paths, not pages.
+  * One deliberate divergence, documented: the reference partitions on
+  * `identity(event_date), identity(event_hour)` (`iceberg.rs:297-318`) and
+  * writes one file per (date, hour, partition) — which produces micro-files
+  * at low volume. Here the spec declares `identity(partition)` (the log
+  * partition, field 1000): files are single-`partition`, size-targeted, and
+  * carry `event_date`/`event_hour`/`timestamp_ms` min-max bounds in the
+  * manifests, so engines prune on time via file stats (the same mechanism
+  * the reference's own SPEC delegates to, `SPEC.md:306-318`) rather than on
+  * directory identity.
   */
 object FieldIds {
   val Sequence        = 1
@@ -105,9 +107,7 @@ object PartitionSpec {
   val default: PartitionSpec = PartitionSpec(
     0,
     Seq(
-      PartitionField(FieldIds.EventDate, 1000, "event_date", "identity"),
-      PartitionField(FieldIds.EventHour, 1001, "event_hour", "identity"),
-      PartitionField(FieldIds.Partition, 1002, "partition", "identity")
+      PartitionField(FieldIds.Partition, 1000, "partition", "identity")
     )
   )
 }
@@ -229,7 +229,7 @@ object TableMetadata {
     currentSchemaId = 0,
     partitionSpecs = Seq(PartitionSpec.default),
     defaultSpecId = 0,
-    lastPartitionId = 1002,
+    lastPartitionId = 1000,
     properties = Map("write.format.default" -> "parquet", "write.parquet.compression-codec" -> "zstd"),
     currentSnapshotId = None,
     snapshots = Nil,
@@ -293,7 +293,7 @@ object TableMetadata {
       n.get("current-schema-id").asInt,
       specs,
       n.get("default-spec-id").asInt,
-      Option(n.get("last-partition-id")).map(_.asInt).getOrElse(1002),
+      Option(n.get("last-partition-id")).map(_.asInt).getOrElse(1000),
       strMap(n.get("properties")),
       optLong(n, "current-snapshot-id"),
       snapshots,

@@ -65,11 +65,11 @@ object Compaction {
 
     val before = EventTable.listParquet(tableRoot).toSet
     val df     = EventTable.readCommitted(spark, tableRoot, candidates)
-    // Same layout + sort invariant as the original segments; bounded size.
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
-    EventTable.writeData(df, tableRoot)
+    // Same layout + sort invariant as the original segments; re-sliced
+    // toward cfg.targetFileSize by the size-aware writer (C2).
+    EventTable.writeData(df, tableRoot, targetFileSize = cfg.targetFileSize)
     val newPaths = EventTable.listParquet(tableRoot).filterNot(before.contains)
-    val added    = EventTable.collectDataFiles(tableRoot, newPaths)
+    val added    = EventTable.collectDataFiles(spark, tableRoot, newPaths)
 
     try {
       val res = committer.commitReplace(candidates, added, base)
@@ -79,7 +79,7 @@ object Compaction {
     } catch {
       case c: CommitConflict =>
         // Roll back: uncommitted rewrites are orphans — delete and rethrow.
-        newPaths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        newPaths.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(tableRoot, p)))
         throw c
     }
   }

@@ -5,36 +5,56 @@ import graft.iceberg._
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** The flush pipeline (SURVEY §2.3 F2–F4) + cold read, Spark-first.
   *
   * Reference behaviors matched:
-  *  - hour grouping + per-partition flush (`/root/reference/src/flusher/mod.rs:338-456`):
-  *    here a single shuffle on (event_date, event_hour, partition) — the
-  *    partitionBy writer splits hour groups for free
-  *  - sorted Zstd parquet segments in
-  *    `data/event_date=…/event_hour=…/partition=…/` layout
-  *    (`/root/reference/src/storage/iceberg_storage.rs:1318-1387,1789-1808`,
-  *    sort `/root/reference/src/storage/parquet.rs:657-683`)
-  *  - per-file column statistics read from parquet FOOTERS (metadata-only,
-  *    no data re-scan) → Iceberg big-endian bounds
-  *    (`/root/reference/src/storage/parquet.rs:479-604`)
+  *  - per-partition flush with SIZE-CAPPED segments
+  *    (`/root/reference/src/flusher/mod.rs:338-456`, 128 MB target
+  *    `flusher/mod.rs:90`): each log partition is split into
+  *    `ceil(bytes / targetFileSize)` sequence-contiguous buckets, so output
+  *    files approach the target size at any scale — 8 files at sf0.1,
+  *    ~800k files at 100 TB, never one micro-file per (date,hour,partition)
+  *  - single-partition files sorted `(timestamp_ms, sequence)`
+  *    (`/root/reference/src/storage/parquet.rs:657-683`) under a Hive
+  *    `partition=P/` layout; `event_date`/`event_hour` ride along as data
+  *    columns whose min/max land in the manifest bounds, so date/hour/time
+  *    pruning is manifest-stat-driven (the Iceberg-native pattern —
+  *    `/root/reference/SPEC.md:306-318` delegates pruning to file stats too)
+  *  - per-file column statistics from parquet FOOTERS → Iceberg big-endian
+  *    bounds (`/root/reference/src/storage/parquet.rs:479-604`), read as a
+  *    DISTRIBUTED Spark job over the file list — never a serial driver loop
   *
-  * Scale notes: the one shuffle keys on the same columns as the physical
-  * layout, so each (date, hour, partition) group is written by exactly one
-  * task (no small-file explosion); file size is bounded via
-  * `maxRecordsPerFile`. Footer reads and the snapshot commit are driver-side
-  * metadata operations proportional to #files, not #rows.
+  * Scale notes: the write is one shuffle keyed on (partition, size-bucket);
+  * bucket sizing comes from a cheap columnar pre-agg (count + payload bytes
+  * per partition, the reference's `payload+64B` estimate,
+  * `flusher/mod.rs:361-390`). Stats collection parallelizes over files.
+  * Driver work is O(#files) metadata only.
   */
 object EventTable {
   val Topic = "events"
 
-  /** Canonical log projected to the reference's 8-column committed schema.
-    * `event_date`/`event_hour`/`partition` become directory columns. */
+  /** Reference flush target: 128 MB data files (`flusher/mod.rs:90`). */
+  val DefaultTargetFileSize: Long = 128L * 1024 * 1024
+
+  /** Committed 8-column schema (SURVEY §1.2) as read back from the table. */
+  val committedReadSchema: StructType = StructType(Seq(
+    StructField("sequence", LongType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false),
+    StructField("idempotency_key", StringType, nullable = true),
+    StructField("event_date", DateType, nullable = false),
+    StructField("event_hour", IntegerType, nullable = false),
+    StructField("partition", IntegerType, nullable = false)
+  ))
+
+  /** Canonical log projected to the reference's 8-column committed schema. */
   def committedSchema(log: DataFrame): DataFrame =
     log.select(
       col("sequence"),
@@ -47,129 +67,202 @@ object EventTable {
       col("part_id").as("partition")
     )
 
-  /** F2+F3: one sorted, hour-partitioned Zstd parquet write.
-    * `saltFiles > 1` deliberately fragments each partition dir into that many
-    * files (used to exercise compaction); 0/1 writes one file per group. */
-  def writeData(df: DataFrame, tableRoot: String, saltFiles: Int = 1): Unit = {
-    val parts = Seq(col("event_date"), col("event_hour"), col("partition"))
-    val distributed =
-      if (saltFiles > 1)
-        df.repartition((parts :+ pmod(col("sequence"), lit(saltFiles))): _*)
-      else df.repartition(parts: _*)
-    distributed
-      .sortWithinPartitions(col("event_date"), col("event_hour"), col("partition"), col("timestamp_ms"), col("sequence"))
+  /** F2+F3: size-targeted, sorted, partition-clustered Zstd parquet write.
+    *
+    * Two-phase like the reference's `flush_partition`: (1) a cheap agg
+    * estimates bytes per log partition (`payload + 64B` per row); (2) each
+    * partition is cut into sequence-contiguous buckets of ~`targetFileSize`
+    * and shuffled so each bucket is written by one task. Files are always
+    * single-`partition` (the Hive dir guarantees it) and sorted
+    * `(timestamp_ms, sequence)` within.
+    *
+    * `fragmentInto = Some(n)` overrides the target to `totalBytes / n` —
+    * used by tests/compaction scenarios to force a fragmented layout.
+    */
+  def writeData(df: DataFrame, tableRoot: String,
+                targetFileSize: Long = DefaultTargetFileSize,
+                fragmentInto: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("rows"), sum(length(col("payload")) + lit(64L)).as("bytes"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val target = fragmentInto match {
+      case Some(n) => math.max(1024L, stats.map(_._3).sum / n)
+      case None    => targetFileSize
+    }
+    val chunks = stats.map { case (p, rows, bytes) =>
+      val buckets = math.max(1L, (bytes + target - 1) / target)
+      (p, math.max(1L, (rows + buckets - 1) / buckets), buckets)
+    }
+    val totalBuckets = math.max(1, chunks.map(_._3).sum.toInt)
+    val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
+
+    df.join(broadcast(chunkDf), Seq("partition"))
+      .withColumn("bucket", ((col("sequence") - 1) / col("seq_chunk")).cast("int"))
+      .repartition(totalBuckets, col("partition"), col("bucket"))
+      .drop("bucket", "seq_chunk")
+      .sortWithinPartitions(col("partition"), col("timestamp_ms"), col("sequence"))
       .write
       .mode("append")
       .option("compression", "zstd")
-      .partitionBy("event_date", "event_hour", "partition")
+      .partitionBy("partition")
       .parquet(s"$tableRoot/data")
   }
 
-  /** F4: DataFile stats from parquet footers + identity partition values
-    * parsed from the Hive-style path. Paths stored table-root-relative. */
-  def collectDataFiles(tableRoot: String, newFiles: Seq[Path]): Seq[DataFile] = {
-    val conf = new Configuration()
-    newFiles.map { p =>
-      val rel    = Paths.get(tableRoot).relativize(p).toString
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
-      var rows                                   = 0L
-      var seqMin, tsMin                          = Long.MaxValue
-      var seqMax, tsMax                          = Long.MinValue
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { b =>
-          rows += b.getRowCount
-          b.getColumns.asScala.foreach { c =>
-            val name = c.getPath.toDotString
-            val st   = c.getStatistics
-            if (st != null && !st.isEmpty) name match {
-              case "sequence" =>
-                seqMin = math.min(seqMin, st.genericGetMin.asInstanceOf[java.lang.Long])
-                seqMax = math.max(seqMax, st.genericGetMax.asInstanceOf[java.lang.Long])
-              case "timestamp_ms" =>
-                tsMin = math.min(tsMin, st.genericGetMin.asInstanceOf[java.lang.Long])
-                tsMax = math.max(tsMax, st.genericGetMax.asInstanceOf[java.lang.Long])
-              case _ => ()
-            }
-          }
-        }
-      } finally reader.close()
-
-      // Identity partition values from the path: event_date=…/event_hour=…/partition=…
-      val partVals = rel
-        .split('/')
-        .filter(_.contains('='))
-        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }
-        .toMap
-      val dateDays = java.time.LocalDate.parse(partVals("event_date")).toEpochDay.toInt
-      val hour     = partVals("event_hour").toInt
-      val part     = partVals("partition").toInt
-
-      DataFile(
-        content = 0,
-        filePath = rel,
-        fileFormat = "PARQUET",
-        recordCount = rows,
-        fileSizeInBytes = Files.size(p),
-        lowerBounds = Map(
-          FieldIds.Sequence    -> Bounds.encodeLong(seqMin),
-          FieldIds.Partition   -> Bounds.encodeInt(part),
-          FieldIds.TimestampMs -> Bounds.encodeLong(tsMin),
-          FieldIds.EventDate   -> Bounds.encodeInt(dateDays),
-          FieldIds.EventHour   -> Bounds.encodeInt(hour)
-        ),
-        upperBounds = Map(
-          FieldIds.Sequence    -> Bounds.encodeLong(seqMax),
-          FieldIds.Partition   -> Bounds.encodeInt(part),
-          FieldIds.TimestampMs -> Bounds.encodeLong(tsMax),
-          FieldIds.EventDate   -> Bounds.encodeInt(dateDays),
-          FieldIds.EventHour   -> Bounds.encodeInt(hour)
-        )
-      )
-    }
+  /** F4: DataFile stats from parquet footers, collected as a DISTRIBUTED job
+    * (one task per slice of the file list) — at 100 TB this is ~800k footer
+    * reads spread over the cluster, not hours of driver time. Missing/empty
+    * footer stats omit the bound entry (consumers fall back to conservative
+    * defaults) instead of encoding sentinel values. */
+  def collectDataFiles(spark: SparkSession, tableRoot: String, newFiles: Seq[String]): Seq[DataFile] = {
+    if (newFiles.isEmpty) return Nil
+    val root = tableRoot
+    spark.sparkContext
+      .parallelize(newFiles, math.min(newFiles.size, 64))
+      .map(rel => FileStats.dataFile(root, rel))
+      .collect()
+      .toSeq
+      .sortBy(_.filePath)
   }
 
-  def listParquet(tableRoot: String): Seq[Path] = {
-    val dataDir = Paths.get(tableRoot, "data")
+  /** Table-root-relative paths of all data parquet files. */
+  def listParquet(tableRoot: String): Seq[String] = {
+    val rootP   = Paths.get(tableRoot)
+    val dataDir = rootP.resolve("data")
     if (!Files.isDirectory(dataDir)) Nil
     else {
       val s = Files.walk(dataDir)
-      try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => rootP.relativize(p).toString)
+        .toSeq.sorted
       finally s.close()
     }
   }
 
-  /** Full ingest → sorted partitioned write → stats → Iceberg append commit.
-    * Returns the committer for follow-up metadata queries. */
-  def ingestAndCommit(spark: SparkSession, sfDir: String, tableRoot: String, saltFiles: Int = 1): IcebergCommitter = {
+  /** Full ingest → sorted size-targeted write → distributed stats → Iceberg
+    * append commit. Returns the committer for follow-up metadata queries. */
+  def ingestAndCommit(spark: SparkSession, sfDir: String, tableRoot: String,
+                      targetFileSize: Long = DefaultTargetFileSize,
+                      fragmentInto: Option[Int] = None): IcebergCommitter = {
     val log = EventLog.log(spark, sfDir)
-    writeData(committedSchema(log), tableRoot, saltFiles)
+    writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto)
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
-    val dataFiles = collectDataFiles(tableRoot, listParquet(tableRoot))
-    val watermarks = dataFiles
-      .flatMap(f => for { p <- f.lowerInt(FieldIds.Partition); s <- f.upperLong(FieldIds.Sequence) } yield p -> s)
-      .groupMapReduce(_._1)(_._2)(math.max)
-    committer.commitAppend(dataFiles, watermarks)
+    val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
+    committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
   }
 
+  /** Per-partition high watermark from file bounds — exact because files are
+    * single-partition (`partition=P/` dirs). */
+  def watermarksOf(dataFiles: Seq[DataFile]): Map[Int, Long] =
+    dataFiles
+      .flatMap(f => for { p <- f.lowerInt(FieldIds.Partition); s <- f.upperLong(FieldIds.Sequence) } yield p -> s)
+      .groupMapReduce(_._1)(_._2)(math.max)
+
   /** Cold read over the committed snapshot: manifest-driven file listing.
-    * `basePath` lets Spark recover the identity partition columns from the
-    * Hive-style paths. */
+    * `basePath` recovers the identity `partition` column from the Hive
+    * paths. An empty file list (e.g. everything pruned) yields an empty
+    * DataFrame with the committed schema rather than a read error. */
   def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame = {
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
     val active    = Option(files).getOrElse(committer.activeDataFiles())
-    val paths     = active.map(f => s"$tableRoot/${f.filePath}")
-    spark.read.option("basePath", s"$tableRoot/data").parquet(paths: _*)
+    if (active.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], committedReadSchema)
+    else {
+      val paths = active.map(f => s"$tableRoot/${f.filePath}")
+      spark.read.option("basePath", s"$tableRoot/data").parquet(paths: _*)
+    }
   }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at
-    * scale: skip entire files before Spark ever lists them). */
+    * scale: skip entire files before Spark ever lists them). Files without
+    * timestamp bounds are conservatively kept. */
   def pruneByTimeRange(committer: IcebergCommitter, loMs: Long, hiMs: Long): Seq[DataFile] =
     committer.activeDataFiles().filter { f =>
       val lo = f.lowerLong(FieldIds.TimestampMs).getOrElse(Long.MinValue)
       val hi = f.upperLong(FieldIds.TimestampMs).getOrElse(Long.MaxValue)
       hi >= loMs && lo < hiMs
     }
+
+  /** Manifest-level pruning on the identity `partition` bounds. */
+  def pruneByPartition(committer: IcebergCommitter, partition: Int): Seq[DataFile] =
+    committer.activeDataFiles().filter { f =>
+      val lo = f.lowerInt(FieldIds.Partition).getOrElse(Int.MinValue)
+      val hi = f.upperInt(FieldIds.Partition).getOrElse(Int.MaxValue)
+      lo <= partition && partition <= hi
+    }
+}
+
+/** Executor-side footer reader — kept in a standalone object so the closure
+  * shipped by [[EventTable.collectDataFiles]] stays small and serializable. */
+object FileStats extends Serializable {
+  def dataFile(tableRoot: String, relPath: String): DataFile = {
+    val abs  = Paths.get(tableRoot, relPath)
+    val conf = new Configuration()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs.toString), conf))
+    var rows = 0L
+    var seqMin, tsMin         = Long.MaxValue
+    var seqMax, tsMax         = Long.MinValue
+    var dateMin, hourMin      = Int.MaxValue
+    var dateMax, hourMax      = Int.MinValue
+    try {
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) c.getPath.toDotString match {
+            case "sequence" =>
+              seqMin = math.min(seqMin, st.genericGetMin.asInstanceOf[java.lang.Long])
+              seqMax = math.max(seqMax, st.genericGetMax.asInstanceOf[java.lang.Long])
+            case "timestamp_ms" =>
+              tsMin = math.min(tsMin, st.genericGetMin.asInstanceOf[java.lang.Long])
+              tsMax = math.max(tsMax, st.genericGetMax.asInstanceOf[java.lang.Long])
+            case "event_date" =>
+              dateMin = math.min(dateMin, st.genericGetMin.asInstanceOf[java.lang.Integer])
+              dateMax = math.max(dateMax, st.genericGetMax.asInstanceOf[java.lang.Integer])
+            case "event_hour" =>
+              hourMin = math.min(hourMin, st.genericGetMin.asInstanceOf[java.lang.Integer])
+              hourMax = math.max(hourMax, st.genericGetMax.asInstanceOf[java.lang.Integer])
+            case _ => ()
+          }
+        }
+      }
+    } finally reader.close()
+
+    // Identity partition value from the Hive path: .../partition=P/file
+    val part = relPath.split('/').collectFirst {
+      case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+    }
+
+    def longBounds(fid: Int, mn: Long, mx: Long): Seq[(Int, Array[Byte], Array[Byte])] =
+      if (mn == Long.MaxValue && mx == Long.MinValue) Nil
+      else Seq((fid, Bounds.encodeLong(mn), Bounds.encodeLong(mx)))
+    def intBounds(fid: Int, mn: Int, mx: Int): Seq[(Int, Array[Byte], Array[Byte])] =
+      if (mn == Int.MaxValue && mx == Int.MinValue) Nil
+      else Seq((fid, Bounds.encodeInt(mn), Bounds.encodeInt(mx)))
+
+    val bounds =
+      longBounds(FieldIds.Sequence, seqMin, seqMax) ++
+        longBounds(FieldIds.TimestampMs, tsMin, tsMax) ++
+        intBounds(FieldIds.EventDate, dateMin, dateMax) ++
+        intBounds(FieldIds.EventHour, hourMin, hourMax) ++
+        part.toSeq.map(p => (FieldIds.Partition, Bounds.encodeInt(p), Bounds.encodeInt(p)))
+
+    DataFile(
+      content = 0,
+      filePath = relPath,
+      fileFormat = "PARQUET",
+      recordCount = rows,
+      fileSizeInBytes = Files.size(abs),
+      lowerBounds = bounds.map(b => b._1 -> b._2).toMap,
+      upperBounds = bounds.map(b => b._1 -> b._3).toMap
+    )
+  }
 }
 
 /** One committed table per (JVM, sfDir), built lazily — queries over the

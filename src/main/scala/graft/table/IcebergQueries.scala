@@ -62,30 +62,35 @@ object IcebergQueries {
       committer.maxCommittedSequencePerPartition().toSeq.toDF("part_id", "max_committed_seq")
     },
     "a1_file_stats" -> { (s, dir) =>
+      // Per-partition aggregate over MANIFEST bounds only (no data read).
+      // Exact because every data file is single-partition with tight
+      // footer-derived min/max — the stats that drive file skipping.
       import s.implicits._
       val (_, committer) = committed(s, dir)
       committer
         .activeDataFiles()
         .map { f =>
           (
-            f.lowerInt(FieldIds.EventDate).get,
-            f.lowerInt(FieldIds.EventHour).get,
             f.lowerInt(FieldIds.Partition).get,
             f.recordCount,
             f.lowerLong(FieldIds.Sequence).get,
             f.upperLong(FieldIds.Sequence).get,
             f.lowerLong(FieldIds.TimestampMs).get,
-            f.upperLong(FieldIds.TimestampMs).get
+            f.upperLong(FieldIds.TimestampMs).get,
+            f.lowerInt(FieldIds.EventDate).get,
+            f.upperInt(FieldIds.EventDate).get
           )
         }
-        .toDF("event_date_days", "event_hour", "part_id", "record_count", "min_seq", "max_seq", "min_ts", "max_ts")
-        .groupBy("event_date_days", "event_hour", "part_id")
+        .toDF("part_id", "record_count", "min_seq", "max_seq", "min_ts", "max_ts", "min_date", "max_date")
+        .groupBy("part_id")
         .agg(
           sum("record_count").as("n_events"),
           min("min_seq").as("min_seq"),
           max("max_seq").as("max_seq"),
           min("min_ts").as("min_ts"),
-          max("max_ts").as("max_ts")
+          max("max_ts").as("max_ts"),
+          min("min_date").as("min_date_days"),
+          max("max_date").as("max_date_days")
         )
     },
     "a4_manifest_totals" -> { (s, dir) =>
@@ -126,13 +131,19 @@ object IcebergQueries {
     "manifest_stats" -> Oracle.sql(
       "SELECT part_id, max(sequence) AS max_committed_seq FROM evlog GROUP BY 1"),
     "a1_file_stats" -> Oracle.sql(
-      """SELECT event_date_days, event_hour, part_id, count(*) AS n_events,
+      """SELECT part_id, count(*) AS n_events,
         |       min(sequence) AS min_seq, max(sequence) AS max_seq,
-        |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
-        |FROM evlog GROUP BY 1, 2, 3""".stripMargin),
+        |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts,
+        |       min(event_date_days) AS min_date_days, max(event_date_days) AS max_date_days
+        |FROM evlog GROUP BY 1""".stripMargin),
+    // File count mirrors the size-targeted writer: each log partition is cut
+    // into ceil((payload_bytes + 64B/row) / 128MB) sequence buckets, one
+    // file per bucket (integer ceil, same arithmetic as writeData).
     "a4_manifest_totals" -> Oracle.sql(
       """SELECT (SELECT count(*) FROM evlog) AS total_records,
-        |       (SELECT count(*) FROM (SELECT DISTINCT event_date_days, event_hour, part_id FROM evlog)) AS total_data_files""".stripMargin),
+        |       (SELECT sum(greatest(1, (sum_bytes + 134217727) // 134217728)) FROM (
+        |          SELECT part_id, sum(octet_length(props::BLOB) + 64) AS sum_bytes
+        |          FROM evlog GROUP BY 1)) AS total_data_files""".stripMargin),
     "f7_watermarks" -> Oracle.sql(
       "SELECT part_id, max(sequence) AS watermark FROM evlog GROUP BY 1"),
     "post_compaction_read" -> Oracle.sql(
@@ -140,7 +151,12 @@ object IcebergQueries {
   )
 }
 
-/** Fragmented-then-compacted table per (JVM, sfDir) for compaction queries. */
+/** Fragmented-then-compacted table per (JVM, sfDir) for compaction queries.
+  * Ingests into ~32 deliberately small files (≥3 per partition dir at every
+  * sf), then compacts with the REFERENCE defaults (<64 MB candidates,
+  * ≥3 files/group, ≤10 files/run, `/root/reference/src/storage/compaction.rs:25-34`)
+  * repeatedly — each run is one replace-snapshot, like repeated POSTs to the
+  * reference's compact endpoint. */
 object CompactedTables {
   private val cache = scala.collection.mutable.Map.empty[String, String]
 
@@ -148,8 +164,8 @@ object CompactedTables {
     cache.getOrElseUpdate(
       sfDir, {
         val root = java.nio.file.Files.createTempDirectory("graft-compact-").toString
-        EventTable.ingestAndCommit(spark, sfDir, root, saltFiles = 4)
-        Compaction.compact(spark, root, Compaction.Config(minFilesPerGroup = 2, maxFilesPerRun = Int.MaxValue))
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(32))
+        while (Compaction.compact(spark, root).isDefined) ()
         root
       }
     )
