@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (core.HotQueries.queries, core.HotQueries.oracles),
-      (table.IcebergQueries.queries, table.IcebergQueries.oracles)
+      (table.IcebergQueries.queries, table.IcebergQueries.oracles),
+      (llm.LlmQueries.queries, llm.LlmQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

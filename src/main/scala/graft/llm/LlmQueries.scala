@@ -1,0 +1,338 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents.parquet` and
+  * `embeddings.parquet` — the large-scale data-curation surface layered on
+  * top of the event engine (brief §"training-data pipeline"; the reference
+  * itself stops at opaque payloads, `/root/reference/SPEC.md:761-773`, so
+  * these are Spark-first designs, not ports).
+  *
+  * Every operator is written for the 100 TB shape:
+  *  - exact dedup: one hash-shuffle on the content hash, no collect
+  *  - near-dedup: shingle → MinHash signature → LSH band buckets; candidate
+  *    pairs are generated ONLY inside band buckets (a shuffle-local
+  *    self-join on (band, hash)), then verified with exact Jaccard — the
+  *    classic MinHash/LSH plan; NO all-pairs crossJoin anywhere
+  *  - SimHash: per-doc 16-bit fingerprint from word-hash bit votes —
+  *    near-dup candidates share fingerprints; pure map-side
+  *  - ANN: brute-force top-k as the exact baseline, shaped as
+  *    broadcast(small query set) × partial top-k per partition (never a
+  *    full×full shuffle); plus a random-hyperplane LSH variant whose
+  *    candidate set is bucket-local
+  *  - text stats / language-ID / token counts: pure map-side expressions
+  *
+  * Determinism contract with the DuckDB oracle: all hashing goes through
+  * md5 hex strings (identical in Spark and DuckDB), all ranking floats are
+  * computed as sequential double dot products (bit-identical to DuckDB's
+  * `list_inner_product` on DOUBLE[] — verified), all counts are longs.
+  */
+object LlmQueries {
+  // ---- MinHash / LSH parameters (K = Bands × RowsPerBand) ----
+  val MinHashK     = 12
+  val Bands        = 4
+  val RowsPerBand  = 3
+
+  // ---- ANN parameters ----
+  val NumQueries   = 8   // query set: vec_id < 8
+  val TopK         = 5
+  val Hyperplanes  = 6   // 2^6 = 64 LSH buckets
+
+  /** Deterministic hyperplane component for (plane h, dim d): a dyadic
+    * rational in [-0.5, 0.5) derived from md5("h:<h>:<d>") — exactly
+    * representable as a double AND as a decimal SQL literal, so Spark and
+    * the oracle use bit-identical hyperplanes. */
+  def hyperplane(h: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"h:$h:$d".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      (Integer.parseInt(hex, 16) - 32768).toDouble / 65536.0
+    }
+
+  val EmbeddingDim = 64 // embeddings.parquet: list<float>[64]
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  /** words: lowercase, whitespace-split, empties dropped. */
+  private val wordsExpr = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+
+  /** Sequential double dot product — fold left, matching DuckDB
+    * list_inner_product evaluation order bit-for-bit. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- exact dedup (content hash) ----------
+    "d1_exact_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("content_hash"))
+      docs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("keeper_id", min("doc_id").over(w))
+        .select(
+          col("doc_id"),
+          col("content_hash"),
+          (col("doc_id") === col("keeper_id")).as("is_canonical")
+        )
+    },
+
+    // ---------- near-dedup: MinHash + LSH band join + Jaccard verify ----------
+    "d2_minhash_lsh" -> { (s, dir) =>
+      val base = docs(s, dir)
+        .withColumn("words", expr(wordsExpr))
+        .withColumn(
+          "shingles",
+          expr("""CASE WHEN size(words) < 2 THEN array()
+                 |ELSE transform(sequence(1, size(words) - 1),
+                 |               i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+                 |END""".stripMargin)
+        )
+        .filter(size(col("shingles")) > 0)
+        .withColumn(
+          "sig",
+          expr(s"""transform(sequence(0, ${MinHashK - 1}),
+                  |          k -> array_min(transform(shingles, s -> md5(concat(cast(k as string), '|', s)))))""".stripMargin)
+        )
+        .withColumn("shingle_set", array_distinct(col("shingles")))
+        .select("doc_id", "sig", "shingle_set")
+
+      val bands = base.select(
+        col("doc_id"),
+        explode(expr(s"""transform(sequence(0, ${Bands - 1}),
+                        |          b -> struct(b as band, md5(concat_ws('|',
+                        |               element_at(sig, $RowsPerBand * b + 1),
+                        |               element_at(sig, $RowsPerBand * b + 2),
+                        |               element_at(sig, $RowsPerBand * b + 3))) as band_hash))""".stripMargin)).as("bb")
+      ).select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+      // Candidate pairs exist ONLY inside (band, band_hash) buckets — the
+      // join is shuffle-local on the band hash, never all-pairs.
+      val pairs = bands.as("a")
+        .join(bands.as("b"), Seq("band", "band_hash"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+
+      val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
+      val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
+      pairs
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    },
+
+    // ---------- SimHash fingerprint + exact content fingerprint ----------
+    "t2_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("words", expr(wordsExpr))
+        .withColumn("hashes", expr("transform(words, w -> md5(w))"))
+        .withColumn(
+          "simhash16",
+          // bit i of a word hash = bit (3 - i%4) of hex nibble i div 4;
+          // each word votes +1/-1 per bit, bit set if the vote is positive.
+          expr("""aggregate(
+                 |  transform(sequence(0, 15), i ->
+                 |    CASE WHEN aggregate(hashes,
+                 |           0,
+                 |           (acc, h) -> acc +
+                 |             shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1,
+                 |                        3 - i % 4) % 2 * 2 - 1
+                 |         ) > 0
+                 |    THEN shiftleft(1, i) ELSE 0 END),
+                 |  0, (acc, x) -> acc + x)""".stripMargin)
+        )
+        .withColumn("fingerprint", md5(concat_ws(" ", col("words"))))
+        .select(col("doc_id"), col("fingerprint"), col("simhash16").cast("long").as("simhash16"))
+    },
+
+    // ---------- text analysis: tokens, vocabulary, stopwords, language ----------
+    "t1_text_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("words", expr(wordsExpr))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("long").as("n_words"),
+          size(array_distinct(col("words"))).cast("long").as("n_distinct_words"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).cast("long").as("n_subword_tokens"),
+          size(expr("filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))"))
+            .cast("long").as("n_stop_en"),
+          expr("""CASE WHEN size(filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))) > 0
+                 |THEN 'en' ELSE 'und' END""".stripMargin).as("lang_guess")
+        )
+    },
+
+    // ---------- ANN: exact brute-force top-k (broadcast query set) ----------
+    "ann_topk_brute" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // Broadcast the (tiny) query set against the (huge) corpus: each
+      // corpus partition scores locally; the only shuffle is the final
+      // per-query top-k (TakeOrdered shape) — the legitimate 100 TB
+      // brute-force plan, not an all-pairs crossJoin.
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn(
+          "sim",
+          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))")
+        )
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"))
+    },
+
+    // ---------- ANN: random-hyperplane LSH buckets, bucket-local NN ----------
+    "ann_lsh_nn" -> { (s, dir) =>
+      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      val bucketExpr = planes.zipWithIndex
+        .map { case (p, h) =>
+          val lit = p.mkString("array(", ", ", ")")
+          s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+        }
+        .mkString(" + ")
+      val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
+      // Self-join ONLY within buckets (64-way shuffle on bucket id), then
+      // keep each vector's nearest in-bucket neighbor.
+      val pairs = b.as("a")
+        .join(
+          b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"),
+          Seq("bucket")
+        )
+        .filter(col("vec_id") =!= col("o_id"))
+        .withColumn(
+          "sim",
+          expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")}))")
+        )
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("o_id"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id"))
+    },
+
+    // ---------- multimodal: opaque binary payload + typed feature extraction ----------
+    "m1_multimodal" -> { (s, dir) =>
+      Multimodal.features(s, dir)
+    }
+  )
+
+  /** DuckDB twins. Hash/compare-safe by construction: md5 hex strings,
+    * integer counts as BIGINT, cosine similarities used only for ranking
+    * (bit-identical double arithmetic on both sides). */
+  def oracles: Map[String, String] = {
+    val words =
+      "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+    val minhashSql =
+      s"""WITH base AS (
+         |  SELECT doc_id, $words AS words FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(words) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+         |    END AS shingles
+         |  FROM base
+         |), sigs AS (
+         |  SELECT doc_id, list_distinct(shingles) AS shingle_set,
+         |    list_transform(generate_series(0, ${MinHashK - 1}),
+         |                   k -> list_min(list_transform(shingles, s -> md5(k::VARCHAR || '|' || s)))) AS sig
+         |  FROM sh WHERE len(shingles) > 0
+         |), bands AS (
+         |  SELECT doc_id, b,
+         |         md5(sig[$RowsPerBand * b + 1] || '|' || sig[$RowsPerBand * b + 2] || '|' || sig[$RowsPerBand * b + 3]) AS band_hash
+         |  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |       len(list_intersect(sa.shingle_set, sc.shingle_set)) AS inter_cnt,
+         |       len(sa.shingle_set) + len(sc.shingle_set) - len(list_intersect(sa.shingle_set, sc.shingle_set)) AS union_cnt
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.doc_a
+         |JOIN sigs sc ON sc.doc_id = p.doc_b""".stripMargin
+
+    val simhashSql =
+      s"""SELECT doc_id,
+         |  md5(array_to_string($words, ' ')) AS fingerprint,
+         |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+         |    CASE WHEN list_sum(list_transform($words, w ->
+         |           ((instr('0123456789abcdef', substr(md5(w), (i // 4) + 1, 1)) - 1)
+         |            >> (3 - i % 4)) % 2 * 2 - 1
+         |         )) > 0
+         |    THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash16
+         |FROM documents""".stripMargin
+
+    val statsSql =
+      s"""SELECT doc_id,
+         |  len($words)::BIGINT AS n_words,
+         |  len(list_distinct($words))::BIGINT AS n_distinct_words,
+         |  length(text)::BIGINT AS n_chars,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS n_subword_tokens,
+         |  len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w)))::BIGINT AS n_stop_en,
+         |  CASE WHEN len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) > 0
+         |  THEN 'en' ELSE 'und' END AS lang_guess
+         |FROM documents""".stripMargin
+
+    val bruteSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         |         list_inner_product(c.v, q.v) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS sim
+         |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |)
+         |SELECT q_id, rank, neighbor_id FROM (
+         |  SELECT q_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $TopK""".stripMargin
+
+    val lshSql = {
+      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      val bucketExpr = planes.zipWithIndex
+        .map { case (p, h) =>
+          val lit = p.mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_inner_product(v, $lit) >= 0.0 THEN ${1 << h} ELSE 0 END"
+        }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id, a.bucket, o.vec_id AS o_id,
+         |         list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) AS sim
+         |  FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
+         |)
+         |SELECT vec_id, bucket::BIGINT AS bucket, o_id AS nn_id FROM (
+         |  SELECT vec_id, bucket, o_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, o_id) AS rn
+         |  FROM pairs)
+         |WHERE rn = 1""".stripMargin
+    }
+
+    Map(
+      "d1_exact_dedup" ->
+        """SELECT doc_id, md5(text) AS content_hash,
+          |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+          |FROM documents""".stripMargin,
+      "d2_minhash_lsh" -> minhashSql,
+      "t2_fingerprint" -> simhashSql,
+      "t1_text_stats"  -> statsSql,
+      "ann_topk_brute" -> bruteSql,
+      "ann_lsh_nn"     -> lshSql,
+      "m1_multimodal"  -> Multimodal.oracleSql
+    )
+  }
+}

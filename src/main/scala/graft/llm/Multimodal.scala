@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** An opaque media payload with typed metadata — the multimodal column
+  * pattern: image/audio/video travel as `binary`, and decode / feature
+  * extraction runs as a partition-wise batch job. */
+final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    channels: Int
+)
+
+/** Multimodal-column plumbing over the `documents` table (brief: treat
+  * image/audio/video as opaque binary + typed metadata; decode as
+  * partition-batched extraction).
+  *
+  * The Spark-side shape is the real thing: a typed `Dataset[MediaRecord]`,
+  * `mapPartitions` so a decoder handle is initialized ONCE per partition
+  * (the slot where libjpeg/ffmpeg would live — this container has no media
+  * libs, so the decode is a clearly-marked deterministic fake over md5 of
+  * the bytes), and a typed `Dataset[MediaFeatures]` out. At 100 TB this is
+  * embarrassingly parallel: no shuffle, featureExtract scales with input
+  * partitions, and the binary column never leaves the executor.
+  */
+object Multimodal {
+
+  /** Documents recast as media records: the text bytes play the opaque
+    * payload; source maps to a modality. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        expr("""CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
+               |WHEN 'src2' THEN 'video' ELSE 'text' END""".stripMargin).as("media_type"),
+        col("text").cast("binary").as("payload")
+      )
+
+  /** FAKE DECODE: stands in for a real image/audio decoder. Deterministic
+    * features derived from the payload's md5 so the DuckDB oracle can
+    * reproduce them exactly. A real deployment swaps only this function. */
+  private def fakeDecode(md: java.security.MessageDigest, r: MediaRecord): MediaFeatures = {
+    md.reset()
+    val hex  = md.digest(r.payload).map("%02x".format(_)).mkString
+    def h(i: Int): Int = Character.digit(hex.charAt(i), 16)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = r.payload.length.toLong,
+      width = 64 + h(0) * 16 + h(1),
+      height = 64 + h(2) * 16 + h(3),
+      channels = 1 + h(4) % 3
+    )
+  }
+
+  def features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // one decoder handle per partition — the expensive-init slot
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(r => fakeDecode(md, r))
+      }
+      .toDF()
+  }
+
+  /** DuckDB twin of the fake decode (md5-hex arithmetic is portable). */
+  val oracleSql: String = {
+    def h(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+    s"""SELECT doc_id,
+       |  CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
+       |  WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |  octet_length(text::BLOB) AS n_bytes,
+       |  CAST(64 + ${h(0)} * 16 + ${h(1)} AS INT) AS width,
+       |  CAST(64 + ${h(2)} * 16 + ${h(3)} AS INT) AS height,
+       |  CAST(1 + ${h(4)} % 3 AS INT) AS channels
+       |FROM documents""".stripMargin
+  }
+}
