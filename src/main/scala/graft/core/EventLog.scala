@@ -1,8 +1,9 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Canonical partitioned event log — the reference's core abstraction.
   *
@@ -15,33 +16,37 @@ import org.apache.spark.sql.functions._
   * offset returned (INV-4, `/root/reference/src/storage/rocksdb.rs:504-576`).
   *
   * Here the driver's `events.parquet` plays the role of the raw write stream:
-  *   - `part_id`        = producer-chosen partition (derived `user_id % 8`)
+  *   - `part_id`        = producer-chosen partition. Retries (every 97th
+  *                        event re-sends the previous event's idempotency
+  *                        key) target the ORIGINAL event's partition, like a
+  *                        real producer re-routing a retry — so INV-4 dedup
+  *                        is actually exercised on every retry
   *   - `timestamp_ms`   = event time in epoch millis (reference `timestamp_ms`)
-  *   - `idempotency_key`= retry semantics: every 97th event is a retry of the
-  *                        previous event (same key), the rest are unique
-  *   - `sequence`       = per-partition `row_number` over arrival order
+  *   - `sequence`       = per-partition dense sequence over arrival order
   *                        (timestamp_ms, event_id) AFTER dedup — matching the
   *                        reference, where a duplicate never consumes a
   *                        sequence number
   *   - `event_date_days`/`event_hour` = derived partition columns, matching
   *     `derive_partition_columns` (`/root/reference/src/storage/parquet.rs:40-49`)
-  *
-  * Everything is pure declarative DataFrame API so Catalyst can push filters
-  * and prune columns into the parquet scan; the per-partition sequence is a
-  * window over `part_id` — at cluster scale this shuffles once by `part_id`
-  * (8–4096 partitions) and never collects to the driver.
   */
 object EventLog {
   /** Number of log partitions the synthetic producer writes to. */
   val NumPartitions = 8
 
+  /** `ts` is parquet TIMESTAMP(NANOS), only readable as raw longs with this
+    * session-level legacy flag (Spark has no per-read option for it). Set
+    * once, guarded, instead of mutating the conf on every call. */
+  private def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   /** Raw write stream: derive partition, event-time ms, idempotency key.
-    * `ts` is parquet TIMESTAMP(NANOS); read as raw Long nanos (exact) and
-    * floor-divide to millis — float division would lose precision at 1.7e18.
-    */
+    * Nanos → millis uses integer `div` (float division loses precision at
+    * 1.7e18). Retries join back to their original event for partition
+    * routing, mirroring a producer that re-sends to the same partition. */
   def raw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
+    ensureNanosAsLong(spark)
+    val ev = spark.read
       .parquet(s"$sfDir/events.parquet")
       .select(
         col("event_id"),
@@ -49,15 +54,17 @@ object EventLog {
         col("user_id"),
         col("event_type"),
         col("value"),
-        col("props"),
-        pmod(col("user_id"), lit(NumPartitions)).cast("int").as("part_id"),
-        concat(
-          lit("k"),
-          when(col("event_id") % 97 === 0 && col("event_id") > 0, col("event_id") - 1)
-            .otherwise(col("event_id"))
-            .cast("string")
-        ).as("idempotency_key")
+        col("props")
       )
+    val orig = ev.select(col("event_id").as("o_id"), col("user_id").as("o_user"))
+    ev.withColumn(
+        "retry_of",
+        when(col("event_id") % 97 === 0 && col("event_id") > 0, col("event_id") - 1)
+      )
+      .join(orig, col("retry_of") === col("o_id"), "left")
+      .withColumn("part_id", pmod(coalesce(col("o_user"), col("user_id")), lit(NumPartitions)).cast("int"))
+      .withColumn("idempotency_key", concat(lit("k"), coalesce(col("retry_of"), col("event_id")).cast("string")))
+      .drop("retry_of", "o_id", "o_user")
   }
 
   /** Idempotency dedup (S7): first write per (part_id, key) wins; retries are
@@ -72,15 +79,70 @@ object EventLog {
       .drop("_rn")
   }
 
+  /** S6 at scale: dense per-partition sequences via the two-phase
+    * distributed row_number. A plain `Window.partitionBy(part_id)` puts an
+    * entire log partition on ONE task (12.5 TB per task at 100 TB); instead:
+    *
+    *  1. range-partition by (part_id, timestamp_ms, event_id) into the
+    *     session's shuffle parallelism and sort within partitions — global
+    *     order, no single-task hotspot;
+    *  2. count rows per (range partition, part_id) — a metadata-sized
+    *     collect;
+    *  3. assign `base(part) + prior-range counts + local running index` per
+    *     row. The shuffle output is reused between the count pass and the
+    *     assignment pass (skipped stage), so data moves once.
+    *
+    * `base` carries persisted high watermarks so streaming batches continue
+    * numbering where the committed table left off (the reference seeds its
+    * AtomicU64 from the durable HWM the same way,
+    * `/root/reference/src/storage/sequence.rs:59-82`).
+    */
+  def assignSequences(deduped: DataFrame, base: Map[Int, Long] = Map.empty): DataFrame = {
+    val spark = deduped.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = deduped
+      .repartitionByRange(n, col("part_id"), col("timestamp_ms"), col("event_id"))
+      .sortWithinPartitions(col("part_id"), col("timestamp_ms"), col("event_id"))
+    val schema  = sorted.schema
+    val partIdx = schema.fieldIndex("part_id")
+    val rdd     = sorted.rdd
+
+    val counts: Array[Map[Int, Long]] = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.Map.empty[Int, Long]
+        it.foreach { r => val p = r.getInt(partIdx); m.update(p, m.getOrElse(p, 0L) + 1L) }
+        Iterator.single(i -> m.toMap)
+      }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+
+    val offsets: Array[Map[Int, Long]] = {
+      val running = scala.collection.mutable.Map.empty[Int, Long]
+      counts.map { m =>
+        val off = m.keys.map(p => p -> (base.getOrElse(p, 0L) + running.getOrElse(p, 0L))).toMap
+        m.foreach { case (p, c) => running.update(p, running.getOrElse(p, 0L) + c) }
+        off
+      }
+    }
+    val offB = spark.sparkContext.broadcast(offsets)
+
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val cur = scala.collection.mutable.Map.empty[Int, Long] ++ offB.value(i)
+      it.map { r =>
+        val p = r.getInt(partIdx)
+        val s = cur.getOrElse(p, 0L) + 1L
+        cur.update(p, s)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false)))
+  }
+
   /** The committed log view (S6): per-partition monotonic sequences plus the
-    * derived Iceberg partition columns. One shuffle on `part_id`; sequences
-    * are dense 1..n per partition (reference seeds from the persisted HWM —
-    * a fresh table starts at the same place). */
-  def log(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("part_id")).orderBy(col("timestamp_ms"), col("event_id"))
-    deduped(raw(spark, sfDir))
-      .withColumn("sequence", row_number().over(w).cast("long"))
+    * derived Iceberg partition columns. */
+  def log(spark: SparkSession, sfDir: String): DataFrame =
+    assignSequences(deduped(raw(spark, sfDir)))
       .withColumn("event_date_days", expr("timestamp_ms div 86400000").cast("int"))
       .withColumn("event_hour", expr("(timestamp_ms div 3600000) % 24").cast("int"))
-  }
 }

@@ -7,13 +7,18 @@ package graft.core
   * timestamps, identical tie-breakers in every window.
   */
 object Oracle {
-  /** WITH-prefix defining raw -> dedup -> evlog, shared by all event queries. */
+  /** WITH-prefix defining raw -> dedup -> evlog, shared by all event queries.
+    * Retries (every 97th event) inherit the ORIGINAL event's partition via a
+    * self-join on event_id - 1, mirroring EventLog.raw. */
   val base: String =
-    """WITH raw AS (
-      |  SELECT event_id, epoch_ms(ts) AS timestamp_ms, user_id, event_type, value, props,
-      |         CAST(user_id % 8 AS INT) AS part_id,
-      |         'k' || CAST(CASE WHEN event_id % 97 = 0 AND event_id > 0 THEN event_id - 1 ELSE event_id END AS VARCHAR) AS idempotency_key
-      |  FROM events
+    """WITH ev AS (
+      |  SELECT event_id, epoch_ms(ts) AS timestamp_ms, user_id, event_type, value, props FROM events
+      |), raw AS (
+      |  SELECT e.event_id, e.timestamp_ms, e.user_id, e.event_type, e.value, e.props,
+      |         CAST(coalesce(o.user_id, e.user_id) % 8 AS INT) AS part_id,
+      |         'k' || CAST(coalesce(o.event_id, e.event_id) AS VARCHAR) AS idempotency_key
+      |  FROM ev e LEFT JOIN ev o
+      |    ON e.event_id % 97 = 0 AND e.event_id > 0 AND o.event_id = e.event_id - 1
       |), dedup AS (
       |  SELECT * EXCLUDE (_rn) FROM (
       |    SELECT *, row_number() OVER (PARTITION BY part_id, idempotency_key ORDER BY timestamp_ms, event_id) AS _rn
