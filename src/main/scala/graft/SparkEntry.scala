@@ -15,7 +15,8 @@ object SparkEntry {
     Seq(
       (core.HotQueries.queries, core.HotQueries.oracles),
       (table.IcebergQueries.queries, table.IcebergQueries.oracles),
-      (llm.LlmQueries.queries, llm.LlmQueries.oracles)
+      (llm.LlmQueries.queries, llm.LlmQueries.oracles),
+      (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
