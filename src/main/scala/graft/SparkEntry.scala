@@ -16,7 +16,8 @@ object SparkEntry {
       (core.HotQueries.queries, core.HotQueries.oracles),
       (table.IcebergQueries.queries, table.IcebergQueries.oracles),
       (llm.LlmQueries.queries, llm.LlmQueries.oracles),
-      (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles)
+      (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles),
+      (streaming.StreamQueries.queries, streaming.StreamQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

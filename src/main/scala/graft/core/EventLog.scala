@@ -139,10 +139,14 @@ object EventLog {
     spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false)))
   }
 
+  /** Derived Iceberg partition columns, matching `derive_partition_columns`
+    * (`/root/reference/src/storage/parquet.rs:40-49`). */
+  def deriveDateHour(df: DataFrame): DataFrame =
+    df.withColumn("event_date_days", expr("timestamp_ms div 86400000").cast("int"))
+      .withColumn("event_hour", expr("(timestamp_ms div 3600000) % 24").cast("int"))
+
   /** The committed log view (S6): per-partition monotonic sequences plus the
     * derived Iceberg partition columns. */
   def log(spark: SparkSession, sfDir: String): DataFrame =
-    assignSequences(deduped(raw(spark, sfDir)))
-      .withColumn("event_date_days", expr("timestamp_ms div 86400000").cast("int"))
-      .withColumn("event_hour", expr("(timestamp_ms div 3600000) % 24").cast("int"))
+    deriveDateHour(assignSequences(deduped(raw(spark, sfDir))))
 }

@@ -107,21 +107,25 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
     UUID.randomUUID().getMostSignificantBits & 0x7fffffffffffffffL
 
   /** Append `added` files as a new snapshot. Retries are the CALLER's job on
-    * CommitConflict (matching the reference, which re-queues pending files). */
-  def commitAppend(added: Seq[DataFile], watermarks: Map[Int, Long] = Map.empty): CommitResult =
-    synchronized { commit(added, Nil, expectedSnapshotId = None, operation = "append", watermarks) }
+    * CommitConflict (matching the reference, which re-queues pending files).
+    * `extraSummary` lets callers stamp commit provenance (e.g. the streaming
+    * batch id for replay-safe exactly-once). */
+  def commitAppend(added: Seq[DataFile], watermarks: Map[Int, Long] = Map.empty,
+                   extraSummary: Map[String, String] = Map.empty): CommitResult =
+    synchronized { commit(added, Nil, expectedSnapshotId = None, operation = "append", watermarks, extraSummary) }
 
   /** Compaction commit: optimistic replace. Fails with CommitConflict if the
     * current snapshot is not `expectedBase` (another writer committed). */
   def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long): CommitResult =
-    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation = "replace", Map.empty) }
+    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation = "replace", Map.empty, Map.empty) }
 
   private def commit(
       added: Seq[DataFile],
       removed: Seq[DataFile],
       expectedSnapshotId: Option[Long],
       operation: String,
-      watermarks: Map[Int, Long]
+      watermarks: Map[Int, Long],
+      extraSummary: Map[String, String]
   ): CommitResult = {
     val baseVersion = currentVersion()
     val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic") else
@@ -189,7 +193,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
       "deleted-records"    -> removed.map(_.recordCount).sum.toString,
       "total-records"      -> totalRows.toString,
       "total-data-files"   -> totalFiles.toString
-    ) ++ carriedWm ++ wmKeys
+    ) ++ carriedWm ++ wmKeys ++ extraSummary
 
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapshotId, base.currentSnapshotId, now, listName, summary, base.currentSchemaId)

@@ -1,0 +1,214 @@
+package graft.streaming
+
+import graft.core.EventLog
+import graft.iceberg.{DataFile, IcebergCommitter, LocalTableIO}
+import graft.table.EventTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Continuous ingestion (SURVEY §2.1 S1/S2/S5 + §2.3 F1/F5/F8/F9/F10/F12),
+  * Spark-first.
+  *
+  * The reference's write path — HTTP bulk writes → WriteCombiner
+  * micro-batcher → flusher loop → snapshot batching → watermark-after-commit
+  * (`/root/reference/src/api/handlers.rs:467-707`,
+  * `src/storage/combiner.rs:98-368`, `src/flusher/mod.rs:514-761,1232-1360`)
+  * — maps onto Structured Streaming:
+  *
+  *  - a file micro-batch source IS the combiner: each trigger's batch is one
+  *    atomic bulk write (S5 is free)
+  *  - `foreachBatch`: within-batch idempotency dedup + anti-join against
+  *    already-ingested keys (S7 across batches), sequence continuation from
+  *    the table's high watermarks (S6 seeded like the reference's AtomicU64
+  *    from the durable HWM), then the size-targeted sorted write (F2/F3)
+  *  - SNAPSHOT BATCHING (F5): staged files accumulate across batches and
+  *    commit only at ≥ minFiles / ≥ minBytes / ≥ maxAge, exactly the
+  *    reference thresholds (`flusher/mod.rs:53-98,665-761`)
+  *  - EXACTLY-ONCE (F8/F10): every staged batch writes a marker listing its
+  *    files; a snapshot commit stamps `graft.batch-id-max` and deletes the
+  *    markers. Files without a marker or snapshot reference are invisible
+  *    orphans (same invariant as the reference's uncommitted S3 uploads).
+  *    On restart, [[reconcile]] re-adopts staged-but-uncommitted batches
+  *    (F9's manifest read-back plus marker replay), and a replayed batch id
+  *    that is already committed or staged is skipped — so a crash at ANY
+  *    point between staging and commit neither loses nor duplicates data
+  *  - `finish()` is F12's flush_now: force-commit whatever is pending.
+  */
+final class StreamIngest(
+    spark: SparkSession,
+    val tableRoot: String,
+    snapshotMinFiles: Int = 10,
+    snapshotMinBytes: Long = 1L << 30,
+    snapshotMaxAgeMs: Long = 30L * 60 * 1000,
+    targetFileSize: Long = EventTable.DefaultTargetFileSize
+) {
+  val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+
+  private val pending      = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[DataFile]]
+  private var pendingSince = 0L
+
+  reconcile()
+
+  // ---- replay bookkeeping -------------------------------------------------
+
+  def lastCommittedBatchId(): Long =
+    committer
+      .load()
+      .map(_.snapshots.flatMap(_.summary.get("graft.batch-id-max").map(_.toLong)))
+      .filter(_.nonEmpty)
+      .map(_.max)
+      .getOrElse(-1L)
+
+  private def markerPath(batchId: Long) = s"staged/batch-$batchId.marker"
+
+  private def stagedBatchIds(): Seq[Long] =
+    committer.io
+      .list("staged")
+      .flatMap { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        if (name.startsWith("batch-") && name.endsWith(".marker"))
+          name.stripPrefix("batch-").stripSuffix(".marker").toLongOption
+        else None
+      }
+      .sorted
+
+  /** F9/F10 on startup: adopt staged-but-uncommitted batches back into the
+    * pending set (their files are already on disk); drop markers of batches
+    * that did commit. Data files referenced by neither are orphans and stay
+    * invisible. */
+  def reconcile(): Unit = {
+    val committedMax = lastCommittedBatchId()
+    stagedBatchIds().foreach { id =>
+      if (id <= committedMax) committer.io.delete(markerPath(id))
+      else {
+        val paths = new String(committer.io.get(markerPath(id)), "UTF-8").split('\n').filter(_.nonEmpty).toSeq
+        pending.update(id, EventTable.collectDataFiles(spark, tableRoot, paths))
+        if (pendingSince == 0L) pendingSince = System.currentTimeMillis()
+      }
+    }
+  }
+
+  /** Committed + pending high watermark per partition — the sequence seed. */
+  def watermarks(): Map[Int, Long] = {
+    val committed = committer.maxCommittedSequencePerPartition()
+    val staged    = EventTable.watermarksOf(pending.values.flatten.toSeq)
+    (committed.keySet ++ staged.keySet).map { p =>
+      p -> math.max(committed.getOrElse(p, 0L), staged.getOrElse(p, 0L))
+    }.toMap
+  }
+
+  private def ingestedKeys(): DataFrame = {
+    val files = committer.activeDataFiles() ++ pending.values.flatten
+    EventTable
+      .readCommitted(spark, tableRoot, files)
+      .select(col("partition").cast("int").as("part_id"), col("idempotency_key"))
+  }
+
+  // ---- the batch pipeline -------------------------------------------------
+
+  /** One micro-batch = one atomic bulk write (S2). Skips already-staged /
+    * already-committed batch ids, making checkpoint replay a no-op. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastCommittedBatchId() || pending.contains(batchId)) {
+      maybeCommit(force = false)
+      return
+    }
+    // S7: drop within-batch retries, then keys already ingested. At real
+    // scale the seen-keys side would live in a keyed state store (RocksDB
+    // backend) instead of an anti-join re-scan; the join keeps the slice
+    // fully deterministic and distributed.
+    val deduped = EventLog
+      .deduped(batch)
+      .join(ingestedKeys(), Seq("part_id", "idempotency_key"), "left_anti")
+    val sequenced = EventLog.deriveDateHour(EventLog.assignSequences(deduped, base = watermarks()))
+
+    val before = EventTable.listParquet(tableRoot).toSet
+    EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize)
+    val newPaths = EventTable.listParquet(tableRoot).filterNot(before.contains)
+
+    // Marker AFTER the data write: files without a marker are orphans.
+    committer.io.put(markerPath(batchId), newPaths.mkString("\n").getBytes("UTF-8"))
+    pending.update(batchId, EventTable.collectDataFiles(spark, tableRoot, newPaths))
+    if (pending.size == 1) pendingSince = System.currentTimeMillis()
+    maybeCommit(force = false)
+  }
+
+  /** F5 snapshot batching + F8 watermark-after-commit. */
+  def maybeCommit(force: Boolean): Option[Long] = {
+    val files = pending.values.flatten.toSeq
+    if (files.isEmpty) return None
+    val bytes    = files.map(_.fileSizeInBytes).sum
+    val age      = System.currentTimeMillis() - pendingSince
+    val ripe     = files.size >= snapshotMinFiles || bytes >= snapshotMinBytes || age >= snapshotMaxAgeMs
+    if (!force && !ripe) return None
+    val batchMax = pending.keys.max
+    val res = committer.commitAppend(
+      files,
+      EventTable.watermarksOf(files),
+      Map("graft.batch-id-max" -> batchMax.toString)
+    )
+    pending.keys.toSeq.foreach(id => committer.io.delete(markerPath(id)))
+    pending.clear()
+    pendingSince = 0L
+    Some(res.snapshotId)
+  }
+
+  /** F12 flush_now / shutdown flush. */
+  def finish(): Unit = { maybeCommit(force = true); () }
+
+  /** Drive a file-source stream over staged raw-event chunks to completion
+    * (Trigger.AvailableNow — the batch-ingest-of-a-backlog mode). */
+  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tableRoot/checkpoint")
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .start()
+    q.awaitTermination()
+    finish()
+  }
+}
+
+object StreamIngest {
+  /** Stage the raw write stream as N event_id-contiguous parquet chunks,
+    * written sequentially (ascending mtimes) so the file source replays
+    * arrival order — each chunk models one bulk-write burst (S2). */
+  def stageChunks(spark: SparkSession, sfDir: String, stagingDir: String, nChunks: Int): StructType = {
+    val raw   = EventLog.raw(spark, sfDir)
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val span  = maxId / nChunks + 1
+    (0 until nChunks).foreach { i =>
+      raw
+        .filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(stagingDir)
+    }
+    raw.schema
+  }
+}
+
+/** One streamed table per (JVM, sfDir): the full chunked-stream pipeline,
+  * shared by queries. */
+object StreamedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root    = java.nio.file.Files.createTempDirectory("graft-stream-").toString
+        val staging = java.nio.file.Files.createTempDirectory("graft-staging-").toString
+        val schema  = StreamIngest.stageChunks(spark, sfDir, staging, nChunks = 4)
+        new StreamIngest(spark, root).runFileStream(staging, schema)
+        root
+      }
+    )
+  }
+}
