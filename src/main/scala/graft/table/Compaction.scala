@@ -55,7 +55,8 @@ object Compaction {
   /** C2+C3: rewrite the candidate files and atomically replace them in a new
     * snapshot. Throws [[CommitConflict]] if the table advanced past
     * `expectedBase` between selection and commit. */
-  def compact(spark: SparkSession, tableRoot: String, cfg: Config = Config()): Option[CommitResult] = {
+  def compact(spark: SparkSession, tableRoot: String, cfg: Config = Config(),
+              beforeCommit: () => Unit = () => ()): Option[CommitResult] = {
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)
@@ -72,6 +73,7 @@ object Compaction {
     val added    = EventTable.collectDataFiles(spark, tableRoot, newPaths)
 
     try {
+      beforeCommit() // test hook: interleave a concurrent commit
       val res = committer.commitReplace(candidates, added, base)
       // Old files are invisible now; physical delete is safe post-commit.
       candidates.foreach(f => committer.io.delete(f.filePath))

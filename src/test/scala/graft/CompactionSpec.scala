@@ -1,0 +1,84 @@
+package graft
+
+import graft.iceberg._
+import graft.table.{Compaction, EventTable}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(path: String, bytes: Long): DataFile =
+    DataFile(0, path, "PARQUET", bytes / 100, bytes, Map.empty, Map.empty)
+
+  test("C1 selection at reference defaults: small files, >=3 per group, budget by whole groups") {
+    val cfg = Compaction.Config() // <64MB, >=3 files, <=10/run
+    val big    = df("data/partition=0/big.parquet", 100L * 1024 * 1024)
+    val g0     = (1 to 6).map(i => df(s"data/partition=0/f$i.parquet", 1000))
+    val g1     = (1 to 6).map(i => df(s"data/partition=1/f$i.parquet", 1000))
+    val g2     = (1 to 2).map(i => df(s"data/partition=2/f$i.parquet", 1000))
+    val picked = Compaction.selectCandidates(big +: (g0 ++ g1 ++ g2), cfg)
+    // big file excluded; partition=2 group too small; 6+6 > 10 budget →
+    // whole second group skipped (the reference takes whole groups only,
+    // `/root/reference/src/storage/compaction.rs:139-171`).
+    assert(picked.map(_.filePath).toSet === g0.map(_.filePath).toSet)
+  }
+
+  test("C1: a group exactly at the budget is taken") {
+    val cfg = Compaction.Config()
+    val g   = (1 to 10).map(i => df(s"data/partition=0/f$i.parquet", 1000))
+    assert(Compaction.selectCandidates(g, cfg).size === 10)
+  }
+
+  test("C2+C3: compaction merges fragments and preserves every row") {
+    val root = Files.createTempDirectory("graft-compact-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer   = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val filesBefore = committer.activeDataFiles().size
+    val rowsBefore  = EventTable.readCommitted(spark, root).count()
+    assert(filesBefore >= 24, s"fragmented ingest should produce many files, got $filesBefore")
+
+    while (Compaction.compact(spark, root).isDefined) ()
+
+    val filesAfter = committer.activeDataFiles().size
+    assert(filesAfter <= graft.core.EventLog.NumPartitions, s"expected ~1 file per partition, got $filesAfter")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
+    // physical cleanup happened: no orphan small files left behind
+    assert(EventTable.listParquet(root).size === filesAfter)
+  }
+
+  test("C3 rollback: a concurrent commit aborts compaction and removes rewrites") {
+    val root = Files.createTempDirectory("graft-compact-conflict-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+    val active     = committer.activeDataFiles().map(_.filePath).toSet
+
+    intercept[CommitConflict] {
+      Compaction.compact(
+        spark, root,
+        beforeCommit = () => {
+          // another writer lands an (empty) append between selection and commit
+          committer.commitAppend(Nil)
+          ()
+        }
+      )
+    }
+    // active set unchanged, rewritten orphans physically removed
+    assert(committer.activeDataFiles().map(_.filePath).toSet === active)
+    assert(EventTable.listParquet(root).toSet === active)
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
+  }
+
+  test("fragmented and compacted tables agree with the directly ingested table") {
+    val rootA = Files.createTempDirectory("graft-compare-a-").toString
+    val rootB = Files.createTempDirectory("graft-compare-b-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", rootA)
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", rootB, fragmentInto = Some(32))
+    while (Compaction.compact(spark, rootB).isDefined) ()
+    val a = EventTable.readCommitted(spark, rootA).select("partition", "sequence", "timestamp_ms")
+    val b = EventTable.readCommitted(spark, rootB).select("partition", "sequence", "timestamp_ms")
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.iceberg._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Committer unit coverage: round-trips, commit semantics, CAS conflicts,
+  * watermark carry-forward — the paths the reference exercises in
+  * `tests/crash_recovery_tests.rs` and its iceberg unit tests. */
+class IcebergSpec extends AnyFunSuite {
+
+  private def df(path: String, records: Long, part: Int, seqHi: Long): DataFile =
+    DataFile(
+      content = 0,
+      filePath = path,
+      fileFormat = "PARQUET",
+      recordCount = records,
+      fileSizeInBytes = records * 100,
+      lowerBounds = Map(
+        FieldIds.Partition -> Bounds.encodeInt(part),
+        FieldIds.Sequence  -> Bounds.encodeLong(1L)
+      ),
+      upperBounds = Map(
+        FieldIds.Partition -> Bounds.encodeInt(part),
+        FieldIds.Sequence  -> Bounds.encodeLong(seqHi)
+      )
+    )
+
+  private def freshCommitter(): IcebergCommitter = {
+    val root = Files.createTempDirectory("graft-iceberg-test-").toString
+    new IcebergCommitter(new LocalTableIO(root), "t")
+  }
+
+  test("bounds encoding round-trips (property)") {
+    val p = Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { v =>
+      Bounds.decodeLong(Bounds.encodeLong(v)) == v
+    } && Prop.forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { v =>
+      Bounds.decodeInt(Bounds.encodeInt(v)) == v
+    }
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+  }
+
+  test("manifest Avro round-trips entries, stats, and bounds") {
+    val entries = Seq(
+      ManifestEntry(1, 42L, df("data/partition=0/a.parquet", 10, 0, 10)),
+      ManifestEntry(2, 43L, df("data/partition=1/b.parquet", 5, 1, 5))
+    )
+    val bytes = ManifestIO.writeManifest(entries, "{}", "[]")
+    val back  = ManifestIO.readManifest(bytes)
+    assert(back.map(_.status) === Seq(1, 2))
+    assert(back.map(_.dataFile.filePath) === entries.map(_.dataFile.filePath))
+    assert(back.head.dataFile.upperLong(FieldIds.Sequence) === Some(10L))
+    assert(back(1).dataFile.lowerInt(FieldIds.Partition) === Some(1))
+  }
+
+  test("manifest list Avro round-trips") {
+    val e = ManifestListEntry("metadata/m1.avro", 123L, 0, 0, 7L, 7L, 42L, 2, 0, 1, 100L, 0L, 50L)
+    val back = ManifestIO.readManifestList(ManifestIO.writeManifestList(Seq(e)))
+    assert(back === Seq(e))
+  }
+
+  test("table metadata JSON round-trips") {
+    val meta = TableMetadata.create("table://t")
+    val back = TableMetadata.fromJson(meta.toJson)
+    assert(back.tableUuid === meta.tableUuid)
+    assert(back.schemas.head.fields.map(_.id) === (1 to 8))
+    assert(back.partitionSpecs.head.fields.map(_.name) === Seq("partition"))
+    assert(back.currentSnapshotId === None)
+    assert(back.sortOrders.head.fields.map(_.sourceId) === Seq(FieldIds.TimestampMs, FieldIds.Sequence))
+  }
+
+  test("append commit exposes files, totals, and watermarks") {
+    val c = freshCommitter()
+    val r1 = c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
+    assert(r1.version === 1)
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/a.parquet"))
+    val summary = c.load().get.currentSnapshot.get.summary
+    assert(summary("total-records") === "10")
+    assert(summary("total-data-files") === "1")
+    assert(c.summaryWatermarks() === Map(0 -> 10L))
+  }
+
+  test("second append is cumulative (carry-forward manifest list)") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
+    c.commitAppend(Seq(df("data/partition=1/b.parquet", 7, 1, 7)), Map(1 -> 7L))
+    assert(c.activeDataFiles().size === 2)
+    val summary = c.load().get.currentSnapshot.get.summary
+    assert(summary("total-records") === "17")
+    assert(summary("total-data-files") === "2")
+    // F7 watermark carry-forward: partition 0 not updated in commit 2.
+    assert(c.summaryWatermarks() === Map(0 -> 10L, 1 -> 7L))
+    assert(c.maxCommittedSequencePerPartition() === Map(0 -> 10L, 1 -> 7L))
+  }
+
+  test("replace commit removes files and fails on a stale base (CAS)") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val r1 = c.commitAppend(Seq(a, b), Map(0 -> 20L))
+    val merged = df("data/partition=0/m.parquet", 20, 0, 20)
+
+    intercept[CommitConflict] {
+      c.commitReplace(Seq(a, b), Seq(merged), expectedBase = r1.snapshotId + 1)
+    }
+    val r2 = c.commitReplace(Seq(a, b), Seq(merged), expectedBase = r1.snapshotId)
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/m.parquet"))
+    assert(c.load().get.currentSnapshot.get.summary("total-records") === "20")
+    // replacing with a now-stale base again must conflict
+    intercept[CommitConflict] {
+      c.commitReplace(Seq(merged), Seq(a), expectedBase = r1.snapshotId)
+    }
+    assert(r2.version === 2)
+  }
+
+  test("metadata version CAS primitive: create-if-absent is exclusive") {
+    val c = freshCommitter()
+    // The commit point is putIfAbsent on v{N}.metadata.json — exactly one
+    // of two racing writers can win a given version.
+    assert(c.io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](1)))
+    assert(!c.io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](2)))
+    assert(c.io.get("metadata/v9.metadata.json").toSeq === Seq[Byte](1))
+  }
+
+  test("version numbering continues past an externally written version") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 1, 0, 1)))
+    // Another writer claims v2; our next commit must land on v3, not clobber.
+    c.io.put(c.versionFile(2), c.load().get.toJson.getBytes("UTF-8"))
+    val r = c.commitAppend(Seq(df("data/partition=1/b.parquet", 1, 1, 1)))
+    assert(r.version === 3)
+  }
+
+  test("unknown table loads as None; version 0") {
+    val c = freshCommitter()
+    assert(c.currentVersion() === 0)
+    assert(c.load() === None)
+    assert(c.activeDataFiles() === Nil)
+    assert(c.maxCommittedSequencePerPartition() === Map.empty)
+  }
+}

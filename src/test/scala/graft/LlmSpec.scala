@@ -1,0 +1,120 @@
+package graft
+
+import graft.llm.LlmQueries
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Behavioral checks of the LLM-pipeline operators on constructed fixtures
+  * (known duplicates, known nearest neighbors). */
+class LlmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Fixture dir with documents.parquet + embeddings.parquet. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-llm-fixture-").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "src1", 43L), // exact dup of 0
+      (2L, "the quick brown fox jumps over a sleepy dog", "en", "src2", 43L), // near dup of 0
+      (3L, "completely different words entirely here now", "en", "src3", 44L),
+      (4L, "of and to in the a", "en", "src9", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+
+    val dim = LlmQueries.EmbeddingDim
+    def unit(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == (axis + 1) % dim) eps else 0.0f))
+    Seq(
+      (0L, unit(0, 0.0f), 0),
+      (1L, unit(0, 0.01f), 0), // nearly identical to 0
+      (2L, unit(5, 0.0f), 1),
+      (3L, unit(5, 0.02f), 1), // nearly identical to 2
+      (4L, unit(20, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) = LlmQueries.queries(name)(spark, dir)
+
+  test("d1: exact duplicates share a content hash; the smallest doc_id is canonical") {
+    val rows = run("d1_exact_dedup").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("content_hash"), r.getAs[Boolean]("is_canonical")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 === byId(1L)._2, "identical texts must hash identically")
+    assert(byId(0L)._3 === true)
+    assert(byId(1L)._3 === false)
+    assert(rows.filterNot(r => r._1 <= 1).forall(_._3), "unique docs are canonical")
+  }
+
+  test("d2: exact and near duplicates surface as LSH candidates with correct Jaccard counts") {
+    val pairs = run("d2_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("inter_cnt"), r.getAs[Long]("union_cnt")))
+    val p01 = pairs.find(p => p._1 == 0 && p._2 == 1)
+    assert(p01.isDefined, "identical docs must share every band")
+    assert(p01.get._3 === p01.get._4, "identical docs: intersection == union")
+    // doc 3 shares no shingles with 0 — any candidate pair with it would be
+    // a hash accident; assert none.
+    assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
+  }
+
+  test("t2: SimHash is 16-bit; identical docs get identical fingerprints") {
+    val rows = run("t2_fingerprint").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fingerprint"), r.getAs[Long]("simhash16")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 65536))
+    assert(byId(0L)._2 === byId(1L)._2)
+    assert(byId(0L)._3 === byId(1L)._3)
+    // near-dup differs by one word: hamming distance of simhashes is small
+    val ham = java.lang.Long.bitCount(byId(0L)._3 ^ byId(2L)._3)
+    assert(ham <= 6, s"near-dup simhash hamming distance was $ham")
+  }
+
+  test("t1: token counts and language guess on a known document") {
+    val r = run("t1_text_stats").filter($"doc_id" === 0L).head()
+    assert(r.getAs[Long]("n_words") === 9L)
+    assert(r.getAs[Long]("n_distinct_words") === 8L) // 'the' twice
+    assert(r.getAs[Long]("n_chars") === 43L)
+    assert(r.getAs[Long]("n_stop_en") === 2L)
+    assert(r.getAs[String]("lang_guess") === "en")
+  }
+
+  test("ann brute-force: the constructed nearest neighbor ranks first") {
+    val rows = run("ann_topk_brute").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.find(r => r._1 == 0L && r._2 == 1L).get._3 === 1L)
+    assert(rows.find(r => r._1 == 1L && r._2 == 1L).get._3 === 0L)
+    assert(rows.find(r => r._1 == 2L && r._2 == 1L).get._3 === 3L)
+  }
+
+  test("ann LSH: near-identical vectors land in one bucket and pick each other") {
+    val rows = run("ann_lsh_nn").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"), r.getAs[Long]("nn_id")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 === byId(1L)._2, "near-identical vectors must share an LSH bucket")
+    assert(byId(0L)._3 === 1L)
+    assert(byId(1L)._3 === 0L)
+  }
+
+  test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
+    val p1 = LlmQueries.hyperplane(3, 16)
+    val p2 = LlmQueries.hyperplane(3, 16)
+    assert(p1.toSeq === p2.toSeq)
+    assert(p1.forall(v => v >= -0.5 && v < 0.5))
+    assert(p1.toSeq !== LlmQueries.hyperplane(4, 16).toSeq)
+  }
+
+  test("m1: multimodal features are deterministic functions of the payload") {
+    val rows = run("m1_multimodal").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), r.getAs[Long]("n_bytes"),
+                 r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("channels")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 === "image")
+    assert(byId(1L)._2 === "audio")
+    assert(byId(0L)._3 === 43L)
+    // identical payloads → identical fake-decoded features
+    assert((byId(0L)._4, byId(0L)._5, byId(0L)._6) === (byId(1L)._4, byId(1L)._5, byId(1L)._6))
+    assert(rows.forall(r => r._4 >= 64 && r._4 < 320 && r._6 >= 1 && r._6 <= 3))
+  }
+}

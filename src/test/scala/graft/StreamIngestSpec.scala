@@ -1,0 +1,106 @@
+package graft
+
+import graft.core.EventLog
+import graft.streaming.StreamIngest
+import graft.table.EventTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Crash/replay safety of the streaming slice — the CP-5/CP-6 analogues of
+  * `/root/reference/tests/crash_recovery_tests.rs`: no duplicates after a
+  * batch replay, no loss after a crash between staging and commit. */
+class StreamIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def batchCounts() =
+    EventLog
+      .log(spark, sf)
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n"), max("sequence").as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  private def committedCounts(root: String) =
+    EventTable
+      .readCommitted(spark, root)
+      .groupBy(col("partition").cast("int").as("p"))
+      .agg(count(lit(1)).as("n"), max("sequence").as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("streamed ingest converges to the batch-derived table") {
+    val root    = Files.createTempDirectory("graft-stream-spec-").toString
+    val staging = Files.createTempDirectory("graft-stream-stage-").toString
+    val schema  = StreamIngest.stageChunks(spark, sf, staging, nChunks = 3)
+    new StreamIngest(spark, root).runFileStream(staging, schema)
+    assert(committedCounts(root) === batchCounts())
+  }
+
+  test("a replayed batch id is a no-op (no duplicate files, no duplicate rows)") {
+    val root = Files.createTempDirectory("graft-replay-spec-").toString
+    val raw  = EventLog.raw(spark, sf)
+    val ing  = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    ing.processBatch(raw, batchId = 0L)
+    val files = EventTable.listParquet(root).size
+    val rows  = EventTable.readCommitted(spark, root).count()
+    ing.processBatch(raw, batchId = 0L) // checkpoint replay after commit
+    assert(EventTable.listParquet(root).size === files)
+    assert(EventTable.readCommitted(spark, root).count() === rows)
+  }
+
+  test("crash between staging and commit: reconcile + flush loses nothing, duplicates nothing") {
+    val root = Files.createTempDirectory("graft-crash-spec-").toString
+    val raw  = EventLog.raw(spark, sf).cache()
+    val mid  = raw.agg(expr("percentile_approx(event_id, 0.5)")).head().get(0).toString.toDouble.toLong
+
+    // Instance A stages two batches but thresholds keep them uncommitted.
+    val a = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    a.processBatch(raw.filter(col("event_id") <= mid), batchId = 0L)
+    a.processBatch(raw.filter(col("event_id") > mid), batchId = 1L)
+    assert(new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), EventTable.Topic).load() === None,
+      "nothing must be committed yet")
+    // A crashes here (in-memory pending lost). Instance B reconciles from
+    // markers and force-flushes (F9/F10 + F12).
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    b.finish()
+    assert(committedCounts(root) === batchCounts())
+  }
+
+  test("a replayed-but-staged batch is skipped after restart") {
+    val root = Files.createTempDirectory("graft-replay2-spec-").toString
+    val raw  = EventLog.raw(spark, sf)
+    val a    = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    a.processBatch(raw, batchId = 0L)
+    val staged = EventTable.listParquet(root).size
+    // restart; checkpoint replays batch 0 before anything commits
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    b.processBatch(raw, batchId = 0L)
+    assert(EventTable.listParquet(root).size === staged)
+    b.finish()
+    assert(committedCounts(root) === batchCounts())
+  }
+
+  test("sequence continuation across batches: dense, no overlap") {
+    val root = Files.createTempDirectory("graft-seqcont-spec-").toString
+    val raw  = EventLog.raw(spark, sf)
+    val mid  = 500L
+    val ing  = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    ing.processBatch(raw.filter(col("event_id") < mid), batchId = 0L)
+    ing.processBatch(raw.filter(col("event_id") >= mid), batchId = 1L)
+    val perPart = EventTable
+      .readCommitted(spark, root)
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("sequence").as("mn"), max("sequence").as("mx"),
+           countDistinct("sequence").as("nd"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getAs[Long]("mn") === 1L)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n"))
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+    }
+  }
+}
