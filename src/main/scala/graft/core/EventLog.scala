@@ -149,4 +149,19 @@ object EventLog {
     * derived Iceberg partition columns. */
   def log(spark: SparkSession, sfDir: String): DataFrame =
     deriveDateHour(assignSequences(deduped(raw(spark, sfDir))))
+
+  /** The HOT-TIER view: the log materialized once per (session, sfDir) —
+    * the analogue of the reference's RocksDB hot buffer (L1,
+    * `/root/reference/SPEC.md:196-201`), which serves operational reads
+    * from memory while the cold Iceberg tier holds history. Spark's
+    * in-memory columnar cache still applies filter pushdown and column
+    * pruning on scans. */
+  private val hotCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  def hot(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    hotCache.getOrElseUpdate(
+      sfDir,
+      log(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    )
+  }
 }

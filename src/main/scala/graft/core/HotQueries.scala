@@ -29,7 +29,7 @@ object HotQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_sequence_assign" -> { (s, dir) =>
-      EventLog.log(s, dir).select("part_id", "sequence", "event_id", "timestamp_ms")
+      EventLog.hot(s, dir).select("part_id", "sequence", "event_id", "timestamp_ms")
     },
     "s7_idempotency_dedup" -> { (s, dir) =>
       EventLog
@@ -40,7 +40,7 @@ object HotQueries {
     },
     "q1_offset_scan" -> { (s, dir) =>
       EventLog
-        .log(s, dir)
+        .hot(s, dir)
         .filter(col("part_id") === 3 && col("sequence") >= 100L)
         .orderBy("sequence")
         .limit(500)
@@ -48,22 +48,22 @@ object HotQueries {
     },
     "q2_merge_read" -> { (s, dir) =>
       EventLog
-        .log(s, dir)
+        .hot(s, dir)
         .orderBy("timestamp_ms", "part_id", "sequence")
         .limit(1000)
         .select("timestamp_ms", "part_id", "sequence", "event_id")
     },
     "q3_time_range" -> { (s, dir) =>
       EventLog
-        .log(s, dir)
+        .hot(s, dir)
         .filter(col("timestamp_ms") >= RangeLo && col("timestamp_ms") < RangeHi)
         .select("event_id", "timestamp_ms", "event_type", "part_id", "sequence")
     },
     "q4_projection" -> { (s, dir) =>
-      EventLog.log(s, dir).filter(col("part_id") === 2).select("event_id", "event_type")
+      EventLog.hot(s, dir).filter(col("part_id") === 2).select("event_id", "event_type")
     },
     "q5_limit_hasmore" -> { (s, dir) =>
-      val l     = EventLog.log(s, dir)
+      val l     = EventLog.hot(s, dir)
       val total = l.select(count(lit(1)).as("_total"))
       l.orderBy("timestamp_ms", "part_id", "sequence")
         .limit(200)
@@ -74,7 +74,7 @@ object HotQueries {
     },
     "f2_hour_grouping" -> { (s, dir) =>
       EventLog
-        .log(s, dir)
+        .hot(s, dir)
         .groupBy("event_date_days", "event_hour", "part_id")
         .agg(
           count(lit(1)).as("n_events"),
@@ -86,7 +86,7 @@ object HotQueries {
     },
     "q9_consumer_offsets" -> { (s, dir) =>
       EventLog
-        .log(s, dir)
+        .hot(s, dir)
         .groupBy("part_id")
         .agg(max("sequence").as("committed_offset"))
         .withColumn("consumer_group", lit("g1"))

@@ -31,9 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
   // ---- MinHash / LSH parameters (K = Bands × RowsPerBand) ----
+  // 2 bands × 6 rows ⇒ LSH threshold (1/b)^(1/r) ≈ 0.89 — proper near-dup
+  // territory; a shallower curve floods this small-vocabulary corpus with
+  // low-similarity candidates.
   val MinHashK     = 12
-  val Bands        = 4
-  val RowsPerBand  = 3
+  val Bands        = 2
+  val RowsPerBand  = 6
+
+  /** Largest prime below 2^32 — the universal-hash modulus. */
+  val MinHashP = 4294967291L
+
+  /** Deterministic multiply-add coefficients for the K minhash permutations
+    * h_k(v) = (A_k·v + B_k) mod P over the 32-bit shingle hash v. A_k is odd
+    * and < 2^31 so A_k·v stays well inside Long. Derived from md5 so both
+    * sides can embed identical literals. */
+  val MinHashA: Seq[Long] = (0 until MinHashK).map(k => (hex32(s"A:$k") % (1L << 31)) | 1L)
+  val MinHashB: Seq[Long] = (0 until MinHashK).map(k => hex32(s"B:$k") % MinHashP)
+
+  private def hex32(seed: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
 
   // ---- ANN parameters ----
   val NumQueries   = 8   // query set: vec_id < 8
@@ -54,12 +73,16 @@ object LlmQueries {
 
   val EmbeddingDim = 64 // embeddings.parquet: list<float>[64]
 
+  /** The corpus arrives as a single parquet file at bench scale — spread it
+    * across the cluster before the compute-heavy lambdas (a 100 TB corpus
+    * has thousands of input splits and skips this shuffle). */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .repartition(col("vec_id"))
 
   /** words: lowercase, whitespace-split, empties dropped. */
   private val wordsExpr = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
@@ -68,6 +91,17 @@ object LlmQueries {
     * list_inner_product evaluation order bit-for-bit. */
   private def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+  /** First 8 hex chars of an md5 string as a 32-bit value — identical SQL in
+    * Spark and DuckDB (instr + substr + bigint arithmetic). */
+  private def hexToIntExpr(h: String): String =
+    (1 to 8)
+      .map(j => s"cast(instr('0123456789abcdef', substr($h, $j, 1)) - 1 as bigint) * ${1L << (4 * (8 - j))}")
+      .mkString("(", " + ", ")")
+
+  private def sparkArray(xs: Seq[Long]): String = xs.mkString("array(", ", ", ")")
+  private def duckArray(xs: Seq[Long]): String  = xs.mkString("[", ", ", "]")
+  private def sqlArray(xs: Seq[Long]): String   = sparkArray(xs)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- exact dedup (content hash) ----------
@@ -87,29 +121,41 @@ object LlmQueries {
     "d2_minhash_lsh" -> { (s, dir) =>
       val base = docs(s, dir)
         .withColumn("words", expr(wordsExpr))
+        // zip_with over two slices, NOT element_at(words, i) in a lambda —
+        // an outer-column reference inside a lambda body gets inlined by
+        // CollapseProject and re-evaluates the whole split() per element
+        // (measured 13x slower); lambda variables are bound once.
         .withColumn(
           "shingles",
           expr("""CASE WHEN size(words) < 2 THEN array()
-                 |ELSE transform(sequence(1, size(words) - 1),
-                 |               i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+                 |ELSE zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),
+                 |              (a, b) -> concat(a, ' ', b))
                  |END""".stripMargin)
         )
         .filter(size(col("shingles")) > 0)
+        // ONE md5 per shingle → 32-bit int → K cheap multiply-mod
+        // permutations (universal hashing), instead of K md5 calls.
+        .withColumn("vhash", expr(s"transform(transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")})"))
+        // one pass per permutation with SCALAR coefficients — constant
+        // folding keeps the inner lambda allocation-free
         .withColumn(
           "sig",
-          expr(s"""transform(sequence(0, ${MinHashK - 1}),
-                  |          k -> array_min(transform(shingles, s -> md5(concat(cast(k as string), '|', s)))))""".stripMargin)
+          array((0 until MinHashK).map { k =>
+            expr(s"cast(array_min(transform(vhash, v -> (${MinHashA(k)} * v + ${MinHashB(k)}) % $MinHashP)) as string)")
+          }: _*)
         )
         .withColumn("shingle_set", array_distinct(col("shingles")))
         .select("doc_id", "sig", "shingle_set")
+        // the signature subtree feeds three join branches (bands ×2, sets ×2)
+        // — materialize it once instead of recomputing the md5 forest per
+        // branch (at scale this is the classic signature-table materialize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val bands = base.select(
         col("doc_id"),
         explode(expr(s"""transform(sequence(0, ${Bands - 1}),
-                        |          b -> struct(b as band, md5(concat_ws('|',
-                        |               element_at(sig, $RowsPerBand * b + 1),
-                        |               element_at(sig, $RowsPerBand * b + 2),
-                        |               element_at(sig, $RowsPerBand * b + 3))) as band_hash))""".stripMargin)).as("bb")
+                        |          b -> struct(b as band,
+                        |               array_join(slice(sig, $RowsPerBand * b + 1, $RowsPerBand), '|') as band_hash))""".stripMargin)).as("bb")
       ).select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
       // Candidate pairs exist ONLY inside (band, band_hash) buckets — the
@@ -244,14 +290,19 @@ object LlmQueries {
          |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
          |    END AS shingles
          |  FROM base
+         |), vh AS (
+         |  SELECT doc_id, shingles,
+         |         list_transform(list_transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")}) AS vhash
+         |  FROM sh WHERE len(shingles) > 0
          |), sigs AS (
          |  SELECT doc_id, list_distinct(shingles) AS shingle_set,
          |    list_transform(generate_series(0, ${MinHashK - 1}),
-         |                   k -> list_min(list_transform(shingles, s -> md5(k::VARCHAR || '|' || s)))) AS sig
-         |  FROM sh WHERE len(shingles) > 0
+         |      k -> CAST(list_min(list_transform(vhash,
+         |             v -> (${duckArray(MinHashA)}[k + 1] * v + ${duckArray(MinHashB)}[k + 1]) % $MinHashP)) AS VARCHAR)) AS sig
+         |  FROM vh
          |), bands AS (
          |  SELECT doc_id, b,
-         |         md5(sig[$RowsPerBand * b + 1] || '|' || sig[$RowsPerBand * b + 2] || '|' || sig[$RowsPerBand * b + 3]) AS band_hash
+         |         array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '|') AS band_hash
          |  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
