@@ -17,7 +17,8 @@ object SparkEntry {
       (table.IcebergQueries.queries, table.IcebergQueries.oracles),
       (llm.LlmQueries.queries, llm.LlmQueries.oracles),
       (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles),
-      (streaming.StreamQueries.queries, streaming.StreamQueries.oracles)
+      (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
+      (serve.ServeQueries.queries, serve.ServeQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

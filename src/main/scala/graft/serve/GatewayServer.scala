@@ -1,0 +1,381 @@
+package graft.serve
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.iceberg.{CommitConflict, IcebergCommitter, LocalTableIO}
+import graft.table.{Compaction, EventTable}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.Semaphore
+import scala.jdk.CollectionConverters._
+
+/** The HTTP gateway: the reference's full API surface (SURVEY §2.7 /
+  * `/root/reference/src/api/mod.rs:19-70`) over the Spark-native engine.
+  *
+  *  - S1/S2: single + bulk writes (JSON or protobuf) into the [[HotBuffer]]
+  *    with sequence assignment and idempotency dedup; 202 responses with
+  *    offsets (`handlers.rs:467-707`)
+  *  - S4: backpressure — a permit semaphore plus an in-flight byte budget
+  *    admitted on RAW body size before parsing; 503 SERVER_OVERLOADED on
+  *    overload (`handlers.rs:64-111,187-232`)
+  *  - Q1–Q6: operational reads with projection validation, since-filter,
+  *    limit+has_more, and JSON/Arrow content negotiation
+  *  - F2–F7 via [[flushNow]]: hot events → Spark sorted size-targeted write
+  *    → distributed stats → Iceberg append commit → hot cleanup (F11) —
+  *    the flusher pipeline triggered by POST /tables/{t}/flush (F12)
+  *  - C1–C3 via POST /tables/{t}/compact with the in-progress guard (409)
+  *  - X1: health/ready/stats/metrics/metadata/watermark admin routes
+  *  - X2: the read-only Iceberg REST catalog (`src/api/catalog.rs:193-366`)
+  *  - F13: optional auto-registration against an external REST catalog
+  *    after each commit ([[CatalogClient]])
+  *
+  * Spark is involved ONLY in flush/compact (the distributed jobs); the hot
+  * path is pure JVM, like the reference's axum front-end.
+  */
+final class GatewayServer(
+    spark: SparkSession,
+    baseDir: String,
+    port: Int = 0,
+    namespace: String = "zombi",
+    maxInflight: Int = 10000,
+    maxInflightBytes: Long = 64L * 1024 * 1024,
+    retentionMs: Long = 0L,
+    catalog: Option[CatalogClient] = None
+) {
+  private val mapper  = new ObjectMapper()
+  val hot             = new HotBuffer
+  val metrics         = new Metrics
+  private val permits = new Semaphore(maxInflight)
+  private val inflightBytes = new AtomicLong(0)
+  private val compacting    = new ConcurrentHashMap[String, AtomicBoolean]()
+  private val committers    = new ConcurrentHashMap[String, IcebergCommitter]()
+
+  metrics.gauge("zombi_hot_events")(hot.topics.map(hot.size).sum.toDouble)
+
+  private val TableName = "^[a-zA-Z][a-zA-Z0-9_-]{0,127}$".r
+
+  private def committer(topic: String): IcebergCommitter =
+    committers.computeIfAbsent(topic, t => {
+      val root = Paths.get(baseDir, t)
+      Files.createDirectories(root)
+      val c = new IcebergCommitter(new LocalTableIO(root.toString), t)
+      hot.seed(t, c.maxCommittedSequencePerPartition()) // F9 reconciliation
+      c
+    })
+
+  // ---------------------------------------------------------------- server
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.createContext("/", (ex: HttpExchange) => handleSafely(ex))
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def handleSafely(ex: HttpExchange): Unit =
+    try handle(ex)
+    catch {
+      case ApiError(status, code, msg)      => sendError(ex, status, code, msg)
+      case ArrowOutput.UnknownColumn(name)  => sendError(ex, 400, "INVALID_INPUT", s"unknown column: $name")
+      case e: Exception                     => sendError(ex, 500, "INTERNAL", String.valueOf(e.getMessage))
+    } finally ex.close()
+
+  private final case class ApiError(status: Int, code: String, msg: String) extends RuntimeException(msg)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path   = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    val t0     = System.nanoTime()
+    (method, path.split("/").filter(_.nonEmpty).toList) match {
+      case ("GET", List("health"))           => sendJson(ex, 200, """{"status":"ok"}""")
+      case ("GET", List("health", "live"))   => sendJson(ex, 200, """{"status":"live"}""")
+      case ("GET", List("health", "ready")) =>
+        val ready = permits.availablePermits() > 0
+        sendJson(ex, if (ready) 200 else 503, s"""{"status":"${if (ready) "ready" else "overloaded"}"}""")
+      case ("GET", List("stats"))   => sendJson(ex, 200, statsJson())
+      case ("GET", List("metrics")) => send(ex, 200, "text/plain; version=0.0.4", metrics.render().getBytes("UTF-8"))
+
+      // ---- Iceberg REST catalog (X2, read-only) ----
+      case ("GET", List("v1", "config")) =>
+        sendJson(ex, 200, s"""{"defaults":{},"overrides":{"warehouse":"${escape(baseDir)}"}}""")
+      case ("GET", List("v1", "namespaces")) =>
+        sendJson(ex, 200, s"""{"namespaces":[["${escape(namespace)}"]]}""")
+      case ("GET", List("v1", "namespaces", ns)) =>
+        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        else sendJson(ex, 200, s"""{"namespace":["${escape(namespace)}"],"properties":{}}""")
+      case ("GET", List("v1", "namespaces", ns, "tables")) =>
+        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        else {
+          val ids = committedTopics()
+            .map(t => s"""{"namespace":["${escape(namespace)}"],"name":"${escape(t)}"}""")
+            .mkString(",")
+          sendJson(ex, 200, s"""{"identifiers":[$ids]}""")
+        }
+      case (m, List("v1", "namespaces", ns, "tables", t)) if m == "GET" || m == "HEAD" =>
+        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        else {
+          val c = committer(t)
+          val v = c.currentVersion()
+          if (v == 0) catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $t")
+          else if (m == "HEAD") send(ex, 200, "application/json", Array.emptyByteArray)
+          else {
+            val loc  = s"$baseDir/$t/${c.versionFile(v)}"
+            val meta = new String(c.io.get(c.versionFile(v)), "UTF-8")
+            sendJson(ex, 200, s"""{"metadata-location":"${escape(loc)}","metadata":$meta}""")
+          }
+        }
+
+      // ---- table routes (X1 + S1/S2 + reads) ----
+      case ("POST", List("tables", t))            => validated(t); writeOne(ex, t, t0)
+      case ("POST", List("tables", t, "bulk"))    => validated(t); writeBulk(ex, t, t0)
+      case ("GET", List("tables", t))             => validated(t); read(ex, t)
+      case ("GET", List("tables", t, "metadata")) =>
+        validated(t)
+        val c = committer(t)
+        val v = c.currentVersion()
+        if (v == 0) throw ApiError(404, "TOPIC_NOT_FOUND", s"no committed table $t")
+        sendJson(ex, 200, new String(c.io.get(c.versionFile(v)), "UTF-8"))
+      case ("GET", List("tables", t, "watermark")) =>
+        validated(t)
+        val committed = committer(t).summaryWatermarks()
+        val hwm       = hot.highWatermarks(t)
+        val parts = (committed.keySet ++ hwm.keySet).toSeq.sorted.map { p =>
+          s"""{"partition":$p,"flush_watermark":${committed.getOrElse(p, 0L)},"high_watermark":${hwm.getOrElse(p, 0L)}}"""
+        }
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","partitions":[${parts.mkString(",")}]}""")
+      case ("POST", List("tables", t, "flush")) =>
+        validated(t)
+        val snap = flushNow(t)
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","snapshot_id":${snap.map(_.toString).getOrElse("null")}}""")
+      case ("POST", List("tables", t, "compact")) =>
+        validated(t)
+        val guard = compacting.computeIfAbsent(t, _ => new AtomicBoolean(false))
+        if (!guard.compareAndSet(false, true))
+          throw ApiError(409, "COMPACTION_IN_PROGRESS", s"compaction already running for $t")
+        try {
+          val res =
+            try Compaction.compact(spark, s"$baseDir/$t")
+            catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during compaction") }
+          metrics.inc("zombi_compactions_total")
+          sendJson(ex, 200, s"""{"table":"${escape(t)}","compacted":${res.isDefined}}""")
+        } finally guard.set(false)
+
+      case _ => throw ApiError(404, "NOT_FOUND", s"$method $path")
+    }
+  }
+
+  private def validated(t: String): Unit =
+    if (TableName.findFirstIn(t).isEmpty)
+      throw ApiError(400, "INVALID_INPUT", "Invalid table name: must match ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
+
+  // ---------------------------------------------------------------- writes
+
+  /** S4: admit on raw body size BEFORE parsing; RAII release. */
+  private def admitted[T](ex: HttpExchange)(f: Array[Byte] => T): T = {
+    val body = ex.getRequestBody.readAllBytes()
+    if (!permits.tryAcquire())
+      throw ApiError(503, "SERVER_OVERLOADED", "too many in-flight writes")
+    if (inflightBytes.addAndGet(body.length.toLong) > maxInflightBytes) {
+      inflightBytes.addAndGet(-body.length.toLong); permits.release()
+      metrics.inc("zombi_backpressure_rejects_total")
+      throw ApiError(503, "SERVER_OVERLOADED", "in-flight byte budget exceeded")
+    }
+    try f(body)
+    finally { inflightBytes.addAndGet(-body.length.toLong); permits.release() }
+  }
+
+  private def isProtobuf(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.startsWith("application/x-protobuf"))
+
+  private def writeOne(ex: HttpExchange, topic: String, t0: Long): Unit = admitted(ex) { body =>
+    val (payload, partition, ts, key) =
+      if (isProtobuf(ex)) {
+        val e = ProtoCodec.decodeEvent(body)
+        val part = Option(ex.getRequestHeaders.getFirst("X-Partition")).flatMap(_.toIntOption).getOrElse(0)
+        (e.payload, part, if (e.timestampMs == 0) System.currentTimeMillis() else e.timestampMs, e.idempotencyKey)
+      } else {
+        val n = parseJson(body)
+        val payload = Option(n.get("payload")).filterNot(_.isNull).map(_.asText)
+          .getOrElse(throw ApiError(400, "INVALID_INPUT", "payload is required"))
+        (payload.getBytes("UTF-8"),
+         Option(n.get("partition")).map(_.asInt).getOrElse(0),
+         Option(n.get("timestamp_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(System.currentTimeMillis()),
+         Option(n.get("idempotency_key")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
+      }
+    committer(topic) // ensures watermark seeding before first write
+    val (offset, dup) = hot.write(topic, partition, payload, ts, key)
+    metrics.inc("zombi_writes_total")
+    if (dup) metrics.inc("zombi_duplicate_writes_total")
+    metrics.observeMs("zombi_write_latency_ms", (System.nanoTime() - t0) / 1e6)
+    sendJson(ex, 202, s"""{"offset":$offset,"partition":$partition,"table":"${escape(topic)}"}""")
+  }
+
+  private def writeBulk(ex: HttpExchange, topic: String, t0: Long): Unit = admitted(ex) { body =>
+    committer(topic)
+    val records: Seq[(Array[Byte], Int, Long, Option[String])] =
+      if (isProtobuf(ex))
+        ProtoCodec.decodeBulkRequest(body).map { r =>
+          (r.payload, r.partition, if (r.timestampMs == 0) System.currentTimeMillis() else r.timestampMs, r.idempotencyKey)
+        }
+      else {
+        val n = parseJson(body)
+        val arr = Option(n.get("records")).filter(_.isArray)
+          .getOrElse(throw ApiError(400, "INVALID_INPUT", "records array is required"))
+        arr.elements().asScala.map { rec =>
+          (Option(rec.get("payload")).map(_.asText).getOrElse(
+             throw ApiError(400, "INVALID_INPUT", "payload is required")).getBytes("UTF-8"),
+           Option(rec.get("partition")).map(_.asInt).getOrElse(0),
+           Option(rec.get("timestamp_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(System.currentTimeMillis()),
+           Option(rec.get("idempotency_key")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
+        }.toSeq
+      }
+    // one atomic batch: the whole bulk admits or rejects together (S2)
+    val offsets = hot.synchronized { records.map { case (p, part, ts, k) => hot.write(topic, part, p, ts, k)._1 } }
+    metrics.inc("zombi_writes_total", offsets.size.toLong)
+    metrics.observeMs("zombi_write_latency_ms", (System.nanoTime() - t0) / 1e6)
+    sendJson(ex, 202, s"""{"offsets":[${offsets.mkString(",")}],"count":${offsets.size},"table":"${escape(topic)}"}""")
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  private def read(ex: HttpExchange, topic: String): Unit = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val limit  = q.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val fields = ArrowOutput.validateProjectionOr400(q.get("fields"))
+    if (hot.size(topic) == 0 && committer(topic).currentVersion() == 0)
+      throw ApiError(404, "TOPIC_NOT_FOUND", s"unknown table $topic")
+    val events = (q.get("partition").flatMap(_.toIntOption), q.get("offset").flatMap(_.toLongOption)) match {
+      case (Some(p), off) => hot.readPartition(topic, p, off.getOrElse(0L), limit + 1) // Q1
+      case _              => hot.readAll(topic, q.get("since").flatMap(_.toLongOption), limit + 1) // Q2/Q3
+    }
+    val hasMore = events.size > limit // Q5
+    val page    = events.take(limit)
+    metrics.inc("zombi_reads_total")
+    ArrowOutput.negotiate(Option(ex.getRequestHeaders.getFirst("Accept"))) match {
+      case None => throw ApiError(406, "NOT_ACCEPTABLE", "supported: application/json, application/vnd.apache.arrow.stream")
+      case Some("application/vnd.apache.arrow.stream") =>
+        send(ex, 200, "application/vnd.apache.arrow.stream", ArrowOutput.encodeEvents(page, fields))
+      case _ =>
+        val rows = page.map(e => jsonRecord(e, fields)).mkString(",")
+        sendJson(ex, 200, s"""{"records":[$rows],"count":${page.size},"has_more":$hasMore}""")
+    }
+  }
+
+  private def jsonRecord(e: StoredEvent, fields: Seq[String]): String =
+    fields.map {
+      case "sequence"        => s""""sequence":${e.sequence}"""
+      case "topic"           => s""""topic":"${escape(e.topic)}""""
+      case "partition"       => s""""partition":${e.partition}"""
+      case "payload"         => s""""payload":"${escape(new String(e.payload, "UTF-8"))}""""
+      case "timestamp_ms"    => s""""timestamp_ms":${e.timestampMs}"""
+      case "idempotency_key" => e.idempotencyKey match {
+        case Some(k) => s""""idempotency_key":"${escape(k)}""""
+        case None    => """"idempotency_key":null"""
+      }
+    }.mkString("{", ",", "}")
+
+  // ----------------------------------------------------------------- flush
+
+  /** F2–F8 + F11: flush hot events past the committed watermark through the
+    * Spark write path, commit one snapshot, evict covered events. */
+  def flushNow(topic: String): Option[Long] = synchronized {
+    val c         = committer(topic)
+    val committed = c.maxCommittedSequencePerPartition()
+    val batch     = hot.pendingForFlush(topic, committed)
+    if (batch.isEmpty) return None
+    val t0 = System.nanoTime()
+
+    val root = s"$baseDir/$topic"
+    val schema = StructType(Seq(
+      StructField("sequence", LongType, nullable = false),
+      StructField("topic", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("idempotency_key", StringType, nullable = true),
+      StructField("partition", IntegerType, nullable = false)
+    ))
+    val rows = batch.map(e =>
+      Row(e.sequence, e.topic, e.payload, e.timestampMs, e.idempotencyKey.orNull, e.partition))
+    val df = spark
+      .createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 10000)), schema)
+      .withColumn("event_date", expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
+      .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
+      .select("sequence", "topic", "payload", "timestamp_ms", "idempotency_key", "event_date", "event_hour", "partition")
+
+    val before = EventTable.listParquet(root).toSet
+    EventTable.writeData(df, root)
+    val newFiles  = EventTable.listParquet(root).filterNot(before.contains)
+    val dataFiles = EventTable.collectDataFiles(spark, root, newFiles)
+    val wm        = EventTable.watermarksOf(dataFiles)
+    val res       = c.commitAppend(dataFiles, wm)
+    hot.cleanup(topic, wm, retentionMs) // F11
+    metrics.inc("zombi_flushes_total")
+    metrics.inc("zombi_snapshots_total")
+    metrics.observeMs("zombi_flush_latency_ms", (System.nanoTime() - t0) / 1e6)
+    catalog.foreach { cl => // F13
+      val v = res.version
+      cl.register(namespace, topic, s"$root/${c.versionFile(v)}", new String(c.io.get(c.versionFile(v)), "UTF-8"))
+    }
+    Some(res.snapshotId)
+  }
+
+  // ----------------------------------------------------------------- misc
+
+  private def committedTopics(): Seq[String] = {
+    val base = Paths.get(baseDir)
+    if (!Files.isDirectory(base)) Nil
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p.resolve("metadata")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private def statsJson(): String = {
+    val topics = (hot.topics ++ committedTopics()).distinct.sorted.map { t =>
+      val committed = committers.asScala.get(t).map(_.summaryWatermarks()).getOrElse(Map.empty[Int, Long])
+      val hwm       = hot.highWatermarks(t)
+      val lag       = hwm.map { case (p, h) => math.max(0L, h - committed.getOrElse(p, 0L)) }.sum
+      s""""${escape(t)}":{"hot_events":${hot.size(t)},"flush_lag":$lag}"""
+    }
+    s"""{"tables":{${topics.mkString(",")}},"inflight_bytes":${inflightBytes.get()}}"""
+  }
+
+  private def parseJson(body: Array[Byte]): JsonNode =
+    try mapper.readTree(body)
+    catch { case _: Exception => throw ApiError(400, "INVALID_INPUT", "malformed JSON body") }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
+  private def sendJson(ex: HttpExchange, status: Int, body: String): Unit =
+    send(ex, status, "application/json", body.getBytes("UTF-8"))
+
+  private def sendError(ex: HttpExchange, status: Int, code: String, msg: String): Unit = {
+    metrics.inc("zombi_errors_total")
+    sendJson(ex, status, s"""{"error":{"code":"${escape(code)}","message":"${escape(msg)}"}}""")
+  }
+
+  private def catalogError(ex: HttpExchange, status: Int, errType: String, msg: String): Unit =
+    sendJson(ex, status, s"""{"error":{"message":"${escape(msg)}","type":"$errType","code":$status}}""")
+
+  private def send(ex: HttpExchange, status: Int, contentType: String, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(status, -1)
+    else { ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+           if (body.nonEmpty) { ex.getResponseBody.write(body) } }
+  }
+}

@@ -1,0 +1,261 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.serve._
+import graft.table.EventTable
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import scala.jdk.CollectionConverters._
+import java.nio.file.Files
+
+/** End-to-end HTTP integration: the analogue of the reference's
+  * `tests/integration_tests.rs` — write/bulk/read (JSON + protobuf +
+  * Arrow), projection, has_more, errors, backpressure, flush→commit,
+  * watermarks, compaction, and the read-only Iceberg REST catalog. */
+class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark  = TestSpark.spark
+  private val mapper      = new ObjectMapper()
+  private val http        = HttpClient.newHttpClient()
+  private var server: GatewayServer = _
+  private var base: String          = _
+  private var baseDir: String       = _
+
+  override def beforeAll(): Unit = {
+    baseDir = Files.createTempDirectory("graft-gateway-").toString
+    server = new GatewayServer(spark, baseDir)
+    base = s"http://127.0.0.1:${server.start()}"
+  }
+  override def afterAll(): Unit = server.stop()
+
+  private def post(path: String, body: String, ct: String = "application/json"): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(base + path))
+      .header("Content-Type", ct).POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def postBytes(path: String, body: Array[Byte], ct: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).header("Content-Type", ct)
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def get(path: String, headers: (String, String)*): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("S1: single JSON write returns 202 with an assigned offset") {
+    val r = post("/tables/gw1", """{"payload":"{\"v\":1}","partition":2,"timestamp_ms":1000,"idempotency_key":"a"}""")
+    assert(r.statusCode() === 202)
+    val n = mapper.readTree(r.body())
+    assert(n.get("offset").asLong === 1L)
+    assert(n.get("partition").asInt === 2)
+    assert(n.get("table").asText === "gw1")
+  }
+
+  test("S7: a duplicate idempotency key returns the ORIGINAL offset") {
+    post("/tables/gw1", """{"payload":"x","partition":2,"timestamp_ms":1001,"idempotency_key":"dup"}""")
+    val r = post("/tables/gw1", """{"payload":"y","partition":2,"timestamp_ms":1002,"idempotency_key":"dup"}""")
+    val again = mapper.readTree(r.body()).get("offset").asLong
+    val first = mapper.readTree(
+      post("/tables/gw1", """{"payload":"z","partition":2,"timestamp_ms":1003,"idempotency_key":"dup"}""").body()
+    ).get("offset").asLong
+    assert(again === first, "every duplicate write returns the same original offset")
+  }
+
+  test("S2: bulk write returns per-record offsets") {
+    val r = post("/tables/gwbulk/bulk",
+      """{"records":[{"payload":"a","partition":0,"timestamp_ms":1},{"payload":"b","partition":0,"timestamp_ms":2},{"payload":"c","partition":1,"timestamp_ms":3}]}""")
+    assert(r.statusCode() === 202)
+    val n = mapper.readTree(r.body())
+    assert(n.get("count").asInt === 3)
+    assert(n.get("offsets").elements().hasNext)
+  }
+
+  test("S3: protobuf single write with X-Partition header") {
+    val bytes = ProtoCodec.encodeEvent(ProtoCodec.ProtoEvent("pb-payload".getBytes, 5000L, Some("pbk")))
+    val r = postBytes("/tables/gwpb", bytes, "application/x-protobuf", "X-Partition" -> "3")
+    assert(r.statusCode() === 202)
+    val n = mapper.readTree(r.body())
+    assert(n.get("partition").asInt === 3)
+    assert(n.get("offset").asLong === 1L)
+  }
+
+  test("S3: protobuf bulk write") {
+    val bytes = ProtoCodec.encodeBulkRequest(Seq(
+      ProtoCodec.ProtoBulkRecord("p1".getBytes, 0, 10L, None),
+      ProtoCodec.ProtoBulkRecord("p2".getBytes, 1, 20L, Some("k2"))
+    ))
+    val r = postBytes("/tables/gwpb/bulk", bytes, "application/x-protobuf")
+    assert(r.statusCode() === 202)
+    assert(mapper.readTree(r.body()).get("count").asInt === 2)
+  }
+
+  test("Q1/Q4/Q5: partition read with projection and has_more") {
+    (1 to 5).foreach(i => post("/tables/gwread", s"""{"payload":"p$i","partition":0,"timestamp_ms":$i}"""))
+    val r = get("/tables/gwread?partition=0&offset=2&limit=3&fields=sequence,timestamp_ms")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    assert(n.get("count").asInt === 3)
+    assert(n.get("has_more").asBoolean === true)
+    val rec = n.get("records").get(0)
+    assert(rec.has("sequence") && rec.has("timestamp_ms") && !rec.has("payload"))
+    assert(rec.get("sequence").asLong === 2L)
+  }
+
+  test("Q2/Q3: merged read with since-filter is time-ordered") {
+    val r = get("/tables/gwread?since=3&limit=10")
+    val n = mapper.readTree(r.body())
+    assert(n.get("count").asInt === 3)
+    val ts = n.get("records").elements()
+    var prev = 0L
+    while (ts.hasNext) { val t = ts.next().get("timestamp_ms").asLong; assert(t >= prev); prev = t }
+  }
+
+  test("Q6: Arrow IPC read round-trips the same page") {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(base + "/tables/gwread?partition=0&limit=2&fields=sequence,payload"))
+        .header("Accept", "application/vnd.apache.arrow.stream").GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(r.statusCode() === 200)
+    assert(r.headers().firstValue("Content-Type").get.contains("arrow"))
+    val (cols, rows) = ArrowOutput.decode(r.body())
+    assert(cols === Seq("sequence", "payload"))
+    assert(rows.size === 2)
+    assert(rows.head.getLong(0) === 1L)
+  }
+
+  test("406 on an unsupported Accept type; 400 on unknown projection column") {
+    assert(get("/tables/gwread", "Accept" -> "text/csv").statusCode() === 406)
+    val bad = get("/tables/gwread?fields=nope")
+    assert(bad.statusCode() === 400)
+    assert(mapper.readTree(bad.body()).get("error").get("code").asText === "INVALID_INPUT")
+  }
+
+  test("400 on invalid table name, 404 on unknown table") {
+    assert(post("/tables/9bad", """{"payload":"x"}""").statusCode() === 400)
+    assert(get("/tables/nosuchtable").statusCode() === 404)
+    assert(mapper.readTree(get("/tables/nosuchtable").body()).get("error").get("code").asText === "TOPIC_NOT_FOUND")
+  }
+
+  test("S4: the byte budget rejects oversized in-flight writes with 503") {
+    val tiny = new GatewayServer(spark, Files.createTempDirectory("graft-bp-").toString, maxInflightBytes = 8)
+    val p    = tiny.start()
+    try {
+      val r = http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/tables/bp"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"payload":"0123456789012345678901234567890123456789"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 503)
+      assert(mapper.readTree(r.body()).get("error").get("code").asText === "SERVER_OVERLOADED")
+    } finally tiny.stop()
+  }
+
+  test("F12+F6+F11: flush commits a snapshot, exposes watermarks, evicts hot rows") {
+    (1 to 6).foreach(i => post("/tables/gwflush", s"""{"payload":"p$i","partition":${i % 2},"timestamp_ms":${i * 1000}}"""))
+    val r = post("/tables/gwflush/flush", "")
+    assert(r.statusCode() === 200)
+    assert(!mapper.readTree(r.body()).get("snapshot_id").isNull)
+
+    val wm = mapper.readTree(get("/tables/gwflush/watermark").body())
+    val parts = wm.get("partitions").elements()
+    var seen = 0
+    while (parts.hasNext) {
+      val p = parts.next(); seen += 1
+      assert(p.get("flush_watermark").asLong === p.get("high_watermark").asLong)
+    }
+    assert(seen === 2)
+
+    // hot rows evicted (no retention window) but still readable from the table
+    assert(server.hot.size("gwflush") === 0)
+    val committed = EventTable.readCommitted(spark, s"$baseDir/gwflush")
+    assert(committed.count() === 6L)
+    // second flush with nothing new is a no-op
+    assert(mapper.readTree(post("/tables/gwflush/flush", "").body()).get("snapshot_id").isNull)
+  }
+
+  test("F9: a restarted gateway continues sequences from the committed table") {
+    val other = new GatewayServer(spark, baseDir)
+    val p     = other.start()
+    try {
+      val r = http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/tables/gwflush"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"payload":"after-restart","partition":0,"timestamp_ms":99000}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      val off = mapper.readTree(r.body()).get("offset").asLong
+      assert(off === 4L, s"sequences must continue past the committed watermark, got $off")
+    } finally other.stop()
+  }
+
+  test("C1-C3: the compact endpoint rewrites a fragmented table") {
+    val root = s"$baseDir/gwcompact"
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val before = EventTable.listParquet(root).size
+    val r      = post("/tables/gwcompact/compact", "")
+    assert(r.statusCode() === 200)
+    assert(mapper.readTree(r.body()).get("compacted").asBoolean === true)
+    assert(EventTable.listParquet(root).size < before)
+  }
+
+  test("X2: the Iceberg REST catalog serves config, namespaces, and table metadata") {
+    assert(mapper.readTree(get("/v1/config").body()).get("overrides").get("warehouse").asText === baseDir)
+    assert(get("/v1/namespaces").body().contains("zombi"))
+    assert(get("/v1/namespaces/zombi").statusCode() === 200)
+    assert(get("/v1/namespaces/wrong").statusCode() === 404)
+    assert(mapper.readTree(get("/v1/namespaces/wrong").body()).get("error").get("type").asText === "NoSuchNamespaceException")
+
+    val tables = mapper.readTree(get("/v1/namespaces/zombi/tables").body())
+    val names  = tables.get("identifiers").elements()
+    var found  = false
+    while (names.hasNext) if (names.next().get("name").asText == "gwflush") found = true
+    assert(found, "committed table must be listed")
+
+    val load = mapper.readTree(get("/v1/namespaces/zombi/tables/gwflush").body())
+    assert(load.get("metadata-location").asText.endsWith(".metadata.json"))
+    assert(load.get("metadata").get("format-version").asInt === 2)
+    assert(get("/v1/namespaces/zombi/tables/neverwritten").statusCode() === 404)
+  }
+
+  test("X1: health, stats, and Prometheus metrics") {
+    assert(get("/health").statusCode() === 200)
+    assert(get("/health/live").statusCode() === 200)
+    assert(get("/health/ready").statusCode() === 200)
+    val stats = mapper.readTree(get("/stats").body())
+    assert(stats.has("tables"))
+    val m = get("/metrics").body()
+    assert(m.contains("zombi_writes_total"))
+    assert(m.contains("zombi_write_latency_ms_bucket"))
+    assert(m.contains("# TYPE zombi_writes_total counter"))
+  }
+
+  test("F13: flush auto-registers the table against an external catalog (with F14 retry)") {
+    // a stub external catalog that fails once with 503 then records the call
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen  = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val stub  = com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    stub.createContext("/", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val status = if (calls.incrementAndGet() == 1) 503 else 200
+      if (status == 200) seen.add(ex.getRequestURI.getPath + " " + body.take(40))
+      ex.sendResponseHeaders(status, -1); ex.close()
+    })
+    stub.start()
+    val cl = new CatalogClient(s"http://127.0.0.1:${stub.getAddress.getPort}",
+      Retry.Config(maxAttempts = 3, baseDelayMs = 1, maxDelayMs = 2))
+    val gw = new GatewayServer(spark, Files.createTempDirectory("graft-reg-").toString, catalog = Some(cl))
+    val p  = gw.start()
+    try {
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/tables/regtable"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"payload":"x","partition":0,"timestamp_ms":1}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      http.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p/tables/regtable/flush"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(), HttpResponse.BodyHandlers.ofString())
+      assert(calls.get() >= 2, "first 503 must be retried")
+      assert(seen.asScala.exists(_.contains("/v1/namespaces/zombi/tables")))
+    } finally { gw.stop(); stub.stop(0) }
+  }
+}
