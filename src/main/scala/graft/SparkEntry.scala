@@ -18,7 +18,8 @@ object SparkEntry {
       (llm.LlmQueries.queries, llm.LlmQueries.oracles),
       (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles),
       (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
-      (serve.ServeQueries.queries, serve.ServeQueries.oracles)
+      (serve.ServeQueries.queries, serve.ServeQueries.oracles),
+      (sources.SegmentQueries.queries, sources.SegmentQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

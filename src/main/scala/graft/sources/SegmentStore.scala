@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.core.{EventLog, Oracle}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Q8: the legacy (pre-Iceberg) JSON-segment storage mode
+  * (`/root/reference/src/storage/s3.rs:187-288`): per-partition segment
+  * objects named `{startSeqHex:016x}-{endSeqHex:016x}.json` under
+  * `segments/{topic}/{partition}/`. Reads prune whole segments by the
+  * sequence range encoded in the NAME (skip segments ending before the
+  * requested offset) before any bytes are opened — the same trick our
+  * Iceberg path does with manifest bounds.
+  *
+  * Deprecated in the reference; kept for read compatibility. The writer
+  * here exists to materialize the layout for tests/queries (the reference
+  * writes segments from its flusher); it streams one partition at a time
+  * through `toLocalIterator` — fine for the legacy small-segment shape this
+  * mode was built for.
+  */
+object SegmentStore {
+  val Topic = "events"
+
+  private def segName(startSeq: Long, endSeq: Long) = f"$startSeq%016x-$endSeq%016x.json"
+
+  /** Materialize the canonical log as JSON segments of `rowsPerSegment`. */
+  def write(log: DataFrame, dir: String, rowsPerSegment: Int = 1000): Unit = {
+    val cols = Seq("part_id", "sequence", "timestamp_ms", "event_id", "props")
+    val it   = log.select(cols.map(col): _*).orderBy("part_id", "sequence").toLocalIterator()
+    val buf  = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, String)]
+
+    def flush(): Unit = if (buf.nonEmpty) {
+      val p    = buf.head._1
+      val segDir = Paths.get(dir, "segments", Topic, p.toString)
+      Files.createDirectories(segDir)
+      val lines = buf.map { case (_, seq, ts, eid, props) =>
+        s"""{"sequence":$seq,"timestamp_ms":$ts,"event_id":$eid,"props":${jsonStr(props)}}"""
+      }
+      Files.writeString(segDir.resolve(segName(buf.head._2, buf.last._2)), lines.mkString("\n"))
+      buf.clear()
+    }
+
+    while (it.hasNext) {
+      val r   = it.next()
+      val row = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      if (buf.nonEmpty && (buf.head._1 != row._1 || buf.size >= rowsPerSegment)) flush()
+      buf += row
+    }
+    flush()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** Segment read with name-range pruning: only files whose end sequence is
+    * ≥ `fromSeq` are handed to Spark's JSON reader. */
+  def read(spark: SparkSession, dir: String, partition: Int, fromSeq: Long): DataFrame = {
+    val segDir = Paths.get(dir, "segments", Topic, partition.toString)
+    val files =
+      if (!Files.isDirectory(segDir)) Nil
+      else {
+        val s = Files.list(segDir)
+        try s.iterator().asScala
+          .filter { p =>
+            val name = p.getFileName.toString
+            name.endsWith(".json") && {
+              val end = java.lang.Long.parseLong(name.stripSuffix(".json").split('-')(1), 16)
+              end >= fromSeq // prune by name before reading bytes
+            }
+          }
+          .map(_.toString).toSeq.sorted
+        finally s.close()
+      }
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read
+        .schema("sequence LONG, timestamp_ms LONG, event_id LONG, props STRING")
+        .json(files: _*)
+        .filter(col("sequence") >= fromSeq)
+  }
+}
+
+/** One segment store per (JVM, sfDir), plus the Q8 oracle query. */
+object SegmentQueries {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  private def storeDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val dir = Files.createTempDirectory("graft-segments-").toString
+        SegmentStore.write(EventLog.log(spark, sfDir), dir)
+        dir
+      }
+    )
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_segment_read" -> { (s, dir) =>
+      SegmentStore
+        .read(s, storeDir(s, dir), partition = 2, fromSeq = 40L)
+        .orderBy("sequence")
+        .limit(300)
+        .select("sequence", "timestamp_ms", "event_id", "props")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q8_segment_read" -> Oracle.sql(
+      """SELECT sequence, timestamp_ms, event_id, props FROM evlog
+        |WHERE part_id = 2 AND sequence >= 40 ORDER BY sequence LIMIT 300""".stripMargin)
+  )
+}

@@ -158,15 +158,25 @@ final class StreamIngest(
   /** F12 flush_now / shutdown flush. */
   def finish(): Unit = { maybeCommit(force = true); () }
 
-  /** Drive a file-source stream over staged raw-event chunks to completion
-    * (Trigger.AvailableNow — the batch-ingest-of-a-backlog mode). */
-  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1): Unit = {
+  /** A3: staged-but-uncommitted file count and byte sum (the reference's
+    * pending-file accounting, `iceberg_storage.rs:1654-1712`). */
+  def pendingStats: (Int, Long) = {
+    val files = pending.values.flatten.toSeq
+    (files.size, files.map(_.fileSizeInBytes).sum)
+  }
+
+  /** Drive a file-source stream over staged raw-event chunks to completion.
+    * The default `Trigger.AvailableNow` is the ingest-a-backlog mode; pass
+    * `Trigger.ProcessingTime(...)` for the reference's F1 timer-loop shape
+    * (`flusher/mod.rs:514-650` — wake on interval, flush what arrived). */
+  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+                    trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stagingDir)
       .writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", s"$tableRoot/checkpoint")
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
       .start()

@@ -61,6 +61,9 @@ class StreamIngestSpec extends AnyFunSuite {
     val a = new StreamIngest(spark, root, snapshotMinFiles = 1000)
     a.processBatch(raw.filter(col("event_id") <= mid), batchId = 0L)
     a.processBatch(raw.filter(col("event_id") > mid), batchId = 1L)
+    // A3: pending accounting reflects the staged-but-uncommitted files
+    val (nPending, pendingBytes) = a.pendingStats
+    assert(nPending > 0 && pendingBytes > 0L)
     assert(new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), EventTable.Topic).load() === None,
       "nothing must be committed yet")
     // A crashes here (in-memory pending lost). Instance B reconciles from
