@@ -11,6 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state warmup (standard bench practice): run the ingest and
+    // dedup pipelines once at the smallest SF so timed queries measure the
+    // engine, not first-call JIT/janino codegen compilation (~7s of
+    // one-time session cost measured at sf0.1 otherwise).
+    try {
+      val warmRoot = java.nio.file.Files.createTempDirectory("graft-warm-").toString
+      table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", warmRoot)
+      llm.LlmQueries.queries("d2_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
