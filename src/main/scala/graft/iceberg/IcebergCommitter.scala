@@ -78,7 +78,8 @@ final case class CommitResult(snapshotId: Long, version: Int, metadata: TableMet
   *  - active-file resolution over all manifests: status 0/1 adds, status 2
   *    removes (`iceberg_storage.rs:541-632`)
   */
-final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
+final class IcebergCommitter(val io: TableIO, val topic: String = "events",
+                             val schema: IcebergSchema = IcebergSchema.default) {
   private val metaDir = "metadata"
 
   def versionFile(v: Int): String = s"$metaDir/v$v.metadata.json"
@@ -128,7 +129,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events") {
       extraSummary: Map[String, String]
   ): CommitResult = {
     val baseVersion = currentVersion()
-    val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic") else
+    val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic", schema) else
       IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
 
     expectedSnapshotId.foreach { exp =>

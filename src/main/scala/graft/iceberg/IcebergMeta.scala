@@ -76,6 +76,25 @@ object IcebergSchema {
       IcebergField(FieldIds.EventHour, "event_hour", "int", required = true)
     )
   )
+
+  /** §1.3 structured-columns schema: `payload` (ID 4) is REPLACED by the
+    * extracted fields (IDs 100+) and a nullable `_payload_overflow` binary
+    * column (ID 99) holding the unextracted JSON remainder
+    * (`/root/reference/src/storage/iceberg.rs:186-266`). `icebergTypes` maps
+    * the config's type names (`src/contracts/schema.rs:56-77`). */
+  private val icebergTypes = Map(
+    "Utf8" -> "string", "Int32" -> "int", "Int64" -> "long",
+    "Float64" -> "double", "Boolean" -> "boolean", "Binary" -> "binary")
+
+  def withExtraction(fieldTypes: Seq[(String, String)]): IcebergSchema = {
+    val extracted = fieldTypes.zipWithIndex.map { case ((name, dt), i) =>
+      IcebergField(FieldIds.ExtractedStart + i, name,
+        icebergTypes.getOrElse(dt, throw new IllegalArgumentException(s"bad type $dt")),
+        required = false)
+    }
+    IcebergSchema(0, default.fields.filterNot(_.id == FieldIds.Payload) ++ extracted :+
+      IcebergField(FieldIds.PayloadOverflow, "_payload_overflow", "string", required = false))
+  }
 }
 
 final case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: String)
@@ -218,14 +237,14 @@ final case class TableMetadata(
 object TableMetadata {
   private[iceberg] val mapper = new ObjectMapper()
 
-  def create(location: String): TableMetadata = TableMetadata(
+  def create(location: String, schema: IcebergSchema = IcebergSchema.default): TableMetadata = TableMetadata(
     formatVersion = 2,
     tableUuid = java.util.UUID.randomUUID().toString,
     location = location,
     lastSequenceNumber = 0L,
     lastUpdatedMs = System.currentTimeMillis(),
-    lastColumnId = 8,
-    schemas = Seq(IcebergSchema.default),
+    lastColumnId = schema.fields.map(_.id).max,
+    schemas = Seq(schema),
     currentSchemaId = 0,
     partitionSpecs = Seq(PartitionSpec.default),
     defaultSpecId = 0,

@@ -84,9 +84,13 @@ object EventTable {
                 fragmentInto: Option[Int] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // reference's estimate: payload + 64B/row; extracted tables have no
+    // payload column, so fall back to a flat per-row estimate
+    val rowBytes =
+      if (df.columns.contains("payload")) length(col("payload")) + lit(64L) else lit(80L)
     val stats = df
       .groupBy(col("partition"))
-      .agg(count(lit(1)).as("rows"), sum(length(col("payload")) + lit(64L)).as("bytes"))
+      .agg(count(lit(1)).as("rows"), sum(rowBytes).as("bytes"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val target = fragmentInto match {
@@ -151,6 +155,37 @@ object EventTable {
     val log = EventLog.log(spark, sfDir)
     writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto)
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
+    committer.commitAppend(dataFiles, watermarksOf(dataFiles))
+    committer
+  }
+
+  /** §1.3 end-to-end: ingest with schema-on-flush extraction — `payload` is
+    * replaced by the config's typed columns (Iceberg field IDs 100+) and a
+    * `_payload_overflow` remainder column (ID 99), and the committed table
+    * carries the extended Iceberg schema. C4: such tables compact through
+    * the same path (the schema travels with the DataFrame). */
+  def ingestAndCommitExtracted(spark: SparkSession, sfDir: String, tableRoot: String,
+                               cfg: graft.extract.TableSchemaConfig,
+                               fragmentInto: Option[Int] = None): IcebergCommitter = {
+    val log       = EventLog.log(spark, sfDir)
+    val extracted = graft.extract.PayloadExtractor.extract(log, col("props"), cfg)
+    val df = extracted.select(
+      Seq(
+        col("sequence"),
+        lit(Topic).as("topic"),
+        col("timestamp_ms"),
+        col("idempotency_key"),
+        expr("date_add(date '1970-01-01', event_date_days)").as("event_date"),
+        col("event_hour")
+      ) ++ cfg.fields.map(f => col(f.name)) ++ Seq(
+        col("_payload_overflow"),
+        col("part_id").as("partition")
+      ): _*
+    )
+    writeData(df, tableRoot, fragmentInto = fragmentInto)
+    val schema    = IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
+    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic, schema)
     val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer

@@ -70,6 +70,23 @@ class CompactionSpec extends AnyFunSuite {
     assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
   }
 
+  test("C4: an extracted-schema table compacts and keeps its typed columns") {
+    val root = Files.createTempDirectory("graft-compact-extracted-").toString
+    val cfg  = graft.extract.ExtractQueries.config
+    EventTable.ingestAndCommitExtracted(spark, "/root/testdata/sf0.001", root, cfg, fragmentInto = Some(32))
+    val sumBefore = EventTable.readCommitted(spark, root).agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+    while (Compaction.compact(spark, root).isDefined) ()
+    val after = EventTable.readCommitted(spark, root)
+    assert(after.columns.contains("k") && after.columns.contains("_payload_overflow"))
+    assert(!after.columns.contains("payload"))
+    assert(after.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) === sumBefore)
+    // committed Iceberg schema carries the extraction field IDs
+    val meta = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic).load().get
+    assert(meta.schemas.head.fields.exists(f => f.name == "k" && f.id === graft.iceberg.FieldIds.ExtractedStart))
+    assert(meta.schemas.head.fields.exists(f => f.name == "_payload_overflow" && f.id === graft.iceberg.FieldIds.PayloadOverflow))
+    assert(!meta.schemas.head.fields.exists(_.name == "payload"))
+  }
+
   test("fragmented and compacted tables agree with the directly ingested table") {
     val rootA = Files.createTempDirectory("graft-compare-a-").toString
     val rootB = Files.createTempDirectory("graft-compare-b-").toString
