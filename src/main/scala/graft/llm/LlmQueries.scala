@@ -76,21 +76,25 @@ object LlmQueries {
   /** The corpus arrives as a single parquet file at bench scale — spread it
     * across the cluster before the compute-heavy lambdas (a 100 TB corpus
     * has thousands of input splits and skips this shuffle). */
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+  }
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .repartition(col("vec_id"))
+  }
 
   /** words: lowercase, whitespace-split, empties dropped. */
   private val wordsExpr = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
 
-  /** Sequential double dot product — fold left, matching DuckDB
-    * list_inner_product evaluation order bit-for-bit. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+  /** Sequential double dot product — the native codegen'd
+    * [[graft.functions.DotProduct]], fold-left like DuckDB's
+    * list_inner_product, bit-for-bit. */
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** First 8 hex chars of an md5 string as a 32-bit value — identical SQL in
     * Spark and DuckDB (instr + substr + bigint arithmetic). */
@@ -133,9 +137,10 @@ object LlmQueries {
                  |END""".stripMargin)
         )
         .filter(size(col("shingles")) > 0)
-        // ONE md5 per shingle → 32-bit int → K cheap multiply-mod
-        // permutations (universal hashing), instead of K md5 calls.
-        .withColumn("vhash", expr(s"transform(transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")})"))
+        // ONE md5 per shingle → 32-bit int (native codegen'd hex parse) →
+        // K cheap multiply-mod permutations (universal hashing), instead
+        // of K md5 calls.
+        .withColumn("vhash", expr("transform(transform(shingles, s -> md5(s)), h -> graft_hex32(h))"))
         // one pass per permutation with SCALAR coefficients — constant
         // folding keeps the inner lambda allocation-free
         .withColumn(
@@ -244,7 +249,7 @@ object LlmQueries {
       val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
       val bucketExpr = planes.zipWithIndex
         .map { case (p, h) =>
-          val lit = p.mkString("array(", ", ", ")")
+          val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
           s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
         }
         .mkString(" + ")

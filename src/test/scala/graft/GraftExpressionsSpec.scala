@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{GraftFunctions, HexPrefixToLong}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd expressions must be value-identical to the SQL
+  * formulations they replaced (the DuckDB oracle still uses those). */
+class GraftExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_hex32 equals the instr/substr arithmetic chain") {
+    GraftFunctions.ensureRegistered(spark)
+    val chain = (1 to 8)
+      .map(j => s"cast(instr('0123456789abcdef', substr(h, $j, 1)) - 1 as bigint) * ${1L << (4 * (8 - j))}")
+      .mkString("(", " + ", ")")
+    val rows = Seq("a", "hello", "shingle one", "", "Zz").toDF("s")
+      .selectExpr("md5(s) AS h")
+      .selectExpr(s"graft_hex32(h) AS native", s"$chain AS sql")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(HexPrefixToLong.parse("ffffffff") === 0xffffffffL)
+    assert(HexPrefixToLong.parse("00000001") === 1L)
+  }
+
+  test("graft_dot equals the fold-left aggregate/zip_with sum bit-for-bit") {
+    GraftFunctions.ensureRegistered(spark)
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) AS v")
+      .limit(20)
+      .selectExpr(
+        "graft_dot(v, v) AS native",
+        "aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) AS hof")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(r.getDouble(1)), "must match bit-for-bit"))
+  }
+
+  test("graft_dot handles length mismatch and nulls") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d").head()
+    assert(r.getDouble(0) === 14.0) // min-length semantics
+    val n = Seq((Seq(1.0), null: Seq[Double])).toDF("a", "b")
+      .selectExpr("graft_dot(a, b) AS d").head()
+    assert(n.isNullAt(0))
+  }
+}
