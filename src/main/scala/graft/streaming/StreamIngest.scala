@@ -118,15 +118,19 @@ final class StreamIngest(
     // S7: drop within-batch retries, then keys already ingested. At real
     // scale the seen-keys side would live in a keyed state store (RocksDB
     // backend) instead of an anti-join re-scan; the join keeps the slice
-    // fully deterministic and distributed.
+    // fully deterministic and distributed. The deduped batch is persisted
+    // because sequencing + the size pre-agg + the write each re-scan it.
     val deduped = EventLog
       .deduped(batch)
       .join(ingestedKeys(), Seq("part_id", "idempotency_key"), "left_anti")
-    val sequenced = EventLog.deriveDateHour(EventLog.assignSequences(deduped, base = watermarks()))
-
-    val before = EventTable.listParquet(tableRoot).toSet
-    EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize)
-    val newPaths = EventTable.listParquet(tableRoot).filterNot(before.contains)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newPaths =
+      try {
+        val sequenced = EventLog.deriveDateHour(EventLog.assignSequences(deduped, base = watermarks()))
+        val before = EventTable.listParquet(tableRoot).toSet
+        EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize)
+        EventTable.listParquet(tableRoot).filterNot(before.contains)
+      } finally deduped.unpersist()
 
     // Marker AFTER the data write: files without a marker are orphans.
     committer.io.put(markerPath(batchId), newPaths.mkString("\n").getBytes("UTF-8"))
@@ -190,18 +194,22 @@ object StreamIngest {
     * written sequentially (ascending mtimes) so the file source replays
     * arrival order — each chunk models one bulk-write burst (S2). */
   def stageChunks(spark: SparkSession, sfDir: String, stagingDir: String, nChunks: Int): StructType = {
-    val raw   = EventLog.raw(spark, sfDir)
-    val maxId = raw.agg(max("event_id")).head().getLong(0)
-    val span  = maxId / nChunks + 1
-    (0 until nChunks).foreach { i =>
-      raw
-        .filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
-        .coalesce(1)
-        .write
-        .mode("append")
-        .parquet(stagingDir)
-    }
-    raw.schema
+    // persist: one chunk is written per action, and each would otherwise
+    // recompute the raw derivation (incl. the retry self-join)
+    val raw   = EventLog.raw(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxId = raw.agg(max("event_id")).head().getLong(0)
+      val span  = maxId / nChunks + 1
+      (0 until nChunks).foreach { i =>
+        raw
+          .filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
+          .coalesce(1)
+          .write
+          .mode("append")
+          .parquet(stagingDir)
+      }
+      raw.schema
+    } finally raw.unpersist()
   }
 }
 
