@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's hot-buffer query surface (SURVEY §2.2, Q1–Q5 + Q9) and
@@ -90,6 +91,37 @@ object HotQueries {
         .groupBy("part_id")
         .agg(max("sequence").as("committed_offset"))
         .withColumn("consumer_group", lit("g1"))
+    },
+    // Analytical surface over the log (what external engines run against
+    // the committed table): exact aggregates — doubles summed as DECIMAL so
+    // the result is order-independent and hash-stable.
+    "agg_event_type_stats" -> { (s, dir) =>
+      EventLog
+        .hot(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct("user_id").as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          min("timestamp_ms").as("first_ts"),
+          max("timestamp_ms").as("last_ts")
+        )
+    },
+    // Sessionization: a new session starts after a >30min gap per user —
+    // the classic event-analytics window, one shuffle on user_id.
+    "w1_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy("user_id").orderBy("timestamp_ms", "event_id")
+      EventLog
+        .hot(s, dir)
+        .withColumn("prev_ts", lag("timestamp_ms", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull || col("timestamp_ms") - col("prev_ts") > 1800000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum("new_session").cast("long").as("n_sessions"),
+          max(col("timestamp_ms") - col("prev_ts")).as("max_gap_ms")
+        )
     }
   )
 
@@ -121,6 +153,20 @@ object HotQueries {
         |FROM evlog GROUP BY 1, 2, 3""".stripMargin),
     "q9_consumer_offsets" -> Oracle.sql(
       """SELECT part_id, max(sequence) AS committed_offset, 'g1' AS consumer_group
-        |FROM evlog GROUP BY 1""".stripMargin)
+        |FROM evlog GROUP BY 1""".stripMargin),
+    "agg_event_type_stats" -> Oracle.sql(
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |       min(timestamp_ms) AS first_ts, max(timestamp_ms) AS last_ts
+        |FROM evlog GROUP BY 1""".stripMargin),
+    "w1_sessionize" -> Oracle.sql(
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN prev_ts IS NULL OR timestamp_ms - prev_ts > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       max(timestamp_ms - prev_ts) AS max_gap_ms
+        |FROM (
+        |  SELECT user_id, event_id, timestamp_ms,
+        |         lag(timestamp_ms) OVER (PARTITION BY user_id ORDER BY timestamp_ms, event_id) AS prev_ts
+        |  FROM evlog)
+        |GROUP BY 1""".stripMargin)
   )
 }

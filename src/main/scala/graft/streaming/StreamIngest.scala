@@ -169,24 +169,52 @@ final class StreamIngest(
     (files.size, files.map(_.fileSizeInBytes).sum)
   }
 
+  /** A5: ingestion metrics, fed by a [[IngestMetricsListener]] while a
+    * stream runs (counters + batch-duration histogram, Prometheus-ready
+    * via `metrics.render()`). */
+  val metrics = new graft.serve.Metrics
+
   /** Drive a file-source stream over staged raw-event chunks to completion.
     * The default `Trigger.AvailableNow` is the ingest-a-backlog mode; pass
     * `Trigger.ProcessingTime(...)` for the reference's F1 timer-loop shape
     * (`flusher/mod.rs:514-650` — wake on interval, flush what arrived). */
   def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
                     trigger: Trigger = Trigger.AvailableNow()): Unit = {
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(stagingDir)
-      .writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", s"$tableRoot/checkpoint")
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
-      .start()
-    q.awaitTermination()
-    finish()
+    val listener = new IngestMetricsListener(metrics)
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(stagingDir)
+        .writeStream
+        .trigger(trigger)
+        .option("checkpointLocation", s"$tableRoot/checkpoint")
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .start()
+      q.awaitTermination()
+      finish()
+    } finally spark.streams.removeListener(listener)
   }
+}
+
+/** A5: the Spark-native metrics tap — a StreamingQueryListener feeding the
+  * Prometheus registry (the reference's `/metrics` counters/histograms,
+  * `/root/reference/src/metrics/registry.rs:79-660`, sourced here from the
+  * engine's own progress events instead of hand-placed counters). */
+final class IngestMetricsListener(metrics: graft.serve.Metrics)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  override def onQueryStarted(event: QueryStartedEvent): Unit =
+    metrics.inc("graft_stream_queries_started_total")
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    metrics.inc("graft_stream_batches_total")
+    metrics.inc("graft_stream_rows_total", event.progress.numInputRows)
+    metrics.observeMs("graft_stream_batch_duration_ms",
+      Option(event.progress.durationMs.get("triggerExecution")).map(_.toDouble).getOrElse(0.0))
+  }
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    metrics.inc("graft_stream_queries_terminated_total")
 }
 
 object StreamIngest {

@@ -177,6 +177,22 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mapper.readTree(post("/tables/gwflush/flush", "").body()).get("snapshot_id").isNull)
   }
 
+  test("F10: data files without a snapshot reference stay invisible orphans") {
+    // simulate a crash between the parquet write and the snapshot commit:
+    // drop a stray parquet into the table dir — reads are manifest-driven,
+    // so the orphan must not change any result (the reference's uncommitted
+    // S3 uploads have the same invariant).
+    val root   = s"$baseDir/gwflush"
+    val before = EventTable.readCommitted(spark, root).count()
+    val stray  = java.nio.file.Paths.get(root, "data", "partition=0", "orphan.parquet")
+    java.nio.file.Files.createDirectories(stray.getParent)
+    spark.range(5).selectExpr("id AS sequence").write.mode("overwrite").parquet(stray.getParent.resolve("tmp-orphan").toString)
+    val part = java.nio.file.Files.list(stray.getParent.resolve("tmp-orphan")).toList.asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part, stray)
+    assert(EventTable.readCommitted(spark, root).count() === before)
+  }
+
   test("F9: a restarted gateway continues sequences from the committed table") {
     val other = new GatewayServer(spark, baseDir)
     val p     = other.start()

@@ -32,12 +32,17 @@ class StreamIngestSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
 
-  test("streamed ingest converges to the batch-derived table") {
+  test("streamed ingest converges to the batch-derived table; listener feeds metrics") {
     val root    = Files.createTempDirectory("graft-stream-spec-").toString
     val staging = Files.createTempDirectory("graft-stream-stage-").toString
     val schema  = StreamIngest.stageChunks(spark, sf, staging, nChunks = 3)
-    new StreamIngest(spark, root).runFileStream(staging, schema)
+    val ing     = new StreamIngest(spark, root)
+    ing.runFileStream(staging, schema)
     assert(committedCounts(root) === batchCounts())
+    // A5: the StreamingQueryListener observed the run
+    assert(ing.metrics.counter("graft_stream_batches_total") >= 3L)
+    assert(ing.metrics.counter("graft_stream_rows_total") > 0L)
+    assert(ing.metrics.render().contains("graft_stream_batch_duration_ms_count"))
   }
 
   test("a replayed batch id is a no-op (no duplicate files, no duplicate rows)") {
