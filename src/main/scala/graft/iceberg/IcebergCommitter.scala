@@ -230,14 +230,66 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       }
   }
 
-  /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */
-  def activeDataFiles(): Seq[DataFile] = {
+  /** Manifest entries as of an arbitrary snapshot — time travel: every
+    * snapshot's manifest list is retained in metadata, so any historical
+    * state is reconstructible until expired. */
+  def entriesAt(snapshotId: Long): Seq[ManifestEntry] =
+    load().toSeq.flatMap(_.snapshots.find(_.snapshotId == snapshotId)).flatMap { s =>
+      IcebergCommitter
+        .cachedManifestList(io, s.manifestList)
+        .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
+    }
+
+  private def resolveActive(entries: Seq[ManifestEntry]): Seq[DataFile] = {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, DataFile]
-    currentEntries().foreach { e =>
+    entries.foreach { e =>
       if (e.status == 2) active.remove(e.dataFile.filePath)
       else active.put(e.dataFile.filePath, e.dataFile)
     }
     active.values.toSeq
+  }
+
+  /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */
+  def activeDataFiles(): Seq[DataFile] = resolveActive(currentEntries())
+
+  /** Active files as of a historical snapshot (time-travel read). */
+  def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))
+
+  /** Snapshot expiration + orphan GC (table maintenance the reference
+    * delegates to external engines): keep the most recent `keepLast`
+    * snapshots, rewrite metadata without the expired ones, delete manifest
+    * LISTS owned by expired snapshots, and physically delete data files
+    * that no retained snapshot's active set references. Manifests are
+    * shared by carry-forward lists, so a manifest is deleted only when no
+    * retained snapshot references it. Returns the expired snapshot ids. */
+  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+    val meta = load().getOrElse(return Nil)
+    val keep = meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast))
+    val expired = meta.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
+    if (expired.isEmpty) return Nil
+
+    val keptManifests = keep.flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
+      .map(_.manifestPath).toSet
+    val keptFiles = keep.flatMap(s => activeDataFilesAt(s.snapshotId)).map(_.filePath).toSet
+    val allFiles = meta.snapshots
+      .flatMap(s => entriesAt(s.snapshotId)).map(_.dataFile.filePath).toSet
+    val expiredManifests = expired.flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
+      .map(_.manifestPath).toSet -- keptManifests
+
+    val next = meta.copy(
+      lastUpdatedMs = System.currentTimeMillis(),
+      snapshots = keep,
+      snapshotLog = meta.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId))
+    )
+    val nextVersion = currentVersion() + 1
+    if (!io.putIfAbsent(versionFile(nextVersion), next.toJson.getBytes("UTF-8")))
+      throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
+    io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
+
+    expired.foreach(s => io.delete(s.manifestList))
+    expiredManifests.foreach(io.delete)
+    (allFiles -- keptFiles).foreach(io.delete)
+    expired.map(_.snapshotId)
   }
 
   /** Startup watermark reconciliation (F9): per-partition max committed

@@ -132,6 +132,45 @@ class IcebergSpec extends AnyFunSuite {
     assert(r.version === 3)
   }
 
+  test("time travel: activeDataFilesAt reconstructs any historical snapshot") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val r1 = c.commitAppend(Seq(a))
+    val r2 = c.commitAppend(Seq(b))
+    val m  = df("data/partition=0/m.parquet", 20, 0, 20)
+    val r3 = c.commitReplace(Seq(a, b), Seq(m), r2.snapshotId)
+    assert(c.activeDataFilesAt(r1.snapshotId).map(_.filePath) === Seq("data/partition=0/a.parquet"))
+    assert(c.activeDataFilesAt(r2.snapshotId).map(_.filePath).toSet ===
+      Set("data/partition=0/a.parquet", "data/partition=0/b.parquet"))
+    assert(c.activeDataFilesAt(r3.snapshotId).map(_.filePath) === Seq("data/partition=0/m.parquet"))
+  }
+
+  test("snapshot expiration keeps history metadata consistent and GCs orphans") {
+    val c = freshCommitter()
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b = df("data/partition=0/b.parquet", 10, 0, 20)
+    val m = df("data/partition=0/m.parquet", 20, 0, 20)
+    // materialize the data files so physical GC is observable
+    Seq(a, b, m).foreach(f => c.io.put(f.filePath, Array[Byte](1)))
+    c.commitAppend(Seq(a))
+    val r2 = c.commitAppend(Seq(b))
+    c.commitReplace(Seq(a, b), Seq(m), r2.snapshotId)
+
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired.size === 2)
+    val meta = c.load().get
+    assert(meta.snapshots.size === 1)
+    assert(meta.currentSnapshotId === meta.snapshots.headOption.map(_.snapshotId))
+    // current read unchanged; replaced files physically gone
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/m.parquet"))
+    assert(c.io.exists("data/partition=0/m.parquet"))
+    assert(!c.io.exists("data/partition=0/a.parquet"))
+    assert(!c.io.exists("data/partition=0/b.parquet"))
+    // expiring again is a no-op
+    assert(c.expireSnapshots(keepLast = 1) === Nil)
+  }
+
   test("unknown table loads as None; version 0") {
     val c = freshCommitter()
     assert(c.currentVersion() === 0)
