@@ -1,0 +1,100 @@
+package graft
+
+import graft.serve.{HotBuffer, ProtoCodec}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.Executors
+import scala.jdk.CollectionConverters._
+
+/** L3 concurrency + L6 fuzz analogues of the reference's
+  * `tests/concurrency_tests.rs` and its three fuzz targets. */
+class ConcurrencyFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("L3: parallel writes assign dense, unique sequences per partition") {
+    val h    = new HotBuffer
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until 200).foreach(i => h.write("t", i % 4, s"$t-$i".getBytes, i.toLong, None))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    (0 until 4).foreach { p =>
+      val seqs = h.readPartition("t", p, 0L, 10000).map(_.sequence)
+      assert(seqs.size === 400)
+      assert(seqs.distinct.size === 400)
+      assert(seqs.max === 400L)
+    }
+  }
+
+  test("L3: concurrent HTTP writes through the gateway stay consistent") {
+    val gw   = new graft.serve.GatewayServer(spark, java.nio.file.Files.createTempDirectory("graft-conc-").toString)
+    val port = gw.start()
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val http = HttpClient.newHttpClient()
+            (0 until 25).foreach { i =>
+              val r = http.send(
+                HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/tables/conc"))
+                  .header("Content-Type", "application/json")
+                  .POST(HttpRequest.BodyPublishers.ofString(s"""{"payload":"$t-$i","partition":0,"timestamp_ms":$i}"""))
+                  .build(),
+                HttpResponse.BodyHandlers.ofString())
+              assert(r.statusCode() === 202)
+            }
+          }
+        })
+      }
+      futures.foreach(_.get())
+      val seqs = gw.hot.readPartition("conc", 0, 0L, 10000).map(_.sequence)
+      assert(seqs.size === 200)
+      assert(seqs.distinct.size === 200)
+      assert(seqs.max === 200L)
+    } finally { pool.shutdown(); gw.stop() }
+  }
+
+  test("L6 fuzz: arbitrary bytes never crash the proto decoder unexpectedly") {
+    val prop = Prop.forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      def safe(f: => Any): Boolean =
+        try { f; true } catch { case _: ProtoCodec.ProtoError => true; case _: Throwable => false }
+      safe(ProtoCodec.decodeEvent(bytes)) &&
+      safe(ProtoCodec.decodeBulkRequest(bytes))
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
+  test("L6 fuzz: proto round-trip is lossless for arbitrary payload/key/ts (property)") {
+    val gen = for {
+      payload <- Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      ts      <- Gen.chooseNum(0L, Long.MaxValue)
+      key     <- Gen.option(Gen.alphaNumStr.suchThat(_.nonEmpty))
+      part    <- Gen.chooseNum(0, Int.MaxValue)
+    } yield (payload, ts, key, part)
+    val prop = Prop.forAll(gen) { case (payload, ts, key, part) =>
+      val e = ProtoCodec.decodeEvent(ProtoCodec.encodeEvent(ProtoCodec.ProtoEvent(payload, ts, key)))
+      val b = ProtoCodec.decodeBulkRequest(
+        ProtoCodec.encodeBulkRequest(Seq(ProtoCodec.ProtoBulkRecord(payload, part, ts, key)))).head
+      e.payload.sameElements(payload) && e.timestampMs == ts && e.idempotencyKey == key &&
+      b.payload.sameElements(payload) && b.partition == part && b.idempotencyKey == key
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop).passed)
+  }
+
+  test("L6 fuzz: table-name validation accepts exactly the reference pattern") {
+    val valid   = Gen.identifier.map(_.take(64)).suchThat(s => s.nonEmpty && s.head.isLetter)
+    val invalid = Gen.oneOf("", "9start", "has space", "a" * 129, "dot.ted", "sla/sh")
+    val re      = "^[a-zA-Z][a-zA-Z0-9_-]{0,127}$".r
+    val prop = Prop.forAll(valid)(s => re.findFirstIn(s).isDefined) &&
+      Prop.forAll(invalid)(s => re.findFirstIn(s).isEmpty)
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+}
