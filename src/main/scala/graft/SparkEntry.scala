@@ -19,7 +19,8 @@ object SparkEntry {
       (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles),
       (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
       (serve.ServeQueries.queries, serve.ServeQueries.oracles),
-      (sources.SegmentQueries.queries, sources.SegmentQueries.oracles)
+      (sources.SegmentQueries.queries, sources.SegmentQueries.oracles),
+      (analytics.TpchQueries.queries, analytics.TpchQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

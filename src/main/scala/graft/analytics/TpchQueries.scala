@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General analytical capability over the driver's TPC-H-style tables —
+  * the queries external engines run against warehouse tables, shaped the
+  * way a 100 TB deployment wants them:
+  *
+  *  - money/quantity aggregates in DECIMAL (exact, order-independent —
+  *    double sums would be nondeterministic under parallel aggregation),
+  *    emitted as scaled BIGINTs so results are hash-stable everywhere
+  *  - dimension joins BROADCAST (customer side of Q3 at sf scale;
+  *    at warehouse scale the optimizer picks the same given statistics)
+  *  - group-by aggregates with partial (map-side) aggregation, one shuffle
+  */
+object TpchQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: pricing summary over lineitem
+    "tpch_q1_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(col("l_quantity").cast("decimal(18,3)")) * 1000).cast("long").as("sum_qty_milli"),
+          (sum(col("l_extendedprice").cast("decimal(18,3)")) * 1000).cast("long").as("sum_base_milli"),
+          (sum((col("l_extendedprice").cast("decimal(18,3)") *
+                (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)")))) * 1000000)
+            .cast("long").as("sum_disc_price_micro"),
+          count(lit(1)).as("count_order")
+        )
+    },
+    // TPC-H Q3 shape: shipping priority — broadcast dim join, top-10
+    "tpch_q3_shipping" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord  = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li   = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,3)") *
+               (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
+            .cast("long").as("revenue_micro")
+        )
+        .orderBy(col("revenue_micro").desc, col("o_orderkey"))
+        .limit(10)
+        .select(
+          col("o_orderkey"),
+          // parquet TIMESTAMP here is NTZ; pin to UTC millis like the oracle
+          unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("o_orderdate_ms"),
+          col("revenue_micro"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_qty_milli,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_base_milli,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS sum_disc_price_micro,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "tpch_q3_shipping" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_micro DESC, o_orderkey
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -102,7 +102,7 @@ object HotQueries {
         .agg(
           count(lit(1)).as("n"),
           countDistinct("user_id").as("n_users"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+          (sum(col("value").cast("decimal(18,6)")) * 1000000).cast("long").as("sum_value_micro"),
           min("timestamp_ms").as("first_ts"),
           max("timestamp_ms").as("last_ts")
         )
@@ -156,7 +156,7 @@ object HotQueries {
         |FROM evlog GROUP BY 1""".stripMargin),
     "agg_event_type_stats" -> Oracle.sql(
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS sum_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS sum_value_micro,
         |       min(timestamp_ms) AS first_ts, max(timestamp_ms) AS last_ts
         |FROM evlog GROUP BY 1""".stripMargin),
     "w1_sessionize" -> Oracle.sql(
