@@ -1,0 +1,252 @@
+package graft.spark
+
+import graft.iceberg.{DataFile, FieldIds, IcebergCommitter, LocalTableIO}
+import graft.table.EventTable
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2: `spark.read.format("graft").load(tableRoot)` — the custom
+  * table format SURVEY §4 calls out as the idiomatic end state: reads OUR
+  * Iceberg metadata (manifest chain) instead of listing directories, and
+  * prunes whole data files against the manifests' sequence / timestamp /
+  * partition / date bounds from the filters Catalyst pushes down — at
+  * 100 TB the scan plans only the files a query can touch, exactly like the
+  * reference intends external engines to (`SPEC.md:306-318`).
+  *
+  * Column pruning is honored file-side (only requested parquet fields are
+  * materialized); pushed filters are ALSO kept as Spark-side residuals, so
+  * correctness never depends on pruning.
+  */
+final class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def root(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft source requires a path (the table root)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.sparkSchema(root(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform], props: JMap[String, String]): Table =
+    new GraftTable(props.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftDataSource {
+  /** Committed schema from the table's own Iceberg metadata. */
+  def sparkSchema(tableRoot: String): StructType = {
+    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+    committer.load() match {
+      case None => EventTable.committedReadSchema
+      case Some(meta) =>
+        StructType(meta.schemas.find(_.schemaId == meta.currentSchemaId).getOrElse(meta.schemas.head).fields.map { f =>
+          val dt = f.fieldType match {
+            case "long"    => LongType
+            case "string"  => StringType
+            case "int"     => IntegerType
+            case "binary"  => BinaryType
+            case "date"    => DateType
+            case "double"  => DoubleType
+            case "boolean" => BooleanType
+            case other     => throw new IllegalArgumentException(s"unsupported iceberg type $other")
+          }
+          StructField(f.name, dt, nullable = !f.required)
+        })
+    }
+  }
+}
+
+final class GraftTable(tableRoot: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft:$tableRoot"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(tableRoot, tableSchema)
+}
+
+final class GraftScanBuilder(tableRoot: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType   = tableSchema
+  private var pushed: Array[Filter]  = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // record the prunable ones; return everything as residual — pruning is
+    // file-level only, Spark re-applies row-level predicates
+    pushed = filters.filter(GraftScanBuilder.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(tableRoot, tableSchema, required, pushed)
+}
+
+object GraftScanBuilder {
+  private val boundCols = Set("sequence", "timestamp_ms", "partition", "event_date", "event_hour")
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => boundCols(a)
+    case GreaterThan(a, _)        => boundCols(a)
+    case GreaterThanOrEqual(a, _) => boundCols(a)
+    case LessThan(a, _)           => boundCols(a)
+    case LessThanOrEqual(a, _)    => boundCols(a)
+    case And(l, r)                => prunable(l) || prunable(r)
+    case _                        => false
+  }
+}
+
+final case class GraftInputPartition(tableRoot: String, relPath: String) extends InputPartition
+
+final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
+                      pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** One partition per data file that SURVIVES manifest-bound pruning. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+    committer.activeDataFiles()
+      .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+      .map(f => GraftInputPartition(tableRoot, f.filePath))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+
+  override def description(): String =
+    s"GraftScan pruned on [${pushed.mkString(", ")}]"
+}
+
+object GraftScan {
+  private def longBounds(f: DataFile, fid: Int): (Long, Long) =
+    (f.lowerLong(fid).getOrElse(Long.MinValue), f.upperLong(fid).getOrElse(Long.MaxValue))
+  private def intBounds(f: DataFile, fid: Int): (Long, Long) =
+    (f.lowerInt(fid).map(_.toLong).getOrElse(Long.MinValue), f.upperInt(fid).map(_.toLong).getOrElse(Long.MaxValue))
+
+  private def bounds(f: DataFile, col: String): Option[(Long, Long)] = col match {
+    case "sequence"     => Some(longBounds(f, FieldIds.Sequence))
+    case "timestamp_ms" => Some(longBounds(f, FieldIds.TimestampMs))
+    case "partition"    => Some(intBounds(f, FieldIds.Partition))
+    case "event_date"   => Some(intBounds(f, FieldIds.EventDate))
+    case "event_hour"   => Some(intBounds(f, FieldIds.EventHour))
+    case _              => None
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int            => Some(i.toLong)
+    case l: Long           => Some(l)
+    case d: java.sql.Date  => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _                 => None
+  }
+
+  /** Conservative: an unhandled shape keeps the file. */
+  def mayMatch(f: DataFile, filter: Filter): Boolean = filter match {
+    case EqualTo(a, v) =>
+      (bounds(f, a), asLong(v)) match {
+        case (Some((lo, hi)), Some(x)) => lo <= x && x <= hi
+        case _                         => true
+      }
+    case GreaterThan(a, v) =>
+      (bounds(f, a), asLong(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x
+        case _                        => true
+      }
+    case GreaterThanOrEqual(a, v) =>
+      (bounds(f, a), asLong(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x
+        case _                        => true
+      }
+    case LessThan(a, v) =>
+      (bounds(f, a), asLong(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x
+        case _                        => true
+      }
+    case LessThanOrEqual(a, v) =>
+      (bounds(f, a), asLong(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x
+        case _                        => true
+      }
+    case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case _         => true
+  }
+}
+
+final class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.tableRoot, p.relPath, required)
+  }
+}
+
+/** Reads one committed parquet file via parquet-mr's Group API and emits
+  * only the required columns; the identity `partition` value comes from the
+  * Hive path (it is not materialized in the data pages). */
+final class GraftPartitionReader(tableRoot: String, relPath: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val partValue: Int = relPath.split('/').collectFirst {
+    case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+  }.getOrElse(0)
+
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO   = new ColumnIOFactory().getColumnIO(fileSchema)
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeftInGroup = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (rowsLeftInGroup == 0) {
+      val pages = reader.readNextRowGroup()
+      if (pages == null) return false
+      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+      rowsLeftInGroup = pages.getRowCount
+    }
+    val g = recordReader.read()
+    rowsLeftInGroup -= 1
+    current = toRow(g)
+    true
+  }
+
+  private def toRow(g: Group): InternalRow = {
+    val vals = required.fields.map { f =>
+      if (f.name == "partition") partValue
+      else if (g.getType.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0) {
+        f.dataType match {
+          case LongType    => g.getLong(f.name, 0)
+          case IntegerType => g.getInteger(f.name, 0)
+          case DateType    => g.getInteger(f.name, 0)
+          case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+          case BinaryType  => g.getBinary(f.name, 0).getBytes
+          case DoubleType  => g.getDouble(f.name, 0)
+          case BooleanType => g.getBoolean(f.name, 0)
+          case other       => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      } else null
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

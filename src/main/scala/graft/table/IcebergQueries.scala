@@ -105,6 +105,22 @@ object IcebergQueries {
       val (_, committer) = committed(s, dir)
       committer.summaryWatermarks().toSeq.toDF("part_id", "watermark")
     },
+    // The custom DataSource V2: spark.read.format("graft") resolves the
+    // file list from OUR manifests and file-prunes on pushed filters via
+    // manifest bounds (partition identity + sequence/timestamp min-max).
+    "v2_source_read" -> { (s, dir) =>
+      val root = CommittedTables.tableRoot(s, dir)
+      s.read.format("graft").load(root)
+        .filter(col("partition") === 4 && col("sequence") >= 25L)
+        .orderBy("sequence")
+        .limit(250)
+        .select(
+          col("sequence"),
+          col("partition").cast("int").as("part_id"),
+          col("timestamp_ms"),
+          col("payload").cast("string").as("props")
+        )
+    },
     "post_compaction_read" -> { (s, dir) =>
       // Fragmented ingest (4-way salted files per dir) → compact → read back.
       // Proves C1–C3 preserve data and actually shrink file counts.
@@ -147,7 +163,10 @@ object IcebergQueries {
     "f7_watermarks" -> Oracle.sql(
       "SELECT part_id, max(sequence) AS watermark FROM evlog GROUP BY 1"),
     "post_compaction_read" -> Oracle.sql(
-      "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1")
+      "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1"),
+    "v2_source_read" -> Oracle.sql(
+      """SELECT sequence, part_id, timestamp_ms, props FROM evlog
+        |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin)
   )
 }
 

@@ -1,0 +1,73 @@
+package graft
+
+import graft.spark.{GraftInputPartition, GraftScan}
+import graft.table.EventTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The custom V2 source must agree with the manifest-driven reader and
+  * actually file-prune on pushed filters. */
+class GraftDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-v2-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", r, fragmentInto = Some(32))
+    r
+  }
+
+  test("format(graft) equals the manifest-driven parquet read") {
+    val v2   = spark.read.format("graft").load(root).select("sequence", "partition", "timestamp_ms", "payload")
+    val base = EventTable.readCommitted(spark, root).select("sequence", "partition", "timestamp_ms", "payload")
+    assert(v2.exceptAll(base).count() === 0L)
+    assert(base.exceptAll(v2).count() === 0L)
+  }
+
+  test("pushed partition/sequence filters prune input files via manifest bounds") {
+    val all = spark.read.format("graft").load(root)
+    val nFiles = EventTable.listParquet(root).size
+    assert(nFiles >= 24, "fragmented fixture expected")
+
+    def partitionsOf(df: org.apache.spark.sql.DataFrame): Array[String] = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty, "expected a V2 BatchScanExec")
+      scans.head.inputPartitions.map(_.asInstanceOf[GraftInputPartition].relPath).toArray
+    }
+
+    val pruned = partitionsOf(all.filter(col("partition") === 3))
+    assert(pruned.nonEmpty && pruned.length < nFiles)
+    assert(pruned.forall(_.contains("partition=3")))
+
+    // sequence range narrows further within the partition
+    val seqPruned = partitionsOf(all.filter(col("partition") === 3 && col("sequence") >= 100L))
+    assert(seqPruned.length <= pruned.length)
+
+    // filtered results still row-accurate (residual filters re-applied)
+    val expect = EventTable.readCommitted(spark, root)
+      .filter(col("partition") === 3 && col("sequence") >= 10L).count()
+    assert(all.filter(col("partition") === 3 && col("sequence") >= 10L).count() === expect)
+  }
+
+  test("column pruning reaches the file reader") {
+    val df = spark.read.format("graft").load(root).select("sequence")
+    assert(df.schema.fieldNames === Array("sequence"))
+    assert(df.distinct().count() > 0)
+  }
+
+  test("bound checks are conservative for unknown shapes") {
+    import org.apache.spark.sql.sources._
+    val f = graft.iceberg.DataFile(0, "data/partition=1/x.parquet", "PARQUET", 1, 1,
+      Map(graft.iceberg.FieldIds.Sequence -> graft.iceberg.Bounds.encodeLong(10L)),
+      Map(graft.iceberg.FieldIds.Sequence -> graft.iceberg.Bounds.encodeLong(20L)))
+    assert(GraftScan.mayMatch(f, GreaterThanOrEqual("sequence", 20L)))
+    assert(!GraftScan.mayMatch(f, GreaterThan("sequence", 20L)))
+    assert(!GraftScan.mayMatch(f, LessThan("sequence", 10L)))
+    assert(GraftScan.mayMatch(f, EqualTo("sequence", 15L)))
+    assert(!GraftScan.mayMatch(f, EqualTo("sequence", 21L)))
+    assert(GraftScan.mayMatch(f, EqualTo("payload", "x"))) // no bounds → keep
+    assert(GraftScan.mayMatch(f, IsNotNull("sequence")))   // unhandled → keep
+  }
+}
