@@ -58,6 +58,7 @@ object LlmQueries {
   val NumQueries   = 8   // query set: vec_id < 8
   val TopK         = 5
   val Hyperplanes  = 6   // 2^6 = 64 LSH buckets
+  val NumCentroids = 8   // IVF cells
 
   /** Deterministic hyperplane component for (plane h, dim d): a dyadic
     * rational in [-0.5, 0.5) derived from md5("h:<h>:<d>") — exactly
@@ -273,6 +274,34 @@ object LlmQueries {
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id"))
     },
 
+    // ---------- ANN: IVF — inverted file over centroid cells, probe=1 ----------
+    "ann_ivf_probe" -> { (s, dir) =>
+      // Centroids: the first NumCentroids vectors (a deterministic stand-in
+      // for k-means training — the assignment/probe mechanics are the real
+      // IVF shape). Every vector joins its best cell; a query searches ONLY
+      // its own cell (probe=1), so candidate scoring is cell-local.
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val simToCent = expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))")
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_sim", simToCent)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("centroid_id"))
+      val q = assigned.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("centroid_id"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(q, "centroid_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"))
+    },
+
     // ---------- multimodal: opaque binary payload + typed feature extraction ----------
     "m1_multimodal" -> { (s, dir) =>
       Multimodal.features(s, dir)
@@ -378,6 +407,26 @@ object LlmQueries {
          |WHERE rn = 1""".stripMargin
     }
 
+    val ivfSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS centroid_id FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+         |             c.c_id) AS rn
+         |    FROM e, cents c)
+         |  WHERE rn = 1
+         |), q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < 4)
+         |SELECT q_id, rank, neighbor_id, centroid_id FROM (
+         |  SELECT q.q_id, a.vec_id AS neighbor_id, a.centroid_id::BIGINT AS centroid_id,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           list_inner_product(a.v, q.qv) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+         |           a.vec_id) AS rank
+         |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id != q.q_id)
+         |WHERE rank <= 3""".stripMargin
+
     Map(
       "d1_exact_dedup" ->
         """SELECT doc_id, md5(text) AS content_hash,
@@ -388,6 +437,7 @@ object LlmQueries {
       "t1_text_stats"  -> statsSql,
       "ann_topk_brute" -> bruteSql,
       "ann_lsh_nn"     -> lshSql,
+      "ann_ivf_probe"  -> ivfSql,
       "m1_multimodal"  -> Multimodal.oracleSql
     )
   }
