@@ -171,6 +171,17 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.expireSnapshots(keepLast = 1) === Nil)
   }
 
+  test("a fully-pruned read returns an empty typed DataFrame, not an error") {
+    val spark = TestSpark.spark
+    val root  = Files.createTempDirectory("graft-prune-empty-").toString
+    val c     = graft.table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val none  = graft.table.EventTable.pruneByTimeRange(c, Long.MaxValue - 1, Long.MaxValue)
+    assert(none.isEmpty)
+    val df = graft.table.EventTable.readCommitted(spark, root, none)
+    assert(df.count() === 0L)
+    assert(df.schema === graft.table.EventTable.committedReadSchema)
+  }
+
   test("unknown table loads as None; version 0") {
     val c = freshCommitter()
     assert(c.currentVersion() === 0)
