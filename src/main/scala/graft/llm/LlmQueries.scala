@@ -108,23 +108,11 @@ object LlmQueries {
   private def duckArray(xs: Seq[Long]): String  = xs.mkString("[", ", ", "]")
   private def sqlArray(xs: Seq[Long]): String   = sparkArray(xs)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---------- exact dedup (content hash) ----------
-    "d1_exact_dedup" -> { (s, dir) =>
-      val w = Window.partitionBy(col("content_hash"))
-      docs(s, dir)
-        .withColumn("content_hash", md5(col("text")))
-        .withColumn("keeper_id", min("doc_id").over(w))
-        .select(
-          col("doc_id"),
-          col("content_hash"),
-          (col("doc_id") === col("keeper_id")).as("is_canonical")
-        )
-    },
+  /** One materialized signature table per (session, sfDir). */
+  private val sigCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
-    // ---------- near-dedup: MinHash + LSH band join + Jaccard verify ----------
-    "d2_minhash_lsh" -> { (s, dir) =>
-      val base = docs(s, dir)
+  private def buildSignatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
         .withColumn("words", expr(wordsExpr))
         // zip_with over two slices, NOT element_at(words, i) in a lambda —
         // an outer-column reference inside a lambda body gets inlined by
@@ -152,10 +140,32 @@ object LlmQueries {
         )
         .withColumn("shingle_set", array_distinct(col("shingles")))
         .select("doc_id", "sig", "shingle_set")
-        // the signature subtree feeds three join branches (bands ×2, sets ×2)
-        // — materialize it once instead of recomputing the md5 forest per
-        // branch (at scale this is the classic signature-table materialize)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- exact dedup (content hash) ----------
+    "d1_exact_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("content_hash"))
+      docs(s, dir)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("keeper_id", min("doc_id").over(w))
+        .select(
+          col("doc_id"),
+          col("content_hash"),
+          (col("doc_id") === col("keeper_id")).as("is_canonical")
+        )
+    },
+
+    // ---------- near-dedup: MinHash + LSH band join + Jaccard verify ----------
+    "d2_minhash_lsh" -> { (s, dir) =>
+      // The signature subtree feeds three join branches (bands self-join +
+      // two set lookups) — materialize ONCE per (session, dir), like the
+      // classic signature-table materialization, instead of re-persisting
+      // (and leaking) a cache entry per invocation.
+      val base = sigCache.synchronized {
+        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
 
       val bands = base.select(
         col("doc_id"),

@@ -59,14 +59,18 @@ final class GatewayServer(
 
   private val TableName = "^[a-zA-Z][a-zA-Z0-9_-]{0,127}$".r
 
-  private def committer(topic: String): IcebergCommitter =
+  /** Always goes through [[validated]] first — the table name doubles as a
+    * path segment, so validation is also the traversal guard. No directory
+    * is created here: reads of unknown tables must not pollute the
+    * warehouse (LocalTableIO creates parents lazily on first write). */
+  private def committer(topic: String): IcebergCommitter = {
+    validated(topic)
     committers.computeIfAbsent(topic, t => {
-      val root = Paths.get(baseDir, t)
-      Files.createDirectories(root)
-      val c = new IcebergCommitter(new LocalTableIO(root.toString), t)
+      val c = new IcebergCommitter(new LocalTableIO(Paths.get(baseDir, t).toString), t)
       hot.seed(t, c.maxCommittedSequencePerPartition()) // F9 reconciliation
       c
     })
+  }
 
   // ---------------------------------------------------------------- server
 
@@ -118,6 +122,8 @@ final class GatewayServer(
         }
       case (m, List("v1", "namespaces", ns, "tables", t)) if m == "GET" || m == "HEAD" =>
         if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        else if (TableName.findFirstIn(t).isEmpty)
+          catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $t")
         else {
           val c = committer(t)
           val v = c.currentVersion()
@@ -175,18 +181,27 @@ final class GatewayServer(
 
   // ---------------------------------------------------------------- writes
 
-  /** S4: admit on raw body size BEFORE parsing; RAII release. */
+  /** S4: admit on the DECLARED body size (Content-Length) BEFORE buffering a
+    * single byte, so the budget actually bounds heap; RAII release. Bodies
+    * without a length header are admitted at a conservative estimate and
+    * re-charged after buffering. */
   private def admitted[T](ex: HttpExchange)(f: Array[Byte] => T): T = {
-    val body = ex.getRequestBody.readAllBytes()
+    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
+      .flatMap(_.toLongOption).getOrElse(4096L)
     if (!permits.tryAcquire())
       throw ApiError(503, "SERVER_OVERLOADED", "too many in-flight writes")
-    if (inflightBytes.addAndGet(body.length.toLong) > maxInflightBytes) {
-      inflightBytes.addAndGet(-body.length.toLong); permits.release()
+    if (inflightBytes.addAndGet(declared) > maxInflightBytes) {
+      inflightBytes.addAndGet(-declared); permits.release()
       metrics.inc("zombi_backpressure_rejects_total")
       throw ApiError(503, "SERVER_OVERLOADED", "in-flight byte budget exceeded")
     }
-    try f(body)
-    finally { inflightBytes.addAndGet(-body.length.toLong); permits.release() }
+    var charged = declared
+    try {
+      val body = ex.getRequestBody.readAllBytes()
+      val extra = body.length.toLong - declared
+      if (extra > 0) { inflightBytes.addAndGet(extra); charged += extra }
+      f(body)
+    } finally { inflightBytes.addAndGet(-charged); permits.release() }
   }
 
   private def isProtobuf(ex: HttpExchange): Boolean =
@@ -227,7 +242,7 @@ final class GatewayServer(
         val arr = Option(n.get("records")).filter(_.isArray)
           .getOrElse(throw ApiError(400, "INVALID_INPUT", "records array is required"))
         arr.elements().asScala.map { rec =>
-          (Option(rec.get("payload")).map(_.asText).getOrElse(
+          (Option(rec.get("payload")).filterNot(_.isNull).map(_.asText).getOrElse(
              throw ApiError(400, "INVALID_INPUT", "payload is required")).getBytes("UTF-8"),
            Option(rec.get("partition")).map(_.asInt).getOrElse(0),
            Option(rec.get("timestamp_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(System.currentTimeMillis()),
@@ -246,7 +261,7 @@ final class GatewayServer(
   private def read(ex: HttpExchange, topic: String): Unit = {
     val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
-    val limit  = q.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val limit  = math.max(1, math.min(q.get("limit").flatMap(_.toIntOption).getOrElse(100), 100000))
     val fields = ArrowOutput.validateProjectionOr400(q.get("fields"))
     if (hot.size(topic) == 0 && committer(topic).currentVersion() == 0)
       throw ApiError(404, "TOPIC_NOT_FOUND", s"unknown table $topic")
@@ -353,13 +368,7 @@ final class GatewayServer(
     try mapper.readTree(body)
     catch { case _: Exception => throw ApiError(400, "INVALID_INPUT", "malformed JSON body") }
 
-  private def escape(s: String): String =
-    s.flatMap {
-      case '"'           => "\\\""
-      case '\\'          => "\\\\"
-      case c if c < ' '  => f"\\u${c.toInt}%04x"
-      case c             => c.toString
-    }
+  private def escape(s: String): String = graft.core.JsonUtil.escape(s)
 
   private def sendJson(ex: HttpExchange, status: Int, body: String): Unit =
     send(ex, status, "application/json", body.getBytes("UTF-8"))

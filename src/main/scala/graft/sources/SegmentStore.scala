@@ -51,13 +51,7 @@ object SegmentStore {
     flush()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.core.JsonUtil.quote(s)
 
   /** Segment read with name-range pruning: only files whose end sequence is
     * ≥ `fromSeq` are handed to Spark's JSON reader. */
@@ -78,13 +72,14 @@ object SegmentStore {
           .map(_.toString).toSeq.sorted
         finally s.close()
       }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "sequence LONG, timestamp_ms LONG, event_id LONG, props STRING")
     if (files.isEmpty)
-      spark.emptyDataFrame
+      // typed empty result, not a schema-less frame — column references on
+      // a fully-pruned read must still resolve
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read
-        .schema("sequence LONG, timestamp_ms LONG, event_id LONG, props STRING")
-        .json(files: _*)
-        .filter(col("sequence") >= fromSeq)
+      spark.read.schema(schema).json(files: _*).filter(col("sequence") >= fromSeq)
   }
 }
 

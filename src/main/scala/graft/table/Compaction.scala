@@ -25,11 +25,18 @@ import java.nio.file.Paths
   * the reference's restriction (`compaction.rs:283-288`).
   */
 object Compaction {
+  /** `deleteReplacedFiles = true` mirrors the reference (old S3 objects are
+    * deleted right after the replace commit, `iceberg_storage.rs:1165-1308`)
+    * — which makes PRE-compaction snapshots unreadable for time travel.
+    * Set false to defer physical deletion to
+    * [[graft.iceberg.IcebergCommitter.expireSnapshots]] (the Iceberg-native
+    * GC point) and keep full history readable. */
   final case class Config(
       maxCandidateSize: Long = 64L * 1024 * 1024,
       minFilesPerGroup: Int = 3,
       maxFilesPerRun: Int = 10,
-      targetFileSize: Long = 512L * 1024 * 1024
+      targetFileSize: Long = 512L * 1024 * 1024,
+      deleteReplacedFiles: Boolean = true
   )
 
   private def dirOf(f: DataFile): String = {
@@ -75,8 +82,10 @@ object Compaction {
     try {
       beforeCommit() // test hook: interleave a concurrent commit
       val res = committer.commitReplace(candidates, added, base)
-      // Old files are invisible now; physical delete is safe post-commit.
-      candidates.foreach(f => committer.io.delete(f.filePath))
+      // Old files are invisible now; eager physical delete matches the
+      // reference (see Config.deleteReplacedFiles for the time-travel
+      // preserving alternative).
+      if (cfg.deleteReplacedFiles) candidates.foreach(f => committer.io.delete(f.filePath))
       Some(res)
     } catch {
       case c: CommitConflict =>
