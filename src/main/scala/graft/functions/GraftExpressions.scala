@@ -95,9 +95,23 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The packaged-deploy injection point: set
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and both
+  * native expressions register at session build, no code change needed. */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_hex32"),
+      new ExpressionInfo("graft.functions", "graft_hex32"),
+      (exprs: Seq[Expression]) => HexPrefixToLong(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo("graft.functions", "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+  }
+}
+
 /** Session registration so the expressions are usable inside SQL lambdas
-  * (`transform(hashes, h -> graft_hex32(h))`) — the injection point a
-  * `SparkSessionExtensions.injectFunction` would use in a packaged deploy. */
+  * (`transform(hashes, h -> graft_hex32(h))`) — same builders as
+  * [[GraftSparkExtensions]], applied to an already-built session. */
 object GraftFunctions {
   private def register(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(

@@ -104,9 +104,7 @@ object LlmQueries {
       .map(j => s"cast(instr('0123456789abcdef', substr($h, $j, 1)) - 1 as bigint) * ${1L << (4 * (8 - j))}")
       .mkString("(", " + ", ")")
 
-  private def sparkArray(xs: Seq[Long]): String = xs.mkString("array(", ", ", ")")
-  private def duckArray(xs: Seq[Long]): String  = xs.mkString("[", ", ", "]")
-  private def sqlArray(xs: Seq[Long]): String   = sparkArray(xs)
+  private def duckArray(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
   /** One materialized signature table per (session, sfDir). */
   private val sigCache = scala.collection.mutable.Map.empty[String, DataFrame]

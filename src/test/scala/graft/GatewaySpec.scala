@@ -141,6 +141,27 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mapper.readTree(get("/tables/nosuchtable").body()).get("error").get("code").asText === "TOPIC_NOT_FOUND")
   }
 
+  test("catalog rejects traversal-shaped table names without touching the filesystem") {
+    val r = get("/v1/namespaces/zombi/tables/%2e%2e")
+    assert(r.statusCode() === 404)
+    assert(mapper.readTree(r.body()).get("error").get("type").asText === "NoSuchTableException")
+    // probing unknown (valid) names must not create warehouse directories
+    get("/v1/namespaces/zombi/tables/probedtable")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(baseDir, "probedtable")))
+  }
+
+  test("bulk write rejects JSON null payloads like the single-write path") {
+    val r = post("/tables/gwbulk/bulk", """{"records":[{"payload":null,"partition":0}]}""")
+    assert(r.statusCode() === 400)
+    assert(mapper.readTree(r.body()).get("error").get("code").asText === "INVALID_INPUT")
+  }
+
+  test("read limit is clamped against integer overflow") {
+    val r = get("/tables/gwread?partition=0&limit=2147483647")
+    assert(r.statusCode() === 200)
+    assert(mapper.readTree(r.body()).get("count").asInt > 0)
+  }
+
   test("S4: the byte budget rejects oversized in-flight writes with 503") {
     val tiny = new GatewayServer(spark, Files.createTempDirectory("graft-bp-").toString, maxInflightBytes = 8)
     val p    = tiny.start()

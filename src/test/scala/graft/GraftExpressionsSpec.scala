@@ -39,6 +39,13 @@ class GraftExpressionsSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(r.getDouble(1)), "must match bit-for-bit"))
   }
 
+  test("GraftSparkExtensions injects without error (packaged-deploy path)") {
+    // the registry application itself is private[sql]; the builders are the
+    // same ones GraftFunctions.ensureRegistered installs and tests above
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftSparkExtensions().apply(ext)
+  }
+
   test("graft_dot handles length mismatch and nulls") {
     GraftFunctions.ensureRegistered(spark)
     val r = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
