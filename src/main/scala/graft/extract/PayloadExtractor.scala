@@ -68,10 +68,14 @@ object PayloadExtractor {
     }
   }
 
+  /** Jackson's ObjectMapper is thread-safe for read/write after
+    * construction — share one instance instead of building one per row
+    * (the UDF calls this for every event). */
+  private val mapper = new ObjectMapper()
+
   /** Pure extraction core (unit-testable without Spark): canonical values in
     * field order + the overflow remainder. */
   def extractOne(cfg: TableSchemaConfig, payload: String): (Seq[Option[String]], Option[String]) = {
-    val mapper = new ObjectMapper()
     val parsed =
       try Option(mapper.readTree(payload)).filter(_.isObject)
       catch { case _: Exception => None }
