@@ -265,10 +265,18 @@ final class GatewayServer(
     val fields = ArrowOutput.validateProjectionOr400(q.get("fields"))
     if (hot.size(topic) == 0 && committer(topic).currentVersion() == 0)
       throw ApiError(404, "TOPIC_NOT_FOUND", s"unknown table $topic")
-    val events = (q.get("partition").flatMap(_.toIntOption), q.get("offset").flatMap(_.toLongOption)) match {
-      case (Some(p), off) => hot.readPartition(topic, p, off.getOrElse(0L), limit + 1) // Q1
-      case _              => hot.readAll(topic, q.get("since").flatMap(_.toLongOption), limit + 1) // Q2/Q3
-    }
+    val partition = q.get("partition").flatMap(_.toIntOption)
+    val offset    = q.get("offset").flatMap(_.toLongOption)
+    val events =
+      if (q.get("tier").contains("cold"))
+        // Q7 over HTTP: the reference's cold read path — list files from
+        // the committed snapshot (manifest-pruned), filter, sort, limit
+        // (`/root/reference/src/storage/iceberg_storage.rs:1389-1476`)
+        coldRead(topic, partition, offset.getOrElse(0L), limit + 1)
+      else (partition, offset) match {
+        case (Some(p), off) => hot.readPartition(topic, p, off.getOrElse(0L), limit + 1) // Q1
+        case _              => hot.readAll(topic, q.get("since").flatMap(_.toLongOption), limit + 1) // Q2/Q3
+      }
     val hasMore = events.size > limit // Q5
     val page    = events.take(limit)
     metrics.inc("zombi_reads_total")
@@ -280,6 +288,27 @@ final class GatewayServer(
         val rows = page.map(e => jsonRecord(e, fields)).mkString(",")
         sendJson(ex, 200, s"""{"records":[$rows],"count":${page.size},"has_more":$hasMore}""")
     }
+  }
+
+  /** Cold-tier read through Spark: manifest pruning on the partition
+    * identity bound, pushdown filter on sequence, sorted + limited. */
+  private def coldRead(topic: String, partition: Option[Int], fromSeq: Long, limit: Int): Seq[StoredEvent] = {
+    val c = committer(topic)
+    if (c.currentVersion() == 0) return Nil
+    val root  = s"$baseDir/$topic"
+    val files = partition.map(p => EventTable.pruneByPartition(c, p)).getOrElse(c.activeDataFiles())
+    var df    = EventTable.readCommitted(spark, root, files).filter(col("sequence") >= fromSeq)
+    partition.foreach(p => df = df.filter(col("partition") === p))
+    df.orderBy("sequence")
+      .limit(limit)
+      .collect()
+      .toSeq
+      .map { r =>
+        StoredEvent(
+          r.getAs[Long]("sequence"), topic, r.getAs[Int]("partition"),
+          r.getAs[Array[Byte]]("payload"), r.getAs[Long]("timestamp_ms"),
+          Option(r.getAs[String]("idempotency_key")))
+      }
   }
 
   private def jsonRecord(e: StoredEvent, fields: Seq[String]): String =

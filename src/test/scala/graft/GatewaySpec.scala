@@ -214,6 +214,17 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EventTable.readCommitted(spark, root).count() === before)
   }
 
+  test("Q7 over HTTP: tier=cold reads the committed table after hot eviction") {
+    // gwflush was flushed and evicted in the flush test above
+    val r = get("/tables/gwflush?tier=cold&partition=0&offset=2&limit=10&fields=sequence,payload")
+    assert(r.statusCode() === 200)
+    val n = mapper.readTree(r.body())
+    assert(n.get("count").asInt === 2) // partition 0 has sequences 1..3
+    val first = n.get("records").get(0)
+    assert(first.get("sequence").asLong === 2L)
+    assert(first.has("payload") && !first.has("timestamp_ms"))
+  }
+
   test("F9: a restarted gateway continues sequences from the committed table") {
     val other = new GatewayServer(spark, baseDir)
     val p     = other.start()
