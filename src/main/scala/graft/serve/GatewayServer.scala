@@ -56,6 +56,13 @@ final class GatewayServer(
   private val committers    = new ConcurrentHashMap[String, IcebergCommitter]()
 
   metrics.gauge("zombi_hot_events")(hot.topics.map(hot.size).sum.toDouble)
+  // consumer-lag analogue: unflushed events across topics (hwm − committed)
+  metrics.gauge("zombi_flush_lag") {
+    hot.topics.map { t =>
+      val committed = Option(committers.get(t)).map(_.summaryWatermarks()).getOrElse(Map.empty[Int, Long])
+      hot.highWatermarks(t).map { case (p, h) => math.max(0L, h - committed.getOrElse(p, 0L)) }.sum
+    }.sum.toDouble
+  }
 
   private val TableName = "^[a-zA-Z][a-zA-Z0-9_-]{0,127}$".r
 
@@ -158,6 +165,13 @@ final class GatewayServer(
         validated(t)
         val snap = flushNow(t)
         sendJson(ex, 200, s"""{"table":"${escape(t)}","snapshot_id":${snap.map(_.toString).getOrElse("null")}}""")
+      case ("POST", List("tables", t, "expire")) =>
+        validated(t)
+        val keep = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+          .collectFirst { case kv if kv.startsWith("keep=") => kv.stripPrefix("keep=") })
+          .flatMap(_.toIntOption).getOrElse(1)
+        val expired = committer(t).expireSnapshots(keep)
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","expired":[${expired.mkString(",")}]}""")
       case ("POST", List("tables", t, "compact")) =>
         validated(t)
         val guard = compacting.computeIfAbsent(t, _ => new AtomicBoolean(false))

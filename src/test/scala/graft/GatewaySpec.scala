@@ -267,6 +267,18 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/v1/namespaces/zombi/tables/neverwritten").statusCode() === 404)
   }
 
+  test("expire endpoint prunes snapshot history through HTTP") {
+    // gwflush has at least one committed snapshot; add another then expire
+    post("/tables/gwflush", """{"payload":"extra","partition":1,"timestamp_ms":123456}""")
+    post("/tables/gwflush/flush", "")
+    val before = mapper.readTree(get("/tables/gwflush/metadata").body()).get("snapshots").size()
+    assert(before >= 2)
+    val r = post("/tables/gwflush/expire?keep=1", "")
+    assert(r.statusCode() === 200)
+    assert(mapper.readTree(r.body()).get("expired").size() === before - 1)
+    assert(mapper.readTree(get("/tables/gwflush/metadata").body()).get("snapshots").size() === 1)
+  }
+
   test("X1: health, stats, and Prometheus metrics") {
     assert(get("/health").statusCode() === 200)
     assert(get("/health/live").statusCode() === 200)
