@@ -340,8 +340,33 @@ final class GatewayServer(
 
   // ----------------------------------------------------------------- flush
 
+  /** §1.3 config discovery: a `table_schema.json` in the table root turns
+    * on schema-on-flush extraction for that topic, mirroring the
+    * reference's `ZOMBI_TABLE_SCHEMA` / `table_schema.json` loading
+    * (`/root/reference/src/main.rs:361-391`, `src/contracts/schema.rs:10-51`):
+    * `{"payload_format":"json","fields":[{"name":..,"json_path":..,
+    * "data_type":..,"nullable":..}]}`. */
+  private def tableSchemaConfig(topic: String): Option[graft.extract.TableSchemaConfig] = {
+    val c = committer(topic)
+    if (!c.io.exists("table_schema.json")) None
+    else {
+      val n = mapper.readTree(c.io.get("table_schema.json"))
+      val fields = Option(n.get("fields")).toSeq.flatMap(_.elements().asScala).map { f =>
+        graft.extract.FieldSpec(
+          f.get("name").asText,
+          f.get("json_path").asText,
+          f.get("data_type").asText,
+          Option(f.get("nullable")).forall(_.asBoolean))
+      }
+      Some(graft.extract.TableSchemaConfig(
+        Option(n.get("payload_format")).map(_.asText).getOrElse("json"), fields))
+    }
+  }
+
   /** F2–F8 + F11: flush hot events past the committed watermark through the
-    * Spark write path, commit one snapshot, evict covered events. */
+    * Spark write path, commit one snapshot, evict covered events. A
+    * `table_schema.json` in the table root switches the flush to
+    * schema-on-flush extraction (typed columns + `_payload_overflow`). */
   def flushNow(topic: String): Option[Long] = synchronized {
     val c         = committer(topic)
     val committed = c.maxCommittedSequencePerPartition()
@@ -360,11 +385,23 @@ final class GatewayServer(
     ))
     val rows = batch.map(e =>
       Row(e.sequence, e.topic, e.payload, e.timestampMs, e.idempotencyKey.orNull, e.partition))
-    val df = spark
+    val base = spark
       .createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 10000)), schema)
       .withColumn("event_date", expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
       .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
-      .select("sequence", "topic", "payload", "timestamp_ms", "idempotency_key", "event_date", "event_hour", "partition")
+
+    val df = tableSchemaConfig(topic) match {
+      case None =>
+        base.select("sequence", "topic", "payload", "timestamp_ms", "idempotency_key",
+                    "event_date", "event_hour", "partition")
+      case Some(cfg) =>
+        graft.extract.PayloadExtractor
+          .extract(base, col("payload"), cfg)
+          .select(Seq(col("sequence"), col("topic"), col("timestamp_ms"), col("idempotency_key"),
+                      col("event_date"), col("event_hour")) ++
+                  cfg.fields.map(f => col(f.name)) ++
+                  Seq(col("_payload_overflow"), col("partition")): _*)
+    }
 
     val before = EventTable.listParquet(root).toSet
     EventTable.writeData(df, root)

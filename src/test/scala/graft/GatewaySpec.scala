@@ -267,6 +267,26 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/v1/namespaces/zombi/tables/neverwritten").statusCode() === 404)
   }
 
+  test("table_schema.json switches flush to schema-on-flush extraction (§1.3)") {
+    val root = java.nio.file.Paths.get(baseDir, "gwextract")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}""")
+    post("/tables/gwextract", """{"payload":"{\"m\":{\"v\":7},\"keep\":1}","partition":0,"timestamp_ms":1000}""")
+    post("/tables/gwextract", """{"payload":"not json","partition":0,"timestamp_ms":2000}""")
+    assert(post("/tables/gwextract/flush", "").statusCode() === 200)
+
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("v") && committed.columns.contains("_payload_overflow"))
+    assert(!committed.columns.contains("payload"))
+    val rows = committed.orderBy("sequence")
+      .select("v", "_payload_overflow").collect()
+    assert(rows(0).getInt(0) === 7)
+    assert(rows(0).getString(1) === """{"keep":1}""") // extracted path pruned, sibling kept
+    assert(rows(1).isNullAt(0))
+    assert(rows(1).getString(1) === "not json")
+  }
+
   test("expire endpoint prunes snapshot history through HTTP") {
     // gwflush has at least one committed snapshot; add another then expire
     post("/tables/gwflush", """{"payload":"extra","partition":1,"timestamp_ms":123456}""")
