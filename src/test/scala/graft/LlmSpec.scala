@@ -30,7 +30,9 @@ class LlmSpec extends AnyFunSuite {
       (1L, unit(0, 0.01f), 0), // nearly identical to 0
       (2L, unit(5, 0.0f), 1),
       (3L, unit(5, 0.02f), 1), // nearly identical to 2
-      (4L, unit(20, 0.0f), 2)
+      (4L, unit(20, 0.0f), 2),
+      (8L, unit(0, 0.3f), 0),  // non-centroid (>= NumCentroids): lands in cell 0 or 1
+      (9L, unit(5, 0.25f), 1)  // non-centroid: lands in cell 2 or 3
     ).toDF("vec_id", "embedding", "label")
       .coalesce(1).write.parquet(s"$d/embeddings.parquet")
     d
@@ -95,6 +97,19 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(0L)._2 === byId(1L)._2, "near-identical vectors must share an LSH bucket")
     assert(byId(0L)._3 === 1L)
     assert(byId(1L)._3 === 0L)
+  }
+
+  test("ann IVF: non-centroid vectors are found only through their own cell (probe=1)") {
+    val rows = run("ann_ivf_probe").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("centroid_id")))
+    // vec 8 (axis-0 direction) must surface for the axis-0 query whose cell
+    // it joined; vec 9 (axis-5) likewise for an axis-5 query
+    assert(rows.exists(r => (r._1 == 0L || r._1 == 1L) && r._3 == 8L))
+    assert(rows.exists(r => (r._1 == 2L || r._1 == 3L) && r._3 == 9L))
+    // orthogonal vectors never cross cells
+    assert(!rows.exists(r => (r._1 == 0L || r._1 == 1L) && r._3 == 9L))
+    // probe=1: every reported neighbor lives in the query's own cell
+    rows.groupBy(_._1).values.foreach(g => assert(g.map(_._4).distinct.size === 1))
   }
 
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
