@@ -226,8 +226,16 @@ object LlmQueries {
           size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)")).cast("long").as("n_subword_tokens"),
           size(expr("filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))"))
             .cast("long").as("n_stop_en"),
-          expr("""CASE WHEN size(filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))) > 0
-                 |THEN 'en' ELSE 'und' END""".stripMargin).as("lang_guess")
+          size(expr("filter(words, w -> array_contains(array('el','la','de','que','y','un'), w))"))
+            .cast("long").as("n_stop_es"),
+          // language-ID heuristic: argmax of per-language stopword hits,
+          // es wins strictly-greater ties, no hits at all -> 'und'
+          expr("""CASE
+                 |WHEN size(filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))) = 0
+                 | AND size(filter(words, w -> array_contains(array('el','la','de','que','y','un'), w))) = 0 THEN 'und'
+                 |WHEN size(filter(words, w -> array_contains(array('el','la','de','que','y','un'), w))) >
+                 |     size(filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))) THEN 'es'
+                 |ELSE 'en' END""".stripMargin).as("lang_guess")
         )
     },
 
@@ -375,8 +383,13 @@ object LlmQueries {
          |  length(text)::BIGINT AS n_chars,
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS n_subword_tokens,
          |  len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w)))::BIGINT AS n_stop_en,
-         |  CASE WHEN len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) > 0
-         |  THEN 'en' ELSE 'und' END AS lang_guess
+         |  len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w)))::BIGINT AS n_stop_es,
+         |  CASE
+         |  WHEN len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) = 0
+         |   AND len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w))) = 0 THEN 'und'
+         |  WHEN len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w))) >
+         |       len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) THEN 'es'
+         |  ELSE 'en' END AS lang_guess
          |FROM documents""".stripMargin
 
     val bruteSql =

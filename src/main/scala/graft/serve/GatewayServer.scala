@@ -106,8 +106,14 @@ final class GatewayServer(
       case ("GET", List("health"))           => sendJson(ex, 200, """{"status":"ok"}""")
       case ("GET", List("health", "live"))   => sendJson(ex, 200, """{"status":"live"}""")
       case ("GET", List("health", "ready")) =>
-        val ready = permits.availablePermits() > 0
-        sendJson(ex, if (ready) 200 else 503, s"""{"status":"${if (ready) "ready" else "overloaded"}"}""")
+        // reference parity: readiness = backpressure headroom AND a live
+        // storage probe (`handlers.rs:1450-1523`)
+        val storageOk =
+          try { Files.createDirectories(Paths.get(baseDir)); Files.isWritable(Paths.get(baseDir)) }
+          catch { case _: Exception => false }
+        val ready = permits.availablePermits() > 0 && storageOk
+        sendJson(ex, if (ready) 200 else 503,
+          s"""{"status":"${if (ready) "ready" else "not_ready"}","storage":$storageOk,"backpressure":${permits.availablePermits() > 0}}""")
       case ("GET", List("stats"))   => sendJson(ex, 200, statsJson())
       case ("GET", List("metrics")) => send(ex, 200, "text/plain; version=0.0.4", metrics.render().getBytes("UTF-8"))
 

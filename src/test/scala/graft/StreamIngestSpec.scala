@@ -92,6 +92,19 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedCounts(root) === batchCounts())
   }
 
+  test("a streamed table compacts like a batch-ingested one (S x C interaction)") {
+    val root    = Files.createTempDirectory("graft-stream-compact-").toString
+    val staging = Files.createTempDirectory("graft-stream-compact-stage-").toString
+    val schema  = StreamIngest.stageChunks(spark, sf, staging, nChunks = 3)
+    new StreamIngest(spark, root).runFileStream(staging, schema)
+    val before = EventTable.listParquet(root).size
+    // streamed micro-batches leave >=3 small files per partition dir
+    while (graft.table.Compaction.compact(spark, root,
+      graft.table.Compaction.Config(minFilesPerGroup = 2)).isDefined) ()
+    assert(EventTable.listParquet(root).size < before)
+    assert(committedCounts(root) === batchCounts())
+  }
+
   test("sequence continuation across batches: dense, no overlap") {
     val root = Files.createTempDirectory("graft-seqcont-spec-").toString
     val raw  = EventLog.raw(spark, sf)
