@@ -41,6 +41,9 @@ object LlmQueries {
   /** Largest prime below 2^32 — the universal-hash modulus. */
   val MinHashP = 4294967291L
 
+  /** Winnowing window: guarantee window of W consecutive k-gram hashes. */
+  val WinnowWindow = 4
+
   /** Deterministic multiply-add coefficients for the K minhash permutations
     * h_k(v) = (A_k·v + B_k) mod P over the 32-bit shingle hash v. A_k is odd
     * and < 2^31 so A_k·v stays well inside Long. Derived from md5 so both
@@ -137,7 +140,7 @@ object LlmQueries {
           }: _*)
         )
         .withColumn("shingle_set", array_distinct(col("shingles")))
-        .select("doc_id", "sig", "shingle_set")
+        .select("doc_id", "sig", "shingle_set", "vhash")
 
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,6 +191,34 @@ object LlmQueries {
         .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    },
+
+    // ---------- winnowing: rolling k-gram fingerprints (MOSS scheme) ----------
+    "t3_winnowing" -> { (s, dir) =>
+      // Window of W consecutive k-gram hashes, keep the minimum per window,
+      // dedupe — the classic winnowing fingerprint set. Runs over the
+      // MATERIALIZED vhash column (sigCache): lambda references to a cached
+      // attribute are plain column reads, not re-evaluated expression trees.
+      val base = sigCache.synchronized {
+        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+      val W = WinnowWindow
+      base
+        .withColumn(
+          "fp_set",
+          expr(s"""CASE WHEN size(vhash) < $W THEN array_distinct(array(array_min(vhash)))
+                  |ELSE array_distinct(transform(sequence(1, size(vhash) - $W + 1),
+                  |                              i -> array_min(slice(vhash, i, $W))))
+                  |END""".stripMargin)
+        )
+        .select(
+          col("doc_id"),
+          size(col("vhash")).cast("long").as("n_kgrams"),
+          size(col("fp_set")).cast("long").as("n_fingerprints"),
+          array_min(col("fp_set")).as("min_fp"),
+          array_max(col("fp_set")).as("max_fp")
+        )
     },
 
     // ---------- SimHash fingerprint + exact content fingerprint ----------
@@ -365,6 +396,32 @@ object LlmQueries {
          |JOIN sigs sa ON sa.doc_id = p.doc_a
          |JOIN sigs sc ON sc.doc_id = p.doc_b""".stripMargin
 
+    val winnowSql = {
+      val w = WinnowWindow
+      s"""WITH base AS (
+         |  SELECT doc_id, $words AS words FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(words) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+         |    END AS shingles
+         |  FROM base
+         |), vh AS (
+         |  SELECT doc_id,
+         |         list_transform(list_transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")}) AS vhash
+         |  FROM sh WHERE len(shingles) > 0
+         |)
+         |SELECT doc_id, len(vhash)::BIGINT AS n_kgrams, len(fp_set)::BIGINT AS n_fingerprints,
+         |       list_min(fp_set) AS min_fp, list_max(fp_set) AS max_fp
+         |FROM (
+         |  SELECT doc_id, vhash,
+         |    CASE WHEN len(vhash) < $w THEN list_distinct([list_min(vhash)])
+         |    ELSE list_distinct(list_transform(generate_series(1, len(vhash) - $w + 1),
+         |                                      i -> list_min(vhash[i : i + $w - 1])))
+         |    END AS fp_set
+         |  FROM vh)""".stripMargin
+    }
+
     val simhashSql =
       s"""SELECT doc_id,
          |  md5(array_to_string($words, ' ')) AS fingerprint,
@@ -454,6 +511,7 @@ object LlmQueries {
           |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
           |FROM documents""".stripMargin,
       "d2_minhash_lsh" -> minhashSql,
+      "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,
       "ann_topk_brute" -> bruteSql,

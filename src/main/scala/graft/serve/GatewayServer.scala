@@ -377,7 +377,12 @@ final class GatewayServer(
     val c         = committer(topic)
     val committed = c.maxCommittedSequencePerPartition()
     val batch     = hot.pendingForFlush(topic, committed)
-    if (batch.isEmpty) return None
+    if (batch.isEmpty) {
+      // still advance hot cleanup — covers a crash between a past commit
+      // and its eviction (the reference's cleanup cycle does the same)
+      hot.cleanup(topic, committed, retentionMs)
+      return None
+    }
     val t0 = System.nanoTime()
 
     val root = s"$baseDir/$topic"
