@@ -61,6 +61,20 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("t3: winnowing fingerprint sets are deterministic and bounded by k-gram count") {
+    val rows = run("t3_winnowing").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kgrams"), r.getAs[Long]("n_fingerprints"),
+                 r.getAs[Long]("min_fp"), r.getAs[Long]("max_fp")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    // identical docs → identical fingerprint profile
+    assert(byId(0L).copy(_1 = 1L) === byId(1L))
+    rows.foreach { r =>
+      assert(r._3 >= 1 && r._3 <= r._2, "winnowed set is non-empty and no larger than the k-gram count")
+      assert(r._4 <= r._5)
+      assert(r._4 >= 0 && r._5 < (1L << 32), "fingerprints are 32-bit hash values")
+    }
+  }
+
   test("t2: SimHash is 16-bit; identical docs get identical fingerprints") {
     val rows = run("t2_fingerprint").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fingerprint"), r.getAs[Long]("simhash16")))
