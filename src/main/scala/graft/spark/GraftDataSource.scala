@@ -103,11 +103,13 @@ object GraftScanBuilder {
   private val boundCols = Set("sequence", "timestamp_ms", "partition", "event_date", "event_hour")
   def prunable(f: Filter): Boolean = f match {
     case EqualTo(a, _)            => boundCols(a)
+    case In(a, _)                 => boundCols(a)
     case GreaterThan(a, _)        => boundCols(a)
     case GreaterThanOrEqual(a, _) => boundCols(a)
     case LessThan(a, _)           => boundCols(a)
     case LessThanOrEqual(a, _)    => boundCols(a)
     case And(l, r)                => prunable(l) || prunable(r)
+    case Or(l, r)                 => prunable(l) && prunable(r)
     case _                        => false
   }
 }
@@ -185,7 +187,17 @@ object GraftScan {
         case (Some((lo, _)), Some(x)) => lo <= x
         case _                        => true
       }
+    case In(a, vs) =>
+      bounds(f, a) match {
+        case Some((lo, hi)) =>
+          val xs = vs.toSeq.flatMap(asLong)
+          // only prune when every value is understood; partial knowledge
+          // must stay conservative
+          xs.size != vs.length || xs.exists(x => lo <= x && x <= hi)
+        case None => true
+      }
     case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
+    case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
     case _         => true
   }
 }

@@ -69,5 +69,25 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(!GraftScan.mayMatch(f, EqualTo("sequence", 21L)))
     assert(GraftScan.mayMatch(f, EqualTo("payload", "x"))) // no bounds → keep
     assert(GraftScan.mayMatch(f, IsNotNull("sequence")))   // unhandled → keep
+    // In/Or shapes
+    assert(GraftScan.mayMatch(f, In("sequence", Array(5L, 15L))))
+    assert(!GraftScan.mayMatch(f, In("sequence", Array(5L, 25L))))
+    assert(GraftScan.mayMatch(f, In("sequence", Array(5L, "weird"))))     // partial knowledge → keep
+    assert(GraftScan.mayMatch(f, Or(EqualTo("sequence", 25L), EqualTo("sequence", 15L))))
+    assert(!GraftScan.mayMatch(f, Or(EqualTo("sequence", 25L), EqualTo("sequence", 30L))))
+  }
+
+  test("IN and OR filters prune files end-to-end") {
+    val all = spark.read.format("graft").load(root)
+    val nFiles = EventTable.listParquet(root).size
+    val df = all.filter(col("partition").isin(2, 5))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.head.inputPartitions.map(_.asInstanceOf[GraftInputPartition].relPath)
+    assert(parts.nonEmpty && parts.length < nFiles)
+    assert(parts.forall(p => p.contains("partition=2") || p.contains("partition=5")))
+    assert(df.count() === EventTable.readCommitted(spark, root)
+      .filter(col("partition").isin(2, 5)).count())
   }
 }
