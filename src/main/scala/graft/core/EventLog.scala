@@ -97,7 +97,16 @@ object EventLog {
     * AtomicU64 from the durable HWM the same way,
     * `/root/reference/src/storage/sequence.rs:59-82`).
     */
-  def assignSequences(deduped: DataFrame, base: Map[Int, Long] = Map.empty): DataFrame = {
+  def assignSequences(deduped: DataFrame, base: Map[Int, Long] = Map.empty): DataFrame =
+    assignSequencesWithStats(deduped, base, byteColumn = None)._1
+
+  /** As [[assignSequences]], and — when `byteColumn` names a string column —
+    * the counts pass ALSO accumulates the reference's per-partition byte
+    * estimate (UTF-8 bytes + 64B/row, `flusher/mod.rs:361-390`) so the
+    * size-targeted writer needs no extra stats job. Returns
+    * (sequenced frame, partition → (rows, bytes)). */
+  def assignSequencesWithStats(deduped: DataFrame, base: Map[Int, Long] = Map.empty,
+                               byteColumn: Option[String] = None): (DataFrame, Map[Int, (Long, Long)]) = {
     val spark = deduped.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = deduped
@@ -105,17 +114,26 @@ object EventLog {
       .sortWithinPartitions(col("part_id"), col("timestamp_ms"), col("event_id"))
     val schema  = sorted.schema
     val partIdx = schema.fieldIndex("part_id")
+    val byteIdx = byteColumn.map(schema.fieldIndex)
     val rdd     = sorted.rdd
 
-    val counts: Array[Map[Int, Long]] = rdd
+    val perRange: Array[Map[Int, (Long, Long)]] = rdd
       .mapPartitionsWithIndex { (i, it) =>
-        val m = scala.collection.mutable.Map.empty[Int, Long]
-        it.foreach { r => val p = r.getInt(partIdx); m.update(p, m.getOrElse(p, 0L) + 1L) }
+        val m = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+        it.foreach { r =>
+          val p = r.getInt(partIdx)
+          val b = byteIdx.map(bi => r.getString(bi).getBytes("UTF-8").length.toLong + 64L).getOrElse(0L)
+          val (cnt, bytes) = m.getOrElse(p, (0L, 0L))
+          m.update(p, (cnt + 1L, bytes + b))
+        }
         Iterator.single(i -> m.toMap)
       }
       .collect()
       .sortBy(_._1)
       .map(_._2)
+    val counts: Array[Map[Int, Long]] = perRange.map(_.view.mapValues(_._1).toMap)
+    val totals: Map[Int, (Long, Long)] = perRange.flatten
+      .groupMapReduce(_._1)(_._2) { case ((c1, b1), (c2, b2)) => (c1 + c2, b1 + b2) }
 
     val offsets: Array[Map[Int, Long]] = {
       val running = scala.collection.mutable.Map.empty[Int, Long]
@@ -136,7 +154,7 @@ object EventLog {
         Row.fromSeq(r.toSeq :+ s)
       }
     }
-    spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false)))
+    (spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false))), totals)
   }
 
   /** Derived Iceberg partition columns, matching `derive_partition_columns`

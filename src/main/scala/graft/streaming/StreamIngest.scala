@@ -126,9 +126,12 @@ final class StreamIngest(
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newPaths =
       try {
-        val sequenced = EventLog.deriveDateHour(EventLog.assignSequences(deduped, base = watermarks()))
+        val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
+                                                             byteColumn = Some("props"))
+        val sequenced = EventLog.deriveDateHour(seq)
         val before = EventTable.listParquet(tableRoot).toSet
-        EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize)
+        EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
+                             precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
         EventTable.listParquet(tableRoot).filterNot(before.contains)
       } finally deduped.unpersist()
 

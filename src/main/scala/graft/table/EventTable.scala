@@ -81,18 +81,20 @@ object EventTable {
     */
   def writeData(df: DataFrame, tableRoot: String,
                 targetFileSize: Long = DefaultTargetFileSize,
-                fragmentInto: Option[Int] = None): Unit = {
+                fragmentInto: Option[Int] = None,
+                precomputedStats: Option[Seq[(Int, Long, Long)]] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     // reference's estimate: payload + 64B/row; extracted tables have no
-    // payload column, so fall back to a flat per-row estimate
+    // payload column, so fall back to a flat per-row estimate. Callers that
+    // already counted rows/bytes (the fused sequencing pass) skip the job.
     val rowBytes =
       if (df.columns.contains("payload")) length(col("payload")) + lit(64L) else lit(80L)
-    val stats = df
-      .groupBy(col("partition"))
-      .agg(count(lit(1)).as("rows"), sum(rowBytes).as("bytes"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val stats = precomputedStats.map(_.toArray).getOrElse(
+      df.groupBy(col("partition"))
+        .agg(count(lit(1)).as("rows"), sum(rowBytes).as("bytes"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
     val target = fragmentInto match {
       case Some(n) => math.max(1024L, stats.map(_._3).sum / n)
       case None    => targetFileSize
@@ -152,8 +154,13 @@ object EventTable {
   def ingestAndCommit(spark: SparkSession, sfDir: String, tableRoot: String,
                       targetFileSize: Long = DefaultTargetFileSize,
                       fragmentInto: Option[Int] = None): IcebergCommitter = {
-    val log = EventLog.log(spark, sfDir)
-    writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto)
+    // fused pipeline: the sequencing counts pass also produces the
+    // per-partition byte estimate the size-targeted writer needs
+    val (seq, stats) = EventLog.assignSequencesWithStats(
+      EventLog.deduped(EventLog.raw(spark, sfDir)), byteColumn = Some("props"))
+    val log = EventLog.deriveDateHour(seq)
+    writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
+              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
     val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
