@@ -20,9 +20,18 @@ object Bench {
       table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", warmRoot)
       llm.LlmQueries.queries("d2_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
+    // Consume FULL tuples, not .count(): hashing every column of every row
+    // forces Catalyst to materialize the complete projection, so map-only
+    // queries (text stats, fingerprints) measure their real kernels instead
+    // of a pruned parquet scan.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      ()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -157,9 +157,9 @@ object IcebergQueries {
     // file per bucket (integer ceil, same arithmetic as writeData).
     "a4_manifest_totals" -> Oracle.sql(
       """SELECT (SELECT count(*) FROM evlog) AS total_records,
-        |       (SELECT sum(greatest(1, (sum_bytes + 134217727) // 134217728)) FROM (
+        |       CAST((SELECT sum(greatest(1, (sum_bytes + 134217727) // 134217728)) FROM (
         |          SELECT part_id, sum(octet_length(props::BLOB) + 64) AS sum_bytes
-        |          FROM evlog GROUP BY 1)) AS total_data_files""".stripMargin),
+        |          FROM evlog GROUP BY 1)) AS BIGINT) AS total_data_files""".stripMargin),
     "f7_watermarks" -> Oracle.sql(
       "SELECT part_id, max(sequence) AS watermark FROM evlog GROUP BY 1"),
     "post_compaction_read" -> Oracle.sql(
