@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.StructType
   *
   *  - a file micro-batch source IS the combiner: each trigger's batch is one
   *    atomic bulk write (S5 is free)
-  *  - `foreachBatch`: within-batch idempotency dedup + anti-join against
-  *    already-ingested keys (S7 across batches), sequence continuation from
-  *    the table's high watermarks (S6 seeded like the reference's AtomicU64
-  *    from the durable HWM), then the size-targeted sorted write (F2/F3)
+  *  - [[KeyedDedup]] (flatMapGroupsWithState on the RocksDB state store) is
+  *    the idempotency index: within-batch AND cross-batch dedup as keyed
+  *    state, O(batch) per trigger; `foreachBatch` adds only the
+  *    bloom-short-circuited join against keys committed BEFORE the stream
+  *    started, then sequence continuation from the table's high watermarks
+  *    (S6 seeded like the reference's AtomicU64 from the durable HWM) and
+  *    the size-targeted sorted write (F2/F3)
   *  - SNAPSHOT BATCHING (F5): staged files accumulate across batches and
   *    commit only at ≥ minFiles / ≥ minBytes / ≥ maxAge, exactly the
   *    reference thresholds (`flusher/mod.rs:53-98,665-761`)
@@ -42,7 +45,8 @@ final class StreamIngest(
     snapshotMinFiles: Int = 10,
     snapshotMinBytes: Long = 1L << 30,
     snapshotMaxAgeMs: Long = 30L * 60 * 1000,
-    targetFileSize: Long = EventTable.DefaultTargetFileSize
+    targetFileSize: Long = EventTable.DefaultTargetFileSize,
+    dedupStateTtlMs: Option[Long] = None
 ) {
   val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
 
@@ -99,31 +103,90 @@ final class StreamIngest(
     }.toMap
   }
 
-  private def ingestedKeys(): DataFrame = {
-    val files = committer.activeDataFiles() ++ pending.values.flatten
+  // ---- cross-batch idempotency (S7) at scale ------------------------------
+  //
+  // The old shape anti-joined EVERY micro-batch against a re-scan of the
+  // whole committed table — full-table IO per trigger at 100 TB. Replaced by
+  // three complementary mechanisms, none of which re-reads the table:
+  //
+  //  1. BOOTSTRAP SNAPSHOT: keys present when this instance started, read
+  //     ONCE and cached; per batch only a join against the cached side.
+  //  2. BLOOM SHORT-CIRCUIT (the reference's fast path,
+  //     `/root/reference/src/storage/rocksdb.rs:504-576`): a bloom filter
+  //     over the bootstrap keys, broadcast to executors; rows that MISS are
+  //     definitely new and bypass the exact join entirely — in the common
+  //     no-duplicate case almost the whole batch skips the shuffle.
+  //  3. KEYS SEEN SINCE START: in the streaming path these live in the
+  //     KEYED STATE STORE ([[KeyedDedup]], RocksDB backend) — O(batch) per
+  //     trigger; in the direct-call path they are read from only the files
+  //     THIS instance wrote (incremental, never the whole table).
+
+  /** Files already in the table when this instance started (committed +
+    * marker-adopted pending) — the fixed base the bootstrap snapshot covers. */
+  private val bootstrapFiles: Seq[DataFile] =
+    (committer.activeDataFiles() ++ pending.values.flatten).toSeq
+
+  /** Files written by THIS instance (kept after commits clear `pending`). */
+  private val sinceStartFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+
+  /** (cached key frame, broadcast bloom over "part:key") — built lazily so
+    * the common fresh-table case pays nothing. */
+  private lazy val bootstrap: Option[(DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])] =
+    if (bootstrapFiles.isEmpty) None
+    else {
+      val keys = EventTable
+        .readCommitted(spark, tableRoot, bootstrapFiles)
+        .select(col("partition").cast("int").as("part_id"), col("idempotency_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val expected = math.max(1000L, bootstrapFiles.map(_.recordCount).sum)
+      val bloom = keys.stat.bloomFilter(
+        concat(col("part_id").cast("string"), lit(":"), col("idempotency_key")), expected, 0.01)
+      Some((keys, spark.sparkContext.broadcast(bloom)))
+    }
+
+  private def sinceStartKeys(): DataFrame =
     EventTable
-      .readCommitted(spark, tableRoot, files)
+      .readCommitted(spark, tableRoot, sinceStartFiles.toSeq)
       .select(col("partition").cast("int").as("part_id"), col("idempotency_key"))
-  }
 
   // ---- the batch pipeline -------------------------------------------------
 
   /** One micro-batch = one atomic bulk write (S2). Skips already-staged /
-    * already-committed batch ids, making checkpoint replay a no-op. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    * already-committed batch ids, making checkpoint replay a no-op.
+    * `upstreamDeduped` marks batches that already passed [[KeyedDedup]]
+    * (the streaming path): within-batch and since-start dedup are then
+    * keyed-state facts and only the bootstrap join remains. */
+  def processBatch(batch: DataFrame, batchId: Long, upstreamDeduped: Boolean = false): Unit = {
     if (batchId <= lastCommittedBatchId() || pending.contains(batchId)) {
       maybeCommit(force = false)
       return
     }
-    // S7: drop within-batch retries, then keys already ingested. At real
-    // scale the seen-keys side would live in a keyed state store (RocksDB
-    // backend) instead of an anti-join re-scan; the join keeps the slice
-    // fully deterministic and distributed. The deduped batch is persisted
-    // because sequencing + the size pre-agg + the write each re-scan it.
-    val deduped = EventLog
-      .deduped(batch)
-      .join(ingestedKeys(), Seq("part_id", "idempotency_key"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val based      = if (upstreamDeduped) batch else EventLog.deduped(batch)
+    val needsSince = !upstreamDeduped && sinceStartFiles.nonEmpty
+    val multiPass  = bootstrap.isDefined || needsSince
+    val base =
+      if (multiPass) based.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else based
+    val afterBoot = bootstrap match {
+      case None => base
+      case Some((keysDf, bloomB)) =>
+        val maybeSeen = udf((s: String) => bloomB.value.mightContainString(s))
+        val tagged = base.withColumn(
+          "_maybe", maybeSeen(concat(col("part_id").cast("string"), lit(":"), col("idempotency_key"))))
+        tagged
+          .filter(!col("_maybe"))
+          .drop("_maybe")
+          .unionByName(
+            tagged
+              .filter(col("_maybe"))
+              .drop("_maybe")
+              .join(keysDf, Seq("part_id", "idempotency_key"), "left_anti"))
+    }
+    val afterSince =
+      if (needsSince) afterBoot.join(sinceStartKeys(), Seq("part_id", "idempotency_key"), "left_anti")
+      else afterBoot
+    // persisted because sequencing + the size pre-agg + the write each
+    // re-scan the deduped slice
+    val deduped = afterSince.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newPaths =
       try {
         val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
@@ -133,11 +196,16 @@ final class StreamIngest(
         EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
         EventTable.listParquet(tableRoot).filterNot(before.contains)
-      } finally deduped.unpersist()
+      } finally {
+        deduped.unpersist()
+        if (multiPass) base.unpersist()
+      }
 
     // Marker AFTER the data write: files without a marker are orphans.
     committer.io.put(markerPath(batchId), newPaths.mkString("\n").getBytes("UTF-8"))
-    pending.update(batchId, EventTable.collectDataFiles(spark, tableRoot, newPaths))
+    val written = EventTable.collectDataFiles(spark, tableRoot, newPaths)
+    pending.update(batchId, written)
+    sinceStartFiles ++= written
     if (pending.size == 1) pendingSince = System.currentTimeMillis()
     maybeCommit(force = false)
   }
@@ -185,15 +253,21 @@ final class StreamIngest(
                     trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val listener = new IngestMetricsListener(metrics)
     spark.streams.addListener(listener)
+    // The keyed dedup state lives in per-executor RocksDB instances — the
+    // same storage the reference's idempotency index uses, but sharded by
+    // Spark's state partitioning and versioned by the checkpoint.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = spark.readStream
+      val source = spark.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(stagingDir)
+      val q = KeyedDedup(source, dedupStateTtlMs)
         .writeStream
         .trigger(trigger)
         .option("checkpointLocation", s"$tableRoot/checkpoint")
-        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, upstreamDeduped = true))
         .start()
       q.awaitTermination()
       finish()

@@ -105,6 +105,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedCounts(root) === batchCounts())
   }
 
+  test("cross-batch duplicate keys: since-start path (same instance) drops them") {
+    val root = Files.createTempDirectory("graft-xdup-spec-").toString
+    val raw  = EventLog.raw(spark, sf).cache()
+    val ing  = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    // batches OVERLAP on event ids [80, 100): same idempotency keys re-sent
+    ing.processBatch(raw.filter(col("event_id") < 100), batchId = 0L)
+    ing.processBatch(raw.filter(col("event_id") >= 80 && col("event_id") < 200), batchId = 1L)
+    val expected = raw.filter(col("event_id") < 200)
+      .select("part_id", "idempotency_key").distinct().count()
+    val committed = EventTable.readCommitted(spark, root)
+    assert(committed.count() === expected)
+    assert(committed.select("partition", "idempotency_key").distinct().count() === expected)
+  }
+
+  test("cross-batch duplicate keys: bootstrap path (new instance over existing table) drops them") {
+    val root = Files.createTempDirectory("graft-xdup2-spec-").toString
+    val raw  = EventLog.raw(spark, sf).cache()
+    val a    = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    a.processBatch(raw.filter(col("event_id") < 100), batchId = 0L)
+    // restart: instance B's bootstrap snapshot + bloom must cover A's keys
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    b.processBatch(raw.filter(col("event_id") >= 80 && col("event_id") < 200), batchId = 1L)
+    val expected = raw.filter(col("event_id") < 200)
+      .select("part_id", "idempotency_key").distinct().count()
+    val committed = EventTable.readCommitted(spark, root)
+    assert(committed.count() === expected)
+    assert(committed.select("partition", "idempotency_key").distinct().count() === expected)
+  }
+
   test("sequence continuation across batches: dense, no overlap") {
     val root = Files.createTempDirectory("graft-seqcont-spec-").toString
     val raw  = EventLog.raw(spark, sf)
