@@ -45,15 +45,24 @@ final class GatewayServer(
     maxInflight: Int = 10000,
     maxInflightBytes: Long = 64L * 1024 * 1024,
     retentionMs: Long = 0L,
-    catalog: Option[CatalogClient] = None
+    catalog: Option[CatalogClient] = None,
+    walEnabled: Boolean = true,
+    maxFlushBytes: Long = 256L * 1024 * 1024
 ) {
   private val mapper  = new ObjectMapper()
-  val hot             = new HotBuffer
+  // INV-2: accepted-but-unflushed events survive a gateway crash via the
+  // write-ahead log (the reference gets this from RocksDB's WAL).
+  val hot = new HotBuffer(
+    if (walEnabled) Some(new WriteAheadLog(Paths.get(baseDir, "_wal"))) else None)
   val metrics         = new Metrics
   private val permits = new Semaphore(maxInflight)
   private val inflightBytes = new AtomicLong(0)
   private val compacting    = new ConcurrentHashMap[String, AtomicBoolean]()
   private val committers    = new ConcurrentHashMap[String, IcebergCommitter]()
+  // flush and compact RACE on the same table dir (both rewrite data files /
+  // commit snapshots); serialize them per table
+  private val tableLocks = new ConcurrentHashMap[String, Object]()
+  private def tableLock(t: String): Object = tableLocks.computeIfAbsent(t, _ => new Object)
 
   metrics.gauge("zombi_hot_events")(hot.topics.map(hot.size).sum.toDouble)
   // consumer-lag analogue: unflushed events across topics (hwm − committed)
@@ -135,7 +144,7 @@ final class GatewayServer(
         }
       case (m, List("v1", "namespaces", ns, "tables", t)) if m == "GET" || m == "HEAD" =>
         if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
-        else if (TableName.findFirstIn(t).isEmpty)
+        else if (!TableName.matches(t))
           catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $t")
         else {
           val c = committer(t)
@@ -184,8 +193,10 @@ final class GatewayServer(
         if (!guard.compareAndSet(false, true))
           throw ApiError(409, "COMPACTION_IN_PROGRESS", s"compaction already running for $t")
         try {
+          // same per-table lock as flushNow: flush and compact both rewrite
+          // the table dir and must not interleave
           val res =
-            try Compaction.compact(spark, s"$baseDir/$t")
+            try tableLock(t).synchronized { Compaction.compact(spark, s"$baseDir/$t") }
             catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during compaction") }
           metrics.inc("zombi_compactions_total")
           sendJson(ex, 200, s"""{"table":"${escape(t)}","compacted":${res.isDefined}}""")
@@ -195,32 +206,45 @@ final class GatewayServer(
     }
   }
 
+  /** `Regex.matches` anchors the WHOLE string — `findFirstIn` with `^...$`
+    * would accept a trailing newline (Java `$` matches before a final line
+    * terminator), letting a percent-encoded "events%0A" shadow a real
+    * table dir. */
   private def validated(t: String): Unit =
-    if (TableName.findFirstIn(t).isEmpty)
+    if (!TableName.matches(t))
       throw ApiError(400, "INVALID_INPUT", "Invalid table name: must match ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
 
   // ---------------------------------------------------------------- writes
 
   /** S4: admit on the DECLARED body size (Content-Length) BEFORE buffering a
-    * single byte, so the budget actually bounds heap; RAII release. Bodies
-    * without a length header are admitted at a conservative estimate and
-    * re-charged after buffering. */
+    * single byte, then read the body through a budget-charged loop — every
+    * 64 KiB chunk is charged against the in-flight budget BEFORE it is
+    * buffered, so a chunked or understated-length request cannot exceed
+    * `maxInflightBytes` by more than one chunk; RAII release. */
   private def admitted[T](ex: HttpExchange)(f: Array[Byte] => T): T = {
-    val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
-      .flatMap(_.toLongOption).getOrElse(4096L)
     if (!permits.tryAcquire())
       throw ApiError(503, "SERVER_OVERLOADED", "too many in-flight writes")
-    if (inflightBytes.addAndGet(declared) > maxInflightBytes) {
-      inflightBytes.addAndGet(-declared); permits.release()
-      metrics.inc("zombi_backpressure_rejects_total")
-      throw ApiError(503, "SERVER_OVERLOADED", "in-flight byte budget exceeded")
-    }
-    var charged = declared
+    var charged = 0L
+    def charge(delta: Long): Unit =
+      if (inflightBytes.addAndGet(delta) > maxInflightBytes) {
+        inflightBytes.addAndGet(-delta)
+        metrics.inc("zombi_backpressure_rejects_total")
+        throw ApiError(503, "SERVER_OVERLOADED", "in-flight byte budget exceeded")
+      } else charged += delta
     try {
-      val body = ex.getRequestBody.readAllBytes()
-      val extra = body.length.toLong - declared
-      if (extra > 0) { inflightBytes.addAndGet(extra); charged += extra }
-      f(body)
+      charge(Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption).getOrElse(4096L))
+      val in  = ex.getRequestBody
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        val need = out.size().toLong + n - charged
+        if (need > 0) charge(need)
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      f(out.toByteArray)
     } finally { inflightBytes.addAndGet(-charged); permits.release() }
   }
 
@@ -370,65 +394,74 @@ final class GatewayServer(
   }
 
   /** F2–F8 + F11: flush hot events past the committed watermark through the
-    * Spark write path, commit one snapshot, evict covered events. A
-    * `table_schema.json` in the table root switches the flush to
-    * schema-on-flush extraction (typed columns + `_payload_overflow`). */
-  def flushNow(topic: String): Option[Long] = synchronized {
-    val c         = committer(topic)
-    val committed = c.maxCommittedSequencePerPartition()
-    val batch     = hot.pendingForFlush(topic, committed)
-    if (batch.isEmpty) {
-      // still advance hot cleanup — covers a crash between a past commit
-      // and its eviction (the reference's cleanup cycle does the same)
-      hot.cleanup(topic, committed, retentionMs)
-      return None
-    }
-    val t0 = System.nanoTime()
-
+    * Spark write path, commit snapshots, evict covered events. One pass
+    * reads at most `maxFlushBytes` (the reference's `max_segment_size`
+    * bound) and commits one snapshot; passes repeat until the backlog is
+    * drained, each over per-partition sequence-contiguous prefixes so
+    * sequences stay dense. A `table_schema.json` in the table root switches
+    * the flush to schema-on-flush extraction (typed columns +
+    * `_payload_overflow`). Serialized per table with compaction — both
+    * rewrite the same table dir. */
+  def flushNow(topic: String): Option[Long] = tableLock(topic).synchronized {
+    val c    = committer(topic)
     val root = s"$baseDir/$topic"
-    val schema = StructType(Seq(
-      StructField("sequence", LongType, nullable = false),
-      StructField("topic", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false),
-      StructField("timestamp_ms", LongType, nullable = false),
-      StructField("idempotency_key", StringType, nullable = true),
-      StructField("partition", IntegerType, nullable = false)
-    ))
-    val rows = batch.map(e =>
-      Row(e.sequence, e.topic, e.payload, e.timestampMs, e.idempotencyKey.orNull, e.partition))
-    val base = spark
-      .createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 10000)), schema)
-      .withColumn("event_date", expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
-      .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
+    var committed      = c.maxCommittedSequencePerPartition()
+    var last: Option[Long] = None
+    var done = false
+    while (!done) {
+      val batch = hot.pendingForFlush(topic, committed, maxFlushBytes)
+      if (batch.isEmpty) {
+        // still advance hot cleanup — covers a crash between a past commit
+        // and its eviction (the reference's cleanup cycle does the same)
+        hot.cleanup(topic, committed, retentionMs)
+        done = true
+      } else {
+        val t0 = System.nanoTime()
+        val schema = StructType(Seq(
+          StructField("sequence", LongType, nullable = false),
+          StructField("topic", StringType, nullable = false),
+          StructField("payload", BinaryType, nullable = false),
+          StructField("timestamp_ms", LongType, nullable = false),
+          StructField("idempotency_key", StringType, nullable = true),
+          StructField("partition", IntegerType, nullable = false)
+        ))
+        val rows = batch.map(e =>
+          Row(e.sequence, e.topic, e.payload, e.timestampMs, e.idempotencyKey.orNull, e.partition))
+        val base = spark
+          .createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 10000)), schema)
+          .withColumn("event_date", expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
+          .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
 
-    val df = tableSchemaConfig(topic) match {
-      case None =>
-        base.select("sequence", "topic", "payload", "timestamp_ms", "idempotency_key",
-                    "event_date", "event_hour", "partition")
-      case Some(cfg) =>
-        graft.extract.PayloadExtractor
-          .extract(base, col("payload"), cfg)
-          .select(Seq(col("sequence"), col("topic"), col("timestamp_ms"), col("idempotency_key"),
-                      col("event_date"), col("event_hour")) ++
-                  cfg.fields.map(f => col(f.name)) ++
-                  Seq(col("_payload_overflow"), col("partition")): _*)
-    }
+        val df = tableSchemaConfig(topic) match {
+          case None =>
+            base.select("sequence", "topic", "payload", "timestamp_ms", "idempotency_key",
+                        "event_date", "event_hour", "partition")
+          case Some(cfg) =>
+            graft.extract.PayloadExtractor
+              .extract(base, col("payload"), cfg)
+              .select(Seq(col("sequence"), col("topic"), col("timestamp_ms"), col("idempotency_key"),
+                          col("event_date"), col("event_hour")) ++
+                      cfg.fields.map(f => col(f.name)) ++
+                      Seq(col("_payload_overflow"), col("partition")): _*)
+        }
 
-    val before = EventTable.listParquet(root).toSet
-    EventTable.writeData(df, root)
-    val newFiles  = EventTable.listParquet(root).filterNot(before.contains)
-    val dataFiles = EventTable.collectDataFiles(spark, root, newFiles)
-    val wm        = EventTable.watermarksOf(dataFiles)
-    val res       = c.commitAppend(dataFiles, wm)
-    hot.cleanup(topic, wm, retentionMs) // F11
-    metrics.inc("zombi_flushes_total")
-    metrics.inc("zombi_snapshots_total")
-    metrics.observeMs("zombi_flush_latency_ms", (System.nanoTime() - t0) / 1e6)
-    catalog.foreach { cl => // F13
-      val v = res.version
-      cl.register(namespace, topic, s"$root/${c.versionFile(v)}", new String(c.io.get(c.versionFile(v)), "UTF-8"))
+        val newFiles  = EventTable.writeData(df, root) // exact file list, no dir diff
+        val dataFiles = EventTable.collectDataFiles(spark, root, newFiles)
+        val wm        = EventTable.watermarksOf(dataFiles)
+        val res       = c.commitAppend(dataFiles, wm)
+        hot.cleanup(topic, wm, retentionMs) // F11
+        metrics.inc("zombi_flushes_total")
+        metrics.inc("zombi_snapshots_total")
+        metrics.observeMs("zombi_flush_latency_ms", (System.nanoTime() - t0) / 1e6)
+        catalog.foreach { cl => // F13
+          val v = res.version
+          cl.register(namespace, topic, s"$root/${c.versionFile(v)}", new String(c.io.get(c.versionFile(v)), "UTF-8"))
+        }
+        committed = committed ++ wm
+        last = Some(res.snapshotId)
+      }
     }
-    Some(res.snapshotId)
+    last
   }
 
   // ----------------------------------------------------------------- misc

@@ -19,16 +19,30 @@ final case class StoredEvent(
   * reads (Q1/Q2/Q3/Q5), and post-flush cleanup with an optional retention
   * window (F11, `rocksdb.rs:1150-1237`).
   *
-  * The reference stores this tier in RocksDB for durability; here the
-  * durable tier is the Iceberg table itself (events are only evicted after
-  * a snapshot commit covers them), so an in-memory buffer with the same
-  * key semantics is the Spark-native analogue. All methods are synchronized
-  * — this is the single-node front-end, not the distributed path.
+  * The reference stores this tier in RocksDB with its WAL on by default
+  * (`rocksdb.rs:579-592`): a 202-acknowledged write survives a crash. The
+  * optional [[WriteAheadLog]] restores that invariant here — accepted
+  * writes are appended before the ack and replayed on construction; the
+  * log is compacted to the live buffer after flush eviction. All methods
+  * are synchronized — this is the single-node front-end, not the
+  * distributed path.
   */
-final class HotBuffer {
+final class HotBuffer(wal: Option[WriteAheadLog] = None) {
   private val events = mutable.Map.empty[(String, Int), mutable.ArrayBuffer[StoredEvent]]
   private val seqs   = mutable.Map.empty[(String, Int), Long]
   private val idem   = mutable.Map.empty[(String, Int, String), Long]
+
+  // crash recovery: rebuild buffer + sequence counters + idempotency index
+  // from the intact WAL prefix (INV-2)
+  wal.foreach(_.replay(
+    e => {
+      val key = (e.topic, e.partition)
+      events.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += e
+      if (seqs.getOrElse(key, 0L) < e.sequence) seqs.update(key, e.sequence)
+      e.idempotencyKey.foreach(k => idem.update((e.topic, e.partition, k), e.sequence))
+    },
+    (t, p, s) => if (seqs.getOrElse((t, p), 0L) < s) seqs.update((t, p), s)
+  ))
 
   /** Seed sequence counters from committed watermarks (F9 — the reference
     * seeds its AtomicU64 from the persisted HWM, `sequence.rs:59-82`). */
@@ -49,9 +63,10 @@ final class HotBuffer {
         val key  = (topic, partition)
         val next = seqs.getOrElse(key, 0L) + 1
         seqs.update(key, next)
-        events.getOrElseUpdate(key, mutable.ArrayBuffer.empty) +=
-          StoredEvent(next, topic, partition, payload, timestampMs, idempotencyKey)
+        val e = StoredEvent(next, topic, partition, payload, timestampMs, idempotencyKey)
+        events.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += e
         idempotencyKey.foreach(k => idem.update((topic, partition, k), next))
+        wal.foreach(_.appendEvent(e)) // durable BEFORE the 202 ack
         (next, false)
     }
   }
@@ -81,11 +96,30 @@ final class HotBuffer {
       .take(limit)
   }
 
-  /** All buffered events past the committed watermark — the flush input. */
-  def pendingForFlush(topic: String, committed: Map[Int, Long]): Seq[StoredEvent] = synchronized {
-    events.iterator.collect {
-      case ((t, p), buf) if t == topic => buf.filter(_.sequence > committed.getOrElse(p, 0L))
-    }.flatten.toSeq
+  /** Buffered events past the committed watermark — the flush input.
+    * `maxBytes` bounds one flush pass (the reference's `max_segment_size`,
+    * `/root/reference/src/flusher/mod.rs:338-456`): per-partition
+    * SEQUENCE-CONTIGUOUS prefixes are taken until the budget is spent (at
+    * least one event is always taken so a pass makes progress), so repeated
+    * passes drain a backlog with dense sequences preserved. */
+  def pendingForFlush(topic: String, committed: Map[Int, Long],
+                      maxBytes: Long = Long.MaxValue): Seq[StoredEvent] = synchronized {
+    var budget = maxBytes
+    val out    = Seq.newBuilder[StoredEvent]
+    events.toSeq.collect { case ((t, p), buf) if t == topic => (p, buf) }.sortBy(_._1)
+      .foreach { case (p, buf) =>
+        val pend = buf.iterator.filter(_.sequence > committed.getOrElse(p, 0L))
+        var go   = true
+        while (go && pend.hasNext) {
+          if (budget <= 0L) go = false
+          else {
+            val e = pend.next()
+            out += e
+            budget -= e.payload.length.toLong + 64L
+          }
+        }
+      }
+    out.result()
   }
 
   /** Per-partition high watermark (highest assigned sequence). */
@@ -111,6 +145,8 @@ final class HotBuffer {
         buf.clear(); buf ++= keep
       }
     }
+    // bound the WAL at O(live buffer): rewrite to seq-marks + live events
+    if (evicted > 0) wal.foreach(_.compact(seqs.toMap, events.values.flatten))
     evicted
   }
 }

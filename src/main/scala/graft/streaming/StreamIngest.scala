@@ -192,10 +192,8 @@ final class StreamIngest(
         val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
                                                              byteColumn = Some("props"))
         val sequenced = EventLog.deriveDateHour(seq)
-        val before = EventTable.listParquet(tableRoot).toSet
         EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
-        EventTable.listParquet(tableRoot).filterNot(before.contains)
       } finally {
         deduped.unpersist()
         if (multiPass) base.unpersist()

@@ -71,12 +71,13 @@ object Compaction {
     val candidates = selectCandidates(committer.activeDataFiles(), cfg)
     if (candidates.isEmpty) return None
 
-    val before = EventTable.listParquet(tableRoot).toSet
-    val df     = EventTable.readCommitted(spark, tableRoot, candidates)
+    val df = EventTable.readCommitted(spark, tableRoot, candidates)
     // Same layout + sort invariant as the original segments; re-sliced
-    // toward cfg.targetFileSize by the size-aware writer (C2).
-    EventTable.writeData(df, tableRoot, targetFileSize = cfg.targetFileSize)
-    val newPaths = EventTable.listParquet(tableRoot).filterNot(before.contains)
+    // toward cfg.targetFileSize by the size-aware writer (C2). writeData
+    // returns EXACTLY the files this job wrote — a concurrent flush's
+    // files can neither be adopted into this commit nor deleted by the
+    // rollback below.
+    val newPaths = EventTable.writeData(df, tableRoot, targetFileSize = cfg.targetFileSize)
     val added    = EventTable.collectDataFiles(spark, tableRoot, newPaths)
 
     try {
@@ -89,7 +90,8 @@ object Compaction {
       Some(res)
     } catch {
       case c: CommitConflict =>
-        // Roll back: uncommitted rewrites are orphans — delete and rethrow.
+        // Roll back: delete ONLY the files this compaction wrote — they
+        // are uncommitted orphans — and rethrow.
         newPaths.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(tableRoot, p)))
         throw c
     }

@@ -68,6 +68,8 @@ object EventTable {
     )
 
   /** F2+F3: size-targeted, sorted, partition-clustered Zstd parquet write.
+    * Returns the table-root-relative paths of EXACTLY the files this call
+    * wrote.
     *
     * Two-phase like the reference's `flush_partition`: (1) a cheap agg
     * estimates bytes per log partition (`payload + 64B` per row); (2) each
@@ -76,13 +78,28 @@ object EventTable {
     * single-`partition` (the Hive dir guarantees it) and sorted
     * `(timestamp_ms, sequence)` within.
     *
+    * Exactness guarantees, both load-bearing for concurrent writers and the
+    * manifest-totals arithmetic:
+    *  - the job writes into a private staging dir and the finished files
+    *    are moved into `data/` one atomic rename each, so the returned list
+    *    is derived from the job's own output — never from a before/after
+    *    directory diff that could adopt (or later delete) a concurrent
+    *    writer's files. (On an object store this maps to the standard
+    *    write-to-staging + commit-by-manifest pattern; the committed
+    *    snapshot only ever references files by name, never by listing.)
+    *  - `bucket` rides through the dynamic-partition writer (and is
+    *    stripped from the final path on move), so each (partition, bucket)
+    *    pair yields exactly one file even when two buckets hash to the same
+    *    shuffle task — file count is exactly Σ ceil(bytes/target) at any
+    *    scale.
+    *
     * `fragmentInto = Some(n)` overrides the target to `totalBytes / n` —
     * used by tests/compaction scenarios to force a fragmented layout.
     */
   def writeData(df: DataFrame, tableRoot: String,
                 targetFileSize: Long = DefaultTargetFileSize,
                 fragmentInto: Option[Int] = None,
-                precomputedStats: Option[Seq[(Int, Long, Long)]] = None): Unit = {
+                precomputedStats: Option[Seq[(Int, Long, Long)]] = None): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     // reference's estimate: payload + 64B/row; extracted tables have no
@@ -106,16 +123,45 @@ object EventTable {
     val totalBuckets = math.max(1, chunks.map(_._3).sum.toInt)
     val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
 
+    val stagingAbs = Paths.get(tableRoot, ".staging", java.util.UUID.randomUUID().toString)
     df.join(broadcast(chunkDf), Seq("partition"))
       .withColumn("bucket", ((col("sequence") - 1) / col("seq_chunk")).cast("int"))
+      .drop("seq_chunk")
       .repartition(totalBuckets, col("partition"), col("bucket"))
-      .drop("bucket", "seq_chunk")
-      .sortWithinPartitions(col("partition"), col("timestamp_ms"), col("sequence"))
+      .sortWithinPartitions(col("partition"), col("bucket"), col("timestamp_ms"), col("sequence"))
       .write
-      .mode("append")
       .option("compression", "zstd")
-      .partitionBy("partition")
-      .parquet(s"$tableRoot/data")
+      .partitionBy("partition", "bucket")
+      .parquet(stagingAbs.toString)
+
+    // Move staging/partition=P/bucket=B/part-*.parquet → data/partition=P/,
+    // prefixing the bucket id so two buckets written by one task (same part
+    // file name) cannot collide in the flattened dir.
+    val rootP = Paths.get(tableRoot)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val walk  = Files.walk(stagingAbs)
+    try {
+      walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { src =>
+        val rel     = stagingAbs.relativize(src) // partition=P/bucket=B/part-...
+        val partDir = rel.getName(0).toString
+        val bucket  = rel.getName(1).toString.stripPrefix("bucket=")
+        val dest    = rootP.resolve("data").resolve(partDir).resolve(s"b$bucket-${src.getFileName}")
+        Files.createDirectories(dest.getParent)
+        Files.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moved += rootP.relativize(dest).toString
+      }
+    } finally walk.close()
+    deleteRecursively(stagingAbs)
+    moved.toSeq.sorted
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** F4: DataFile stats from parquet footers, collected as a DISTRIBUTED job
@@ -159,10 +205,10 @@ object EventTable {
     val (seq, stats) = EventLog.assignSequencesWithStats(
       EventLog.deduped(EventLog.raw(spark, sfDir)), byteColumn = Some("props"))
     val log = EventLog.deriveDateHour(seq)
-    writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
+    val newPaths = writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
               precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
-    val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
+    val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
   }
@@ -190,10 +236,10 @@ object EventTable {
         col("part_id").as("partition")
       ): _*
     )
-    writeData(df, tableRoot, fragmentInto = fragmentInto)
+    val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
     val schema    = IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic, schema)
-    val dataFiles = collectDataFiles(spark, tableRoot, listParquet(tableRoot))
+    val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
   }
