@@ -50,6 +50,42 @@ object HexPrefixToLong {
   }
 }
 
+/** FNV-1a 32-bit over Unicode CODE POINTS — the MinHash shingle hash. One
+  * multiply+xor per character instead of a full md5 round, ~10× cheaper on
+  * the near-dedup hot kernel, and exactly reproducible in the DuckDB oracle
+  * as `list_reduce(list_prepend(2166136261, codepoints), (h,c) ->
+  * (xor(h,c) * 16777619) % 2^32)`. Code points (not UTF-8 bytes or UTF-16
+  * units) because both engines index strings by code point. */
+final case class Fnv32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"fnv32 expects a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv32.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.Fnv32.hash($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv32 =
+    copy(child = newChild)
+}
+
+object Fnv32 {
+  def hash(s: String): Long = {
+    var h = 2166136261L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = ((h ^ cp) * 16777619L) & 0xffffffffL
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
 /** Sequential (fold-left) double dot product over two double arrays —
   * replaces `aggregate(zip_with(a, b, ...))`, keeping the exact summation
   * order that DuckDB's `list_inner_product` uses, so cosine ranks stay
@@ -106,6 +142,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo("graft.functions", "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_fnv32"),
+      new ExpressionInfo("graft.functions", "graft_fnv32"),
+      (exprs: Seq[Expression]) => Fnv32(exprs.head)))
   }
 }
 
@@ -124,6 +163,7 @@ object GraftFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_hex32"))) {
       register(spark, "graft_hex32", exprs => HexPrefixToLong(exprs.head))
       register(spark, "graft_dot", exprs => DotProduct(exprs.head, exprs(1)))
+      register(spark, "graft_fnv32", exprs => Fnv32(exprs.head))
     }
   }
 }

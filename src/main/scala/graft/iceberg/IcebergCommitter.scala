@@ -263,7 +263,13 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * shared by carry-forward lists, so a manifest is deleted only when no
     * retained snapshot references it. Returns the expired snapshot ids. */
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
-    val meta = load().getOrElse(return Nil)
+    // CAS discipline as in commit(): everything below derives from the
+    // metadata at baseVersion, and the putIfAbsent targets EXACTLY
+    // baseVersion + 1 — a commit landing in between makes this throw
+    // CommitConflict instead of being silently erased by a stale rewrite.
+    val baseVersion = currentVersion()
+    if (baseVersion == 0) return Nil
+    val meta = IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
     val keep = meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast))
     val expired = meta.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
     if (expired.isEmpty) return Nil
@@ -281,13 +287,13 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       snapshots = keep,
       snapshotLog = meta.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId))
     )
-    val nextVersion = currentVersion() + 1
+    val nextVersion = baseVersion + 1
     if (!io.putIfAbsent(versionFile(nextVersion), next.toJson.getBytes("UTF-8")))
       throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
     io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
 
-    expired.foreach(s => io.delete(s.manifestList))
-    expiredManifests.foreach(io.delete)
+    expired.foreach { s => io.delete(s.manifestList); IcebergCommitter.invalidateList(io, s.manifestList) }
+    expiredManifests.foreach { m => io.delete(m); IcebergCommitter.invalidateManifest(io, m) }
     (allFiles -- keptFiles).foreach(io.delete)
     expired.map(_.snapshotId)
   }
@@ -312,18 +318,36 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
 /** Process-wide parse caches for IMMUTABLE table files: a `v{N}.metadata.json`
   * is created once via create-if-absent, and manifests / manifest lists get
-  * UUID names — so a (table root, path) key can never go stale. */
+  * UUID names — so a (table root, path) key can never go stale. The caches
+  * are size-bounded LRUs (a long-running gateway otherwise accumulates every
+  * metadata version ever written), and entries for files physically removed
+  * by [[IcebergCommitter.expireSnapshots]] are dropped eagerly. */
 object IcebergCommitter {
-  private val metaCache     = new java.util.concurrent.ConcurrentHashMap[String, TableMetadata]()
-  private val listCache     = new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestListEntry]]()
-  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+  private final class Lru[V](max: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean = size() > max
+    }
+    def get(k: String)(load: => V): V = synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit else { val v = load; m.put(k, v); v }
+    }
+    def remove(k: String): Unit = synchronized { m.remove(k); () }
+  }
+
+  private val metaCache     = new Lru[TableMetadata](512)
+  private val listCache     = new Lru[Seq[ManifestListEntry]](2048)
+  private val manifestCache = new Lru[Seq[ManifestEntry]](8192)
 
   private def key(io: TableIO, rel: String) = io.root + "/" + rel
 
   private[iceberg] def cachedMetadata(io: TableIO, rel: String): TableMetadata =
-    metaCache.computeIfAbsent(key(io, rel), _ => TableMetadata.fromJson(new String(io.get(rel), "UTF-8")))
+    metaCache.get(key(io, rel))(TableMetadata.fromJson(new String(io.get(rel), "UTF-8")))
   private[iceberg] def cachedManifestList(io: TableIO, rel: String): Seq[ManifestListEntry] =
-    listCache.computeIfAbsent(key(io, rel), _ => ManifestIO.readManifestList(io.get(rel)))
+    listCache.get(key(io, rel))(ManifestIO.readManifestList(io.get(rel)))
   private[iceberg] def cachedManifest(io: TableIO, rel: String): Seq[ManifestEntry] =
-    manifestCache.computeIfAbsent(key(io, rel), _ => ManifestIO.readManifest(io.get(rel)))
+    manifestCache.get(key(io, rel))(ManifestIO.readManifest(io.get(rel)))
+  private[iceberg] def invalidateList(io: TableIO, rel: String): Unit =
+    listCache.remove(key(io, rel))
+  private[iceberg] def invalidateManifest(io: TableIO, rel: String): Unit =
+    manifestCache.remove(key(io, rel))
 }

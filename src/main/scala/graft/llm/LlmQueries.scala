@@ -62,6 +62,7 @@ object LlmQueries {
   val TopK         = 5
   val Hyperplanes  = 6   // 2^6 = 64 LSH buckets
   val NumCentroids = 8   // IVF cells
+  val KMeansIters  = 2   // Lloyd updates from the first-N seeds
 
   /** Deterministic hyperplane component for (plane h, dim d): a dyadic
     * rational in [-0.5, 0.5) derived from md5("h:<h>:<d>") — exactly
@@ -100,12 +101,14 @@ object LlmQueries {
     * list_inner_product, bit-for-bit. */
   private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** First 8 hex chars of an md5 string as a 32-bit value — identical SQL in
-    * Spark and DuckDB (instr + substr + bigint arithmetic). */
-  private def hexToIntExpr(h: String): String =
-    (1 to 8)
-      .map(j => s"cast(instr('0123456789abcdef', substr($h, $j, 1)) - 1 as bigint) * ${1L << (4 * (8 - j))}")
-      .mkString("(", " + ", ")")
+  /** DuckDB twin of [[graft.functions.Fnv32]]: FNV-1a 32-bit folded over
+    * code points with `list_reduce` — verified bit-identical to the Spark
+    * expression for ASCII and multi-byte inputs. */
+  private def fnv32Expr(s: String): String =
+    s"""list_reduce(
+       |  list_prepend(2166136261::BIGINT,
+       |               list_transform(generate_series(1, length($s)), fnv_i -> unicode(substr($s, fnv_i, 1))::BIGINT)),
+       |  (fnv_h, fnv_c) -> (xor(fnv_h, fnv_c) * 16777619) % 4294967296)""".stripMargin
 
   private def duckArray(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
@@ -127,10 +130,10 @@ object LlmQueries {
                  |END""".stripMargin)
         )
         .filter(size(col("shingles")) > 0)
-        // ONE md5 per shingle → 32-bit int (native codegen'd hex parse) →
-        // K cheap multiply-mod permutations (universal hashing), instead
-        // of K md5 calls.
-        .withColumn("vhash", expr("transform(transform(shingles, s -> md5(s)), h -> graft_hex32(h))"))
+        // ONE codegen'd FNV-1a-32 per shingle (one multiply per character —
+        // ~10× cheaper than the md5 round it replaced, same DuckDB-oracle
+        // reproducibility) → K cheap multiply-mod permutations.
+        .withColumn("vhash", expr("transform(shingles, s -> graft_fnv32(s))"))
         // one pass per permutation with SCALAR coefficients — constant
         // folding keeps the inner lambda allocation-free
         .withColumn(
@@ -321,22 +324,50 @@ object LlmQueries {
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id"))
     },
 
-    // ---------- ANN: IVF — inverted file over centroid cells, probe=1 ----------
+    // ---------- ANN: IVF — k-means-trained cells, probe=1 ----------
     "ann_ivf_probe" -> { (s, dir) =>
-      // Centroids: the first NumCentroids vectors (a deterministic stand-in
-      // for k-means training — the assignment/probe mechanics are the real
-      // IVF shape). Every vector joins its best cell; a query searches ONLY
-      // its own cell (probe=1), so candidate scoring is cell-local.
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < NumCentroids)
+      // TRAINED centroids: deterministic Lloyd's k-means — first-N seeds,
+      // KMeansIters update steps. Cluster means are computed from
+      // FIXED-POINT integer sums (floor(x·2^20) per component), which are
+      // order-independent, so Spark's shuffle order and the DuckDB oracle
+      // produce bit-identical centroids and the whole query stays
+      // hash-gated. Per iteration the driver collects only k×dim sums
+      // (8×64 rows — metadata-sized at any corpus scale); assignment is a
+      // broadcast(k centroids) × corpus map, the standard distributed
+      // k-means shape. Probe=1: a query scores ONLY its own cell.
+      val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      def assign(cents: DataFrame): DataFrame = {
+        val simToCent = expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))")
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+        e.crossJoin(broadcast(cents))
+          .withColumn("c_sim", simToCent)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("centroid_id"))
+      }
+
+      var cents = e.filter(col("vec_id") < NumCentroids)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val simToCent = expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))")
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("c_sim", simToCent)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("centroid_id"))
+      (1 to KMeansIters).foreach { _ =>
+        val sums = assign(cents)
+          .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("centroid_id", "pos")
+          .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = sums
+          .groupBy(_.getAs[Long]("centroid_id"))
+          .toSeq
+          .map { case (cid, rows) =>
+            val cv = rows.sortBy(_.getAs[Int]("pos"))
+              .map(r => r.getAs[Long]("s").toDouble / (r.getAs[Long]("n").toDouble * 1048576.0))
+            (cid, cv.toSeq)
+          }
+        import s.implicits._
+        cents = next.toDF("c_id", "cv")
+      }
+
+      val assigned = assign(cents)
       val q = assigned.filter(col("vec_id") < 4)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("centroid_id"))
       val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -373,7 +404,7 @@ object LlmQueries {
          |  FROM base
          |), vh AS (
          |  SELECT doc_id, shingles,
-         |         list_transform(list_transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")}) AS vhash
+         |         list_transform(shingles, s -> ${fnv32Expr("s")}) AS vhash
          |  FROM sh WHERE len(shingles) > 0
          |), sigs AS (
          |  SELECT doc_id, list_distinct(shingles) AS shingle_set,
@@ -408,7 +439,7 @@ object LlmQueries {
          |  FROM base
          |), vh AS (
          |  SELECT doc_id,
-         |         list_transform(list_transform(shingles, s -> md5(s)), h -> ${hexToIntExpr("h")}) AS vhash
+         |         list_transform(shingles, s -> ${fnv32Expr("s")}) AS vhash
          |  FROM sh WHERE len(shingles) > 0
          |)
          |SELECT doc_id, len(vhash)::BIGINT AS n_kgrams, len(fp_set)::BIGINT AS n_fingerprints,
@@ -485,18 +516,36 @@ object LlmQueries {
          |WHERE rn = 1""".stripMargin
     }
 
-    val ivfSql =
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
-         |assigned AS (
-         |  SELECT vec_id, v, c_id AS centroid_id FROM (
+    // The k-means chain mirrors the Spark pipeline step for step: assignment
+    // CTEs argmax cosine to the previous centroids; update CTEs sum
+    // FIXED-POINT components (order-independent BIGINTs) and divide — both
+    // engines derive bit-identical binary64 centroids from identical
+    // integer sums, keeping the trained-IVF query hash-gated.
+    def ivfAssignSql(centsCte: String): String =
+      s"""SELECT vec_id, v, c_id AS centroid_id FROM (
          |    SELECT e.vec_id, e.v, c.c_id,
          |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |             list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
          |             c.c_id) AS rn
-         |    FROM e, cents c)
-         |  WHERE rn = 1
-         |), q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < 4)
+         |    FROM e, $centsCte c)
+         |  WHERE rn = 1""".stripMargin
+    def ivfUpdateSql(assignCte: String): String =
+      s"""SELECT centroid_id AS c_id,
+         |       list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+         |    SELECT centroid_id, dd.d AS d,
+         |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+         |    FROM $assignCte, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1""".stripMargin
+    val ivfTrainCtes = (1 to KMeansIters).map { i =>
+      s"a${i - 1} AS (${ivfAssignSql(s"c${i - 1}")}),\nc$i AS (${ivfUpdateSql(s"a${i - 1}")})"
+    }.mkString(",\n")
+    val ivfSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < 4)
          |SELECT q_id, rank, neighbor_id, centroid_id FROM (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, a.centroid_id::BIGINT AS centroid_id,
          |         row_number() OVER (PARTITION BY q.q_id ORDER BY

@@ -24,6 +24,24 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(HexPrefixToLong.parse("00000001") === 1L)
   }
 
+  test("graft_fnv32 matches FNV-1a-32 reference vectors incl. multi-byte code points") {
+    GraftFunctions.ensureRegistered(spark)
+    // vectors cross-checked against the DuckDB list_reduce twin
+    val expect = Map(
+      "hello world"  -> 3582672807L,
+      "a"            -> 3826002220L,
+      "the quick"    -> 4251334859L,
+      "ünïcode test" -> 4095777371L,
+      "日本語 text"  -> 4288467073L,
+      "x y"          -> 3402250132L)
+    val rows = expect.keys.toSeq.toDF("s")
+      .selectExpr("s", "graft_fnv32(s) AS h").collect()
+    rows.foreach(r => assert(r.getLong(1) === expect(r.getString(0)), s"for '${r.getString(0)}'"))
+    // codegen and interpreted paths agree
+    assert(graft.functions.Fnv32.hash("hello world") === 3582672807L)
+    assert(graft.functions.Fnv32.hash("") === 2166136261L)
+  }
+
   test("graft_dot equals the fold-left aggregate/zip_with sum bit-for-bit") {
     GraftFunctions.ensureRegistered(spark)
     val rows = spark.read

@@ -113,17 +113,35 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(1L)._3 === 0L)
   }
 
-  test("ann IVF: non-centroid vectors are found only through their own cell (probe=1)") {
+  test("ann IVF: k-means cells keep near-identical pairs together (probe=1)") {
     val rows = run("ann_ivf_probe").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("centroid_id")))
-    // vec 8 (axis-0 direction) must surface for the axis-0 query whose cell
-    // it joined; vec 9 (axis-5) likewise for an axis-5 query
-    assert(rows.exists(r => (r._1 == 0L || r._1 == 1L) && r._3 == 8L))
-    assert(rows.exists(r => (r._1 == 2L || r._1 == 3L) && r._3 == 9L))
-    // orthogonal vectors never cross cells
-    assert(!rows.exists(r => (r._1 == 0L || r._1 == 1L) && r._3 == 9L))
+    // training pulls the near-identical axis-0 pair (0,1) into ONE cell, so
+    // each finds the other as its top neighbor; likewise the axis-5 pair
+    assert(rows.find(r => r._1 == 0L && r._2 == 1L).map(_._3) === Some(1L))
+    assert(rows.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
+    assert(rows.find(r => r._1 == 2L && r._2 == 1L).map(_._3) === Some(3L))
+    assert(rows.find(r => r._1 == 3L && r._2 == 1L).map(_._3) === Some(2L))
+    // orthogonal directions never share a cell: no axis-5 vector for an
+    // axis-0 query and vice versa
+    assert(!rows.exists(r => (r._1 == 0L || r._1 == 1L) && Set(2L, 3L, 9L)(r._3)))
+    assert(!rows.exists(r => (r._1 == 2L || r._1 == 3L) && Set(0L, 1L, 8L)(r._3)))
     // probe=1: every reported neighbor lives in the query's own cell
     rows.groupBy(_._1).values.foreach(g => assert(g.map(_._4).distinct.size === 1))
+  }
+
+  test("ann IVF: trained probe-1 recall vs brute-force top-3 on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val ivf = LlmQueries.queries("ann_ivf_probe")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val brute = LlmQueries.queries("ann_topk_brute")(spark, sf)
+      .filter($"rank" <= 3 && $"q_id" < 4).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.map { case (q, b) => (ivf.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"trained IVF probe-1 mean recall@3 was $mean (per-query $recalls)")
   }
 
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
