@@ -24,9 +24,12 @@ object Bench {
     // forces Catalyst to materialize the complete projection, so map-only
     // queries (text stats, fingerprints) measure their real kernels instead
     // of a pruned parquet scan.
+    // bit_xor, not sum: a long sum of 2^63-scale hashes overflows under
+    // ANSI mode; xor is closed over Long and order-independent.
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-      df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
       ()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

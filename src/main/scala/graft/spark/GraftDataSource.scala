@@ -94,7 +94,13 @@ final class GraftScanBuilder(tableRoot: String, tableSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // `partition` is a Hive-path constant appended by the vectorized
+    // reader's initBatch, so it must sit LAST in the scan's output schema;
+    // Spark re-resolves the plan's references against readSchema() by name,
+    // so reordering here is safe.
+    required = StructType(
+      requiredSchema.fields.filterNot(_.name == "partition") ++
+        requiredSchema.fields.filter(_.name == "partition"))
 
   override def build(): Scan = new GraftScan(tableRoot, tableSchema, required, pushed)
 }
@@ -207,6 +213,43 @@ final class GraftReaderFactory(required: StructType) extends PartitionReaderFact
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.tableRoot, p.relPath, required)
   }
+
+  // Columnar path: every committed column type is vectorizable, so batches
+  // are the default; the row reader above remains as the generic fallback.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.tableRoot, p.relPath, required)
+  }
+}
+
+/** Vectorized read of one committed file through Spark's own
+  * VectorizedParquetRecordReader — the same decoder `spark.read.parquet`
+  * uses (column pruning honored file-side, batch-at-a-time decode), so a
+  * full scan through `format("graft")` tracks the native reader's speed
+  * while keeping OUR manifest-bound file pruning in planInputPartitions.
+  * The identity `partition` value is not in the data pages; it rides in as
+  * a constant partition column via initBatch. */
+final class GraftColumnarReader(tableRoot: String, relPath: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val partValue: Int = relPath.split('/').collectFirst {
+    case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+  }.getOrElse(0)
+
+  private val fileFields = required.fields.filterNot(_.name == "partition")
+  private val partFields = required.fields.filter(_.name == "partition")
+
+  private val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(s"$tableRoot/$relPath", fileFields.map(_.name).toSeq.asJava)
+  reader.initBatch(StructType(partFields), new GenericInternalRow(partFields.map(_ => partValue: Any)))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** Reads one committed parquet file via parquet-mr's Group API and emits
