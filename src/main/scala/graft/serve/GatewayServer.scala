@@ -65,6 +65,14 @@ final class GatewayServer(
   private def tableLock(t: String): Object = tableLocks.computeIfAbsent(t, _ => new Object)
 
   metrics.gauge("zombi_hot_events")(hot.topics.map(hot.size).sum.toDouble)
+  // per-(topic,partition) hot storage events, read live at render time
+  metrics.labelledGauge("zombi_hot_storage_events") {
+    hot.topics.flatMap { t =>
+      hot.partitionSizes(t).toSeq.map { case (p, n) =>
+        (s"""topic="${graft.core.JsonUtil.escape(t)}",partition="$p"""", n.toDouble)
+      }
+    }
+  }
   // consumer-lag analogue: unflushed events across topics (hwm − committed)
   metrics.gauge("zombi_flush_lag") {
     hot.topics.map { t =>
@@ -269,6 +277,7 @@ final class GatewayServer(
     committer(topic) // ensures watermark seeding before first write
     val (offset, dup) = hot.write(topic, partition, payload, ts, key)
     metrics.inc("zombi_writes_total")
+    metrics.incLabelled("zombi_writes_by_topic_total", s"""topic="${escape(topic)}"""")
     if (dup) metrics.inc("zombi_duplicate_writes_total")
     metrics.observeMs("zombi_write_latency_ms", (System.nanoTime() - t0) / 1e6)
     sendJson(ex, 202, s"""{"offset":$offset,"partition":$partition,"table":"${escape(topic)}"}""")
@@ -296,6 +305,7 @@ final class GatewayServer(
     // one atomic batch: the whole bulk admits or rejects together (S2)
     val offsets = hot.synchronized { records.map { case (p, part, ts, k) => hot.write(topic, part, p, ts, k)._1 } }
     metrics.inc("zombi_writes_total", offsets.size.toLong)
+    metrics.incLabelled("zombi_writes_by_topic_total", s"""topic="${escape(topic)}"""", offsets.size.toLong)
     metrics.observeMs("zombi_write_latency_ms", (System.nanoTime() - t0) / 1e6)
     sendJson(ex, 202, s"""{"offsets":[${offsets.mkString(",")}],"count":${offsets.size},"table":"${escape(topic)}"}""")
   }
@@ -324,6 +334,7 @@ final class GatewayServer(
     val hasMore = events.size > limit // Q5
     val page    = events.take(limit)
     metrics.inc("zombi_reads_total")
+    metrics.incLabelled("zombi_reads_by_topic_total", s"""topic="${escape(topic)}"""")
     ArrowOutput.negotiate(Option(ex.getRequestHeaders.getFirst("Accept"))) match {
       case None => throw ApiError(406, "NOT_ACCEPTABLE", "supported: application/json, application/vnd.apache.arrow.stream")
       case Some("application/vnd.apache.arrow.stream") =>
@@ -451,6 +462,8 @@ final class GatewayServer(
         val res       = c.commitAppend(dataFiles, wm)
         hot.cleanup(topic, wm, retentionMs) // F11
         metrics.inc("zombi_flushes_total")
+        metrics.inc("zombi_flush_events_total", batch.size.toLong)
+        metrics.inc("zombi_flush_bytes_total", batch.map(_.payload.length.toLong).sum)
         metrics.inc("zombi_snapshots_total")
         metrics.observeMs("zombi_flush_latency_ms", (System.nanoTime() - t0) / 1e6)
         catalog.foreach { cl => // F13

@@ -131,6 +131,12 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
     events.iterator.collect { case ((t, _), buf) if t == topic => buf.size }.sum
   }
 
+  /** Buffered event count per partition — the per-(topic,partition) hot
+    * storage gauge. */
+  def partitionSizes(topic: String): Map[Int, Int] = synchronized {
+    events.iterator.collect { case ((t, p), buf) if t == topic => p -> buf.size }.toMap
+  }
+
   /** F11: evict events covered by the committed watermark, except those
     * within the retention window; drop idempotency entries for evicted
     * events (the reference's cleanup-watermark semantics). */

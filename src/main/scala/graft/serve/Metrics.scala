@@ -14,6 +14,10 @@ final class Metrics {
   private val counters   = new ConcurrentHashMap[String, LongAdder]()
   private val histograms = new ConcurrentHashMap[String, Histogram]()
   private val gauges     = new ConcurrentHashMap[String, () => Double]()
+  // labelled families — the reference's per-topic breakdowns
+  // (`zombi_writes_by_topic_total{topic=...}`, registry.rs:560-660)
+  private val labelled       = new ConcurrentHashMap[String, ConcurrentHashMap[String, LongAdder]]()
+  private val labelledGauges = new ConcurrentHashMap[String, () => Seq[(String, Double)]]()
 
   def inc(name: String, delta: Long = 1L): Unit =
     counters.computeIfAbsent(name, _ => new LongAdder).add(delta)
@@ -21,10 +25,23 @@ final class Metrics {
   def counter(name: String): Long =
     Option(counters.get(name)).map(_.sum()).getOrElse(0L)
 
+  /** `labels` is the rendered label body, e.g. `topic="events"`. */
+  def incLabelled(name: String, labels: String, delta: Long = 1L): Unit =
+    labelled.computeIfAbsent(name, _ => new ConcurrentHashMap[String, LongAdder]())
+      .computeIfAbsent(labels, _ => new LongAdder).add(delta)
+
+  def labelledCounter(name: String, labels: String): Long =
+    Option(labelled.get(name)).flatMap(m => Option(m.get(labels))).map(_.sum()).getOrElse(0L)
+
   def observeMs(name: String, ms: Double): Unit =
     histograms.computeIfAbsent(name, _ => new Histogram).observe(ms)
 
   def gauge(name: String)(f: => Double): Unit = gauges.put(name, () => f)
+
+  /** A gauge family whose label/value pairs are read live at render time
+    * (the reference's per-(topic,partition) hot-storage gauges). */
+  def labelledGauge(name: String)(f: => Seq[(String, Double)]): Unit =
+    labelledGauges.put(name, () => f)
 
   /** Prometheus text exposition. */
   def render(): String = {
@@ -32,8 +49,16 @@ final class Metrics {
     counters.asScala.toSeq.sortBy(_._1).foreach { case (n, v) =>
       sb.append(s"# TYPE $n counter\n$n ${v.sum()}\n")
     }
+    labelled.asScala.toSeq.sortBy(_._1).foreach { case (n, m) =>
+      sb.append(s"# TYPE $n counter\n")
+      m.asScala.toSeq.sortBy(_._1).foreach { case (lbl, v) => sb.append(s"$n{$lbl} ${v.sum()}\n") }
+    }
     gauges.asScala.toSeq.sortBy(_._1).foreach { case (n, f) =>
       sb.append(s"# TYPE $n gauge\n$n ${f()}\n")
+    }
+    labelledGauges.asScala.toSeq.sortBy(_._1).foreach { case (n, f) =>
+      sb.append(s"# TYPE $n gauge\n")
+      f().sortBy(_._1).foreach { case (lbl, v) => sb.append(s"$n{$lbl} $v\n") }
     }
     histograms.asScala.toSeq.sortBy(_._1).foreach { case (n, h) =>
       sb.append(s"# TYPE $n histogram\n")

@@ -309,6 +309,16 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.contains("zombi_writes_total"))
     assert(m.contains("zombi_write_latency_ms_bucket"))
     assert(m.contains("# TYPE zombi_writes_total counter"))
+    // 12-bucket histogram: all finite buckets plus +Inf are exposed
+    assert(graft.serve.Histogram.BucketsMs.forall(le =>
+      m.contains(s"""zombi_write_latency_ms_bucket{le="$le"}""")), "all 12 finite buckets exposed")
+    assert(m.contains("""zombi_write_latency_ms_bucket{le="+Inf"}"""))
+    // per-topic breakdowns (the reference's EnhancedApiMetrics families)
+    assert(m.contains("""zombi_writes_by_topic_total{topic="gw1"}"""))
+    assert(m.contains("""zombi_reads_by_topic_total{topic="gwread"}"""))
+    assert(m.contains("""zombi_hot_storage_events{topic="gw1",partition="2"}"""))
+    assert(m.contains("zombi_flush_events_total"))
+    assert(m.contains("zombi_flush_bytes_total"))
   }
 
   test("F13: flush auto-registers the table against an external catalog (with F14 retry)") {
