@@ -86,6 +86,69 @@ object Fnv32 {
   }
 }
 
+/** 16-bit SimHash from an array of md5 hex strings — ONE pass over the
+  * hashes computing all 16 bit votes, replacing a nested SQL aggregate that
+  * re-walked the array 16 times through interpreted lambdas. Bit-identical
+  * to `aggregate(sequence(0,15), CASE WHEN aggregate(hashes, ...) ...)`:
+  * bit i of a word hash = bit (3 - i%4) of lowercase hex nibble i/4, each
+  * word votes ±1 per bit, bit set if the vote is positive. */
+final case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash16 expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var i   = 0
+    while (i < n) { out(i) = arr.getUTF8String(i); i += 1 }
+    SimHash16.hash(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n   = ctx.freshName("n")
+      val i   = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $c.numElements();
+         |Object[] $arr = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) { $arr[$i] = $c.getUTF8String($i); }
+         |${ev.value} = graft.functions.SimHash16.hash($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  def hash(hashes: Array[AnyRef]): Long = {
+    val votes = new Array[Int](16)
+    var w = 0
+    while (w < hashes.length) {
+      val h = hashes(w).toString // md5 hex, 32 lowercase chars
+      var i = 0
+      while (i < 16) {
+        val nib = Character.digit(h.charAt(i >> 2), 16)
+        val bit = (nib >> (3 - (i & 3))) & 1
+        votes(i) += bit * 2 - 1
+        i += 1
+      }
+      w += 1
+    }
+    var acc = 0L
+    var i   = 0
+    while (i < 16) { if (votes(i) > 0) acc |= 1L << i; i += 1 }
+    acc
+  }
+}
+
 /** Sequential (fold-left) double dot product over two double arrays —
   * replaces `aggregate(zip_with(a, b, ...))`, keeping the exact summation
   * order that DuckDB's `list_inner_product` uses, so cosine ranks stay
@@ -145,6 +208,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_fnv32"),
       new ExpressionInfo("graft.functions", "graft_fnv32"),
       (exprs: Seq[Expression]) => Fnv32(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo("graft.functions", "graft_simhash16"),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
   }
 }
 
@@ -164,6 +230,7 @@ object GraftFunctions {
       register(spark, "graft_hex32", exprs => HexPrefixToLong(exprs.head))
       register(spark, "graft_dot", exprs => DotProduct(exprs.head, exprs(1)))
       register(spark, "graft_fnv32", exprs => Fnv32(exprs.head))
+      register(spark, "graft_simhash16", exprs => SimHash16(exprs.head))
     }
   }
 }

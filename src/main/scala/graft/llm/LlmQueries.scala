@@ -226,26 +226,14 @@ object LlmQueries {
 
     // ---------- SimHash fingerprint + exact content fingerprint ----------
     "t2_fingerprint" -> { (s, dir) =>
+      // graft_simhash16: one codegen'd pass computing all 16 bit votes —
+      // bit-identical to the nested-aggregate SQL the oracle still uses,
+      // which re-walked the hash array 16 times through interpreted lambdas.
       docs(s, dir)
         .withColumn("words", expr(wordsExpr))
-        .withColumn("hashes", expr("transform(words, w -> md5(w))"))
-        .withColumn(
-          "simhash16",
-          // bit i of a word hash = bit (3 - i%4) of hex nibble i div 4;
-          // each word votes +1/-1 per bit, bit set if the vote is positive.
-          expr("""aggregate(
-                 |  transform(sequence(0, 15), i ->
-                 |    CASE WHEN aggregate(hashes,
-                 |           0,
-                 |           (acc, h) -> acc +
-                 |             shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1,
-                 |                        3 - i % 4) % 2 * 2 - 1
-                 |         ) > 0
-                 |    THEN shiftleft(1, i) ELSE 0 END),
-                 |  0, (acc, x) -> acc + x)""".stripMargin)
-        )
+        .withColumn("simhash16", expr("graft_simhash16(transform(words, w -> md5(w)))"))
         .withColumn("fingerprint", md5(concat_ws(" ", col("words"))))
-        .select(col("doc_id"), col("fingerprint"), col("simhash16").cast("long").as("simhash16"))
+        .select(col("doc_id"), col("fingerprint"), col("simhash16"))
     },
 
     // ---------- text analysis: tokens, vocabulary, stopwords, language ----------

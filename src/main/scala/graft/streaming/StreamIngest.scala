@@ -256,6 +256,9 @@ final class StreamIngest(
     // Spark's state partitioning and versioned by the checkpoint.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // commit per-batch changelogs instead of full RocksDB snapshots — the
+    // standard production setting for frequent small batches
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val source = spark.readStream
         .schema(schema)

@@ -42,6 +42,25 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(graft.functions.Fnv32.hash("") === 2166136261L)
   }
 
+  test("graft_simhash16 equals the nested-aggregate SQL chain") {
+    GraftFunctions.ensureRegistered(spark)
+    val chain =
+      """aggregate(
+        |  transform(sequence(0, 15), i ->
+        |    CASE WHEN aggregate(hashes, 0,
+        |           (acc, h) -> acc +
+        |             shiftright(instr('0123456789abcdef', substring(h, (i div 4) + 1, 1)) - 1,
+        |                        3 - i % 4) % 2 * 2 - 1) > 0
+        |    THEN shiftleft(1, i) ELSE 0 END),
+        |  0, (acc, x) -> acc + x)""".stripMargin
+    val rows = Seq("the quick brown fox", "a b c", "one", "x y z w v u t s")
+      .toDF("s")
+      .selectExpr("transform(filter(split(lower(s), '\\\\s+'), w -> w != ''), w -> md5(w)) AS hashes")
+      .selectExpr("graft_simhash16(hashes) AS native", s"cast($chain as long) AS sql")
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("graft_dot equals the fold-left aggregate/zip_with sum bit-for-bit") {
     GraftFunctions.ensureRegistered(spark)
     val rows = spark.read
