@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** Continuous ingestion (SURVEY §2.1 S1/S2/S5 + §2.3 F1/F5/F8/F9/F10/F12),
   * Spark-first.
@@ -296,26 +297,39 @@ final class IngestMetricsListener(metrics: graft.serve.Metrics)
 }
 
 object StreamIngest {
-  /** Stage the raw write stream as N event_id-contiguous parquet chunks,
-    * written sequentially (ascending mtimes) so the file source replays
-    * arrival order — each chunk models one bulk-write burst (S2). */
+  /** Stage the raw write stream as N event_id-contiguous parquet chunks
+    * with ascending mtimes so the file source replays arrival order — each
+    * chunk models one bulk-write burst (S2). All chunks are written by ONE
+    * dynamic-partition job (the chunk id is a partition column), then moved
+    * into place with explicitly ascending timestamps — replay order comes
+    * from the stamped mtimes, not from N sequential write jobs. */
   def stageChunks(spark: SparkSession, sfDir: String, stagingDir: String, nChunks: Int): StructType = {
-    // persist: one chunk is written per action, and each would otherwise
-    // recompute the raw derivation (incl. the retry self-join)
-    val raw   = EventLog.raw(spark, sfDir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val maxId = raw.agg(max("event_id")).head().getLong(0)
-      val span  = maxId / nChunks + 1
-      (0 until nChunks).foreach { i =>
-        raw
-          .filter(col("event_id") >= i * span && col("event_id") < (i + 1) * span)
-          .coalesce(1)
-          .write
-          .mode("append")
-          .parquet(stagingDir)
+    val raw   = EventLog.raw(spark, sfDir)
+    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    val span  = maxId / nChunks + 1
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage-chunks-").resolve("out")
+    raw
+      .withColumn("_chunk", (col("event_id") / span).cast("int"))
+      .repartition(nChunks, col("_chunk"))
+      .write
+      .partitionBy("_chunk")
+      .parquet(tmp.toString)
+    val now = System.currentTimeMillis()
+    val dst = java.nio.file.Paths.get(stagingDir)
+    java.nio.file.Files.createDirectories(dst)
+    (0 until nChunks).foreach { i =>
+      val dir = tmp.resolve(s"_chunk=$i")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { f =>
+          val target = dst.resolve(s"chunk-$i-${f.getFileName}")
+          java.nio.file.Files.move(f, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(now - (nChunks - i).toLong * 2000L))
+        } finally s.close()
       }
-      raw.schema
-    } finally raw.unpersist()
+    }
+    raw.schema
   }
 }
 
