@@ -312,6 +312,38 @@ object LlmQueries {
         .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id"))
     },
 
+    // ---------- embedding-cosine near-dup (bucket-local, thresholded) ----------
+    "d3_embedding_neardup" -> { (s, dir) =>
+      // Near-duplicate detection in EMBEDDING space: hyperplane-LSH buckets
+      // (identical plan shape to ann_lsh_nn — candidates are bucket-local,
+      // never all-pairs), cosine >= threshold as the dup criterion, then a
+      // d1-style single-hop canonical assignment (smallest qualifying
+      // vec_id wins). No floats in the output — counts and ids only, so the
+      // row set hash-matches the oracle exactly.
+      val tau = 0.8
+      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      val bucketExpr = planes.zipWithIndex
+        .map { case (p, h) =>
+          val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
+          s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+        }
+        .mkString(" + ")
+      val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
+      val dups = b.as("a")
+        .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"), Seq("bucket"))
+        .filter(col("vec_id") =!= col("o_id"))
+        .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_neardups"))
+      b.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          col("bucket"),
+          least(col("vec_id"), coalesce(col("min_partner"), col("vec_id"))).as("canonical_id"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+    },
+
     // ---------- ANN: IVF — k-means-trained cells, probe=1 ----------
     "ann_ivf_probe" -> { (s, dir) =>
       // TRAINED centroids: deterministic Lloyd's k-means — first-N seeds,
@@ -542,11 +574,34 @@ object LlmQueries {
          |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id != q.q_id)
          |WHERE rank <= 3""".stripMargin
 
+    val neardupSql = {
+      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      val bucketExpr = planes.zipWithIndex
+        .map { case (p, h) =>
+          val lit = p.mkString("[", ", ", "]::DOUBLE[]")
+          s"CASE WHEN list_inner_product(v, $lit) >= 0.0 THEN ${1 << h} ELSE 0 END"
+        }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |dups AS (
+         |  SELECT a.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_neardups
+         |  FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
+         |  WHERE list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
+         |  GROUP BY 1
+         |)
+         |SELECT b.vec_id, b.bucket::BIGINT AS bucket,
+         |       least(b.vec_id, coalesce(d.min_partner, b.vec_id)) AS canonical_id,
+         |       coalesce(d.n_neardups, 0)::BIGINT AS n_neardups
+         |FROM b LEFT JOIN dups d ON d.vec_id = b.vec_id""".stripMargin
+    }
+
     Map(
       "d1_exact_dedup" ->
         """SELECT doc_id, md5(text) AS content_hash,
           |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
           |FROM documents""".stripMargin,
+      "d3_embedding_neardup" -> neardupSql,
       "d2_minhash_lsh" -> minhashSql,
       "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
