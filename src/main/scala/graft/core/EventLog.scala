@@ -106,9 +106,16 @@ object EventLog {
     * size-targeted writer needs no extra stats job. Returns
     * (sequenced frame, partition → (rows, bytes)). */
   def assignSequencesWithStats(deduped: DataFrame, base: Map[Int, Long] = Map.empty,
-                               byteColumn: Option[String] = None): (DataFrame, Map[Int, (Long, Long)]) = {
+                               byteColumn: Option[String] = None,
+                               rowsHint: Option[Long] = None): (DataFrame, Map[Int, (Long, Long)]) = {
     val spark = deduped.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val conf  = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // scale-adaptive range parallelism: ~64k rows per task, capped at the
+    // session setting — a huge batch uses full parallelism, a small
+    // micro-batch doesn't pay 3 stages × conf tasks of scheduling overhead
+    val n = rowsHint
+      .map(r => math.max(1, math.min(conf.toLong, (r + 65535) / 65536).toInt))
+      .getOrElse(conf)
     val sorted = deduped
       .repartitionByRange(n, col("part_id"), col("timestamp_ms"), col("event_id"))
       .sortWithinPartitions(col("part_id"), col("timestamp_ms"), col("event_id"))

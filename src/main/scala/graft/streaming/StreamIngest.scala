@@ -190,8 +190,11 @@ final class StreamIngest(
     val deduped = afterSince.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newPaths =
       try {
+        // materializes the cached slice and sizes the sequencing shuffle
+        val batchRows = deduped.count()
         val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
-                                                             byteColumn = Some("props"))
+                                                             byteColumn = Some("props"),
+                                                             rowsHint = Some(batchRows))
         val sequenced = EventLog.deriveDateHour(seq)
         EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
