@@ -247,14 +247,12 @@ final class StreamIngest(
     * via `metrics.render()`). */
   val metrics = new graft.serve.Metrics
 
-  /** Drive a file-source stream over staged raw-event chunks to completion.
-    * The default `Trigger.AvailableNow` is the ingest-a-backlog mode; pass
-    * `Trigger.ProcessingTime(...)` for the reference's F1 timer-loop shape
-    * (`flusher/mod.rs:514-650` — wake on interval, flush what arrived). */
-  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
-                    trigger: Trigger = Trigger.AvailableNow()): Unit = {
-    val listener = new IngestMetricsListener(metrics)
-    spark.streams.addListener(listener)
+  /** Start (without blocking) the file-source ingestion stream — the
+    * reference's F1 timer-loop shape when driven by
+    * `Trigger.ProcessingTime(...)` (`flusher/mod.rs:514-650` — wake on
+    * interval, flush what arrived). The caller owns the query lifecycle. */
+  def startFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+                      trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery = {
     // The keyed dedup state lives in per-executor RocksDB instances — the
     // same storage the reference's idempotency index uses, but sharded by
     // Spark's state partitioning and versioned by the checkpoint.
@@ -263,17 +261,26 @@ final class StreamIngest(
     // commit per-batch changelogs instead of full RocksDB snapshots — the
     // standard production setting for frequent small batches
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val source = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagingDir)
+    KeyedDedup(source, dedupStateTtlMs)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$tableRoot/checkpoint")
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, upstreamDeduped = true))
+      .start()
+  }
+
+  /** Drive a file-source stream over staged raw-event chunks to completion —
+    * the ingest-a-backlog mode (`Trigger.AvailableNow`). */
+  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+                    trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    val listener = new IngestMetricsListener(metrics)
+    spark.streams.addListener(listener)
     try {
-      val source = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(stagingDir)
-      val q = KeyedDedup(source, dedupStateTtlMs)
-        .writeStream
-        .trigger(trigger)
-        .option("checkpointLocation", s"$tableRoot/checkpoint")
-        .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, upstreamDeduped = true))
-        .start()
+      val q = startFileStream(stagingDir, schema, maxFilesPerTrigger, trigger)
       q.awaitTermination()
       finish()
     } finally spark.streams.removeListener(listener)

@@ -105,6 +105,32 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedCounts(root) === batchCounts())
   }
 
+  test("F1 timer-loop: ProcessingTime trigger picks up files as they arrive") {
+    val root    = Files.createTempDirectory("graft-timer-spec-").toString
+    val srcDir  = Files.createTempDirectory("graft-timer-src-").toString
+    val staging = Files.createTempDirectory("graft-timer-stage-").toString
+    val schema  = StreamIngest.stageChunks(spark, sf, srcDir, nChunks = 3)
+    val ing     = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    val q = ing.startFileStream(staging, schema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // events "arrive" over time: drop one staged chunk in at a time
+      val chunks = new java.io.File(srcDir).listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      chunks.foreach { f =>
+        java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(staging, f.getName))
+        Thread.sleep(300)
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        ok = try committedCounts(root) == batchCounts() catch { case _: Exception => false }
+        if (!ok) Thread.sleep(300)
+      }
+      assert(ok, "continuously-triggered ingest must converge to the batch-derived table")
+    } finally { q.stop(); ing.finish() }
+    assert(committedCounts(root) === batchCounts())
+  }
+
   test("cross-batch duplicate keys: since-start path (same instance) drops them") {
     val root = Files.createTempDirectory("graft-xdup-spec-").toString
     val raw  = EventLog.raw(spark, sf).cache()
