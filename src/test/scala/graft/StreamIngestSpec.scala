@@ -160,6 +160,43 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committed.select("partition", "idempotency_key").distinct().count() === expected)
   }
 
+  test("dedup state TTL: keys idle past the cleanup watermark are evicted and re-admitted") {
+    import spark.implicits._
+    val root    = Files.createTempDirectory("graft-ttl-spec-").toString
+    val staging = Files.createTempDirectory("graft-ttl-stage-").toString
+    def chunk(ids: Range, keyPrefix: String): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, 1000L + i, i.toLong, "ev", 1.0, s"p$i", i % 4, s"$keyPrefix$i"))
+        .toDF("event_id", "timestamp_ms", "user_id", "event_type", "value", "props", "part_id", "idempotency_key")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.parquet(s"$staging/$name")
+    val schema = chunk(0 until 10, "k").schema
+
+    // short TTL: keys idle >1s are evicted like the reference's cleanup
+    // watermark — a later retry of the same key is accepted again
+    val ing = new StreamIngest(spark, root, snapshotMinFiles = 1, dedupStateTtlMs = Some(1000L))
+    val q = ing.startFileStream(s"$staging/*/", schema,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    def committedRows(): Long =
+      try EventTable.readCommitted(spark, root).count() catch { case _: Exception => 0L }
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (committedRows() < n && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(committedRows() === n)
+    }
+    try {
+      stage(chunk(0 until 10, "k"), "c1")
+      awaitRows(10)
+      Thread.sleep(1500) // let the k-keys idle past the TTL
+      // an unrelated batch fires the timeout processing that evicts them
+      stage(chunk(100 until 110, "q"), "c2")
+      awaitRows(20)
+      // same k-keys again: WITHOUT eviction these would all be dropped
+      stage(chunk(0 until 10, "k"), "c3")
+      awaitRows(30)
+    } finally { q.stop(); ing.finish() }
+    assert(committedRows() === 30L, "TTL-evicted keys must be re-admitted")
+  }
+
   test("sequence continuation across batches: dense, no overlap") {
     val root = Files.createTempDirectory("graft-seqcont-spec-").toString
     val raw  = EventLog.raw(spark, sf)
