@@ -15,40 +15,39 @@ import scala.jdk.CollectionConverters._
   * Iceberg path does with manifest bounds.
   *
   * Deprecated in the reference; kept for read compatibility. The writer
-  * here exists to materialize the layout for tests/queries (the reference
-  * writes segments from its flusher); it streams one partition at a time
-  * through `toLocalIterator` — fine for the legacy small-segment shape this
-  * mode was built for.
+  * materializes the layout for tests/queries (the reference writes
+  * segments from its flusher) as a DISTRIBUTED job: each
+  * (partition, segment-bucket) is shuffled to one task and written there —
+  * at scale each write is one object-store put per segment, the same shape
+  * as the reference's flusher, with no row data ever on the driver.
   */
 object SegmentStore {
   val Topic = "events"
 
   private def segName(startSeq: Long, endSeq: Long) = f"$startSeq%016x-$endSeq%016x.json"
 
-  /** Materialize the canonical log as JSON segments of `rowsPerSegment`. */
+  /** Materialize the canonical log as JSON segments of `rowsPerSegment`.
+    * Sequences are dense from 1 per partition, so bucket
+    * `(sequence-1) / rowsPerSegment` reproduces exactly the consecutive
+    * runs a sequential writer would cut. */
   def write(log: DataFrame, dir: String, rowsPerSegment: Int = 1000): Unit = {
-    val cols = Seq("part_id", "sequence", "timestamp_ms", "event_id", "props")
-    val it   = log.select(cols.map(col): _*).orderBy("part_id", "sequence").toLocalIterator()
-    val buf  = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, String)]
-
-    def flush(): Unit = if (buf.nonEmpty) {
-      val p    = buf.head._1
-      val segDir = Paths.get(dir, "segments", Topic, p.toString)
-      Files.createDirectories(segDir)
-      val lines = buf.map { case (_, seq, ts, eid, props) =>
-        s"""{"sequence":$seq,"timestamp_ms":$ts,"event_id":$eid,"props":${jsonStr(props)}}"""
+    log
+      .select(col("part_id"), col("sequence"), col("timestamp_ms"), col("event_id"), col("props"),
+              ((col("sequence") - 1) / rowsPerSegment).cast("int").as("_seg"))
+      .repartition(col("part_id"), col("_seg"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.toSeq.groupBy(r => (r.getInt(0), r.getInt(5))).foreach { case ((p, _), rows) =>
+          val sorted = rows.sortBy(_.getLong(1))
+          val segDir = Paths.get(dir, "segments", Topic, p.toString)
+          Files.createDirectories(segDir)
+          val lines = sorted.map { r =>
+            s"""{"sequence":${r.getLong(1)},"timestamp_ms":${r.getLong(2)},"event_id":${r.getLong(3)},"props":${jsonStr(r.getString(4))}}"""
+          }
+          Files.writeString(
+            segDir.resolve(segName(sorted.head.getLong(1), sorted.last.getLong(1))),
+            lines.mkString("\n"))
+        }
       }
-      Files.writeString(segDir.resolve(segName(buf.head._2, buf.last._2)), lines.mkString("\n"))
-      buf.clear()
-    }
-
-    while (it.hasNext) {
-      val r   = it.next()
-      val row = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
-      if (buf.nonEmpty && (buf.head._1 != row._1 || buf.size >= rowsPerSegment)) flush()
-      buf += row
-    }
-    flush()
   }
 
   private def jsonStr(s: String): String = graft.core.JsonUtil.quote(s)
