@@ -1,6 +1,7 @@
 package graft
 
 import graft.serve.{HotBuffer, ProtoCodec}
+import graft.table.EventTable
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import java.net.URI
@@ -60,6 +61,49 @@ class ConcurrencyFuzzSpec extends AnyFunSuite {
       assert(seqs.distinct.size === 200)
       assert(seqs.max === 200L)
     } finally { pool.shutdown(); gw.stop() }
+  }
+
+  test("L3: concurrent flush and compact on one table never lose or duplicate rows") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft-fc-race-").toString
+    val gw   = new graft.serve.GatewayServer(spark, dir)
+    val port = gw.start()
+    val http = HttpClient.newHttpClient()
+    def post(path: String): Int = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString()).statusCode()
+    try {
+      // seed a fragmented table so compaction has candidates
+      (0 until 100).foreach(i => gw.hot.write("ct", i % 4, s"seed$i".getBytes, 1000L + i, None))
+      gw.flushNow("ct")
+      val pool = Executors.newFixedThreadPool(2)
+      val flusher = pool.submit(new Runnable {
+        override def run(): Unit = (0 until 10).foreach { r =>
+          (0 until 20).foreach(i => gw.hot.write("ct", i % 4, s"w$r-$i".getBytes, 2000L + r * 100 + i, None))
+          assert(post("/tables/ct/flush") === 200)
+        }
+      })
+      val compactor = pool.submit(new Runnable {
+        override def run(): Unit = (0 until 10).foreach { _ =>
+          val code = post("/tables/ct/compact")
+          assert(code == 200 || code == 409, s"unexpected compact status $code")
+          Thread.sleep(20)
+        }
+      })
+      flusher.get(); compactor.get(); pool.shutdown()
+      gw.flushNow("ct")
+
+      val committed = EventTable.readCommitted(spark, s"$dir/ct")
+      assert(committed.count() === 300L, "no concurrent interleaving may lose or duplicate rows")
+      assert(committed.select("partition", "sequence").distinct().count() === 300L)
+      // every file the current snapshot references must physically exist
+      // (the old rollback race deleted a concurrent flush's files)
+      val c = new graft.iceberg.IcebergCommitter(
+        new graft.iceberg.LocalTableIO(s"$dir/ct"), "ct")
+      val missing = c.activeDataFiles().filterNot(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ct", f.filePath)))
+      assert(missing.isEmpty, s"snapshot references missing files: ${missing.map(_.filePath)}")
+    } finally gw.stop()
   }
 
   test("L6 fuzz: arbitrary bytes never crash the proto decoder unexpectedly") {
