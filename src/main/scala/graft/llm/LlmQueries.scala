@@ -236,10 +236,14 @@ object LlmQueries {
         .select(col("doc_id"), col("fingerprint"), col("simhash16"))
     },
 
-    // ---------- text analysis: tokens, vocabulary, stopwords, language ----------
+    // ---------- text analysis: tokens, vocab, stopwords, language, quality ----------
     "t1_text_stats" -> { (s, dir) =>
+      // Quality ratios use INTEGER arithmetic (scaled div) so the columns
+      // hash-match the oracle exactly — no float ratios in the output.
       docs(s, dir)
         .withColumn("words", expr(wordsExpr))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
         .select(
           col("doc_id"),
           size(col("words")).cast("long").as("n_words"),
@@ -250,6 +254,17 @@ object LlmQueries {
             .cast("long").as("n_stop_en"),
           size(expr("filter(words, w -> array_contains(array('el','la','de','que','y','un'), w))"))
             .cast("long").as("n_stop_es"),
+          col("n_punct"),
+          // per-mille stopword density and punctuation density, integer div
+          expr("""CASE WHEN size(words) = 0 THEN 0L
+                 |ELSE (1000 * size(filter(words, w -> array_contains(array('the','a','of','and','to','in'), w))) +
+                 |      1000 * size(filter(words, w -> array_contains(array('el','la','de','que','y','un'), w)))) div size(words)
+                 |END""".stripMargin).as("stop_permille"),
+          expr("CASE WHEN length(text) = 0 THEN 0L ELSE (1000 * n_punct) div length(text) END").as("punct_permille"),
+          // quality verdict: enough words, avg word length sane, not punct soup
+          expr("""size(words) >= 5 AND length(text) >= 20
+                 |AND (CASE WHEN length(text) = 0 THEN 0L ELSE (1000 * n_punct) div length(text) END) <= 150""".stripMargin)
+            .as("quality_ok"),
           // language-ID heuristic: argmax of per-language stopword hits,
           // es wins strictly-greater ties, no hits at all -> 'und'
           expr("""CASE
@@ -492,6 +507,18 @@ object LlmQueries {
          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS n_subword_tokens,
          |  len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w)))::BIGINT AS n_stop_en,
          |  len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w)))::BIGINT AS n_stop_es,
+         |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS n_punct,
+         |  CASE WHEN len($words) = 0 THEN 0
+         |  ELSE (1000 * len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) +
+         |        1000 * len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w)))) // len($words)
+         |  END::BIGINT AS stop_permille,
+         |  CASE WHEN length(text) = 0 THEN 0
+         |  ELSE (1000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))) // length(text)
+         |  END::BIGINT AS punct_permille,
+         |  (len($words) >= 5 AND length(text) >= 20
+         |   AND (CASE WHEN length(text) = 0 THEN 0
+         |        ELSE (1000 * (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))) // length(text)
+         |        END) <= 150) AS quality_ok,
          |  CASE
          |  WHEN len(list_filter($words, w -> list_contains(['the','a','of','and','to','in'], w))) = 0
          |   AND len(list_filter($words, w -> list_contains(['el','la','de','que','y','un'], w))) = 0 THEN 'und'

@@ -87,13 +87,20 @@ class LlmSpec extends AnyFunSuite {
     assert(ham <= 6, s"near-dup simhash hamming distance was $ham")
   }
 
-  test("t1: token counts and language guess on a known document") {
+  test("t1: token counts, language guess, and quality verdict on known documents") {
     val r = run("t1_text_stats").filter($"doc_id" === 0L).head()
     assert(r.getAs[Long]("n_words") === 9L)
     assert(r.getAs[Long]("n_distinct_words") === 8L) // 'the' twice
     assert(r.getAs[Long]("n_chars") === 43L)
     assert(r.getAs[Long]("n_stop_en") === 2L)
     assert(r.getAs[String]("lang_guess") === "en")
+    assert(r.getAs[Long]("n_punct") === 0L)
+    assert(r.getAs[Long]("stop_permille") === 222L) // 1000*2/9
+    assert(r.getAs[Boolean]("quality_ok"))
+    // doc 4 ("of and to in the a", 18 chars) is too short to pass quality
+    val short = run("t1_text_stats").filter($"doc_id" === 4L).head()
+    assert(!short.getAs[Boolean]("quality_ok"))
+    assert(short.getAs[Long]("stop_permille") === 1000L) // all stopwords
   }
 
   test("ann brute-force: the constructed nearest neighbor ranks first") {
