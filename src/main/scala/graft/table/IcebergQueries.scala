@@ -121,6 +121,22 @@ object IcebergQueries {
           col("payload").cast("string").as("props")
         )
     },
+    // SQL-first access through the V2 TableCatalog: the committed table
+    // queried as `<catalog>.default.<table>` from plain SQL, filters pushed
+    // through the same manifest-pruned vectorized scan.
+    "sql_catalog_read" -> { (s, dir) =>
+      val root  = CommittedTables.tableRoot(s, dir)
+      val p     = java.nio.file.Paths.get(root)
+      val tname = p.getFileName.toString
+      s.conf.set("spark.sql.catalog.graftsql", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", p.getParent.toString)
+      s.sql(
+        s"""SELECT cast(partition as int) AS part_id, count(*) AS n_events,
+           |       min(sequence) AS min_seq, max(sequence) AS max_seq
+           |FROM graftsql.default.`$tname`
+           |WHERE sequence > 10
+           |GROUP BY 1""".stripMargin)
+    },
     "post_compaction_read" -> { (s, dir) =>
       // Fragmented ingest (4-way salted files per dir) → compact → read back.
       // Proves C1–C3 preserve data and actually shrink file counts.
@@ -162,6 +178,9 @@ object IcebergQueries {
         |          FROM evlog GROUP BY 1)) AS BIGINT) AS total_data_files""".stripMargin),
     "f7_watermarks" -> Oracle.sql(
       "SELECT part_id, max(sequence) AS watermark FROM evlog GROUP BY 1"),
+    "sql_catalog_read" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n_events, min(sequence) AS min_seq, max(sequence) AS max_seq
+        |FROM evlog WHERE sequence > 10 GROUP BY 1""".stripMargin),
     "post_compaction_read" -> Oracle.sql(
       "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1"),
     "v2_source_read" -> Oracle.sql(

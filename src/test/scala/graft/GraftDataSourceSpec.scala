@@ -1,5 +1,39 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-first access through the V2 TableCatalog: committed tables become
+  * `<catalog>.default.<table>` with the same pruning + vectorized reads. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("catalog lists committed tables and serves SQL with pushdown") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-cat-").toString
+    graft.table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", s"$warehouse/events")
+    spark.conf.set("spark.sql.catalog.zcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.zcat.warehouse", warehouse)
+
+    val tables = spark.sql("SHOW TABLES IN zcat.default").collect().map(_.getString(1))
+    assert(tables.contains("events"))
+
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM zcat.default.events WHERE partition = 1 AND sequence >= 10")
+      .head().getLong(0)
+    val expected = graft.table.EventTable.readCommitted(spark, s"$warehouse/events")
+      .filter("partition = 1 AND sequence >= 10").count()
+    assert(n === expected && n > 0)
+
+    // unknown table → analysis error, not a crash
+    val err = intercept[Exception](spark.sql("SELECT * FROM zcat.default.nosuch").collect())
+    assert(err.getMessage.toLowerCase.contains("table"))
+
+    // read-only: writes are refused
+    val werr = intercept[Exception](
+      spark.sql("CREATE TABLE zcat.default.newtable (id BIGINT) USING graft"))
+    assert(werr.getMessage.toLowerCase.contains("read-only"))
+  }
+}
+
 import graft.spark.{GraftInputPartition, GraftScan}
 import graft.table.EventTable
 import org.apache.spark.sql.functions._
