@@ -62,6 +62,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(root, GraftDataSource.sparkSchema(root))
   }
 
+  private def committerOf(ident: Identifier) = {
+    val root = tableRoot(ident)
+    if (!isCommitted(Paths.get(root)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    (root, new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), ident.name()))
+  }
+
+  /** SQL `VERSION AS OF <snapshotId>` — any retained snapshot is readable. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (root, c) = committerOf(ident)
+    val sid = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"VERSION AS OF expects a snapshot id, got '$version'"))
+    val known = c.load().toSeq.flatMap(_.snapshots).map(_.snapshotId)
+    if (!known.contains(sid))
+      throw new IllegalArgumentException(s"no snapshot $sid in table ${ident.name()} (have: ${known.mkString(",")})")
+    new GraftTable(root, GraftDataSource.sparkSchema(root), Some(sid))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros) — latest snapshot committed at or
+    * before the timestamp. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (root, c) = committerOf(ident)
+    val tsMs = timestampMicros / 1000L
+    val snap = c.load().toSeq.flatMap(_.snapshots).filter(_.timestampMs <= tsMs)
+      .sortBy(_.timestampMs).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no snapshot of ${ident.name()} at or before $tsMs ms"))
+    new GraftTable(root, GraftDataSource.sparkSchema(root), Some(snap.snapshotId))
+  }
+
   override def createTable(ident: Identifier, schema: StructType, partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException("graft catalog is read-only; ingest through the gateway or StreamIngest")

@@ -71,16 +71,19 @@ object GraftDataSource {
   }
 }
 
-final class GraftTable(tableRoot: String, tableSchema: StructType) extends Table with SupportsRead {
-  override def name(): String = s"graft:$tableRoot"
+final class GraftTable(tableRoot: String, tableSchema: StructType,
+                       snapshotId: Option[Long] = None) extends Table with SupportsRead {
+  override def name(): String =
+    s"graft:$tableRoot" + snapshotId.map(s => s"@$s").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableRoot, tableSchema)
+    new GraftScanBuilder(tableRoot, tableSchema, snapshotId)
 }
 
-final class GraftScanBuilder(tableRoot: String, tableSchema: StructType)
+final class GraftScanBuilder(tableRoot: String, tableSchema: StructType,
+                             snapshotId: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType   = tableSchema
   private var pushed: Array[Filter]  = Array.empty
@@ -102,7 +105,7 @@ final class GraftScanBuilder(tableRoot: String, tableSchema: StructType)
       requiredSchema.fields.filterNot(_.name == "partition") ++
         requiredSchema.fields.filter(_.name == "partition"))
 
-  override def build(): Scan = new GraftScan(tableRoot, tableSchema, required, pushed)
+  override def build(): Scan = new GraftScan(tableRoot, tableSchema, required, pushed, snapshotId)
 }
 
 object GraftScanBuilder {
@@ -123,14 +126,16 @@ object GraftScanBuilder {
 final case class GraftInputPartition(tableRoot: String, relPath: String) extends InputPartition
 
 final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
-                      pushed: Array[Filter]) extends Scan with Batch {
+                      pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One partition per data file that SURVIVES manifest-bound pruning. */
+  /** One partition per data file that SURVIVES manifest-bound pruning;
+    * `snapshotId` pins the file set to a historical snapshot (SQL
+    * `VERSION AS OF` / `TIMESTAMP AS OF` time travel). */
   override def planInputPartitions(): Array[InputPartition] = {
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
-    committer.activeDataFiles()
+    snapshotId.map(committer.activeDataFilesAt).getOrElse(committer.activeDataFiles())
       .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
       .map(f => GraftInputPartition(tableRoot, f.filePath))
       .toArray[InputPartition]

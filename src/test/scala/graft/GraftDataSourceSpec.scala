@@ -32,6 +32,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE zcat.default.newtable (id BIGINT) USING graft"))
     assert(werr.getMessage.toLowerCase.contains("read-only"))
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read historical snapshots") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-tt-cat-").toString
+    val root      = s"$warehouse/ttable"
+    val c         = graft.table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val snap1     = c.load().get.currentSnapshotId.get
+    val rows1     = graft.table.EventTable.readCommitted(spark, root).count()
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    // second snapshot: append a copy of one file's worth of extra data
+    val extra = graft.table.EventTable.readCommitted(spark, root).limit(50)
+      .withColumn("sequence", org.apache.spark.sql.functions.col("sequence") + 100000L)
+    val paths = graft.table.EventTable.writeData(extra, root)
+    val files = graft.table.EventTable.collectDataFiles(spark, root, paths)
+    c.commitAppend(files, graft.table.EventTable.watermarksOf(files))
+
+    spark.conf.set("spark.sql.catalog.ttcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ttcat.warehouse", warehouse)
+    val now = spark.sql("SELECT count(*) FROM ttcat.default.ttable").head().getLong(0)
+    val old = spark.sql(s"SELECT count(*) FROM ttcat.default.ttable VERSION AS OF $snap1").head().getLong(0)
+    val tsLit = new java.sql.Timestamp(betweenMs).toString
+    val atTs = spark.sql(s"SELECT count(*) FROM ttcat.default.ttable TIMESTAMP AS OF '$tsLit'").head().getLong(0)
+    assert(now === rows1 + 50)
+    assert(old === rows1, "VERSION AS OF must see the pre-append snapshot")
+    assert(atTs === rows1, "TIMESTAMP AS OF between the commits must see the first snapshot")
+    val badVersion = intercept[Exception](
+      spark.sql("SELECT * FROM ttcat.default.ttable VERSION AS OF 123456").collect())
+    assert(badVersion.getMessage.contains("no snapshot"))
+  }
 }
 
 import graft.spark.{GraftInputPartition, GraftScan}
