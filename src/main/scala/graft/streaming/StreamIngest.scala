@@ -232,8 +232,14 @@ final class StreamIngest(
     Some(res.snapshotId)
   }
 
-  /** F12 flush_now / shutdown flush. */
-  def finish(): Unit = { maybeCommit(force = true); () }
+  /** F12 flush_now / shutdown flush. Returns the committed snapshot id, if
+    * anything was pending. */
+  def finish(): Option[Long] = maybeCommit(force = true)
+
+  /** Next unused batch id — continues past both committed and staged ids so
+    * a library append can never collide with a crashed stream's staging. */
+  def nextBatchId(): Long =
+    math.max(lastCommittedBatchId(), pending.keys.maxOption.getOrElse(-1L)) + 1
 
   /** A3: staged-but-uncommitted file count and byte sum (the reference's
     * pending-file accounting, `iceberg_storage.rs:1654-1712`). */
@@ -307,6 +313,37 @@ final class IngestMetricsListener(metrics: graft.serve.Metrics)
 }
 
 object StreamIngest {
+  /** Library-level bulk append — the batch analogue of a gateway bulk write
+    * (S2): the engine dedupes (within the batch and against the table),
+    * continues sequences from the committed watermarks, writes the sorted
+    * size-targeted layout, and commits one snapshot. Input columns:
+    * `partition` (int), `payload` (string/binary), `timestamp_ms` (long),
+    * optional nullable `idempotency_key`. Returns the snapshot id. */
+  def appendEvents(spark: SparkSession, tableRoot: String, events: DataFrame): Option[Long] = {
+    // thresholds high so the commit happens in finish() — one append, one
+    // snapshot, and the returned id is that snapshot's
+    val ing = new StreamIngest(spark, tableRoot,
+      snapshotMinFiles = Int.MaxValue, snapshotMinBytes = Long.MaxValue)
+    val hasKey = events.columns.contains("idempotency_key")
+    val keyCol =
+      if (hasKey)
+        // rows WITHOUT a key must never dedup against each other — give
+        // each a unique synthetic key (same semantics as the hot buffer,
+        // which skips dedup entirely for key-less writes)
+        coalesce(col("idempotency_key").cast("string"),
+                 concat(lit("_nokey_"), monotonically_increasing_id()))
+      else concat(lit("_nokey_"), monotonically_increasing_id())
+    val batch = events.select(
+      col("partition").cast("int").as("part_id"),
+      col("timestamp_ms").cast("long").as("timestamp_ms"),
+      col("payload").cast("string").as("props"),
+      keyCol.as("idempotency_key"),
+      monotonically_increasing_id().as("event_id") // arrival-order tiebreak
+    )
+    ing.processBatch(batch, ing.nextBatchId())
+    ing.finish()
+  }
+
   /** Stage the raw write stream as N event_id-contiguous parquet chunks
     * with ascending mtimes so the file source replays arrival order — each
     * chunk models one bulk-write burst (S2). All chunks are written by ONE

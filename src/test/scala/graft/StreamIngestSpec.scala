@@ -160,6 +160,28 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committed.select("partition", "idempotency_key").distinct().count() === expected)
   }
 
+  test("appendEvents: library bulk append dedupes, continues sequences, commits") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-append-spec-").toString
+    def mk(ids: Range, keyed: Boolean) =
+      ids.map(i => (i % 4, s"payload-$i", 1000L + i, if (keyed) s"k$i" else null))
+        .toDF("partition", "payload", "timestamp_ms", "idempotency_key")
+    assert(StreamIngest.appendEvents(spark, root, mk(0 until 100, keyed = true)).isDefined)
+    // second append OVERLAPS keys 50..99 → only 50 new rows land
+    assert(StreamIngest.appendEvents(spark, root, mk(50 until 150, keyed = true)).isDefined)
+    val committed = EventTable.readCommitted(spark, root)
+    assert(committed.count() === 150L)
+    committed.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("sequence").as("mx"), countDistinct("sequence").as("nd"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("mx") === r.getAs[Long]("n"), "sequences stay dense across appends")
+        assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+      }
+    // key-less rows never dedup against each other
+    assert(StreamIngest.appendEvents(spark, root, mk(0 until 10, keyed = false)).isDefined)
+    assert(EventTable.readCommitted(spark, root).count() === 160L)
+  }
+
   test("dedup state TTL: keys idle past the cleanup watermark are evicted and re-admitted") {
     import spark.implicits._
     val root    = Files.createTempDirectory("graft-ttl-spec-").toString
