@@ -219,6 +219,48 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedRows() === 30L, "TTL-evicted keys must be re-admitted")
   }
 
+  test("w2 append mode: events arriving later than the watermark are dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val staging = Files.createTempDirectory("graft-late-stage-").toString
+    val hour = 3600L * 1000
+    // burst 1: three events in hour 0, one in hour 4 (advances the
+    // watermark to hour 3 once the batch completes)
+    Seq(1000L, 2000L, 3000L, 4 * hour).toDF("timestamp_ms")
+      .coalesce(1).write.parquet(s"$staging/c1")
+    Thread.sleep(1100)
+    // burst 2: another on-time event — the batch that finalizes and evicts
+    // the hour-0 window (state eviction happens one batch behind the
+    // watermark advance)
+    Seq(4 * hour + 1000).toDF("timestamp_ms").coalesce(1).write.parquet(s"$staging/c2")
+    Thread.sleep(1100)
+    // burst 3: a LATE event back in hour 0 — beyond the 1h watermark and
+    // past the window's eviction; must be discarded
+    Seq(2500L).toDF("timestamp_ms").coalesce(1).write.parquet(s"$staging/c3")
+
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("timestamp_ms LONG"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$staging/*/")
+      .withColumn("ts", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("w2_late_drop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("w2_late_drop")
+      .select(unix_millis(col("window.start")).as("w"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // hour-0 window closed with the on-time events only; the late arrival
+    // was discarded and did NOT resurrect a second hour-0 entry
+    assert(rows.filter(_._1 == 0L).toSeq === Seq(0L -> 3L), s"got ${rows.toSeq}")
+  }
+
   test("sequence continuation across batches: dense, no overlap") {
     val root = Files.createTempDirectory("graft-seqcont-spec-").toString
     val raw  = EventLog.raw(spark, sf)
