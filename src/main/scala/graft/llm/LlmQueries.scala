@@ -418,6 +418,11 @@ object LlmQueries {
     // ---------- multimodal: opaque binary payload + typed feature extraction ----------
     "m1_multimodal" -> { (s, dir) =>
       Multimodal.features(s, dir)
+    },
+
+    // ---------- multimodal: frame sampling + resize-to-target ----------
+    "m2_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSamples(s, dir)
     }
   )
 
@@ -636,7 +641,8 @@ object LlmQueries {
       "ann_topk_brute" -> bruteSql,
       "ann_lsh_nn"     -> lshSql,
       "ann_ivf_probe"  -> ivfSql,
-      "m1_multimodal"  -> Multimodal.oracleSql
+      "m1_multimodal"  -> Multimodal.oracleSql,
+      "m2_frame_sample" -> Multimodal.frameOracleSql
     )
   }
 }

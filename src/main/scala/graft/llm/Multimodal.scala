@@ -72,6 +72,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** One sampled frame with resize-to-target metadata. */
+  final case class FrameSample(
+      doc_id: Long,
+      media_type: String,
+      frame_idx: Int,
+      frame_ms: Long,
+      out_width: Int,
+      out_height: Int
+  )
+
+  /** Frame sampling + resize (brief: "resize / frame-sample"): ONE media
+    * row fans out to its sampled frames (flatMap inside the same
+    * once-per-partition decoder scope — the real video-pipeline batch
+    * shape), each frame carrying aspect-preserving integer resize-to-224
+    * dimensions. Videos sample 1–8 fake frames at a payload-derived
+    * interval; stills and clips yield one frame. No shuffle — scales with
+    * input splits like [[features]]. */
+  def frameSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val f = fakeDecode(md, r)
+          md.reset()
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          def h(i: Int): Int = Character.digit(hex.charAt(i), 16)
+          val nFrames    = if (r.media_type == "video") 1 + h(5) % 8 else 1
+          val intervalMs = 1000L + h(6) * 16 + h(7)
+          // aspect-preserving fit into 224×224, integer arithmetic only
+          val (ow, oh) =
+            if (f.width >= f.height) (224, f.height * 224 / f.width)
+            else (f.width * 224 / f.height, 224)
+          (0 until nFrames).map(i =>
+            FrameSample(r.doc_id, r.media_type, i, i * intervalMs, ow, oh))
+        }
+      }
+      .toDF()
+  }
+
   /** DuckDB twin of the fake decode (md5-hex arithmetic is portable). */
   val oracleSql: String = {
     def h(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
@@ -83,5 +124,26 @@ object Multimodal {
        |  CAST(64 + ${h(2)} * 16 + ${h(3)} AS INT) AS height,
        |  CAST(1 + ${h(4)} % 3 AS INT) AS channels
        |FROM documents""".stripMargin
+  }
+
+  /** DuckDB twin of [[frameSamples]]. */
+  val frameOracleSql: String = {
+    def h(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE source WHEN 'src0' THEN 'image' WHEN 'src1' THEN 'audio'
+       |    WHEN 'src2' THEN 'video' ELSE 'text' END AS media_type,
+       |    CAST(64 + ${h(0)} * 16 + ${h(1)} AS INT) AS w,
+       |    CAST(64 + ${h(2)} * 16 + ${h(3)} AS INT) AS hgt,
+       |    CASE WHEN source = 'src2' THEN 1 + ${h(5)} % 8 ELSE 1 END AS n_frames,
+       |    1000 + ${h(6)} * 16 + ${h(7)} AS interval_ms
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_type, CAST(f.i AS INT) AS frame_idx,
+       |       CAST(f.i * interval_ms AS BIGINT) AS frame_ms,
+       |       CAST(CASE WHEN w >= hgt THEN 224 ELSE (w * 224) // hgt END AS INT) AS out_width,
+       |       CAST(CASE WHEN w >= hgt THEN (hgt * 224) // w ELSE 224 END AS INT) AS out_height
+       |FROM m, (SELECT unnest(generate_series(0, 7)) AS i) f
+       |WHERE f.i < n_frames""".stripMargin
   }
 }

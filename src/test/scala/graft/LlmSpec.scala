@@ -171,4 +171,25 @@ class LlmSpec extends AnyFunSuite {
     assert((byId(0L)._4, byId(0L)._5, byId(0L)._6) === (byId(1L)._4, byId(1L)._5, byId(1L)._6))
     assert(rows.forall(r => r._4 >= 64 && r._4 < 320 && r._6 >= 1 && r._6 <= 3))
   }
+
+  test("m2: videos fan out to sampled frames; stills yield one; resize fits 224 with aspect kept") {
+    val rows = run("m2_frame_sample").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), r.getAs[Int]("frame_idx"),
+                 r.getAs[Long]("frame_ms"), r.getAs[Int]("out_width"), r.getAs[Int]("out_height")))
+    val byDoc = rows.groupBy(_._1)
+    // doc 2 is the fixture's video: multiple frames allowed, indices dense from 0
+    rows.filter(_._2 != "video").groupBy(_._1).values.foreach(g => assert(g.length === 1))
+    byDoc.values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq === (0 until g.length), "frame indices dense from 0")
+      assert(g.forall(f => f._5 <= 224 && f._6 <= 224 && (f._5 == 224 || f._6 == 224)),
+        "resize fits the 224 box and pins the long side")
+      assert(g.map(f => (f._5, f._6)).distinct.size === 1, "all frames share the resize dims")
+      // frame times are an arithmetic progression of the fake interval
+      val sorted = g.sortBy(_._3)
+      if (sorted.length > 1) {
+        val step = sorted(1)._4 - sorted(0)._4
+        assert(step >= 1000L && sorted.sliding(2).forall(p => p(1)._4 - p(0)._4 == step))
+      }
+    }
+  }
 }
