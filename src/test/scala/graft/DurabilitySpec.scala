@@ -63,6 +63,26 @@ class DurabilitySpec extends AnyFunSuite {
     assert(again.map(_.sequence) === Seq(1L, 2L))
   }
 
+  test("S4: a chunked body without Content-Length cannot bypass the byte budget") {
+    val dir = Files.createTempDirectory("graft-chunked-").toString
+    val gw  = new GatewayServer(spark, dir, maxInflightBytes = 64 * 1024)
+    val port = gw.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      // 1 MiB streamed body -> chunked transfer encoding, no Content-Length;
+      // the server must charge incrementally and reject at the 64 KiB budget
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://127.0.0.1:$port/tables/chk"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofInputStream(() =>
+            new java.io.ByteArrayInputStream(Array.fill[Byte](1 << 20)('x'))))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 503, s"got ${resp.statusCode()}: ${resp.body()}")
+      assert(resp.body().contains("SERVER_OVERLOADED"))
+    } finally gw.stop()
+  }
+
   test("bounded flush drains a backlog in multiple size-capped passes, sequences dense") {
     val dir = Files.createTempDirectory("graft-flushcap-").toString
     // ~100 B/event incl. overhead; cap one pass at ~1 KiB → several passes
