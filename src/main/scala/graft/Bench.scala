@@ -40,7 +40,45 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","micro":${micro()}}""")
     spark.stop()
+  }
+
+  /** Hot-path micro-benchmarks mirroring the reference's criterion suite
+    * shapes (write 64B/1KB/4KB, idempotent duplicate, burst-1000 bulk,
+    * offset-range read, mixed 80/20) — single-threaded ops/sec on the
+    * in-JVM hot tier, the direct comparable for the reference's
+    * single-node write path. `write_wal_64B` includes the durability
+    * append (the reference's RocksDB WAL analogue). */
+  private def micro(): String = {
+    def opsPerSec(n: Int)(op: Int => Unit): Long = {
+      (0 until math.min(n / 10, 5000)).foreach(op) // warm
+      val t0 = System.nanoTime()
+      (0 until n).foreach(op)
+      (n / ((System.nanoTime() - t0) / 1e9)).toLong
+    }
+    val p64  = Array.fill[Byte](64)('x')
+    val p1k  = Array.fill[Byte](1024)('x')
+    val p4k  = Array.fill[Byte](4096)('x')
+    val mem  = new serve.HotBuffer()
+    val w64  = opsPerSec(200000)(i => mem.write("b64", i % 4, p64, i.toLong, Some(s"k$i")))
+    val w1k  = opsPerSec(100000)(i => mem.write("b1k", i % 4, p1k, i.toLong, Some(s"k$i")))
+    val w4k  = opsPerSec(50000)(i => mem.write("b4k", i % 4, p4k, i.toLong, Some(s"k$i")))
+    val dup  = opsPerSec(200000)(_ => mem.write("b64", 0, p64, 1L, Some("k1"))) // always duplicate
+    val walDir = java.nio.file.Files.createTempDirectory("graft-microwal-")
+    val durable = new serve.HotBuffer(Some(new serve.WriteAheadLog(walDir)))
+    val wWal = opsPerSec(100000)(i => durable.write("bw", i % 4, p64, i.toLong, Some(s"k$i")))
+    val burst = opsPerSec(200)(b =>
+      mem.synchronized((0 until 1000).foreach(i => mem.write("burst", 0, p64, (b * 1000 + i).toLong, None))))
+    val rd = opsPerSec(50000)(i => mem.readPartition("b64", i % 4, (i % 5000).toLong, 100))
+    var n = 0
+    val mixed = opsPerSec(100000) { i =>
+      n += 1
+      if (n % 5 == 0) mem.readPartition("b64", i % 4, (i % 5000).toLong, 100)
+      else mem.write("mix", i % 4, p64, i.toLong, Some(s"m$i"))
+    }
+    s"""{"write_64B_ops":$w64,"write_1KB_ops":$w1k,"write_4KB_ops":$w4k,""" +
+      s""""idempotent_dup_ops":$dup,"write_wal_64B_ops":$wWal,"burst_1000_ops":$burst,""" +
+      s""""read_offset_ops":$rd,"mixed_80_20_ops":$mixed}"""
   }
 }

@@ -77,11 +77,21 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
     events.keys.collect { case (t, p) if t == topic => p }.toSeq.sorted
   }
 
-  /** Q1: offset range scan within one partition. */
+  /** Q1: offset range scan within one partition. The buffer is
+    * sequence-ordered (writes append increasing sequences; cleanup and WAL
+    * replay preserve order), so the range start is a BINARY SEARCH — the
+    * O(log n + limit) seek the reference gets from a RocksDB prefix
+    * iterator, not a scan from the buffer head. */
   def readPartition(topic: String, partition: Int, fromSeq: Long, limit: Int): Seq[StoredEvent] =
     synchronized {
-      events.getOrElse((topic, partition), mutable.ArrayBuffer.empty)
-        .iterator.filter(_.sequence >= fromSeq).take(limit).toSeq
+      val buf = events.getOrElse((topic, partition), mutable.ArrayBuffer.empty)
+      var lo  = 0
+      var hi  = buf.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid).sequence < fromSeq) lo = mid + 1 else hi = mid
+      }
+      buf.slice(lo, math.min(buf.size, lo + limit)).toSeq
     }
 
   /** Q2+Q3: all-partition merge read ordered by event time, with optional
