@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the properties that make the engine work at
+  * 100 TB are PLAN facts (pushdown reaching the scan, candidate joins never
+  * degenerating to cartesian products, tiny sides broadcast, manifest
+  * pruning limiting planned files) — lock them in so a refactor that
+  * silently loses one fails here, not at scale. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q7_cold_read: the sequence filter reaches the parquet scan") {
+    val p = plan("q7_cold_read")
+    assert(p.contains("PushedFilters") || p.contains("DataFilters"), p.take(500))
+    assert(p.linesIterator.exists(l =>
+      (l.contains("PushedFilters") || l.contains("DataFilters")) && l.contains("sequence")),
+      "sequence predicate must be pushed into the scan")
+    assert(p.contains("Batched: true"), "committed reads must use the vectorized reader")
+  }
+
+  test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
+    Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
+    }
+  }
+
+  test("ann_topk_brute: the query set is the broadcast side") {
+    val p = plan("ann_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the tiny query set must broadcast; the corpus must never shuffle for it")
+  }
+
+  test("tpch_q3: dimension joins broadcast") {
+    val p = plan("tpch_q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), "small dimension sides must broadcast")
+  }
+
+  test("V2 source: manifest bounds prune planned input files") {
+    val root = graft.table.CommittedTables.tableRoot(spark, sf)
+    val c = new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), "events")
+    val active = c.activeDataFiles().size
+    val pruned = spark.read.format("graft").load(root)
+      .filter(org.apache.spark.sql.functions.col("partition") === 1)
+      .rdd.getNumPartitions
+    assert(active >= 8, s"expected one file per log partition, got $active")
+    assert(pruned === 1, s"a partition filter must plan exactly 1 of $active files, planned $pruned")
+  }
+
+  test("time-pruned committed read plans only files overlapping the range") {
+    val root = graft.table.CommittedTables.tableRoot(spark, sf)
+    val c = new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), "events")
+    val lo = graft.core.HotQueries.RangeLo
+    val hi = graft.core.HotQueries.RangeHi
+    val pruned = graft.table.EventTable.pruneByTimeRange(c, lo, hi)
+    assert(pruned.nonEmpty && pruned.size <= c.activeDataFiles().size)
+    // and a disjoint range prunes EVERYTHING before any IO
+    assert(graft.table.EventTable.pruneByTimeRange(c, 1L, 2L).isEmpty)
+  }
+}
