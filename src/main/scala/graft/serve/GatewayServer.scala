@@ -210,6 +210,39 @@ final class GatewayServer(
           sendJson(ex, 200, s"""{"table":"${escape(t)}","compacted":${res.isDefined}}""")
         } finally guard.set(false)
 
+      // ---- deprecated consumer-offset surface (Q9 API parity,
+      // `/root/reference/src/api/handlers.rs:1144-1188`) ----
+      case ("POST", List("consumers", g, "commit")) =>
+        validated(g) // group doubles as a path segment, same traversal guard
+        admitted(ex) { body =>
+          val n = parseJson(body)
+          val topic = Option(n.get("topic")).map(_.asText)
+            .getOrElse(throw ApiError(400, "INVALID_INPUT", "topic is required"))
+          validated(topic)
+          val partition = Option(n.get("partition")).map(_.asInt).getOrElse(0)
+          val offset    = Option(n.get("offset")).map(_.asLong)
+            .getOrElse(throw ApiError(400, "INVALID_INPUT", "offset is required"))
+          // durable like the reference's RocksDB `consumer:` key: one
+          // atomic file per (group, partition) under the table root
+          committer(topic).io.put(s"consumers/$g/$partition.offset", offset.toString.getBytes("UTF-8"))
+          sendJson(ex, 200,
+            s"""{"group":"${escape(g)}","topic":"${escape(topic)}","partition":$partition,"offset":$offset}""")
+        }
+      case ("GET", List("consumers", g, "offset")) =>
+        validated(g)
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val topic = q.getOrElse("topic", throw ApiError(400, "INVALID_INPUT", "topic is required"))
+        validated(topic)
+        val partition = q.get("partition").flatMap(_.toIntOption).getOrElse(0)
+        val io = committer(topic).io
+        val offset =
+          if (io.exists(s"consumers/$g/$partition.offset"))
+            new String(io.get(s"consumers/$g/$partition.offset"), "UTF-8").trim.toLongOption
+          else None
+        sendJson(ex, 200,
+          s"""{"group":"${escape(g)}","topic":"${escape(topic)}","partition":$partition,"offset":${offset.map(_.toString).getOrElse("null")}}""")
+
       case _ => throw ApiError(404, "NOT_FOUND", s"$method $path")
     }
   }

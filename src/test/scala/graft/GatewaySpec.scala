@@ -299,6 +299,30 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mapper.readTree(get("/tables/gwflush/metadata").body()).get("snapshots").size() === 1)
   }
 
+  test("Q9: consumer offsets commit/get survive a gateway restart") {
+    val r = post("/consumers/cg1/commit", """{"topic":"gw1","partition":2,"offset":41}""")
+    assert(r.statusCode() === 200)
+    assert(mapper.readTree(r.body()).get("offset").asLong === 41L)
+    val g = mapper.readTree(get("/consumers/cg1/offset?topic=gw1&partition=2").body())
+    assert(g.get("offset").asLong === 41L)
+    // unknown (group, partition) → null offset, not an error
+    assert(mapper.readTree(get("/consumers/cg1/offset?topic=gw1&partition=7").body()).get("offset").isNull)
+    // durability: a fresh gateway over the same warehouse sees the commit
+    val other = new GatewayServer(spark, baseDir)
+    val p     = other.start()
+    try {
+      val r2 = http.send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$p/consumers/cg1/offset?topic=gw1&partition=2"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(mapper.readTree(r2.body()).get("offset").asLong === 41L)
+    } finally other.stop()
+    // traversal-guarded group names: decoded dots either fail validation
+    // (400) or miss every route (404) — never reach the filesystem
+    assert(Set(400, 404)(post("/consumers/..%2Fevil/commit", """{"topic":"gw1","offset":1}""").statusCode()))
+    assert(post("/consumers/dotted.group/offset?topic=gw1", "").statusCode() === 404) // GET route only
+    assert(get("/consumers/bad.group/offset?topic=gw1").statusCode() === 400)
+  }
+
   test("X1: health, stats, and Prometheus metrics") {
     assert(get("/health").statusCode() === 200)
     assert(get("/health/live").statusCode() === 200)
