@@ -131,6 +131,10 @@ object EventTable {
       .sortWithinPartitions(col("partition"), col("bucket"), col("timestamp_ms"), col("sequence"))
       .write
       .option("compression", "zstd")
+      // direct task commit (no job-level rename pass): safe because the
+      // staging dir is private and the snapshot references files by NAME —
+      // nothing ever lists this directory for correctness
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy("partition", "bucket")
       .parquet(stagingAbs.toString)
 
