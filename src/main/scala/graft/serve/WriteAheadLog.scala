@@ -3,6 +3,7 @@ package graft.serve
 import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
 import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.zip.CRC32
+import scala.jdk.CollectionConverters._
 
 /** Local write-ahead log for the hot tier (INV-2 analogue).
   *
@@ -33,6 +34,15 @@ import java.util.zip.CRC32
 final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   private val logPath = dir.resolve("hot.wal")
   Files.createDirectories(dir)
+  // a crash between writing and renaming a compaction tmp leaves the main
+  // log intact and the tmp as garbage — sweep stale tmps on open
+  locally {
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("hot.wal.compact."))
+      .foreach(Files.deleteIfExists(_))
+    finally s.close()
+  }
 
   private var out: DataOutputStream = _
   private var fileOut: FileOutputStream = _

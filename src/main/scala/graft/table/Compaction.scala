@@ -64,6 +64,7 @@ object Compaction {
     * `expectedBase` between selection and commit. */
   def compact(spark: SparkSession, tableRoot: String, cfg: Config = Config(),
               beforeCommit: () => Unit = () => ()): Option[CommitResult] = {
+    EventTable.sweepStaging(tableRoot) // GC dirs left by crashed writes
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)

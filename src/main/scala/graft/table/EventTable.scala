@@ -159,6 +159,23 @@ object EventTable {
     moved.toSeq.sorted
   }
 
+  /** GC for crashed writes: a writeData that died between the parquet job
+    * and its moves leaves a private `.staging/<uuid>` dir. Such dirs are
+    * invisible to every reader (snapshots reference files by name), so any
+    * entry older than `olderThanMs` is garbage. Called from compaction —
+    * the table-maintenance entry point. */
+  def sweepStaging(tableRoot: String, olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val staging = Paths.get(tableRoot, ".staging")
+    if (!Files.isDirectory(staging)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var n = 0
+    val s = Files.list(staging)
+    try s.iterator().asScala.foreach { d =>
+      if (Files.getLastModifiedTime(d).toMillis < cutoff) { deleteRecursively(d); n += 1 }
+    } finally s.close()
+    n
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)

@@ -83,6 +83,28 @@ class DurabilitySpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("orphan GC: stale staging dirs and WAL compact tmps are swept") {
+    val root = Files.createTempDirectory("graft-sweep-").toString
+    val stale = java.nio.file.Paths.get(root, ".staging", "dead-beef")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-0.parquet"), "x")
+    Files.setLastModifiedTime(java.nio.file.Paths.get(root, ".staging", "dead-beef"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2 * 3600 * 1000))
+    assert(EventTable.sweepStaging(root) === 1)
+    assert(!Files.exists(stale))
+    // fresh staging dirs (an in-flight write) are left alone
+    val fresh = java.nio.file.Paths.get(root, ".staging", "in-flight")
+    Files.createDirectories(fresh)
+    assert(EventTable.sweepStaging(root) === 0)
+    assert(Files.exists(fresh))
+
+    val walDir = Files.createTempDirectory("graft-walsweep-")
+    Files.writeString(walDir.resolve("hot.wal.compact.abc"), "garbage")
+    new WriteAheadLog(walDir).close()
+    assert(!Files.exists(walDir.resolve("hot.wal.compact.abc")),
+      "stale compact tmp must be swept on open")
+  }
+
   test("bounded flush drains a backlog in multiple size-capped passes, sequences dense") {
     val dir = Files.createTempDirectory("graft-flushcap-").toString
     // ~100 B/event incl. overhead; cap one pass at ~1 KiB → several passes
