@@ -53,6 +53,31 @@ object TpchQueries {
           // parquet TIMESTAMP here is NTZ; pin to UTC millis like the oracle
           unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("o_orderdate_ms"),
           col("revenue_micro"))
+    },
+    // TPC-H Q5 shape: local supplier volume — a 6-way join where every
+    // dimension chain (region→nation→{customer,supplier}) broadcasts and
+    // only the orders⋈lineitem fact join shuffles
+    "tpch_q5_local_supplier" -> { (s, dir) =>
+      val nations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = t(s, dir, "supplier")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li  = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+                                             col("l_extendedprice"), col("l_discount"))
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+                               col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,3)") *
+               (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
+            .cast("long").as("revenue_micro"))
     }
   )
 
@@ -75,6 +100,17 @@ object TpchQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1, 2
         |ORDER BY revenue_micro DESC, o_orderkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "tpch_q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin
   )
 }
