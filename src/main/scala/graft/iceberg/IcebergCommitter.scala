@@ -110,15 +110,21 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Append `added` files as a new snapshot. Retries are the CALLER's job on
     * CommitConflict (matching the reference, which re-queues pending files).
     * `extraSummary` lets callers stamp commit provenance (e.g. the streaming
-    * batch id for replay-safe exactly-once). */
+    * batch id for replay-safe exactly-once). `expectedBaseVersion` makes the
+    * append OPTIMISTIC: when the appended sequences were derived from the
+    * watermarks of version V, a foreign commit advancing the table past V
+    * must fail this commit (the sequences could overlap) instead of
+    * appending silently. */
   def commitAppend(added: Seq[DataFile], watermarks: Map[Int, Long] = Map.empty,
-                   extraSummary: Map[String, String] = Map.empty): CommitResult =
-    synchronized { commit(added, Nil, expectedSnapshotId = None, operation = "append", watermarks, extraSummary) }
+                   extraSummary: Map[String, String] = Map.empty,
+                   expectedBaseVersion: Option[Int] = None): CommitResult =
+    synchronized { commit(added, Nil, expectedSnapshotId = None, operation = "append", watermarks,
+                          extraSummary, expectedBaseVersion) }
 
   /** Compaction commit: optimistic replace. Fails with CommitConflict if the
     * current snapshot is not `expectedBase` (another writer committed). */
   def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long): CommitResult =
-    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation = "replace", Map.empty, Map.empty) }
+    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation = "replace", Map.empty, Map.empty, None) }
 
   private def commit(
       added: Seq[DataFile],
@@ -126,12 +132,17 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       expectedSnapshotId: Option[Long],
       operation: String,
       watermarks: Map[Int, Long],
-      extraSummary: Map[String, String]
+      extraSummary: Map[String, String],
+      expectedBaseVersion: Option[Int]
   ): CommitResult = {
     val baseVersion = currentVersion()
     val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic", schema) else
       IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
 
+    expectedBaseVersion.foreach { exp =>
+      if (exp != baseVersion)
+        throw CommitConflict(s"sequences derived at version $exp but table advanced to $baseVersion")
+    }
     expectedSnapshotId.foreach { exp =>
       if (!base.currentSnapshotId.contains(exp))
         throw CommitConflict(s"expected base snapshot $exp but current is ${base.currentSnapshotId}")

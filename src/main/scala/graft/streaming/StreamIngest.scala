@@ -53,6 +53,10 @@ final class StreamIngest(
 
   private val pending      = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[DataFile]]
   private var pendingSince = 0L
+  // metadata version the current pending group's FIRST sequences were
+  // derived from — the optimistic-append CAS base (-1 = unset, e.g. for
+  // marker-adopted batches whose derivation predates this instance)
+  private var wmBaseVersion = -1
 
   reconcile()
 
@@ -192,6 +196,7 @@ final class StreamIngest(
       try {
         // materializes the cached slice and sizes the sequencing shuffle
         val batchRows = deduped.count()
+        if (pending.isEmpty && wmBaseVersion < 0) wmBaseVersion = committer.currentVersion()
         val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
                                                              byteColumn = Some("props"),
                                                              rowsHint = Some(batchRows))
@@ -224,17 +229,34 @@ final class StreamIngest(
     val res = committer.commitAppend(
       files,
       EventTable.watermarksOf(files),
-      Map("graft.batch-id-max" -> batchMax.toString)
+      Map("graft.batch-id-max" -> batchMax.toString),
+      // CAS on the version the sequences were derived from: a foreign
+      // commit in between could make them overlap — fail instead
+      expectedBaseVersion = if (wmBaseVersion >= 0) Some(wmBaseVersion) else None
     )
     pending.keys.toSeq.foreach(id => committer.io.delete(markerPath(id)))
     pending.clear()
     pendingSince = 0L
+    wmBaseVersion = -1
     Some(res.snapshotId)
   }
 
   /** F12 flush_now / shutdown flush. Returns the committed snapshot id, if
     * anything was pending. */
   def finish(): Option[Long] = maybeCommit(force = true)
+
+  /** Roll back ONE staged-but-uncommitted batch (marker + data files) —
+    * the cleanup an optimistic append uses after losing a commit race,
+    * before recomputing sequences against the advanced table. Only the
+    * given batch is touched; batches adopted from a crashed stream's
+    * staging stay recoverable. */
+  def abandonBatch(batchId: Long): Unit = {
+    pending.remove(batchId).foreach { files =>
+      files.foreach(f => committer.io.delete(f.filePath))
+      committer.io.delete(markerPath(batchId))
+    }
+    if (pending.isEmpty) { pendingSince = 0L; wmBaseVersion = -1 }
+  }
 
   /** Next unused batch id — continues past both committed and staged ids so
     * a library append can never collide with a crashed stream's staging. */
@@ -320,10 +342,6 @@ object StreamIngest {
     * `partition` (int), `payload` (string/binary), `timestamp_ms` (long),
     * optional nullable `idempotency_key`. Returns the snapshot id. */
   def appendEvents(spark: SparkSession, tableRoot: String, events: DataFrame): Option[Long] = {
-    // thresholds high so the commit happens in finish() — one append, one
-    // snapshot, and the returned id is that snapshot's
-    val ing = new StreamIngest(spark, tableRoot,
-      snapshotMinFiles = Int.MaxValue, snapshotMinBytes = Long.MaxValue)
     val hasKey = events.columns.contains("idempotency_key")
     val keyCol =
       if (hasKey)
@@ -340,8 +358,27 @@ object StreamIngest {
       keyCol.as("idempotency_key"),
       monotonically_increasing_id().as("event_id") // arrival-order tiebreak
     )
-    ing.processBatch(batch, ing.nextBatchId())
-    ing.finish()
+    // OPTIMISTIC append: a concurrent writer advancing the table between
+    // our watermark read and the commit raises CommitConflict — roll back
+    // ONLY this append's staged files and redo against fresh watermarks
+    // (the reference re-queues pending files the same way).
+    var attempt = 0
+    while (true) {
+      // thresholds high so the commit happens in finish() — one append,
+      // one snapshot, and the returned id is that snapshot's
+      val ing = new StreamIngest(spark, tableRoot,
+        snapshotMinFiles = Int.MaxValue, snapshotMinBytes = Long.MaxValue)
+      val id = ing.nextBatchId()
+      try {
+        ing.processBatch(batch, id)
+        return ing.finish()
+      } catch {
+        case _: graft.iceberg.CommitConflict if attempt < 5 =>
+          ing.abandonBatch(id)
+          attempt += 1
+      }
+    }
+    None // unreachable
   }
 
   /** Stage the raw write stream as N event_id-contiguous parquet chunks

@@ -182,6 +182,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(EventTable.readCommitted(spark, root).count() === 160L)
   }
 
+  test("appendEvents: concurrent appends retry on conflict, never overlap sequences") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-append-race-").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          override def call(): Option[Long] = {
+            val df = (0 until 50)
+              .map(i => (i % 4, s"t$t-p$i", 1000L + i, s"t$t-k$i"))
+              .toDF("partition", "payload", "timestamp_ms", "idempotency_key")
+            StreamIngest.appendEvents(spark, root, df)
+          }
+        })
+      }
+      futures.foreach(f => assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS).isDefined))
+    } finally pool.shutdown()
+    val committed = EventTable.readCommitted(spark, root)
+    assert(committed.count() === 200L)
+    committed.groupBy("partition")
+      .agg(count(lit(1)).as("n"), max("sequence").as("mx"), countDistinct("sequence").as("nd"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("mx") === r.getAs[Long]("n"), "dense, non-overlapping sequences")
+        assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+      }
+    // no orphan markers left behind by retries
+    assert(new graft.iceberg.LocalTableIO(root).list("staged").isEmpty)
+  }
+
   test("dedup state TTL: keys idle past the cleanup watermark are evicted and re-admitted") {
     import spark.implicits._
     val root    = Files.createTempDirectory("graft-ttl-spec-").toString
