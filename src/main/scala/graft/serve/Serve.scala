@@ -1,0 +1,88 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+
+/** The runnable server — the analogue of the reference's single binary
+  * (`/root/reference/src/main.rs:280-360`): read `ZOMBI_*` environment
+  * configuration with the reference's names and defaults, start the HTTP
+  * gateway over a local Spark session, and run the flusher timer loop
+  * (F1: wake every `ZOMBI_FLUSH_INTERVAL_SECS`, flush every hot topic;
+  * `/root/reference/src/flusher/mod.rs:514-650`). Shutdown flushes
+  * everything pending (F12) before stopping.
+  */
+object Serve {
+  final case class Config(
+      port: Int,
+      dataDir: String,
+      flushIntervalSecs: Long,
+      retentionMs: Long,
+      maxInflight: Int,
+      maxInflightBytes: Long,
+      catalog: Option[CatalogClient],
+      namespace: String
+  )
+
+  /** Reference-parity env parsing (`main.rs:280-360`, `flusher/mod.rs:53-98`). */
+  def config(env: Map[String, String]): Config = Config(
+    port = env.get("ZOMBI_PORT").flatMap(_.toIntOption).getOrElse(8080),
+    dataDir = env.getOrElse("ZOMBI_DATA_DIR",
+      env.getOrElse("ZOMBI_STORAGE_PATH", "./zombi-data")),
+    flushIntervalSecs = env.get("ZOMBI_FLUSH_INTERVAL_SECS").flatMap(_.toLongOption).getOrElse(300L),
+    retentionMs = env.get("ZOMBI_HOT_RETENTION_SECS").flatMap(_.toLongOption).getOrElse(0L) * 1000L,
+    maxInflight = env.get("ZOMBI_MAX_INFLIGHT_WRITES").flatMap(_.toIntOption).getOrElse(10000),
+    maxInflightBytes =
+      env.get("ZOMBI_MAX_INFLIGHT_BYTES_MB").flatMap(_.toLongOption).getOrElse(64L) * 1024 * 1024,
+    catalog = env.get("ZOMBI_CATALOG_URL").map(url => new CatalogClient(url)),
+    namespace = env.getOrElse("ZOMBI_CATALOG_NAMESPACE", "zombi")
+  )
+
+  def gateway(spark: SparkSession, cfg: Config): GatewayServer =
+    new GatewayServer(
+      spark,
+      cfg.dataDir,
+      port = cfg.port,
+      namespace = cfg.namespace,
+      maxInflight = cfg.maxInflight,
+      maxInflightBytes = cfg.maxInflightBytes,
+      retentionMs = cfg.retentionMs,
+      catalog = cfg.catalog
+    )
+
+  /** F1: the flusher timer thread — wake on interval, flush what arrived. */
+  def flushDaemon(gw: GatewayServer, intervalMs: Long): Thread = {
+    val t = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(intervalMs)
+        gw.hot.topics.foreach { topic =>
+          try gw.flushNow(topic)
+          catch { case _: Exception => () } // next tick retries (F10)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-flush-daemon")
+    t.setDaemon(true)
+    t
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = config(sys.env)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val gw   = gateway(spark, cfg)
+    val port = gw.start()
+    val daemon = flushDaemon(gw, cfg.flushIntervalSecs * 1000L)
+    daemon.start()
+    sys.addShutdownHook {
+      daemon.interrupt()
+      gw.hot.topics.foreach(t => try gw.flushNow(t) catch { case _: Exception => () }) // F12
+      gw.stop()
+    }
+    println(s"""{"status":"serving","port":$port,"data_dir":"${cfg.dataDir}","flush_interval_secs":${cfg.flushIntervalSecs}}""")
+    Thread.currentThread().join() // serve until killed
+  }
+}

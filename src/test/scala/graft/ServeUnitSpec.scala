@@ -1,5 +1,41 @@
 package graft
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The runnable-server wiring: reference-parity env config and the flusher
+  * timer loop driving periodic commits. */
+class ServeMainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("env config parses with the reference's names and defaults") {
+    val d = graft.serve.Serve.config(Map.empty)
+    assert(d.port === 8080 && d.flushIntervalSecs === 300L &&
+      d.maxInflight === 10000 && d.maxInflightBytes === 64L * 1024 * 1024)
+    val c = graft.serve.Serve.config(Map(
+      "ZOMBI_PORT" -> "9090", "ZOMBI_DATA_DIR" -> "/tmp/x",
+      "ZOMBI_FLUSH_INTERVAL_SECS" -> "5", "ZOMBI_HOT_RETENTION_SECS" -> "60",
+      "ZOMBI_MAX_INFLIGHT_WRITES" -> "123", "ZOMBI_MAX_INFLIGHT_BYTES_MB" -> "1"))
+    assert(c.port === 9090 && c.dataDir === "/tmp/x" && c.flushIntervalSecs === 5L)
+    assert(c.retentionMs === 60000L && c.maxInflight === 123 && c.maxInflightBytes === 1048576L)
+  }
+
+  test("F1: the flush daemon commits hot topics on its interval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon-").toString
+    val gw  = new graft.serve.GatewayServer(spark, dir)
+    (1 to 5).foreach(i => gw.hot.write("dt", i % 2, s"p$i".getBytes, 1000L + i, None))
+    val daemon = graft.serve.Serve.flushDaemon(gw, intervalMs = 300L)
+    daemon.start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def committed(): Long =
+        try graft.table.EventTable.readCommitted(spark, s"$dir/dt").count()
+        catch { case _: Exception => 0L }
+      while (committed() < 5L && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(committed() === 5L, "the timer loop must flush without an explicit request")
+    } finally daemon.interrupt()
+  }
+}
+
 import graft.serve._
 import org.scalatest.funsuite.AnyFunSuite
 
