@@ -33,6 +33,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(werr.getMessage.toLowerCase.contains("read-only"))
   }
 
+  test("catalog serves extracted-schema tables with their typed columns") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-cat-ext-").toString
+    val cfg = graft.extract.TableSchemaConfig(fields =
+      Seq(graft.extract.FieldSpec("k", "k", "Int32")))
+    graft.table.EventTable.ingestAndCommitExtracted(
+      spark, "/root/testdata/sf0.001", s"$warehouse/exttab", cfg)
+    spark.conf.set("spark.sql.catalog.zext", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.zext.warehouse", warehouse)
+    val df = spark.sql("SELECT k, _payload_overflow FROM zext.default.exttab WHERE k IS NOT NULL")
+    assert(df.schema("k").dataType === org.apache.spark.sql.types.IntegerType,
+      "the extracted column's Iceberg type must surface through the catalog")
+    assert(df.count() > 0)
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read historical snapshots") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-tt-cat-").toString
     val root      = s"$warehouse/ttable"
