@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   * materialized); pushed filters are ALSO kept as Spark-side residuals, so
   * correctness never depends on pruning.
   */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft"
 
   private def root(options: CaseInsensitiveStringMap): String =
@@ -45,6 +46,37 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     new GraftTable(props.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = true
+
+  /** `df.write.format("graft").mode("append").save(root)` — the write path
+    * routes through the ENGINE's append pipeline (dedup, sequence
+    * continuation from committed watermarks, size-targeted sorted layout,
+    * one snapshot commit with optimistic-append CAS), never a raw file
+    * dump. Input contract: `partition` (int), `payload` (string/binary),
+    * `timestamp_ms` (long), optional nullable `idempotency_key`. */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    if (mode != SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"graft tables are append-only event logs; got mode $mode (use mode(\"append\"))")
+    val tableRoot = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft write requires a path (the table root)"))
+    val requiredCols = Seq("partition", "payload", "timestamp_ms")
+    val missing = requiredCols.filterNot(data.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft append requires columns ${requiredCols.mkString(", ")} " +
+          s"(optional idempotency_key); missing: ${missing.mkString(", ")}")
+    graft.streaming.StreamIngest.appendEvents(data.sparkSession, tableRoot, data)
+    val outer = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = outer
+      override def schema: StructType = GraftDataSource.sparkSchema(tableRoot)
+    }
+  }
 }
 
 object GraftDataSource {

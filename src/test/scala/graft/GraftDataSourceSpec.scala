@@ -33,6 +33,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(werr.getMessage.toLowerCase.contains("read-only"))
   }
 
+  test("df.write.format(graft) appends through the engine pipeline") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-v1-write-").toString
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0 until 60).map(i => (i % 4, s"p$i", 1000L + i, s"k$i"))
+      .toDF("partition", "payload", "timestamp_ms", "idempotency_key")
+    df.write.format("graft").mode("append").save(root)
+    // a second append with overlapping keys dedupes against the table
+    df.limit(30).write.format("graft").mode("append").save(root)
+    val back = spark.read.format("graft").load(root)
+    assert(back.count() === 60L)
+    back.groupBy("partition").agg(count(lit(1)).as("n"), max("sequence").as("mx"))
+      .collect().foreach(r => assert(r.getAs[Long]("mx") === r.getAs[Long]("n")))
+    // non-append modes and missing columns fail loudly
+    val e1 = intercept[Exception](df.write.format("graft").mode("overwrite").save(root))
+    assert(e1.getMessage.toLowerCase.contains("append-only"))
+    val e2 = intercept[Exception](
+      Seq((1, "x")).toDF("partition", "payload").write.format("graft").mode("append").save(root))
+    assert(e2.getMessage.contains("timestamp_ms"))
+  }
+
   test("catalog serves extracted-schema tables with their typed columns") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-cat-ext-").toString
     val cfg = graft.extract.TableSchemaConfig(fields =
