@@ -46,7 +46,48 @@ object StreamQueries {
     })
   }
 
+  private val sessionCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Native STREAMING SESSION WINDOWS (`session_window`, 30-minute gap) in
+    * append mode: a session is emitted exactly once, when the watermark
+    * passes its end. With a zero-delay watermark the final no-data batch
+    * closes every session whose last event is ≥ 30 minutes before the
+    * stream's max event time — the oracle mirrors that emission rule
+    * exactly, so streamed sessionization is hash-gated. */
+  private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
+    sessionCache.getOrElseUpdate(dir, {
+      val staging = java.nio.file.Files.createTempDirectory("graft-w3-stage-").toString
+      val schema  = StreamIngest.stageChunks(s, dir, staging, nChunks = 3)
+      val name    = s"w3_sessions_${math.abs(dir.hashCode)}"
+      val q = s.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+        .withColumn("ts", timestamp_millis(col("timestamp_ms")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), min("timestamp_ms").as("first_ts"),
+             max("timestamp_ms").as("last_ts"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      name
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w3_stream_sessions" -> { (s, dir) =>
+      val name = streamSessionTable(s, dir)
+      s.table(name).select(
+        col("user_id"),
+        col("first_ts").as("session_start_ms"),
+        col("last_ts").as("session_last_ms"),
+        col("n_events"))
+    },
     "w2_stream_window" -> { (s, dir) =>
       val name = streamWindowTable(s, dir)
       s.table(name).select(
@@ -87,6 +128,24 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // sessions: 30-min-gap grouping per user over the raw stream; a new
+    // session starts when the gap is >= the duration (Spark's window end
+    // is exclusive). Append mode emits only sessions the FINAL watermark
+    // (max event time, zero delay) closed: last_ts + gap <= max_ts.
+    "w3_stream_sessions" -> Oracle.sql(
+      """SELECT user_id, min(timestamp_ms) AS session_start_ms,
+        |       max(timestamp_ms) AS session_last_ms, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, timestamp_ms,
+        |         sum(CASE WHEN prev_ts IS NULL OR timestamp_ms - prev_ts >= 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY timestamp_ms, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, timestamp_ms,
+        |           lag(timestamp_ms) OVER (PARTITION BY user_id ORDER BY timestamp_ms, event_id) AS prev_ts
+        |    FROM raw))
+        |GROUP BY user_id, session_id
+        |HAVING max(timestamp_ms) + 1800000 <= (SELECT max(timestamp_ms) FROM raw)""".stripMargin),
     // windows are tumbling hours in event time; raw (pre-dedup) stream —
     // the windowed agg observes every arriving event like the reference's
     // per-hour flush grouping does
