@@ -14,6 +14,19 @@ object StreamQueries {
   /** One streaming-windowed-agg result per (JVM, sfDir). */
   private val windowCache = scala.collection.mutable.Map.empty[String, String]
 
+  /** Staged chunked raw stream shared by the windowed streaming queries —
+    * each query keeps its own checkpoint; the input files are immutable. */
+  private val stagingCache = scala.collection.mutable.Map.empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  private def stagedRaw(s: SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) =
+    synchronized {
+      stagingCache.getOrElseUpdate(dir, {
+        val staging = java.nio.file.Files.createTempDirectory("graft-wstage-").toString
+        val schema  = StreamIngest.stageChunks(s, dir, staging, nChunks = 3)
+        (staging, schema)
+      })
+    }
+
   /** Event-time windowed aggregation as a STRUCTURED STREAMING query:
     * watermarked 1-hour tumbling windows over the chunked raw stream
     * (`withWatermark` + `window()` — Spark's native streaming agg with
@@ -22,8 +35,7 @@ object StreamQueries {
     * late-drop semantics are proven separately in StreamIngestSpec. */
   private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
     windowCache.getOrElseUpdate(dir, {
-      val staging = java.nio.file.Files.createTempDirectory("graft-w2-stage-").toString
-      val schema  = StreamIngest.stageChunks(s, dir, staging, nChunks = 3)
+      val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w2_windows_${math.abs(dir.hashCode)}"
       val q = s.readStream
         .schema(schema)
@@ -56,8 +68,7 @@ object StreamQueries {
     * exactly, so streamed sessionization is hash-gated. */
   private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
     sessionCache.getOrElseUpdate(dir, {
-      val staging = java.nio.file.Files.createTempDirectory("graft-w3-stage-").toString
-      val schema  = StreamIngest.stageChunks(s, dir, staging, nChunks = 3)
+      val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w3_sessions_${math.abs(dir.hashCode)}"
       val q = s.readStream
         .schema(schema)
