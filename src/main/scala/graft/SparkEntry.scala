@@ -20,7 +20,8 @@ object SparkEntry {
       (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
       (serve.ServeQueries.queries, serve.ServeQueries.oracles),
       (sources.SegmentQueries.queries, sources.SegmentQueries.oracles),
-      (analytics.TpchQueries.queries, analytics.TpchQueries.oracles)
+      (analytics.TpchQueries.queries, analytics.TpchQueries.oracles),
+      (analytics.JoinQueries.queries, analytics.JoinQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -78,6 +78,20 @@ object TpchQueries {
           (sum(col("l_extendedprice").cast("decimal(18,3)") *
                (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
             .cast("long").as("revenue_micro"))
+    },
+    // TPC-H Q6 shape: forecasting revenue change — the pure scan+filter+agg
+    // query. No join, no shuffle beyond the final partial-agg merge; the
+    // three predicates and both projected columns push into the parquet scan.
+    "tpch_q6_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,3)") * col("l_discount").cast("decimal(18,3)")) * 1000000)
+            .cast("long").as("revenue_micro"),
+          count(lit(1)).as("n_items"))
     }
   )
 
@@ -111,6 +125,13 @@ object TpchQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "tpch_q6_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) * 1000000 AS BIGINT) AS revenue_micro,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
   )
 }

@@ -40,13 +40,13 @@ object EventLog {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Raw write stream: derive partition, event-time ms, idempotency key.
-    * Nanos → millis uses integer `div` (float division loses precision at
-    * 1.7e18). Retries join back to their original event for partition
-    * routing, mirroring a producer that re-sends to the same partition. */
-  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Raw events with millisecond event time and no log derivation — the
+    * shared reader for analytics over the write stream itself. Nanos →
+    * millis uses integer `div` (float division loses precision at 1.7e18),
+    * matching the oracle's `epoch_ms(ts)`. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    val ev = spark.read
+    spark.read
       .parquet(s"$sfDir/events.parquet")
       .select(
         col("event_id"),
@@ -56,6 +56,13 @@ object EventLog {
         col("value"),
         col("props")
       )
+  }
+
+  /** Raw write stream: derive partition, event-time ms, idempotency key.
+    * Retries join back to their original event for partition routing,
+    * mirroring a producer that re-sends to the same partition. */
+  def raw(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
     val orig = ev.select(col("event_id").as("o_id"), col("user_id").as("o_user"))
     ev.withColumn(
         "retry_of",

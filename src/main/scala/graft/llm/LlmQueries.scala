@@ -44,6 +44,13 @@ object LlmQueries {
   /** Winnowing window: guarantee window of W consecutive k-gram hashes. */
   val WinnowWindow = 4
 
+  /** d4: shingles seen in more than this many docs are dropped from
+    * CANDIDATE GENERATION (the standard hot-posting cap of an inverted
+    * index — a stop-shingle shared by half the corpus would otherwise
+    * make its posting-list bucket quadratic). Jaccard itself is computed
+    * on the FULL shingle sets of each surviving candidate pair. */
+  val NgramMaxDf = 20
+
   /** Deterministic multiply-add coefficients for the K minhash permutations
     * h_k(v) = (A_k·v + B_k) mod P over the 32-bit shingle hash v. A_k is odd
     * and < 2^31 so A_k·v stays well inside Long. Derived from md5 so both
@@ -193,6 +200,40 @@ object LlmQueries {
         .join(sb, "doc_b")
         .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    },
+
+    // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      // The exact counterpart of d2: no signatures — candidates come from a
+      // shingle inverted index (pairs must share at least one non-hot
+      // shingle), then exact Jaccard over the full sets decides. Every join
+      // is posting-list-local (bucketed by shingle); the NgramMaxDf cap
+      // bounds each bucket's pair fan-out, which is what keeps the plan
+      // linear-ish at corpus scale.
+      val base = sigCache.synchronized {
+        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+      val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+      val rare = postings
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= NgramMaxDf)
+        .drop("df")
+      val pairs = rare.as("a")
+        .join(rare.as("b"), Seq("sh"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
+      val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
+      pairs
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
+        // Jaccard >= 1/2 without a float: 2·|∩| >= |∪|
+        .filter(col("inter_cnt") * 2 >= col("union_cnt"))
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
     },
 
@@ -635,6 +676,31 @@ object LlmQueries {
           |FROM documents""".stripMargin,
       "d3_embedding_neardup" -> neardupSql,
       "d2_minhash_lsh" -> minhashSql,
+      "d4_ngram_jaccard" ->
+        s"""WITH base AS (SELECT doc_id, $words AS words FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(words) < 2 THEN []
+           |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+           |    END AS shingles
+           |  FROM base
+           |), sets AS (
+           |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh WHERE len(shingles) > 0
+           |), ex AS (
+           |  SELECT doc_id, unnest(sset) AS s FROM sets
+           |), dfreq AS (
+           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+           |), rare AS (
+           |  SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s) WHERE df <= $NgramMaxDf
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter_cnt,
+           |  CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS union_cnt
+           |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+           |WHERE 2 * len(list_intersect(sa.sset, sb.sset)) >= len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))""".stripMargin,
       "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,
