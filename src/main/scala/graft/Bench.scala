@@ -32,7 +32,11 @@ object Bench {
         .agg(expr("bit_xor(h)")).collect()
       ()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter — fast local iteration
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

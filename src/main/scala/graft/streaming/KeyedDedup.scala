@@ -10,11 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * expiring them at a cleanup watermark (`rocksdb.rs:1150-1237`). The Spark
   * native equivalent is a stateful streaming operator: group the write
   * stream by (part_id, idempotency_key) and keep one boolean per key in the
-  * state store — with the RocksDB state store backend this IS a distributed
-  * RocksDB point lookup per key, checkpoint-versioned so batch replays
-  * re-run against the pre-batch state (exactly-once), and O(batch) per
-  * trigger instead of the previous full anti-join re-scan of the committed
-  * table.
+  * state store — a distributed point lookup per key (per-executor RocksDB
+  * by default; heap-backed opt-in for TTL-bounded state, see
+  * [[StreamIngest]]), checkpoint-versioned so batch replays re-run against
+  * the pre-batch state (exactly-once), and O(batch) per trigger instead of
+  * the previous full anti-join re-scan of the committed table.
   *
   * Within a batch the FIRST event by (timestamp_ms, event_id) wins —
   * deterministic, matching [[graft.core.EventLog.deduped]]; Spark's own

@@ -20,9 +20,10 @@ import scala.jdk.CollectionConverters._
   *
   *  - a file micro-batch source IS the combiner: each trigger's batch is one
   *    atomic bulk write (S5 is free)
-  *  - [[KeyedDedup]] (flatMapGroupsWithState on the RocksDB state store) is
-  *    the idempotency index: within-batch AND cross-batch dedup as keyed
-  *    state, O(batch) per trigger; `foreachBatch` adds only the
+  *  - [[KeyedDedup]] (flatMapGroupsWithState on the keyed state store —
+  *    per-executor RocksDB by default, heap-backed opt-in for TTL-bounded
+  *    state) is the idempotency index: within-batch AND cross-batch dedup
+  *    as keyed state, O(batch) per trigger; `foreachBatch` adds only the
   *    bloom-short-circuited join against keys committed BEFORE the stream
   *    started, then sequence continuation from the table's high watermarks
   *    (S6 seeded like the reference's AtomicU64 from the durable HWM) and
@@ -47,7 +48,8 @@ final class StreamIngest(
     snapshotMinBytes: Long = 1L << 30,
     snapshotMaxAgeMs: Long = 30L * 60 * 1000,
     targetFileSize: Long = EventTable.DefaultTargetFileSize,
-    dedupStateTtlMs: Option[Long] = None
+    dedupStateTtlMs: Option[Long] = None,
+    dedupStateBackend: String = StreamIngest.RocksDbState
 ) {
   val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
 
@@ -122,7 +124,7 @@ final class StreamIngest(
   //     definitely new and bypass the exact join entirely — in the common
   //     no-duplicate case almost the whole batch skips the shuffle.
   //  3. KEYS SEEN SINCE START: in the streaming path these live in the
-  //     KEYED STATE STORE ([[KeyedDedup]], RocksDB backend) — O(batch) per
+  //     KEYED STATE STORE ([[KeyedDedup]]) — O(batch) per
   //     trigger; in the direct-call path they are read from only the files
   //     THIS instance wrote (incremental, never the whole table).
 
@@ -161,6 +163,19 @@ final class StreamIngest(
     * `upstreamDeduped` marks batches that already passed [[KeyedDedup]]
     * (the streaming path): within-batch and since-start dedup are then
     * keyed-state facts and only the bootstrap join remains. */
+  /** Per-phase flush timing — the reference's flush-duration histograms
+    * (`/root/reference/src/metrics/registry.rs`, flusher timings); also
+    * printed per batch when GRAFT_TIMING is set, for throughput triage. */
+  private def timed[T](phase: String, batchId: Long)(f: => T): T = {
+    val t0  = System.nanoTime()
+    val out = f
+    val ms  = (System.nanoTime() - t0) / 1e6
+    metrics.observeMs(s"graft_flush_phase_ms_$phase", ms)
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"[graft-timing] batch=$batchId $phase%-10s ${ms}%.0f ms")
+    out
+  }
+
   def processBatch(batch: DataFrame, batchId: Long, upstreamDeduped: Boolean = false): Unit = {
     if (batchId <= lastCommittedBatchId() || pending.contains(batchId)) {
       maybeCommit(force = false)
@@ -195,14 +210,18 @@ final class StreamIngest(
     val newPaths =
       try {
         // materializes the cached slice and sizes the sequencing shuffle
-        val batchRows = deduped.count()
+        val batchRows = timed("dedup", batchId)(deduped.count())
         if (pending.isEmpty && wmBaseVersion < 0) wmBaseVersion = committer.currentVersion()
-        val (seq, stats) = EventLog.assignSequencesWithStats(deduped, base = watermarks(),
-                                                             byteColumn = Some("props"),
-                                                             rowsHint = Some(batchRows))
+        val (seq, stats) = timed("sequence", batchId) {
+          EventLog.assignSequencesWithStats(deduped, base = watermarks(),
+                                            byteColumn = Some("props"),
+                                            rowsHint = Some(batchRows))
+        }
         val sequenced = EventLog.deriveDateHour(seq)
-        EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
-                             precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
+        timed("write", batchId) {
+          EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
+                               precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
+        }
       } finally {
         deduped.unpersist()
         if (multiPass) base.unpersist()
@@ -210,7 +229,7 @@ final class StreamIngest(
 
     // Marker AFTER the data write: files without a marker are orphans.
     committer.io.put(markerPath(batchId), newPaths.mkString("\n").getBytes("UTF-8"))
-    val written = EventTable.collectDataFiles(spark, tableRoot, newPaths)
+    val written = timed("footers", batchId)(EventTable.collectDataFiles(spark, tableRoot, newPaths))
     pending.update(batchId, written)
     sinceStartFiles ++= written
     if (pending.size == 1) pendingSince = System.currentTimeMillis()
@@ -281,14 +300,25 @@ final class StreamIngest(
     * interval, flush what arrived). The caller owns the query lifecycle. */
   def startFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
                       trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery = {
-    // The keyed dedup state lives in per-executor RocksDB instances — the
-    // same storage the reference's idempotency index uses, but sharded by
-    // Spark's state partitioning and versioned by the checkpoint.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // commit per-batch changelogs instead of full RocksDB snapshots — the
-    // standard production setting for frequent small batches
-    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // State backend for the keyed dedup index. Both are exactly-once and
+    // checkpoint-durable; the choice is a size/latency tradeoff:
+    //  - DEFAULT per-executor RocksDB (the same storage the reference's
+    //    idempotency index uses) with per-batch changelog checkpointing
+    //    (the standard production setting for frequent small batches):
+    //    state can outgrow the heap, which unbounded key retention at
+    //    100 TB will.
+    //  - HeapState (Spark's HDFSBacked provider): for deployments whose
+    //    dedup state is bounded by a short TTL window (the reference's
+    //    cleanup watermark) — skips the native commit + changelog upload
+    //    per state partition per batch. A/B-benched at sf0.1: within noise
+    //    of RocksDB here, so the scale-safe backend stays the default.
+    if (dedupStateBackend == StreamIngest.RocksDbState) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    } else
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     val source = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -335,6 +365,10 @@ final class IngestMetricsListener(metrics: graft.serve.Metrics)
 }
 
 object StreamIngest {
+  /** Dedup-state backends (see the constructor note in [[StreamIngest]]). */
+  val RocksDbState = "rocksdb"
+  val HeapState    = "heap"
+
   /** Library-level bulk append — the batch analogue of a gateway bulk write
     * (S2): the engine dedupes (within the batch and against the table),
     * continues sequences from the committed watermarks, writes the sorted

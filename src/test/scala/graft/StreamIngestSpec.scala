@@ -223,8 +223,11 @@ class StreamIngestSpec extends AnyFunSuite {
     val schema = chunk(0 until 10, "k").schema
 
     // short TTL: keys idle >1s are evicted like the reference's cleanup
-    // watermark — a later retry of the same key is accepted again
-    val ing = new StreamIngest(spark, root, snapshotMinFiles = 1, dedupStateTtlMs = Some(1000L))
+    // watermark — a later retry of the same key is accepted again.
+    // HeapState covers the TTL-bounded opt-in backend (other streaming
+    // tests run the default RocksDB path).
+    val ing = new StreamIngest(spark, root, snapshotMinFiles = 1, dedupStateTtlMs = Some(1000L),
+                               dedupStateBackend = StreamIngest.HeapState)
     val q = ing.startFileStream(s"$staging/*/", schema,
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
     def committedRows(): Long =
