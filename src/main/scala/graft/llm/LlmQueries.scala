@@ -415,12 +415,15 @@ object LlmQueries {
 
       def assign(cents: DataFrame): DataFrame = {
         val simToCent = expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))")
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("c_sim").desc, col("c_id"))
+        // argmax by (c_sim desc, c_id asc) as a partial-aggregatable max_by
+        // over a UNIQUE sort key — map-side combine, no per-iteration window
+        // shuffle+sort. Same tie-break as the oracle's row_number ordering.
         e.crossJoin(broadcast(cents))
           .withColumn("c_sim", simToCent)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("c_id").as("centroid_id"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
+                      struct(col("c_sim").as("s"), (-col("c_id")).as("neg_id"))).as("best"))
+          .select(col("vec_id"), col("best.v").as("v"), col("best.centroid_id").as("centroid_id"))
       }
 
       var cents = e.filter(col("vec_id") < NumCentroids)
