@@ -16,6 +16,7 @@ object SparkEntry {
       (core.HotQueries.queries, core.HotQueries.oracles),
       (table.IcebergQueries.queries, table.IcebergQueries.oracles),
       (llm.LlmQueries.queries, llm.LlmQueries.oracles),
+      (llm.CorpusQueries.queries, llm.CorpusQueries.oracles),
       (graft.extract.ExtractQueries.queries, graft.extract.ExtractQueries.oracles),
       (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
       (serve.ServeQueries.queries, serve.ServeQueries.oracles),

@@ -1,0 +1,72 @@
+package graft
+
+import graft.llm.CorpusQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-prep operators vs naive single-threaded reimplementations on
+  * driver-collected sf0.001 data, plus the invariants that make them safe
+  * to train on (splits partition the corpus; packing preserves order). */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs: Seq[(Long, String, String, Long)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source", "n_chars").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("t4 percentiles equal naive sorted nearest-rank per source") {
+    val got = CorpusQueries.queries("t4_corpus_profile")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("p50_chars"), r.getAs[Long]("p90_chars"), r.getAs[Long]("p99_chars"))
+    }.toMap
+    docs.groupBy(_._3).foreach { case (src, ds) =>
+      val sortedChars = ds.map(_._4).sorted
+      def rank(permille: Long): Long = {
+        val k = math.ceil(permille * sortedChars.size / 1000.0).toInt
+        sortedChars(math.max(0, k - 1))
+      }
+      assert(got(src) == ((rank(500), rank(900), rank(990))), s"source $src")
+    }
+  }
+
+  test("d5 split partitions the corpus deterministically, roughly 80/10/10") {
+    val rows = CorpusQueries.queries("d5_train_split")(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum == docs.size) // partition: every doc in exactly one split
+    val frac = bySplit("train").toDouble / docs.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    assert(bySplit.contains("val") && bySplit.contains("test"))
+    // determinism: identical on a second run
+    val again = CorpusQueries.queries("d5_train_split")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) -> r.getAs[Long]("sum_doc_id")).toMap
+    val first = rows.map(r => (r.getAs[String]("source"), r.getAs[String]("split")) -> r.getAs[Long]("sum_doc_id")).toMap
+    assert(again == first)
+  }
+
+  test("t5 packing equals a sequential single-threaded pass") {
+    val tokens = docs.sortBy(_._1).map { case (id, text, _, _) =>
+      id -> "[a-z]+|[0-9]+".r.findAllIn(text.toLowerCase).size.toLong
+    }
+    var prefix = 0L
+    val naive = tokens.map { case (id, t) =>
+      val w = prefix / CorpusQueries.PackBudget; prefix += t; (id, t, w)
+    }
+    val expected = naive.groupBy(_._3).map { case (w, rows) =>
+      w -> (rows.size.toLong, rows.map(_._2).sum, rows.map(_._1).min, rows.map(_._1).max)
+    }
+    val got = CorpusQueries.queries("t5_context_pack")(spark, dir).collect().map { r =>
+      r.getAs[Long]("window_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+         r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))
+    }.toMap
+    assert(got == expected)
+    // windows cover contiguous doc_id ranges: ordered by window, ranges don't interleave
+    val byWindow = got.toSeq.sortBy(_._1).map(_._2)
+    byWindow.sliding(2).foreach {
+      case Seq((_, _, _, lastA), (_, _, firstB, _)) => assert(lastA < firstB)
+      case _                                        => ()
+    }
+  }
+}
