@@ -153,6 +153,40 @@ object LlmQueries {
         .select("doc_id", "sig", "shingle_set", "vhash")
 
 
+  /** d4/d6 shared: exact n-gram-Jaccard duplicate pairs. The exact
+    * counterpart of d2's MinHash: no signatures — candidates come from a
+    * shingle inverted index (pairs must share at least one non-hot
+    * shingle), then exact Jaccard over the full sets decides. Every join
+    * is posting-list-local (bucketed by shingle); the [[NgramMaxDf]] cap
+    * bounds each bucket's pair fan-out, which is what keeps the plan
+    * linear-ish at corpus scale. */
+  private def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = sigCache.synchronized {
+      sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+    val rare = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= NgramMaxDf)
+      .drop("df")
+    val pairs = rare.as("a")
+      .join(rare.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
+      // Jaccard >= 1/2 without a float: 2·|∩| >= |∪|
+      .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+      .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- exact dedup (content hash) ----------
     "d1_exact_dedup" -> { (s, dir) =>
@@ -204,37 +238,45 @@ object LlmQueries {
     },
 
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
-    "d4_ngram_jaccard" -> { (s, dir) =>
-      // The exact counterpart of d2: no signatures — candidates come from a
-      // shingle inverted index (pairs must share at least one non-hot
-      // shingle), then exact Jaccard over the full sets decides. Every join
-      // is posting-list-local (bucketed by shingle); the NgramMaxDf cap
-      // bounds each bucket's pair fan-out, which is what keeps the plan
-      // linear-ish at corpus scale.
-      val base = sigCache.synchronized {
-        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    "d4_ngram_jaccard" -> { (s, dir) => ngramDupPairs(s, dir) },
+
+    // ---------- dedup clustering: connected components over dup pairs ----------
+    "d6_dedup_clusters" -> { (s, dir) =>
+      // Pair lists are not a dedup decision: near-duplication is transitive
+      // only through clusters (A~B, B~C ⇒ keep one of {A,B,C}). Components
+      // are computed by iterative min-label propagation — each round is one
+      // edge join + one min-agg (both key-bucketed shuffles), rounds are
+      // O(component diameter), and convergence is a metadata-sized driver
+      // check. Dup clusters are tiny (diameter ≤ a few hops), so this is
+      // the plan that holds at corpus scale; no union-find on one machine.
+      val edges = ngramDupPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(ngramDupPairs(s, dir).select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds    = 0
+      while (!converged && rounds < 20) {
+        val fromNbr = edges
+          .join(labels.withColumnRenamed("doc_id", "v"), "v")
+          .groupBy(col("u").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels
+          .join(fromNbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        rounds += 1
       }
-      val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
-      val rare = postings
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("df") <= NgramMaxDf)
-        .drop("df")
-      val pairs = rare.as("a")
-        .join(rare.as("b"), Seq("sh"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
-      val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
-      pairs
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-        .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
-        // Jaccard >= 1/2 without a float: 2·|∩| >= |∪|
-        .filter(col("inter_cnt") * 2 >= col("union_cnt"))
-        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      labels.select(col("doc_id"), col("cluster_id"),
+                    (col("doc_id") === col("cluster_id")).as("is_canonical"))
     },
 
     // ---------- winnowing: rolling k-gram fingerprints (MOSS scheme) ----------
@@ -477,6 +519,35 @@ object LlmQueries {
     val words =
       "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
 
+    /** d4/d6 shared CTE chain: shingle sets → inverted index with the
+      * hot-posting cap → candidate pairs → exact-Jaccard-thresholded `dup`. */
+    val ngramPairCtes =
+      s"""base AS (SELECT doc_id, $words AS words FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(words) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+         |    END AS shingles
+         |  FROM base
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh WHERE len(shingles) > 0
+         |), ex AS (
+         |  SELECT doc_id, unnest(sset) AS s FROM sets
+         |), dfreq AS (
+         |  SELECT s, count(*) AS df FROM ex GROUP BY 1
+         |), rare AS (
+         |  SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s) WHERE df <= $NgramMaxDf
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+         |), dup AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter_cnt,
+         |    CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS union_cnt
+         |  FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+         |  WHERE 2 * len(list_intersect(sa.sset, sb.sset)) >= len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))
+         |)""".stripMargin
+
     val minhashSql =
       s"""WITH base AS (
          |  SELECT doc_id, $words AS words FROM documents
@@ -680,30 +751,18 @@ object LlmQueries {
       "d3_embedding_neardup" -> neardupSql,
       "d2_minhash_lsh" -> minhashSql,
       "d4_ngram_jaccard" ->
-        s"""WITH base AS (SELECT doc_id, $words AS words FROM documents),
-           |sh AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(words) < 2 THEN []
-           |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
-           |    END AS shingles
-           |  FROM base
-           |), sets AS (
-           |  SELECT doc_id, list_distinct(shingles) AS sset FROM sh WHERE len(shingles) > 0
-           |), ex AS (
-           |  SELECT doc_id, unnest(sset) AS s FROM sets
-           |), dfreq AS (
-           |  SELECT s, count(*) AS df FROM ex GROUP BY 1
-           |), rare AS (
-           |  SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s) WHERE df <= $NgramMaxDf
-           |), pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        s"""WITH $ngramPairCtes
+           |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,
+      "d6_dedup_clusters" ->
+        s"""WITH RECURSIVE $ngramPairCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+           |reach(u, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v
            |)
-           |SELECT doc_a, doc_b,
-           |  CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter_cnt,
-           |  CAST(len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS union_cnt
-           |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
-           |WHERE 2 * len(list_intersect(sa.sset, sb.sset)) >= len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))""".stripMargin,
+           |SELECT u AS doc_id, min(m) AS cluster_id, (min(m) = u) AS is_canonical
+           |FROM reach GROUP BY 1""".stripMargin,
       "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,

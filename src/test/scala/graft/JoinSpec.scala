@@ -89,4 +89,41 @@ class JoinSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty) // the corpus has known near-dups
   }
+
+  test("d6_dedup_clusters matches union-find over the brute-force pair graph") {
+    // brute-force pairs recomputed independently (same logic as the d4 test)
+    val docs: Seq[(Long, Set[String])] = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect().toSeq
+      .map { r =>
+        val words = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), words.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet)
+      }
+    val withShingles = docs.filter(_._2.nonEmpty)
+    val df = withShingles.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rareOf = withShingles.map { case (id, ss) =>
+      id -> ss.filter(s => df(s) <= LlmQueries.NgramMaxDf)
+    }.toMap
+    val pairs = for {
+      (a, sa) <- withShingles; (b, sb) <- withShingles if a < b
+      if (rareOf(a) & rareOf(b)).nonEmpty
+      inter = (sa & sb).size.toLong
+      if 2 * inter >= sa.size + sb.size - inter
+    } yield (a, b)
+    // union-find
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => d._1 -> {
+      // canonical = MIN member of the component, which min-union keeps as root
+      find(d._1)
+    }).toMap
+
+    val got = LlmQueries.queries("d6_dedup_clusters")(spark, dir).collect().map { r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")
+    }.toMap
+    assert(got == expected)
+  }
 }
