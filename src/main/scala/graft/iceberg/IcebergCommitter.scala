@@ -151,7 +151,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val snapshotId = newSnapshotId()
     val seqNum     = base.lastSequenceNumber + 1
     val mapper     = TableMetadata.mapper
-    val schemaJson = mapper.writeValueAsString(base.schemas.head.toNode(mapper))
+    val curSchema  = base.schemas.find(_.schemaId == base.currentSchemaId).getOrElse(base.schemas.head)
+    val schemaJson = mapper.writeValueAsString(curSchema.toNode(mapper))
     val specJson   = base.partitionSpecs.head.fieldsJson(mapper)
 
     // One new manifest holding this commit's added + deleted entries.
@@ -273,6 +274,45 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * that no retained snapshot's active set references. Manifests are
     * shared by carry-forward lists, so a manifest is deleted only when no
     * retained snapshot references it. Returns the expired snapshot ids. */
+  /** ADDITIVE Iceberg schema evolution, CAS-committed like any snapshot:
+    * appends `next` to the metadata's schema list under a fresh schema-id
+    * and makes it current. Compatibility is Iceberg's: every existing field
+    * keeps its id, name, and type (adds only — renames/drops/retypes are
+    * rejected); readers project old data files against the CURRENT schema,
+    * so rows written before the evolution read the added columns as null.
+    * Returns false (no-op) when `next` already matches the current schema.
+    * A commit racing in between raises [[CommitConflict]], exactly as in
+    * [[commit]]/[[expireSnapshots]]. */
+  def evolveSchema(next: IcebergSchema): Boolean = synchronized {
+    val baseVersion = currentVersion()
+    require(baseVersion > 0, "cannot evolve the schema of a table with no committed metadata")
+    val meta = IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
+    val cur  = meta.schemas.find(_.schemaId == meta.currentSchemaId).getOrElse(meta.schemas.head)
+    def key(f: IcebergField) = (f.id, f.name, f.fieldType)
+    if (next.fields.map(key) == cur.fields.map(key)) return false
+    val nextById = next.fields.map(f => f.id -> f).toMap
+    cur.fields.foreach { f =>
+      val nf = nextById.getOrElse(f.id,
+        throw new IllegalArgumentException(s"schema evolution dropped field ${f.name} (id ${f.id})"))
+      require(nf.name == f.name && nf.fieldType == f.fieldType,
+        s"schema evolution must not mutate field ${f.name} (id ${f.id}): got ${nf.name}:${nf.fieldType}")
+    }
+    val newId   = meta.schemas.map(_.schemaId).max + 1
+    val updated = meta.copy(
+      schemas = meta.schemas :+ next.copy(schemaId = newId),
+      currentSchemaId = newId,
+      lastUpdatedMs = System.currentTimeMillis())
+    val nextVersion = baseVersion + 1
+    if (!io.putIfAbsent(versionFile(nextVersion), updated.toJson.getBytes("UTF-8")))
+      throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
+    io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
+    true
+  }
+
+  /** The current schema (from the latest committed metadata), if any. */
+  def currentSchema(): Option[IcebergSchema] =
+    load().map(m => m.schemas.find(_.schemaId == m.currentSchemaId).getOrElse(m.schemas.head))
+
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     // CAS discipline as in commit(): everything below derives from the
     // metadata at baseVersion, and the putIfAbsent targets EXACTLY

@@ -249,10 +249,10 @@ object LlmQueries {
       // O(component diameter), and convergence is a metadata-sized driver
       // check. Dup clusters are tiny (diameter ≤ a few hops), so this is
       // the plan that holds at corpus scale; no union-find on one machine.
-      val edges = ngramDupPairs(s, dir)
-        .select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionByName(ngramDupPairs(s, dir).select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val dup = ngramDupPairs(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = dup.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(dup.select(col("doc_b").as("u"), col("doc_a").as("v")))
       var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var converged = false

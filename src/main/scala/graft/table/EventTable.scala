@@ -241,8 +241,18 @@ object EventTable {
     * the same path (the schema travels with the DataFrame). */
   def ingestAndCommitExtracted(spark: SparkSession, sfDir: String, tableRoot: String,
                                cfg: graft.extract.TableSchemaConfig,
-                               fragmentInto: Option[Int] = None): IcebergCommitter = {
-    val log       = EventLog.log(spark, sfDir)
+                               fragmentInto: Option[Int] = None): IcebergCommitter =
+    appendExtracted(spark, EventLog.log(spark, sfDir), tableRoot, cfg, fragmentInto)
+
+  /** Append an already-derived log slice with schema-on-flush extraction.
+    * If the table exists and `cfg` ADDS fields relative to its current
+    * schema, the Iceberg schema is EVOLVED first (additive CAS,
+    * [[IcebergCommitter.evolveSchema]]) — the lakehouse flow for "the
+    * extraction config grew a field": old files stay as written and read
+    * the new columns as null via [[readCommittedProjected]]. */
+  def appendExtracted(spark: SparkSession, log: DataFrame, tableRoot: String,
+                      cfg: graft.extract.TableSchemaConfig,
+                      fragmentInto: Option[Int] = None): IcebergCommitter = {
     val extracted = graft.extract.PayloadExtractor.extract(log, col("props"), cfg)
     val df = extracted.select(
       Seq(
@@ -257,12 +267,45 @@ object EventTable {
         col("part_id").as("partition")
       ): _*
     )
-    val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
     val schema    = IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic, schema)
+    if (committer.currentVersion() > 0) committer.evolveSchema(schema)
+    val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
+  }
+
+  private def sparkTypeOf(icebergType: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    icebergType match {
+      case "long"    => LongType
+      case "string"  => StringType
+      case "int"     => IntegerType
+      case "double"  => DoubleType
+      case "boolean" => BooleanType
+      case "date"    => DateType
+      case "binary"  => BinaryType
+      case other     => throw new IllegalArgumentException(s"unmapped iceberg type $other")
+    }
+  }
+
+  /** Iceberg-semantics read: project every data file against the table's
+    * CURRENT schema (not the files' own footers) — columns added by schema
+    * evolution read as null in files written before it. The explicit
+    * schema also skips footer-merge inference entirely. */
+  def readCommittedProjected(spark: SparkSession, tableRoot: String): DataFrame = {
+    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val schemaOpt = committer.currentSchema()
+    val active    = committer.activeDataFiles()
+    val st = org.apache.spark.sql.types.StructType(
+      schemaOpt.getOrElse(IcebergSchema.default).fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
+    if (active.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+    else
+      spark.read.schema(st).option("basePath", s"$tableRoot/data")
+        .parquet(active.map(f => s"$tableRoot/${f.filePath}"): _*)
   }
 
   /** Per-partition high watermark from file bounds — exact because files are

@@ -189,4 +189,39 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.activeDataFiles() === Nil)
     assert(c.maxCommittedSequencePerPartition() === Map.empty)
   }
+
+  test("schema evolution: additive commit, compatibility guards, version bump") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
+    val base = c.currentSchema().get
+
+    // no-op when identical (field ids compared, not schemaId)
+    assert(!c.evolveSchema(base.copy(schemaId = 99)))
+    assert(c.currentVersion() === 1)
+
+    // additive evolution commits a new metadata version and schema id
+    val added = base.copy(fields =
+      base.fields :+ IcebergField(200, "extra", "string", required = false))
+    assert(c.evolveSchema(added))
+    assert(c.currentVersion() === 2)
+    val cur = c.currentSchema().get
+    assert(cur.schemaId === 1)
+    assert(cur.fields.exists(_.name == "extra"))
+    // old schema retained in metadata history
+    assert(c.load().get.schemas.map(_.schemaId) === Seq(0, 1))
+
+    // dropping a field is rejected
+    intercept[IllegalArgumentException] {
+      c.evolveSchema(cur.copy(fields = cur.fields.filterNot(_.name == "sequence")))
+    }
+    // retyping a field is rejected
+    intercept[IllegalArgumentException] {
+      c.evolveSchema(cur.copy(fields =
+        cur.fields.map(f => if (f.name == "extra") f.copy(fieldType = "long") else f)))
+    }
+
+    // appends after evolution embed the CURRENT schema and stamp its id
+    val r = c.commitAppend(Seq(df("data/partition=0/b.parquet", 5, 11, 15)), Map(0 -> 15L))
+    assert(r.metadata.currentSnapshot.get.schemaId === 1)
+  }
 }
