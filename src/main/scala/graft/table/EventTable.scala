@@ -308,6 +308,55 @@ object EventTable {
         .parquet(active.map(f => s"$tableRoot/${f.filePath}"): _*)
   }
 
+  /** Outcome of a copy-on-write delete. */
+  final case class DeleteResult(rewrittenFiles: Int, untouchedFiles: Int,
+                                deletedRows: Long, snapshotId: Option[Long])
+
+  /** Copy-on-write row-level DELETE — the redaction/right-to-be-forgotten
+    * path a training-data lakehouse needs. One scan tags every row with its
+    * source file and counts matches per file (map-side, one shuffle of
+    * O(#files) groups); ONLY files containing matches are rewritten (same
+    * sorted size-targeted layout), then atomically swapped in a single
+    * replace-snapshot (CAS — a concurrent commit raises
+    * [[graft.iceberg.CommitConflict]]). Untouched files are never read
+    * twice, rewritten, or moved. Replaced files are physically deleted —
+    * for redaction that is the point; combine with
+    * `expireSnapshots(keepLast = 1)` to also forget the historical
+    * snapshots that referenced them. */
+  def deleteWhere(spark: SparkSession, tableRoot: String,
+                  predicate: org.apache.spark.sql.Column): DeleteResult = {
+    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val meta      = committer.load().getOrElse(return DeleteResult(0, 0, 0L, None))
+    val base      = meta.currentSnapshotId.getOrElse(return DeleteResult(0, 0, 0L, None))
+    val active    = committer.activeDataFiles()
+    if (active.isEmpty) return DeleteResult(0, 0, 0L, None)
+
+    val matchCounts = readCommitted(spark, tableRoot, active)
+      .withColumn("_file", input_file_name())
+      .groupBy(col("_file"))
+      .agg(count(when(predicate, 1)).as("m"))
+      .filter(col("m") > 0)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val affected = active.filter(f => matchCounts.exists(_._1.endsWith(f.filePath)))
+    if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
+
+    val survivors = readCommitted(spark, tableRoot, affected).filter(!predicate)
+    val newPaths  = writeData(survivors, tableRoot)
+    val added     = collectDataFiles(spark, tableRoot, newPaths)
+    try {
+      val res = committer.commitReplace(affected, added, base)
+      affected.foreach(f => committer.io.delete(f.filePath))
+      DeleteResult(affected.size, active.size - affected.size,
+                   matchCounts.map(_._2).sum, Some(res.snapshotId))
+    } catch {
+      case c: graft.iceberg.CommitConflict =>
+        // roll back ONLY this delete's staged rewrite, exactly like compaction
+        newPaths.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(tableRoot, p)))
+        throw c
+    }
+  }
+
   /** Per-partition high watermark from file bounds — exact because files are
     * single-partition (`partition=P/` dirs). */
   def watermarksOf(dataFiles: Seq[DataFile]): Map[Int, Long] =

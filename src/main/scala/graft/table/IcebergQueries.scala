@@ -145,6 +145,21 @@ object IcebergQueries {
         .readCommitted(s, root)
         .groupBy(col("partition").cast("int").as("part_id"))
         .agg(count(lit(1)).as("n_events"), max("sequence").as("max_seq"))
+    },
+    // Copy-on-write DELETE (redaction): every event whose payload k is
+    // divisible by 7 is removed; only files containing matches are
+    // rewritten, swapped in one replace-snapshot. The read-back must equal
+    // the batch derivation filtered the same way — deleted sequences stay
+    // burned (gaps), exactly like the oracle's filter.
+    "x4_delete_where" -> { (s, dir) =>
+      val root = DeletedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
 
@@ -183,6 +198,13 @@ object IcebergQueries {
         |FROM evlog WHERE sequence > 10 GROUP BY 1""".stripMargin),
     "post_compaction_read" -> Oracle.sql(
       "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1"),
+    "x4_delete_where" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM evlog
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 != 0
+        |GROUP BY 1""".stripMargin),
     "v2_source_read" -> Oracle.sql(
       """SELECT sequence, part_id, timestamp_ms, props FROM evlog
         |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin)
@@ -195,6 +217,26 @@ object IcebergQueries {
   * ≥3 files/group, ≤10 files/run, `/root/reference/src/storage/compaction.rs:25-34`)
   * repeatedly — each run is one replace-snapshot, like repeated POSTs to the
   * reference's compact endpoint. */
+/** One deleted-from table per (JVM, sfDir): full ingest (into several
+  * files so the delete provably rewrites SOME files and leaves others
+  * untouched), then one copy-on-write deleteWhere pass. */
+object DeletedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-delete-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16))
+        val res = EventTable.deleteWhere(spark, root,
+          expr("cast(get_json_object(cast(payload as string), '$.k') as int) % 7 = 0"))
+        require(res.deletedRows > 0, "delete fixture must remove rows")
+        root
+      }
+    )
+  }
+}
+
 object CompactedTables {
   private val cache = scala.collection.mutable.Map.empty[String, String]
 

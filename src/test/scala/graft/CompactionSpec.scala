@@ -2,6 +2,7 @@ package graft
 
 import graft.iceberg._
 import graft.table.{Compaction, EventTable}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 
@@ -45,6 +46,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
     // physical cleanup happened: no orphan small files left behind
     assert(EventTable.listParquet(root).size === filesAfter)
+  }
+
+  test("copy-on-write delete rewrites only files with matches; rows and files reconcile") {
+    val root = Files.createTempDirectory("graft-delete-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    val committer = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val before    = committer.activeDataFiles().map(_.filePath).toSet
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+
+    // delete everything in ONE log partition: files of other partitions
+    // (partition=P dirs) contain no matches and must survive untouched
+    val res = EventTable.deleteWhere(spark, root, col("partition") === 3)
+    assert(res.deletedRows > 0)
+    assert(res.rewrittenFiles > 0 && res.untouchedFiles > 0)
+
+    val after = committer.activeDataFiles().map(_.filePath).toSet
+    val untouched = before.filterNot(_.contains("partition=3"))
+    assert(untouched.subsetOf(after), "files without matches must keep their identity")
+    assert(!after.exists(_.contains("partition=3")) ||
+           EventTable.readCommitted(spark, root).filter(col("partition") === 3).count() == 0)
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore - res.deletedRows)
+    // replaced files are physically gone; listing reconciles with manifests
+    assert(EventTable.listParquet(root).size === after.size)
+
+    // deleting with no matches is a no-op commit-wise
+    val versionBefore = committer.currentVersion()
+    val noop = EventTable.deleteWhere(spark, root, col("partition") === 3)
+    assert(noop.deletedRows === 0 && noop.snapshotId.isEmpty)
+    assert(committer.currentVersion() === versionBefore)
   }
 
   test("C3 rollback: a concurrent commit aborts compaction and removes rewrites") {
