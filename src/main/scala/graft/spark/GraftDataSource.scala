@@ -277,15 +277,47 @@ final class GraftColumnarReader(tableRoot: String, relPath: String, required: St
   private val fileFields = required.fields.filterNot(_.name == "partition")
   private val partFields = required.fields.filter(_.name == "partition")
 
+  // Schema-evolution support: columns requested but ABSENT from this file
+  // (written before an additive evolution) cannot be projected by the
+  // vectorized decoder — they ride in as constant-NULL vectors through the
+  // same initBatch mechanism the identity `partition` constant uses.
+  private val footerFields: Set[String] = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
+    try fr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+    finally fr.close()
+  }
+  private val present = fileFields.filter(f => footerFields.contains(f.name))
+  private val missing = fileFields.filterNot(f => footerFields.contains(f.name))
+  private val constFields = missing ++ partFields
+  private val constValues: Array[Any] = missing.map(_ => null: Any) ++ partFields.map(_ => partValue: Any)
+
   private val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
-  reader.initialize(s"$tableRoot/$relPath", fileFields.map(_.name).toSeq.asJava)
-  reader.initBatch(StructType(partFields), new GenericInternalRow(partFields.map(_ => partValue: Any)))
+  reader.initialize(s"$tableRoot/$relPath", present.map(_.name).toSeq.asJava)
+  reader.initBatch(StructType(constFields.toIndexedSeq), new GenericInternalRow(constValues))
   reader.enableReturningBatches()
 
+  // The decoder emits [present..., missing-nulls..., partition]; when an
+  // evolved column sits mid-schema the batch must be permuted back to the
+  // requested order. Vectors are stable across batches, so the permuted
+  // wrapper is built once.
+  private val batchOrder  = (present ++ constFields).map(_.name)
+  private val perm        = required.fields.map(f => batchOrder.indexOf(f.name))
+  private val isIdentity  = perm.zipWithIndex.forall { case (p, i) => p == i }
+  private var permuted: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
   override def next(): Boolean = reader.nextKeyValue()
-  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val b = reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+    if (isIdentity) b
+    else {
+      if (permuted == null)
+        permuted = new org.apache.spark.sql.vectorized.ColumnarBatch(perm.map(b.column(_)))
+      permuted.setNumRows(b.numRows())
+      permuted
+    }
+  }
   override def close(): Unit = reader.close()
 }
 

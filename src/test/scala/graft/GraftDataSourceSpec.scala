@@ -69,6 +69,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("catalog reads schema-EVOLVED tables: old files yield null for added columns") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-cat-evo-").toString
+    val root      = s"$warehouse/evolved"
+    val log = graft.core.EventLog.log(spark, "/root/testdata/sf0.001")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val half = log.agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0) / 2
+    val cfg1 = graft.extract.TableSchemaConfig(fields = Seq(graft.extract.FieldSpec("k", "k", "Int32")))
+    val cfg2 = graft.extract.TableSchemaConfig(fields = Seq(
+      graft.extract.FieldSpec("k", "k", "Int32"), graft.extract.FieldSpec("k_str", "k", "Utf8")))
+    graft.table.EventTable.appendExtracted(spark, log.filter("event_id <= " + half), root, cfg1)
+    graft.table.EventTable.appendExtracted(spark, log.filter("event_id > " + half), root, cfg2)
+    log.unpersist()
+
+    spark.conf.set("spark.sql.catalog.zevo", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.zevo.warehouse", warehouse)
+    val rows = spark.sql(
+      "SELECT count(*) AS n, count(k_str) AS n_k_str, count(k) AS n_k FROM zevo.default.evolved")
+      .head()
+    val expected = graft.table.EventTable.readCommittedProjected(spark, root)
+    assert(rows.getLong(0) === expected.count())
+    assert(rows.getLong(1) > 0 && rows.getLong(1) < rows.getLong(0), "k_str only in new files")
+    assert(rows.getLong(2) === rows.getLong(0), "k present everywhere")
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF read historical snapshots") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-tt-cat-").toString
     val root      = s"$warehouse/ttable"
