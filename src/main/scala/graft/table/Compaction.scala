@@ -72,7 +72,7 @@ object Compaction {
     val candidates = selectCandidates(committer.activeDataFiles(), cfg)
     if (candidates.isEmpty) return None
 
-    val df = EventTable.readCommitted(spark, tableRoot, candidates)
+    val df = EventTable.readForRewrite(spark, tableRoot, candidates)
     // Same layout + sort invariant as the original segments; re-sliced
     // toward cfg.targetFileSize by the size-aware writer (C2). writeData
     // returns EXACTLY the files this job wrote — a concurrent flush's

@@ -294,10 +294,11 @@ object EventTable {
     * CURRENT schema (not the files' own footers) — columns added by schema
     * evolution read as null in files written before it. The explicit
     * schema also skips footer-merge inference entirely. */
-  def readCommittedProjected(spark: SparkSession, tableRoot: String): DataFrame = {
+  def readCommittedProjected(spark: SparkSession, tableRoot: String,
+                             files: Seq[DataFile] = null): DataFrame = {
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
     val schemaOpt = committer.currentSchema()
-    val active    = committer.activeDataFiles()
+    val active    = Option(files).getOrElse(committer.activeDataFiles())
     val st = org.apache.spark.sql.types.StructType(
       schemaOpt.getOrElse(IcebergSchema.default).fields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
@@ -307,6 +308,16 @@ object EventTable {
       spark.read.schema(st).option("basePath", s"$tableRoot/data")
         .parquet(active.map(f => s"$tableRoot/${f.filePath}"): _*)
   }
+
+  /** Rewrite-read for compaction/delete: files may predate a schema
+    * evolution, so the slice is PROJECTED against the current metadata
+    * schema — a footer-inferred read could silently drop evolved columns
+    * from the rewritten files. The payload (pre-evolution byte identity)
+    * is preserved because the projection is by name over the same columns
+    * the writer emits. */
+  private[table] def readForRewrite(spark: SparkSession, tableRoot: String,
+                                    files: Seq[DataFile]): DataFrame =
+    readCommittedProjected(spark, tableRoot, files)
 
   /** Outcome of a copy-on-write delete. */
   final case class DeleteResult(rewrittenFiles: Int, untouchedFiles: Int,
@@ -341,7 +352,7 @@ object EventTable {
     val affected = active.filter(f => matchCounts.exists(_._1.endsWith(f.filePath)))
     if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
 
-    val survivors = readCommitted(spark, tableRoot, affected).filter(!predicate)
+    val survivors = readForRewrite(spark, tableRoot, affected).filter(!predicate)
     val newPaths  = writeData(survivors, tableRoot)
     val added     = collectDataFiles(spark, tableRoot, newPaths)
     try {

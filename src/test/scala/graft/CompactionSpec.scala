@@ -77,6 +77,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("compaction of a schema-EVOLVED table keeps the added column (projected rewrite)") {
+    val root = Files.createTempDirectory("graft-compact-evo-").toString
+    val log  = graft.core.EventLog.log(spark, "/root/testdata/sf0.001")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val half = log.agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0) / 2
+    val cfg1 = graft.extract.TableSchemaConfig(fields = Seq(graft.extract.FieldSpec("k", "k", "Int32")))
+    val cfg2 = graft.extract.TableSchemaConfig(fields = Seq(
+      graft.extract.FieldSpec("k", "k", "Int32"), graft.extract.FieldSpec("k_str", "k", "Utf8")))
+    // both halves fragmented so compaction has mixed-schema candidate groups
+    EventTable.appendExtracted(spark, log.filter(s"event_id <= $half"), root, cfg1, fragmentInto = Some(16))
+    EventTable.appendExtracted(spark, log.filter(s"event_id > $half"), root, cfg2, fragmentInto = Some(16))
+    log.unpersist()
+
+    val before    = EventTable.readCommittedProjected(spark, root)
+    val nBefore   = before.count()
+    val kStrBefore = before.filter(col("k_str").isNotNull).count()
+    assert(kStrBefore > 0)
+
+    while (Compaction.compact(spark, root).isDefined) ()
+
+    val after = EventTable.readCommittedProjected(spark, root)
+    assert(after.count() === nBefore)
+    // a footer-inferred rewrite would have dropped k_str from mixed groups
+    assert(after.filter(col("k_str").isNotNull).count() === kStrBefore)
+  }
+
   test("C3 rollback: a concurrent commit aborts compaction and removes rewrites") {
     val root = Files.createTempDirectory("graft-compact-conflict-").toString
     EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
