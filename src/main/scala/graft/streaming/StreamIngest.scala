@@ -136,6 +136,10 @@ final class StreamIngest(
   /** Files written by THIS instance (kept after commits clear `pending`). */
   private val sinceStartFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
 
+  /** Previous batch's post-dedup row count — the sequencing-shuffle width
+    * hint for the next batch (saves a dedicated count job per trigger). */
+  private var lastBatchRows: Option[Long] = None
+
   /** (cached key frame, broadcast bloom over "part:key") — built lazily so
     * the common fresh-table case pays nothing. */
   private lazy val bootstrap: Option[(DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])] =
@@ -209,14 +213,18 @@ final class StreamIngest(
     val deduped = afterSince.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newPaths =
       try {
-        // materializes the cached slice and sizes the sequencing shuffle
-        val batchRows = timed("dedup", batchId)(deduped.count())
         if (pending.isEmpty && wmBaseVersion < 0) wmBaseVersion = committer.currentVersion()
+        // No separate count job: the sequencing range-shuffle materializes
+        // the cached slice in its own first pass, and the shuffle width is
+        // sized from the PREVIOUS batch's row count (streaming batches are
+        // similar-sized; the hint only tunes task counts, never results —
+        // batch 0 falls back to the session parallelism).
         val (seq, stats) = timed("sequence", batchId) {
           EventLog.assignSequencesWithStats(deduped, base = watermarks(),
                                             byteColumn = Some("props"),
-                                            rowsHint = Some(batchRows))
+                                            rowsHint = lastBatchRows)
         }
+        lastBatchRows = Some(stats.values.map(_._1).sum)
         val sequenced = EventLog.deriveDateHour(seq)
         timed("write", batchId) {
           EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
