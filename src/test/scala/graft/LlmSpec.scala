@@ -149,6 +149,20 @@ class LlmSpec extends AnyFunSuite {
     val recalls = brute.map { case (q, b) => (ivf.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"trained IVF probe-1 mean recall@3 was $mean (per-query $recalls)")
+
+    // multi-probe: searching the top-2 cells can only widen the candidate
+    // set, so recall@3 must be >= probe-1 on every query
+    val ivf2 = LlmQueries.queries("ann_ivf_probe2")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls2 = brute.map { case (q, b) => q -> (ivf2.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
+    brute.keys.foreach { q =>
+      val r1 = (ivf.getOrElse(q, Set.empty) & brute(q)).size
+      val r2 = (ivf2.getOrElse(q, Set.empty) & brute(q)).size
+      assert(r2 >= r1, s"probe-2 recall regressed for query $q: $r2 < $r1")
+    }
+    val mean2 = recalls2.values.sum / recalls2.size
+    assert(mean2 >= mean, s"probe-2 mean recall $mean2 below probe-1 $mean")
   }
 
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
