@@ -79,6 +79,31 @@ object TpchQueries {
                (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
             .cast("long").as("revenue_micro"))
     },
+    // TPC-H Q10 shape: returned-item reporting — who returned the most
+    // revenue in a quarter. The fact join shuffles once on orderkey; the
+    // customer and nation dims broadcast; top-20 via a total-order limit.
+    "tpch_q10_returns" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat  = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+                 (col("c_acctbal").cast("decimal(18,3)") * 1000).cast("long").as("acctbal_milli"),
+                 col("n_name"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,3)") *
+               (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
+            .cast("long").as("revenue_micro"))
+        .orderBy(col("revenue_micro").desc, col("c_custkey"))
+        .limit(20)
+    },
     // TPC-H Q6 shape: forecasting revenue change — the pure scan+filter+agg
     // query. No join, no shuffle beyond the final partial-agg merge; the
     // three predicates and both projected columns push into the parquet scan.
@@ -126,6 +151,20 @@ object TpchQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1""".stripMargin,
+    "tpch_q10_returns" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,3)) * 1000 AS BIGINT) AS acctbal_milli,
+        |  n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_micro DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "tpch_q6_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) * 1000000 AS BIGINT) AS revenue_micro,
