@@ -27,6 +27,30 @@ object StreamQueries {
       })
     }
 
+  /** Run a streaming query with state tuned for a SMALL keyed aggregation:
+    * the heap-backed provider (no per-partition RocksDB instance spin-up)
+    * and few state partitions. The ingest path (huge dedup key space)
+    * keeps RocksDB + 32 partitions; windowed aggs here hold only
+    * (window × type) / (user × session) keys, where per-partition store
+    * open/commit — not state size — dominates each micro-batch. State
+    * partition count binds at checkpoint creation, so the narrow setting
+    * stays with this query's checkpoint and the session conf is restored. */
+  private def withSmallStateConf[T](s: SparkSession)(f: => T): T = {
+    val prevParts    = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try f
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   /** Event-time windowed aggregation as a STRUCTURED STREAMING query:
     * watermarked 1-hour tumbling windows over the chunked raw stream
     * (`withWatermark` + `window()` — Spark's native streaming agg with
@@ -34,7 +58,7 @@ object StreamQueries {
     * result equals the batch derivation exactly; the append-mode
     * late-drop semantics are proven separately in StreamIngestSpec. */
   private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
-    windowCache.getOrElseUpdate(dir, {
+    windowCache.getOrElseUpdate(dir, withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w2_windows_${math.abs(dir.hashCode)}"
       val q = s.readStream
@@ -67,7 +91,7 @@ object StreamQueries {
     * stream's max event time — the oracle mirrors that emission rule
     * exactly, so streamed sessionization is hash-gated. */
   private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
-    sessionCache.getOrElseUpdate(dir, {
+    sessionCache.getOrElseUpdate(dir, withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w3_sessions_${math.abs(dir.hashCode)}"
       val q = s.readStream
