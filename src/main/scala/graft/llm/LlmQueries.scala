@@ -122,6 +122,10 @@ object LlmQueries {
   /** Multi-probe IVF: cells searched per query in `ann_ivf_probe2`. */
   val IvfProbes = 2
 
+  /** Scalar-quantized search: candidates kept per query before the exact
+    * full-precision re-rank (the standard SQ8 refine step). */
+  val SqCandidates = 4 * TopK
+
   /** One materialized signature table per (session, sfDir). */
   private val sigCache = scala.collection.mutable.Map.empty[String, DataFrame]
 
@@ -544,6 +548,50 @@ object LlmQueries {
                 col("vec_id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"))
     },
 
+    // ---------- ANN: int8 scalar quantization + exact re-rank ----------
+    "ann_sq_topk" -> { (s, dir) =>
+      // SQ8: each dimension is affinely mapped to an int8 code using the
+      // CORPUS per-dimension min/max. At 100 TB the win is the scan, not
+      // the math: the candidate pass reads 1 byte/dim (4-8x less IO than
+      // float/double vectors) and only the SqCandidates survivors touch
+      // full-precision vectors for the exact re-rank. Stats are one
+      // partial-aggregatable shuffle folded to a single broadcast row;
+      // coding is map-side; candidate generation is broadcast(query
+      // codes) x per-partition partial top-k — the ann_topk_brute scan
+      // shape over a quarter of the bytes.
+      // Scoring is ASYMMETRIC (the ADC of the SQ/PQ literature): the code
+      // is de-quantized to the cell midpoint and scored against the FULL
+      // precision query vector — code-vs-code dot is not monotone with
+      // the true inner product under per-dimension affine coding.
+      val e = emb(s, dir)
+      val mm = e
+        .select(explode(expr(s"transform(sequence(0, ${EmbeddingDim - 1}), d -> struct(d AS d, v[d] AS x))")).as("dx"))
+        .groupBy(col("dx.d").as("d"))
+        .agg(min("dx.x").as("mn"), max("dx.x").as("mx"))
+        .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("mm"))
+      val coded = e.crossJoin(broadcast(mm))
+        .withColumn("xhat", expr(
+          s"""transform(sequence(0, ${EmbeddingDim - 1}), d ->
+             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
+             |       ELSE mm[d].mn + (CAST(least(255L, greatest(0L, floor((v[d] - mm[d].mn) / (mm[d].mx - mm[d].mn) * 255.0D))) AS DOUBLE) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
+             |  END)""".stripMargin))
+        .select(col("vec_id"), col("v"), col("xhat"))
+      val q = coded.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wCand = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("vec_id"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      coded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qsim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= SqCandidates)
+        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"))
+    },
+
     // ---------- multimodal: opaque binary payload + typed feature extraction ----------
     "m1_multimodal" -> { (s, dir) =>
       Multimodal.features(s, dir)
@@ -807,6 +855,33 @@ object LlmQueries {
          |FROM b LEFT JOIN dups d ON d.vec_id = b.vec_id""".stripMargin
     }
 
+    // SQ8 twin: identical affine coding and midpoint de-quantization
+    // (same IEEE sub/div/mul/floor on the same per-dimension min/max),
+    // asymmetric cosine scoring, exact re-rank — hash-stable end to end.
+    val sqSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |mm AS (SELECT dd.d AS d, min(v[dd.d]) AS mn, max(v[dd.d]) AS mx
+         |       FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd GROUP BY 1),
+         |c AS (SELECT e.vec_id, e.v,
+         |             list(CASE WHEN mm.mx = mm.mn THEN mm.mn
+         |                       ELSE mm.mn + (CAST(least(255, greatest(0, CAST(floor((e.v[mm.d] - mm.mn) / (mm.mx - mm.mn) * 255.0) AS BIGINT))) AS DOUBLE) + 0.5) * (mm.mx - mm.mn) / 255.0
+         |                  END ORDER BY mm.d) AS xhat
+         |      FROM e, mm GROUP BY e.vec_id, e.v),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT c.vec_id, c.v, q.q_id, q.qv,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           list_inner_product(c.xhat, q.qv) / (sqrt(list_inner_product(c.xhat, c.xhat)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+         |           c.vec_id) AS crank
+         |  FROM c, q WHERE c.vec_id != q.q_id)
+         |SELECT q_id, rank, neighbor_id FROM (
+         |  SELECT q_id, vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY
+         |           list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) DESC,
+         |           vec_id) AS rank
+         |  FROM cand WHERE crank <= $SqCandidates)
+         |WHERE rank <= $TopK""".stripMargin
+
     Map(
       "d1_exact_dedup" ->
         """SELECT doc_id, md5(text) AS content_hash,
@@ -834,6 +909,7 @@ object LlmQueries {
       "ann_lsh_nn"     -> lshSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
+      "ann_sq_topk"    -> sqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,
       "m2_frame_sample" -> Multimodal.frameOracleSql
     )

@@ -165,6 +165,21 @@ class LlmSpec extends AnyFunSuite {
     assert(mean2 >= mean, s"probe-2 mean recall $mean2 below probe-1 $mean")
   }
 
+  test("ann SQ8: quantized candidates + exact re-rank track brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val sq = LlmQueries.queries("ann_sq_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val brute = LlmQueries.queries("ann_topk_brute")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    // 20 quantized candidates re-ranked exactly must recover nearly all of
+    // the exact top-5: int8 coding loses < 0.4% of each dimension's range
+    val recalls = brute.map { case (q, b) => (sq.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"SQ8 mean recall@5 was $mean (per-query $recalls)")
+  }
+
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
     val p1 = LlmQueries.hyperplane(3, 16)
     val p2 = LlmQueries.hyperplane(3, 16)
