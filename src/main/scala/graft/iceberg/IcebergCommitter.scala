@@ -261,6 +261,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     active.values.toSeq
   }
 
+  /** Manifest-list entries of the current snapshot (for the `$manifests`
+    * metadata relation). */
+  def currentManifests(): Seq[ManifestListEntry] =
+    load().toSeq.flatMap(_.currentSnapshot).flatMap(s =>
+      IcebergCommitter.cachedManifestList(io, s.manifestList))
+
   /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */
   def activeDataFiles(): Seq[DataFile] = resolveActive(currentEntries())
 

@@ -56,6 +56,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    val n  = ident.name()
+    val di = n.indexOf('$')
+    if (di > 0) {
+      // Iceberg-style metadata relations: `` t$snapshots ``, `` t$history ``,
+      // `` t$files ``, `` t$manifests `` (backquoted in SQL).
+      val (base, kind) = (n.substring(0, di), n.substring(di + 1))
+      if (!GraftMetadataTable.Kinds(kind))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      val root = tableRoot(Identifier.of(ident.namespace(), base))
+      if (!isCommitted(Paths.get(root)))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      return new GraftMetadataTable(root, base, kind, s"$catalogName.default.$n")
+    }
     val root = tableRoot(ident)
     if (!isCommitted(Paths.get(root)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)

@@ -137,6 +137,25 @@ object IcebergQueries {
            |WHERE sequence > 10
            |GROUP BY 1""".stripMargin)
     },
+    // Iceberg-style metadata relation through SQL: per-partition aggregate
+    // over `` t$files `` — file counts, record counts, and stat bounds read
+    // from MANIFESTS only (plan-time metadata), hash-checked against the
+    // raw-data derivation including the size-targeted writer's exact
+    // per-partition file-count arithmetic.
+    "a6_files_meta" -> { (s, dir) =>
+      val root  = CommittedTables.tableRoot(s, dir)
+      val p     = java.nio.file.Paths.get(root)
+      val tname = p.getFileName.toString
+      s.conf.set("spark.sql.catalog.graftsql", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftsql.warehouse", p.getParent.toString)
+      s.sql(
+        s"""SELECT partition AS part_id, count(*) AS n_files,
+           |       sum(record_count) AS n_events,
+           |       min(min_sequence) AS min_seq, max(max_sequence) AS max_seq,
+           |       min(min_timestamp_ms) AS min_ts, max(max_timestamp_ms) AS max_ts
+           |FROM graftsql.default.`$tname$$files`
+           |GROUP BY 1""".stripMargin)
+    },
     "post_compaction_read" -> { (s, dir) =>
       // Fragmented ingest (4-way salted files per dir) → compact → read back.
       // Proves C1–C3 preserve data and actually shrink file counts.
@@ -196,6 +215,15 @@ object IcebergQueries {
     "sql_catalog_read" -> Oracle.sql(
       """SELECT part_id, count(*) AS n_events, min(sequence) AS min_seq, max(sequence) AS max_seq
         |FROM evlog WHERE sequence > 10 GROUP BY 1""".stripMargin),
+    // Per-partition file count mirrors writeData's size bucketing (the
+    // a4 arithmetic, per partition instead of summed).
+    "a6_files_meta" -> Oracle.sql(
+      """SELECT part_id,
+        |       CAST(greatest(1, (sum(octet_length(props::BLOB) + 64) + 134217727) // 134217728) AS BIGINT) AS n_files,
+        |       count(*) AS n_events,
+        |       min(sequence) AS min_seq, max(sequence) AS max_seq,
+        |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
+        |FROM evlog GROUP BY 1""".stripMargin),
     "post_compaction_read" -> Oracle.sql(
       "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1"),
     "x4_delete_where" -> Oracle.sql(
