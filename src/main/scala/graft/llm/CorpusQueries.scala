@@ -157,11 +157,11 @@ object CorpusQueries {
          |  FROM documents
          |), p AS (
          |  SELECT doc_id, tokens,
-         |         coalesce(sum(tokens) OVER (ORDER BY doc_id
-         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |         CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
          |  FROM d
          |)
-         |SELECT prefix // $PackBudget AS window_id, count(*) AS n_docs,
+         |SELECT CAST(prefix // $PackBudget AS BIGINT) AS window_id, count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM p GROUP BY 1""".stripMargin
