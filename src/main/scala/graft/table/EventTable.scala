@@ -220,12 +220,16 @@ object EventTable {
     * append commit. Returns the committer for follow-up metadata queries. */
   def ingestAndCommit(spark: SparkSession, sfDir: String, tableRoot: String,
                       targetFileSize: Long = DefaultTargetFileSize,
-                      fragmentInto: Option[Int] = None): IcebergCommitter = {
+                      fragmentInto: Option[Int] = None,
+                      mapLog: DataFrame => DataFrame = identity): IcebergCommitter = {
     // fused pipeline: the sequencing counts pass also produces the
     // per-partition byte estimate the size-targeted writer needs
     val (seq, stats) = EventLog.assignSequencesWithStats(
       EventLog.deduped(EventLog.raw(spark, sfDir)), byteColumn = Some("props"))
-    val log = EventLog.deriveDateHour(seq)
+    // mapLog lets fixtures perturb row CONTENT (e.g. payloads missing a JSON
+    // key) after sequencing — it must not change row count or partitioning,
+    // or the precomputed size stats below would be wrong.
+    val log = mapLog(EventLog.deriveDateHour(seq))
     val newPaths = writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
               precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
     val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
@@ -342,17 +346,28 @@ object EventTable {
     val active    = committer.activeDataFiles()
     if (active.isEmpty) return DeleteResult(0, 0, 0L, None)
 
-    val matchCounts = readCommitted(spark, tableRoot, active)
+    // SQL DELETE semantics: a predicate evaluating NULL (e.g. a JSON key
+    // missing from a row) must NOT delete the row. Coalesce once and use the
+    // SAME three-valued collapse for both the match count and the survivor
+    // filter, so deletedRows exactly equals rows removed.
+    val pred = coalesce(predicate, lit(false))
+    // Projected read (current metadata schema, not per-file footers) so a
+    // predicate over a schema-evolved column resolves for pre-evolution files.
+    val matchCounts = readCommittedProjected(spark, tableRoot, active)
       .withColumn("_file", input_file_name())
       .groupBy(col("_file"))
-      .agg(count(when(predicate, 1)).as("m"))
+      .agg(count(when(pred, 1)).as("m"))
       .filter(col("m") > 0)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val affected = active.filter(f => matchCounts.exists(_._1.endsWith(f.filePath)))
+    // input_file_name() is a percent-encoded URI; decode before comparing so
+    // table roots with spaces/special characters still match their files.
+    val matchedPaths = matchCounts.map { case (uri, m) => decodeFileUri(uri) -> m }
+    val rootAbs  = Paths.get(tableRoot).toAbsolutePath.normalize
+    val affected = active.filter(f => matchedPaths.exists(_._1 == rootAbs.resolve(f.filePath).toString))
     if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
 
-    val survivors = readForRewrite(spark, tableRoot, affected).filter(!predicate)
+    val survivors = readForRewrite(spark, tableRoot, affected).filter(not(pred))
     val newPaths  = writeData(survivors, tableRoot)
     val added     = collectDataFiles(spark, tableRoot, newPaths)
     try {
@@ -367,6 +382,13 @@ object EventTable {
         throw c
     }
   }
+
+  /** Decoded filesystem path of an `input_file_name()` URI. Spark returns
+    * percent-encoded `file:///...` URIs; `URI.getPath` decodes them. Falls
+    * back to the raw string for non-URI inputs (plain local paths). */
+  private def decodeFileUri(s: String): String =
+    try Option(new java.net.URI(s).getPath).getOrElse(s)
+    catch { case _: java.net.URISyntaxException => s }
 
   /** Per-partition high watermark from file bounds — exact because files are
     * single-partition (`partition=P/` dirs). */

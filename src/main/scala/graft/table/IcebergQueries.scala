@@ -226,12 +226,19 @@ object IcebergQueries {
         |FROM evlog GROUP BY 1""".stripMargin),
     "post_compaction_read" -> Oracle.sql(
       "SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq FROM evlog GROUP BY 1"),
+    // SQL DELETE semantics gate: every 13th event's payload lacks `$.k`
+    // (rewritten to `{"nk": …}` by the fixture), so the delete predicate is
+    // NULL on those rows — DELETE must keep them (NOT coalesce(pred, false)).
     "x4_delete_where" -> Oracle.sql(
       """SELECT part_id, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(sequence) AS max_seq
-        |FROM evlog
-        |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 != 0
+        |FROM (
+        |  SELECT * REPLACE (CASE WHEN event_id % 13 = 0
+        |                         THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+        |                         ELSE props END AS props)
+        |  FROM evlog)
+        |WHERE NOT coalesce(CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0, false)
         |GROUP BY 1""".stripMargin),
     "v2_source_read" -> Oracle.sql(
       """SELECT sequence, part_id, timestamp_ms, props FROM evlog
@@ -247,7 +254,10 @@ object IcebergQueries {
   * reference's compact endpoint. */
 /** One deleted-from table per (JVM, sfDir): full ingest (into several
   * files so the delete provably rewrites SOME files and leaves others
-  * untouched), then one copy-on-write deleteWhere pass. */
+  * untouched), then one copy-on-write deleteWhere pass. Every 13th event's
+  * payload is rewritten to `{"nk": …}` — NO `$.k` key — so the delete
+  * predicate evaluates NULL on real rows and the oracle genuinely gates
+  * SQL DELETE three-valued semantics (NULL-predicate rows must SURVIVE). */
 object DeletedTables {
   private val cache = scala.collection.mutable.Map.empty[String, String]
 
@@ -255,7 +265,11 @@ object DeletedTables {
     cache.getOrElseUpdate(
       sfDir, {
         val root = java.nio.file.Files.createTempDirectory("graft-delete-").toString
-        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16))
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16),
+          mapLog = _.withColumn("props",
+            when(expr("event_id % 13 = 0"),
+                 concat(lit("{\"nk\": "), expr("get_json_object(props, '$.k')"), lit("}")))
+              .otherwise(col("props"))))
         val res = EventTable.deleteWhere(spark, root,
           expr("cast(get_json_object(cast(payload as string), '$.k') as int) % 7 = 0"))
         require(res.deletedRows > 0, "delete fixture must remove rows")

@@ -143,6 +143,68 @@ class CompactionSpec extends AnyFunSuite {
     assert(!meta.schemas.head.fields.exists(_.name == "payload"))
   }
 
+  test("DELETE keeps rows whose predicate evaluates NULL (SQL three-valued semantics)") {
+    import org.apache.spark.sql.functions.{concat, expr, get_json_object, lit, when}
+    val root = Files.createTempDirectory("graft-delete-null-").toString
+    // every 13th event's payload loses its `$.k` key → predicate is NULL there
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(8),
+      mapLog = _.withColumn("props",
+        when(expr("event_id % 13 = 0"),
+             concat(lit("{\"nk\": "), get_json_object(col("props"), "$.k"), lit("}")))
+          .otherwise(col("props"))))
+    val kOf = expr("cast(get_json_object(cast(payload as string), '$.k') as int)")
+    val before     = EventTable.readCommitted(spark, root)
+    val nullKeyed  = before.filter(kOf.isNull).count()
+    val matched    = before.filter(kOf % 7 === 0).count()
+    assert(nullKeyed > 0 && matched > 0)
+
+    val res = EventTable.deleteWhere(spark, root, kOf % 7 === 0)
+    assert(res.deletedRows === matched, "count must use the same coalesced predicate as the filter")
+
+    val after = EventTable.readCommitted(spark, root)
+    assert(after.filter(kOf.isNull).count() === nullKeyed, "NULL-predicate rows must survive a DELETE")
+    assert(after.filter(kOf % 7 === 0).count() === 0)
+  }
+
+  test("DELETE with a predicate over a schema-EVOLVED column resolves for pre-evolution files") {
+    val root = Files.createTempDirectory("graft-delete-evo-").toString
+    val log  = graft.core.EventLog.log(spark, "/root/testdata/sf0.001")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val half = log.agg(org.apache.spark.sql.functions.max("event_id")).head().getLong(0) / 2
+    val cfg1 = graft.extract.TableSchemaConfig(fields = Seq(graft.extract.FieldSpec("k", "k", "Int32")))
+    val cfg2 = graft.extract.TableSchemaConfig(fields = Seq(
+      graft.extract.FieldSpec("k", "k", "Int32"), graft.extract.FieldSpec("k_str", "k", "Utf8")))
+    EventTable.appendExtracted(spark, log.filter(s"event_id <= $half"), root, cfg1, fragmentInto = Some(4))
+    EventTable.appendExtracted(spark, log.filter(s"event_id > $half"), root, cfg2, fragmentInto = Some(4))
+    log.unpersist()
+
+    val before   = EventTable.readCommittedProjected(spark, root)
+    val nBefore  = before.count()
+    val toDelete = before.filter(col("k_str") === "5").count()
+    val nullStr  = before.filter(col("k_str").isNull).count()
+    assert(toDelete > 0 && nullStr > 0)
+
+    // pre-evolution files have no k_str in their footers: the match-count
+    // scan must project against the CURRENT schema or this fails to resolve
+    val res = EventTable.deleteWhere(spark, root, col("k_str") === "5")
+    assert(res.deletedRows === toDelete)
+
+    val after = EventTable.readCommittedProjected(spark, root)
+    assert(after.count() === nBefore - toDelete)
+    assert(after.filter(col("k_str").isNull).count() === nullStr, "old-file rows (NULL k_str) survive")
+    assert(after.filter(col("k_str") === "5").count() === 0)
+  }
+
+  test("DELETE still rewrites when the table root contains URI-hostile characters") {
+    val root = Files.createTempDirectory("graft delete spec ").toString // space in path
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(8))
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+    val res = EventTable.deleteWhere(spark, root, col("partition") === 3)
+    assert(res.deletedRows > 0 && res.rewrittenFiles > 0,
+           "percent-encoded input_file_name must still match manifest paths")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore - res.deletedRows)
+  }
+
   test("fragmented and compacted tables agree with the directly ingested table") {
     val rootA = Files.createTempDirectory("graft-compare-a-").toString
     val rootB = Files.createTempDirectory("graft-compare-b-").toString
