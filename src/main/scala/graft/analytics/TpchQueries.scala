@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   *  - money/quantity aggregates in DECIMAL (exact, order-independent —
   *    double sums would be nondeterministic under parallel aggregation),
   *    emitted as scaled BIGINTs so results are hash-stable everywhere
-  *  - dimension joins BROADCAST (customer side of Q3 at sf scale;
-  *    at warehouse scale the optimizer picks the same given statistics)
+  *  - BOUNDED dimension chains (region→nation, the nation-filtered
+  *    supplier chain) carry explicit broadcast hints; customer and orders
+  *    GROW with scale factor, so their join strategy is left to
+  *    statistics/AQE — at test scale they auto-broadcast under the
+  *    threshold, at 100 TB they shuffle, both correct
   *  - group-by aggregates with partial (map-side) aggregation, one shuffle
   */
 object TpchQueries {
@@ -33,12 +36,15 @@ object TpchQueries {
           count(lit(1)).as("count_order")
         )
     },
-    // TPC-H Q3 shape: shipping priority — broadcast dim join, top-10
+    // TPC-H Q3 shape: shipping priority — top-10 over a two-fact join.
+    // No forced hints: orders⋈customer is fact-sized at warehouse scale,
+    // so strategy is left to statistics/AQE (auto-broadcast at test SF,
+    // shuffle join at 100 TB).
     "tpch_q3_shipping" -> { (s, dir) =>
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val ord  = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val li   = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+      li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
               col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(
@@ -54,9 +60,9 @@ object TpchQueries {
           unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("o_orderdate_ms"),
           col("revenue_micro"))
     },
-    // TPC-H Q5 shape: local supplier volume — a 6-way join where every
-    // dimension chain (region→nation→{customer,supplier}) broadcasts and
-    // only the orders⋈lineitem fact join shuffles
+    // TPC-H Q5 shape: local supplier volume — a 6-way join where the
+    // bounded region→nation→supplier chain broadcasts and the fact joins
+    // (lineitem⋈orders⋈customer) are left to statistics/AQE
     "tpch_q5_local_supplier" -> { (s, dir) =>
       val nations = t(s, dir, "nation")
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
@@ -71,8 +77,9 @@ object TpchQueries {
                                              col("l_extendedprice"), col("l_discount"))
       li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
-                               col("c_nationkey") === col("s_nationkey"))
+        // customer grows with SF: no hint, statistics/AQE choose
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+                    col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
         .agg(
           (sum(col("l_extendedprice").cast("decimal(18,3)") *
@@ -80,8 +87,8 @@ object TpchQueries {
             .cast("long").as("revenue_micro"))
     },
     // TPC-H Q10 shape: returned-item reporting — who returned the most
-    // revenue in a quarter. The fact join shuffles once on orderkey; the
-    // customer and nation dims broadcast; top-20 via a total-order limit.
+    // revenue in a quarter. The fact join shuffles once on orderkey; only
+    // the bounded nation dim is hinted; top-20 via a total-order limit.
     "tpch_q10_returns" -> { (s, dir) =>
       val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
       val nat  = t(s, dir, "nation").select("n_nationkey", "n_name")
@@ -92,7 +99,8 @@ object TpchQueries {
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        // customer grows with SF: no hint; nation is genuinely bounded (25)
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"),
                  (col("c_acctbal").cast("decimal(18,3)") * 1000).cast("long").as("acctbal_milli"),

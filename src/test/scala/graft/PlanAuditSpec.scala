@@ -41,6 +41,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "small dimension sides must broadcast")
   }
 
+  test("tpch: no FORCED broadcast of fact-sized sides (orders / customer)") {
+    // With the stats threshold off and AQE off, the only BroadcastExchange
+    // nodes left are ones a broadcast() HINT forced — exactly the
+    // scale-killers this guards against: customer/orders grow with SF and
+    // must be left to statistics/AQE, unlike bounded dims (region, nation,
+    // the nation-filtered supplier chain).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    Seq("tpch_q3_shipping", "tpch_q5_local_supplier", "tpch_q10_returns").foreach { q =>
+      val phys = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan
+      val forced = phys.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.collectLeaves().exists { l =>
+            val t = l.toString; t.contains("orders.parquet") || t.contains("customer.parquet")
+          } => b
+      }
+      assert(forced.isEmpty,
+        s"$q forces a broadcast whose input scans orders/customer:\n${forced.headOption.map(_.toString).getOrElse("")}")
+    }
+  }
+
   test("V2 source: manifest bounds prune planned input files") {
     val root = graft.table.CommittedTables.tableRoot(spark, sf)
     val c = new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), "events")
