@@ -126,8 +126,11 @@ object LlmQueries {
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
 
-  /** One materialized signature table per (session, sfDir). */
-  private val sigCache = scala.collection.mutable.Map.empty[String, DataFrame]
+  /** One materialized signature table per (session, sfDir). Keyed by the
+    * SparkSession too (identity), not just the dir: a cached DataFrame is
+    * bound to the session that created it, and handing it to a second
+    * session in the same JVM would be a dead reference. */
+  private val sigCache = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   /** Trained IVF index per (session, sfDir): (centroids, assigned corpus),
     * both cached — training happens once and probe-1/probe-2 share it.
@@ -143,11 +146,11 @@ object LlmQueries {
     * the argmax as a partial-aggregatable max_by over a UNIQUE
     * (c_sim, -c_id) key — map-side combine, no window shuffle+sort, same
     * tie-break as the oracle's row_number ordering. */
-  private val ivfCache = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+  private val ivfCache = scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfCache.synchronized {
-      ivfCache.getOrElseUpdate(dir, {
+      ivfCache.getOrElseUpdate((s, dir), {
         val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         def assign(cents: DataFrame): DataFrame = {
@@ -182,6 +185,38 @@ object LlmQueries {
         val assigned = assign(cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (cents, assigned)
+      })
+    }
+
+  /** SQ8 index per (session, sfDir): the one-row per-dimension (mn, mx)
+    * stats frame (broadcastable) and the coded corpus persisted as
+    * (vec_id, code array<tinyint>) — 1 byte per dimension, the sidecar a
+    * 100 TB deployment materializes next to the vectors so candidate
+    * generation never touches full-precision data. Codes store cell-128
+    * (the 0..255 cell shifted into tinyint range); de-quantization adds
+    * 128 back, keeping the midpoint arithmetic bit-identical to coding
+    * straight from `v`. */
+  private val sqCache = scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def sqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sqCache.synchronized {
+      sqCache.getOrElseUpdate((s, dir), {
+        val e = emb(s, dir)
+        // per-dimension min/max: one partial-aggregatable shuffle folded
+        // to a single row, then broadcast everywhere it's needed
+        val mm = e
+          .select(explode(expr(s"transform(sequence(0, ${EmbeddingDim - 1}), d -> struct(d AS d, v[d] AS x))")).as("dx"))
+          .groupBy(col("dx.d").as("d"))
+          .agg(min("dx.x").as("mn"), max("dx.x").as("mx"))
+          .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("mm"))
+        val codes = e.crossJoin(broadcast(mm))
+          .select(col("vec_id"), expr(
+            s"""transform(sequence(0, ${EmbeddingDim - 1}), d ->
+               |  CAST(CASE WHEN mm[d].mx = mm[d].mn THEN 0L
+               |       ELSE least(255L, greatest(0L, floor((v[d] - mm[d].mn) / (mm[d].mx - mm[d].mn) * 255.0D)))
+               |  END - 128 AS TINYINT))""".stripMargin).as("code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (mm, codes)
       })
     }
 
@@ -225,7 +260,7 @@ object LlmQueries {
     * linear-ish at corpus scale. */
   private def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
     val base = sigCache.synchronized {
-      sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+      sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
@@ -271,7 +306,7 @@ object LlmQueries {
       // classic signature-table materialization, instead of re-persisting
       // (and leaking) a cache entry per invocation.
       val base = sigCache.synchronized {
-        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+        sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
 
@@ -349,7 +384,7 @@ object LlmQueries {
       // MATERIALIZED vhash column (sigCache): lambda references to a cached
       // attribute are plain column reads, not re-evaluated expression trees.
       val base = sigCache.synchronized {
-        sigCache.getOrElseUpdate(dir, buildSignatures(s, dir)
+        sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
       val W = WinnowWindow
@@ -552,39 +587,36 @@ object LlmQueries {
     "ann_sq_topk" -> { (s, dir) =>
       // SQ8: each dimension is affinely mapped to an int8 code using the
       // CORPUS per-dimension min/max. At 100 TB the win is the scan, not
-      // the math: the candidate pass reads 1 byte/dim (4-8x less IO than
-      // float/double vectors) and only the SqCandidates survivors touch
-      // full-precision vectors for the exact re-rank. Stats are one
-      // partial-aggregatable shuffle folded to a single broadcast row;
-      // coding is map-side; candidate generation is broadcast(query
-      // codes) x per-partition partial top-k — the ann_topk_brute scan
-      // shape over a quarter of the bytes.
+      // the math: the candidate pass scans the MATERIALIZED codes index
+      // (1 byte/dim — [[sqIndex]], the sidecar a deployment keeps next to
+      // the vectors; 4-8x less IO than float/double vectors) and ONLY the
+      // SqCandidates survivors — NumQueries x SqCandidates rows, bounded —
+      // are joined back to full-precision vectors for the exact re-rank,
+      // as a broadcast of the survivor keys so the corpus never shuffles.
       // Scoring is ASYMMETRIC (the ADC of the SQ/PQ literature): the code
       // is de-quantized to the cell midpoint and scored against the FULL
       // precision query vector — code-vs-code dot is not monotone with
       // the true inner product under per-dimension affine coding.
       val e = emb(s, dir)
-      val mm = e
-        .select(explode(expr(s"transform(sequence(0, ${EmbeddingDim - 1}), d -> struct(d AS d, v[d] AS x))")).as("dx"))
-        .groupBy(col("dx.d").as("d"))
-        .agg(min("dx.x").as("mn"), max("dx.x").as("mx"))
-        .agg(expr("array_sort(collect_list(struct(d, mn, mx)))").as("mm"))
-      val coded = e.crossJoin(broadcast(mm))
-        .withColumn("xhat", expr(
-          s"""transform(sequence(0, ${EmbeddingDim - 1}), d ->
-             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
-             |       ELSE mm[d].mn + (CAST(least(255L, greatest(0L, floor((v[d] - mm[d].mn) / (mm[d].mx - mm[d].mn) * 255.0D))) AS DOUBLE) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
-             |  END)""".stripMargin))
-        .select(col("vec_id"), col("v"), col("xhat"))
-      val q = coded.filter(col("vec_id") < NumQueries)
+      val (mm, codes) = sqIndex(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val wCand = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("vec_id"))
       val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      coded.crossJoin(broadcast(q))
+      // de-quantize ON TOP of the 1-byte scan: (stored + 128) recovers the
+      // 0..255 cell, midpoint arithmetic bit-identical to coding from v
+      val cands = codes.crossJoin(broadcast(mm)).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("xhat", expr(
+          """transform(code, (c, d) ->
+            |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
+            |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
+            |  END)""".stripMargin))
         .withColumn("qsim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
         .withColumn("crank", row_number().over(wCand))
         .filter(col("crank") <= SqCandidates)
+        .select(col("q_id"), col("qv"), col("vec_id"))
+      e.join(broadcast(cands), "vec_id")
         .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
         .withColumn("rank", row_number().over(wRank))
         .filter(col("rank") <= TopK)

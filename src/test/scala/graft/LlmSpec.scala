@@ -188,6 +188,17 @@ class LlmSpec extends AnyFunSuite {
     assert(p1.toSeq !== LlmQueries.hyperplane(4, 16).toSeq)
   }
 
+  test("cached indexes are session-scoped: a second SparkSession reruns cleanly") {
+    // sigCache/ivfCache/sqCache hold DataFrames bound to the creating
+    // session — a dir-only key would hand session B a dead plan from
+    // session A. Keyed by (session, dir), B rebuilds its own.
+    val s2 = spark.newSession()
+    Seq("d2_minhash_lsh", "ann_ivf_probe", "ann_sq_topk").foreach { q =>
+      val n = SparkEntry.queries(q)(s2, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$q must produce rows under a fresh session")
+    }
+  }
+
   test("m1: multimodal features are deterministic functions of the payload") {
     val rows = run("m1_multimodal").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), r.getAs[Long]("n_bytes"),

@@ -63,6 +63,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_sq_topk: the candidate pass scans the codes index, never full-precision vectors") {
+    val p = plan("ann_sq_topk")
+    val imScans = p.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+    // the candidate pass reads the persisted codes index: a scan with the
+    // tinyint codes and WITHOUT full-precision v must exist (the re-rank
+    // side may separately scan (vec_id, v) — that's the point: only the
+    // bounded survivor join touches vectors)
+    def hasV(l: String) = l.matches(""".*[\[, ]v#\d+.*""")
+    assert(imScans.exists(l => l.contains("code#") && !hasV(l)),
+      s"SQ8 candidates must scan the codes-only index:\n${imScans.mkString("\n")}")
+    assert(!imScans.exists(l => l.contains("code#") && hasV(l)),
+      s"no scan may carry codes AND full-precision v together:\n${imScans.mkString("\n")}")
+  }
+
   test("V2 source: manifest bounds prune planned input files") {
     val root = graft.table.CommittedTables.tableRoot(spark, sf)
     val c = new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), "events")
