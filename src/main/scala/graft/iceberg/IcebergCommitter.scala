@@ -23,6 +23,20 @@ trait TableIO {
   def delete(relPath: String): Unit
 }
 
+object TableIO {
+  /** Pick the binding for a table root: URIs with a scheme (`hdfs://…`,
+    * `s3a://…`, `file://…`) or `GRAFT_TABLE_IO=hadoop` go through
+    * [[HadoopTableIO]]; plain local paths keep the O_EXCL-atomic
+    * [[LocalTableIO]]. */
+  def forRoot(root: String,
+              conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): TableIO = {
+    val hasScheme = root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
+    if (hasScheme || sys.env.get("GRAFT_TABLE_IO").contains("hadoop"))
+      new HadoopTableIO(root, conf)
+    else new LocalTableIO(root)
+  }
+}
+
 final class LocalTableIO(val root: String) extends TableIO {
   private def abs(rel: String): Path = Paths.get(root, rel)
   override def put(relPath: String, bytes: Array[Byte]): Unit = {

@@ -2,7 +2,7 @@ package graft.serve
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.iceberg.{CommitConflict, IcebergCommitter, LocalTableIO}
+import graft.iceberg.{CommitConflict, IcebergCommitter, TableIO}
 import graft.table.{Compaction, EventTable}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -90,7 +90,7 @@ final class GatewayServer(
   private def committer(topic: String): IcebergCommitter = {
     validated(topic)
     committers.computeIfAbsent(topic, t => {
-      val c = new IcebergCommitter(new LocalTableIO(Paths.get(baseDir, t).toString), t)
+      val c = new IcebergCommitter(TableIO.forRoot(Paths.get(baseDir, t).toString), t)
       hot.seed(t, c.maxCommittedSequencePerPartition()) // F9 reconciliation
       c
     })

@@ -79,7 +79,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = tableRoot(ident)
     if (!isCommitted(Paths.get(root)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    (root, new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), ident.name()))
+    (root, new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), ident.name()))
   }
 
   /** SQL `VERSION AS OF <snapshotId>` — any retained snapshot is readable. */

@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.iceberg.{DataFile, FieldIds, IcebergCommitter, LocalTableIO}
+import graft.iceberg.{DataFile, FieldIds, IcebergCommitter, TableIO}
 import graft.table.EventTable
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
@@ -82,7 +82,7 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
 object GraftDataSource {
   /** Committed schema from the table's own Iceberg metadata. */
   def sparkSchema(tableRoot: String): StructType = {
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     committer.load() match {
       case None => EventTable.committedReadSchema
       case Some(meta) =>
@@ -166,7 +166,7 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * `snapshotId` pins the file set to a historical snapshot (SQL
     * `VERSION AS OF` / `TIMESTAMP AS OF` time travel). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     snapshotId.map(committer.activeDataFilesAt).getOrElse(committer.activeDataFiles())
       .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
       .map(f => GraftInputPartition(tableRoot, f.filePath))

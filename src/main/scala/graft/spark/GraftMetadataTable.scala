@@ -1,6 +1,6 @@
 package graft.spark
 
-import graft.iceberg.{FieldIds, IcebergCommitter, LocalTableIO}
+import graft.iceberg.{FieldIds, IcebergCommitter, TableIO}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
@@ -69,7 +69,7 @@ object GraftMetadataTable {
 
   /** GenericInternalRow-ready values (boxed primitives / UTF8String / null). */
   def rows(root: String, topic: String, kind: String): Array[Array[Any]] = {
-    val c = new IcebergCommitter(new LocalTableIO(root), topic)
+    val c = new IcebergCommitter(TableIO.forRoot(root), topic)
     def s(x: String): AnyRef = UTF8String.fromString(x)
     kind match {
       case "snapshots" =>

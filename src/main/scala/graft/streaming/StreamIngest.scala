@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.EventLog
-import graft.iceberg.{DataFile, IcebergCommitter, LocalTableIO}
+import graft.iceberg.{DataFile, IcebergCommitter, TableIO}
 import graft.table.EventTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,7 +51,7 @@ final class StreamIngest(
     dedupStateTtlMs: Option[Long] = None,
     dedupStateBackend: String = StreamIngest.RocksDbState
 ) {
-  val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+  val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
 
   private val pending      = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[DataFile]]
   private var pendingSince = 0L

@@ -151,7 +151,7 @@ object StreamQueries {
     "tt1_time_travel" -> { (s, dir) =>
       val root = StreamedTables.tableRoot(s, dir)
       val c = new graft.iceberg.IcebergCommitter(
-        new graft.iceberg.LocalTableIO(root), EventTable.Topic)
+        graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
       val first = c.load().get.snapshots
         .find(_.summary.get("graft.batch-id-max").contains("1"))
         .getOrElse(throw new IllegalStateException("missing first streamed snapshot"))

@@ -65,7 +65,7 @@ object Compaction {
   def compact(spark: SparkSession, tableRoot: String, cfg: Config = Config(),
               beforeCommit: () => Unit = () => ()): Option[CommitResult] = {
     EventTable.sweepStaging(tableRoot) // GC dirs left by crashed writes
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), EventTable.Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)
 

@@ -232,7 +232,7 @@ object EventTable {
     val log = mapLog(EventLog.deriveDateHour(seq))
     val newPaths = writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
               precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
@@ -272,7 +272,7 @@ object EventTable {
       ): _*
     )
     val schema    = IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic, schema)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic, schema)
     if (committer.currentVersion() > 0) committer.evolveSchema(schema)
     val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
@@ -300,7 +300,7 @@ object EventTable {
     * schema also skips footer-merge inference entirely. */
   def readCommittedProjected(spark: SparkSession, tableRoot: String,
                              files: Seq[DataFile] = null): DataFrame = {
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val schemaOpt = committer.currentSchema()
     val active    = Option(files).getOrElse(committer.activeDataFiles())
     val st = org.apache.spark.sql.types.StructType(
@@ -340,7 +340,7 @@ object EventTable {
     * snapshots that referenced them. */
   def deleteWhere(spark: SparkSession, tableRoot: String,
                   predicate: org.apache.spark.sql.Column): DeleteResult = {
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val meta      = committer.load().getOrElse(return DeleteResult(0, 0, 0L, None))
     val base      = meta.currentSnapshotId.getOrElse(return DeleteResult(0, 0, 0L, None))
     val active    = committer.activeDataFiles()
@@ -402,7 +402,7 @@ object EventTable {
     * paths. An empty file list (e.g. everything pruned) yields an empty
     * DataFrame with the committed schema rather than a read error. */
   def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame = {
-    val committer = new IcebergCommitter(new LocalTableIO(tableRoot), Topic)
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val active    = Option(files).getOrElse(committer.activeDataFiles())
     if (active.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], committedReadSchema)

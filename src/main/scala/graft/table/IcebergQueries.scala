@@ -1,7 +1,7 @@
 package graft.table
 
 import graft.core.Oracle
-import graft.iceberg.{FieldIds, IcebergCommitter, LocalTableIO}
+import graft.iceberg.{FieldIds, IcebergCommitter, TableIO}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object IcebergQueries {
   private def committed(s: SparkSession, dir: String): (DataFrame, IcebergCommitter) = {
     val root = CommittedTables.tableRoot(s, dir)
-    (EventTable.readCommitted(s, root), new IcebergCommitter(new LocalTableIO(root), EventTable.Topic))
+    (EventTable.readCommitted(s, root), new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -48,7 +48,7 @@ object IcebergQueries {
       // Manifest-level pruning first (file skipping via stats), then Spark
       // row-group pruning — the scale path for time-range queries.
       val root      = CommittedTables.tableRoot(s, dir)
-      val committer = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+      val committer = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
       val files     = EventTable.pruneByTimeRange(committer, graft.core.HotQueries.RangeLo, graft.core.HotQueries.RangeHi)
       EventTable
         .readCommitted(s, root, files)

@@ -190,6 +190,40 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.maxCommittedSequencePerPartition() === Map.empty)
   }
 
+  test("HadoopTableIO: full commit/replace/expire lifecycle through file://") {
+    val dir = Files.createTempDirectory("graft-hadoop-io-").toString
+    val io  = TableIO.forRoot("file://" + dir)
+    assert(io.isInstanceOf[HadoopTableIO], "scheme-qualified root must select the Hadoop binding")
+    // the CAS primitive through the Hadoop create(overwrite=false) path
+    assert(io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](1)))
+    assert(!io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](2)))
+    assert(io.get("metadata/v9.metadata.json").toSeq === Seq[Byte](1))
+    io.delete("metadata/v9.metadata.json")
+    assert(!io.exists("metadata/v9.metadata.json"))
+
+    val c = new IcebergCommitter(io, "t")
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b = df("data/partition=0/b.parquet", 10, 0, 20)
+    val m = df("data/partition=0/m.parquet", 20, 0, 20)
+    Seq(a, b, m).foreach(f => c.io.put(f.filePath, Array[Byte](1)))
+    c.commitAppend(Seq(a), Map(0 -> 10L))
+    val r2 = c.commitAppend(Seq(b), Map(0 -> 20L))
+    assert(c.activeDataFiles().size === 2)
+    assert(c.summaryWatermarks() === Map(0 -> 20L))
+    intercept[CommitConflict] {
+      c.commitReplace(Seq(a, b), Seq(m), expectedBase = r2.snapshotId + 1)
+    }
+    c.commitReplace(Seq(a, b), Seq(m), expectedBase = r2.snapshotId)
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/m.parquet"))
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired.size === 2)
+    assert(c.io.exists("data/partition=0/m.parquet"))
+    assert(!c.io.exists("data/partition=0/a.parquet"))
+    assert(!c.io.exists("data/partition=0/b.parquet"))
+    // a plain local path keeps the O_EXCL LocalTableIO binding
+    assert(TableIO.forRoot(dir).isInstanceOf[LocalTableIO])
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
