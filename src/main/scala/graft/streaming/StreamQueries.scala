@@ -54,9 +54,14 @@ object StreamQueries {
   /** Event-time windowed aggregation as a STRUCTURED STREAMING query:
     * watermarked 1-hour tumbling windows over the chunked raw stream
     * (`withWatermark` + `window()` — Spark's native streaming agg with
-    * state-store-backed incremental windows). Complete output mode so the
-    * result equals the batch derivation exactly; the append-mode
-    * late-drop semantics are proven separately in StreamIngestSpec. */
+    * state-store-backed incremental windows), in APPEND mode — the
+    * scale-safe shape: a window is emitted exactly once, when the
+    * watermark passes its end, so the sink sees only closed windows and
+    * the state store holds only open ones (a complete-mode memory sink
+    * would re-materialize every window on the driver each trigger). With
+    * a zero-delay watermark the final no-data batch closes every window
+    * whose end is ≤ the stream's max event time — the oracle mirrors that
+    * emission rule exactly, like w3's sessions. */
   private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
     windowCache.getOrElseUpdate(dir, withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
@@ -66,13 +71,13 @@ object StreamQueries {
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
         .withColumn("ts", timestamp_millis(col("timestamp_ms")))
-        .withWatermark("ts", "1 hour")
+        .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
              min("timestamp_ms").as("min_ts"),
              max("timestamp_ms").as("max_ts"))
         .writeStream
-        .outputMode("complete")
+        .outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -183,11 +188,17 @@ object StreamQueries {
         |HAVING max(timestamp_ms) + 1800000 <= (SELECT max(timestamp_ms) FROM raw)""".stripMargin),
     // windows are tumbling hours in event time; raw (pre-dedup) stream —
     // the windowed agg observes every arriving event like the reference's
-    // per-hour flush grouping does
+    // per-hour flush grouping does. Append mode emits only windows the
+    // FINAL watermark (max event time, zero delay) closed: windows whose
+    // end is ≤ max_ts. (The staged chunks replay in event_id order and
+    // timestamps are nondecreasing in event_id, so no row is ever late —
+    // verified at every SF — making this emission rule exact.)
     "w2_stream_window" -> Oracle.sql(
       """SELECT (timestamp_ms // 3600000) * 3600000 AS window_start_ms, event_type,
         |       count(*) AS n_events, min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
-        |FROM raw GROUP BY 1, 2""".stripMargin),
+        |FROM raw
+        |GROUP BY 1, 2
+        |HAVING (min(timestamp_ms) // 3600000) * 3600000 + 3600000 <= (SELECT max(timestamp_ms) FROM raw)""".stripMargin),
     "s5_stream_ingest" -> Oracle.sql(
       """SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq,
         |       min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts
