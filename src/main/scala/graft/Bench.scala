@@ -19,6 +19,10 @@ object Bench {
       val warmRoot = java.nio.file.Files.createTempDirectory("graft-warm-").toString
       table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", warmRoot)
       llm.LlmQueries.queries("d2_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
+      // warm the STREAMING path too (state store, checkpoint manager, the
+      // foreachBatch pipeline's codegen) so the measured sf build pays the
+      // engine, not first-stream JIT; sf0.001 caches under its own key
+      streaming.StreamedTables.tableRoot(spark, "/root/testdata/sf0.001")
     } catch { case _: Throwable => () }
     // Consume FULL tuples, not .count(): hashing every column of every row
     // forces Catalyst to materialize the complete projection, so map-only
@@ -61,10 +65,17 @@ object Bench {
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total      = results.map(_._3).sum
     val firstTotal = results.map(_._2).sum
+    // Streamed-ingest decomposition: staging simulates the producer writing
+    // burst files; ingest is the engine (the reference's ev/s baseline
+    // measures its server ingesting already-formed requests).
+    val ingest = streaming.StreamedTables.lastBuild
+      .map(b => f"""{"events":${b.events},"staging_sec":${b.stagingSec}%.3f,""" +
+        f""""ingest_sec":${b.ingestSec}%.3f,"ev_per_sec":${(b.events / b.ingestSec).toLong}}""")
+      .getOrElse("null")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
-      s""""sf":"$sfDir","micro":${micro()}}""")
+      s""""stream_ingest":$ingest,"sf":"$sfDir","micro":${micro()}}""")
     spark.stop()
   }
 

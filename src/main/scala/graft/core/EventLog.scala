@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
+import scala.jdk.CollectionConverters._
 
 /** Canonical partitioned event log — the reference's core abstraction.
   *
@@ -107,6 +108,79 @@ object EventLog {
   def assignSequences(deduped: DataFrame, base: Map[Int, Long] = Map.empty): DataFrame =
     assignSequencesWithStats(deduped, base, byteColumn = None)._1
 
+  /** Rows-per-range-task target for the two-phase prefix sum; a batch at or
+    * under this fits ONE range partition, where [[assignSequencesSinglePass]]
+    * applies. */
+  val RangeTaskRows = 65536L
+
+  /** Per-partition sequencing — the reference's own assignment model (one
+    * atomic counter per log partition, `src/storage/sequence.rs:59-82`),
+    * Spark-shaped: ONE hash shuffle on `part_id` puts each log partition
+    * wholly on one task, a within-task sort by (timestamp_ms, event_id)
+    * fixes arrival order, and sequences continue from `base` with a plain
+    * running counter — no counts pass, no second shuffle. The output stays
+    * clustered by log partition, so a size-targeted write can run directly
+    * on these tasks without re-shuffling.
+    *
+    * Parallelism = distinct log partitions per batch (each task may own
+    * several). That is the reference's own per-partition ordering bound —
+    * sequences within a partition are inherently serial. The two-phase
+    * range path ([[assignSequencesWithStats]]) remains for bulk loads where
+    * a single partition's slice of ONE batch is itself huge.
+    *
+    * The second return value yields the per-partition (rows, estimated
+    * bytes) profile of the batch, accumulated for free inside the
+    * sequencing tasks — valid only AFTER an action has consumed the frame,
+    * and approximate under task retries (accumulator semantics); callers
+    * use it as the size profile for the NEXT batch's file bucketing, never
+    * for results. */
+  def assignSequencesPerPartition(deduped: DataFrame, base: Map[Int, Long] = Map.empty,
+                                  byteColumn: Option[String] = None,
+                                  width: Int = 0): (DataFrame, () => Map[Int, (Long, Long)]) = {
+    val spark = deduped.sparkSession
+    val n = if (width > 0) width else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = deduped
+      .repartition(n, col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("timestamp_ms"), col("event_id"))
+    val schema  = sorted.schema
+    val partIdx = schema.fieldIndex("part_id")
+    val byteIdx = byteColumn.map(schema.fieldIndex)
+    val acc     = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft.partitionProfile")
+    val out = sorted.rdd.mapPartitions { it =>
+      val cur   = scala.collection.mutable.Map.empty[Int, Long] ++ base
+      val rows  = scala.collection.mutable.Map.empty[Int, Long]
+      val bytes = scala.collection.mutable.Map.empty[Int, Long]
+      var flushed = false
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) { // one profile record per (task, partition)
+            flushed = true
+            rows.keys.foreach(p => acc.add((p, rows(p), bytes.getOrElse(p, 0L))))
+          }
+          h
+        }
+        override def next(): Row = {
+          val r = it.next()
+          val p = r.getInt(partIdx)
+          val s = cur.getOrElse(p, 0L) + 1L
+          cur.update(p, s)
+          rows.update(p, rows.getOrElse(p, 0L) + 1L)
+          byteIdx.foreach { bi =>
+            val b = r.getString(bi).getBytes("UTF-8").length.toLong + 64L
+            bytes.update(p, bytes.getOrElse(p, 0L) + b)
+          }
+          Row.fromSeq(r.toSeq :+ s)
+        }
+      }
+    }
+    val seq = spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false)))
+    val profile = () =>
+      acc.value.asScala.toSeq
+        .groupMapReduce(_._1)(t => (t._2, t._3)) { case ((r1, b1), (r2, b2)) => (r1 + r2, b1 + b2) }
+    (seq, profile)
+  }
+
   /** As [[assignSequences]], and — when `byteColumn` names a string column —
     * the counts pass ALSO accumulates the reference's per-partition byte
     * estimate (UTF-8 bytes + 64B/row, `flusher/mod.rs:361-390`) so the
@@ -121,7 +195,7 @@ object EventLog {
     // session setting — a huge batch uses full parallelism, a small
     // micro-batch doesn't pay 3 stages × conf tasks of scheduling overhead
     val n = rowsHint
-      .map(r => math.max(1, math.min(conf.toLong, (r + 65535) / 65536).toInt))
+      .map(r => math.max(1, math.min(conf.toLong, (r + RangeTaskRows - 1) / RangeTaskRows).toInt))
       .getOrElse(conf)
     val sorted = deduped
       .repartitionByRange(n, col("part_id"), col("timestamp_ms"), col("event_id"))

@@ -99,7 +99,8 @@ object EventTable {
   def writeData(df: DataFrame, tableRoot: String,
                 targetFileSize: Long = DefaultTargetFileSize,
                 fragmentInto: Option[Int] = None,
-                precomputedStats: Option[Seq[(Int, Long, Long)]] = None): Seq[String] = {
+                precomputedStats: Option[Seq[(Int, Long, Long)]] = None,
+                clustered: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     // reference's estimate: payload + 64B/row; extracted tables have no
@@ -124,13 +125,30 @@ object EventTable {
     val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
 
     val stagingAbs = Paths.get(tableRoot, ".staging", java.util.UUID.randomUUID().toString)
-    df.join(broadcast(chunkDf), Seq("partition"))
-      .withColumn("bucket", ((col("sequence") - 1) / col("seq_chunk")).cast("int"))
+    // LEFT join: `stats` may be an approximate profile (e.g. a streaming
+    // batch reusing the previous batch's) — a partition it doesn't cover
+    // must still be written (single bucket), never dropped.
+    val bucketed = df.join(broadcast(chunkDf), Seq("partition"), "left")
+      .withColumn("bucket",
+        ((col("sequence") - 1) / coalesce(col("seq_chunk"), lit(Long.MaxValue))).cast("int"))
       .drop("seq_chunk")
-      .repartition(totalBuckets, col("partition"), col("bucket"))
-      .sortWithinPartitions(col("partition"), col("bucket"), col("timestamp_ms"), col("sequence"))
-      .write
+    // `clustered` callers (the streaming per-partition sequencing pass)
+    // already hold each log partition whole on one task — write straight
+    // from those tasks instead of paying a bucket re-shuffle.
+    val arranged =
+      if (clustered) bucketed
+        .sortWithinPartitions(col("partition"), col("bucket"), col("timestamp_ms"), col("sequence"))
+      else bucketed
+        .repartition(totalBuckets, col("partition"), col("bucket"))
+        .sortWithinPartitions(col("partition"), col("bucket"), col("timestamp_ms"), col("sequence"))
+    val writer = arranged.write
       .option("compression", "zstd")
+    // Guardrail for clustered writes whose bucketing profile may not cover
+    // every partition (e.g. a stream's first batch): cap records per file
+    // at a conservative 64 B/row estimate so an unprofiled huge partition
+    // still splits near the size target instead of producing one giant file.
+    if (clustered) writer.option("maxRecordsPerFile", math.max(1L, target / 64))
+    writer
       // direct task commit (no job-level rename pass): safe because the
       // staging dir is private and the snapshot references files by NAME —
       // nothing ever lists this directory for correctness
