@@ -67,6 +67,30 @@ class EventLogSpec extends AnyFunSuite {
     })
   }
 
+  test("per-partition sequencing matches the two-phase path, and its profile is exact (property)") {
+    check(Prop.forAll(genRows) { rows =>
+      val df   = toDf(rows).withColumn("props", concat(lit("p"), col("event_id")))
+      val base = Map(0 -> 7L, 2 -> 100L)
+      val viaTwoPhase = EventLog
+        .assignSequences(df, base)
+        .select("event_id", "sequence")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val (seq, profileFn) = EventLog.assignSequencesPerPartition(df, base, byteColumn = Some("props"))
+      val viaPerPartition = seq
+        .select("event_id", "sequence")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val profile  = profileFn()
+      val expected = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      viaTwoPhase == viaPerPartition &&
+        profile.view.mapValues(_._1).toMap == expected &&
+        profile.values.forall { case (r, b) => b >= r * 64 } // 64B/row floor in the estimate
+    })
+  }
+
   test("INV-2/3: sequence order preserves (timestamp_ms, event_id) arrival order") {
     val out = EventLog
       .assignSequences(toDf(Seq((0L, 10L, 0, "a"), (1L, 5L, 0, "b"), (2L, 5L, 0, "c"), (3L, 7L, 1, "d"))))
