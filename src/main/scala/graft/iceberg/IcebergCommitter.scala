@@ -24,14 +24,16 @@ trait TableIO {
 }
 
 object TableIO {
-  /** Pick the binding for a table root: URIs with a scheme (`hdfs://…`,
-    * `s3a://…`, `file://…`) or `GRAFT_TABLE_IO=hadoop` go through
-    * [[HadoopTableIO]]; plain local paths keep the O_EXCL-atomic
-    * [[LocalTableIO]]. */
+  /** Whether a table root is a scheme-qualified URI (`hdfs://…`, `s3a://…`,
+    * `file://…`) rather than a plain local path. */
+  def hasScheme(root: String): Boolean = root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
+
+  /** Pick the binding for a table root: scheme-qualified URIs or
+    * `GRAFT_TABLE_IO=hadoop` go through [[HadoopTableIO]]; plain local
+    * paths keep the O_EXCL-atomic [[LocalTableIO]]. */
   def forRoot(root: String,
               conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): TableIO = {
-    val hasScheme = root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
-    if (hasScheme || sys.env.get("GRAFT_TABLE_IO").contains("hadoop"))
+    if (hasScheme(root) || sys.env.get("GRAFT_TABLE_IO").contains("hadoop"))
       new HadoopTableIO(root, conf)
     else new LocalTableIO(root)
   }

@@ -93,7 +93,7 @@ object Compaction {
       case c: CommitConflict =>
         // Roll back: delete ONLY the files this compaction wrote — they
         // are uncommitted orphans — and rethrow.
-        newPaths.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(tableRoot, p)))
+        newPaths.foreach(committer.io.delete)
         throw c
     }
   }

@@ -124,7 +124,8 @@ object EventTable {
     val totalBuckets = math.max(1, chunks.map(_._3).sum.toInt)
     val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
 
-    val stagingAbs = Paths.get(tableRoot, ".staging", java.util.UUID.randomUUID().toString)
+    val stagingAbs = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(tableRoot), s".staging/${java.util.UUID.randomUUID()}")
     // LEFT join: `stats` may be an approximate profile (e.g. a streaming
     // batch reusing the previous batch's) — a partition it doesn't cover
     // must still be written (single bucket), never dropped.
@@ -158,22 +159,29 @@ object EventTable {
 
     // Move staging/partition=P/bucket=B/part-*.parquet → data/partition=P/,
     // prefixing the bucket id so two buckets written by one task (same part
-    // file name) cannot collide in the flattened dir.
-    val rootP = Paths.get(tableRoot)
+    // file name) cannot collide in the flattened dir. All path work goes
+    // through the Hadoop FileSystem of the table root, so any supported
+    // scheme (file://, hdfs://, s3a://) works; moved files are renames
+    // within one store — data is never observable half-moved because the
+    // snapshot references files by NAME.
+    val rootP = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs    = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    val walk  = Files.walk(stagingAbs)
-    try {
-      walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { src =>
-        val rel     = stagingAbs.relativize(src) // partition=P/bucket=B/part-...
-        val partDir = rel.getName(0).toString
-        val bucket  = rel.getName(1).toString.stripPrefix("bucket=")
-        val dest    = rootP.resolve("data").resolve(partDir).resolve(s"b$bucket-${src.getFileName}")
-        Files.createDirectories(dest.getParent)
-        Files.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        moved += rootP.relativize(dest).toString
+    val it    = fs.listFiles(stagingAbs, true)
+    while (it.hasNext) {
+      val src = it.next().getPath
+      if (src.getName.endsWith(".parquet")) {
+        val bucket  = src.getParent.getName.stripPrefix("bucket=")
+        val partDir = src.getParent.getParent.getName // partition=P
+        val relDest = s"data/$partDir/b$bucket-${src.getName}"
+        val dest    = new org.apache.hadoop.fs.Path(rootP, relDest)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"rename $src -> $dest failed")
+        moved += relDest
       }
-    } finally walk.close()
-    deleteRecursively(stagingAbs)
+    }
+    fs.delete(stagingAbs, true)
     moved.toSeq.sorted
   }
 
@@ -183,24 +191,16 @@ object EventTable {
     * entry older than `olderThanMs` is garbage. Called from compaction —
     * the table-maintenance entry point. */
   def sweepStaging(tableRoot: String, olderThanMs: Long = 60L * 60 * 1000): Int = {
-    val staging = Paths.get(tableRoot, ".staging")
-    if (!Files.isDirectory(staging)) return 0
+    val rootP   = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs      = rootP.getFileSystem(new Configuration())
+    val staging = new org.apache.hadoop.fs.Path(rootP, ".staging")
+    if (!fs.exists(staging)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
     var n = 0
-    val s = Files.list(staging)
-    try s.iterator().asScala.foreach { d =>
-      if (Files.getLastModifiedTime(d).toMillis < cutoff) { deleteRecursively(d); n += 1 }
-    } finally s.close()
-    n
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.foreach(deleteRecursively)
-      finally s.close()
+    fs.listStatus(staging).foreach { d =>
+      if (d.getModificationTime < cutoff) { fs.delete(d.getPath, true); n += 1 }
     }
-    Files.deleteIfExists(p)
+    n
   }
 
   /** F4: DataFile stats from parquet footers, collected as a DISTRIBUTED job
@@ -219,18 +219,22 @@ object EventTable {
       .sortBy(_.filePath)
   }
 
-  /** Table-root-relative paths of all data parquet files. */
+  /** Table-root-relative paths of all data parquet files (layout is fixed:
+    * `data/partition=P/<file>.parquet`). */
   def listParquet(tableRoot: String): Seq[String] = {
-    val rootP   = Paths.get(tableRoot)
-    val dataDir = rootP.resolve("data")
-    if (!Files.isDirectory(dataDir)) Nil
+    val rootP   = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs      = rootP.getFileSystem(new Configuration())
+    val dataDir = new org.apache.hadoop.fs.Path(rootP, "data")
+    if (!fs.exists(dataDir)) Nil
     else {
-      val s = Files.walk(dataDir)
-      try s.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet"))
-        .map(p => rootP.relativize(p).toString)
-        .toSeq.sorted
-      finally s.close()
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it  = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet"))
+          out += s"data/${p.getParent.getName}/${p.getName}"
+      }
+      out.toSeq.sorted
     }
   }
 
@@ -381,8 +385,14 @@ object EventTable {
     // input_file_name() is a percent-encoded URI; decode before comparing so
     // table roots with spaces/special characters still match their files.
     val matchedPaths = matchCounts.map { case (uri, m) => decodeFileUri(uri) -> m }
-    val rootAbs  = Paths.get(tableRoot).toAbsolutePath.normalize
-    val affected = active.filter(f => matchedPaths.exists(_._1 == rootAbs.resolve(f.filePath).toString))
+    // Compare on the decoded PATH portion: for scheme roots the URI path of
+    // the root; for plain local roots the absolute normalized path (both
+    // match what input_file_name()'s URI decodes to).
+    val rootPath =
+      if (graft.iceberg.TableIO.hasScheme(tableRoot))
+        Option(new org.apache.hadoop.fs.Path(tableRoot).toUri.getPath).getOrElse(tableRoot)
+      else Paths.get(tableRoot).toAbsolutePath.normalize.toString
+    val affected = active.filter(f => matchedPaths.exists(_._1 == s"$rootPath/${f.filePath}"))
     if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
 
     val survivors = readForRewrite(spark, tableRoot, affected).filter(not(pred))
@@ -396,7 +406,7 @@ object EventTable {
     } catch {
       case c: graft.iceberg.CommitConflict =>
         // roll back ONLY this delete's staged rewrite, exactly like compaction
-        newPaths.foreach(p => java.nio.file.Files.deleteIfExists(Paths.get(tableRoot, p)))
+        newPaths.foreach(committer.io.delete)
         throw c
     }
   }
@@ -453,10 +463,12 @@ object EventTable {
   * shipped by [[EventTable.collectDataFiles]] stays small and serializable. */
 object FileStats extends Serializable {
   def dataFile(tableRoot: String, relPath: String): DataFile = {
-    val abs  = Paths.get(tableRoot, relPath)
     val conf = new Configuration()
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs.toString), conf))
+    // Hadoop Path resolution, so footer reads work for any scheme the
+    // table root uses (file://, hdfs://, s3a://), not only local paths.
+    val abs = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tableRoot), relPath)
+    val inputFile = HadoopInputFile.fromPath(abs, conf)
+    val reader = ParquetFileReader.open(inputFile)
     var rows = 0L
     var seqMin, tsMin         = Long.MaxValue
     var seqMax, tsMax         = Long.MinValue
@@ -510,7 +522,7 @@ object FileStats extends Serializable {
       filePath = relPath,
       fileFormat = "PARQUET",
       recordCount = rows,
-      fileSizeInBytes = Files.size(abs),
+      fileSizeInBytes = inputFile.getLength,
       lowerBounds = bounds.map(b => b._1 -> b._2).toMap,
       upperBounds = bounds.map(b => b._1 -> b._3).toMap
     )

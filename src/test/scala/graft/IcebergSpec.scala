@@ -224,6 +224,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(TableIO.forRoot(dir).isInstanceOf[LocalTableIO])
   }
 
+  test("scheme-qualified root: ingest, commit, read, and delete through the Hadoop data plane") {
+    val spark = TestSpark.spark
+    val dir   = Files.createTempDirectory("graft-hadoop-table-").toString
+    val root  = "file://" + dir
+    val c     = graft.table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    assert(c.io.isInstanceOf[HadoopTableIO])
+    val expected = graft.core.EventLog.log(spark, "/root/testdata/sf0.001").count()
+    assert(graft.table.EventTable.readCommitted(spark, root).count() === expected)
+    // manifest stats present (footer job ran through the Hadoop path)
+    assert(c.maxCommittedSequencePerPartition().nonEmpty)
+    // copy-on-write delete: URI path matching + rewrite + replace commit
+    import org.apache.spark.sql.functions.col
+    val res = graft.table.EventTable.deleteWhere(spark, root, col("sequence") === 1L)
+    assert(res.deletedRows > 0)
+    assert(graft.table.EventTable.readCommitted(spark, root).count() === expected - res.deletedRows)
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
