@@ -624,6 +624,50 @@ object LlmQueries {
                 col("vec_id").as("neighbor_id"))
     },
 
+    // ---------- ANN: IVF cells × SQ8 codes — the composed scale index ----------
+    "ann_ivfsq_topk" -> { (s, dir) =>
+      // The FAISS IVFx,SQ8 shape: probe the top-IvfProbes trained cells per
+      // query, score ONLY the 1-byte/dim codes of vectors in those cells
+      // (asymmetric de-quantized cosine), and re-rank the bounded survivor
+      // set against full-precision vectors. At 100 TB the candidate scan
+      // touches cells/total of the corpus AND 1 byte/dim of what it does
+      // touch — the two pruning axes multiply; everything non-broadcast
+      // stays cell-local, survivors join back as a broadcast of keys.
+      val e = emb(s, dir)
+      val (cents, assigned) = ivfIndex(s, dir)
+      val (mm, codes)       = sqIndex(s, dir)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+      val probes = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
+        .withColumn("pn", row_number().over(wProbe))
+        .filter(col("pn") <= IvfProbes)
+        .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
+      val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      val wCand = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("vec_id"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val cands = codes.join(cells, "vec_id")
+        .join(broadcast(probes), "centroid_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .crossJoin(broadcast(mm))
+        .withColumn("xhat", expr(
+          """transform(code, (c, d) ->
+            |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
+            |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
+            |  END)""".stripMargin))
+        .withColumn("qsim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter(col("crank") <= SqCandidates)
+        .select(col("q_id"), col("qv"), col("vec_id"))
+      e.join(broadcast(cands), "vec_id")
+        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"))
+    },
+
     // ---------- multimodal: opaque binary payload + typed feature extraction ----------
     "m1_multimodal" -> { (s, dir) =>
       Multimodal.features(s, dir)
@@ -914,6 +958,45 @@ object LlmQueries {
          |  FROM cand WHERE crank <= $SqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
+    // IVF×SQ8 twin: the trained-cell probe restriction of ivfSql2 composed
+    // with sqSql's midpoint de-quantized asymmetric scoring + exact re-rank.
+    val ivfSqSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |mm AS (SELECT dd.d AS d, min(v[dd.d]) AS mn, max(v[dd.d]) AS mx
+         |       FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd GROUP BY 1),
+         |c AS (SELECT e.vec_id,
+         |             list(CASE WHEN mm.mx = mm.mn THEN mm.mn
+         |                       ELSE mm.mn + (CAST(least(255, greatest(0, CAST(floor((e.v[mm.d] - mm.mn) / (mm.mx - mm.mn) * 255.0) AS BIGINT))) AS DOUBLE) + 0.5) * (mm.mx - mm.mn) / 255.0
+         |                  END ORDER BY mm.d) AS xhat
+         |      FROM e, mm GROUP BY e.vec_id),
+         |qp AS (
+         |  SELECT q_id, qv, c_id AS centroid_id FROM (
+         |    SELECT q.q_id, q.qv, cc.c_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             list_inner_product(q.qv, cc.cv) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(cc.cv, cc.cv))) DESC,
+         |             cc.c_id) AS pn
+         |    FROM (SELECT vec_id AS q_id, v AS qv FROM assigned WHERE vec_id < $NumQueries) q, c$KMeansIters cc)
+         |  WHERE pn <= $IvfProbes),
+         |cand AS (
+         |  SELECT a.vec_id, qp.q_id, qp.qv,
+         |         row_number() OVER (PARTITION BY qp.q_id ORDER BY
+         |           list_inner_product(c.xhat, qp.qv) / (sqrt(list_inner_product(c.xhat, c.xhat)) * sqrt(list_inner_product(qp.qv, qp.qv))) DESC,
+         |           a.vec_id) AS crank
+         |  FROM assigned a
+         |  JOIN qp ON a.centroid_id = qp.centroid_id AND a.vec_id != qp.q_id
+         |  JOIN c ON c.vec_id = a.vec_id)
+         |SELECT q_id, rank, neighbor_id FROM (
+         |  SELECT cand.q_id, e.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY cand.q_id ORDER BY
+         |           list_inner_product(e.v, cand.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cand.qv, cand.qv))) DESC,
+         |           e.vec_id) AS rank
+         |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+         |  WHERE cand.crank <= $SqCandidates)
+         |WHERE rank <= $TopK""".stripMargin
+
     Map(
       "d1_exact_dedup" ->
         """SELECT doc_id, md5(text) AS content_hash,
@@ -942,6 +1025,7 @@ object LlmQueries {
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
       "ann_sq_topk"    -> sqSql,
+      "ann_ivfsq_topk" -> ivfSqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,
       "m2_frame_sample" -> Multimodal.frameOracleSql
     )

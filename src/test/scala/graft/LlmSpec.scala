@@ -180,6 +180,22 @@ class LlmSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"SQ8 mean recall@5 was $mean (per-query $recalls)")
   }
 
+  test("ann IVF×SQ8: composed index recall tracks brute force") {
+    val sf = "/root/testdata/sf0.001"
+    val ivfsq = LlmQueries.queries("ann_ivfsq_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val brute = LlmQueries.queries("ann_topk_brute")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    // cell restriction (probe-2) stacked on int8 coding still recovers
+    // most of the exact top-k once survivors are re-ranked exactly
+    val recalls = brute.map { case (q, b) => (ivfsq.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF×SQ8 mean recall was $mean (per-query $recalls)")
+    assert(ivfsq.keySet.subsetOf(brute.keySet))
+  }
+
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
     val p1 = LlmQueries.hyperplane(3, 16)
     val p2 = LlmQueries.hyperplane(3, 16)
