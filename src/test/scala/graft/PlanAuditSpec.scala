@@ -77,6 +77,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no scan may carry codes AND full-precision v together:\n${imScans.mkString("\n")}")
   }
 
+  test("ann_ivfsq_topk: the composed candidate pass is codes-only too") {
+    val p = plan("ann_ivfsq_topk")
+    val imScans = p.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+    def hasV(l: String) = l.matches(""".*[\[, ]v#\d+.*""")
+    assert(imScans.exists(l => l.contains("code#") && !hasV(l)),
+      s"IVF×SQ8 candidates must scan the codes-only index:\n${imScans.mkString("\n")}")
+    assert(!imScans.exists(l => l.contains("code#") && hasV(l)),
+      s"no scan may carry codes AND full-precision v together:\n${imScans.mkString("\n")}")
+  }
+
   test("V2 source: manifest bounds prune planned input files") {
     val root = graft.table.CommittedTables.tableRoot(spark, sf)
     val c = new graft.iceberg.IcebergCommitter(new graft.iceberg.LocalTableIO(root), "events")
