@@ -68,7 +68,9 @@ object Bench {
     // Streamed-ingest decomposition: staging simulates the producer writing
     // burst files; ingest is the engine (the reference's ev/s baseline
     // measures its server ingesting already-formed requests).
+    // only a build of THIS run's SF counts — never the sf0.001 warm-up's
     val ingest = streaming.StreamedTables.lastBuild
+      .filter(_.sfDir == sfDir)
       .map(b => f"""{"events":${b.events},"staging_sec":${b.stagingSec}%.3f,""" +
         f""""ingest_sec":${b.ingestSec}%.3f,"ev_per_sec":${(b.events / b.ingestSec).toLong}}""")
       .getOrElse("null")

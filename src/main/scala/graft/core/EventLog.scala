@@ -109,8 +109,8 @@ object EventLog {
     assignSequencesWithStats(deduped, base, byteColumn = None)._1
 
   /** Rows-per-range-task target for the two-phase prefix sum; a batch at or
-    * under this fits ONE range partition, where [[assignSequencesSinglePass]]
-    * applies. */
+    * under this fits one range task comfortably — the scale at which the
+    * fused [[assignSequencesPerPartition]] path is the better plan. */
   val RangeTaskRows = 65536L
 
   /** Per-partition sequencing — the reference's own assignment model (one

@@ -28,13 +28,28 @@ object TableIO {
     * `file://…`) rather than a plain local path. */
   def hasScheme(root: String): Boolean = root.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
 
-  /** Pick the binding for a table root: scheme-qualified URIs or
-    * `GRAFT_TABLE_IO=hadoop` go through [[HadoopTableIO]]; plain local
-    * paths keep the O_EXCL-atomic [[LocalTableIO]]. */
+  /** The active Spark session's Hadoop configuration when one exists (so
+    * `spark.hadoop.*` settings — s3a credentials, endpoints, HA namenodes —
+    * reach every FileSystem the engine opens), else Hadoop defaults. */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Pick the binding for a table root. Remote scheme-qualified URIs
+    * (`hdfs://…`, `s3a://…`) or `GRAFT_TABLE_IO=hadoop` go through
+    * [[HadoopTableIO]]. Local roots — plain paths AND `file://` URIs —
+    * keep [[LocalTableIO]]: its O_EXCL create is the only atomic
+    * create-if-absent the local filesystem has (Hadoop's LocalFileSystem
+    * checks existence non-atomically, which would silently void the commit
+    * CAS for two processes sharing a local warehouse). */
   def forRoot(root: String,
-              conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): TableIO = {
-    if (hasScheme(root) || sys.env.get("GRAFT_TABLE_IO").contains("hadoop"))
-      new HadoopTableIO(root, conf)
+              conf: org.apache.hadoop.conf.Configuration = null): TableIO = {
+    val c = Option(conf).getOrElse(hadoopConf())
+    if (sys.env.get("GRAFT_TABLE_IO").contains("hadoop")) new HadoopTableIO(root, c)
+    else if (root.startsWith("file:"))
+      new LocalTableIO(new org.apache.hadoop.fs.Path(root).toUri.getPath)
+    else if (hasScheme(root)) new HadoopTableIO(root, c)
     else new LocalTableIO(root)
   }
 }

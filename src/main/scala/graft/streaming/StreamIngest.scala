@@ -216,10 +216,11 @@ final class StreamIngest(
     val afterSince =
       if (needsSince) afterBoot.join(sinceStartKeys(), Seq("part_id", "idempotency_key"), "left_anti")
       else afterBoot
-    // NOT persisted: the sequencing pass range-shuffles this slice, and both
-    // consumers (the counts pass and the write job) traverse the same
-    // shuffle RDD — Spark reuses the map output (skipped stage), so a cache
-    // here would only pay an extra serialize/deserialize per batch.
+    // Caching is per-path: the STREAMING branch shuffles this slice once by
+    // part_id and every consumer shares that map output (skipped stages) —
+    // a cache would only add a serialize/deserialize per batch. The BULK
+    // branch persists below, because the range partitioner's sampling job
+    // adds a third traversal that precedes the shuffle.
     val deduped = afterSince
     val newPaths =
       try {
@@ -251,17 +252,24 @@ final class StreamIngest(
           lastStats = Some(profileFn()) // populated by the write job
           paths
         } else {
-          val (seq, stats) = timed("sequence", batchId) {
-            EventLog.assignSequencesWithStats(deduped, base = watermarks(),
-                                              byteColumn = Some("props"),
-                                              rowsHint = lastBatchRows)
-          }
-          lastStats = Some(stats)
-          val sequenced = EventLog.deriveDateHour(seq)
-          timed("write", batchId) {
-            EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
-                                 precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
-          }
+          // Bulk path: persisted because the range partitioner's SAMPLING
+          // job traverses the dedup chain once more before the shuffle map
+          // stage runs — three consumers total (sample, counts, write), of
+          // which only the last two share the shuffle output.
+          val cached = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val (seq, stats) = timed("sequence", batchId) {
+              EventLog.assignSequencesWithStats(cached, base = watermarks(),
+                                                byteColumn = Some("props"),
+                                                rowsHint = lastBatchRows)
+            }
+            lastStats = Some(stats)
+            val sequenced = EventLog.deriveDateHour(seq)
+            timed("write", batchId) {
+              EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
+                                   precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
+            }
+          } finally cached.unpersist()
         }
       } finally {
         if (multiPass) base.unpersist()
@@ -519,7 +527,7 @@ object StreamedTables {
     * already-formed requests, so the comparable number is `events /
     * ingestSec` — surfaced by [[graft.Bench]] alongside the query timings. */
   @volatile var lastBuild: Option[StreamedTables.BuildStats] = None
-  final case class BuildStats(events: Long, stagingSec: Double, ingestSec: Double)
+  final case class BuildStats(sfDir: String, events: Long, stagingSec: Double, ingestSec: Double)
 
   def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(
@@ -538,7 +546,7 @@ object StreamedTables {
         val t2 = System.nanoTime()
         // input events = staged chunk rows (pre-dedup), footer counts only
         val events = spark.read.parquet(staging).count()
-        lastBuild = Some(BuildStats(events, (t1 - t0) / 1e9, (t2 - t1) / 1e9))
+        lastBuild = Some(BuildStats(sfDir, events, (t1 - t0) / 1e9, (t2 - t1) / 1e9))
         if (sys.env.contains("GRAFT_TIMING"))
           println(f"[graft-timing] s5 build: staging=${(t1 - t0) / 1e9}%.2fs ingest=${(t2 - t1) / 1e9}%.2fs events=$events")
         root

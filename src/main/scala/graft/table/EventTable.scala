@@ -192,7 +192,7 @@ object EventTable {
     * the table-maintenance entry point. */
   def sweepStaging(tableRoot: String, olderThanMs: Long = 60L * 60 * 1000): Int = {
     val rootP   = new org.apache.hadoop.fs.Path(tableRoot)
-    val fs      = rootP.getFileSystem(new Configuration())
+    val fs      = rootP.getFileSystem(graft.iceberg.TableIO.hadoopConf())
     val staging = new org.apache.hadoop.fs.Path(rootP, ".staging")
     if (!fs.exists(staging)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -211,9 +211,13 @@ object EventTable {
   def collectDataFiles(spark: SparkSession, tableRoot: String, newFiles: Seq[String]): Seq[DataFile] = {
     if (newFiles.isEmpty) return Nil
     val root = tableRoot
+    // Ship the SESSION Hadoop conf to the footer tasks (Configuration is
+    // Writable, not Serializable) so s3a/abfs credentials and endpoints
+    // configured via spark.hadoop.* reach the executor-side reads.
+    val confW = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(newFiles, math.min(newFiles.size, 64))
-      .map(rel => FileStats.dataFile(root, rel))
+      .map(rel => FileStats.dataFile(root, rel, confW.value))
       .collect()
       .toSeq
       .sortBy(_.filePath)
@@ -223,7 +227,7 @@ object EventTable {
     * `data/partition=P/<file>.parquet`). */
   def listParquet(tableRoot: String): Seq[String] = {
     val rootP   = new org.apache.hadoop.fs.Path(tableRoot)
-    val fs      = rootP.getFileSystem(new Configuration())
+    val fs      = rootP.getFileSystem(graft.iceberg.TableIO.hadoopConf())
     val dataDir = new org.apache.hadoop.fs.Path(rootP, "data")
     if (!fs.exists(dataDir)) Nil
     else {
@@ -459,11 +463,27 @@ object EventTable {
     }
 }
 
+/** Java-serialization envelope for a Hadoop [[Configuration]] (which is
+  * Writable, not Serializable) — lets a task closure carry the SESSION conf
+  * so executor-side FileSystem opens see `spark.hadoop.*` settings. */
+final class SerializableHadoopConf(@transient private var conf: Configuration) extends Serializable {
+  def value: Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** Executor-side footer reader — kept in a standalone object so the closure
   * shipped by [[EventTable.collectDataFiles]] stays small and serializable. */
 object FileStats extends Serializable {
-  def dataFile(tableRoot: String, relPath: String): DataFile = {
-    val conf = new Configuration()
+  def dataFile(tableRoot: String, relPath: String,
+               conf: Configuration = new Configuration()): DataFile = {
     // Hadoop Path resolution, so footer reads work for any scheme the
     // table root uses (file://, hdfs://, s3a://), not only local paths.
     val abs = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tableRoot), relPath)

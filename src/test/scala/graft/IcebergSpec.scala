@@ -192,8 +192,14 @@ class IcebergSpec extends AnyFunSuite {
 
   test("HadoopTableIO: full commit/replace/expire lifecycle through file://") {
     val dir = Files.createTempDirectory("graft-hadoop-io-").toString
-    val io  = TableIO.forRoot("file://" + dir)
-    assert(io.isInstanceOf[HadoopTableIO], "scheme-qualified root must select the Hadoop binding")
+    // constructed directly: forRoot deliberately keeps file:// on the
+    // O_EXCL LocalTableIO (Hadoop's local create-if-absent is not atomic);
+    // this exercises the Hadoop binding itself against the local store
+    val io = new HadoopTableIO("file://" + dir)
+    assert(TableIO.forRoot("hdfs://nn/x") match {
+      case _: HadoopTableIO => true
+      case _ => false
+    }, "remote schemes must select the Hadoop binding")
     // the CAS primitive through the Hadoop create(overwrite=false) path
     assert(io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](1)))
     assert(!io.putIfAbsent("metadata/v9.metadata.json", Array[Byte](2)))
@@ -220,8 +226,9 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.io.exists("data/partition=0/m.parquet"))
     assert(!c.io.exists("data/partition=0/a.parquet"))
     assert(!c.io.exists("data/partition=0/b.parquet"))
-    // a plain local path keeps the O_EXCL LocalTableIO binding
+    // local roots — plain paths AND file:// URIs — keep the O_EXCL binding
     assert(TableIO.forRoot(dir).isInstanceOf[LocalTableIO])
+    assert(TableIO.forRoot("file://" + dir).isInstanceOf[LocalTableIO])
   }
 
   test("scheme-qualified root: ingest, commit, read, and delete through the Hadoop data plane") {
@@ -229,7 +236,11 @@ class IcebergSpec extends AnyFunSuite {
     val dir   = Files.createTempDirectory("graft-hadoop-table-").toString
     val root  = "file://" + dir
     val c     = graft.table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
-    assert(c.io.isInstanceOf[HadoopTableIO])
+    // metadata CAS stays on the O_EXCL local binding (decoded from the URI);
+    // the DATA plane below (write moves, footer stats, reads, delete
+    // rewrite) resolves every path through the root's Hadoop FileSystem
+    assert(c.io.isInstanceOf[LocalTableIO])
+    assert(c.io.root === dir)
     val expected = graft.core.EventLog.log(spark, "/root/testdata/sf0.001").count()
     assert(graft.table.EventTable.readCommitted(spark, root).count() === expected)
     // manifest stats present (footer job ran through the Hadoop path)
