@@ -353,6 +353,7 @@ object LlmQueries {
         .unionByName(dup.select(col("doc_b").as("u"), col("doc_a").as("v")))
       var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cached    = labels // the currently-persisted round frame
       var converged = false
       var rounds    = 0
       while (!converged && rounds < 20) {
@@ -360,16 +361,21 @@ object LlmQueries {
           .join(labels.withColumnRenamed("doc_id", "v"), "v")
           .groupBy(col("u").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val next = labels
+        // Carry the previous label through the round so ONE action both
+        // materializes the new labels into cache and answers "did anything
+        // change?" — halving the jobs per round vs a separate check join.
+        val nextFull = labels.withColumnRenamed("cluster_id", "old")
           .join(fromNbr, Seq("doc_id"), "left")
           .select(col("doc_id"),
-                  least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+                  least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
+                  col("old"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-          .filter(col("cluster_id") =!= col("old")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
+        val changed = nextFull
+          .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("n")).head().getLong(0)
+        cached.unpersist()
+        cached = nextFull
+        labels = nextFull.drop("old")
+        converged = changed == 0L
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
