@@ -209,7 +209,10 @@ class LlmSpec extends AnyFunSuite {
     // session — a dir-only key would hand session B a dead plan from
     // session A. Keyed by (session, dir), B rebuilds its own.
     val s2 = spark.newSession()
-    Seq("d2_minhash_lsh", "ann_ivf_probe", "ann_sq_topk").foreach { q =>
+    // w2 additionally covers the streaming memory-sink caches: the sink's
+    // temp view lives in the creating session's catalog, so a dir-only
+    // cache key would hand session B a view name B cannot resolve
+    Seq("d2_minhash_lsh", "ann_ivf_probe", "ann_sq_topk", "w2_stream_window").foreach { q =>
       val n = SparkEntry.queries(q)(s2, "/root/testdata/sf0.001").count()
       assert(n > 0, s"$q must produce rows under a fresh session")
     }
