@@ -49,11 +49,24 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    // Atomic replace: FileContext rename with OVERWRITE swaps the
-    // destination in one namespace operation on HDFS (no delete-then-rename
-    // window where a concurrent reader sees the path absent). The temp name
-    // keeps partial writes invisible everywhere.
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    try {
+      // Atomic replace: FileContext rename with OVERWRITE swaps the
+      // destination in one namespace operation on HDFS (no delete-then-
+      // rename window where a concurrent reader sees the path absent).
+      // Connectors that ship only a FileSystem (no AbstractFileSystem
+      // binding for FileContext) fall back to delete+rename — still
+      // torn-write-safe via the temp name, just not absence-free.
+      try fc.rename(tmp, p, Options.Rename.OVERWRITE)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p)) throw new IOException(s"rename $tmp -> $p failed")
+      }
+    } catch {
+      case e: Exception =>
+        try fs.delete(tmp, false) catch { case _: IOException => () }
+        throw e
+    }
   }
 
   override def putIfAbsent(relPath: String, bytes: Array[Byte]): Boolean = {
@@ -61,8 +74,7 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     // overwrite=false → atomic create-if-absent on HDFS/ABFS, conditional
     // PUT (If-None-Match: *) on S3A ≥ 3.4.1. The FAILURE may surface at
     // create() (HDFS, namenode rejects) or at close() (S3A flushes the PUT
-    // on close) — handled separately so a genuine write failure is never
-    // misreported as a lost race.
+    // on close).
     val out =
       try fs.create(p, false)
       catch {
@@ -72,26 +84,31 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
         case _: IOException if fs.exists(p) => return false
       }
     try {
-      out.write(bytes)
-      out.close()
+      try out.write(bytes)
+      finally out.close() // stream is never leaked; close's own error propagates
       true
     } catch {
-      case e: IOException if isPreconditionFailure(e) => false // S3A lost the conditional PUT
       case e: IOException =>
-        // genuine failure AFTER our create: remove the torn file so it can
-        // never be mistaken for a committed metadata version, then rethrow
-        try fs.delete(p, false) catch { case _: IOException => () }
-        throw e
+        // Failure at write/close. Decide by WHAT IS AT THE PATH NOW — never
+        // by exception text (connector messages vary):
+        //  - different bytes: a concurrent committer's PUT landed → lost
+        //    race (covers the S3A 412 family without string sniffing);
+        //  - our bytes: our create materialized but errored (HDFS lease
+        //    paths) → delete the torn file so it can never be read as a
+        //    committed version, then surface the error;
+        //  - nothing readable: our PUT never materialized → surface the
+        //    error. A winner's file is never deleted: on conditional-PUT
+        //    stores our failed close reserved nothing, so the path may
+        //    legitimately hold someone else's commit.
+        val current = try Some(get(relPath)) catch { case _: IOException => None }
+        current match {
+          case Some(cur) if !java.util.Arrays.equals(cur, bytes) => false
+          case Some(_) =>
+            try fs.delete(p, false) catch { case _: IOException => () }
+            throw e
+          case None => throw e
+        }
     }
-  }
-
-  /** A close-time failure that means a concurrent conditional PUT won (the
-    * HTTP 412 family), as opposed to a genuine write error. */
-  private def isPreconditionFailure(e: IOException): Boolean = {
-    val m = Option(e.getMessage).getOrElse("")
-    val cls = e.getClass.getSimpleName
-    m.contains("PreconditionFailed") || m.contains("412") || m.contains("If-None-Match") ||
-      m.contains("already exists") || cls.contains("RemoteFileChanged")
   }
 
   override def get(relPath: String): Array[Byte] = {

@@ -130,7 +130,7 @@ object LlmQueries {
     * SparkSession too (identity), not just the dir: a cached DataFrame is
     * bound to the session that created it, and handing it to a second
     * session in the same JVM would be a dead reference. */
-  private val sigCache = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val sigCache = new graft.core.SessionMemo[DataFrame]
 
   /** Trained IVF index per (session, sfDir): (centroids, assigned corpus),
     * both cached — training happens once and probe-1/probe-2 share it.
@@ -146,11 +146,11 @@ object LlmQueries {
     * the argmax as a partial-aggregatable max_by over a UNIQUE
     * (c_sim, -c_id) key — map-side combine, no window shuffle+sort, same
     * tie-break as the oracle's row_number ordering. */
-  private val ivfCache = scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)]
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfCache.synchronized {
-      ivfCache.getOrElseUpdate((s, dir), {
+    {
+      ivfCache.getOrElseUpdate(s, dir)({
         val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         def assign(cents: DataFrame): DataFrame = {
@@ -196,11 +196,11 @@ object LlmQueries {
     * (the 0..255 cell shifted into tinyint range); de-quantization adds
     * 128 back, keeping the midpoint arithmetic bit-identical to coding
     * straight from `v`. */
-  private val sqCache = scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val sqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)]
 
   private def sqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    sqCache.synchronized {
-      sqCache.getOrElseUpdate((s, dir), {
+    {
+      sqCache.getOrElseUpdate(s, dir)({
         val e = emb(s, dir)
         // per-dimension min/max: one partial-aggregatable shuffle folded
         // to a single row, then broadcast everywhere it's needed
@@ -259,10 +259,8 @@ object LlmQueries {
     * bounds each bucket's pair fan-out, which is what keeps the plan
     * linear-ish at corpus scale. */
   private def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = sigCache.synchronized {
-      sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
     val rare = postings
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -305,10 +303,8 @@ object LlmQueries {
       // two set lookups) — materialize ONCE per (session, dir), like the
       // classic signature-table materialization, instead of re-persisting
       // (and leaking) a cache entry per invocation.
-      val base = sigCache.synchronized {
-        sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      }
+      val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
       val bands = base.select(
         col("doc_id"),
@@ -389,10 +385,8 @@ object LlmQueries {
       // dedupe — the classic winnowing fingerprint set. Runs over the
       // MATERIALIZED vhash column (sigCache): lambda references to a cached
       // attribute are plain column reads, not re-evaluated expression trees.
-      val base = sigCache.synchronized {
-        sigCache.getOrElseUpdate((s, dir), buildSignatures(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      }
+      val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val W = WinnowWindow
       base
         .withColumn(

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
 object StreamQueries {
   /** One streaming-windowed-agg result per (session, sfDir) — the memory
     * sink registers a temp view in the CREATING session's catalog, so the
-    * cached name is meaningless to any other session. */
-  private val windowCache = scala.collection.mutable.Map.empty[(SparkSession, String), String]
+    * cached name is meaningless to any other session; sessions are weakly
+    * held so the memo never pins them (see [[graft.core.SessionMemo]]). */
+  private val windowCache = new graft.core.SessionMemo[String]
 
   /** Staged chunked raw stream shared by the windowed streaming queries —
     * each query keeps its own checkpoint; the input files are immutable. */
@@ -65,7 +66,7 @@ object StreamQueries {
     * whose end is ≤ the stream's max event time — the oracle mirrors that
     * emission rule exactly, like w3's sessions. */
   private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
-    windowCache.getOrElseUpdate((s, dir), withSmallStateConf(s) {
+    windowCache.getOrElseUpdate(s, dir)(withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w2_windows_${math.abs(dir.hashCode)}"
       val q = s.readStream
@@ -89,7 +90,7 @@ object StreamQueries {
     })
   }
 
-  private val sessionCache = scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  private val sessionCache = new graft.core.SessionMemo[String]
 
   /** Native STREAMING SESSION WINDOWS (`session_window`, 30-minute gap) in
     * append mode: a session is emitted exactly once, when the watermark
@@ -98,7 +99,7 @@ object StreamQueries {
     * stream's max event time — the oracle mirrors that emission rule
     * exactly, so streamed sessionization is hash-gated. */
   private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
-    sessionCache.getOrElseUpdate((s, dir), withSmallStateConf(s) {
+    sessionCache.getOrElseUpdate(s, dir)(withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
       val name    = s"w3_sessions_${math.abs(dir.hashCode)}"
       val q = s.readStream

@@ -214,7 +214,7 @@ object EventTable {
     // Ship the SESSION Hadoop conf to the footer tasks (Configuration is
     // Writable, not Serializable) so s3a/abfs credentials and endpoints
     // configured via spark.hadoop.* reach the executor-side reads.
-    val confW = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val confW = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(newFiles, math.min(newFiles.size, 64))
       .map(rel => FileStats.dataFile(root, rel, confW.value))
@@ -461,22 +461,6 @@ object EventTable {
       val hi = f.upperInt(FieldIds.Partition).getOrElse(Int.MaxValue)
       lo <= partition && partition <= hi
     }
-}
-
-/** Java-serialization envelope for a Hadoop [[Configuration]] (which is
-  * Writable, not Serializable) — lets a task closure carry the SESSION conf
-  * so executor-side FileSystem opens see `spark.hadoop.*` settings. */
-final class SerializableHadoopConf(@transient private var conf: Configuration) extends Serializable {
-  def value: Configuration = conf
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    conf.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    conf = new Configuration(false)
-    conf.readFields(in)
-  }
 }
 
 /** Executor-side footer reader — kept in a standalone object so the closure
