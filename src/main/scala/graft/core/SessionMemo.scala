@@ -3,16 +3,30 @@ package graft.core
 import org.apache.spark.sql.SparkSession
 
 /** Per-(session, key) memo for session-bound values (cached DataFrames,
-  * memory-sink view names): entries must not outlive their SparkSession —
-  * a cached plan or temp-view name from session A is dead to session B —
-  * and must not PIN sessions either. Sessions are held weakly, so a
-  * request-scoped or test-scoped session becomes collectable (with its
-  * driver-side cached results) once the caller drops it; a plain
-  * `(SparkSession, key)`-keyed map would retain every session for the JVM
-  * lifetime. */
-final class SessionMemo[V] {
+  * memory-sink view names): entries must never cross sessions — a cached
+  * plan or temp-view name from session A is dead to session B — and must
+  * not accumulate without bound either.
+  *
+  * Weak references cannot do the bounding here: a cached DataFrame
+  * strongly references its own SparkSession, so a WeakHashMap entry whose
+  * value (transitively) holds a DataFrame keeps its key reachable forever
+  * — the classic value→key cycle the WeakHashMap javadoc warns about.
+  * Instead the memo is an LRU over SESSIONS: at most `maxSessions`
+  * sessions are tracked, and evicting one runs `onEvict` over its values
+  * (e.g. `unpersist`) so driver/executor cache actually frees. A
+  * long-lived service creating request-scoped sessions is bounded at
+  * `maxSessions` sessions' worth of index state. */
+final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => ()) {
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, V]]
+    new java.util.LinkedHashMap[SparkSession, scala.collection.mutable.Map[String, V]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, scala.collection.mutable.Map[String, V]]): Boolean = {
+        val evict = size() > maxSessions
+        if (evict)
+          e.getValue.values.foreach(v => try onEvict(v) catch { case _: Exception => () })
+        evict
+      }
+    }
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V = synchronized {
     val inner = Option(bySession.get(s)).getOrElse {

@@ -130,7 +130,7 @@ object LlmQueries {
     * SparkSession too (identity), not just the dir: a cached DataFrame is
     * bound to the session that created it, and handing it to a second
     * session in the same JVM would be a dead reference. */
-  private val sigCache = new graft.core.SessionMemo[DataFrame]
+  private val sigCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
 
   /** Trained IVF index per (session, sfDir): (centroids, assigned corpus),
     * both cached — training happens once and probe-1/probe-2 share it.
@@ -146,7 +146,7 @@ object LlmQueries {
     * the argmax as a partial-aggregatable max_by over a UNIQUE
     * (c_sim, -c_id) key — map-side combine, no window shuffle+sort, same
     * tie-break as the oracle's row_number ordering. */
-  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)]
+  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (_, a) => a.unpersist(); () })
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
@@ -196,7 +196,7 @@ object LlmQueries {
     * (the 0..255 cell shifted into tinyint range); de-quantization adds
     * 128 back, keeping the midpoint arithmetic bit-identical to coding
     * straight from `v`. */
-  private val sqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)]
+  private val sqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (_, c) => c.unpersist(); () })
 
   private def sqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
