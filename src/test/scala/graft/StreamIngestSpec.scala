@@ -78,6 +78,31 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedCounts(root) === batchCounts())
   }
 
+  test("crash between staging and commit on the FUSED streaming path (upstreamDeduped)") {
+    // Same crash shape as above, but through the streaming branch of
+    // processBatch: per-partition sequencing fused into the write, size
+    // profile carried batch-to-batch. Input is pre-deduped, as KeyedDedup
+    // would deliver it.
+    val root = Files.createTempDirectory("graft-crash-fused-spec-").toString
+    val raw  = graft.core.EventLog.deduped(EventLog.raw(spark, sf)).cache()
+    val mid  = raw.agg(expr("percentile_approx(event_id, 0.5)")).head().get(0).toString.toDouble.toLong
+
+    val a = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    a.processBatch(raw.filter(col("event_id") <= mid), batchId = 0L, upstreamDeduped = true)
+    a.processBatch(raw.filter(col("event_id") > mid), batchId = 1L, upstreamDeduped = true)
+    assert(new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), EventTable.Topic).load() === None,
+      "nothing must be committed yet")
+    // A crashes; B adopts the staged batches from markers and flushes.
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    b.finish()
+    assert(committedCounts(root) === batchCounts())
+    // replaying batch 1 through the fused path after commit is a no-op
+    val files = EventTable.listParquet(root).size
+    b.processBatch(raw.filter(col("event_id") > mid), batchId = 1L, upstreamDeduped = true)
+    assert(EventTable.listParquet(root).size === files)
+    assert(committedCounts(root) === batchCounts())
+  }
+
   test("a replayed-but-staged batch is skipped after restart") {
     val root = Files.createTempDirectory("graft-replay2-spec-").toString
     val raw  = EventLog.raw(spark, sf)
