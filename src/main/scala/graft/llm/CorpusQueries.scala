@@ -40,7 +40,7 @@ object CorpusQueries {
 
   /** d5: multiplicative-hash bucket in [0, 1000) — all operations bounded
     * in Long, so the same expression is exact in Spark and DuckDB. */
-  private val splitBucket = "((doc_id % 1000003) * 2654435761 + 12345) % 1000"
+  private[llm] val splitBucket = "((doc_id % 1000003) * 2654435761 + 12345) % 1000"
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

@@ -132,6 +132,62 @@ object LlmQueries {
     * session in the same JVM would be a dead reference. */
   private val sigCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
 
+  /** Connected components over the near-dup pair graph (doc_id,
+    * cluster_id), memoized per (session, dir): the converged label frame
+    * stays persisted and is shared by d6 and the composed d7 pipeline.
+    *
+    * Pair lists are not a dedup decision: near-duplication is transitive
+    * only through clusters (A~B, B~C ⇒ keep one of {A,B,C}). Components
+    * are computed by iterative min-label propagation — each round is one
+    * edge join + one min-agg (both key-bucketed shuffles), rounds are
+    * O(component diameter), and convergence is a metadata-sized driver
+    * check. Dup clusters are tiny (diameter ≤ a few hops), so this is
+    * the plan that holds at corpus scale; no union-find on one machine. */
+  private val clusterCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(s, dir) {
+      val dup = ngramDupPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = dup.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(dup.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cached    = labels // the currently-persisted round frame
+      var converged = false
+      var rounds    = 0
+      while (!converged && rounds < 20) {
+        val fromNbr = edges
+          .join(labels.withColumnRenamed("doc_id", "v"), "v")
+          .groupBy(col("u").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        // Carry the previous label through the round so ONE action both
+        // materializes the new labels into cache and answers "did anything
+        // change?" — halving the jobs per round vs a separate check join.
+        val nextFull = labels.withColumnRenamed("cluster_id", "old")
+          .join(fromNbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
+                  col("old"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = nextFull
+          .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("n")).head().getLong(0)
+        cached.unpersist()
+        cached = nextFull
+        labels = nextFull.drop("old")
+        converged = changed == 0L
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      // Persist the MEMOIZED frame itself (unpersist on a projection would
+      // not free the round frame's cache), then release the scaffolding.
+      val result = labels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count() // materialize from the final round's cache before freeing it
+      cached.unpersist()
+      dup.unpersist()
+      result
+    }
+
   /** Trained IVF index per (session, sfDir): (centroids, assigned corpus),
     * both cached — training happens once and probe-1/probe-2 share it.
     *
@@ -336,47 +392,33 @@ object LlmQueries {
 
     // ---------- dedup clustering: connected components over dup pairs ----------
     "d6_dedup_clusters" -> { (s, dir) =>
-      // Pair lists are not a dedup decision: near-duplication is transitive
-      // only through clusters (A~B, B~C ⇒ keep one of {A,B,C}). Components
-      // are computed by iterative min-label propagation — each round is one
-      // edge join + one min-agg (both key-bucketed shuffles), rounds are
-      // O(component diameter), and convergence is a metadata-sized driver
-      // check. Dup clusters are tiny (diameter ≤ a few hops), so this is
-      // the plan that holds at corpus scale; no union-find on one machine.
-      val dup = ngramDupPairs(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = dup.select(col("doc_a").as("u"), col("doc_b").as("v"))
-        .unionByName(dup.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      var labels = docs(s, dir).select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var cached    = labels // the currently-persisted round frame
-      var converged = false
-      var rounds    = 0
-      while (!converged && rounds < 20) {
-        val fromNbr = edges
-          .join(labels.withColumnRenamed("doc_id", "v"), "v")
-          .groupBy(col("u").as("doc_id"))
-          .agg(min(col("cluster_id")).as("nbr_min"))
-        // Carry the previous label through the round so ONE action both
-        // materializes the new labels into cache and answers "did anything
-        // change?" — halving the jobs per round vs a separate check join.
-        val nextFull = labels.withColumnRenamed("cluster_id", "old")
-          .join(fromNbr, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-                  least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
-                  col("old"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = nextFull
-          .agg(count(when(col("cluster_id") =!= col("old"), 1)).as("n")).head().getLong(0)
-        cached.unpersist()
-        cached = nextFull
-        labels = nextFull.drop("old")
-        converged = changed == 0L
-        rounds += 1
-      }
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      labels.select(col("doc_id"), col("cluster_id"),
-                    (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+    },
+
+    // ---------- the composed curation pipeline: dedup → canonical → split ----------
+    "d7_curation_split" -> { (s, dir) =>
+      // What a training-data run actually executes, end to end: near-dup
+      // clusters (d6) → keep ONLY each cluster's canonical representative →
+      // deterministic stratified train/val/test split (d5) of the
+      // survivors. Every stage is individually hash-gated; this gates the
+      // COMPOSITION (the join of cluster labels back onto the corpus and
+      // the split over the filtered survivor set).
+      val canon = dedupClusters(s, dir)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      docs(s, dir)
+        .join(canon, "doc_id")
+        .withColumn("b", expr(CorpusQueries.splitBucket))
+        .withColumn("split",
+          when(col("b") < CorpusQueries.TrainPermille, "train")
+            .when(col("b") < CorpusQueries.ValPermille, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
     },
 
     // ---------- winnowing: rolling k-gram fingerprints (MOSS scheme) ----------
@@ -1017,6 +1059,27 @@ object LlmQueries {
            |)
            |SELECT u AS doc_id, min(m) AS cluster_id, (min(m) = u) AS is_canonical
            |FROM reach GROUP BY 1""".stripMargin,
+      // d6's component CTEs composed with d5's deterministic split: the
+      // end-to-end curation pipeline over only canonical representatives
+      "d7_curation_split" ->
+        s"""WITH RECURSIVE $ngramPairCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+           |reach(u, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v
+           |),
+           |canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(m) = u)
+           |SELECT source,
+           |  CASE WHEN b < ${CorpusQueries.TrainPermille} THEN 'train'
+           |       WHEN b < ${CorpusQueries.ValPermille} THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  count(*) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM (SELECT d.source, d.doc_id, d.n_chars, ${CorpusQueries.splitBucket} AS b
+           |      FROM documents d JOIN canon USING (doc_id))
+           |GROUP BY 1, 2""".stripMargin,
       "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,
