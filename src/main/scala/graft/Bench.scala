@@ -11,6 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_TIMING=2: per-stage decomposition (duration + task count + name)
+    // for throughput triage of multi-stage jobs like the streamed-ingest
+    // trigger — tells WHICH stage owns a fixed cost, not just which phase.
+    if (sys.env.get("GRAFT_TIMING").contains("2"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i  = e.stageInfo
+          val ms = for { s <- i.submissionTime; c <- i.completionTime } yield c - s
+          println(s"[graft-stage] id=${i.stageId} tasks=${i.numTasks} ms=${ms.getOrElse(-1L)} ${i.name.takeWhile(_ != '\n').take(90)}")
+        }
+      })
     // Steady-state warmup (standard bench practice): run the ingest and
     // dedup pipelines once at the smallest SF so timed queries measure the
     // engine, not first-call JIT/janino codegen compilation (~7s of

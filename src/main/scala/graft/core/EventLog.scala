@@ -115,70 +115,35 @@ object EventLog {
 
   /** Per-partition sequencing — the reference's own assignment model (one
     * atomic counter per log partition, `src/storage/sequence.rs:59-82`),
-    * Spark-shaped: ONE hash shuffle on `part_id` puts each log partition
-    * wholly on one task, a within-task sort by (timestamp_ms, event_id)
-    * fixes arrival order, and sequences continue from `base` with a plain
-    * running counter — no counts pass, no second shuffle. The output stays
-    * clustered by log partition, so a size-targeted write can run directly
-    * on these tasks without re-shuffling.
+    * Spark-shaped: ONE hash shuffle on `part_id` clusters each log
+    * partition wholly on one task, and `row_number()` over
+    * (part_id | timestamp_ms, event_id) is the running counter, continued
+    * from `base` via a literal-map lookup. Entirely Catalyst — the window's
+    * required sort IS the arrival-order sort, there is no counts pass, no
+    * second shuffle, and no RDD hop (the previous mapPartitions version
+    * paid per-row Row boxing plus an external->internal row conversion on
+    * the ingest hot path's widest stage). The output stays clustered by
+    * log partition, so a size-targeted write runs directly on these tasks.
     *
     * Parallelism = distinct log partitions per batch (each task may own
     * several). That is the reference's own per-partition ordering bound —
     * sequences within a partition are inherently serial. The two-phase
     * range path ([[assignSequencesWithStats]]) remains for bulk loads where
-    * a single partition's slice of ONE batch is itself huge.
-    *
-    * The second return value yields the per-partition (rows, estimated
-    * bytes) profile of the batch, accumulated for free inside the
-    * sequencing tasks — valid only AFTER an action has consumed the frame,
-    * and approximate under task retries (accumulator semantics); callers
-    * use it as the size profile for the NEXT batch's file bucketing, never
-    * for results. */
+    * a single partition's slice of ONE batch is itself huge (row_number is
+    * also Int-typed, so a single BATCH is bounded at 2^31 rows per log
+    * partition — far beyond any micro-batch; bulk loads take the range
+    * path). */
   def assignSequencesPerPartition(deduped: DataFrame, base: Map[Int, Long] = Map.empty,
-                                  byteColumn: Option[String] = None,
-                                  width: Int = 0): (DataFrame, () => Map[Int, (Long, Long)]) = {
+                                  width: Int = 0): DataFrame = {
     val spark = deduped.sparkSession
     val n = if (width > 0) width else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = deduped
-      .repartition(n, col("part_id"))
-      .sortWithinPartitions(col("part_id"), col("timestamp_ms"), col("event_id"))
-    val schema  = sorted.schema
-    val partIdx = schema.fieldIndex("part_id")
-    val byteIdx = byteColumn.map(schema.fieldIndex)
-    val acc     = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft.partitionProfile")
-    val out = sorted.rdd.mapPartitions { it =>
-      val cur   = scala.collection.mutable.Map.empty[Int, Long] ++ base
-      val rows  = scala.collection.mutable.Map.empty[Int, Long]
-      val bytes = scala.collection.mutable.Map.empty[Int, Long]
-      var flushed = false
-      new Iterator[Row] {
-        override def hasNext: Boolean = {
-          val h = it.hasNext
-          if (!h && !flushed) { // one profile record per (task, partition)
-            flushed = true
-            rows.keys.foreach(p => acc.add((p, rows(p), bytes.getOrElse(p, 0L))))
-          }
-          h
-        }
-        override def next(): Row = {
-          val r = it.next()
-          val p = r.getInt(partIdx)
-          val s = cur.getOrElse(p, 0L) + 1L
-          cur.update(p, s)
-          rows.update(p, rows.getOrElse(p, 0L) + 1L)
-          byteIdx.foreach { bi =>
-            val b = r.getString(bi).getBytes("UTF-8").length.toLong + 64L
-            bytes.update(p, bytes.getOrElse(p, 0L) + b)
-          }
-          Row.fromSeq(r.toSeq :+ s)
-        }
-      }
-    }
-    val seq = spark.createDataFrame(out, schema.add(StructField("sequence", LongType, nullable = false)))
-    val profile = () =>
-      acc.value.asScala.toSeq
-        .groupMapReduce(_._1)(t => (t._2, t._3)) { case ((r1, b1), (r2, b2)) => (r1 + r2, b1 + b2) }
-    (seq, profile)
+    val baseCol =
+      if (base.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(base), col("part_id")), lit(0L))
+    val w = Window.partitionBy(col("part_id")).orderBy(col("timestamp_ms"), col("event_id"))
+    deduped
+      .repartition(n, col("part_id")) // satisfies the window's clustering — one exchange total
+      .withColumn("sequence", (baseCol + row_number().over(w).cast(LongType)).as("sequence"))
   }
 
   /** As [[assignSequences]], and — when `byteColumn` names a string column —

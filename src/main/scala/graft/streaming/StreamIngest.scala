@@ -238,19 +238,20 @@ final class StreamIngest(
         // the exact two-phase range path: one batch may be a whole table
         // load, where a single partition's slice is itself huge.
         if (upstreamDeduped) {
-          val (seq, profileFn) = timed("sequence", batchId) {
-            EventLog.assignSequencesPerPartition(deduped, base = watermarks(),
-                                                 byteColumn = Some("props"))
+          val wm = watermarks()
+          val seq = timed("sequence", batchId) {
+            EventLog.assignSequencesPerPartition(deduped, base = wm)
           }
           val sequenced = EventLog.deriveDateHour(seq)
-          val paths = timed("write", batchId) {
+          timed("write", batchId) {
             EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                                  precomputedStats = Some(lastStats.getOrElse(Map.empty).toSeq
                                    .map { case (p, (r, b)) => (p, r, b) }),
-                                 clustered = true)
+                                 clustered = true, seqBase = wm)
           }
-          lastStats = Some(profileFn()) // populated by the write job
-          paths
+          // the next batch's bucketing profile now comes from the written
+          // files' own footers (exact rows + uncompressed bytes), read in
+          // the footer pass below — no in-job accumulator side channel
         } else {
           // Bulk path: persisted because the range partitioner's SAMPLING
           // job traverses the dedup chain once more before the shuffle map
@@ -258,8 +259,9 @@ final class StreamIngest(
           // which only the last two share the shuffle output.
           val cached = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
+            val wm = watermarks()
             val (seq, stats) = timed("sequence", batchId) {
-              EventLog.assignSequencesWithStats(cached, base = watermarks(),
+              EventLog.assignSequencesWithStats(cached, base = wm,
                                                 byteColumn = Some("props"),
                                                 rowsHint = lastBatchRows)
             }
@@ -267,7 +269,8 @@ final class StreamIngest(
             val sequenced = EventLog.deriveDateHour(seq)
             timed("write", batchId) {
               EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
-                                   precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
+                                   precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }),
+                                   seqBase = wm)
             }
           } finally cached.unpersist()
         }
@@ -277,8 +280,10 @@ final class StreamIngest(
 
     // Marker AFTER the data write: files without a marker are orphans.
     committer.io.put(markerPath(batchId), newPaths.mkString("\n").getBytes("UTF-8"))
-    val written = timed("footers", batchId)(EventTable.collectDataFiles(spark, tableRoot, newPaths))
+    val withRaw = timed("footers", batchId)(EventTable.collectDataFilesWithRaw(spark, tableRoot, newPaths))
+    val written = withRaw.map(_._1)
     lastBatchRows = Some(written.map(_.recordCount).sum) // exact, from footers
+    if (upstreamDeduped) lastStats = Some(EventTable.profileOf(withRaw))
     pending.update(batchId, written)
     sinceStartFiles ++= written
     if (pending.size == 1) pendingSince = System.currentTimeMillis()

@@ -100,7 +100,8 @@ object EventTable {
                 targetFileSize: Long = DefaultTargetFileSize,
                 fragmentInto: Option[Int] = None,
                 precomputedStats: Option[Seq[(Int, Long, Long)]] = None,
-                clustered: Boolean = false): Seq[String] = {
+                clustered: Boolean = false,
+                seqBase: Map[Int, Long] = Map.empty): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     // reference's estimate: payload + 64B/row; extracted tables have no
@@ -119,20 +120,45 @@ object EventTable {
     }
     val chunks = stats.map { case (p, rows, bytes) =>
       val buckets = math.max(1L, (bytes + target - 1) / target)
-      (p, math.max(1L, (rows + buckets - 1) / buckets), buckets)
+      // a partition under the size target is ONE file, full stop — a finite
+      // chunk here would spill a tiny tail file whenever the actual batch
+      // carries a few more rows than the (possibly previous-batch) profile
+      val chunk = if (buckets == 1) Long.MaxValue else math.max(1L, (rows + buckets - 1) / buckets)
+      (p, chunk, buckets)
     }
     val totalBuckets = math.max(1, chunks.map(_._3).sum.toInt)
-    val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
 
     val stagingAbs = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(tableRoot), s".staging/${java.util.UUID.randomUUID()}")
-    // LEFT join: `stats` may be an approximate profile (e.g. a streaming
-    // batch reusing the previous batch's) — a partition it doesn't cover
-    // must still be written (single bucket), never dropped.
-    val bucketed = df.join(broadcast(chunkDf), Seq("partition"), "left")
-      .withColumn("bucket",
-        ((col("sequence") - 1) / coalesce(col("seq_chunk"), lit(Long.MaxValue))).cast("int"))
-      .drop("seq_chunk")
+    // Chunk lookup must not DROP uncovered partitions: `stats` may be an
+    // approximate profile (e.g. a streaming batch reusing the previous
+    // batch's) — a partition it doesn't cover still writes (single bucket,
+    // chunk = Long.MaxValue). Bounded profiles ride as a LITERAL MAP
+    // expression (no broadcast exchange or hash-join build per call — a
+    // measurable per-trigger cost on the streaming path); a huge profile
+    // (very wide bulk load) falls back to a broadcast join rather than
+    // bloating the plan tree.
+    val withChunk =
+      if (chunks.length > 1024) {
+        val chunkDf = chunks.map { case (p, chunk, _) => (p, chunk) }.toSeq.toDF("partition", "seq_chunk")
+        df.join(broadcast(chunkDf), Seq("partition"), "left")
+          .withColumn("_chunk", coalesce(col("seq_chunk"), lit(Long.MaxValue)))
+          .drop("seq_chunk")
+      } else if (chunks.nonEmpty) {
+        val m = typedLit(chunks.map { case (p, chunk, _) => p -> chunk }.toMap)
+        df.withColumn("_chunk", coalesce(element_at(m, col("partition")), lit(Long.MaxValue)))
+      } else df.withColumn("_chunk", lit(Long.MaxValue))
+    // `seqBase` anchors bucket 0 at each partition's pre-write watermark so
+    // bucket boundaries align with THIS write's sequence range: an append
+    // whose sequences continue from an arbitrary watermark still cuts
+    // ceil(bytes/target) files, instead of straddling an absolute-sequence
+    // boundary and emitting an extra fragment per partition per batch.
+    val baseCol =
+      if (seqBase.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(seqBase), col("partition")), lit(0L))
+    val bucketed = withChunk
+      .withColumn("bucket", ((col("sequence") - lit(1L) - baseCol) / col("_chunk")).cast("int"))
+      .drop("_chunk")
     // `clustered` callers (the streaming per-partition sequencing pass)
     // already hold each log partition whole on one task — write straight
     // from those tasks instead of paying a bucket re-shuffle.
@@ -149,6 +175,7 @@ object EventTable {
     // at a conservative 64 B/row estimate so an unprofiled huge partition
     // still splits near the size target instead of producing one giant file.
     if (clustered) writer.option("maxRecordsPerFile", math.max(1L, target / 64))
+    val tW0 = System.nanoTime()
     writer
       // direct task commit (no job-level rename pass): safe because the
       // staging dir is private and the snapshot references files by NAME —
@@ -156,6 +183,8 @@ object EventTable {
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .partitionBy("partition", "bucket")
       .parquet(stagingAbs.toString)
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"[graft-timing]   writeData.parquet ${(System.nanoTime() - tW0) / 1e6}%.0f ms")
 
     // Move staging/partition=P/bucket=B/part-*.parquet → data/partition=P/,
     // prefixing the bucket id so two buckets written by one task (same part
@@ -164,9 +193,53 @@ object EventTable {
     // scheme (file://, hdfs://, s3a://) works; moved files are renames
     // within one store — data is never observable half-moved because the
     // snapshot references files by NAME.
+    val tM0   = System.nanoTime()
+    val moved =
+      if (!graft.iceberg.TableIO.hasScheme(tableRoot) || tableRoot.startsWith("file:"))
+        movePlainLocal(stagingAbs, tableRoot)
+      else
+        moveViaHadoop(spark, stagingAbs, tableRoot)
+    if (sys.env.contains("GRAFT_TIMING"))
+      println(f"[graft-timing]   writeData.move ${(System.nanoTime() - tM0) / 1e6}%.0f ms (${moved.size} files)")
+    moved
+  }
+
+  /** Local-root move via java.nio. Hadoop's LocalFileSystem loads POSIX
+    * permissions by FORKING `ls -ld` per file status when the native
+    * library is absent — ~100 ms per streamed micro-batch just to list 8
+    * staged files. nio does the same walk+rename in ~1 ms. */
+  private def movePlainLocal(stagingAbs: org.apache.hadoop.fs.Path, tableRoot: String): Seq[String] = {
+    import java.nio.file.{Files => NF, Paths => NP}
+    val stagingDir = NP.get(stagingAbs.toUri.getPath)
+    val rootDir    = NP.get(new org.apache.hadoop.fs.Path(tableRoot).toUri.getPath)
+    val moved      = scala.collection.mutable.ArrayBuffer.empty[String]
+    val walk       = NF.walk(stagingDir)
+    try {
+      walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { src =>
+        val bucket  = src.getParent.getFileName.toString.stripPrefix("bucket=")
+        val partDir = src.getParent.getParent.getFileName.toString // partition=P
+        val relDest = s"data/$partDir/b$bucket-${src.getFileName}"
+        val dest    = rootDir.resolve(relDest)
+        NF.createDirectories(dest.getParent)
+        NF.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        moved += relDest
+      }
+    } finally walk.close()
+    // recursive delete of the (now file-less) staging tree
+    val del = NF.walk(stagingDir)
+    try del.iterator().asScala.toSeq.reverseIterator.foreach(NF.deleteIfExists(_))
+    finally del.close()
+    moved.toSeq.sorted
+  }
+
+  /** Scheme-root move through the root's Hadoop FileSystem (hdfs://,
+    * s3a:// …). Renames are independent single-file metadata ops — issued
+    * from a thread pool, since an object store pays a round trip per op. */
+  private def moveViaHadoop(spark: SparkSession, stagingAbs: org.apache.hadoop.fs.Path,
+                            tableRoot: String): Seq[String] = {
     val rootP = new org.apache.hadoop.fs.Path(tableRoot)
     val fs    = rootP.getFileSystem(spark.sessionState.newHadoopConf())
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, String)]
     val it    = fs.listFiles(stagingAbs, true)
     while (it.hasNext) {
       val src = it.next().getPath
@@ -174,15 +247,23 @@ object EventTable {
         val bucket  = src.getParent.getName.stripPrefix("bucket=")
         val partDir = src.getParent.getParent.getName // partition=P
         val relDest = s"data/$partDir/b$bucket-${src.getName}"
-        val dest    = new org.apache.hadoop.fs.Path(rootP, relDest)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(src, dest))
-          throw new java.io.IOException(s"rename $src -> $dest failed")
-        moved += relDest
+        pairs += ((src, new org.apache.hadoop.fs.Path(rootP, relDest), relDest))
       }
     }
+    pairs.map(_._2.getParent).distinct.foreach(fs.mkdirs)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, math.min(pairs.size, 16)))
+    try {
+      pairs
+        .map { case (src, dest, _) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              if (!fs.rename(src, dest)) throw new java.io.IOException(s"rename $src -> $dest failed")
+          })
+        }
+        .foreach(_.get())
+    } finally pool.shutdown()
     fs.delete(stagingAbs, true)
-    moved.toSeq.sorted
+    pairs.map(_._3).toSeq.sorted
   }
 
   /** GC for crashed writes: a writeData that died between the parquet job
@@ -203,25 +284,63 @@ object EventTable {
     n
   }
 
-  /** F4: DataFile stats from parquet footers, collected as a DISTRIBUTED job
-    * (one task per slice of the file list) — at 100 TB this is ~800k footer
-    * reads spread over the cluster, not hours of driver time. Missing/empty
-    * footer stats omit the bound entry (consumers fall back to conservative
-    * defaults) instead of encoding sentinel values. */
-  def collectDataFiles(spark: SparkSession, tableRoot: String, newFiles: Seq[String]): Seq[DataFile] = {
+  /** File count at or under which footer stats are read by a DRIVER thread
+    * pool instead of a Spark job: a distributed 8–16-file footer pass costs
+    * ~90 ms/trigger on the streaming hot path (≈half of it job scheduling),
+    * where 16 threaded local reads take ~25 ms. Large file lists (bulk
+    * loads, 100 TB compactions — ~800k footers) stay a distributed job. */
+  val DriverFooterThreshold = 64
+
+  /** F4: DataFile stats from parquet footers — plus each file's UNCOMPRESSED
+    * data size (Σ block totalByteSize), the next batch's bucketing profile.
+    * Collected as a DISTRIBUTED job (one task per slice of the file list —
+    * at 100 TB this is ~800k footer reads spread over the cluster, not
+    * hours of driver time), or on a driver thread pool below
+    * [[DriverFooterThreshold]] where job scheduling would dominate.
+    * Missing/empty footer stats omit the bound entry (consumers fall back
+    * to conservative defaults) instead of encoding sentinel values. */
+  def collectDataFilesWithRaw(spark: SparkSession, tableRoot: String,
+                              newFiles: Seq[String]): Seq[(DataFile, Long)] = {
     if (newFiles.isEmpty) return Nil
     val root = tableRoot
-    // Ship the SESSION Hadoop conf to the footer tasks (Configuration is
-    // Writable, not Serializable) so s3a/abfs credentials and endpoints
-    // configured via spark.hadoop.* reach the executor-side reads.
-    val confW = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
-    spark.sparkContext
-      .parallelize(newFiles, math.min(newFiles.size, 64))
-      .map(rel => FileStats.dataFile(root, rel, confW.value))
-      .collect()
-      .toSeq
-      .sortBy(_.filePath)
+    if (newFiles.size <= DriverFooterThreshold) {
+      val conf = spark.sessionState.newHadoopConf()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(newFiles.size, 16))
+      try {
+        newFiles
+          .map(rel => pool.submit(new java.util.concurrent.Callable[(DataFile, Long)] {
+            // Configuration is mutated during FileSystem init — copy per task
+            override def call(): (DataFile, Long) =
+              FileStats.dataFileAndRaw(root, rel, new Configuration(conf))
+          }))
+          .map(_.get())
+          .sortBy(_._1.filePath)
+      } finally pool.shutdown()
+    } else {
+      // Ship the SESSION Hadoop conf to the footer tasks (Configuration is
+      // Writable, not Serializable) so s3a/abfs credentials and endpoints
+      // configured via spark.hadoop.* reach the executor-side reads.
+      val confW = new org.apache.spark.util.SerializableConfiguration(spark.sessionState.newHadoopConf())
+      spark.sparkContext
+        .parallelize(newFiles, math.min(newFiles.size, 64))
+        .map(rel => FileStats.dataFileAndRaw(root, rel, confW.value))
+        .collect()
+        .toSeq
+        .sortBy(_._1.filePath)
+    }
   }
+
+  def collectDataFiles(spark: SparkSession, tableRoot: String, newFiles: Seq[String]): Seq[DataFile] =
+    collectDataFilesWithRaw(spark, tableRoot, newFiles).map(_._1)
+
+  /** Per-partition (rows, uncompressed bytes) profile of a written file set —
+    * exact (footer record counts; files are single-partition), used as the
+    * NEXT streaming batch's bucketing profile. Bucketing granularity affects
+    * file sizes, never results. */
+  def profileOf(files: Seq[(DataFile, Long)]): Map[Int, (Long, Long)] =
+    files
+      .flatMap { case (f, raw) => f.lowerInt(FieldIds.Partition).map(p => (p, f.recordCount, raw)) }
+      .groupMapReduce(_._1)(t => (t._2, t._3)) { case ((r1, b1), (r2, b2)) => (r1 + r2, b1 + b2) }
 
   /** Table-root-relative paths of all data parquet files (layout is fixed:
     * `data/partition=P/<file>.parquet`). */
@@ -467,13 +586,21 @@ object EventTable {
   * shipped by [[EventTable.collectDataFiles]] stays small and serializable. */
 object FileStats extends Serializable {
   def dataFile(tableRoot: String, relPath: String,
-               conf: Configuration = new Configuration()): DataFile = {
+               conf: Configuration = new Configuration()): DataFile =
+    dataFileAndRaw(tableRoot, relPath, conf)._1
+
+  /** As [[dataFile]], also returning the file's UNCOMPRESSED data size
+    * (Σ block totalByteSize) — the size-profile input for streamed-batch
+    * bucketing, read from the same footer pass for free. */
+  def dataFileAndRaw(tableRoot: String, relPath: String,
+                     conf: Configuration = new Configuration()): (DataFile, Long) = {
     // Hadoop Path resolution, so footer reads work for any scheme the
     // table root uses (file://, hdfs://, s3a://), not only local paths.
     val abs = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tableRoot), relPath)
     val inputFile = HadoopInputFile.fromPath(abs, conf)
     val reader = ParquetFileReader.open(inputFile)
     var rows = 0L
+    var rawBytes = 0L
     var seqMin, tsMin         = Long.MaxValue
     var seqMax, tsMax         = Long.MinValue
     var dateMin, hourMin      = Int.MaxValue
@@ -481,6 +608,7 @@ object FileStats extends Serializable {
     try {
       reader.getFooter.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
+        rawBytes += b.getTotalByteSize
         b.getColumns.asScala.foreach { c =>
           val st = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) c.getPath.toDotString match {
@@ -521,7 +649,7 @@ object FileStats extends Serializable {
         intBounds(FieldIds.EventHour, hourMin, hourMax) ++
         part.toSeq.map(p => (FieldIds.Partition, Bounds.encodeInt(p), Bounds.encodeInt(p)))
 
-    DataFile(
+    (DataFile(
       content = 0,
       filePath = relPath,
       fileFormat = "PARQUET",
@@ -529,7 +657,7 @@ object FileStats extends Serializable {
       fileSizeInBytes = inputFile.getLength,
       lowerBounds = bounds.map(b => b._1 -> b._2).toMap,
       upperBounds = bounds.map(b => b._1 -> b._3).toMap
-    )
+    ), rawBytes)
   }
 }
 
