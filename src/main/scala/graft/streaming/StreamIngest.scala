@@ -348,40 +348,55 @@ final class StreamIngest(
     * via `metrics.render()`). */
   val metrics = new graft.serve.Metrics
 
+  /** The stream's OWN session — a clone sharing the SparkContext (and so
+    * executors, caches, listeners) whose conf is private to this stream.
+    * Streaming-only settings bind here, never to the caller's session:
+    *
+    *  - dedup-state WIDTH (`spark.sql.shuffle.partitions`): the state
+    *    partition count binds to THIS stream's checkpoint at creation, so
+    *    sizing it to the deployment's key cardinality is a per-stream
+    *    choice. Every micro-batch pays a fixed open/commit per state
+    *    partition per trigger (the dominant cost when batches are small
+    *    relative to the configured width); a deployment with a huge key
+    *    space sizes UP, a bounded one sizes DOWN — same tuning the
+    *    reference exposes as RocksDB shard count. Previously this mutated
+    *    the shared session and silently narrowed unrelated queries'
+    *    parallelism if the stream outlived `runFileStream`'s restore.
+    *  - state BACKEND: both are exactly-once and checkpoint-durable; the
+    *    choice is a size/latency tradeoff. DEFAULT per-executor RocksDB
+    *    (the same storage the reference's idempotency index uses) with
+    *    per-batch changelog checkpointing: state can outgrow the heap,
+    *    which unbounded key retention at 100 TB will. HeapState (Spark's
+    *    HDFSBacked provider) is the opt-in for TTL-bounded deployments —
+    *    A/B-benched at sf0.1: within noise of RocksDB, so the scale-safe
+    *    backend stays the default.
+    *  - [[NioCheckpointFileManager]]: offset/commit-log and state
+    *    changelog IO without the Hadoop local-FS permission-stat forks
+    *    (~80 ms/trigger measured); delegates to stock Spark for
+    *    non-local checkpoint locations.
+    */
+  private lazy val streamSession: SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[NioCheckpointFileManager].getName)
+    shufflePartitions.foreach(n => ss.conf.set("spark.sql.shuffle.partitions", n.toString))
+    if (dedupStateBackend == StreamIngest.RocksDbState) {
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    } else
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    ss
+  }
+
   /** Start (without blocking) the file-source ingestion stream — the
     * reference's F1 timer-loop shape when driven by
     * `Trigger.ProcessingTime(...)` (`flusher/mod.rs:514-650` — wake on
     * interval, flush what arrived). The caller owns the query lifecycle. */
   def startFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
                       trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery = {
-    // State backend for the keyed dedup index. Both are exactly-once and
-    // checkpoint-durable; the choice is a size/latency tradeoff:
-    //  - DEFAULT per-executor RocksDB (the same storage the reference's
-    //    idempotency index uses) with per-batch changelog checkpointing
-    //    (the standard production setting for frequent small batches):
-    //    state can outgrow the heap, which unbounded key retention at
-    //    100 TB will.
-    //  - HeapState (Spark's HDFSBacked provider): for deployments whose
-    //    dedup state is bounded by a short TTL window (the reference's
-    //    cleanup watermark) — skips the native commit + changelog upload
-    //    per state partition per batch. A/B-benched at sf0.1: within noise
-    //    of RocksDB here, so the scale-safe backend stays the default.
-    // Optional dedup-state WIDTH: the state partition count binds to THIS
-    // stream's checkpoint at creation, so sizing it to the deployment's key
-    // cardinality is a per-stream choice, not a session-wide one. Every
-    // micro-batch pays a fixed open/commit per state partition per trigger
-    // (the dominant cost when batches are small relative to the configured
-    // width); a deployment with a huge key space sizes UP, a bounded one
-    // sizes DOWN — same tuning the reference exposes as RocksDB shard count.
-    shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    if (dedupStateBackend == StreamIngest.RocksDbState) {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    } else
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    val source = spark.readStream
+    val source = streamSession.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stagingDir)
@@ -398,16 +413,12 @@ final class StreamIngest(
   def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
                     trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val listener = new IngestMetricsListener(metrics)
-    spark.streams.addListener(listener)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    streamSession.streams.addListener(listener)
     try {
       val q = startFileStream(stagingDir, schema, maxFilesPerTrigger, trigger)
       q.awaitTermination()
       finish()
-    } finally {
-      spark.streams.removeListener(listener)
-      if (shufflePartitions.isDefined) spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+    } finally streamSession.streams.removeListener(listener)
   }
 }
 
