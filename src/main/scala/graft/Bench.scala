@@ -86,10 +86,43 @@ object Bench {
       .map(b => f"""{"events":${b.events},"staging_sec":${b.stagingSec}%.3f,""" +
         f""""ingest_sec":${b.ingestSec}%.3f,"ev_per_sec":${(b.events / b.ingestSec).toLong}}""")
       .getOrElse("null")
+    // 10× BACKLOG MEASUREMENT: replay the event stream 10 times (shifted
+    // ids/timestamps/keys) through the same 25k-event-per-trigger stream —
+    // 40 triggers instead of 4 — so per-trigger fixed-cost amortization is
+    // a number, not an argument. marginal_ev_per_sec is the slope between
+    // the 1× and 10× runs: events added / seconds added, i.e. the steady
+    // throughput with startup and first-trigger costs cancelled out.
+    // Skipped for filtered runs (SPARK_GRAFT_BENCH_ONLY) unless forced;
+    // SPARK_GRAFT_BENCH_10X=0 disables outright.
+    val ingest10x = {
+      val enabled = sys.env.get("SPARK_GRAFT_BENCH_10X") match {
+        case Some("0") => false
+        case Some(_)   => true
+        case None      => only.isEmpty
+      }
+      if (!enabled) "null"
+      else
+        try {
+          val root    = java.nio.file.Files.createTempDirectory("graft-stream10x-").toString
+          val staging = java.nio.file.Files.createTempDirectory("graft-staging10x-").toString
+          val t0      = System.nanoTime()
+          val schema  = streaming.StreamIngest.stageChunks(spark, sfDir, staging, nChunks = 40, replicate = 10)
+          val t1      = System.nanoTime()
+          new streaming.StreamIngest(spark, root, shufflePartitions = Some(8)).runFileStream(staging, schema)
+          val t2      = System.nanoTime()
+          val events  = spark.read.parquet(staging).count()
+          val sec     = (t2 - t1) / 1e9
+          val marginal = streaming.StreamedTables.lastBuild.filter(_.sfDir == sfDir).map { b =>
+            f""","marginal_ev_per_sec":${((events - b.events) / (sec - b.ingestSec)).toLong}"""
+          }.getOrElse("")
+          f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
+            f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal}"""
+        } catch { case _: Throwable => "null" }
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
-      s""""stream_ingest":$ingest,"sf":"$sfDir","micro":${micro()}}""")
+      s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"sf":"$sfDir","micro":${micro()}}""")
     spark.stop()
   }
 

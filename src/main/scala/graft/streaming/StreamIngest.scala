@@ -500,10 +500,30 @@ object StreamIngest {
     * chunk models one bulk-write burst (S2). All chunks are written by ONE
     * dynamic-partition job (the chunk id is a partition column), then moved
     * into place with explicitly ascending timestamps — replay order comes
-    * from the stamped mtimes, not from N sequential write jobs. */
-  def stageChunks(spark: SparkSession, sfDir: String, stagingDir: String, nChunks: Int): StructType = {
-    val raw   = EventLog.raw(spark, sfDir)
-    val maxId = raw.agg(max("event_id")).head().getLong(0)
+    * from the stamped mtimes, not from N sequential write jobs.
+    *
+    * `replicate > 1` synthesizes a larger backlog from the same source:
+    * copy i shifts event_ids by `i * (maxId + 1)` and timestamps by the
+    * stream's time span, and prefixes idempotency keys with `r<i>:` so
+    * copies never dedup against each other while each copy's own retry
+    * pairs still do — the shape needed to MEASURE per-trigger fixed-cost
+    * amortization at 10× instead of arguing it. */
+  def stageChunks(spark: SparkSession, sfDir: String, stagingDir: String, nChunks: Int,
+                  replicate: Int = 1): StructType = {
+    val raw0   = EventLog.raw(spark, sfDir)
+    val bounds = raw0.agg(max("event_id"), min("timestamp_ms"), max("timestamp_ms")).head()
+    val maxId0 = bounds.getLong(0)
+    val tsSpan = bounds.getLong(2) - bounds.getLong(1) + 1L
+    val raw =
+      if (replicate <= 1) raw0
+      else (0 until replicate).map { i =>
+        if (i == 0) raw0
+        else raw0
+          .withColumn("event_id", col("event_id") + lit(i * (maxId0 + 1)))
+          .withColumn("timestamp_ms", col("timestamp_ms") + lit(i.toLong * tsSpan))
+          .withColumn("idempotency_key", concat(lit(s"r$i:"), col("idempotency_key")))
+      }.reduce(_ unionByName _)
+    val maxId = (maxId0 + 1) * replicate - 1
     val span  = maxId / nChunks + 1
     val tmp = java.nio.file.Files.createTempDirectory("graft-stage-chunks-").resolve("out")
     raw
