@@ -131,6 +131,20 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
       fs.listStatus(dir).toSeq.map(st => relPrefix + "/" + st.getPath.getName)
   }
 
+  override def listFilesRecursive(relPrefix: String): Seq[(String, Long)] = {
+    val dir = abs(relPrefix)
+    if (!fs.exists(dir)) return Nil
+    val rootUriPath = rootPath.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it  = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st  = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUriPath).stripPrefix("/")
+      out += ((rel, st.getModificationTime))
+    }
+    out.toSeq
+  }
+
   override def delete(relPath: String): Unit = {
     fs.delete(abs(relPath), false)
     ()

@@ -20,6 +20,12 @@ trait TableIO {
   def get(relPath: String): Array[Byte]
   def exists(relPath: String): Boolean
   def list(relPrefix: String): Seq[String]
+
+  /** Recursive file listing with modification times — the input to orphan
+    * GC (mtime gates "old enough to be a crash leftover, not an in-flight
+    * write"). Returns (relPath, mtimeMs) for every regular file under the
+    * prefix; an absent prefix is an empty table, not an error. */
+  def listFilesRecursive(relPrefix: String): Seq[(String, Long)]
   def delete(relPath: String): Unit
 }
 
@@ -83,6 +89,16 @@ final class LocalTableIO(val root: String) extends TableIO {
       finally s.close()
     }
   }
+  override def listFilesRecursive(relPrefix: String): Seq[(String, Long)] = {
+    val dir = abs(relPrefix)
+    if (!Files.isDirectory(dir)) return Nil
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => (Paths.get(root).relativize(p).toString, Files.getLastModifiedTime(p).toMillis))
+      .toSeq
+    finally walk.close()
+  }
   override def delete(relPath: String): Unit = Files.deleteIfExists(abs(relPath))
 }
 
@@ -126,11 +142,29 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     if (vs.isEmpty) 0 else vs.max
   }
 
-  def load(): Option[TableMetadata] = {
-    val v = currentVersion()
-    if (v == 0) None
-    else Some(IcebergCommitter.cachedMetadata(io, versionFile(v)))
+  /** Current (version, metadata), healing TORN versions: a writer that died
+    * mid-write on a create-reserving store (HDFS/ABFS) can leave a partial
+    * `v{N}.metadata.json` as the highest version, which would otherwise
+    * wedge every read and commit forever (max version unparseable). An
+    * unparseable max version is a dead writer's garbage — a completed
+    * commit always parses (and on conditional-PUT stores objects appear
+    * atomically whole) — so delete it and fall back to the previous
+    * version. See [[publishVersion]] for the same adjudication at the
+    * commit CAS. */
+  private def resolveCurrent(): (Int, Option[TableMetadata]) = {
+    var v = currentVersion()
+    while (v > 0) {
+      try return (v, Some(IcebergCommitter.cachedMetadata(io, versionFile(v))))
+      catch {
+        case _: Exception =>
+          io.delete(versionFile(v))
+          v = currentVersion()
+      }
+    }
+    (0, None)
   }
+
+  def load(): Option[TableMetadata] = resolveCurrent()._2
 
   /** Random positive 63-bit id — matching the reference's
     * `generate_snapshot_id` (`/root/reference/src/storage/iceberg.rs:1118-1125`).
@@ -166,9 +200,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       extraSummary: Map[String, String],
       expectedBaseVersion: Option[Int]
   ): CommitResult = {
-    val baseVersion = currentVersion()
-    val base        = if (baseVersion == 0) TableMetadata.create(s"table://$topic", schema) else
-      IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
+    val (baseVersion, baseMeta) = resolveCurrent()
+    val base = baseMeta.getOrElse(TableMetadata.create(s"table://$topic", schema))
 
     expectedBaseVersion.foreach { exp =>
       if (exp != baseVersion)
@@ -250,12 +283,41 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     )
 
     val nextVersion = baseVersion + 1
-    if (!io.putIfAbsent(versionFile(nextVersion), next.toJson.getBytes("UTF-8"))) {
+    if (!publishVersion(nextVersion, next.toJson.getBytes("UTF-8"))) {
       io.delete(manifestName); io.delete(listName)
       throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
     }
     io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
     CommitResult(snapshotId, nextVersion, next)
+  }
+
+  /** CAS publish of `v{N}.metadata.json`, with TORN-WINNER healing. A lost
+    * create-if-absent normally means a competitor committed vN first — but
+    * on stores where `create()` reserves the path before the bytes land
+    * (HDFS, ABFS), a writer that died mid-write leaves a partial vN that
+    * would otherwise WEDGE the table: every later `load()` resolves current
+    * metadata as max version and fails parsing it forever. So before
+    * conceding the race, verify the winning bytes parse as table metadata;
+    * an unparseable winner is a dead writer's garbage — delete it and retry
+    * the CAS. A real competitor's commit always parses and is never
+    * touched; on conditional-PUT stores (S3) objects appear atomically
+    * whole, so an unparseable object there can only be garbage too. The
+    * one liveness tradeoff: on HDFS an IN-FLIGHT competitor's not-yet-
+    * closed file is also unreadable and gets deleted — their close() then
+    * fails and they retry, which is correct (never double-committed),
+    * just not wait-free. */
+  private def publishVersion(nextVersion: Int, json: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (attempt < 3) {
+      if (io.putIfAbsent(versionFile(nextVersion), json)) return true
+      val winnerParses =
+        try { TableMetadata.fromJson(new String(io.get(versionFile(nextVersion)), "UTF-8")); true }
+        catch { case _: Exception => false }
+      if (winnerParses) return false
+      io.delete(versionFile(nextVersion))
+      attempt += 1
+    }
+    false
   }
 
   /** All manifest entries of the current snapshot (in manifest-list order).
@@ -321,9 +383,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * A commit racing in between raises [[CommitConflict]], exactly as in
     * [[commit]]/[[expireSnapshots]]. */
   def evolveSchema(next: IcebergSchema): Boolean = synchronized {
-    val baseVersion = currentVersion()
+    val (baseVersion, baseMeta) = resolveCurrent()
     require(baseVersion > 0, "cannot evolve the schema of a table with no committed metadata")
-    val meta = IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
+    val meta = baseMeta.get
     val cur  = meta.schemas.find(_.schemaId == meta.currentSchemaId).getOrElse(meta.schemas.head)
     def key(f: IcebergField) = (f.id, f.name, f.fieldType)
     if (next.fields.map(key) == cur.fields.map(key)) return false
@@ -340,7 +402,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       currentSchemaId = newId,
       lastUpdatedMs = System.currentTimeMillis())
     val nextVersion = baseVersion + 1
-    if (!io.putIfAbsent(versionFile(nextVersion), updated.toJson.getBytes("UTF-8")))
+    if (!publishVersion(nextVersion, updated.toJson.getBytes("UTF-8")))
       throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
     io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
     true
@@ -355,9 +417,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     // metadata at baseVersion, and the putIfAbsent targets EXACTLY
     // baseVersion + 1 — a commit landing in between makes this throw
     // CommitConflict instead of being silently erased by a stale rewrite.
-    val baseVersion = currentVersion()
+    val (baseVersion, baseMeta) = resolveCurrent()
     if (baseVersion == 0) return Nil
-    val meta = IcebergCommitter.cachedMetadata(io, versionFile(baseVersion))
+    val meta = baseMeta.get
     val keep = meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast))
     val expired = meta.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
     if (expired.isEmpty) return Nil
@@ -376,7 +438,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       snapshotLog = meta.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId))
     )
     val nextVersion = baseVersion + 1
-    if (!io.putIfAbsent(versionFile(nextVersion), next.toJson.getBytes("UTF-8")))
+    if (!publishVersion(nextVersion, next.toJson.getBytes("UTF-8")))
       throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
     io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
 
@@ -402,6 +464,35 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     load().flatMap(_.currentSnapshot).map(_.summary).getOrElse(Map.empty).collect {
       case (k, v) if k.startsWith("zombi.watermark.") => k.stripPrefix("zombi.watermark.").toInt -> v.toLong
     }
+
+  /** Orphan-file GC: physically delete `data/` files referenced by NO
+    * snapshot (any status, any retained snapshot) and NO staged-batch
+    * marker. Such files are crash leftovers — a writer that died between
+    * its data write and its marker/commit (the reference's stranded
+    * uncommitted S3 uploads) — invisible to every reader but accumulating
+    * storage forever. `olderThanMs` protects in-flight writes that have
+    * finished their data files but not yet published a marker: only files
+    * older than the horizon are eligible. Returns the deleted paths.
+    *
+    * Status-2 (deleted) manifest entries count as references on purpose:
+    * their physical files are removed by compaction/DELETE themselves, and
+    * a file that reappears in no active set but is still named by history
+    * belongs to `expireSnapshots`, not to this sweep. */
+  def removeOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = synchronized {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val referenced: Set[String] =
+      load().toSeq.flatMap(_.snapshots).flatMap(s => entriesAt(s.snapshotId))
+        .map(_.dataFile.filePath).toSet
+    val staged: Set[String] = io.list("staged")
+      .filter(_.endsWith(".marker"))
+      .flatMap(m => new String(io.get(m), "UTF-8").split('\n').filter(_.nonEmpty))
+      .toSet
+    val orphans = io.listFilesRecursive("data").collect {
+      case (rel, mtime) if mtime < cutoff && !referenced(rel) && !staged(rel) => rel
+    }
+    orphans.foreach(io.delete)
+    orphans.sorted
+  }
 }
 
 /** Process-wide parse caches for IMMUTABLE table files: a `v{N}.metadata.json`

@@ -207,6 +207,10 @@ object LlmQueries {
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
       ivfCache.getOrElseUpdate(s, dir)({
+        // persisted only for the duration of the build (KMeansIters + 1
+        // traversals), unpersisted before returning — holding it in the memo
+        // value would leak the cached blocks past session eviction, whose
+        // onEvict only covers the assigned frame
         val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         def assign(cents: DataFrame): DataFrame = {
@@ -240,6 +244,8 @@ object LlmQueries {
         }
         val assigned = assign(cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assigned.count() // materialize off `e` before releasing it
+        e.unpersist()
         (cents, assigned)
       })
     }

@@ -89,15 +89,27 @@ final class StreamIngest(
   /** F9/F10 on startup: adopt staged-but-uncommitted batches back into the
     * pending set (their files are already on disk); drop markers of batches
     * that did commit. Data files referenced by neither are orphans and stay
-    * invisible. */
+    * invisible ([[IcebergCommitter.removeOrphans]] reclaims them).
+    *
+    * A marker whose data files are INCOMPLETE (e.g. a crash mid-abandon
+    * deleted some files after the marker was written) is a failed stage,
+    * not a recoverable one: adopting it would commit a hole, and loading
+    * it would previously throw and brick startup. The batch never
+    * committed, so dropping the marker plus its surviving files is safe —
+    * checkpoint replay re-processes that batch id from the source. */
   def reconcile(): Unit = {
     val committedMax = lastCommittedBatchId()
     stagedBatchIds().foreach { id =>
       if (id <= committedMax) committer.io.delete(markerPath(id))
       else {
         val paths = new String(committer.io.get(markerPath(id)), "UTF-8").split('\n').filter(_.nonEmpty).toSeq
-        pending.update(id, EventTable.collectDataFiles(spark, tableRoot, paths))
-        if (pendingSince == 0L) pendingSince = System.currentTimeMillis()
+        if (paths.forall(committer.io.exists)) {
+          pending.update(id, EventTable.collectDataFiles(spark, tableRoot, paths))
+          if (pendingSince == 0L) pendingSince = System.currentTimeMillis()
+        } else {
+          paths.foreach(committer.io.delete)
+          committer.io.delete(markerPath(id))
+        }
       }
     }
   }

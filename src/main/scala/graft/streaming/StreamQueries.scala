@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * The oracle is the batch derivation over the same events — streamed and
   * batch ingestion must converge to the identical committed state. */
 object StreamQueries {
-  /** One streaming-windowed-agg result per (session, sfDir) — the memory
-    * sink registers a temp view in the CREATING session's catalog, so the
-    * cached name is meaningless to any other session; sessions are weakly
-    * held so the memo never pins them (see [[graft.core.SessionMemo]]). */
+  /** One streaming-windowed-agg result per (session, sfDir) — the result is
+    * registered in the CREATING session's catalog, so the cached name is
+    * meaningless to any other session; [[graft.core.SessionMemo]] pins at
+    * most `maxSessions` sessions in an LRU (oldest-access evicted first —
+    * weak references cannot work here, see its doc). */
   private val windowCache = new graft.core.SessionMemo[String]
 
   /** Staged chunked raw stream shared by the windowed streaming queries —

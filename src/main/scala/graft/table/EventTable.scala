@@ -171,10 +171,17 @@ object EventTable {
     val writer = arranged.write
       .option("compression", "zstd")
     // Guardrail for clustered writes whose bucketing profile may not cover
-    // every partition (e.g. a stream's first batch): cap records per file
-    // at a conservative 64 B/row estimate so an unprofiled huge partition
-    // still splits near the size target instead of producing one giant file.
-    if (clustered) writer.option("maxRecordsPerFile", math.max(1L, target / 64))
+    // every partition (e.g. a stream's first batch): cap records per file so
+    // an unprofiled huge partition still splits near the size target instead
+    // of producing one giant file. Bytes/row comes from the profile itself
+    // when one exists (footer-exact for streamed batches — event rows with
+    // payloads run hundreds of bytes, where a flat 64 B assumption would
+    // overshoot the target severalfold); batch 0 falls back to 64 B.
+    if (clustered) {
+      val (pr, pb) = stats.foldLeft((0L, 0L)) { case ((r, b), (_, rr, bb)) => (r + rr, b + bb) }
+      val bytesPerRow = if (pr > 0 && pb > 0) math.max(1L, pb / pr) else 64L
+      writer.option("maxRecordsPerFile", math.max(1L, target / bytesPerRow))
+    }
     val tW0 = System.nanoTime()
     writer
       // direct task commit (no job-level rename pass): safe because the

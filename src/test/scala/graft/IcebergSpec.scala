@@ -171,6 +171,56 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.expireSnapshots(keepLast = 1) === Nil)
   }
 
+  test("orphan GC removes exactly the unreferenced-and-old data files") {
+    val c = freshCommitter()
+    val committed = df("data/partition=0/kept.parquet", 10, 0, 10)
+    c.io.put(committed.filePath, Array[Byte](1))
+    c.commitAppend(Seq(committed))
+    // a staged-but-uncommitted batch: files + marker (a crashed stream's
+    // recoverable state — must survive GC)
+    c.io.put("data/partition=1/staged.parquet", Array[Byte](1))
+    c.io.put("staged/batch-7.marker", "data/partition=1/staged.parquet".getBytes("UTF-8"))
+    // true orphans: written, marker never made it (crash between data write
+    // and marker put)
+    c.io.put("data/partition=0/orphan1.parquet", Array[Byte](1))
+    c.io.put("data/partition=2/orphan2.parquet", Array[Byte](1))
+
+    // a fresh-files horizon deletes nothing (in-flight protection)
+    assert(c.removeOrphans(olderThanMs = 60000) === Nil)
+    val gone = c.removeOrphans(olderThanMs = -1)
+    assert(gone === Seq("data/partition=0/orphan1.parquet", "data/partition=2/orphan2.parquet"))
+    assert(c.io.exists("data/partition=0/kept.parquet"))
+    assert(c.io.exists("data/partition=1/staged.parquet"))
+    assert(!c.io.exists("data/partition=0/orphan1.parquet"))
+    assert(!c.io.exists("data/partition=2/orphan2.parquet"))
+    // current read unaffected; sweep is idempotent
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/kept.parquet"))
+    assert(c.removeOrphans(olderThanMs = -1) === Nil)
+  }
+
+  test("a torn metadata version from a crashed writer heals instead of wedging the CAS") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    // a dead writer left a partial v2.metadata.json (unparseable prefix) —
+    // on create-reserving stores this is the torn-file shape ADVICE flags
+    c.io.put(c.versionFile(2), """{"format-version":2,"table-uu""".getBytes("UTF-8"))
+    // reads heal too (previously: wedged forever on the unparseable max)
+    assert(c.load().get.snapshots.size === 1)
+    assert(!c.io.exists(c.versionFile(2)), "the torn artifact is deleted on resolution")
+    // the freed version is re-won by the next commit
+    val r2 = c.commitAppend(Seq(df("data/partition=1/b.parquet", 5, 1, 5)))
+    assert(r2.version === 2, "torn v2 must be healed and re-won, not conceded")
+    assert(c.activeDataFiles().map(_.filePath).toSet ===
+      Set("data/partition=0/a.parquet", "data/partition=1/b.parquet"))
+    // a REAL competitor's (parse-valid) metadata is adopted as the new
+    // base, never deleted
+    val competitor = c.load().get.copy(lastUpdatedMs = 1L)
+    c.io.put(c.versionFile(3), competitor.toJson.getBytes("UTF-8"))
+    val r4 = c.commitAppend(Seq(df("data/partition=2/c.parquet", 1, 2, 1)))
+    assert(r4.version === 4, "valid external version becomes the base")
+    assert(c.io.exists(c.versionFile(3)))
+  }
+
   test("a fully-pruned read returns an empty typed DataFrame, not an error") {
     val spark = TestSpark.spark
     val root  = Files.createTempDirectory("graft-prune-empty-").toString

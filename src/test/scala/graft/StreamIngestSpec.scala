@@ -103,6 +103,32 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committedCounts(root) === batchCounts())
   }
 
+  test("a marker whose data files are incomplete is dropped on reconcile, not adopted (and does not brick startup)") {
+    val root = Files.createTempDirectory("graft-marker-crash-").toString
+    val raw  = EventLog.raw(spark, sf).cache()
+    val io   = new graft.iceberg.LocalTableIO(root)
+
+    val a = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    a.processBatch(raw.filter(col("event_id") < 100), batchId = 0L)
+    // crash mid-abandon: one of the marker's data files is gone, marker stays
+    val markerFiles = new String(io.get("staged/batch-0.marker"), "UTF-8").split('\n').filter(_.nonEmpty)
+    assert(markerFiles.nonEmpty)
+    io.delete(markerFiles.head)
+
+    // startup must treat the incomplete stage as failed: drop the marker
+    // AND the surviving files (the batch never committed), not throw
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1000)
+    assert(b.pendingStats === ((0, 0L)))
+    assert(io.list("staged").isEmpty)
+    assert(markerFiles.forall(f => !io.exists(f)), "surviving files of the failed stage are removed")
+
+    // replaying the batch id re-ingests cleanly (it was never committed)
+    b.processBatch(raw.filter(col("event_id") < 100), batchId = 0L)
+    b.finish()
+    val expect = EventLog.deduped(raw.filter(col("event_id") < 100)).count()
+    assert(EventTable.readCommitted(spark, root).count() === expect)
+  }
+
   test("a replayed-but-staged batch is skipped after restart") {
     val root = Files.createTempDirectory("graft-replay2-spec-").toString
     val raw  = EventLog.raw(spark, sf)
