@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   * The oracle is the batch derivation over the same events — streamed and
   * batch ingestion must converge to the identical committed state. */
 object StreamQueries {
-  /** One streaming-windowed-agg result per (session, sfDir) — the result is
-    * registered in the CREATING session's catalog, so the cached name is
-    * meaningless to any other session; [[graft.core.SessionMemo]] pins at
-    * most `maxSessions` sessions in an LRU (oldest-access evicted first —
-    * weak references cannot work here, see its doc). */
-  private val windowCache = new graft.core.SessionMemo[String]
+  /** One streaming-windowed-agg PARQUET SINK per sfDir. A file sink (not a
+    * memory sink) is the 100 TB-honest emission path: closed windows land
+    * in executor-written parquet, never in driver memory, and the result is
+    * session-independent — any session reads the same files, so the cache
+    * key is just the sfDir. */
+  private val windowSinkCache = scala.collection.mutable.Map.empty[String, String]
 
   /** Staged chunked raw stream shared by the windowed streaming queries —
     * each query keeps its own checkpoint; the input files are immutable. */
@@ -42,15 +42,22 @@ object StreamQueries {
   private def withSmallStateConf[T](s: SparkSession)(f: => T): T = {
     val prevParts    = s.conf.get("spark.sql.shuffle.partitions")
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevCfm      = s.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[NioCheckpointFileManager].getName)
     try f
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProvider match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      prevCfm match {
+        case Some(p) => s.conf.set("spark.sql.streaming.checkpointFileManagerClass", p)
+        case None    => s.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
       }
     }
   }
@@ -67,9 +74,9 @@ object StreamQueries {
     * whose end is ≤ the stream's max event time — the oracle mirrors that
     * emission rule exactly, like w3's sessions. */
   private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
-    windowCache.getOrElseUpdate(s, dir)(withSmallStateConf(s) {
+    windowSinkCache.getOrElseUpdate(dir, withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
-      val name    = s"w2_windows_${math.abs(dir.hashCode)}"
+      val out = java.nio.file.Files.createTempDirectory("graft-w2-sink-").toString
       val q = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -82,16 +89,17 @@ object StreamQueries {
              max("timestamp_ms").as("max_ts"))
         .writeStream
         .outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint") // _-prefixed: invisible to the parquet read
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      name
+      out
     })
   }
 
-  private val sessionCache = new graft.core.SessionMemo[String]
+  private val sessionSinkCache = scala.collection.mutable.Map.empty[String, String]
 
   /** Native STREAMING SESSION WINDOWS (`session_window`, 30-minute gap) in
     * append mode: a session is emitted exactly once, when the watermark
@@ -100,9 +108,9 @@ object StreamQueries {
     * stream's max event time — the oracle mirrors that emission rule
     * exactly, so streamed sessionization is hash-gated. */
   private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
-    sessionCache.getOrElseUpdate(s, dir)(withSmallStateConf(s) {
+    sessionSinkCache.getOrElseUpdate(dir, withSmallStateConf(s) {
       val (staging, schema) = stagedRaw(s, dir)
-      val name    = s"w3_sessions_${math.abs(dir.hashCode)}"
+      val out = java.nio.file.Files.createTempDirectory("graft-w3-sink-").toString
       val q = s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -114,27 +122,28 @@ object StreamQueries {
              max("timestamp_ms").as("last_ts"))
         .writeStream
         .outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$out/_checkpoint")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      name
+      out
     })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_stream_sessions" -> { (s, dir) =>
-      val name = streamSessionTable(s, dir)
-      s.table(name).select(
+      val out = streamSessionTable(s, dir)
+      s.read.parquet(out).select(
         col("user_id"),
         col("first_ts").as("session_start_ms"),
         col("last_ts").as("session_last_ms"),
         col("n_events"))
     },
     "w2_stream_window" -> { (s, dir) =>
-      val name = streamWindowTable(s, dir)
-      s.table(name).select(
+      val out = streamWindowTable(s, dir)
+      s.read.parquet(out).select(
         unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"),
         col("n_events"),
