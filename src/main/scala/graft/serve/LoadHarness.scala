@@ -1,0 +1,289 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.jdk.CollectionConverters._
+
+/** Gateway load harness — the L5 tier of the reference's test pyramid
+  * (`/root/reference/testing_strategy.md:496-575`, `tools/zombi_load.py`):
+  * sustained HTTP load against the WHOLE serving path (gateway → admission
+  * → hot buffer [+WAL] → flush → snapshot commit), reporting ev/s and
+  * p50/p99 latency per scenario, where the criterion-style micro-benches in
+  * [[graft.Bench]] measure only the in-JVM storage hot path.
+  *
+  * Scenarios mirror the reference's no-S3 set:
+  *
+  * | scenario        | reference analogue | verifies                       |
+  * |-----------------|--------------------|--------------------------------|
+  * | single-write    | `single-write`     | single-event POST throughput   |
+  * | bulk-write      | `bulk-write`       | bulk JSON throughput           |
+  * | bulk-write-pb   | `peak-bulk`        | bulk protobuf throughput       |
+  * | read-throughput | `read-throughput`  | hot offset-range GET           |
+  * | write-read-lag  | `write-read-lag`   | write→read visibility latency  |
+  * | mixed-workload  | `mixed-workload`   | 70/30 write/read concurrency   |
+  * | backpressure    | `backpressure`     | 503 under overload + recovery  |
+  * | consistency     | `consistency`      | INV-2 no loss, INV-3 order,    |
+  * |                 |                    | flush → cold read converges    |
+  *
+  * Run standalone (spins an in-process gateway + local Spark):
+  * {{{ sbt "runMain graft.serve.LoadHarness --profile quick --seconds 10" }}}
+  * or against a live server: {{{ --url http://host:8080 }}}.
+  * Prints one JSON line per scenario and exits non-zero if consistency or
+  * recovery fails.
+  */
+object LoadHarness {
+  final case class Result(scenario: String, seconds: Double, requests: Long, events: Long,
+                          errors: Long, rejected503: Long, p50Ms: Double, p99Ms: Double,
+                          ok: Boolean, note: String = "") {
+    def evPerSec: Long = if (seconds <= 0) 0 else (events / seconds).toLong
+    def json: String = {
+      val n = if (note.isEmpty) "" else s""","note":"$note""""
+      f"""{"scenario":"$scenario","seconds":$seconds%.2f,"requests":$requests,"events":$events,""" +
+        f""""ev_per_sec":$evPerSec,"p50_ms":$p50Ms%.2f,"p99_ms":$p99Ms%.2f,""" +
+        f""""errors":$errors,"rejected_503":$rejected503,"ok":$ok$n}"""
+    }
+  }
+
+  private val payload = "x" * 100 // ~100 B events, the reference's default shape
+
+  private def client(threads: Int): HttpClient =
+    HttpClient.newBuilder().executor(java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t } // let the JVM exit after main
+    )).build()
+
+  private def post(c: HttpClient, url: String, body: Array[Byte],
+                   contentType: String = "application/json"): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", contentType)
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  /** Timed closed-loop worker pool: each of `concurrency` threads issues
+    * `op(threadId, i)` back-to-back until the deadline; per-op latency is
+    * recorded locally and merged for percentiles (no coordination in the
+    * hot loop). `op` returns (events, isError, is503). */
+  private def loop(scenario: String, seconds: Int, concurrency: Int)
+                  (op: (Int, Long) => (Long, Boolean, Boolean)): Result = {
+    val stop     = new AtomicBoolean(false)
+    val events   = new AtomicLong(0)
+    val errors   = new AtomicLong(0)
+    val rejected = new AtomicLong(0)
+    val requests = new AtomicLong(0)
+    val lats     = new java.util.concurrent.ConcurrentLinkedQueue[Array[Long]]()
+    val t0 = System.nanoTime()
+    val threads = (0 until concurrency).map { tid =>
+      val t = new Thread(() => {
+        val local = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0L
+        while (!stop.get()) {
+          val s = System.nanoTime()
+          try {
+            val (ev, err, r503) = op(tid, i)
+            local += System.nanoTime() - s
+            requests.incrementAndGet()
+            events.addAndGet(ev)
+            if (err) errors.incrementAndGet()
+            if (r503) rejected.incrementAndGet()
+          } catch { case _: Exception => errors.incrementAndGet() }
+          i += 1
+        }
+        lats.add(local.toArray)
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    Thread.sleep(seconds * 1000L)
+    stop.set(true)
+    threads.foreach(_.join(10000))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val all = lats.asScala.toArray.flatten.sorted
+    def pct(p: Double): Double =
+      if (all.isEmpty) 0 else all(math.min(all.length - 1, (all.length * p).toInt)) / 1e6
+    Result(scenario, sec, requests.get(), events.get(), errors.get(), rejected.get(),
+           pct(0.50), pct(0.99), ok = errors.get() == 0)
+  }
+
+  private def singleBody(part: Int, key: String): Array[Byte] =
+    s"""{"payload":"$payload","partition":$part,"timestamp_ms":${System.currentTimeMillis()},"idempotency_key":"$key"}"""
+      .getBytes("UTF-8")
+
+  private def bulkJsonBody(tid: Int, i: Long, n: Int): Array[Byte] = {
+    val recs = (0 until n).map { j =>
+      s"""{"payload":"$payload","partition":${j % 8},"timestamp_ms":${System.currentTimeMillis()},"idempotency_key":"lb-$tid-$i-$j"}"""
+    }
+    s"""{"records":[${recs.mkString(",")}]}""".getBytes("UTF-8")
+  }
+
+  private def bulkProtoBody(tid: Int, i: Long, n: Int): Array[Byte] =
+    ProtoCodec.encodeBulkRequest((0 until n).map(j => ProtoCodec.ProtoBulkRecord(
+      payload = payload.getBytes("UTF-8"), partition = j % 8,
+      timestampMs = System.currentTimeMillis(), idempotencyKey = Some(s"pb-$tid-$i-$j"))))
+
+  // ---------------------------------------------------------------- scenarios
+
+  def singleWrite(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency)
+    loop("single-write", seconds, concurrency) { (tid, i) =>
+      val r = post(c, s"$base/tables/$table", singleBody((i % 8).toInt, s"sw-$tid-$i"))
+      (1L, r.statusCode() != 202, r.statusCode() == 503)
+    }
+  }
+
+  def bulkWrite(base: String, table: String, seconds: Int, concurrency: Int,
+                proto: Boolean = false, perReq: Int = 100): Result = {
+    val c = client(concurrency)
+    val (name, ct) =
+      if (proto) ("bulk-write-pb", "application/x-protobuf") else ("bulk-write", "application/json")
+    loop(name, seconds, concurrency) { (tid, i) =>
+      val body = if (proto) bulkProtoBody(tid, i, perReq) else bulkJsonBody(tid, i, perReq)
+      val r = post(c, s"$base/tables/$table/bulk", body, ct)
+      (perReq.toLong, r.statusCode() != 202, r.statusCode() == 503)
+    }
+  }
+
+  def readThroughput(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency)
+    loop("read-throughput", seconds, concurrency) { (tid, i) =>
+      val r = get(c, s"$base/tables/$table?partition=${i % 8}&offset=${(i * 7) % 1000}&limit=100")
+      (0L, r.statusCode() != 200, false)
+    }
+  }
+
+  def writeReadLag(base: String, table: String, seconds: Int): Result = {
+    val c = client(2)
+    loop("write-read-lag", seconds, concurrency = 1) { (tid, i) =>
+      val part = (i % 8).toInt
+      val w = post(c, s"$base/tables/$table", singleBody(part, s"lag-$tid-$i"))
+      if (w.statusCode() != 202) (0L, true, w.statusCode() == 503)
+      else {
+        val off = w.body().split("\"offset\":")(1).takeWhile(ch => ch.isDigit || ch == '-').toLong
+        var visible = false
+        var spins   = 0
+        while (!visible && spins < 1000) {
+          visible = get(c, s"$base/tables/$table?partition=$part&offset=$off&limit=1").body().contains("\"sequence\"")
+          spins += 1
+        }
+        (1L, !visible, false) // latency recorded by loop() covers write→visible
+      }
+    }
+  }
+
+  def mixedWorkload(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency)
+    loop("mixed-workload", seconds, concurrency) { (tid, i) =>
+      if (i % 10 < 7) {
+        val r = post(c, s"$base/tables/$table", singleBody((i % 8).toInt, s"mx-$tid-$i"))
+        (1L, r.statusCode() != 202, r.statusCode() == 503)
+      } else {
+        val r = get(c, s"$base/tables/$table?partition=${i % 8}&limit=100")
+        (0L, r.statusCode() != 200, false)
+      }
+    }
+  }
+
+  /** Overload phase must surface 503s (S4 admission), and plain writes must
+    * succeed immediately after — the reference's two-phase `backpressure`. */
+  def backpressure(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency * 2)
+    val big = loop("backpressure", math.max(1, seconds / 2), concurrency * 2) { (tid, i) =>
+      val r = post(c, s"$base/tables/$table/bulk", bulkJsonBody(tid, i, 2000))
+      (if (r.statusCode() == 202) 2000L else 0L, r.statusCode() != 202 && r.statusCode() != 503,
+       r.statusCode() == 503)
+    }
+    // recovery: the next plain writes must all be admitted
+    val rec = (0 until 20).forall { i =>
+      post(c, s"$base/tables/$table", singleBody(i % 8, s"rec-$i")).statusCode() == 202
+    }
+    // overload SHOULD produce 503s, and the server must recover; client-side
+    // connection errors under deliberate overload are expected, not failures
+    big.copy(ok = big.rejected503 > 0 && rec,
+             note = s"rejected=${big.rejected503} recovered=$rec")
+  }
+
+  /** INV-2/INV-3 + flush: write a known set, verify the hot read returns
+    * every event in arrival order per partition, then force flush+commit
+    * and verify the cold tier converges to the same count. */
+  def consistency(base: String, table: String, perPartition: Int): Result = {
+    val c  = client(8)
+    val t0 = System.nanoTime()
+    val parts = 0 until 8
+    var errors = 0L
+    parts.foreach { p =>
+      val recs = (0 until perPartition).map(j =>
+        s"""{"payload":"c-$p-$j","partition":$p,"timestamp_ms":${1700000000000L + j},"idempotency_key":"cs-$p-$j"}""")
+      if (post(c, s"$base/tables/$table/bulk", s"""{"records":[${recs.mkString(",")}]}""".getBytes("UTF-8"))
+            .statusCode() != 202) errors += 1
+    }
+    // INV-2 + INV-3 on the hot tier: dense offsets, arrival order
+    val hotOk = parts.forall { p =>
+      val b = get(c, s"$base/tables/$table?partition=$p&limit=${perPartition * 2}&fields=sequence,payload").body()
+      val seqs = "\"sequence\":(\\d+)".r.findAllMatchIn(b).map(_.group(1).toLong).toSeq
+      val pays = "\"payload\":\"(c-\\d+-\\d+)\"".r.findAllMatchIn(b).map(_.group(1)).toSeq
+      seqs.size == perPartition &&
+        seqs == seqs.sorted &&
+        pays == (0 until perPartition).map(j => s"c-$p-$j")
+    }
+    // flush → commit → cold read converges (the reference's cold-storage check)
+    val flushOk = post(c, s"$base/tables/$table/flush", Array.emptyByteArray).statusCode() == 200
+    val coldOk = flushOk && parts.forall { p =>
+      val b = get(c, s"$base/tables/$table?partition=$p&tier=cold&limit=${perPartition * 2}&fields=sequence").body()
+      "\"sequence\":(\\d+)".r.findAllMatchIn(b).size == perPartition
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    Result("consistency", sec, parts.size.toLong + 1, parts.size.toLong * perPartition, errors, 0,
+           0, 0, ok = errors == 0 && hotOk && coldOk,
+           note = s"hot_order=$hotOk flush=$flushOk cold=$coldOk")
+  }
+
+  // ---------------------------------------------------------------- driver
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+    val seconds     = opts.getOrElse("seconds", "10").toInt
+    val concurrency = opts.getOrElse("concurrency", "16").toInt
+    val profile     = opts.getOrElse("profile", "quick")
+
+    // standalone mode: in-process gateway + local Spark (for flush/cold).
+    // Backpressure gets its OWN small-budget gateway so overload is
+    // reachable from a single-machine client (the production budgets need
+    // thousands of in-flight requests to saturate).
+    val (base, bpBase, shutdown) = opts.get("url") match {
+      case Some(u) => (u, u, () => ())
+      case None =>
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+          .config("spark.ui.enabled", "false").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val dir  = java.nio.file.Files.createTempDirectory("graft-load-").toString
+        val main = new GatewayServer(spark, dir)
+        val bpDir = java.nio.file.Files.createTempDirectory("graft-load-bp-").toString
+        val bp   = new GatewayServer(spark, bpDir, maxInflight = 8, maxInflightBytes = 256 * 1024,
+                                     walEnabled = false)
+        val p  = main.start()
+        val bq = bp.start()
+        (s"http://127.0.0.1:$p", s"http://127.0.0.1:$bq", () => { main.stop(); bp.stop(); spark.stop() })
+    }
+
+    val quick = profile == "quick"
+    val results = scala.collection.mutable.ArrayBuffer.empty[Result]
+    try {
+      results += singleWrite(base, "load_single", seconds, concurrency)
+      results += bulkWrite(base, "load_bulk", seconds, concurrency)
+      if (!quick) results += bulkWrite(base, "load_bulkpb", seconds, concurrency, proto = true)
+      results += readThroughput(base, "load_single", seconds, concurrency)
+      if (!quick) results += writeReadLag(base, "load_lag", seconds)
+      results += mixedWorkload(base, "load_mixed", seconds, concurrency)
+      results += backpressure(bpBase, "load_bp", seconds, concurrency)
+      results += consistency(base, "load_consist", perPartition = 500)
+    } finally shutdown()
+
+    results.foreach(r => println(r.json))
+    val totalEv = results.filter(_.scenario.contains("write")).map(_.evPerSec)
+    println(s"""{"summary":{"scenarios":${results.size},"all_ok":${results.forall(_.ok)},""" +
+      s""""max_write_ev_per_sec":${if (totalEv.isEmpty) 0 else totalEv.max}}}""")
+    if (!results.forall(_.ok)) sys.exit(1)
+  }
+}

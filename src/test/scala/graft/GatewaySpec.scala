@@ -372,4 +372,26 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(seen.asScala.exists(_.contains("/v1/namespaces/zombi/tables")))
     } finally { gw.stop(); stub.stop(0) }
   }
+
+  test("L5 soak smoke: sustained concurrent load is error-free; consistency holds end-to-end") {
+    // short sustained closed-loop load (the L5 harness's quick shapes) —
+    // a full run is `sbt "runMain graft.serve.LoadHarness --profile full"`
+    val w = LoadHarness.singleWrite(base, "soak_single", seconds = 2, concurrency = 4)
+    assert(w.ok && w.errors === 0, s"single-write: $w")
+    assert(w.requests > 1000, s"throughput collapsed: only ${w.requests} requests in 2s (nodelay regression?)")
+    val m = LoadHarness.mixedWorkload(base, "soak_mixed", seconds = 2, concurrency = 4)
+    assert(m.ok && m.errors === 0, s"mixed: $m")
+    // INV-2/INV-3 + flush→cold convergence under the same server
+    val cons = LoadHarness.consistency(base, "soak_consist", perPartition = 50)
+    assert(cons.ok, s"consistency: ${cons.note}")
+    // S4 under deliberate overload: 503s surface and the server recovers
+    val bpGw = new GatewayServer(spark, Files.createTempDirectory("graft-soak-bp-").toString,
+                                 maxInflight = 4, maxInflightBytes = 64 * 1024, walEnabled = false)
+    val bpPort = bpGw.start()
+    try {
+      val bp = LoadHarness.backpressure(s"http://127.0.0.1:$bpPort", "soak_bp", seconds = 2, concurrency = 8)
+      assert(bp.ok, s"backpressure: ${bp.note}")
+      assert(bp.rejected503 > 0, "overload must surface 503s")
+    } finally bpGw.stop()
+  }
 }
