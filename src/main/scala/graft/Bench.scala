@@ -115,8 +115,17 @@ object Bench {
           val marginal = streaming.StreamedTables.lastBuild.filter(_.sfDir == sfDir).map { b =>
             f""","marginal_ev_per_sec":${((events - b.events) / (sec - b.ingestSec)).toLong}"""
           }.getOrElse("")
+          // query-side scale probe on the 10× table: a q7-shape committed
+          // read (manifest-listed, pushdown sequence filter) — shows cold
+          // read latency holding as data grows, not just ingest rate
+          val t3 = System.nanoTime()
+          val coldRows = table.EventTable.readCommitted(spark, root)
+            .filter(org.apache.spark.sql.functions.col("sequence") <= 200)
+            .count()
+          val coldSec = (System.nanoTime() - t3) / 1e9
           f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
-            f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal}"""
+            f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal,""" +
+            f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows}"""
         } catch { case _: Throwable => "null" }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

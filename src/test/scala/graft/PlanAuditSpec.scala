@@ -108,4 +108,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // and a disjoint range prunes EVERYTHING before any IO
     assert(graft.table.EventTable.pruneByTimeRange(c, 1L, 2L).isEmpty)
   }
+
+  test("per-partition sequencing: ONE exchange, window satisfied by the repartition, no RDD hop") {
+    import org.apache.spark.sql.functions._
+    val df = graft.core.EventLog.deduped(graft.core.EventLog.raw(spark, sf))
+    val seq = graft.core.EventLog.assignSequencesPerPartition(df, base = Map(0 -> 5L), width = 8)
+    val p   = seq.queryExecution.executedPlan
+    val exchanges = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the dedup window and the sequencing window share the part_id
+    // clustering chain: exactly one exchange per clustering, and the
+    // explicit repartition(part_id) must satisfy the sequencing window's
+    // distribution instead of adding a third shuffle
+    assert(exchanges.size <= 2, s"expected <=2 exchanges (dedup key + part_id), got:\n$p")
+    val s = p.toString
+    assert(s.contains("Window"), "sequencing must be a Window, not an RDD hop")
+    assert(!s.contains("DeserializeToObject"),
+      "ingest's widest stage must stay in Tungsten rows (no external Row boxing)")
+  }
 }
