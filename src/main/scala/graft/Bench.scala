@@ -112,9 +112,11 @@ object Bench {
           val t2      = System.nanoTime()
           val events  = spark.read.parquet(staging).count()
           val sec     = (t2 - t1) / 1e9
-          val marginal = streaming.StreamedTables.lastBuild.filter(_.sfDir == sfDir).map { b =>
-            f""","marginal_ev_per_sec":${((events - b.events) / (sec - b.ingestSec)).toLong}"""
-          }.getOrElse("")
+          val marginal = streaming.StreamedTables.lastBuild
+            .filter(b => b.sfDir == sfDir && sec > b.ingestSec) // slope needs a positive delta
+            .map { b =>
+              f""","marginal_ev_per_sec":${((events - b.events) / (sec - b.ingestSec)).toLong}"""
+            }.getOrElse("")
           // query-side scale probe on the 10× table: a q7-shape committed
           // read (manifest-listed, pushdown sequence filter) — shows cold
           // read latency holding as data grows, not just ingest rate
@@ -126,7 +128,13 @@ object Bench {
           f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
             f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal,""" +
             f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows}"""
-        } catch { case _: Throwable => "null" }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // loud, not silent: a regression that kills the 10x run must be
+            // visible in the log, not just a missing JSON block
+            System.err.println(s"[graft-bench] stream_ingest_10x failed: $e")
+            "null"
+        }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +

@@ -152,12 +152,20 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * version. See [[publishVersion]] for the same adjudication at the
     * commit CAS. */
   private def resolveCurrent(): (Int, Option[TableMetadata]) = {
+    var attempts = 0
     var v = currentVersion()
     while (v > 0) {
-      try return (v, Some(IcebergCommitter.cachedMetadata(io, versionFile(v))))
+      // read and parse are SEPARATE failure classes: a read error (transient
+      // network/FS fault) must PROPAGATE — healing on it would delete a
+      // perfectly valid committed version from a pure read path. Only a
+      // successful read that fails to PARSE is a torn artifact.
+      val bytes = io.get(versionFile(v))
+      try return (v, Some(IcebergCommitter.cachedMetadataFromBytes(io, versionFile(v), bytes)))
       catch {
-        case _: Exception =>
+        case e: Exception =>
+          if (attempts >= 3) throw e // e.g. the torn file is undeletable — fail, don't spin
           io.delete(versionFile(v))
+          attempts += 1
           v = currentVersion()
       }
     }
@@ -310,12 +318,22 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     var attempt = 0
     while (attempt < 3) {
       if (io.putIfAbsent(versionFile(nextVersion), json)) return true
-      val winnerParses =
-        try { TableMetadata.fromJson(new String(io.get(versionFile(nextVersion)), "UTF-8")); true }
-        catch { case _: Exception => false }
-      if (winnerParses) return false
-      io.delete(versionFile(nextVersion))
-      attempt += 1
+      // Read and parse are SEPARATE failure classes: an unreadable winner
+      // (transient IO fault, or a competitor's not-yet-visible PUT) is
+      // conceded — NEVER deleted, because it may be a valid commit we just
+      // cannot see yet. Only bytes that were read successfully but do not
+      // parse are a dead writer's torn artifact.
+      val winner = try Some(io.get(versionFile(nextVersion))) catch { case _: Exception => None }
+      winner match {
+        case None => return false
+        case Some(bytes) =>
+          val parses =
+            try { TableMetadata.fromJson(new String(bytes, "UTF-8")); true }
+            catch { case _: Exception => false }
+          if (parses) return false
+          io.delete(versionFile(nextVersion))
+          attempt += 1
+      }
     }
     false
   }
@@ -471,14 +489,23 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * its data write and its marker/commit (the reference's stranded
     * uncommitted S3 uploads) — invisible to every reader but accumulating
     * storage forever. `olderThanMs` protects in-flight writes that have
-    * finished their data files but not yet published a marker: only files
-    * older than the horizon are eligible. Returns the deleted paths.
+    * finished their data files but not yet published a marker or snapshot:
+    * only files older than the horizon are eligible. Returns deleted paths.
+    *
+    * This is a SCHEDULED-MAINTENANCE operation, not an inline step: it
+    * lists `data/` recursively and parses every snapshot's manifest chain
+    * (at 100 TB, ~800k-file listings), and the horizon must comfortably
+    * exceed the longest possible write→commit window of any UNMARKED
+    * writer (batch ingest / compaction / delete rewrites stage files in
+    * `data/` for the duration of their footer-stats pass + commit — only
+    * streamed batches carry markers). The 24 h default dwarfs any such
+    * window; operators with faster guarantees can pass a tighter horizon.
     *
     * Status-2 (deleted) manifest entries count as references on purpose:
     * their physical files are removed by compaction/DELETE themselves, and
     * a file that reappears in no active set but is still named by history
     * belongs to `expireSnapshots`, not to this sweep. */
-  def removeOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] = synchronized {
+  def removeOrphans(olderThanMs: Long = 24L * 60 * 60 * 1000): Seq[String] = synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val referenced: Set[String] =
       load().toSeq.flatMap(_.snapshots).flatMap(s => entriesAt(s.snapshotId))
@@ -521,6 +548,10 @@ object IcebergCommitter {
 
   private[iceberg] def cachedMetadata(io: TableIO, rel: String): TableMetadata =
     metaCache.get(key(io, rel))(TableMetadata.fromJson(new String(io.get(rel), "UTF-8")))
+  /** As [[cachedMetadata]] but parsing ALREADY-READ bytes — lets callers
+    * separate read failures (propagate) from parse failures (torn file). */
+  private[iceberg] def cachedMetadataFromBytes(io: TableIO, rel: String, bytes: Array[Byte]): TableMetadata =
+    metaCache.get(key(io, rel))(TableMetadata.fromJson(new String(bytes, "UTF-8")))
   private[iceberg] def cachedManifestList(io: TableIO, rel: String): Seq[ManifestListEntry] =
     listCache.get(key(io, rel))(ManifestIO.readManifestList(io.get(rel)))
   private[iceberg] def cachedManifest(io: TableIO, rel: String): Seq[ManifestEntry] =

@@ -100,8 +100,12 @@ final class GatewayServer(
 
   // TCP_NODELAY on response sockets: without it, the header/body write pair
   // interacts with delayed ACKs into a ~40 ms floor per request — measured
-  // p50 44 ms from the load harness vs ~2 ms with the flag. The property is
-  // read by HttpServer at dispatch time (sun.net.httpserver.ServerImpl).
+  // p50 44 ms from the load harness vs 0.4 ms with the flag. CAVEAT: the
+  // property is latched ONCE by sun.net.httpserver.ServerConfig's static
+  // initializer, i.e. when the first HttpServer in the JVM is created — an
+  // embedding process that built another HttpServer earlier keeps the slow
+  // default (GatewaySpec's soak throughput floor catches that regression
+  // for our own entry points, which all construct GatewayServer first).
   System.setProperty("sun.net.httpserver.nodelay", "true")
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool   = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -201,6 +205,16 @@ final class GatewayServer(
           .flatMap(_.toIntOption).getOrElse(1)
         val expired = committer(t).expireSnapshots(keep)
         sendJson(ex, 200, s"""{"table":"${escape(t)}","expired":[${expired.mkString(",")}]}""")
+      // scheduled-maintenance orphan GC (crash leftovers in data/) — see
+      // IcebergCommitter.removeOrphans for why this is an admin call, not
+      // an inline compaction step
+      case ("POST", List("tables", t, "gc")) =>
+        validated(t)
+        val horizon = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+          .collectFirst { case kv if kv.startsWith("older_than_ms=") => kv.stripPrefix("older_than_ms=") })
+          .flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000)
+        val removed = tableLock(t).synchronized { committer(t).removeOrphans(horizon) }
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","removed":${removed.size}}""")
       case ("POST", List("tables", t, "compact")) =>
         validated(t)
         val guard = compacting.computeIfAbsent(t, _ => new AtomicBoolean(false))

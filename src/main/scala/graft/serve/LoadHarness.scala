@@ -185,8 +185,13 @@ object LoadHarness {
   }
 
   /** Overload phase must surface 503s (S4 admission), and plain writes must
-    * succeed immediately after — the reference's two-phase `backpressure`. */
-  def backpressure(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    * succeed immediately after — the reference's two-phase `backpressure`.
+    * `requireRejects` only when the target's admission budgets are sized to
+    * be saturable from this client (the standalone small-budget gateway):
+    * against a production-budget `--url` server, a single-machine client
+    * cannot reach overload, so zero 503s there is expected, not a failure. */
+  def backpressure(base: String, table: String, seconds: Int, concurrency: Int,
+                   requireRejects: Boolean = true): Result = {
     val c = client(concurrency * 2)
     val big = loop("backpressure", math.max(1, seconds / 2), concurrency * 2) { (tid, i) =>
       val r = post(c, s"$base/tables/$table/bulk", bulkJsonBody(tid, i, 2000))
@@ -197,9 +202,10 @@ object LoadHarness {
     val rec = (0 until 20).forall { i =>
       post(c, s"$base/tables/$table", singleBody(i % 8, s"rec-$i")).statusCode() == 202
     }
-    // overload SHOULD produce 503s, and the server must recover; client-side
-    // connection errors under deliberate overload are expected, not failures
-    big.copy(ok = big.rejected503 > 0 && rec,
+    // overload SHOULD produce 503s (when saturable), and the server must
+    // recover; client-side connection errors under deliberate overload are
+    // expected, not failures
+    big.copy(ok = (big.rejected503 > 0 || !requireRejects) && rec,
              note = s"rejected=${big.rejected503} recovered=$rec")
   }
 
@@ -250,6 +256,7 @@ object LoadHarness {
     // Backpressure gets its OWN small-budget gateway so overload is
     // reachable from a single-machine client (the production budgets need
     // thousands of in-flight requests to saturate).
+    val external = opts.contains("url")
     val (base, bpBase, shutdown) = opts.get("url") match {
       case Some(u) => (u, u, () => ())
       case None =>
@@ -276,7 +283,7 @@ object LoadHarness {
       results += readThroughput(base, "load_single", seconds, concurrency)
       if (!quick) results += writeReadLag(base, "load_lag", seconds)
       results += mixedWorkload(base, "load_mixed", seconds, concurrency)
-      results += backpressure(bpBase, "load_bp", seconds, concurrency)
+      results += backpressure(bpBase, "load_bp", seconds, concurrency, requireRejects = !external)
       results += consistency(base, "load_consist", perPartition = 500)
     } finally shutdown()
 

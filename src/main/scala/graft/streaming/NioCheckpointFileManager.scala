@@ -73,6 +73,15 @@ final class NioCheckpointFileManager(path: Path, conf: Configuration) extends Ch
                 Files.deleteIfExists(tmp)
                 // translate to the Hadoop exception the metadata logs catch
                 throw new org.apache.hadoop.fs.FileAlreadyExistsException(e.getMessage)
+              case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+                // no hard-link support (some FUSE/NFS/SMB mounts): fall back
+                // to exists-check + rename — the same non-atomic window the
+                // stock Hadoop local manager has always had there
+                if (Files.exists(target)) {
+                  Files.deleteIfExists(tmp)
+                  throw new org.apache.hadoop.fs.FileAlreadyExistsException(target.toString)
+                }
+                Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
             }
         }
         override def cancel(): Unit = synchronized {
@@ -98,21 +107,27 @@ final class NioCheckpointFileManager(path: Path, conf: Configuration) extends Ch
       val dir = nio(p)
       if (!Files.isDirectory(dir)) {
         if (!Files.exists(dir)) throw new FileNotFoundException(p.toString)
-        val st = status(dir)
-        return if (filter.accept(st.getPath)) Array(st) else Array.empty
+        return status(dir).filter(st => filter.accept(st.getPath)).toArray
       }
       val s = Files.list(dir)
-      try s.iterator().asScala.map(status).filter(st => filter.accept(st.getPath)).toArray
+      try s.iterator().asScala.flatMap(status).filter(st => filter.accept(st.getPath)).toArray
       finally s.close()
     }
 
-  private def status(f: java.nio.file.Path): FileStatus = {
-    val dir = Files.isDirectory(f)
-    // permission-free FileStatus: the metadata logs read only
-    // path/length/mtime/isDirectory — never owner or mode
-    new FileStatus(if (dir) 0L else Files.size(f), dir, 1, 33554432L,
-      Files.getLastModifiedTime(f).toMillis, new Path(f.toUri))
-  }
+  private def status(f: java.nio.file.Path): Option[FileStatus] =
+    try {
+      val dir = Files.isDirectory(f)
+      // permission-free FileStatus: the metadata logs read only
+      // path/length/mtime/isDirectory — never owner or mode
+      Some(new FileStatus(if (dir) 0L else Files.size(f), dir, 1, 33554432L,
+        Files.getLastModifiedTime(f).toMillis, new Path(f.toUri)))
+    } catch {
+      // an entry deleted between enumeration and stat (state-store
+      // maintenance purging old deltas concurrently) simply drops from the
+      // listing — the stock Hadoop manager tolerates the same race
+      case _: java.nio.file.NoSuchFileException => None
+      case _: FileNotFoundException             => None
+    }
 
   override def mkdirs(p: Path): Unit =
     if (!local) delegate.mkdirs(p) else { Files.createDirectories(nio(p)); () }

@@ -66,9 +66,6 @@ object Compaction {
               beforeCommit: () => Unit = () => ()): Option[CommitResult] = {
     EventTable.sweepStaging(tableRoot) // GC dirs left by crashed writes
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
-    // GC data files stranded by a crash between write and marker/commit —
-    // invisible to readers, but storage leaks forever without this sweep
-    committer.removeOrphans()
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)
 

@@ -602,9 +602,15 @@ object FileStats extends Serializable {
   def dataFileAndRaw(tableRoot: String, relPath: String,
                      conf: Configuration = new Configuration()): (DataFile, Long) = {
     // Hadoop Path resolution, so footer reads work for any scheme the
-    // table root uses (file://, hdfs://, s3a://), not only local paths.
+    // table root uses (file://, hdfs://, s3a://) — but local paths go
+    // through parquet's nio LocalInputFile: Hadoop's local FileSystem
+    // pays a fork-per-status permission load without the native lib.
     val abs = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tableRoot), relPath)
-    val inputFile = HadoopInputFile.fromPath(abs, conf)
+    val scheme = Option(abs.toUri.getScheme)
+    val inputFile: org.apache.parquet.io.InputFile =
+      if (scheme.forall(_ == "file"))
+        new org.apache.parquet.io.LocalInputFile(java.nio.file.Paths.get(abs.toUri.getPath))
+      else HadoopInputFile.fromPath(abs, conf)
     val reader = ParquetFileReader.open(inputFile)
     var rows = 0L
     var rawBytes = 0L

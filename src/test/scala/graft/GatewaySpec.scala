@@ -384,6 +384,10 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     // INV-2/INV-3 + flush→cold convergence under the same server
     val cons = LoadHarness.consistency(base, "soak_consist", perPartition = 50)
     assert(cons.ok, s"consistency: ${cons.note}")
+    // admin orphan GC on a freshly committed table removes nothing
+    val gc = http.send(HttpRequest.newBuilder(URI.create(s"$base/tables/soak_consist/gc?older_than_ms=0"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build(), HttpResponse.BodyHandlers.ofString())
+    assert(gc.statusCode() === 200 && gc.body().contains("\"removed\":0"), gc.body())
     // S4 under deliberate overload: 503s surface and the server recovers
     val bpGw = new GatewayServer(spark, Files.createTempDirectory("graft-soak-bp-").toString,
                                  maxInflight = 4, maxInflightBytes = 64 * 1024, walEnabled = false)

@@ -221,6 +221,34 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.io.exists(c.versionFile(3)))
   }
 
+  test("a TRANSIENT read error never heals (deletes) a valid committed version") {
+    val root = Files.createTempDirectory("graft-iceberg-test-").toString
+    val local = new LocalTableIO(root)
+    val c0 = new IcebergCommitter(local, "t")
+    c0.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    val v2 = c0.commitAppend(Seq(df("data/partition=1/b.parquet", 5, 1, 5))).version
+    // an IO that fails READS of the current version file (network blip) —
+    // the committer must surface the error, not delete the valid winner
+    val flaky = new TableIO {
+      override def root: String = local.root
+      override def put(p: String, b: Array[Byte]): Unit = local.put(p, b)
+      override def putIfAbsent(p: String, b: Array[Byte]): Boolean = local.putIfAbsent(p, b)
+      override def get(p: String): Array[Byte] =
+        if (p == s"metadata/v$v2.metadata.json") throw new java.io.IOException("transient")
+        else local.get(p)
+      override def exists(p: String): Boolean = local.exists(p)
+      override def list(p: String): Seq[String] = local.list(p)
+      override def listFilesRecursive(p: String): Seq[(String, Long)] = local.listFilesRecursive(p)
+      override def delete(p: String): Unit = local.delete(p)
+    }
+    val c = new IcebergCommitter(flaky, "t")
+    intercept[java.io.IOException](c.load())
+    intercept[java.io.IOException](c.commitAppend(Seq(df("data/partition=2/c.parquet", 1, 2, 1))))
+    assert(local.exists(s"metadata/v$v2.metadata.json"), "the valid version must survive read faults")
+    // once reads recover, the table is fully intact
+    assert(c0.activeDataFiles().size === 2)
+  }
+
   test("a fully-pruned read returns an empty typed DataFrame, not an error") {
     val spark = TestSpark.spark
     val root  = Files.createTempDirectory("graft-prune-empty-").toString
