@@ -71,10 +71,36 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
 
   override def putIfAbsent(relPath: String, bytes: Array[Byte]): Boolean = {
     val p = abs(relPath)
-    // overwrite=false → atomic create-if-absent on HDFS/ABFS, conditional
-    // PUT (If-None-Match: *) on S3A ≥ 3.4.1. The FAILURE may surface at
-    // create() (HDFS, namenode rejects) or at close() (S3A flushes the PUT
-    // on close).
+    // Prefer the ATOMICALLY-WHOLE publish: write a temp fully, then
+    // FileContext rename WITHOUT overwrite — on HDFS one namespace op that
+    // fails (FileAlreadyExists) when the destination exists. Crucially the
+    // content appears all-or-nothing, so a concurrent committer can never
+    // read a REAL in-flight commit as a half-written torn artifact (the
+    // create-reserves-then-stream path below exposes exactly that window).
+    // Stores without a FileContext binding (S3A connectors) fall through to
+    // the conditional-create path — their PUT is whole-object anyway.
+    try {
+      val tmp = new Path(p.getParent, s".${p.getName}.cas-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      try { fc.rename(tmp, p); return true }
+      catch {
+        case _: FileAlreadyExistsException =>
+          try fs.delete(tmp, false) catch { case _: IOException => () }
+          return false
+        case e: IOException =>
+          try fs.delete(tmp, false) catch { case _: IOException => () }
+          // some FileContexts surface "destination exists" as a generic
+          // IOException — classify by the path's presence
+          if (fs.exists(p)) return false else throw e
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException => () // no FileContext — fall through
+    }
+    // overwrite=false → conditional PUT (If-None-Match: *) on S3A ≥ 3.4.1
+    // (atomic and whole-object at close). The FAILURE may surface at
+    // create() or at close() (S3A flushes the PUT on close).
     val out =
       try fs.create(p, false)
       catch {

@@ -72,11 +72,18 @@ final class LocalTableIO(val root: String) extends TableIO {
   override def putIfAbsent(relPath: String, bytes: Array[Byte]): Boolean = {
     val p = abs(relPath)
     Files.createDirectories(p.getParent)
-    try {
-      // CREATE_NEW is atomic on POSIX — two racing committers cannot both win.
-      Files.write(p, bytes, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // ATOMICALLY-WHOLE create-if-absent: write the temp fully, then
+    // hard-link it into place — link(2) fails atomically when the target
+    // exists (the CAS), and the content appears all-or-nothing. The
+    // previous CREATE_NEW-then-write exposed an EMPTY/partial file between
+    // create and write; a concurrent committer reading that window would
+    // misclassify a REAL in-flight commit as a dead writer's torn artifact
+    // (caught by the torn-file commit fuzz as lost commits).
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp" + UUID.randomUUID().toString)
+    Files.write(tmp, bytes)
+    try { Files.createLink(p, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
   override def get(relPath: String): Array[Byte]  = Files.readAllBytes(abs(relPath))
   override def exists(relPath: String): Boolean   = Files.exists(abs(relPath))
@@ -142,35 +149,45 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     if (vs.isEmpty) 0 else vs.max
   }
 
-  /** Current (version, metadata), healing TORN versions: a writer that died
-    * mid-write on a create-reserving store (HDFS/ABFS) can leave a partial
-    * `v{N}.metadata.json` as the highest version, which would otherwise
-    * wedge every read and commit forever (max version unparseable). An
-    * unparseable max version is a dead writer's garbage — a completed
-    * commit always parses (and on conditional-PUT stores objects appear
-    * atomically whole) — so delete it and fall back to the previous
-    * version. See [[publishVersion]] for the same adjudication at the
-    * commit CAS. */
+  /** Current (version, metadata) = the highest PARSEABLE version file.
+    *
+    * A writer that died mid-write on a create-reserving store (HDFS/ABFS)
+    * can leave a partial `v{N}.metadata.json` at the top of the chain; a
+    * naive "current = max version" then wedges every read and commit on a
+    * parse error forever. Torn versions are NEVER deleted in-band — a
+    * parse-check-then-delete heal has an unfixable TOCTOU hole (the
+    * torn-file fuzz caught it losing real commits: healer B reads torn vM,
+    * healer A deletes it AND re-commits a REAL vM, then B's stale delete
+    * destroys A's commit). Instead the slot is simply SKIPPED: readers
+    * resolve downward to the first parseable version, and
+    * [[publishNext]] burns past torn slots upward. A torn file occupies
+    * its version number forever (bounded garbage, bytes of metadata);
+    * correctness needs no deletes at all.
+    *
+    * Failure classes: NOT-FOUND skips (a hole left by an external actor);
+    * any other read error PROPAGATES (it may hide a perfectly valid
+    * commit); read-ok-but-unparseable skips (torn artifact). */
   private def resolveCurrent(): (Int, Option[TableMetadata]) = {
-    var attempts = 0
     var v = currentVersion()
     while (v > 0) {
-      // read and parse are SEPARATE failure classes: a read error (transient
-      // network/FS fault) must PROPAGATE — healing on it would delete a
-      // perfectly valid committed version from a pure read path. Only a
-      // successful read that fails to PARSE is a torn artifact.
-      val bytes = io.get(versionFile(v))
-      try return (v, Some(IcebergCommitter.cachedMetadataFromBytes(io, versionFile(v), bytes)))
-      catch {
-        case e: Exception =>
-          if (attempts >= 3) throw e // e.g. the torn file is undeletable — fail, don't spin
-          io.delete(versionFile(v))
-          attempts += 1
-          v = currentVersion()
+      val bytes =
+        try Some(io.get(versionFile(v)))
+        catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException => None
+        }
+      bytes.foreach { b =>
+        try return (v, Some(IcebergCommitter.cachedMetadataFromBytes(io, versionFile(v), b)))
+        catch { case _: Exception => () } // torn: skip, never delete
       }
+      v -= 1
     }
     (0, None)
   }
+
+  /** The version [[load]] actually resolves to (highest parseable) — what
+    * optimistic writers must CAS against, as opposed to [[currentVersion]]'s
+    * raw listing max, which may be a torn artifact's burned slot. */
+  def resolvedVersion(): Int = resolveCurrent()._1
 
   def load(): Option[TableMetadata] = resolveCurrent()._2
 
@@ -290,52 +307,46 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       snapshotLog = base.snapshotLog :+ SnapshotLogEntry(snapshotId, now)
     )
 
-    val nextVersion = baseVersion + 1
-    if (!publishVersion(nextVersion, next.toJson.getBytes("UTF-8"))) {
+    val wonVersion = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
       io.delete(manifestName); io.delete(listName)
-      throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)")
     }
-    io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
-    CommitResult(snapshotId, nextVersion, next)
+    io.put(s"$metaDir/version-hint.text", wonVersion.toString.getBytes("UTF-8"))
+    CommitResult(snapshotId, wonVersion, next)
   }
 
-  /** CAS publish of `v{N}.metadata.json`, with TORN-WINNER healing. A lost
-    * create-if-absent normally means a competitor committed vN first — but
-    * on stores where `create()` reserves the path before the bytes land
-    * (HDFS, ABFS), a writer that died mid-write leaves a partial vN that
-    * would otherwise WEDGE the table: every later `load()` resolves current
-    * metadata as max version and fails parsing it forever. So before
-    * conceding the race, verify the winning bytes parse as table metadata;
-    * an unparseable winner is a dead writer's garbage — delete it and retry
-    * the CAS. A real competitor's commit always parses and is never
-    * touched; on conditional-PUT stores (S3) objects appear atomically
-    * whole, so an unparseable object there can only be garbage too. The
-    * one liveness tradeoff: on HDFS an IN-FLIGHT competitor's not-yet-
-    * closed file is also unreadable and gets deleted — their close() then
-    * fails and they retry, which is correct (never double-committed),
-    * just not wait-free. */
-  private def publishVersion(nextVersion: Int, json: Array[Byte]): Boolean = {
-    var attempt = 0
-    while (attempt < 3) {
-      if (io.putIfAbsent(versionFile(nextVersion), json)) return true
-      // Read and parse are SEPARATE failure classes: an unreadable winner
-      // (transient IO fault, or a competitor's not-yet-visible PUT) is
-      // conceded — NEVER deleted, because it may be a valid commit we just
-      // cannot see yet. Only bytes that were read successfully but do not
-      // parse are a dead writer's torn artifact.
-      val winner = try Some(io.get(versionFile(nextVersion))) catch { case _: Exception => None }
+  /** CAS publish: create-if-absent starting at `baseVersion + 1`, BURNING
+    * PAST torn slots (see [[resolveCurrent]] — torn versions are never
+    * deleted, so a dead writer's partial file permanently occupies its
+    * number and the next commit simply takes the next one). Returns the
+    * version actually won, or None when a PARSEABLE competitor holds the
+    * slot (a real commit — the race is genuinely lost) or the winner is
+    * unreadable (it may be a valid commit we cannot see yet — concede,
+    * never assume garbage on a read fault). */
+  private def publishNext(baseVersion: Int, json: Array[Byte]): Option[Int] = {
+    var v = baseVersion + 1
+    var rounds = 0
+    while (rounds < 100) {
+      rounds += 1
+      if (io.putIfAbsent(versionFile(v), json)) return Some(v)
+      val winner =
+        try Right(io.get(versionFile(v)))
+        catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException => Left(true)
+          case _: Exception => Left(false)
+        }
       winner match {
-        case None => return false
-        case Some(bytes) =>
+        case Left(true)  => () // vanished under us (external actor) — retry the slot
+        case Left(false) => return None
+        case Right(bytes) =>
           val parses =
             try { TableMetadata.fromJson(new String(bytes, "UTF-8")); true }
             catch { case _: Exception => false }
-          if (parses) return false
-          io.delete(versionFile(nextVersion))
-          attempt += 1
+          if (parses) return None // a real competitor's commit
+          v += 1                  // torn artifact burned this slot — advance
       }
     }
-    false
+    None
   }
 
   /** All manifest entries of the current snapshot (in manifest-list order).
@@ -419,10 +430,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       schemas = meta.schemas :+ next.copy(schemaId = newId),
       currentSchemaId = newId,
       lastUpdatedMs = System.currentTimeMillis())
-    val nextVersion = baseVersion + 1
-    if (!publishVersion(nextVersion, updated.toJson.getBytes("UTF-8")))
-      throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
-    io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
+    val wonVersion = publishNext(baseVersion, updated.toJson.getBytes("UTF-8")).getOrElse(
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
+    io.put(s"$metaDir/version-hint.text", wonVersion.toString.getBytes("UTF-8"))
     true
   }
 
@@ -455,10 +465,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       snapshots = keep,
       snapshotLog = meta.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId))
     )
-    val nextVersion = baseVersion + 1
-    if (!publishVersion(nextVersion, next.toJson.getBytes("UTF-8")))
-      throw CommitConflict(s"metadata version $nextVersion already exists (lost the race)")
-    io.put(s"$metaDir/version-hint.text", nextVersion.toString.getBytes("UTF-8"))
+    val wonVersion = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse(
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
+    io.put(s"$metaDir/version-hint.text", wonVersion.toString.getBytes("UTF-8"))
 
     expired.foreach { s => io.delete(s.manifestList); IcebergCommitter.invalidateList(io, s.manifestList) }
     expiredManifests.foreach { m => io.delete(m); IcebergCommitter.invalidateManifest(io, m) }

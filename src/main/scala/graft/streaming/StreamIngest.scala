@@ -236,7 +236,10 @@ final class StreamIngest(
     val deduped = afterSince
     val newPaths =
       try {
-        if (pending.isEmpty && wmBaseVersion < 0) wmBaseVersion = committer.currentVersion()
+        // resolvedVersion, not currentVersion: the CAS base must be the
+        // version load() actually resolves (highest parseable) — a torn
+        // artifact above it occupies a burned slot, not a table state
+        if (pending.isEmpty && wmBaseVersion < 0) wmBaseVersion = committer.resolvedVersion()
         // STREAMING batches (upstreamDeduped) sequence with the reference's
         // own per-partition model — one shuffle on part_id, a running
         // counter per partition — making the whole micro-batch ONE Spark

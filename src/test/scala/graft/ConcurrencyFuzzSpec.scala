@@ -106,6 +106,58 @@ class ConcurrencyFuzzSpec extends AnyFunSuite {
     } finally gw.stop()
   }
 
+  test("L3/L6: racing committers + torn-file chaos — every reported commit survives, versions stay parseable") {
+    import graft.iceberg._
+    val root  = java.nio.file.Files.createTempDirectory("graft-cas-fuzz-").toString
+    val local = new LocalTableIO(root)
+    def df(path: String, records: Long): DataFile =
+      DataFile(0, path, "PARQUET", records, records * 100,
+        Map(FieldIds.Partition -> Bounds.encodeInt(0), FieldIds.Sequence -> Bounds.encodeLong(1L)),
+        Map(FieldIds.Partition -> Bounds.encodeInt(0), FieldIds.Sequence -> Bounds.encodeLong(records)))
+    val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // chaos: a dead writer keeps leaving torn metadata at the next version
+    val chaos = new Thread(() => {
+      val c = new IcebergCommitter(local, "t")
+      while (!stop.get()) {
+        val v = c.currentVersion() + 1
+        try local.putIfAbsent(c.versionFile(v), s"""{"torn-prefix-$v":""".getBytes("UTF-8"))
+        catch { case _: Exception => () }
+        Thread.sleep(3)
+      }
+    })
+    chaos.setDaemon(true); chaos.start()
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val c = new IcebergCommitter(local, "t") // one committer per "process"
+            (0 until 15).foreach { i =>
+              val path = s"data/partition=0/f-$t-$i.parquet"
+              var done = false
+              var tries = 0
+              while (!done && tries < 50) {
+                try { c.commitAppend(Seq(df(path, 1))); committed.add(path); done = true }
+                catch { case _: CommitConflict => tries += 1 }
+              }
+              assert(done, s"writer $t starved on commit $i")
+            }
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally { stop.set(true); pool.shutdown() }
+    // every commit that REPORTED success is in the final table state, and
+    // the whole version chain resolves despite the torn-file chaos
+    val fin = new IcebergCommitter(local, "t")
+    val active = fin.activeDataFiles().map(_.filePath).toSet
+    assert(committed.asScala.toSet.subsetOf(active),
+      s"lost commits: ${committed.asScala.toSet -- active}")
+    assert(active.size === committed.size)
+    assert(fin.load().get.snapshots.size === committed.size)
+  }
+
   test("L6 fuzz: arbitrary bytes never crash the proto decoder unexpectedly") {
     val prop = Prop.forAll(Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
       def safe(f: => Any): Boolean =

@@ -198,27 +198,30 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.removeOrphans(olderThanMs = -1) === Nil)
   }
 
-  test("a torn metadata version from a crashed writer heals instead of wedging the CAS") {
+  test("a torn metadata version from a crashed writer is skipped, never wedges reads or commits") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
     // a dead writer left a partial v2.metadata.json (unparseable prefix) —
-    // on create-reserving stores this is the torn-file shape ADVICE flags
+    // on create-reserving stores this is the torn-file shape
     c.io.put(c.versionFile(2), """{"format-version":2,"table-uu""".getBytes("UTF-8"))
-    // reads heal too (previously: wedged forever on the unparseable max)
+    // reads resolve to the highest PARSEABLE version (previously: wedged
+    // forever on the unparseable max); the torn file is NEVER deleted —
+    // an in-band heal-delete can destroy a racing committer's real commit
     assert(c.load().get.snapshots.size === 1)
-    assert(!c.io.exists(c.versionFile(2)), "the torn artifact is deleted on resolution")
-    // the freed version is re-won by the next commit
-    val r2 = c.commitAppend(Seq(df("data/partition=1/b.parquet", 5, 1, 5)))
-    assert(r2.version === 2, "torn v2 must be healed and re-won, not conceded")
+    assert(c.resolvedVersion() === 1)
+    assert(c.io.exists(c.versionFile(2)), "torn slots are burned, not healed in-band")
+    // the next commit burns past the torn slot
+    val r3 = c.commitAppend(Seq(df("data/partition=1/b.parquet", 5, 1, 5)))
+    assert(r3.version === 3, "torn v2 occupies its slot; the commit takes v3")
     assert(c.activeDataFiles().map(_.filePath).toSet ===
       Set("data/partition=0/a.parquet", "data/partition=1/b.parquet"))
     // a REAL competitor's (parse-valid) metadata is adopted as the new
     // base, never deleted
     val competitor = c.load().get.copy(lastUpdatedMs = 1L)
-    c.io.put(c.versionFile(3), competitor.toJson.getBytes("UTF-8"))
-    val r4 = c.commitAppend(Seq(df("data/partition=2/c.parquet", 1, 2, 1)))
-    assert(r4.version === 4, "valid external version becomes the base")
-    assert(c.io.exists(c.versionFile(3)))
+    c.io.put(c.versionFile(4), competitor.toJson.getBytes("UTF-8"))
+    val r5 = c.commitAppend(Seq(df("data/partition=2/c.parquet", 1, 2, 1)))
+    assert(r5.version === 5, "valid external version becomes the base")
+    assert(c.io.exists(c.versionFile(4)))
   }
 
   test("a TRANSIENT read error never heals (deletes) a valid committed version") {
