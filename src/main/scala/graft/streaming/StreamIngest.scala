@@ -399,6 +399,10 @@ final class StreamIngest(
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       ss.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // numRows tracking costs a get per put (the store counts rows for the
+      // progress metric); the dedup index only ever needs existence checks,
+      // so skip it — the standard setting for write-heavy dedup state
+      ss.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     } else
       ss.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
