@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
-import scala.jdk.CollectionConverters._
+
 
 /** Canonical partitioned event log — the reference's core abstraction.
   *
