@@ -373,6 +373,52 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { gw.stop(); stub.stop(0) }
   }
 
+  test("L6 fuzz: random HTTP requests and offset/limit combinations never kill the gateway") {
+    // fuzz_api + fuzz_read parity (/root/reference/testing_strategy.md L6):
+    // any junk must yield an HTTP status — 4xx/5xx fine — never a dead
+    // process or a hung connection
+    val rnd = new scala.util.Random(20260813L)
+    def tok(n: Int): String = {
+      val alphabet = "abcXYZ019-_.~%2e%2f$(){}'\";<>"
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val verbs = Seq("GET", "POST", "PUT", "DELETE", "HEAD", "PATCH")
+    val stems = Seq("", "health", "stats", "metrics", "tables", s"tables/${tok(8)}",
+      s"tables/${tok(200)}", "tables/t/bulk", "tables/t/flush", "tables/t/gc",
+      s"v1/namespaces/${tok(6)}", "consumers/g/commit", tok(12), s"${tok(4)}/${tok(4)}/${tok(4)}")
+    val bodies = Seq[Array[Byte]](Array.emptyByteArray,
+      """{"payload":"x"}""".getBytes("UTF-8"), """{"records":[{}]}""".getBytes("UTF-8"),
+      """{"unclosed""".getBytes("UTF-8"), Array.fill[Byte](512)(rnd.nextInt().toByte))
+    val types = Seq("application/json", "application/x-protobuf", "text/plain", tok(10))
+    (0 until 300).foreach { _ =>
+      val verb = verbs(rnd.nextInt(verbs.size))
+      val path = "/" + stems(rnd.nextInt(stems.size)) +
+        (if (rnd.nextBoolean()) s"?${tok(5)}=${tok(8)}&limit=${rnd.nextLong()}" else "")
+      try {
+        val r = http.send(HttpRequest.newBuilder(URI.create(base + path))
+            .method(verb, HttpRequest.BodyPublishers.ofByteArray(bodies(rnd.nextInt(bodies.size))))
+            .header("Content-Type", types(rnd.nextInt(types.size)))
+            .timeout(java.time.Duration.ofSeconds(10)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() >= 100 && r.statusCode() < 600)
+      } catch { case _: IllegalArgumentException => () /* client-side URI reject */ }
+    }
+    // fuzz_read: arbitrary offset/limit/partition against a REAL table
+    http.send(HttpRequest.newBuilder(URI.create(s"$base/tables/fuzzread"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString("""{"payload":"x","partition":0,"timestamp_ms":1}"""))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    (0 until 100).foreach { _ =>
+      val q = s"partition=${rnd.nextInt(32) - 8}&offset=${rnd.nextLong()}&limit=${rnd.nextLong()}"
+      val r = http.send(HttpRequest.newBuilder(URI.create(s"$base/tables/fuzzread?$q")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() >= 200 && r.statusCode() < 600)
+    }
+    val health = http.send(HttpRequest.newBuilder(URI.create(s"$base/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(health.statusCode() === 200, "gateway must survive the fuzz")
+  }
+
   test("L5 soak smoke: sustained concurrent load is error-free; consistency holds end-to-end") {
     // short sustained closed-loop load (the L5 harness's quick shapes) —
     // a full run is `sbt "runMain graft.serve.LoadHarness --profile full"`
