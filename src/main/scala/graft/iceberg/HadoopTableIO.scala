@@ -69,17 +69,33 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     }
   }
 
+  /** Schemes whose FileContext rename-WITHOUT-overwrite is enforced
+    * server-side as one atomic namespace op (the namenode rejects an
+    * existing destination). Everything else — notably ABFS/GCS bindings
+    * whose `DelegateToFileSystem.renameInternal` does a CLIENT-SIDE
+    * dest-exists check — must stay on the conditional-create path below,
+    * or two racing committers can both pass the exists check and both
+    * report success. Extendable per-deployment via `graft.cas.rename.schemes`
+    * once a connector's rename is verified server-atomic.
+    */
+  private val renameCasSchemes: Set[String] =
+    conf.getTrimmedStrings("graft.cas.rename.schemes", "hdfs").map(_.toLowerCase).toSet
+  private val scheme: String =
+    Option(rootPath.toUri.getScheme).getOrElse("file").toLowerCase
+
   override def putIfAbsent(relPath: String, bytes: Array[Byte]): Boolean = {
     val p = abs(relPath)
-    // Prefer the ATOMICALLY-WHOLE publish: write a temp fully, then
-    // FileContext rename WITHOUT overwrite — on HDFS one namespace op that
-    // fails (FileAlreadyExists) when the destination exists. Crucially the
-    // content appears all-or-nothing, so a concurrent committer can never
-    // read a REAL in-flight commit as a half-written torn artifact (the
-    // create-reserves-then-stream path below exposes exactly that window).
-    // Stores without a FileContext binding (S3A connectors) fall through to
-    // the conditional-create path — their PUT is whole-object anyway.
-    try {
+    // Prefer the ATOMICALLY-WHOLE publish where it is truly atomic: write a
+    // temp fully, then FileContext rename WITHOUT overwrite — on HDFS one
+    // namespace op that fails (FileAlreadyExists) when the destination
+    // exists. Crucially the content appears all-or-nothing, so a concurrent
+    // committer can never read a REAL in-flight commit as a half-written
+    // torn artifact (the create-reserves-then-stream path below exposes
+    // exactly that window). Only schemes in [[renameCasSchemes]] take this
+    // path: object-store FileContext bindings emulate no-overwrite rename
+    // with a client-side exists check (lost-commit race), and their
+    // conditional PUT is whole-object at close anyway.
+    if (renameCasSchemes.contains(scheme)) try {
       val tmp = new Path(p.getParent, s".${p.getName}.cas-${UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(bytes)

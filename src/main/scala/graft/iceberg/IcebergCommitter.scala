@@ -82,7 +82,20 @@ final class LocalTableIO(val root: String) extends TableIO {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp" + UUID.randomUUID().toString)
     Files.write(tmp, bytes)
     try { Files.createLink(p, tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // Mounts without hard-link support (NFS/SMB/FAT, some overlay
+      // volumes) reject link(2) outright. Fall back to an O_EXCL create —
+      // still an atomic create-if-absent, at the cost of re-exposing the
+      // empty-between-create-and-write window such filesystems can't avoid
+      // (same trade NioCheckpointFileManager makes for its atomic rename).
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        try {
+          Files.write(p, bytes, java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
     finally Files.deleteIfExists(tmp)
   }
   override def get(relPath: String): Array[Byte]  = Files.readAllBytes(abs(relPath))

@@ -98,7 +98,14 @@ final class NioCheckpointFileManager(path: Path, conf: Configuration) extends Ch
     else {
       val f = nio(p)
       if (!Files.exists(f)) throw new FileNotFoundException(p.toString)
-      new FSDataInputStream(new NioSeekableInputStream(FileChannel.open(f, StandardOpenOption.READ)))
+      // a file purged between the exists check and the open (state-store
+      // maintenance) surfaces as NoSuchFileException, which Spark's
+      // metadata logs don't catch — translate to the FileNotFoundException
+      // contract the stock manager has
+      val ch =
+        try FileChannel.open(f, StandardOpenOption.READ)
+        catch { case e: java.nio.file.NoSuchFileException => throw new FileNotFoundException(e.getFile) }
+      new FSDataInputStream(new NioSeekableInputStream(ch))
     }
 
   override def list(p: Path, filter: PathFilter): Array[FileStatus] =
