@@ -47,8 +47,17 @@ final class GatewayServer(
     retentionMs: Long = 0L,
     catalog: Option[CatalogClient] = None,
     walEnabled: Boolean = true,
-    maxFlushBytes: Long = 256L * 1024 * 1024
+    maxFlushBytes: Long = 256L * 1024 * 1024,
+    minGcHorizonMs: Long = 10L * 60 * 1000
 ) {
+  /** Catalog namespace levels, parsed with the reference's config rules
+    * (`/root/reference/src/api/catalog.rs:92-114`): a raw value containing
+    * the `` unit separator splits on it; otherwise it splits on `.`;
+    * empty → the single default level. So `namespace = "accounting.tax"`
+    * serves the two-level namespace `["accounting","tax"]`. */
+  private val nsLevels: Seq[String] = GatewayServer.parseNamespaceConfig(namespace)
+  private def nsJson: String = nsLevels.map(l => s""""${escape(l)}"""").mkString("[", ",", "]")
+  private def nsDotted: String = nsLevels.mkString(".")
   private val mapper  = new ObjectMapper()
   // INV-2: accepted-but-unflushed events survive a gateway crash via the
   // write-ahead log (the reference gets this from RocksDB's WAL).
@@ -145,30 +154,57 @@ final class GatewayServer(
       case ("GET", List("metrics")) => send(ex, 200, "text/plain; version=0.0.4", metrics.render().getBytes("UTF-8"))
 
       // ---- Iceberg REST catalog (X2, read-only) ----
+      // Multi-level namespaces: the URL path segment separates levels with
+      // the %1F unit separator ONLY (the `namespace-separator` override
+      // advertised in /v1/config, `/root/reference/src/api/catalog.rs:84-90,
+      // 212`); dots inside a path segment are literal characters.
       case ("GET", List("v1", "config")) =>
-        sendJson(ex, 200, s"""{"defaults":{},"overrides":{"warehouse":"${escape(baseDir)}"}}""")
+        val endpoints = Seq(
+          "GET /v1/config", "GET /v1/namespaces", "GET /v1/namespaces/{namespace}",
+          "GET /v1/namespaces/{namespace}/tables",
+          "GET /v1/namespaces/{namespace}/tables/{table}",
+          "HEAD /v1/namespaces/{namespace}/tables/{table}"
+        ).map(e => s""""$e"""").mkString("[", ",", "]")
+        sendJson(ex, 200,
+          s"""{"defaults":{},"overrides":{"warehouse":"${escape(baseDir)}","namespace-separator":"%1F"},"endpoints":$endpoints}""")
       case ("GET", List("v1", "namespaces")) =>
-        sendJson(ex, 200, s"""{"namespaces":[["${escape(namespace)}"]]}""")
+        // ?parent= walks one level of the (single) namespace chain:
+        // no parent → the top level; a proper prefix → its next level; the
+        // full namespace → empty; anything else → 404 (catalog.rs:166-190)
+        val parent = query(ex).get("parent").filter(_.nonEmpty)
+        val listed = parent match {
+          case None => Seq(nsLevels.take(1))
+          case Some(raw) =>
+            val parts = GatewayServer.parseNamespacePath(raw)
+            if (parts.isEmpty) Seq(nsLevels.take(1))
+            else if (parts.size > nsLevels.size || nsLevels.take(parts.size) != parts) {
+              catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $raw")
+              return
+            } else if (parts.size == nsLevels.size) Nil
+            else Seq(nsLevels.take(parts.size + 1))
+        }
+        val body = listed.map(_.map(l => s""""${escape(l)}"""").mkString("[", ",", "]")).mkString(",")
+        sendJson(ex, 200, s"""{"namespaces":[$body]}""")
       case ("GET", List("v1", "namespaces", ns)) =>
-        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
-        else sendJson(ex, 200, s"""{"namespace":["${escape(namespace)}"],"properties":{}}""")
+        if (!namespaceMatches(ns)) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        else sendJson(ex, 200, s"""{"namespace":$nsJson,"properties":{}}""")
       case ("GET", List("v1", "namespaces", ns, "tables")) =>
-        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        if (!namespaceMatches(ns)) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
         else {
           val ids = committedTopics()
-            .map(t => s"""{"namespace":["${escape(namespace)}"],"name":"${escape(t)}"}""")
+            .map(t => s"""{"namespace":$nsJson,"name":"${escape(t)}"}""")
             .mkString(",")
           sendJson(ex, 200, s"""{"identifiers":[$ids]}""")
         }
       case (m, List("v1", "namespaces", ns, "tables", t)) if m == "GET" || m == "HEAD" =>
-        if (ns != namespace) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
+        if (!namespaceMatches(ns)) catalogError(ex, 404, "NoSuchNamespaceException", s"Namespace does not exist: $ns")
         else if (!TableName.matches(t))
-          catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $t")
+          catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $nsDotted.$t")
         else {
           val c = committer(t)
           val v = c.currentVersion()
-          if (v == 0) catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $t")
-          else if (m == "HEAD") send(ex, 200, "application/json", Array.emptyByteArray)
+          if (v == 0) catalogError(ex, 404, "NoSuchTableException", s"Table does not exist: $nsDotted.$t")
+          else if (m == "HEAD") send(ex, 204, "application/json", Array.emptyByteArray)
           else {
             val loc  = s"$baseDir/$t/${c.versionFile(v)}"
             val meta = new String(c.io.get(c.versionFile(v)), "UTF-8")
@@ -210,11 +246,17 @@ final class GatewayServer(
       // an inline compaction step
       case ("POST", List("tables", t, "gc")) =>
         validated(t)
-        val horizon = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
+        val requested = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
           .collectFirst { case kv if kv.startsWith("older_than_ms=") => kv.stripPrefix("older_than_ms=") })
           .flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000)
+        // Server-side floor on the horizon: data files land BEFORE the
+        // staged-batch marker (and bulk flushes carry no marker at all), so
+        // a tiny/zero horizon racing an in-flight write would GC files the
+        // imminent commit references. Unclamped horizons are reachable only
+        // through direct IcebergCommitter.removeOrphans calls (tests).
+        val horizon = math.max(requested, minGcHorizonMs)
         val removed = tableLock(t).synchronized { committer(t).removeOrphans(horizon) }
-        sendJson(ex, 200, s"""{"table":"${escape(t)}","removed":${removed.size}}""")
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","removed":${removed.size},"older_than_ms":$horizon}""")
       case ("POST", List("tables", t, "compact")) =>
         validated(t)
         val guard = compacting.computeIfAbsent(t, _ => new AtomicBoolean(false))
@@ -274,6 +316,17 @@ final class GatewayServer(
   private def validated(t: String): Unit =
     if (!TableName.matches(t))
       throw ApiError(400, "INVALID_INPUT", "Invalid table name: must match ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
+
+  /** Decoded query params (`URI.getQuery` percent-decodes, so a `%1F` in
+    * `?parent=` arrives as the raw unit separator). */
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+
+  /** A URL namespace segment names OUR namespace iff its unit-separated
+    * levels equal the configured levels exactly (catalog.rs:157-164). */
+  private def namespaceMatches(raw: String): Boolean =
+    GatewayServer.parseNamespacePath(raw) == nsLevels
 
   // ---------------------------------------------------------------- writes
 
@@ -576,5 +629,28 @@ final class GatewayServer(
     if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(status, -1)
     else { ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
            if (body.nonEmpty) { ex.getResponseBody.write(body) } }
+  }
+}
+
+object GatewayServer {
+  /** The Iceberg REST multi-level namespace separator (information unit
+    * separator, advertised percent-encoded as `%1F` in `/v1/config`). */
+  val NamespaceSeparator: Char = '\u001F'
+
+  /** Parse a namespace from a URL path/query value: split on the unit
+    * separator ONLY — dots are literal level characters
+    * (`/root/reference/src/api/catalog.rs:84-90`). */
+  def parseNamespacePath(raw: String): Seq[String] =
+    raw.split(NamespaceSeparator).iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Parse a CONFIGURED namespace (constructor arg / env): values carrying
+    * the unit separator split on it; otherwise dots separate levels; an
+    * empty result falls back to the single default level
+    * (`catalog.rs:92-114`). */
+  def parseNamespaceConfig(raw: String): Seq[String] = {
+    val parsed =
+      if (raw.indexOf(NamespaceSeparator.toInt) >= 0) parseNamespacePath(raw)
+      else raw.split('.').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (parsed.isEmpty) Seq("zombi") else parsed
   }
 }

@@ -265,6 +265,65 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(load.get("metadata-location").asText.endsWith(".metadata.json"))
     assert(load.get("metadata").get("format-version").asInt === 2)
     assert(get("/v1/namespaces/zombi/tables/neverwritten").statusCode() === 404)
+
+    // config advertises the multi-level separator + endpoint list
+    val cfg = mapper.readTree(get("/v1/config").body())
+    assert(cfg.get("overrides").get("namespace-separator").asText === "%1F")
+    assert(cfg.get("endpoints").elements().asScala.map(_.asText).contains("GET /v1/namespaces"))
+
+    // HEAD on an existing table is 204 (Iceberg REST spec), not 200
+    val head = http.send(HttpRequest.newBuilder(URI.create(s"$base/v1/namespaces/zombi/tables/gwflush"))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(), HttpResponse.BodyHandlers.ofString())
+    assert(head.statusCode() === 204)
+  }
+
+  test("X2: multi-level namespace — dotted config, %1F-separated paths, parent walks") {
+    // a gateway configured with a dotted namespace serves ["accounting","tax"]
+    // (`/root/reference/src/api/catalog.rs:92-114,157-190`)
+    val dir = Files.createTempDirectory("graft-gateway-ns-").toString
+    val gw  = new GatewayServer(spark, dir, namespace = "accounting.tax", walEnabled = false)
+    val b   = s"http://127.0.0.1:${gw.start()}"
+    def g(p: String) = http.send(HttpRequest.newBuilder(URI.create(b + p)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      // commit one table so list/load have something to serve
+      http.send(HttpRequest.newBuilder(URI.create(s"$b/tables/nst"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"payload":"x","timestamp_ms":1000}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      http.send(HttpRequest.newBuilder(URI.create(s"$b/tables/nst/flush"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(), HttpResponse.BodyHandlers.ofString())
+
+      // top-level listing exposes only the first level
+      assert(mapper.readTree(g("/v1/namespaces").body()).get("namespaces").toString === """[["accounting"]]""")
+      // parent= walks one level; the full namespace has no children
+      assert(mapper.readTree(g("/v1/namespaces?parent=accounting").body())
+        .get("namespaces").toString === """[["accounting","tax"]]""")
+      assert(mapper.readTree(g("/v1/namespaces?parent=accounting%1Ftax").body())
+        .get("namespaces").toString === "[]")
+      assert(g("/v1/namespaces?parent=other").statusCode() === 404)
+
+      // the path form uses the %1F unit separator; a dot in a path segment
+      // is a literal character, so "accounting.tax" is a DIFFERENT (absent)
+      // single-level namespace
+      assert(g("/v1/namespaces/accounting%1Ftax").statusCode() === 200)
+      assert(mapper.readTree(g("/v1/namespaces/accounting%1Ftax").body())
+        .get("namespace").toString === """["accounting","tax"]""")
+      assert(g("/v1/namespaces/accounting.tax").statusCode() === 404)
+      assert(g("/v1/namespaces/accounting").statusCode() === 404)
+
+      // tables routes resolve under the unit-separated namespace and carry
+      // the full level list in identifiers
+      val tbl = mapper.readTree(g("/v1/namespaces/accounting%1Ftax/tables").body())
+      assert(tbl.get("identifiers").elements().asScala
+        .exists(id => id.get("name").asText == "nst" &&
+                      id.get("namespace").toString == """["accounting","tax"]"""))
+      assert(g("/v1/namespaces/accounting%1Ftax/tables/nst").statusCode() === 200)
+      assert(g("/v1/namespaces/accounting.tax/tables/nst").statusCode() === 404)
+      // error message carries the dotted namespace (reference format)
+      assert(mapper.readTree(g("/v1/namespaces/accounting%1Ftax/tables/missing").body())
+        .get("error").get("message").asText === "Table does not exist: accounting.tax.missing")
+    } finally gw.stop()
   }
 
   test("table_schema.json switches flush to schema-on-flush extraction (§1.3)") {
@@ -424,7 +483,14 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     // a full run is `sbt "runMain graft.serve.LoadHarness --profile full"`
     val w = LoadHarness.singleWrite(base, "soak_single", seconds = 2, concurrency = 4)
     assert(w.ok && w.errors === 0, s"single-write: $w")
-    assert(w.requests > 1000, s"throughput collapsed: only ${w.requests} requests in 2s (nodelay regression?)")
+    // The nodelay regression this guards manifests as a deterministic ~40 ms
+    // delayed-ACK floor per request. Assert the property + the p50 staying
+    // under that floor, NOT a wall-clock request count — a contended CI
+    // machine can halve throughput without any regression (±3× single-shot
+    // noise is documented in the bench notes), but it cannot push a
+    // sub-millisecond local-loopback p50 past 40 ms.
+    assert(System.getProperty("sun.net.httpserver.nodelay") === "true")
+    assert(w.p50Ms < 35.0, s"p50 ${w.p50Ms} ms at the delayed-ACK floor (nodelay regression?): $w")
     val m = LoadHarness.mixedWorkload(base, "soak_mixed", seconds = 2, concurrency = 4)
     assert(m.ok && m.errors === 0, s"mixed: $m")
     // INV-2/INV-3 + flush→cold convergence under the same server
