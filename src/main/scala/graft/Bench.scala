@@ -27,14 +27,19 @@ object Bench {
     // dedup pipelines once at the smallest SF so timed queries measure the
     // engine, not first-call JIT/janino codegen compilation (~7s of
     // one-time session cost measured at sf0.1 otherwise).
-    try {
+    // SPARK_GRAFT_BENCH_WARM: "0" = no warmup, "nostream" = skip only the
+    // streaming-path warmup (A/B lever for adjudicating whether the r8
+    // warmup addition perturbed later query medians), default = full.
+    val warmMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "full")
+    if (warmMode != "0") try {
       val warmRoot = java.nio.file.Files.createTempDirectory("graft-warm-").toString
       table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", warmRoot)
       llm.LlmQueries.queries("d2_minhash_lsh")(spark, "/root/testdata/sf0.001").count()
       // warm the STREAMING path too (state store, checkpoint manager, the
       // foreachBatch pipeline's codegen) so the measured sf build pays the
       // engine, not first-stream JIT; sf0.001 caches under its own key
-      streaming.StreamedTables.tableRoot(spark, "/root/testdata/sf0.001")
+      if (warmMode != "nostream")
+        streaming.StreamedTables.tableRoot(spark, "/root/testdata/sf0.001")
     } catch { case _: Throwable => () }
     // Consume FULL tuples, not .count(): hashing every column of every row
     // forces Catalyst to materialize the complete projection, so map-only
@@ -81,10 +86,13 @@ object Bench {
     // burst files; ingest is the engine (the reference's ev/s baseline
     // measures its server ingesting already-formed requests).
     // only a build of THIS run's SF counts — never the sf0.001 warm-up's
-    val ingest = streaming.StreamedTables.lastBuild
-      .filter(_.sfDir == sfDir)
+    val ingestBuild = streaming.StreamedTables.lastBuild.filter(_.sfDir == sfDir)
+    val ingest = ingestBuild
       .map(b => f"""{"events":${b.events},"staging_sec":${b.stagingSec}%.3f,""" +
         f""""ingest_sec":${b.ingestSec}%.3f,"ev_per_sec":${(b.events / b.ingestSec).toLong}}""")
+      .getOrElse("null")
+    val ingestCompact = ingestBuild
+      .map(b => f"""{"ev_s":${(b.events / b.ingestSec).toLong},"sec":${b.ingestSec}%.2f}""")
       .getOrElse("null")
     // 10× BACKLOG MEASUREMENT: replay the event stream 10 times (shifted
     // ids/timestamps/keys) through the same 25k-event-per-trigger stream —
@@ -94,13 +102,13 @@ object Bench {
     // throughput with startup and first-trigger costs cancelled out.
     // Skipped for filtered runs (SPARK_GRAFT_BENCH_ONLY) unless forced;
     // SPARK_GRAFT_BENCH_10X=0 disables outright.
-    val ingest10x = {
+    val (ingest10x, ingest10xCompact) = {
       val enabled = sys.env.get("SPARK_GRAFT_BENCH_10X") match {
         case Some("0") => false
         case Some(_)   => true
         case None      => only.isEmpty
       }
-      if (!enabled) "null"
+      if (!enabled) ("null", "null")
       else
         try {
           val root    = java.nio.file.Files.createTempDirectory("graft-stream10x-").toString
@@ -125,22 +133,92 @@ object Bench {
             .filter(org.apache.spark.sql.functions.col("sequence") <= 200)
             .count()
           val coldSec = (System.nanoTime() - t3) / 1e9
-          f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
+          val marginalCompact = streaming.StreamedTables.lastBuild
+            .filter(b => b.sfDir == sfDir && sec > b.ingestSec)
+            .map(b => s""","marg":${((events - b.events) / (sec - b.ingestSec)).toLong}""").getOrElse("")
+          (f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
             f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal,""" +
-            f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows}"""
+            f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows}""",
+           f"""{"ev_s":${(events / sec).toLong}$marginalCompact,"cold_sec":$coldSec%.2f}""")
         } catch {
           case scala.util.control.NonFatal(e) =>
             // loud, not silent: a regression that kills the 10x run must be
             // visible in the log, not just a missing JSON block
             System.err.println(s"[graft-bench] stream_ingest_10x failed: $e")
-            "null"
+            ("null", "null")
         }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+    val microJson = micro()
+    // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
+    // gateway throughput is tracked round-over-round like query medians.
+    // Runs LAST: closed-loop HTTP load must not perturb the query sweep or
+    // the ingest measurements above it.
+    val gatewayFull = gateway(spark, enabled = only.isEmpty)
+    val gatewayCompact = gatewayFull._2
+
+    // TWO artifacts:
+    //  - BENCH_FULL.json: everything at full precision (queries median/min/
+    //    first-touch, ingest, 10x, gateway scenario detail, micro) — written
+    //    to the CWD so the official run leaves a complete record in-repo.
+    //  - ONE compact stdout line: the bench-driver artifact keeps only the
+    //    LAST ~2000 chars of output, and rounds 1–8 proved a >2k line is
+    //    stored as an unparseable fragment. Everything headline-worthy, 2dp,
+    //    guaranteed to fit the tail whole.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
-      s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"sf":"$sfDir","micro":${micro()}}""")
+      s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,""" +
+      s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-bench] BENCH_FULL.json write failed: $e") }
+
+    def q2(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => f""""${r._1}":${f(r)}%.2f""").mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').last
+    // micro with abbreviated keys (full names live in BENCH_FULL.json)
+    val microCompact = Seq("write_64B_ops" -> "w64", "write_1KB_ops" -> "w1k",
+      "write_4KB_ops" -> "w4k", "idempotent_dup_ops" -> "dup", "write_wal_64B_ops" -> "wal",
+      "burst_1000_ops" -> "burst", "read_offset_ops" -> "rd", "mixed_80_20_ops" -> "mix")
+      .foldLeft(microJson) { case (s, (from, to)) => s.replace(from, to) }
+    val compact = f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
+      f""""queries":${q2(_._3)},"first_total":$firstTotal%.1f,""" +
+      s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
+      s""""gateway":$gatewayCompact,"micro":$microCompact,"full":"BENCH_FULL.json"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[graft-bench] compact line ${compact.length} chars — may exceed the driver's tail capture")
+    println(compact)
     spark.stop()
+  }
+
+  /** L5 gateway scenarios against an in-process [[serve.GatewayServer]]
+    * (WAL on — the durable configuration is the honest one). Returns
+    * (full per-scenario JSON, compact headline JSON). */
+  private def gateway(spark: SparkSession, enabled: Boolean): (String, String) = {
+    if (!enabled || sys.env.get("SPARK_GRAFT_BENCH_GATEWAY").contains("0")) return ("null", "null")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-benchgw-").toString
+      val gw  = new serve.GatewayServer(spark, dir)
+      val base = s"http://127.0.0.1:${gw.start()}"
+      try {
+        val w  = serve.LoadHarness.singleWrite(base, "bench_gw", seconds = 3, concurrency = 8)
+        val b  = serve.LoadHarness.bulkWrite(base, "bench_gwb", seconds = 3, concurrency = 8)
+        val r  = serve.LoadHarness.readThroughput(base, "bench_gw", seconds = 2, concurrency = 8)
+        val m  = serve.LoadHarness.mixedWorkload(base, "bench_gw", seconds = 2, concurrency = 8)
+        val full = Seq(w, b, r, m).map(_.json).mkString("[", ",", "]")
+        def rps(x: serve.LoadHarness.Result): Long =
+          if (x.seconds <= 0) 0 else (x.requests / x.seconds).toLong
+        val compact =
+          f"""{"w_rps":${rps(w)},"w_p50":${w.p50Ms}%.2f,"w_p99":${w.p99Ms}%.2f,""" +
+          f""""bulk_ev_s":${b.evPerSec},"bulk_p99":${b.p99Ms}%.2f,""" +
+          f""""r_rps":${rps(r)},"r_p50":${r.p50Ms}%.2f,"mix_rps":${rps(m)}}"""
+        (full, compact)
+      } finally gw.stop()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-bench] gateway scenarios failed: $e")
+        ("null", "null")
+    }
   }
 
   /** Hot-path micro-benchmarks mirroring the reference's criterion suite
