@@ -194,6 +194,47 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `might_contain` over a driver-broadcast [[org.apache.spark.util.sketch.BloomFilter]],
+  * codegen'd — replaces the last Scala UDF on the streamed-ingest hot path
+  * (the bootstrap committed-keys gate). Bit-compatible with
+  * `BloomFilter.mightContainString`: `mightContainString(s)` is defined as
+  * `mightContainBinary(utf8Bytes(s))`, and the child's `UTF8String.getBytes`
+  * are exactly those bytes — so this skips the per-row `String` allocation
+  * the UDF paid on top of staying inside whole-stage codegen. */
+final case class BloomMightContain(
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+    child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"might_contain expects a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the broadcast handle travels in the references array; the filter
+    // itself is resolved once per task, not per row
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val filter = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter", "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $filter.mightContainBinary($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  /** Column-level entry: `mightContain(bloomBc, concat(...))`. */
+  def apply(bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+            col: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.SqlBridge.column(
+      BloomMightContain(bloom, org.apache.spark.sql.graft.SqlBridge.expression(col)))
+}
+
 /** The packaged-deploy injection point: set
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and both
   * native expressions register at session build, no code change needed. */

@@ -213,9 +213,11 @@ final class StreamIngest(
     val afterBoot = bootstrap match {
       case None => base
       case Some((keysDf, bloomB)) =>
-        val maybeSeen = udf((s: String) => bloomB.value.mightContainString(s))
+        // codegen'd bloom gate (graft.functions.BloomMightContain) — keeps
+        // the widest ingest stage UDF-free inside whole-stage codegen
         val tagged = base.withColumn(
-          "_maybe", maybeSeen(concat(col("part_id").cast("string"), lit(":"), col("idempotency_key"))))
+          "_maybe", graft.functions.BloomMightContain(
+            bloomB, concat(col("part_id").cast("string"), lit(":"), col("idempotency_key"))))
         tagged
           .filter(!col("_maybe"))
           .drop("_maybe")

@@ -127,4 +127,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("DeserializeToObject"),
       "ingest's widest stage must stay in Tungsten rows (no external Row boxing)")
   }
+
+  test("bootstrap bloom gate: codegen'd expression, no UDF anywhere in the ingest gate plan") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // range-backed (NOT a local relation, which constant-folds the whole
+    // gate away before codegen): 100 events, the first 10 already committed
+    val df = spark.range(100).select($"id".cast("int").as("part_id"),
+      concat(lit("k"), $"id").as("idempotency_key"))
+    val keys = df.filter($"part_id" < 10)
+    val key  = concat($"part_id".cast("string"), lit(":"), $"idempotency_key")
+    val bc   = spark.sparkContext.broadcast(keys.stat.bloomFilter(key, 100, 0.01))
+    // the exact afterBoot composition from StreamIngest.processBatch
+    val tagged = df.withColumn("_maybe", graft.functions.BloomMightContain(bc, key))
+    val out = tagged.filter(!col("_maybe")).drop("_maybe")
+      .unionByName(tagged.filter(col("_maybe")).drop("_maybe")
+        .join(keys, Seq("part_id", "idempotency_key"), "left_anti"))
+    // collect() executes THIS Dataset's queryExecution (count() would spawn
+    // a fresh one), so AQE finalizes and codegen spans appear in the plan
+    val rows = out.collect()
+    assert(rows.length === 90)
+    assert(rows.map(_.getInt(0)).min === 10)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython") && !p.contains("UDF("),
+      s"ingest gate must stay UDF-free:\n$p")
+    // `*(n)` is the WholeStageCodegen span marker: both bloom-gate filters
+    // must sit INSIDE a codegen span, fused with their Range+Project stage
+    // (the dump repeats the pre-AQE Initial Plan without markers — scope to
+    // the Final Plan section)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val gateLines = finalPlan.linesIterator.filter(_.contains("bloommightcontain")).toSeq
+    assert(gateLines.nonEmpty && gateLines.forall(_.matches(""".*\*\(\d+\) Filter.*""")),
+      s"bloom gate must be inside a WholeStageCodegen span:\n$p")
+    // a bloom over inserted keys can never report a false negative
+    assert(tagged.filter($"part_id" < 10 && !$"_maybe").count() === 0)
+  }
 }
