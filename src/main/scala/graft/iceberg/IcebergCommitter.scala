@@ -111,6 +111,10 @@ final class LocalTableIO(val root: String) extends TableIO {
   }
   override def listFilesRecursive(relPrefix: String): Seq[(String, Long)] = {
     val dir = abs(relPrefix)
+    // a regular-file prefix lists itself (OrphanGc fans list() entries out
+    // to tasks without knowing which are directories)
+    if (Files.isRegularFile(dir))
+      return Seq((Paths.get(root).relativize(dir).toString, Files.getLastModifiedTime(dir).toMillis))
     if (!Files.isDirectory(dir)) return Nil
     val walk = Files.walk(dir)
     try walk.iterator().asScala

@@ -255,7 +255,13 @@ final class GatewayServer(
         // imminent commit references. Unclamped horizons are reachable only
         // through direct IcebergCommitter.removeOrphans calls (tests).
         val horizon = math.max(requested, minGcHorizonMs)
-        val removed = tableLock(t).synchronized { committer(t).removeOrphans(horizon) }
+        // the DISTRIBUTED sweep (OrphanGc): listing and manifest parsing run
+        // as a Spark job, so an admin gc on an 800k-file table doesn't pin
+        // the gateway's driver thread walking the store
+        val removed = tableLock(t).synchronized {
+          committer(t) // ensures validation + watermark seeding
+          graft.iceberg.OrphanGc.remove(spark, Paths.get(baseDir, t).toString, horizon)
+        }
         sendJson(ex, 200, s"""{"table":"${escape(t)}","removed":${removed.size},"older_than_ms":$horizon}""")
       case ("POST", List("tables", t, "compact")) =>
         validated(t)

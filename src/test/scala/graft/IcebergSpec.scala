@@ -198,6 +198,37 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.removeOrphans(olderThanMs = -1) === Nil)
   }
 
+  test("distributed orphan GC (job path): same contract, listing never driver-materialized") {
+    val spark = TestSpark.spark
+    val c = freshCommitter()
+    val committed = df("data/partition=0/kept.parquet", 10, 0, 10)
+    c.io.put(committed.filePath, Array[Byte](1))
+    c.commitAppend(Seq(committed))
+    c.io.put("data/partition=1/staged.parquet", Array[Byte](1))
+    c.io.put("staged/batch-7.marker", "data/partition=1/staged.parquet".getBytes("UTF-8"))
+    c.io.put("data/partition=0/orphan1.parquet", Array[Byte](1))
+    c.io.put("data/partition=2/orphan2.parquet", Array[Byte](1))
+    val root = c.io.root
+
+    // plan shape: the file listing and manifest parse run as executor-side
+    // MapPartitions feeding one left_anti join — per-file rows never appear
+    // in a driver-built local relation (only dir names / marker paths may)
+    val plan = OrphanGc.orphans(spark, root, olderThanMs = -1)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+
+    // in-flight protection, then the same result set as the driver path
+    assert(OrphanGc.remove(spark, root, olderThanMs = 60000) === Nil)
+    val gone = OrphanGc.remove(spark, root, olderThanMs = -1)
+    assert(gone === Seq("data/partition=0/orphan1.parquet", "data/partition=2/orphan2.parquet"))
+    assert(c.io.exists("data/partition=0/kept.parquet"))
+    assert(c.io.exists("data/partition=1/staged.parquet"))
+    assert(!c.io.exists("data/partition=0/orphan1.parquet"))
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/kept.parquet"))
+    assert(OrphanGc.remove(spark, root, olderThanMs = -1) === Nil)
+  }
+
   test("a torn metadata version from a crashed writer is skipped, never wedges reads or commits") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
