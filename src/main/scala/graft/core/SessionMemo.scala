@@ -15,8 +15,12 @@ import org.apache.spark.sql.SparkSession
   * sessions are tracked, and evicting one runs `onEvict` over its values
   * (e.g. `unpersist`) so driver/executor cache actually frees. A
   * long-lived service creating request-scoped sessions is bounded at
-  * `maxSessions` sessions' worth of index state. */
+  * `maxSessions` sessions' worth of index state — and can drop to zero
+  * eagerly by calling [[SessionMemo.release]] when it retires a session,
+  * instead of waiting for LRU pressure. */
 final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => ()) {
+  SessionMemo.register(this)
+
   private val bySession =
     new java.util.LinkedHashMap[SparkSession, scala.collection.mutable.Map[String, V]](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -35,5 +39,36 @@ final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => 
       m
     }
     inner.getOrElseUpdate(key, build)
+  }
+
+  /** Drop everything memoized for `s`, running `onEvict` (unpersist) on
+    * each value. Idempotent; safe on a never-seen session. */
+  def clear(s: SparkSession): Unit = synchronized {
+    Option(bySession.remove(s)).foreach(_.values.foreach(v =>
+      try onEvict(v) catch { case _: Exception => () }))
+  }
+}
+
+object SessionMemo {
+  /** Every live memo, weakly — so [[release]] can sweep all of them
+    * without memos outliving their owners. */
+  private val instances =
+    scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[SessionMemo[_]]]
+
+  private def register(m: SessionMemo[_]): Unit = synchronized {
+    instances += new java.lang.ref.WeakReference(m)
+    instances.filterInPlace(_.get != null)
+    ()
+  }
+
+  /** Session-retirement hook for service JVMs cycling request-scoped
+    * sessions: releases every memoized value (cached cluster frames, ANN
+    * index frames, …) held for `s` across ALL memos in the process, so a
+    * retired session's cached blocks free immediately instead of aging
+    * out of the 8-session LRU. Call right before discarding a session
+    * obtained from `newSession()` / `getOrCreate()`. */
+  def release(s: SparkSession): Unit = {
+    val live = synchronized { instances.flatMap(r => Option(r.get)).toSeq }
+    live.foreach(_.clear(s))
   }
 }

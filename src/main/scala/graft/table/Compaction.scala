@@ -59,6 +59,44 @@ object Compaction {
     }
   }
 
+  /** C1 as metadata-DataFrame aggregation — same selection as
+    * [[selectCandidates]], but the per-file work (size filter, dir
+    * grouping) runs as a Spark job. The driver sees only O(partition dirs)
+    * group counts for the greedy budget walk, then the chosen groups'
+    * paths (≤ `maxFilesPerRun`) — never an all-files aggregation of its
+    * own. [[compact]] uses this path, so candidate selection stays flat as
+    * the file count grows toward the ~800k files of a 100 TB table. */
+  def selectCandidatesDistributed(spark: SparkSession, active: Seq[DataFile],
+                                  cfg: Config): Seq[DataFile] = {
+    if (active.isEmpty) return Nil
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val byPath = active.iterator.map(f => f.filePath -> f).toMap
+    val files = spark.createDataset(active.map(f => (f.filePath, f.fileSizeInBytes)))
+      .toDF("path", "bytes")
+      .filter(col("bytes") < cfg.maxCandidateSize)
+      // dirOf as an expression: everything before the last '/', "" if none
+      .withColumn("dir", when(instr($"path", "/") === 0, lit(""))
+        .otherwise(regexp_replace($"path", "/[^/]*$", "")))
+    files.cache()
+    try {
+      // job 1: group counts only (O(dirs) rows to the driver)
+      val groupCounts = files.groupBy("dir").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= cfg.minFilesPerGroup)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      var budget = cfg.maxFilesPerRun.toLong
+      val chosen = groupCounts.collect {
+        case (dir, n) if n <= budget => budget -= n; dir
+      }
+      if (chosen.isEmpty) return Nil
+      // job 2: only the chosen groups' paths (≤ maxFilesPerRun rows)
+      files.filter(col("dir").isin(chosen.toSeq: _*))
+        .select("dir", "path").collect()
+        .sortBy(r => (r.getString(0), byPath(r.getString(1)).filePath))
+        .map(r => byPath(r.getString(1))).toSeq
+    } finally { files.unpersist(); () }
+  }
+
   /** C2+C3: rewrite the candidate files and atomically replace them in a new
     * snapshot. Throws [[CommitConflict]] if the table advanced past
     * `expectedBase` between selection and commit. */
@@ -69,7 +107,7 @@ object Compaction {
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)
 
-    val candidates = selectCandidates(committer.activeDataFiles(), cfg)
+    val candidates = selectCandidatesDistributed(spark, committer.activeDataFiles(), cfg)
     if (candidates.isEmpty) return None
 
     val df = EventTable.readForRewrite(spark, tableRoot, candidates)

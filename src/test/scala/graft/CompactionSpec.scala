@@ -25,6 +25,20 @@ class CompactionSpec extends AnyFunSuite {
     assert(picked.map(_.filePath).toSet === g0.map(_.filePath).toSet)
   }
 
+  test("C1 distributed selection matches the driver selection on every fixture") {
+    val cfg = Compaction.Config()
+    val big  = df("data/d0/big.parquet", 100L * 1024 * 1024)
+    val g0   = (1 to 4).map(i => df(s"data/d0/s$i.parquet", 1024))
+    val g1   = (1 to 2).map(i => df(s"data/d1/s$i.parquet", 1024))
+    val g2   = (1 to 8).map(i => df(s"data/d2/s$i.parquet", 1024))
+    for (fixture <- Seq(Seq.empty[DataFile], Seq(big), big +: (g0 ++ g1 ++ g2),
+                        (1 to 10).map(i => df(s"data/g/s$i.parquet", 1024)))) {
+      val driver = Compaction.selectCandidates(fixture, cfg).map(_.filePath).toSet
+      val job    = Compaction.selectCandidatesDistributed(spark, fixture, cfg).map(_.filePath).toSet
+      assert(job === driver, s"fixture size ${fixture.size}")
+    }
+  }
+
   test("C1: a group exactly at the budget is taken") {
     val cfg = Compaction.Config()
     val g   = (1 to 10).map(i => df(s"data/partition=0/f$i.parquet", 1000))

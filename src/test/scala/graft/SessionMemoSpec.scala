@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.SessionMemo
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Session-retirement semantics: a service JVM cycling request-scoped
+  * sessions must be able to free a retired session's memoized cached
+  * blocks eagerly (VERDICT r8 follow-up), not wait for 8-session LRU
+  * pressure. */
+class SessionMemoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("clear(session) evicts exactly that session's values and reruns builds after") {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val memo    = new SessionMemo[String](onEvict = evicted += _)
+    val s2      = spark.newSession()
+    assert(memo.getOrElseUpdate(spark, "k")("a") === "a")
+    assert(memo.getOrElseUpdate(s2, "k")("b") === "b")
+    memo.clear(spark)
+    assert(evicted.toSeq === Seq("a"))
+    // other session untouched; cleared session rebuilds
+    assert(memo.getOrElseUpdate(s2, "k")(fail("must be memoized")) === "b")
+    assert(memo.getOrElseUpdate(spark, "k")("a2") === "a2")
+    memo.clear(spark) // idempotent on repeat + safe on unseen sessions
+    memo.clear(spark.newSession())
+    assert(evicted.toSeq === Seq("a", "a2"))
+  }
+
+  test("release(session) unpersists memoized cached frames across ALL memos") {
+    val m1 = new SessionMemo[org.apache.spark.sql.DataFrame](onEvict = _.unpersist())
+    val m2 = new SessionMemo[org.apache.spark.sql.DataFrame](onEvict = _.unpersist())
+    val df1 = spark.range(10).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    val df2 = spark.range(20).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    df1.count(); df2.count()
+    m1.getOrElseUpdate(spark, "a")(df1)
+    m2.getOrElseUpdate(spark, "b")(df2)
+    assert(df1.storageLevel !== StorageLevel.NONE)
+    SessionMemo.release(spark)
+    assert(df1.storageLevel === StorageLevel.NONE, "retired session's blocks must free")
+    assert(df2.storageLevel === StorageLevel.NONE, "every memo in the process is swept")
+  }
+}
