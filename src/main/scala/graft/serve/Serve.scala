@@ -81,6 +81,7 @@ object Serve {
       daemon.interrupt()
       gw.hot.topics.foreach(t => try gw.flushNow(t) catch { case _: Exception => () }) // F12
       gw.stop()
+      graft.core.SessionMemo.release(spark) // free memoized cached frames
     }
     println(s"""{"status":"serving","port":$port,"data_dir":"${cfg.dataDir}","flush_interval_secs":${cfg.flushIntervalSecs}}""")
     Thread.currentThread().join() // serve until killed
