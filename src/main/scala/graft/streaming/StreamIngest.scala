@@ -165,9 +165,17 @@ final class StreamIngest(
   private lazy val bootstrap: Option[(DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])] =
     if (bootstrapFiles.isEmpty) None
     else {
+      // Persisted PRE-PARTITIONED on the join keys: the per-trigger
+      // left_anti join needs ClusteredDistribution(part_id, idempotency_key)
+      // on this side, and InMemoryTableScan advertises the cached plan's
+      // outputPartitioning — so every trigger reuses this one-time shuffle
+      // instead of re-exchanging the (at scale, enormous) committed-keys
+      // frame per micro-batch. Small tables broadcast anyway; this is for
+      // the 100 TB shape where the keys side must stay shuffle-free.
       val keys = EventTable
         .readCommitted(spark, tableRoot, bootstrapFiles)
         .select(col("partition").cast("int").as("part_id"), col("idempotency_key"))
+        .repartition(col("part_id"), col("idempotency_key"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val expected = math.max(1000L, bootstrapFiles.map(_.recordCount).sum)
       val bloom = keys.stat.bloomFilter(

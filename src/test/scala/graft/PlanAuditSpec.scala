@@ -128,6 +128,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "ingest's widest stage must stay in Tungsten rows (no external Row boxing)")
   }
 
+  test("bootstrap keys frame: persisted partitioning is REUSED by the per-trigger anti-join") {
+    // At 100 TB the committed-keys frame is enormous; the ingest loop joins
+    // against it EVERY trigger. StreamIngest persists it pre-partitioned on
+    // the join keys so the cached side never re-exchanges — pin the plan
+    // fact on the same shape (forced non-broadcast, like the at-scale plan).
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val keys = s2.range(1000).select((col("id") % 8).cast("int").as("part_id"),
+        concat(lit("k"), col("id")).as("idempotency_key"))
+      .repartition(col("part_id"), col("idempotency_key"))
+      .persist()
+    try {
+      keys.count()
+      val probe = s2.range(100).select((col("id") % 8).cast("int").as("part_id"),
+        concat(lit("k"), col("id") * 13).as("idempotency_key"))
+      val joined = probe.join(keys, Seq("part_id", "idempotency_key"), "left_anti")
+      joined.collect()
+      // count exchanges in the JOIN plan only — the dump repeats the cached
+      // plan (whose one-time REPARTITION_BY_COL build shuffle is the point)
+      // inside the InMemoryRelation subtree, and the pre-AQE Initial Plan
+      val finalPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.split("InMemoryRelation").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(finalPlan.contains("InMemoryTableScan"), finalPlan)
+      assert(exchanges === 1,
+        s"only the probe side may shuffle; the cached keys side must reuse its partitioning:\n$finalPlan")
+    } finally { keys.unpersist(); () }
+  }
+
   test("bootstrap bloom gate: codegen'd expression, no UDF anywhere in the ingest gate plan") {
     import org.apache.spark.sql.functions._
     val sess = spark
