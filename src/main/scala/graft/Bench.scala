@@ -128,11 +128,11 @@ object Bench {
           val t2      = System.nanoTime()
           val events  = spark.read.parquet(staging).count()
           val sec     = (t2 - t1) / 1e9
-          val marginal = streaming.StreamedTables.lastBuild
-            .filter(b => b.sfDir == sfDir && sec > b.ingestSec) // slope needs a positive delta
-            .map { b =>
-              f""","marginal_ev_per_sec":${((events - b.events) / (sec - b.ingestSec)).toLong}"""
-            }.getOrElse("")
+          // slope between the 1× and 10× runs; needs a positive time delta
+          val slope: Option[Long] = streaming.StreamedTables.lastBuild
+            .filter(b => b.sfDir == sfDir && sec > b.ingestSec)
+            .map(b => ((events - b.events) / (sec - b.ingestSec)).toLong)
+          val marginal = slope.map(v => s""","marginal_ev_per_sec":$v""").getOrElse("")
           // query-side scale probe on the 10× table: a q7-shape committed
           // read (manifest-listed, pushdown sequence filter) — shows cold
           // read latency holding as data grows, not just ingest rate
@@ -141,9 +141,7 @@ object Bench {
             .filter(org.apache.spark.sql.functions.col("sequence") <= 200)
             .count()
           val coldSec = (System.nanoTime() - t3) / 1e9
-          val marginalCompact = streaming.StreamedTables.lastBuild
-            .filter(b => b.sfDir == sfDir && sec > b.ingestSec)
-            .map(b => s""","marg":${((events - b.events) / (sec - b.ingestSec)).toLong}""").getOrElse("")
+          val marginalCompact = slope.map(v => s""","marg":$v""").getOrElse("")
           (f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
             f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal,""" +
             f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows}""",

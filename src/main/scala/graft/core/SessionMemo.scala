@@ -19,8 +19,6 @@ import org.apache.spark.sql.SparkSession
   * eagerly by calling [[SessionMemo.release]] when it retires a session,
   * instead of waiting for LRU pressure. */
 final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => ()) {
-  SessionMemo.register(this)
-
   private val bySession =
     new java.util.LinkedHashMap[SparkSession, scala.collection.mutable.Map[String, V]](8, 0.75f, true) {
       override def removeEldestEntry(
@@ -47,6 +45,10 @@ final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => 
     Option(bySession.remove(s)).foreach(_.values.foreach(v =>
       try onEvict(v) catch { case _: Exception => () }))
   }
+
+  // register LAST: a construction-ordered publish — the registry must never
+  // hand a concurrent release() a memo whose state is still uninitialized
+  SessionMemo.register(this)
 }
 
 object SessionMemo {

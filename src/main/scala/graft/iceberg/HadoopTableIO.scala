@@ -79,7 +79,10 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     * once a connector's rename is verified server-atomic.
     */
   private val renameCasSchemes: Set[String] =
-    conf.getTrimmedStrings("graft.cas.rename.schemes", "hdfs").map(_.toLowerCase).toSet
+    conf.getTrimmedStrings("graft.cas.rename.schemes",
+      // all namenode-enforced: hdfs natively; viewfs delegates to the
+      // mounted HDFS; (s)webhdfs maps to the same RENAME op server-side
+      "hdfs", "viewfs", "webhdfs", "swebhdfs").map(_.toLowerCase).toSet
   private val scheme: String =
     Option(rootPath.toUri.getScheme).getOrElse("file").toLowerCase
 

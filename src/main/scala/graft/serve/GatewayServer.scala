@@ -236,9 +236,7 @@ final class GatewayServer(
         sendJson(ex, 200, s"""{"table":"${escape(t)}","snapshot_id":${snap.map(_.toString).getOrElse("null")}}""")
       case ("POST", List("tables", t, "expire")) =>
         validated(t)
-        val keep = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
-          .collectFirst { case kv if kv.startsWith("keep=") => kv.stripPrefix("keep=") })
-          .flatMap(_.toIntOption).getOrElse(1)
+        val keep = query(ex).get("keep").flatMap(_.toIntOption).getOrElse(1)
         val expired = committer(t).expireSnapshots(keep)
         sendJson(ex, 200, s"""{"table":"${escape(t)}","expired":[${expired.mkString(",")}]}""")
       // scheduled-maintenance orphan GC (crash leftovers in data/) — see
@@ -246,9 +244,8 @@ final class GatewayServer(
       // an inline compaction step
       case ("POST", List("tables", t, "gc")) =>
         validated(t)
-        val requested = Option(ex.getRequestURI.getQuery).flatMap(_.split("&")
-          .collectFirst { case kv if kv.startsWith("older_than_ms=") => kv.stripPrefix("older_than_ms=") })
-          .flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000)
+        val requested = query(ex).get("older_than_ms").flatMap(_.toLongOption)
+          .getOrElse(24L * 60 * 60 * 1000)
         // Server-side floor on the horizon: data files land BEFORE the
         // staged-batch marker (and bulk flushes carry no marker at all), so
         // a tiny/zero horizon racing an in-flight write would GC files the
@@ -298,8 +295,7 @@ final class GatewayServer(
         }
       case ("GET", List("consumers", g, "offset")) =>
         validated(g)
-        val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
-          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val q = query(ex)
         val topic = q.getOrElse("topic", throw ApiError(400, "INVALID_INPUT", "topic is required"))
         validated(topic)
         val partition = q.get("partition").flatMap(_.toIntOption).getOrElse(0)
@@ -323,11 +319,22 @@ final class GatewayServer(
     if (!TableName.matches(t))
       throw ApiError(400, "INVALID_INPUT", "Invalid table name: must match ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
 
-  /** Decoded query params (`URI.getQuery` percent-decodes, so a `%1F` in
-    * `?parent=` arrives as the raw unit separator). */
+  /** Query params: split the RAW query on `&`/`=` FIRST, then
+    * percent-decode each part — decoding before splitting would let an
+    * encoded `%26`/`%3D` inside a value (e.g. a namespace level containing
+    * `&`) masquerade as a separator. A `%1F` in `?parent=` decodes to the
+    * raw unit separator. */
   private def query(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        // percent-decoding only — URI queries don't form-encode, so '+'
+        // stays literal (URLDecoder alone would turn it into a space)
+        def dec(s: String) =
+          try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+          catch { case _: IllegalArgumentException => s }
+        dec(k) -> dec(v)
+      }.toMap
 
   /** A URL namespace segment names OUR namespace iff its unit-separated
     * levels equal the configured levels exactly (catalog.rs:157-164). */
@@ -425,8 +432,7 @@ final class GatewayServer(
   // ----------------------------------------------------------------- reads
 
   private def read(ex: HttpExchange, topic: String): Unit = {
-    val q = Option(ex.getRequestURI.getQuery).getOrElse("").split("&").filter(_.contains("="))
-      .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+    val q = query(ex)
     val limit  = math.max(1, math.min(q.get("limit").flatMap(_.toIntOption).getOrElse(100), 100000))
     val fields = ArrowOutput.validateProjectionOr400(q.get("fields"))
     if (hot.size(topic) == 0 && committer(topic).currentVersion() == 0)

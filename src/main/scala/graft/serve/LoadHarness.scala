@@ -35,12 +35,12 @@ import scala.jdk.CollectionConverters._
 object LoadHarness {
   final case class Result(scenario: String, seconds: Double, requests: Long, events: Long,
                           errors: Long, rejected503: Long, p50Ms: Double, p99Ms: Double,
-                          ok: Boolean, note: String = "") {
+                          ok: Boolean, note: String = "", minMs: Double = 0) {
     def evPerSec: Long = if (seconds <= 0) 0 else (events / seconds).toLong
     def json: String = {
       val n = if (note.isEmpty) "" else s""","note":"$note""""
       f"""{"scenario":"$scenario","seconds":$seconds%.2f,"requests":$requests,"events":$events,""" +
-        f""""ev_per_sec":$evPerSec,"p50_ms":$p50Ms%.2f,"p99_ms":$p99Ms%.2f,""" +
+        f""""ev_per_sec":$evPerSec,"min_ms":$minMs%.2f,"p50_ms":$p50Ms%.2f,"p99_ms":$p99Ms%.2f,""" +
         f""""errors":$errors,"rejected_503":$rejected503,"ok":$ok$n}"""
     }
   }
@@ -103,7 +103,7 @@ object LoadHarness {
     def pct(p: Double): Double =
       if (all.isEmpty) 0 else all(math.min(all.length - 1, (all.length * p).toInt)) / 1e6
     Result(scenario, sec, requests.get(), events.get(), errors.get(), rejected.get(),
-           pct(0.50), pct(0.99), ok = errors.get() == 0)
+           pct(0.50), pct(0.99), ok = errors.get() == 0, minMs = pct(0.0))
   }
 
   private def singleBody(part: Int, key: String): Array[Byte] =

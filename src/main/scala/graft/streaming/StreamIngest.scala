@@ -222,10 +222,14 @@ final class StreamIngest(
       case None => base
       case Some((keysDf, bloomB)) =>
         // codegen'd bloom gate (graft.functions.BloomMightContain) — keeps
-        // the widest ingest stage UDF-free inside whole-stage codegen
+        // the widest ingest stage UDF-free inside whole-stage codegen.
+        // coalesce(…, false): a NULL idempotency_key (no-dedup event) must
+        // land in the not-seen branch — a null _maybe would fail BOTH
+        // filters and silently drop the row.
         val tagged = base.withColumn(
-          "_maybe", graft.functions.BloomMightContain(
-            bloomB, concat(col("part_id").cast("string"), lit(":"), col("idempotency_key"))))
+          "_maybe", coalesce(graft.functions.BloomMightContain(
+            bloomB, concat(col("part_id").cast("string"), lit(":"), col("idempotency_key"))),
+            lit(false)))
         tagged
           .filter(!col("_maybe"))
           .drop("_maybe")

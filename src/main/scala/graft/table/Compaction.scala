@@ -66,9 +66,14 @@ object Compaction {
     * paths (≤ `maxFilesPerRun`) — never an all-files aggregation of its
     * own. [[compact]] uses this path, so candidate selection stays flat as
     * the file count grows toward the ~800k files of a 100 TB table. */
-  def selectCandidatesDistributed(spark: SparkSession, active: Seq[DataFile],
-                                  cfg: Config): Seq[DataFile] = {
-    if (active.isEmpty) return Nil
+  /** Below this many active files the driver fold is strictly cheaper than
+    * two Spark jobs (compaction holds the per-table lock while selecting —
+    * don't stretch it for a 10-file table). */
+  val DistributedSelectionThreshold = 10000
+
+  def selectCandidatesDistributed(spark: SparkSession, active: Seq[DataFile], cfg: Config,
+                                  threshold: Int = DistributedSelectionThreshold): Seq[DataFile] = {
+    if (active.size < threshold) return selectCandidates(active, cfg)
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val byPath = active.iterator.map(f => f.filePath -> f).toMap

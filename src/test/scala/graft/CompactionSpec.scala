@@ -34,7 +34,10 @@ class CompactionSpec extends AnyFunSuite {
     for (fixture <- Seq(Seq.empty[DataFile], Seq(big), big +: (g0 ++ g1 ++ g2),
                         (1 to 10).map(i => df(s"data/g/s$i.parquet", 1024)))) {
       val driver = Compaction.selectCandidates(fixture, cfg).map(_.filePath).toSet
-      val job    = Compaction.selectCandidatesDistributed(spark, fixture, cfg).map(_.filePath).toSet
+      // threshold 0 forces the job path — the default routes small sets to
+      // the driver fold, which would make this test vacuous
+      val job = Compaction.selectCandidatesDistributed(spark, fixture, cfg, threshold = 0)
+        .map(_.filePath).toSet
       assert(job === driver, s"fixture size ${fixture.size}")
     }
   }

@@ -163,14 +163,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val sess = spark
     import sess.implicits._
     // range-backed (NOT a local relation, which constant-folds the whole
-    // gate away before codegen): 100 events, the first 10 already committed
+    // gate away before codegen): 100 events, the first 10 already committed;
+    // ids 90+ carry NULL keys (no-dedup events — must pass the gate, not
+    // vanish into a null _maybe that fails both filters)
     val df = spark.range(100).select($"id".cast("int").as("part_id"),
-      concat(lit("k"), $"id").as("idempotency_key"))
+      when($"id" < 90, concat(lit("k"), $"id")).as("idempotency_key"))
     val keys = df.filter($"part_id" < 10)
     val key  = concat($"part_id".cast("string"), lit(":"), $"idempotency_key")
     val bc   = spark.sparkContext.broadcast(keys.stat.bloomFilter(key, 100, 0.01))
     // the exact afterBoot composition from StreamIngest.processBatch
-    val tagged = df.withColumn("_maybe", graft.functions.BloomMightContain(bc, key))
+    val tagged = df.withColumn("_maybe",
+      coalesce(graft.functions.BloomMightContain(bc, key), lit(false)))
     val out = tagged.filter(!col("_maybe")).drop("_maybe")
       .unionByName(tagged.filter(col("_maybe")).drop("_maybe")
         .join(keys, Seq("part_id", "idempotency_key"), "left_anti"))

@@ -28,15 +28,19 @@ class SessionMemoSpec extends AnyFunSuite {
   }
 
   test("release(session) unpersists memoized cached frames across ALL memos") {
+    // a DEDICATED session: release() sweeps every memo in the process for
+    // the given session, so releasing the shared test session here would
+    // wipe other suites' memoized fixtures (LlmQueries caches) mid-run
+    val s = spark.newSession()
     val m1 = new SessionMemo[org.apache.spark.sql.DataFrame](onEvict = _.unpersist())
     val m2 = new SessionMemo[org.apache.spark.sql.DataFrame](onEvict = _.unpersist())
-    val df1 = spark.range(10).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
-    val df2 = spark.range(20).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    val df1 = s.range(10).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
+    val df2 = s.range(20).toDF("v").persist(StorageLevel.MEMORY_AND_DISK)
     df1.count(); df2.count()
-    m1.getOrElseUpdate(spark, "a")(df1)
-    m2.getOrElseUpdate(spark, "b")(df2)
+    m1.getOrElseUpdate(s, "a")(df1)
+    m2.getOrElseUpdate(s, "b")(df2)
     assert(df1.storageLevel !== StorageLevel.NONE)
-    SessionMemo.release(spark)
+    SessionMemo.release(s)
     assert(df1.storageLevel === StorageLevel.NONE, "retired session's blocks must free")
     assert(df2.storageLevel === StorageLevel.NONE, "every memo in the process is swept")
   }
