@@ -501,6 +501,9 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val gc = http.send(HttpRequest.newBuilder(URI.create(s"$base/tables/soak_consist/gc?older_than_ms=0"))
       .POST(HttpRequest.BodyPublishers.noBody()).build(), HttpResponse.BodyHandlers.ofString())
     assert(gc.statusCode() === 200 && gc.body().contains("\"removed\":0"), gc.body())
+    // the requested zero horizon must be clamped to the server-side floor
+    // (an in-flight write's data files land before its marker/commit)
+    assert(mapper.readTree(gc.body()).get("older_than_ms").asLong >= 10L * 60 * 1000, gc.body())
     // S4 under deliberate overload: 503s surface and the server recovers
     val bpGw = new GatewayServer(spark, Files.createTempDirectory("graft-soak-bp-").toString,
                                  maxInflight = 4, maxInflightBytes = 64 * 1024, walEnabled = false)
