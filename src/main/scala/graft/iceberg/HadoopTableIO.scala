@@ -78,7 +78,7 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     * report success. Extendable per-deployment via `graft.cas.rename.schemes`
     * once a connector's rename is verified server-atomic.
     */
-  private val renameCasSchemes: Set[String] =
+  private[graft] val renameCasSchemes: Set[String] =
     conf.getTrimmedStrings("graft.cas.rename.schemes",
       // all namenode-enforced: hdfs natively; viewfs delegates to the
       // mounted HDFS; (s)webhdfs maps to the same RENAME op server-side

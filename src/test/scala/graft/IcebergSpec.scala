@@ -302,6 +302,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.maxCommittedSequencePerPartition() === Map.empty)
   }
 
+  test("HadoopTableIO: rename-CAS only on namenode-enforced schemes (lost-commit guard)") {
+    // Object-store FileContext bindings emulate no-overwrite rename with a
+    // CLIENT-SIDE exists check — two racing committers can both pass it and
+    // both report success. Only schemes whose rename is rejected server-side
+    // may take the rename-CAS publish; everything else must keep the
+    // conditional-create path (whole-object PUT on S3A, O_EXCL locally).
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val io = new HadoopTableIO("file:///tmp/graft-scheme-probe", conf)
+    assert(io.renameCasSchemes === Set("hdfs", "viewfs", "webhdfs", "swebhdfs"))
+    for (bad <- Seq("file", "s3a", "abfs", "gs", "oss"))
+      assert(!io.renameCasSchemes.contains(bad), s"$bad must NOT take the rename-CAS path")
+    // per-connector override once a deployment verifies server-atomicity
+    conf.set("graft.cas.rename.schemes", "hdfs, custom")
+    assert(new HadoopTableIO("file:///tmp/graft-scheme-probe", conf)
+      .renameCasSchemes === Set("hdfs", "custom"))
+  }
+
   test("HadoopTableIO: full commit/replace/expire lifecycle through file://") {
     val dir = Files.createTempDirectory("graft-hadoop-io-").toString
     // constructed directly: forRoot deliberately keeps file:// on the
