@@ -14,13 +14,17 @@ object Bench {
     // GRAFT_TIMING=2: per-stage decomposition (duration + task count + name)
     // for throughput triage of multi-stage jobs like the streamed-ingest
     // trigger — tells WHICH stage owns a fixed cost, not just which phase.
-    if (sys.env.get("GRAFT_TIMING").contains("2"))
+    if (Set("2","3").exists(sys.env.get("GRAFT_TIMING").contains))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i  = e.stageInfo
           val ms = for { s <- i.submissionTime; c <- i.completionTime } yield c - s
           println(s"[graft-stage] id=${i.stageId} tasks=${i.numTasks} ms=${ms.getOrElse(-1L)} ${i.name.takeWhile(_ != '\n').take(90)}")
+          // GRAFT_TIMING=3 additionally dumps the stage's RDD callsite chain
+          // — the disambiguator when several stages share an action callsite
+          if (sys.env.get("GRAFT_TIMING").contains("3"))
+            println(s"[graft-stage-detail] id=${i.stageId} rdds=${i.rddInfos.map(r => s"${r.name}@${r.scope.map(_.name).getOrElse("?")}").mkString("; ").take(300)}")
         }
       })
     // Steady-state warmup (standard bench practice): run the ingest and
