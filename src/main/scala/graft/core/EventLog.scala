@@ -83,7 +83,11 @@ object EventLog {
       .orderBy(col("timestamp_ms"), col("event_id"))
     rawDf
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      // a NULL key means "no idempotency" — the reference skips dedup for
+      // key-less writes entirely (`src/storage/rocksdb.rs:504-576` looks up
+      // only Some(key)), so every null-key row is kept; they'd otherwise
+      // collapse to one per partition (window partitioning groups nulls)
+      .filter(col("_rn") === 1 || col("idempotency_key").isNull)
       .drop("_rn")
   }
 

@@ -26,6 +26,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object KeyedDedup {
   def apply(df: Dataset[Row], ttlMs: Option[Long] = None): Dataset[Row] = {
+    // NULL key = "no idempotency": the reference point-looks-up only
+    // Some(key), so key-less events bypass the state op entirely (they
+    // would otherwise all share one (part, null) state cell and collapse
+    // to a single event per partition forever) — and they never pollute
+    // the state store with unmatched synthetic keys either.
+    import org.apache.spark.sql.functions.col
+    val keyless = df.filter(col("idempotency_key").isNull)
+    dedupKeyed(df.filter(col("idempotency_key").isNotNull), ttlMs).unionByName(keyless)
+  }
+
+  private def dedupKeyed(df: Dataset[Row], ttlMs: Option[Long]): Dataset[Row] = {
     val schema = df.schema
     val pIdx   = schema.fieldIndex("part_id")
     val kIdx   = schema.fieldIndex("idempotency_key")

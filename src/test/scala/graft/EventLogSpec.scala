@@ -119,6 +119,18 @@ class EventLogSpec extends AnyFunSuite {
     assert(seqsOf(both, 0) === seqsOf(onlyP0, 0))
   }
 
+  test("NULL-key events are never deduped (reference: key-less writes skip dedup)") {
+    // 5 null-key rows sharing a partition + 3 copies of one keyed event
+    val df = toDf(Seq((0L, 10L, 0, "dup"), (1L, 11L, 0, "dup"), (2L, 12L, 0, "dup")))
+      .unionByName(Seq((10L, 20L, 0), (11L, 21L, 0), (12L, 22L, 0), (13L, 23L, 1), (14L, 24L, 1))
+        .toDF("event_id", "timestamp_ms", "part_id")
+        .withColumn("idempotency_key", lit(null).cast("string")))
+    val out = EventLog.deduped(df)
+    assert(out.filter($"idempotency_key".isNull).count() === 5, "all key-less rows survive")
+    assert(out.filter($"idempotency_key" === "dup").select("event_id").as[Long].collect().toSeq === Seq(0L),
+      "keyed duplicates still collapse to the first arrival")
+  }
+
   test("INV-4: the sf0.001 log has no duplicate (part_id, idempotency_key)") {
     val dups = EventLog
       .log(spark, "/root/testdata/sf0.001")

@@ -211,6 +211,25 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(committed.select("partition", "idempotency_key").distinct().count() === expected)
   }
 
+  test("NULL-key events pass the bootstrap bloom gate and the streaming state op intact") {
+    val root = Files.createTempDirectory("graft-nullkey-spec-").toString
+    val raw  = EventLog.raw(spark, sf).cache()
+    val a = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    a.processBatch(raw.filter(col("event_id") < 100), batchId = 0L)
+    // restart → bootstrap bloom active; resend batch 0's keys PLUS 50
+    // key-less events (no idempotency: reference semantics = never dedup)
+    val nullKeyed = raw.filter(col("event_id") >= 100 && col("event_id") < 150)
+      .withColumn("idempotency_key", lit(null).cast("string"))
+    val b = new StreamIngest(spark, root, snapshotMinFiles = 1)
+    b.processBatch(raw.filter(col("event_id") < 100).unionByName(nullKeyed), batchId = 1L)
+    val committed = EventTable.readCommitted(spark, root)
+    val keyed     = raw.filter(col("event_id") < 100)
+      .select("part_id", "idempotency_key").distinct().count()
+    assert(committed.filter(col("idempotency_key").isNull).count() === 50,
+      "every key-less row lands — a null gate/window result must not drop or collapse them")
+    assert(committed.count() === keyed + 50)
+  }
+
   test("appendEvents: library bulk append dedupes, continues sequences, commits") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-append-spec-").toString
