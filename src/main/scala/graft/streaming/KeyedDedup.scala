@@ -26,17 +26,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object KeyedDedup {
   def apply(df: Dataset[Row], ttlMs: Option[Long] = None): Dataset[Row] = {
-    // NULL key = "no idempotency": the reference point-looks-up only
-    // Some(key), so key-less events bypass the state op entirely (they
-    // would otherwise all share one (part, null) state cell and collapse
-    // to a single event per partition forever) — and they never pollute
-    // the state store with unmatched synthetic keys either.
-    import org.apache.spark.sql.functions.col
-    val keyless = df.filter(col("idempotency_key").isNull)
-    dedupKeyed(df.filter(col("idempotency_key").isNotNull), ttlMs).unionByName(keyless)
-  }
-
-  private def dedupKeyed(df: Dataset[Row], ttlMs: Option[Long]): Dataset[Row] = {
     val schema = df.schema
     val pIdx   = schema.fieldIndex("part_id")
     val kIdx   = schema.fieldIndex("idempotency_key")
@@ -49,8 +38,15 @@ object KeyedDedup {
 
     df.groupByKey((r: Row) => (r.getInt(pIdx), r.getString(kIdx)))(keyEnc)
       .flatMapGroupsWithState[Boolean, Row](OutputMode.Append, timeout) {
-        (_: (Int, String), rows: Iterator[Row], state: GroupState[Boolean]) =>
+        (key: (Int, String), rows: Iterator[Row], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          // NULL key = "no idempotency": the reference point-looks-up only
+          // Some(key), so key-less events pass through undeduped and leave
+          // no state behind (the (part, null) group would otherwise collapse
+          // them to one event per partition forever). Handled INSIDE the
+          // state function — a filter/union split upstream would scan every
+          // staged micro-batch file twice.
+          else if (key._2 == null) rows
           else {
             val out =
               if (state.exists) Iterator.empty[Row]
