@@ -80,9 +80,13 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
     */
   private[graft] val renameCasSchemes: Set[String] =
     conf.getTrimmedStrings("graft.cas.rename.schemes",
-      // all namenode-enforced: hdfs natively; viewfs delegates to the
-      // mounted HDFS; (s)webhdfs maps to the same RENAME op server-side
-      "hdfs", "viewfs", "webhdfs", "swebhdfs").map(_.toLowerCase).toSet
+      // namenode-enforced: hdfs natively; (s)webhdfs maps to the same
+      // RENAME op server-side. viewfs is deliberately NOT here: its mount
+      // table may target any filesystem (local, s3a via overload scheme),
+      // and a non-HDFS target's renameInternal falls back to a client-side
+      // dest-exists check — add it per-deployment only when every mount is
+      // known to resolve to HDFS.
+      "hdfs", "webhdfs", "swebhdfs").map(_.toLowerCase).toSet
   private val scheme: String =
     Option(rootPath.toUri.getScheme).getOrElse("file").toLowerCase
 
@@ -105,14 +109,25 @@ final class HadoopTableIO(val root: String, conf: Configuration = new Configurat
       finally out.close()
       try { fc.rename(tmp, p); return true }
       catch {
-        case _: FileAlreadyExistsException =>
+        case e: org.apache.hadoop.fs.UnsupportedFileSystemException => throw e
+        case e: IOException => // includes FileAlreadyExistsException
           try fs.delete(tmp, false) catch { case _: IOException => () }
-          return false
-        case e: IOException =>
-          try fs.delete(tmp, false) catch { case _: IOException => () }
-          // some FileContexts surface "destination exists" as a generic
-          // IOException — classify by the path's presence
-          if (fs.exists(p)) return false else throw e
+          // "destination exists" is usually the genuine loss of the race —
+          // but on HTTP-fronted schemes (webhdfs) it can be OUR OWN rename
+          // having succeeded with the response lost (the client's idempotent
+          // retry then finds the dest present). Decide by content, same as
+          // the conditional-create path below: our bytes at the path mean
+          // our commit landed — reporting false here would make the caller
+          // re-commit the same changes at the next version.
+          val ours = try java.util.Arrays.equals(get(relPath), bytes)
+                     catch { case _: IOException => false }
+          if (ours) return true
+          e match {
+            case _: FileAlreadyExistsException => return false
+            // some FileContexts surface "destination exists" as a generic
+            // IOException — classify by the path's presence
+            case _ => if (fs.exists(p)) return false else throw e
+          }
       }
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException => () // no FileContext — fall through

@@ -45,7 +45,12 @@ object KeyedDedup {
           // no state behind (the (part, null) group would otherwise collapse
           // them to one event per partition forever). Handled INSIDE the
           // state function — a filter/union split upstream would scan every
-          // staged micro-batch file twice.
+          // staged micro-batch file twice. Key-less rows do funnel into one
+          // (part, null) group per partition, but that parallelism bound is
+          // the same as the per-partition sequencing window immediately
+          // downstream, so it adds no new critical path; salting the group
+          // would widen this stage only by breaking state-key schema
+          // compatibility across restarts.
           else if (key._2 == null) rows
           else {
             val out =

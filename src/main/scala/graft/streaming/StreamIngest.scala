@@ -490,14 +490,15 @@ object StreamIngest {
     * optional nullable `idempotency_key`. Returns the snapshot id. */
   def appendEvents(spark: SparkSession, tableRoot: String, events: DataFrame): Option[Long] = {
     val hasKey = events.columns.contains("idempotency_key")
+    // rows WITHOUT a key are passed through as NULL — every dedup stage
+    // (window, bootstrap bloom gate, anti-join, keyed state) skips null
+    // keys, same as the hot buffer. A synthetic per-row key is NOT safe
+    // here: monotonically_increasing_id() is deterministic per layout, so
+    // two same-shaped appends would synthesize IDENTICAL keys and the
+    // second call's rows would anti-join away against the committed table.
     val keyCol =
-      if (hasKey)
-        // rows WITHOUT a key must never dedup against each other — give
-        // each a unique synthetic key (same semantics as the hot buffer,
-        // which skips dedup entirely for key-less writes)
-        coalesce(col("idempotency_key").cast("string"),
-                 concat(lit("_nokey_"), monotonically_increasing_id()))
-      else concat(lit("_nokey_"), monotonically_increasing_id())
+      if (hasKey) col("idempotency_key").cast("string")
+      else lit(null).cast("string")
     val batch = events.select(
       col("partition").cast("int").as("part_id"),
       col("timestamp_ms").cast("long").as("timestamp_ms"),

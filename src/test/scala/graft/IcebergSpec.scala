@@ -310,8 +310,10 @@ class IcebergSpec extends AnyFunSuite {
     // conditional-create path (whole-object PUT on S3A, O_EXCL locally).
     val conf = new org.apache.hadoop.conf.Configuration()
     val io = new HadoopTableIO("file:///tmp/graft-scheme-probe", conf)
-    assert(io.renameCasSchemes === Set("hdfs", "viewfs", "webhdfs", "swebhdfs"))
-    for (bad <- Seq("file", "s3a", "abfs", "gs", "oss"))
+    assert(io.renameCasSchemes === Set("hdfs", "webhdfs", "swebhdfs"))
+    // viewfs mounts may target ANY filesystem, so the scheme alone cannot
+    // guarantee a namenode-enforced rename — excluded by default too
+    for (bad <- Seq("file", "s3a", "abfs", "gs", "oss", "viewfs"))
       assert(!io.renameCasSchemes.contains(bad), s"$bad must NOT take the rename-CAS path")
     // per-connector override once a deployment verifies server-atomicity
     conf.set("graft.cas.rename.schemes", "hdfs, custom")

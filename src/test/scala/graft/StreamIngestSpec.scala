@@ -250,6 +250,15 @@ class StreamIngestSpec extends AnyFunSuite {
     // key-less rows never dedup against each other
     assert(StreamIngest.appendEvents(spark, root, mk(0 until 10, keyed = false)).isDefined)
     assert(EventTable.readCommitted(spark, root).count() === 160L)
+    // ...and never against a PREVIOUS append's key-less rows either: an
+    // identically-shaped second key-less batch must land in full (a
+    // deterministic synthetic key would collide across calls and silently
+    // anti-join these rows away against the committed table)
+    assert(StreamIngest.appendEvents(spark, root, mk(0 until 10, keyed = false)).isDefined)
+    val afterSecond = EventTable.readCommitted(spark, root)
+    assert(afterSecond.count() === 170L)
+    assert(afterSecond.filter(col("idempotency_key").isNull).count() === 20L,
+      "key-less appends land with NULL keys, not synthetic ones")
   }
 
   test("appendEvents: concurrent appends retry on conflict, never overlap sequences") {
