@@ -28,6 +28,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    one task; this uses the same two-phase distributed prefix sum as the
   *    engine's sequence assignment (range-partition, per-partition totals
   *    collected — metadata-sized — then a broadcast running offset).
+  *
+  *  - `t6_pii_scrub`: PII redaction (emails, phone numbers, IPv4) via
+  *    chained codegen'd `regexp_replace` — pure map-side, zero shuffle
+  *    before the per-source audit agg. The synthetic corpus carries no
+  *    PII, so the query plants deterministic doc_id-derived PII first and
+  *    the oracle verifies the scrubber found ALL of it and left NONE
+  *    (residual count is computed post-scrub, not assumed).
+  *
+  *  - `d8_url_dedup`: URL canonicalization dedup — lowercase scheme+host,
+  *    upgrade http→https, strip default ports / utm_* tracking params /
+  *    fragments / trailing slash, then count per-source collapse. All
+  *    regex-only (no replacement groups: Java `$n` vs RE2 `\n` differ),
+  *    so Spark and DuckDB run literally the same patterns.
   */
 object CorpusQueries {
 
@@ -44,6 +57,12 @@ object CorpusQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** t6: PII patterns — conservative constructs only (char classes, bounded
+    * repeats, `\b`), valid and identical in Java regex and RE2/DuckDB. */
+  private[llm] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[llm] val Ipv4Re  = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** BPE-ish subword token count (same regex as t1_text_stats). */
   private val tokensExpr =
@@ -117,6 +136,71 @@ object CorpusQueries {
           sum(col("tokens")).as("sum_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
+    },
+
+    "t6_pii_scrub" -> { (s, dir) =>
+      // plant deterministic doc_id-derived PII (the synthetic corpus has
+      // none), scrub it, and AUDIT: every planted item found, zero residual
+      val planted = docs(s, dir).withColumn("dirty",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail-"), col("source"), lit(".example.com"),
+          lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), expr("(doc_id div 7) % 256").cast("string")))
+      def found(c: org.apache.spark.sql.Column, re: String) =
+        size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+      val scrubbed = planted.withColumn("clean",
+        regexp_replace(regexp_replace(regexp_replace(
+          col("dirty"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+      scrubbed.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(found(col("dirty"), EmailRe)).as("emails_found"),
+        sum(found(col("dirty"), PhoneRe)).as("phones_found"),
+        sum(found(col("dirty"), Ipv4Re)).as("ips_found"),
+        sum(found(col("clean"), EmailRe) + found(col("clean"), PhoneRe) +
+            found(col("clean"), Ipv4Re)).as("residual_pii"),
+        sum(length(col("clean"))).cast("long").as("sum_clean_len"))
+    },
+
+    "d8_url_dedup" -> { (s, dir) =>
+      // four deterministic variants of one logical URL per within-source
+      // group of 4 docs (rank-derived, so the collapse is real whatever the
+      // corpus's source striping): mixed-case host, http + default :80,
+      // :443 + utm_* tracking params, fragment + trailing slash — the forms
+      // a crawler actually emits for one page
+      val rn  = row_number().over(Window.partitionBy("source").orderBy("doc_id")) - 1
+      val vnt = rn % 4
+      val grp = floor(rn / lit(4)).cast("long").cast("string") // rn ≥ 0: floor = integer div
+      val url = when(vnt === 0,
+          concat(lit("https://WWW."), col("source"), lit(".Example.COM/docs/"), grp))
+        .when(vnt === 1,
+          concat(lit("http://www."), col("source"), lit(".example.com:80/docs/"), grp, lit("/")))
+        .when(vnt === 2,
+          concat(lit("https://www."), col("source"), lit(".example.com:443/docs/"), grp,
+                 lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"), grp, lit("#section-2")))
+      // canonicalize: fragment → tracking params → lowercase scheme+host →
+      // http→https → default ports → trailing slash. No replacement groups
+      // (Java `$n` vs RE2 `\n` differ); the port patterns assume the
+      // path-follows form `:80/`, which URL syntax guarantees here.
+      val noFrag  = regexp_replace(url, "#.*$", "")
+      val noUtm   = regexp_replace(noFrag, "[?&]utm_[A-Za-z0-9_]+=[^&#]*", "")
+      val hostLow = concat(lower(regexp_extract(noUtm, "^[^/]*//[^/?#]*", 0)),
+                           regexp_replace(noUtm, "^[^/]*//[^/?#]*", ""))
+      val https   = regexp_replace(hostLow, "^http://", "https://")
+      val noPort  = regexp_replace(regexp_replace(https, ":80/", "/"), ":443/", "/")
+      val canon   = regexp_replace(noPort, "/$", "")
+      docs(s, dir)
+        .select(col("source"), canon.as("canonical_url"))
+        .groupBy("source", "canonical_url").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum(col("c")).as("n_urls"),
+          count(lit(1)).as("n_canonical"),
+          (sum(col("c")) - count(lit(1))).as("n_duplicates"),
+          max(col("c")).as("max_dup_group"),
+          sum(length(col("canonical_url")) * col("c")).cast("long").as("checksum_len"))
     }
   )
 
@@ -164,6 +248,67 @@ object CorpusQueries {
          |SELECT CAST(prefix // $PackBudget AS BIGINT) AS window_id, count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM p GROUP BY 1""".stripMargin
+         |FROM p GROUP BY 1""".stripMargin,
+    "t6_pii_scrub" ->
+      s"""WITH planted AS (
+         |  SELECT source,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@mail-' || source || '.example.com'
+         |         || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |         || '.0.' || CAST((doc_id // 7) % 256 AS VARCHAR) AS dirty
+         |  FROM documents
+         |), scrubbed AS (
+         |  SELECT source, dirty,
+         |    regexp_replace(regexp_replace(regexp_replace(dirty,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g') AS clean
+         |  FROM planted
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(dirty, '$EmailRe'))) AS BIGINT) AS emails_found,
+         |  CAST(sum(len(regexp_extract_all(dirty, '$PhoneRe'))) AS BIGINT) AS phones_found,
+         |  CAST(sum(len(regexp_extract_all(dirty, '$Ipv4Re'))) AS BIGINT) AS ips_found,
+         |  CAST(sum(len(regexp_extract_all(clean, '$EmailRe'))
+         |         + len(regexp_extract_all(clean, '$PhoneRe'))
+         |         + len(regexp_extract_all(clean, '$Ipv4Re'))) AS BIGINT) AS residual_pii,
+         |  CAST(sum(len(clean)) AS BIGINT) AS sum_clean_len
+         |FROM scrubbed GROUP BY 1""".stripMargin,
+    "d8_url_dedup" ->
+      """WITH ranked AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+        |  FROM documents
+        |), urls AS (
+        |  SELECT source,
+        |    CASE rn % 4
+        |      WHEN 0 THEN 'https://WWW.' || source || '.Example.COM/docs/' || CAST(rn // 4 AS VARCHAR)
+        |      WHEN 1 THEN 'http://www.' || source || '.example.com:80/docs/' || CAST(rn // 4 AS VARCHAR) || '/'
+        |      WHEN 2 THEN 'https://www.' || source || '.example.com:443/docs/' || CAST(rn // 4 AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+        |      ELSE 'https://www.' || source || '.example.com/docs/' || CAST(rn // 4 AS VARCHAR) || '#section-2'
+        |    END AS url
+        |  FROM ranked
+        |), canon AS (
+        |  SELECT source,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(
+        |        regexp_replace(regexp_replace(url, '#.*$', ''), '[?&]utm_[A-Za-z0-9_]+=[^&#]*', '', 'g'),
+        |        '^[^/]*//[^/?#]*', 0))
+        |      || regexp_replace(
+        |        regexp_replace(regexp_replace(url, '#.*$', ''), '[?&]utm_[A-Za-z0-9_]+=[^&#]*', '', 'g'),
+        |        '^[^/]*//[^/?#]*', ''),
+        |      '^http://', 'https://'), ':80/', '/'), ':443/', '/') AS with_port
+        |  FROM urls
+        |), final AS (
+        |  SELECT source, regexp_replace(with_port, '/$', '') AS canonical_url FROM canon
+        |), grouped AS (
+        |  SELECT source, canonical_url, count(*) AS c FROM final GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_urls,
+        |  count(*) AS n_canonical,
+        |  CAST(sum(c) - count(*) AS BIGINT) AS n_duplicates,
+        |  CAST(max(c) AS BIGINT) AS max_dup_group,
+        |  CAST(sum(len(canonical_url) * c) AS BIGINT) AS checksum_len
+        |FROM grouped GROUP BY 1""".stripMargin
   )
 }
