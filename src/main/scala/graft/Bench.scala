@@ -188,6 +188,58 @@ object Bench {
             ("null", "null")
         }
     }
+    // QUERY-SIDE SCALE PROBE: the same SparkEntry tpch code paths against a
+    // 4x-replicated lineitem (other tables symlinked), run AFTER the sweep
+    // so it cannot perturb the medians. The ratio (4x median / 1x median)
+    // is the scaling evidence: well under 4 means per-query fixed cost
+    // amortizes and the plan's shuffles grow sub-linearly in wall-clock on
+    // this box — the local proxy for "survives a scale-up". Disabled for
+    // filtered runs unless forced; SPARK_GRAFT_BENCH_QSCALE=0 disables.
+    val (qScale, qScaleCompact) = {
+      val enabled = sys.env.get("SPARK_GRAFT_BENCH_QSCALE") match {
+        case Some("0") => false
+        case Some(_)   => true
+        case None      => only.isEmpty
+      }
+      if (!enabled) ("null", "null")
+      else try {
+        val factor = 4
+        val dir = java.nio.file.Files.createTempDirectory("graft-qscale-").toString
+        val src = java.nio.file.Paths.get(sfDir)
+        val it  = java.nio.file.Files.list(src)
+        try it.forEach { p =>
+          if (p.getFileName.toString != "lineitem.parquet")
+            java.nio.file.Files.createSymbolicLink(
+              java.nio.file.Paths.get(dir, p.getFileName.toString), p)
+        } finally it.close()
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        (1 to factor).map(_ => li).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue")
+        val med1x   = results.collect { case (n, _, med, _) if targets.contains(n) => n -> med }.toMap
+        val probes = targets.map { n =>
+          val fn = SparkEntry.queries(n)
+          def t(): Double = {
+            val t0 = System.nanoTime(); consume(fn(spark, dir)); (System.nanoTime() - t0) / 1e9
+          }
+          t() // first touch pays plan compile + cold scan of the replica
+          (n, median(Seq.fill(3)(t())))
+        }
+        val full = probes.map { case (n, m) =>
+          val ratio = med1x.get(n).filter(_ > 0).map(b => f""","${n}_ratio":${m / b}%.2f""").getOrElse("")
+          f""""${n}_sec":$m%.3f$ratio"""
+        }.mkString(s"""{"factor":$factor,""", ",", "}")
+        val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6")
+        val compact = probes.flatMap { case (n, m) =>
+          med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
+        }.mkString(s"""{"f":$factor,""", ",", "}")
+        (full, compact)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] query scale probe failed: $e")
+          ("null", "null")
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -208,6 +260,7 @@ object Bench {
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,""" +
+      s""""query_scale":$qScale,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -224,6 +277,7 @@ object Bench {
     val compact = f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
       f""""queries":${q2(_._3)},"first_total":$firstTotal%.1f,""" +
       s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
+      s""""qscale":$qScaleCompact,""" +
       s""""gateway":$gatewayCompact,"micro":$microCompact,"full":"BENCH_FULL.json"}"""
     if (compact.length > 1900)
       System.err.println(s"[graft-bench] compact line ${compact.length} chars — may exceed the driver's tail capture")
