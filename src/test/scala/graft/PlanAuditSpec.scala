@@ -63,6 +63,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tpch_q6: filters AND column pruning reach the lineitem scan") {
+    val p = plan("tpch_q6_revenue")
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("l_shipdate") && scanLine.contains("l_discount") &&
+           scanLine.contains("l_quantity"),
+      s"all three predicates must push into the parquet scan, got: $scanLine")
+    // projection pruning: the scan must not read fact columns the query
+    // never touches (a scan reading all 11 lineitem columns for a
+    // 4-column query is wrong at any scale)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey") &&
+           !readSchema.contains("l_returnflag"),
+      s"unused columns must be pruned from the scan, got: $readSchema")
+  }
+
+  test("t6/d8 corpus ops: codegen'd regex pipeline, no UDF, no cartesian") {
+    Seq("t6_pii_scrub", "d8_url_dedup").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE finalizes the plan (codegen spans appear) only on execution
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q must not cross-join")
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$q must stay on codegen'd native expressions")
+      // the final adaptive plan renders codegen stages as `*(n) Op` markers
+      assert(p.contains("WholeStageCodegen") || p.contains("*("),
+        s"$q must run inside whole-stage codegen")
+    }
+  }
+
   test("ann_sq_topk: the candidate pass scans the codes index, never full-precision vectors") {
     val p = plan("ann_sq_topk")
     val imScans = p.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
