@@ -396,6 +396,34 @@ object LlmQueries {
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
     "d4_ngram_jaccard" -> { (s, dir) => ngramDupPairs(s, dir) },
 
+    // ---------- decontamination: eval-set n-gram overlap ----------
+    "d9_decontaminate" -> { (s, dir) =>
+      // Benchmark decontamination: flag training docs whose bigram sets
+      // overlap an eval suite too heavily (here ≥60%, integer test
+      // 5·|∩| ≥ 3·|set|). The synthetic eval suite is every 50th doc; a
+      // real one is a FIXED-size benchmark, which is why the distinct
+      // eval vocabulary is the broadcast side — it stays MBs while the
+      // corpus side scales, so the overlap join is a map-side hash probe
+      // per posting, no shuffle of the corpus postings at all.
+      val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val evalVocab = base.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("shingle_set")).as("sh")).distinct()
+      val train = base.filter(col("doc_id") % 50 =!= 0)
+      val matched = train.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+        .join(broadcast(evalVocab), "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("inter_cnt"))
+      train.select(col("doc_id"), size(col("shingle_set")).cast("long").as("n_shingles"))
+        .join(matched, Seq("doc_id"), "left")
+        .withColumn("inter_cnt", coalesce(col("inter_cnt"), lit(0L)))
+        .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("inter_cnt") * 5 >= col("n_shingles") * 3, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(col("inter_cnt")).as("sum_overlap"),
+          sum(col("n_shingles")).as("sum_shingles"))
+    },
+
     // ---------- dedup clustering: connected components over dup pairs ----------
     "d6_dedup_clusters" -> { (s, dir) =>
       dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"),
@@ -1055,6 +1083,26 @@ object LlmQueries {
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,
+      // reuses the base/sh/sets prefix; DuckDB prunes the unused pair CTEs
+      "d9_decontaminate" ->
+        s"""WITH $ngramPairCtes,
+           |evalv AS (SELECT DISTINCT unnest(sset) AS s FROM sets WHERE doc_id % 50 = 0),
+           |train AS (SELECT doc_id, sset FROM sets WHERE doc_id % 50 != 0),
+           |m AS (
+           |  SELECT t.doc_id, count(*) AS inter_cnt
+           |  FROM (SELECT doc_id, unnest(sset) AS s FROM train) t JOIN evalv USING (s)
+           |  GROUP BY 1
+           |),
+           |scored AS (
+           |  SELECT tr.doc_id, len(tr.sset) AS n_shingles, coalesce(m.inter_cnt, 0) AS inter_cnt
+           |  FROM train tr LEFT JOIN m ON m.doc_id = tr.doc_id
+           |)
+           |SELECT d.source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN 5 * inter_cnt >= 3 * n_shingles THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           |  CAST(sum(inter_cnt) AS BIGINT) AS sum_overlap,
+           |  CAST(sum(n_shingles) AS BIGINT) AS sum_shingles
+           |FROM scored JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
       "d6_dedup_clusters" ->
         s"""WITH RECURSIVE $ngramPairCtes,
            |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),

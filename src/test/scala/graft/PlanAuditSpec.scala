@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
-    Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe").foreach { q =>
+    Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
+        "d9_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
