@@ -41,6 +41,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    fragments / trailing slash, then count per-source collapse. All
   *    regex-only (no replacement groups: Java `$n` vs RE2 `\n` differ),
   *    so Spark and DuckDB run literally the same patterns.
+  *
+  *  - `t7_repetition`: intra-document repetition ratio (duplicate-bigram
+  *    permille), the classic repetitious-text quality gate — pure map-side
+  *    array math per doc, integer permille so both engines agree exactly.
+  *
+  *  - `t8_mixture_weights`: per-source sampling weights to steer the token
+  *    mixture toward a uniform target — per-source token totals (one
+  *    shuffle), the corpus total as a broadcast single row, all shares and
+  *    weights in integer permille.
   */
 object CorpusQueries {
 
@@ -201,6 +210,44 @@ object CorpusQueries {
           (sum(col("c")) - count(lit(1))).as("n_duplicates"),
           max(col("c")).as("max_dup_group"),
           sum(length(col("canonical_url")) * col("c")).cast("long").as("checksum_len"))
+    },
+
+    "t7_repetition" -> { (s, dir) =>
+      // duplicate-bigram permille per doc: 1000·(total − distinct) div total
+      // (same bigram shape as the d4 shingle machinery); docs under 2 words
+      // carry no bigrams and are excluded, mirroring the d4/d9 filter
+      val d = docs(s, dir)
+        .withColumn("words", expr("filter(split(lower(text), '\\\\s+'), w -> w != '')"))
+        .filter(size(col("words")) >= 2)
+        .withColumn("bigrams",
+          expr("""zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),
+                 |        (a, b) -> concat(a, ' ', b))""".stripMargin))
+        .withColumn("nt", size(col("bigrams")).cast("long"))
+        .withColumn("nd", size(array_distinct(col("bigrams"))).cast("long"))
+        .withColumn("rep_permille", expr("(1000 * (nt - nd)) div nt"))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_bigrams"),
+        sum(col("nd")).as("sum_distinct"),
+        max(col("rep_permille")).as("max_rep_permille"),
+        sum(when(col("rep_permille") >= 500, 1L).otherwise(0L)).as("n_repetitious"))
+    },
+
+    "t8_mixture_weights" -> { (s, dir) =>
+      // weight_permille = 1000·total div (n_sources·src_tokens): sampling
+      // at that rate per source yields a uniform token mixture. The corpus
+      // total is ONE row — broadcast, never a shuffle of the fact side.
+      val perSource = docs(s, dir)
+        .select(col("source"), expr(tokensExpr).as("tokens"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("src_tokens"))
+      val total = perSource.agg(
+        sum(col("src_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(total))
+        .select(
+          col("source"), col("n_docs"), col("src_tokens"),
+          expr("(1000 * src_tokens) div total_tokens").as("share_permille"),
+          expr("(1000 * total_tokens) div (n_sources * src_tokens)").as("weight_permille"))
     }
   )
 
@@ -309,6 +356,37 @@ object CorpusQueries {
         |  CAST(sum(c) - count(*) AS BIGINT) AS n_duplicates,
         |  CAST(max(c) AS BIGINT) AS max_dup_group,
         |  CAST(sum(len(canonical_url) * c) AS BIGINT) AS checksum_len
-        |FROM grouped GROUP BY 1""".stripMargin
+        |FROM grouped GROUP BY 1""".stripMargin,
+    "t7_repetition" ->
+      """WITH base AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS words
+        |  FROM documents
+        |), b AS (
+        |  SELECT source,
+        |    list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        |  FROM base WHERE len(words) >= 2
+        |), r AS (
+        |  SELECT source, len(bigrams) AS nt, len(list_distinct(bigrams)) AS nd,
+        |         (1000 * (len(bigrams) - len(list_distinct(bigrams)))) // len(bigrams) AS rep_permille
+        |  FROM b
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_bigrams,
+        |  CAST(sum(nd) AS BIGINT) AS sum_distinct,
+        |  CAST(max(rep_permille) AS BIGINT) AS max_rep_permille,
+        |  CAST(sum(CASE WHEN rep_permille >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
+        |FROM r GROUP BY 1""".stripMargin,
+    "t8_mixture_weights" ->
+      s"""WITH per_source AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per_source
+         |)
+         |SELECT source, n_docs, src_tokens,
+         |  CAST((1000 * src_tokens) // total_tokens AS BIGINT) AS share_permille,
+         |  CAST((1000 * total_tokens) // (n_sources * src_tokens) AS BIGINT) AS weight_permille
+         |FROM per_source CROSS JOIN t""".stripMargin
   )
 }
