@@ -202,42 +202,58 @@ object Bench {
         case None      => only.isEmpty
       }
       if (!enabled) ("null", "null")
-      else try {
-        val factor = 4
-        val dir = java.nio.file.Files.createTempDirectory("graft-qscale-").toString
-        val src = java.nio.file.Paths.get(sfDir)
-        val it  = java.nio.file.Files.list(src)
-        try it.forEach { p =>
-          if (p.getFileName.toString != "lineitem.parquet")
-            java.nio.file.Files.createSymbolicLink(
-              java.nio.file.Paths.get(dir, p.getFileName.toString), p)
-        } finally it.close()
-        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        (1 to factor).map(_ => li).reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue")
-        val med1x   = results.collect { case (n, _, med, _) if targets.contains(n) => n -> med }.toMap
-        val probes = targets.map { n =>
-          val fn = SparkEntry.queries(n)
-          def t(): Double = {
-            val t0 = System.nanoTime(); consume(fn(spark, dir)); (System.nanoTime() - t0) / 1e9
+      else {
+        var dir: java.nio.file.Path = null
+        try {
+          val factor = 4
+          dir = java.nio.file.Files.createTempDirectory("graft-qscale-")
+          // absolute targets: a relative SPARK_GRAFT_SF_DIR would otherwise
+          // produce symlinks that resolve against /tmp and dangle
+          val src = java.nio.file.Paths.get(sfDir).toAbsolutePath
+          val it  = java.nio.file.Files.list(src)
+          try it.forEach { p =>
+            if (p.getFileName.toString != "lineitem.parquet")
+              java.nio.file.Files.createSymbolicLink(
+                dir.resolve(p.getFileName.toString), p.toAbsolutePath)
+          } finally it.close()
+          val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          (1 to factor).map(_ => li).reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+          val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue")
+          val med1x   = results.collect { case (n, _, med, _) if targets.contains(n) => n -> med }.toMap
+          val probes = targets.map { n =>
+            val fn = SparkEntry.queries(n)
+            def t(): Double = {
+              val t0 = System.nanoTime(); consume(fn(spark, dir.toString)); (System.nanoTime() - t0) / 1e9
+            }
+            t() // first touch pays plan compile + cold scan of the replica
+            (n, median(Seq.fill(3)(t())))
           }
-          t() // first touch pays plan compile + cold scan of the replica
-          (n, median(Seq.fill(3)(t())))
+          val full = probes.map { case (n, m) =>
+            val ratio = med1x.get(n).filter(_ > 0).map(b => f""","${n}_ratio":${m / b}%.2f""").getOrElse("")
+            f""""${n}_sec":$m%.3f$ratio"""
+          }.mkString(s"""{"factor":$factor,""", ",", "}")
+          val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6")
+          val ratios = probes.flatMap { case (n, m) =>
+            med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
+          }
+          // prefix carries no trailing comma: an empty ratio list (filtered
+          // sweep → no 1x medians) must still be valid JSON
+          val compact = (s""""f":$factor""" +: ratios).mkString("{", ",", "}")
+          (full, compact)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft-bench] query scale probe failed: $e")
+            ("null", "null")
+        } finally if (dir != null) {
+          // the replica is 4x the largest table — never leave it in /tmp
+          try {
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
-        val full = probes.map { case (n, m) =>
-          val ratio = med1x.get(n).filter(_ > 0).map(b => f""","${n}_ratio":${m / b}%.2f""").getOrElse("")
-          f""""${n}_sec":$m%.3f$ratio"""
-        }.mkString(s"""{"factor":$factor,""", ",", "}")
-        val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6")
-        val compact = probes.flatMap { case (n, m) =>
-          med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
-        }.mkString(s"""{"f":$factor,""", ",", "}")
-        (full, compact)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft-bench] query scale probe failed: $e")
-          ("null", "null")
       }
     }
     val microJson = micro()

@@ -214,14 +214,13 @@ object CorpusQueries {
 
     "t7_repetition" -> { (s, dir) =>
       // duplicate-bigram permille per doc: 1000·(total − distinct) div total
-      // (same bigram shape as the d4 shingle machinery); docs under 2 words
-      // carry no bigrams and are excluded, mirroring the d4/d9 filter
+      // (LlmQueries' shared words/bigram exprs — the exact d4/d9 shingle
+      // shape); docs under 2 words carry no bigrams and are excluded,
+      // mirroring the d4/d9 filter
       val d = docs(s, dir)
-        .withColumn("words", expr("filter(split(lower(text), '\\\\s+'), w -> w != '')"))
-        .filter(size(col("words")) >= 2)
-        .withColumn("bigrams",
-          expr("""zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),
-                 |        (a, b) -> concat(a, ' ', b))""".stripMargin))
+        .withColumn("words", expr(LlmQueries.wordsExpr))
+        .withColumn("bigrams", expr(LlmQueries.bigramsExpr))
+        .filter(size(col("bigrams")) > 0)
         .withColumn("nt", size(col("bigrams")).cast("long"))
         .withColumn("nd", size(array_distinct(col("bigrams"))).cast("long"))
         .withColumn("rep_permille", expr("(1000 * (nt - nd)) div nt"))

@@ -101,7 +101,15 @@ object LlmQueries {
   }
 
   /** words: lowercase, whitespace-split, empties dropped. */
-  private val wordsExpr = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+  /** Shared corpus tokenization — ONE definition for d2/d4/d9 shingles and
+    * CorpusQueries' t7 repetition gate, so the word split and bigram shape
+    * can never silently desynchronize between operators. */
+  private[llm] val wordsExpr = "filter(split(lower(text), '\\\\s+'), w -> w != '')"
+  private[llm] val bigramsExpr =
+    """CASE WHEN size(words) < 2 THEN array()
+      |ELSE zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),
+      |              (a, b) -> concat(a, ' ', b))
+      |END""".stripMargin
 
   /** Sequential double dot product — the native codegen'd
     * [[graft.functions.DotProduct]], fold-left like DuckDB's
@@ -289,13 +297,7 @@ object LlmQueries {
         // an outer-column reference inside a lambda body gets inlined by
         // CollapseProject and re-evaluates the whole split() per element
         // (measured 13x slower); lambda variables are bound once.
-        .withColumn(
-          "shingles",
-          expr("""CASE WHEN size(words) < 2 THEN array()
-                 |ELSE zip_with(slice(words, 1, size(words) - 1), slice(words, 2, size(words) - 1),
-                 |              (a, b) -> concat(a, ' ', b))
-                 |END""".stripMargin)
-        )
+        .withColumn("shingles", expr(bigramsExpr))
         .filter(size(col("shingles")) > 0)
         // ONE codegen'd FNV-1a-32 per shingle (one multiply per character —
         // ~10× cheaper than the md5 round it replaced, same DuckDB-oracle

@@ -74,6 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // never touches (a scan reading all 11 lineitem columns for a
     // 4-column query is wrong at any scale)
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty, "plan must render a ReadSchema line (else the pruning check is vacuous)")
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey") &&
            !readSchema.contains("l_returnflag"),
       s"unused columns must be pruned from the scan, got: $readSchema")
