@@ -69,4 +69,48 @@ class CorpusSpec extends AnyFunSuite {
       case _                                        => ()
     }
   }
+
+  test("t6 scrub: every planted PII item found, zero residual, all docs audited") {
+    val rows = CorpusQueries.queries("t6_pii_scrub")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      // exactly one planted email/phone/IP per doc, all redacted
+      assert(r.getAs[Long]("emails_found") === n, r.toString)
+      assert(r.getAs[Long]("phones_found") === n, r.toString)
+      assert(r.getAs[Long]("ips_found") === n, r.toString)
+      assert(r.getAs[Long]("residual_pii") === 0L, r.toString)
+    }
+  }
+
+  test("d8 canonicalization: URLs collapse 4:1 within each source (remainder allowed)") {
+    CorpusQueries.queries("d8_url_dedup")(spark, dir).collect().foreach { r =>
+      val urls      = r.getAs[Long]("n_urls")
+      val canonical = r.getAs[Long]("n_canonical")
+      assert(r.getAs[Long]("max_dup_group") === math.min(4L, urls))
+      // ceil(urls/4) full-or-partial groups, nothing merged across groups
+      assert(canonical === (urls + 3) / 4, r.toString)
+      assert(r.getAs[Long]("n_duplicates") === urls - canonical)
+    }
+  }
+
+  test("t8 weights: shares sum to ~1000 permille and weights invert the share") {
+    val rows = CorpusQueries.queries("t8_mixture_weights")(spark, dir).collect()
+    val shares = rows.map(_.getAs[Long]("share_permille"))
+    // integer floor division: the sum undershoots by at most one per source
+    assert(shares.sum <= 1000L && shares.sum >= 1000L - rows.length)
+    val total = rows.map(_.getAs[Long]("src_tokens")).sum
+    rows.foreach { r =>
+      val exact = 1000.0 * total / (rows.length.toLong * r.getAs[Long]("src_tokens"))
+      assert(math.abs(r.getAs[Long]("weight_permille") - exact) <= 1.0, r.toString)
+    }
+  }
+
+  test("t7 repetition: permille bounds hold and distinct never exceeds total") {
+    CorpusQueries.queries("t7_repetition")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("sum_distinct") <= r.getAs[Long]("sum_bigrams"))
+      val p = r.getAs[Long]("max_rep_permille")
+      assert(p >= 0L && p < 1000L, r.toString)
+    }
+  }
 }

@@ -31,6 +31,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d9_decontaminate: the eval vocabulary is the broadcast side of the overlap join") {
+    val p = plan("d9_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the (fixed-size) eval vocab must broadcast — the corpus postings must never shuffle for it")
+  }
+
   test("ann_topk_brute: the query set is the broadcast side") {
     val p = plan("ann_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
