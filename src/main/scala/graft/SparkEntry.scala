@@ -21,6 +21,7 @@ object SparkEntry {
       (streaming.StreamQueries.queries, streaming.StreamQueries.oracles),
       (serve.ServeQueries.queries, serve.ServeQueries.oracles),
       (sources.SegmentQueries.queries, sources.SegmentQueries.oracles),
+      (sources.JsonlCorpus.queries, sources.JsonlCorpus.oracles),
       (analytics.TpchQueries.queries, analytics.TpchQueries.oracles),
       (analytics.JoinQueries.queries, analytics.JoinQueries.oracles)
     )
