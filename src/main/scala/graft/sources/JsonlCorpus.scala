@@ -37,10 +37,15 @@ object JsonlCorpus {
 
   /** Export the parquet corpus as JSONL — a distributed Spark json write
     * (one file per partition). */
-  def write(spark: SparkSession, sfDir: String, out: String, nFiles: Int = 4): Unit =
+  def write(spark: SparkSession, sfDir: String, out: String, nFiles: Int = 4,
+            compression: String = "gzip"): Unit =
     spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(nFiles)
-      .write.mode("overwrite").json(out)
+      // corpora ship compressed; the reader decompresses per file by
+      // extension, so the round-trip gate covers the codec path too (gzip:
+      // the one codec every Hadoop text source has — this build's json
+      // sink lacks zstd; swap via the parameter where it exists)
+      .write.mode("overwrite").option("compression", compression).json(out)
 
   /** Read a JSONL corpus with the declared schema (no inference pass). */
   def read(spark: SparkSession, path: String): DataFrame =
