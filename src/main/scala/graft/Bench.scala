@@ -290,11 +290,26 @@ object Bench {
       "write_4KB_ops" -> "w4k", "idempotent_dup_ops" -> "dup", "write_wal_64B_ops" -> "wal",
       "burst_1000_ops" -> "burst", "read_offset_ops" -> "rd", "mixed_80_20_ops" -> "mix")
       .foldLeft(microJson) { case (s, (from, to)) => s.replace(from, to) }
-    val compact = f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
-      f""""queries":${q2(_._3)},"first_total":$firstTotal%.1f,""" +
-      s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
-      s""""qscale":$qScaleCompact,""" +
-      s""""gateway":$gatewayCompact,"micro":$microCompact,"full":"BENCH_FULL.json"}"""
+    // The driver's artifact keeps only the LAST ~2000 stdout chars, so the
+    // line must fit WHOLE or its head is truncated into unparseable junk.
+    // As the query count grows the line grows with it — shed the
+    // lowest-priority blocks (micro, then gateway, then first_total; all
+    // live at full precision in BENCH_FULL.json) until it fits, and say so.
+    def assemble(micro: Boolean, gw: Boolean, ft: Boolean): String =
+      f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
+        f""""queries":${q2(_._3)},""" +
+        (if (ft) f""""first_total":$firstTotal%.1f,""" else "") +
+        s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
+        s""""qscale":$qScaleCompact,""" +
+        (if (gw) s""""gateway":$gatewayCompact,""" else "") +
+        (if (micro) s""""micro":$microCompact,""" else "") +
+        s""""full":"BENCH_FULL.json"}"""
+    val variants = Seq((true, true, true), (false, true, true), (false, false, true), (false, false, false))
+    val compact = variants.map { case (m, g, f) => assemble(m, g, f) }
+      .find(_.length <= 1900).getOrElse(assemble(micro = false, gw = false, ft = false))
+    if (compact.length < assemble(true, true, true).length)
+      System.err.println(s"[graft-bench] compact line shed blocks to fit the driver tail " +
+        s"(${assemble(true, true, true).length} -> ${compact.length} chars); see BENCH_FULL.json")
     if (compact.length > 1900)
       System.err.println(s"[graft-bench] compact line ${compact.length} chars — may exceed the driver's tail capture")
     println(compact)
