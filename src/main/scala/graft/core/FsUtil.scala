@@ -1,0 +1,32 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Small java.nio filesystem helpers shared across the engine (the local
+  * hot paths deliberately use nio, not Hadoop's LocalFileSystem — see
+  * [[graft.streaming.NioCheckpointFileManager]]'s rationale). */
+object FsUtil {
+
+  /** Recursive best-effort delete: children before parents, missing
+    * entries tolerated (concurrent cleanup is never an error). No-op on a
+    * non-existent root. */
+  def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  def deleteRecursively(root: String): Unit = deleteRecursively(Paths.get(root))
+
+  // paths swept when the JVM exits — ONE process-wide hook however many
+  // callers register, so hooks never accumulate per session/fixture
+  private val sweepOnExit = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hookInstalled: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    sweepOnExit.forEach(p => try deleteRecursively(p) catch { case _: Exception => () })))
+
+  /** Delete `path` recursively at JVM shutdown (idempotent; an earlier
+    * explicit delete just makes the sweep a no-op). */
+  def deleteOnExit(path: String): Unit = { hookInstalled; sweepOnExit.add(path); () }
+}

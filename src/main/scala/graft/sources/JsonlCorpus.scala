@@ -51,28 +51,19 @@ object JsonlCorpus {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(DocumentsSchema).json(path)
 
-  private def deleteRecursively(path: String): Unit = {
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
-
   // fixture path per (session, sfDir): the export is built once and reused
   // across bench reps; evicting a session deletes its export from /tmp
-  private val fixture = new graft.core.SessionMemo[String](onEvict = deleteRecursively)
+  private val fixture =
+    new graft.core.SessionMemo[String](onEvict = graft.core.FsUtil.deleteRecursively(_: String))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonl_read" -> { (s, dir) =>
       val out = fixture.getOrElseUpdate(s, dir) {
         val p = java.nio.file.Files.createTempDirectory("graft-jsonl-").toString
         // session eviction deletes the export, but batch drivers (Verify,
-        // Bench) exit without evicting — also sweep on JVM shutdown
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try deleteRecursively(p) catch { case _: Exception => () }))
+        // Bench) exit without evicting — also sweep on JVM shutdown (one
+        // process-wide hook, however many fixtures register)
+        graft.core.FsUtil.deleteOnExit(p)
         write(s, dir, p)
         p
       }

@@ -144,16 +144,7 @@ final class NioCheckpointFileManager(path: Path, conf: Configuration) extends Ch
 
   override def delete(p: Path): Unit =
     if (!local) delegate.delete(p)
-    else {
-      val f = nio(p)
-      if (Files.exists(f)) {
-        if (Files.isDirectory(f)) {
-          val walk = Files.walk(f)
-          try walk.iterator().asScala.toSeq.reverseIterator.foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        } else Files.deleteIfExists(f)
-      }
-    }
+    else graft.core.FsUtil.deleteRecursively(nio(p))
 
   override def isLocal: Boolean = local
 

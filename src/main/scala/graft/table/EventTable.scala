@@ -233,9 +233,7 @@ object EventTable {
       }
     } finally walk.close()
     // recursive delete of the (now file-less) staging tree
-    val del = NF.walk(stagingDir)
-    try del.iterator().asScala.toSeq.reverseIterator.foreach(NF.deleteIfExists(_))
-    finally del.close()
+    graft.core.FsUtil.deleteRecursively(stagingDir)
     moved.toSeq.sorted
   }
 
