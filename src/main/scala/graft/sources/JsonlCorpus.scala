@@ -51,6 +51,15 @@ object JsonlCorpus {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(DocumentsSchema).json(path)
 
+  /** Stream a JSONL corpus as it lands: the file source picks up new
+    * files per trigger (exactly-once per file via the source's own log),
+    * with the same explicit schema — the shape for corpora that arrive
+    * incrementally from a crawler or export job. `maxFilesPerTrigger`
+    * bounds per-trigger work so one huge drop can't blow a micro-batch. */
+  def readStream(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream.schema(DocumentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).json(path)
+
   // fixture path per (session, sfDir): the export is built once and reused
   // across bench reps; evicting a session deletes its export from /tmp
   private val fixture =

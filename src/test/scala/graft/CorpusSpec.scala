@@ -113,4 +113,39 @@ class CorpusSpec extends AnyFunSuite {
       assert(p >= 0L && p < 1000L, r.toString)
     }
   }
+
+  test("JSONL streaming ingest: files are picked up incrementally, exactly once") {
+    import java.nio.file.{Files => NF, Paths, StandardCopyOption}
+    val jsonlDir = NF.createTempDirectory("graft-jsonl-stream-src-")
+    val outDir   = NF.createTempDirectory("graft-jsonl-stream-out-").toString
+    val ckpt     = NF.createTempDirectory("graft-jsonl-stream-ckpt-").toString
+    // export the corpus, then feed its files into the watched dir in two drops
+    val export = NF.createTempDirectory("graft-jsonl-stream-exp-").toString
+    graft.sources.JsonlCorpus.write(spark, dir, export, nFiles = 4)
+    val parts = NF.list(Paths.get(export)).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith("part-")).sorted // skips .crc/_SUCCESS
+    assert(parts.length === 4)
+    def drop(ps: Seq[String]): Unit = ps.foreach { p =>
+      NF.copy(Paths.get(p), jsonlDir.resolve(Paths.get(p).getFileName), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val q = graft.sources.JsonlCorpus.readStream(spark, jsonlDir.toString, maxFilesPerTrigger = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000); ()
+    }
+    drop(parts.take(2)); runOnce()
+    val afterFirst = spark.read.parquet(outDir).count()
+    drop(parts)// re-drop first two (already-seen names must NOT re-ingest) + the rest
+    runOnce()
+    val all  = spark.read.parquet(outDir)
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+    assert(afterFirst > 0 && afterFirst < want.count())
+    assert(all.count() === want.count(), "every document exactly once across both drops")
+    import org.apache.spark.sql.functions.{col, sum}
+    assert(all.agg(sum(col("doc_id"))).head.getLong(0) ===
+           want.agg(sum(col("doc_id"))).head.getLong(0))
+  }
 }
