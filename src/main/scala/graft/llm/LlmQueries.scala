@@ -134,6 +134,14 @@ object LlmQueries {
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
 
+  /** SimHash near-dup: 4 independently-salted 16-bit SimHash bands form a
+    * 64-bit signature. Pigeonhole: hamming <= SimBands - 1 over the full
+    * signature can flip bits in at most 3 of the 4 bands, so every
+    * qualifying pair shares at least one EXACT band value — band equality
+    * is a complete, shuffle-local candidate generator. */
+  val SimBands      = 4
+  val SimHammingMax = SimBands - 1
+
   /** One materialized signature table per (session, sfDir). Keyed by the
     * SparkSession too (identity), not just the dir: a cached DataFrame is
     * bound to the session that created it, and handing it to a second
@@ -393,6 +401,32 @@ object LlmQueries {
         .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
         .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    },
+
+    // ---------- near-dedup: SimHash banded hamming ----------
+    "d10_simhash_neardup" -> { (s, dir) =>
+      // One codegen'd graft_simhash16 pass per salted band. hamming <= 3
+      // over the 64-bit signature touches at most 3 of the 4 bands, so
+      // every qualifying pair shares one exact band value: candidates
+      // exist only inside (band, value) buckets — the self-join shuffles
+      // on the band value, never all-pairs.
+      val sigs = docs(s, dir)
+        .withColumn("words", expr(wordsExpr))
+        .filter(size(col("words")) > 0)
+        .withColumn("bands", expr(
+          s"""transform(sequence(0, ${SimBands - 1}),
+             |          b -> graft_simhash16(transform(words, w -> md5(concat('sb', cast(b as string), ':', w)))))""".stripMargin))
+        .select(col("doc_id"), col("bands"))
+      val bandRows = sigs.select(col("doc_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+      bandRows.as("a").join(bandRows.as("b"), Seq("band", "band_val"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("aggregate(zip_with(a.bands, b.bands, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+            .cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= SimHammingMax)
     },
 
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
@@ -864,6 +898,33 @@ object LlmQueries {
          |    THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash16
          |FROM documents""".stripMargin
 
+    /** d10 twin: same salted-band SimHash (t2's bit-vote pattern, salt
+      * 'sb<b>:'), brute-force any-band-equal join (fine at oracle scale;
+      * the Spark side is the banded bucket join), xor + per-bit popcount. */
+    val simhashDupSql = {
+      val bandEq = (1 to SimBands).map(k => s"a.bands[$k] = b.bands[$k]").mkString(" OR ")
+      s"""WITH w AS (
+         |  SELECT doc_id, words FROM (SELECT doc_id, $words AS words FROM documents)
+         |  WHERE len(words) > 0
+         |), sig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, ${SimBands - 1}), b ->
+         |    CAST(list_sum(list_transform(generate_series(0, 15), i ->
+         |      CASE WHEN list_sum(list_transform(words, w ->
+         |             ((instr('0123456789abcdef', substr(md5('sb' || b || ':' || w), (i // 4) + 1, 1)) - 1)
+         |              >> (3 - i % 4)) % 2 * 2 - 1
+         |           )) > 0
+         |      THEN 1 << i ELSE 0 END)) AS BIGINT)) AS bands
+         |  FROM w
+         |)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(list_sum(list_transform(generate_series(1, $SimBands), k ->
+         |      len(list_filter(generate_series(0, 15), j ->
+         |        ((xor(a.bands[k], b.bands[k]) >> j) % 2) = 1)))) AS BIGINT) AS hamming
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |) WHERE hamming <= $SimHammingMax""".stripMargin
+    }
+
     val statsSql =
       s"""SELECT doc_id,
          |  len($words)::BIGINT AS n_words,
@@ -1082,6 +1143,7 @@ object LlmQueries {
           |FROM documents""".stripMargin,
       "d3_embedding_neardup" -> neardupSql,
       "d2_minhash_lsh" -> minhashSql,
+      "d10_simhash_neardup" -> simhashDupSql,
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,

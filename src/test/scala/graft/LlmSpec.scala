@@ -61,6 +61,32 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("d10: banded SimHash finds exactly the hamming<=3 pairs (brute-force differential)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Recompute every signature serially with the same salted bands, then
+    // brute-force all pairs: the banded bucket join must return EXACTLY the
+    // hamming <= max pairs (pigeonhole completeness + verify soundness).
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+      .map { case (id, ws) =>
+        id -> Array.tabulate(LlmQueries.SimBands) { b =>
+          graft.functions.SimHash16.hash(ws.map(w => md5hex(s"sb$b:$w"): AnyRef))
+        }
+      }.toMap
+    val expected = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+      h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= LlmQueries.SimHammingMax
+    } yield (a, b, h.toLong)).toSet
+    val got = run("d10_simhash_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+    assert(got === expected)
+    assert(got.contains((0L, 1L, 0L)), "identical docs must pair at hamming 0")
+  }
+
   test("t3: winnowing fingerprint sets are deterministic and bounded by k-gram count") {
     val rows = run("t3_winnowing").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kgrams"), r.getAs[Long]("n_fingerprints"),

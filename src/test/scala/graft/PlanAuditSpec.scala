@@ -25,7 +25,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
-        "d9_decontaminate").foreach { q =>
+        "d9_decontaminate", "d10_simhash_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -86,8 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unused columns must be pruned from the scan, got: $readSchema")
   }
 
-  test("t6/d8 corpus ops: codegen'd regex pipeline, no UDF, no cartesian") {
-    Seq("t6_pii_scrub", "d8_url_dedup").foreach { q =>
+  test("t6/d8/d10 corpus ops: codegen'd pipeline, no UDF, no cartesian") {
+    Seq("t6_pii_scrub", "d8_url_dedup", "d10_simhash_neardup").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect() // AQE finalizes the plan (codegen spans appear) only on execution
       val p = df.queryExecution.executedPlan.toString
