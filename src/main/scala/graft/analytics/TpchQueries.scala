@@ -112,6 +112,43 @@ object TpchQueries {
         .orderBy(col("revenue_micro").desc, col("c_custkey"))
         .limit(20)
     },
+    // TPC-H Q4 shape: order-priority checking — the EXISTS/semi-join
+    // query. Adapted to the driver schema (no commit/receipt dates): an
+    // order qualifies if at least one of its lines was returned. The
+    // left-semi join never duplicates the orders side (no post-join
+    // distinct), and the group-by key is bounded (5 priorities).
+    "tpch_q4_priority" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey")
+      ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    // TPC-H Q14 shape: promotion effect — CASE-split aggregate over the
+    // lineitem⋈part join. The promo share is emitted as two exact scaled
+    // DECIMAL sums (promo, total) instead of a double ratio; consumers
+    // divide client-side. part grows with SF: join strategy left to
+    // statistics/AQE, same policy as orders/customer.
+    "tpch_q14_promo" -> { (s, dir) =>
+      val one = lit(java.math.BigDecimal.ONE).cast("decimal(18,3)")
+      val disc = col("l_extendedprice").cast("decimal(18,3)") *
+        (one - col("l_discount").cast("decimal(18,3)"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      li.join(t(s, dir, "part").select("p_partkey", "p_type"),
+              col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc)
+                 .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,3)"))) * 1000000)
+            .cast("long").as("promo_revenue_micro"),
+          (sum(disc) * 1000000).cast("long").as("total_revenue_micro"),
+          count(lit(1)).as("n_items"))
+    },
     // TPC-H Q6 shape: forecasting revenue change — the pure scan+filter+agg
     // query. No join, no shuffle beyond the final partial-agg merge; the
     // three predicates and both projected columns push into the parquet scan.
@@ -173,6 +210,22 @@ object TpchQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue_micro DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    "tpch_q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "tpch_q14_promo" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))
+        |           ELSE CAST(0 AS DECIMAL(18,3)) END) * 1000000 AS BIGINT) AS promo_revenue_micro,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS total_revenue_micro,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
     "tpch_q6_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) * 1000000 AS BIGINT) AS revenue_micro,

@@ -149,6 +149,78 @@ object SimHash16 {
   }
 }
 
+/** 64-bit SimHash from an array of md5 hex strings, returned as 4×16-bit
+  * bands (`array<bigint>`, band b = signature bits [16b, 16b+16)) — ONE
+  * pass over the hashes computing all 64 bit votes. Each band draws on a
+  * DISJOINT 16-bit slice of the 128-bit md5 (hex chars [4b, 4b+4)), so the
+  * bands are independent without re-hashing the word per band: signature
+  * bit j votes on bit (3 - j%4) of lowercase hex nibble j/4, exactly
+  * [[SimHash16]]'s mapping extended to 64 bits. */
+final case class SimHashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_bands expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var i   = 0
+    while (i < n) { out(i) = arr.getUTF8String(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(SimHashBands.hash(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n   = ctx.freshName("n")
+      val i   = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $c.numElements();
+         |Object[] $arr = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) { $arr[$i] = $c.getUTF8String($i); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SimHashBands.hash($arr));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+}
+
+object SimHashBands {
+  val Bands = 4
+
+  def hash(hashes: Array[AnyRef]): Array[Long] = {
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < hashes.length) {
+      val h = hashes(w).toString // md5 hex, 32 lowercase chars
+      var j = 0
+      while (j < 64) {
+        val nib = Character.digit(h.charAt(j >> 2), 16)
+        votes(j) += ((nib >> (3 - (j & 3))) & 1) * 2 - 1
+        j += 1
+      }
+      w += 1
+    }
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var acc = 0L
+      var i   = 0
+      while (i < 16) { if (votes(16 * b + i) > 0) acc |= 1L << i; i += 1 }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+}
+
 /** Sequential (fold-left) double dot product over two double arrays —
   * replaces `aggregate(zip_with(a, b, ...))`, keeping the exact summation
   * order that DuckDB's `list_inner_product` uses, so cosine ranks stay
@@ -252,6 +324,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo("graft.functions", "graft_simhash16"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_bands"),
+      new ExpressionInfo("graft.functions", "graft_simhash_bands"),
+      (exprs: Seq[Expression]) => SimHashBands(exprs.head)))
   }
 }
 
@@ -272,6 +347,7 @@ object GraftFunctions {
       register(spark, "graft_dot", exprs => DotProduct(exprs.head, exprs(1)))
       register(spark, "graft_fnv32", exprs => Fnv32(exprs.head))
       register(spark, "graft_simhash16", exprs => SimHash16(exprs.head))
+      register(spark, "graft_simhash_bands", exprs => SimHashBands(exprs.head))
     }
   }
 }

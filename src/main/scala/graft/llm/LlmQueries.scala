@@ -134,13 +134,18 @@ object LlmQueries {
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
 
-  /** SimHash near-dup: 4 independently-salted 16-bit SimHash bands form a
-    * 64-bit signature. Pigeonhole: hamming <= SimBands - 1 over the full
-    * signature can flip bits in at most 3 of the 4 bands, so every
-    * qualifying pair shares at least one EXACT band value — band equality
-    * is a complete, shuffle-local candidate generator. */
-  val SimBands      = 4
+  /** SimHash near-dup: 4 independent 16-bit SimHash bands (disjoint md5
+    * bit slices) form a 64-bit signature. Pigeonhole: hamming <=
+    * SimBands - 1 over the full signature can flip bits in at most 3 of
+    * the 4 bands, so every qualifying pair shares at least one EXACT band
+    * value — band equality is a complete, shuffle-local candidate
+    * generator. */
+  val SimBands      = graft.functions.SimHashBands.Bands
   val SimHammingMax = SimBands - 1
+
+  /** d10's narrow (doc_id, bands) signature frame, persisted per
+    * (session, dir) so the banded self-join reads one copy. */
+  private val simSigCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
 
   /** One materialized signature table per (session, sfDir). Keyed by the
     * SparkSession too (identity), not just the dir: a cached DataFrame is
@@ -405,18 +410,21 @@ object LlmQueries {
 
     // ---------- near-dedup: SimHash banded hamming ----------
     "d10_simhash_neardup" -> { (s, dir) =>
-      // One codegen'd graft_simhash16 pass per salted band. hamming <= 3
-      // over the 64-bit signature touches at most 3 of the 4 bands, so
-      // every qualifying pair shares one exact band value: candidates
-      // exist only inside (band, value) buckets — the self-join shuffles
-      // on the band value, never all-pairs.
-      val sigs = docs(s, dir)
-        .withColumn("words", expr(wordsExpr))
-        .filter(size(col("words")) > 0)
-        .withColumn("bands", expr(
-          s"""transform(sequence(0, ${SimBands - 1}),
-             |          b -> graft_simhash16(transform(words, w -> md5(concat('sb', cast(b as string), ':', w)))))""".stripMargin))
-        .select(col("doc_id"), col("bands"))
+      // ONE md5 per word and one codegen'd graft_simhash_bands pass
+      // computing all 4×16-bit bands from disjoint slices of the 128-bit
+      // hash. hamming <= 3 over the 64-bit signature touches at most 3 of
+      // the 4 bands, so every qualifying pair shares one exact band value:
+      // candidates exist only inside (band, value) buckets — the self-join
+      // shuffles on the band value, never all-pairs. The narrow signature
+      // frame is memoized per (session, dir) so the self-join's two sides
+      // read one persisted copy instead of re-hashing the corpus twice.
+      val sigs = simSigCache.getOrElseUpdate(s, dir)(
+        docs(s, dir)
+          .withColumn("words", expr(wordsExpr))
+          .filter(size(col("words")) > 0)
+          .select(col("doc_id"),
+            expr("graft_simhash_bands(transform(words, w -> md5(w)))").as("bands"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bandRows = sigs.select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band", "band_val")))
       bandRows.as("a").join(bandRows.as("b"), Seq("band", "band_val"))
@@ -898,9 +906,10 @@ object LlmQueries {
          |    THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash16
          |FROM documents""".stripMargin
 
-    /** d10 twin: same salted-band SimHash (t2's bit-vote pattern, salt
-      * 'sb<b>:'), brute-force any-band-equal join (fine at oracle scale;
-      * the Spark side is the banded bucket join), xor + per-bit popcount. */
+    /** d10 twin: 64-bit SimHash as 4 bands over disjoint 16-bit md5 slices
+      * (t2's bit-vote pattern, band b reading hex chars [4b, 4b+4)),
+      * brute-force any-band-equal join (fine at oracle scale; the Spark
+      * side is the banded bucket join), xor + per-bit popcount. */
     val simhashDupSql = {
       val bandEq = (1 to SimBands).map(k => s"a.bands[$k] = b.bands[$k]").mkString(" OR ")
       s"""WITH w AS (
@@ -910,7 +919,7 @@ object LlmQueries {
          |  SELECT doc_id, list_transform(generate_series(0, ${SimBands - 1}), b ->
          |    CAST(list_sum(list_transform(generate_series(0, 15), i ->
          |      CASE WHEN list_sum(list_transform(words, w ->
-         |             ((instr('0123456789abcdef', substr(md5('sb' || b || ':' || w), (i // 4) + 1, 1)) - 1)
+         |             ((instr('0123456789abcdef', substr(md5(w), (b * 4 + i // 4) + 1, 1)) - 1)
          |              >> (3 - i % 4)) % 2 * 2 - 1
          |           )) > 0
          |      THEN 1 << i ELSE 0 END)) AS BIGINT)) AS bands

@@ -64,18 +64,24 @@ class LlmSpec extends AnyFunSuite {
   test("d10: banded SimHash finds exactly the hamming<=3 pairs (brute-force differential)") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    // Recompute every signature serially with the same salted bands, then
-    // brute-force all pairs: the banded bucket join must return EXACTLY the
+    // Recompute every signature serially with an INDEPENDENT implementation
+    // (plain hex parse + vote loop, no SimHashBands code), then brute-force
+    // all pairs: the banded bucket join must return EXACTLY the
     // hamming <= max pairs (pigeonhole completeness + verify soundness).
+    def bandsOf(ws: Array[String]): Array[Long] = {
+      val votes = Array.fill(64)(0)
+      for (w <- ws; h = md5hex(w); j <- 0 until 64) {
+        val nib = Integer.parseInt(h.charAt(j / 4).toString, 16)
+        votes(j) += ((nib >> (3 - j % 4)) & 1) * 2 - 1
+      }
+      Array.tabulate(LlmQueries.SimBands)(b =>
+        (0 until 16).foldLeft(0L)((acc, i) => if (votes(16 * b + i) > 0) acc | (1L << i) else acc))
+    }
     val sigs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty))
       .filter(_._2.nonEmpty)
-      .map { case (id, ws) =>
-        id -> Array.tabulate(LlmQueries.SimBands) { b =>
-          graft.functions.SimHash16.hash(ws.map(w => md5hex(s"sb$b:$w"): AnyRef))
-        }
-      }.toMap
+      .map { case (id, ws) => id -> bandsOf(ws) }.toMap
     val expected = (for {
       (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
       h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
