@@ -149,6 +149,28 @@ object TpchQueries {
           (sum(disc) * 1000000).cast("long").as("total_revenue_micro"),
           count(lit(1)).as("n_items"))
     },
+    // TPC-H Q18 shape: large-volume customers — aggregate-then-join with
+    // a HAVING gate. The lineitem group-by reduces the fact table BEFORE
+    // any join (one shuffle on l_orderkey); only the rare qualifying
+    // orders reach the orders/customer joins, so the join input is tiny
+    // at any SF. Quantities and prices as exact scaled DECIMAL longs.
+    "tpch_q18_large_orders" -> { (s, dir) =>
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg((sum(col("l_quantity").cast("decimal(18,3)")) * 1000).cast("long").as("sum_qty_milli"))
+        .filter(col("sum_qty_milli") > 300L * 1000)
+      bigOrders
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")).as("o_orderdate_ms"),
+          (col("o_totalprice").cast("decimal(18,3)") * 1000).cast("long").as("totalprice_milli"),
+          col("sum_qty_milli"))
+        .orderBy(col("totalprice_milli").desc, col("o_orderkey"))
+        .limit(100)
+    },
     // TPC-H Q6 shape: forecasting revenue change — the pure scan+filter+agg
     // query. No join, no shuffle beyond the final partial-agg merge; the
     // three predicates and both projected columns push into the parquet scan.
@@ -226,6 +248,20 @@ object TpchQueries {
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+    "tpch_q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_qty_milli
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) * 1000 AS BIGINT) > 300000
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,3)) * 1000 AS BIGINT) AS totalprice_milli,
+        |  sum_qty_milli
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_milli DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "tpch_q6_revenue" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) * 1000000 AS BIGINT) AS revenue_micro,
