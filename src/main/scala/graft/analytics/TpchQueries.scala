@@ -149,6 +149,43 @@ object TpchQueries {
           (sum(disc) * 1000000).cast("long").as("total_revenue_micro"),
           count(lit(1)).as("n_items"))
     },
+    // TPC-H Q7 shape: volume shipping between two nations — both
+    // dimension chains resolve to nation names via broadcast (nation is
+    // bounded; the nation-filtered supplier chain broadcasts like Q5),
+    // the disjunctive nation-pair predicate runs before the bounded
+    // (nation, nation, year) group-by, and lineitem⋈orders⋈customer stay
+    // the only fact-sized joins (strategy left to statistics/AQE).
+    "tpch_q7_volume" -> { (s, dir) =>
+      val (na, nb) = ("NATION_1", "NATION_2")
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+                .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+              col("s_nationkey") === col("s_nk"))
+        .filter(col("supp_nation").isin(na, nb))
+        .select("s_suppkey", "supp_nation")
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")
+                .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+              col("c_nationkey") === col("c_nk"))
+        .filter(col("cust_nation").isin(na, nb))
+        .select("c_custkey", "cust_nation")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+                (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+                 year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          (sum(col("l_extendedprice").cast("decimal(18,3)") *
+               (lit(java.math.BigDecimal.ONE).cast("decimal(18,3)") - col("l_discount").cast("decimal(18,3)"))) * 1000000)
+            .cast("long").as("revenue_micro"))
+    },
     // TPC-H Q18 shape: large-volume customers — aggregate-then-join with
     // a HAVING gate. The lineitem group-by reduces the fact table BEFORE
     // any join (one shuffle on l_orderkey); only the rare qualifying
@@ -248,6 +285,20 @@ object TpchQueries {
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) * 1000000 AS BIGINT) AS revenue_micro
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
     "tpch_q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_qty_milli
