@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -88,9 +89,11 @@ object Bench {
       val fn    = SparkEntry.queries(name)
       val first = timeOne(fn)
       val warm  = Seq.fill(reps)(timeOne(fn))
-      (name, first, median(warm), warm.min)
+      // min AND max: the per-query rep spread lets the next round tell
+      // noise from regression without rerunning this one
+      (name, first, median(warm), warm.min, warm.max)
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double): String =
+    def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total      = results.map(_._3).sum
     val firstTotal = results.map(_._2).sum
@@ -210,17 +213,41 @@ object Bench {
           // absolute targets: a relative SPARK_GRAFT_SF_DIR would otherwise
           // produce symlinks that resolve against /tmp and dangle
           val src = java.nio.file.Paths.get(sfDir).toAbsolutePath
+          val replicated = Set("lineitem.parquet", "orders.parquet", "documents.parquet")
           val it  = java.nio.file.Files.list(src)
           try it.forEach { p =>
-            if (p.getFileName.toString != "lineitem.parquet")
+            if (!replicated.contains(p.getFileName.toString))
               java.nio.file.Files.createSymbolicLink(
                 dir.resolve(p.getFileName.toString), p.toAbsolutePath)
           } finally it.close()
-          val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          (1 to factor).map(_ => li).reduce(_ unionByName _)
-            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-          val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue")
-          val med1x   = results.collect { case (n, _, med, _) if targets.contains(n) => n -> med }.toMap
+          // A DISTRIBUTION-PRESERVING 4x, not a 4x duplicate multiplicity:
+          //  - lineitem + orders replicate with SYNCHRONIZED orderkey
+          //    shifts, so per-order group sizes (and q18's HAVING
+          //    selectivity) stay fixed while group COUNT quadruples —
+          //    naive duplication would 4x every order's quantity sum and
+          //    flip the HAVING gate's semantics.
+          //  - documents replicate with shifted doc_ids AND a per-replica
+          //    word salt, so replicas are new documents, not exact dups —
+          //    naive duplication quadruples every dup cluster's size and
+          //    the LSH pair work in a cluster is quadratic in it (a x16
+          //    semantic blow-up that would mask what the PLAN does at 4x).
+          val shift = 1000000000L
+          def rep(table: String, f: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+            val base = spark.read.parquet(s"$sfDir/$table.parquet")
+            (0 until factor).map(i => f(base, i)).reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+          }
+          rep("lineitem", (d, i) => d.withColumn("l_orderkey", org.apache.spark.sql.functions.col("l_orderkey") + (i * shift)))
+          rep("orders",   (d, i) => d.withColumn("o_orderkey", org.apache.spark.sql.functions.col("o_orderkey") + (i * shift)))
+          rep("documents", (d, i) => {
+            import org.apache.spark.sql.functions._
+            val salted = d.withColumn("doc_id", col("doc_id") + (i * shift))
+            if (i == 0) salted
+            else salted.withColumn("text", regexp_replace(col("text"), "([a-z0-9]+)", s"$$1r$i"))
+          })
+          val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
+                            "tpch_q18_large_orders", "d2_minhash_lsh")
+          val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
             def t(): Double = {
@@ -233,7 +260,8 @@ object Bench {
             val ratio = med1x.get(n).filter(_ > 0).map(b => f""","${n}_ratio":${m / b}%.2f""").getOrElse("")
             f""""${n}_sec":$m%.3f$ratio"""
           }.mkString(s"""{"factor":$factor,""", ",", "}")
-          val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6")
+          val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
+                          "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
@@ -269,7 +297,7 @@ object Bench {
     //    stored as an unparseable fragment. Everything headline-worthy, 2dp,
     //    guaranteed to fit the tail whole.
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},""" +
+      s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},"queries_max":${jmap(_._5)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,""" +
       s""""query_scale":$qScale,""" +
@@ -278,7 +306,7 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-bench] BENCH_FULL.json write failed: $e") }
 
-    def q2(f: ((String, Double, Double, Double)) => Double): String =
+    def q2(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => f""""${r._1}":${f(r)}%.2f""").mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
     // micro with abbreviated keys (full names live in BENCH_FULL.json)
@@ -320,21 +348,38 @@ object Bench {
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft-benchgw-").toString
       val gw  = new serve.GatewayServer(spark, dir)
-      val base = s"http://127.0.0.1:${gw.start()}"
+      // backpressure needs a SATURABLE gateway: production admission
+      // budgets can't be overloaded from one machine, so it gets its own
+      // small-budget server (same shape as LoadHarness standalone mode)
+      val bpDir = java.nio.file.Files.createTempDirectory("graft-benchgwbp-").toString
+      val bp  = new serve.GatewayServer(spark, bpDir, maxInflight = 8,
+                                        maxInflightBytes = 256 * 1024, walEnabled = false)
+      val base   = s"http://127.0.0.1:${gw.start()}"
+      val bpBase = s"http://127.0.0.1:${bp.start()}"
       try {
-        val w  = serve.LoadHarness.singleWrite(base, "bench_gw", seconds = 3, concurrency = 8)
-        val b  = serve.LoadHarness.bulkWrite(base, "bench_gwb", seconds = 3, concurrency = 8)
-        val r  = serve.LoadHarness.readThroughput(base, "bench_gw", seconds = 2, concurrency = 8)
-        val m  = serve.LoadHarness.mixedWorkload(base, "bench_gw", seconds = 2, concurrency = 8)
-        val full = Seq(w, b, r, m).map(_.json).mkString("[", ",", "]")
+        // the reference's full no-S3 L5 grid (9 scenarios), short per-round
+        // durations — medians round-over-round, not one long soak
+        val w   = serve.LoadHarness.singleWrite(base, "bench_gw", seconds = 3, concurrency = 8)
+        val b   = serve.LoadHarness.bulkWrite(base, "bench_gwb", seconds = 3, concurrency = 8)
+        val r   = serve.LoadHarness.readThroughput(base, "bench_gw", seconds = 2, concurrency = 8)
+        val m   = serve.LoadHarness.mixedWorkload(base, "bench_gw", seconds = 2, concurrency = 8)
+        val lag = serve.LoadHarness.writeReadLag(base, "bench_gwlag", seconds = 2)
+        val bu  = serve.LoadHarness.burst(base, "bench_gwburst", seconds = 8, concurrency = 8)
+        val sk  = serve.LoadHarness.partitionSkew(base, "bench_gwskew", seconds = 2, concurrency = 8)
+        val so  = serve.LoadHarness.soak(base, "bench_gwsoak", seconds = 6, concurrency = 8)
+        val bpr = serve.LoadHarness.backpressure(bpBase, "bench_gwbp", seconds = 2, concurrency = 8)
+        val all = Seq(w, b, r, m, lag, bu, sk, so, bpr)
+        val full = all.map(_.json).mkString("[", ",", "]")
         def rps(x: serve.LoadHarness.Result): Long =
           if (x.seconds <= 0) 0 else (x.requests / x.seconds).toLong
         val compact =
           f"""{"w_rps":${rps(w)},"w_p50":${w.p50Ms}%.2f,"w_p99":${w.p99Ms}%.2f,""" +
           f""""bulk_ev_s":${b.evPerSec},"bulk_p99":${b.p99Ms}%.2f,""" +
-          f""""r_rps":${rps(r)},"r_p50":${r.p50Ms}%.2f,"mix_rps":${rps(m)}}"""
+          f""""r_rps":${rps(r)},"r_p50":${r.p50Ms}%.2f,"mix_rps":${rps(m)},""" +
+          f""""burst_p99":${bu.p99Ms}%.2f,"skew_ev_s":${sk.evPerSec},""" +
+          f""""soak_ok":${so.ok},"bp_ok":${bpr.ok},"n":${all.size}}"""
         (full, compact)
-      } finally gw.stop()
+      } finally { gw.stop(); bp.stop() }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-bench] gateway scenarios failed: $e")

@@ -47,11 +47,19 @@ object EventLog {
     * matching the oracle's `epoch_ms(ts)`. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     ensureNanosAsLong(spark)
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // The generator has shipped `ts` as both nanosecond timestamps (read as
+    // LONG nanos under nanosAsLong) and µs TIMESTAMP(_NTZ); accept either.
+    // NTZ is interpreted in the session zone — all entry points pin UTC, so
+    // unix_micros matches the oracle's epoch_ms(ts) exactly.
+    val tsMs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000")
+    }
+    df
       .select(
         col("event_id"),
-        expr("ts div 1000000").as("timestamp_ms"),
+        tsMs.as("timestamp_ms"),
         col("user_id"),
         col("event_type"),
         col("value"),

@@ -87,13 +87,22 @@ object OrphanGc {
 
   /** Run the sweep and delete. Same contract as
     * [[IcebergCommitter.removeOrphans]]: returns the deleted paths sorted.
-    * Collecting is safe here — these are crash leftovers, bounded by
-    * failure frequency, never by table size. */
+    * Deletes run executor-side (object-store DELETE is a per-file
+    * round-trip — serializing them on the driver would make the reclaim
+    * latency-bound); only the path LIST is collected, which is safe —
+    * orphans are crash leftovers, bounded by failure frequency, never by
+    * table size. */
   def remove(spark: SparkSession, root: String, olderThanMs: Long = 24L * 60 * 60 * 1000): Seq[String] = {
     import spark.implicits._
     val out = orphans(spark, root, olderThanMs).as[String].collect().sorted.toSeq
-    val io  = TableIO.forRoot(root)
-    out.foreach(io.delete)
+    if (out.nonEmpty) {
+      val confB = spark.sparkContext.broadcast(new SerializableConfiguration(TableIO.hadoopConf()))
+      val slices = math.max(1, math.min(out.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(out, slices).foreachPartition { paths =>
+        val tio = executorIo(root, confB)
+        paths.foreach(tio.delete)
+      }
+    }
     out
   }
 }

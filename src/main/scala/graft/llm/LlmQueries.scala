@@ -51,6 +51,20 @@ object LlmQueries {
     * on the FULL shingle sets of each surviving candidate pair. */
   val NgramMaxDf = 20
 
+  /** d2/d10: LSH band buckets larger than this are dropped from CANDIDATE
+    * GENERATION — the band-join twin of [[NgramMaxDf]]'s hot-posting cap.
+    * Without it a single hot (band, value) bucket (mass-duplicated
+    * boilerplate, near-empty docs hashing alike) makes the bucket-local
+    * self-join quadratic IN THAT BUCKET: one 1M-doc bucket is 5·10^11
+    * pairs regardless of how healthy the other buckets are. Dropping the
+    * whole hot bucket (not sampling it) keeps the guard deterministic and
+    * oracle-reproducible; a pair lost this way still surfaces if it shares
+    * any NON-hot band (same recall argument as d4's cap). The cap bounds
+    * per-bucket work at C²/2 pairs, so the join is linear in bucket count.
+    * [[bandSkewAudit]] (`d11_band_skew_audit`) surfaces what was dropped —
+    * a silent cap would read as full coverage when it isn't. */
+  val BandMaxBucket = 256
+
   /** Deterministic multiply-add coefficients for the K minhash permutations
     * h_k(v) = (A_k·v + B_k) mod P over the 32-bit shingle hash v. A_k is odd
     * and < 2^31 so A_k·v stays well inside Long. Derived from md5 so both
@@ -360,6 +374,51 @@ object LlmQueries {
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
   }
 
+  /** The LSH band rows of a minhash signature: one (band, band_hash) struct
+    * per band, band_hash joining the band's rows with '|'. Shared by d2 and
+    * the d11 audit so the two can't drift. */
+  private val minhashBandsExpr: String =
+    s"""transform(sequence(0, ${Bands - 1}),
+       |          b -> struct(b as band,
+       |               array_join(slice(sig, $RowsPerBand * b + 1, $RowsPerBand), '|') as band_hash))""".stripMargin
+
+  /** d10's narrow (doc_id, bands) signature frame: ONE md5 per word and one
+    * codegen'd graft_simhash_bands pass computing all 4×16-bit bands from
+    * disjoint slices of the 128-bit hash. Memoized per (session, dir) so
+    * the banded self-join's two sides read one persisted copy instead of
+    * re-hashing the corpus twice. */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    simSigCache.getOrElseUpdate(s, dir)(
+      docs(s, dir)
+        .withColumn("words", expr(wordsExpr))
+        .filter(size(col("words")) > 0)
+        .select(col("doc_id"),
+          expr("graft_simhash_bands(transform(words, w -> md5(w)))").as("bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
+    * count, hot buckets (> cap) and the rows those hot buckets drop from
+    * candidate generation. One partial-aggregatable shuffle per algorithm
+    * folded to a single row — a cheap side query a pipeline owner runs
+    * next to d2/d10 so the cap is never a silent truncation. */
+  private def bandSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    def auditOf(algo: String, bandDf: DataFrame, keys: Seq[String]): DataFrame =
+      bandDf.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("sz") > BandMaxBucket, 1L).otherwise(0L)), lit(0L)).as("n_hot_buckets"),
+          coalesce(sum(when(col("sz") > BandMaxBucket, col("sz")).otherwise(lit(0L))), lit(0L)).as("n_dropped_rows"))
+        .select(lit(algo).as("algo"), col("n_buckets"), col("n_hot_buckets"), col("n_dropped_rows"))
+    val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val mhBands = base.select(explode(expr(minhashBandsExpr)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+    val shBands = simhashSigs(s, dir)
+      .select(posexplode(col("bands")).as(Seq("band", "band_val")))
+    auditOf("minhash", mhBands, Seq("band", "band_hash"))
+      .unionAll(auditOf("simhash", shBands, Seq("band", "band_val")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------- exact dedup (content hash) ----------
     "d1_exact_dedup" -> { (s, dir) =>
@@ -383,17 +442,21 @@ object LlmQueries {
       val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-      val bands = base.select(
-        col("doc_id"),
-        explode(expr(s"""transform(sequence(0, ${Bands - 1}),
-                        |          b -> struct(b as band,
-                        |               array_join(slice(sig, $RowsPerBand * b + 1, $RowsPerBand), '|') as band_hash))""".stripMargin)).as("bb")
-      ).select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      val bands = base.select(col("doc_id"), explode(expr(minhashBandsExpr)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+
+      // Hot-bucket cap: the window partitions on the SAME key the join
+      // shuffles on, so the count rides the join's own exchange — the
+      // guard costs no extra shuffle.
+      val capped = bands
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+        .filter(col("bsz") <= BandMaxBucket)
+        .drop("bsz")
 
       // Candidate pairs exist ONLY inside (band, band_hash) buckets — the
       // join is shuffle-local on the band hash, never all-pairs.
-      val pairs = bands.as("a")
-        .join(bands.as("b"), Seq("band", "band_hash"))
+      val pairs = capped.as("a")
+        .join(capped.as("b"), Seq("band", "band_hash"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -418,27 +481,35 @@ object LlmQueries {
       // shuffles on the band value, never all-pairs. The narrow signature
       // frame is memoized per (session, dir) so the self-join's two sides
       // read one persisted copy instead of re-hashing the corpus twice.
-      val sigs = simSigCache.getOrElseUpdate(s, dir)(
-        docs(s, dir)
-          .withColumn("words", expr(wordsExpr))
-          .filter(size(col("words")) > 0)
-          .select(col("doc_id"),
-            expr("graft_simhash_bands(transform(words, w -> md5(w)))").as("bands"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val bandRows = sigs.select(col("doc_id"), col("bands"),
+      val sigs = simhashSigs(s, dir)
+      val bandRows = sigs.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "band_val")))
-      bandRows.as("a").join(bandRows.as("b"), Seq("band", "band_val"))
+      // Same hot-bucket cap as d2 (see [[BandMaxBucket]]) — the window
+      // partitions on the join key, so the count reuses the join exchange.
+      val capped = bandRows
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_val")))
+        .filter(col("bsz") <= BandMaxBucket)
+        .drop("bsz")
+      // Dedup candidate pairs BEFORE scoring: a pair sharing k bands would
+      // otherwise be xor/popcount'ed k times (≤4× wasted work).
+      val cand = capped.as("a").join(capped.as("b"), Seq("band", "band_val"))
         .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("aggregate(zip_with(a.bands, b.bands, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
-            .cast("long").as("hamming"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("bands").as("bands_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("bands").as("bands_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= SimHammingMax)
     },
 
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
     "d4_ngram_jaccard" -> { (s, dir) => ngramDupPairs(s, dir) },
+
+    // ---------- band-bucket skew audit for the capped self-joins ----------
+    "d11_band_skew_audit" -> { (s, dir) => bandSkewAudit(s, dir) },
 
     // ---------- decontamination: eval-set n-gram overlap ----------
     "d9_decontaminate" -> { (s, dir) =>
@@ -835,8 +906,11 @@ object LlmQueries {
          |  WHERE 2 * len(list_intersect(sa.sset, sb.sset)) >= len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))
          |)""".stripMargin
 
-    val minhashSql =
-      s"""WITH base AS (
+    // Shared CTE chain (documents → bigrams → fnv32 → minhash sigs → band
+    // rows) reused by d2's pair query and d11's bucket audit so the two
+    // oracles can't drift.
+    val minhashCtes =
+      s"""base AS (
          |  SELECT doc_id, $words AS words FROM documents
          |), sh AS (
          |  SELECT doc_id,
@@ -858,9 +932,14 @@ object LlmQueries {
          |  SELECT doc_id, b,
          |         array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '|') AS band_hash
          |  FROM sigs, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bs
+         |)""".stripMargin
+
+    val minhashSql =
+      s"""WITH $minhashCtes, bands_c AS (
+         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, band_hash) <= $BandMaxBucket
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |  FROM bands_c a JOIN bands_c c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
          |)
          |SELECT p.doc_a, p.doc_b,
          |       len(list_intersect(sa.shingle_set, sc.shingle_set)) AS inter_cnt,
@@ -906,13 +985,13 @@ object LlmQueries {
          |    THEN 1 << i ELSE 0 END)) AS BIGINT) AS simhash16
          |FROM documents""".stripMargin
 
-    /** d10 twin: 64-bit SimHash as 4 bands over disjoint 16-bit md5 slices
-      * (t2's bit-vote pattern, band b reading hex chars [4b, 4b+4)),
-      * brute-force any-band-equal join (fine at oracle scale; the Spark
-      * side is the banded bucket join), xor + per-bit popcount. */
-    val simhashDupSql = {
-      val bandEq = (1 to SimBands).map(k => s"a.bands[$k] = b.bands[$k]").mkString(" OR ")
-      s"""WITH w AS (
+    /** Shared CTE chain for d10/d11: SimHash signatures (t2's bit-vote
+      * pattern, band b reading hex chars [4b, 4b+4)) exploded to one
+      * (doc_id, b, band_val) row per band — the same banded-row shape the
+      * Spark side joins on, so the [[BandMaxBucket]] cap applies to
+      * identical buckets on both sides. */
+    val simhashBandCtes =
+      s"""w AS (
          |  SELECT doc_id, words FROM (SELECT doc_id, $words AS words FROM documents)
          |  WHERE len(words) > 0
          |), sig AS (
@@ -924,15 +1003,44 @@ object LlmQueries {
          |           )) > 0
          |      THEN 1 << i ELSE 0 END)) AS BIGINT)) AS bands
          |  FROM w
+         |), sbr AS (
+         |  SELECT doc_id, b, bands[b + 1] AS band_val
+         |  FROM sig, (SELECT unnest(generate_series(0, ${SimBands - 1})) AS b) bs
+         |)""".stripMargin
+
+    /** d10 twin: banded-row candidate generation with the hot-bucket cap
+      * (mirroring the Spark plan exactly), then xor + per-bit popcount
+      * hamming over the full 4-band signatures of each distinct pair. */
+    val simhashDupSql =
+      s"""WITH $simhashBandCtes, sbr_c AS (
+         |  SELECT * FROM sbr QUALIFY count(*) OVER (PARTITION BY b, band_val) <= $BandMaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM sbr_c a JOIN sbr_c c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
          |)
          |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT doc_a, doc_b,
          |    CAST(list_sum(list_transform(generate_series(1, $SimBands), k ->
          |      len(list_filter(generate_series(0, 15), j ->
-         |        ((xor(a.bands[k], b.bands[k]) >> j) % 2) = 1)))) AS BIGINT) AS hamming
-         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |        ((xor(sa.bands[k], sb.bands[k]) >> j) % 2) = 1)))) AS BIGINT) AS hamming
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
          |) WHERE hamming <= $SimHammingMax""".stripMargin
-    }
+
+    /** d11 twin: per-(band, value) bucket sizes from the SAME two CTE
+      * chains d2/d10 use, folded to one audit row per algorithm. */
+    val bandAuditSql =
+      s"""WITH $minhashCtes, $simhashBandCtes,
+         |mh AS (SELECT b, band_hash, count(*) AS sz FROM bands GROUP BY 1, 2),
+         |sb AS (SELECT b, band_val, count(*) AS sz FROM sbr GROUP BY 1, 2)
+         |SELECT 'minhash' AS algo, count(*)::BIGINT AS n_buckets,
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_buckets,
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_dropped_rows
+         |FROM mh
+         |UNION ALL
+         |SELECT 'simhash' AS algo, count(*)::BIGINT AS n_buckets,
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_buckets,
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_dropped_rows
+         |FROM sb""".stripMargin
 
     val statsSql =
       s"""SELECT doc_id,
@@ -1153,6 +1261,7 @@ object LlmQueries {
       "d3_embedding_neardup" -> neardupSql,
       "d2_minhash_lsh" -> minhashSql,
       "d10_simhash_neardup" -> simhashDupSql,
+      "d11_band_skew_audit" -> bandAuditSql,
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,

@@ -22,6 +22,12 @@ import scala.jdk.CollectionConverters._
   * | read-throughput | `read-throughput`  | hot offset-range GET           |
   * | write-read-lag  | `write-read-lag`   | write→read visibility latency  |
   * | mixed-workload  | `mixed-workload`   | 70/30 write/read concurrency   |
+  * | burst           | burst producer     | duty-cycle on/off load drains; |
+  * |                 | (backpressure ph1) | worst-cycle p99 stays bounded  |
+  * | sustained-soak  | `stress` profile   | 2nd half holds ≥60% ev/s, p99  |
+  * |                 |                    | within 5× on identical load    |
+  * | partition-skew  | hot-partition prod | single-partition ceiling +     |
+  * |                 |                    | dense monotone order survives  |
   * | backpressure    | `backpressure`     | 503 under overload + recovery  |
   * | consistency     | `consistency`      | INV-2 no loss, INV-3 order,    |
   * |                 |                    | flush → cold read converges    |
@@ -209,6 +215,85 @@ object LoadHarness {
              note = s"rejected=${big.rejected503} recovered=$rec")
   }
 
+  /** Duty-cycle burst load (the reference's burst-producer shape —
+    * `tools/scenarios/backpressure.py` phase 1 run as repeated on/off
+    * cycles rather than one sustained ramp): bulk writes at double
+    * concurrency for an on-phase, then a full idle gap, repeated. What it
+    * catches that sustained load can't: admission/queue state must DRAIN
+    * during the gap — a server that survives sustained load by letting a
+    * queue grow shows compounding p99 across cycles. Reported percentiles
+    * are the WORST cycle's (merging percentiles across phases underreports
+    * exactly the degradation this scenario hunts); ev/s is the duty-cycle
+    * average including gaps. 503 shedding is admission working, not an
+    * error. */
+  def burst(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency * 2)
+    val phaseSec = 2
+    val cycles   = math.max(2, seconds / (phaseSec * 2))
+    val t0 = System.nanoTime()
+    val phases = (0 until cycles).map { _ =>
+      val r = loop("burst", phaseSec, concurrency * 2) { (tid, i) =>
+        val resp = post(c, s"$base/tables/$table/bulk", bulkJsonBody(tid, i, 500))
+        (if (resp.statusCode() == 202) 500L else 0L,
+         resp.statusCode() != 202 && resp.statusCode() != 503, resp.statusCode() == 503)
+      }
+      Thread.sleep(phaseSec * 1000L)
+      r
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    Result("burst", sec, phases.map(_.requests).sum, phases.map(_.events).sum,
+           phases.map(_.errors).sum, phases.map(_.rejected503).sum,
+           phases.map(_.p50Ms).max, phases.map(_.p99Ms).max,
+           ok = phases.map(_.errors).sum == 0,
+           note = f"cycles=$cycles on/off=${phaseSec}s/${phaseSec}s worst_cycle_p99=${phases.map(_.p99Ms).max}%.2f",
+           minMs = phases.map(_.minMs).min)
+  }
+
+  /** Sustained soak, split into halves: the second half must hold ≥60% of
+    * the first half's throughput and its p99 must stay within 5× — the
+    * degradation signature of a leak (hot-buffer growth, WAL fsync queue,
+    * lock convoy) is a second half that is measurably worse than the
+    * first on IDENTICAL load. Percentiles reported are the second
+    * (aged) half's — those are the ones a long-running deployment lives
+    * with. */
+  def soak(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency)
+    def half(tag: String, sec: Int): Result = loop("sustained-soak", sec, concurrency) { (tid, i) =>
+      val r = post(c, s"$base/tables/$table", singleBody((i % 8).toInt, s"soak-$tag-$tid-$i"))
+      (1L, r.statusCode() != 202, r.statusCode() == 503)
+    }
+    val h1 = half("a", seconds / 2)
+    val h2 = half("b", seconds - seconds / 2)
+    val holdRate = h1.evPerSec == 0 || h2.evPerSec >= h1.evPerSec * 0.6
+    val holdP99  = h1.p99Ms <= 0 || h2.p99Ms <= h1.p99Ms * 5
+    Result("sustained-soak", h1.seconds + h2.seconds, h1.requests + h2.requests,
+           h1.events + h2.events, h1.errors + h2.errors, h1.rejected503 + h2.rejected503,
+           h2.p50Ms, h2.p99Ms,
+           ok = h1.errors + h2.errors == 0 && holdRate && holdP99,
+           note = s"ev_s_half1=${h1.evPerSec} ev_s_half2=${h2.evPerSec} hold=$holdRate p99_hold=$holdP99",
+           minMs = math.min(h1.minMs, h2.minMs))
+  }
+
+  /** Hot-partition write skew: every worker hammers partition 0 — the
+    * write-side twin of a skewed shuffle key. Sequence assignment is
+    * serial PER PARTITION, so this measures the single-partition ceiling
+    * (the uniform scenarios spread that serialization over 8 partitions),
+    * and the order invariant must survive the contention: offsets on the
+    * hot partition read back dense and monotone from 0. */
+  def partitionSkew(base: String, table: String, seconds: Int, concurrency: Int): Result = {
+    val c = client(concurrency)
+    val r = loop("partition-skew", seconds, concurrency) { (tid, i) =>
+      val resp = post(c, s"$base/tables/$table", singleBody(0, s"ps-$tid-$i"))
+      (1L, resp.statusCode() != 202, resp.statusCode() == 503)
+    }
+    // density check from wherever the page starts — offset 0 may have been
+    // hot-retention-evicted under this volume, which is correct behavior
+    val b = get(c, s"$base/tables/$table?partition=0&limit=100&fields=sequence").body()
+    val seqs = "\"sequence\":(\\d+)".r.findAllMatchIn(b).map(_.group(1).toLong).toSeq
+    val ordered = seqs.nonEmpty && seqs == (seqs.head until seqs.head + seqs.size)
+    r.copy(ok = r.errors == 0 && ordered, note = s"hot=p0 ordered=$ordered")
+  }
+
   /** INV-2/INV-3 + flush: write a known set, verify the hot read returns
     * every event in arrival order per partition, then force flush+commit
     * and verify the cold tier converges to the same count. */
@@ -262,6 +347,7 @@ object LoadHarness {
       case None =>
         val spark = org.apache.spark.sql.SparkSession.builder()
           .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+          .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false").getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val dir  = java.nio.file.Files.createTempDirectory("graft-load-").toString
@@ -283,6 +369,9 @@ object LoadHarness {
       results += readThroughput(base, "load_single", seconds, concurrency)
       if (!quick) results += writeReadLag(base, "load_lag", seconds)
       results += mixedWorkload(base, "load_mixed", seconds, concurrency)
+      results += burst(base, "load_burst", seconds, concurrency)
+      if (!quick) results += soak(base, "load_soak", seconds * 2, concurrency)
+      results += partitionSkew(base, "load_skew", seconds, concurrency)
       results += backpressure(bpBase, "load_bp", seconds, concurrency, requireRejects = !external)
       results += consistency(base, "load_consist", perPartition = 500)
     } finally shutdown()

@@ -283,4 +283,44 @@ class LlmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d2/d10/d11: a planted hot band bucket is capped, not joined quadratically") {
+    // 5000 identical docs land every one of their band values in the same
+    // (band, value) buckets — uncapped, the self-join would generate
+    // 5000²/2 ≈ 12.5M candidate pairs from boilerplate alone. The
+    // BandMaxBucket guard must drop those buckets whole while the healthy
+    // pairs (distinct texts, tiny buckets) still surface.
+    val d = Files.createTempDirectory("graft-llm-skew-").toString
+    val planted = (0L until 5000L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "en", "boiler", 61L))
+    val healthy = Seq(
+      (9000001L, "zebra yak xylophone wombat vulture tapir", "en", "rare0", 40L),
+      (9000002L, "zebra yak xylophone wombat vulture tapir", "en", "rare1", 40L), // exact dup of 9000001
+      (9000003L, "entirely unrelated singleton document here", "en", "rare2", 42L)
+    )
+    import spark.implicits._
+    (planted ++ healthy).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.parquet(s"$d/documents.parquet")
+
+    val d2 = LlmQueries.queries("d2_minhash_lsh")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(d2.contains((9000001L, 9000002L)), "healthy small-bucket pair must survive the cap")
+    assert(!d2.exists(p => p._1 < 5000L || p._2 < 5000L),
+      "every planted doc's buckets are hot; none may reach candidate generation")
+
+    val d10 = LlmQueries.queries("d10_simhash_neardup")(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(d10.contains((9000001L, 9000002L, 0L)))
+    assert(!d10.exists(p => p._1 < 5000L || p._2 < 5000L))
+
+    val audit = LlmQueries.queries("d11_band_skew_audit")(spark, d).collect()
+      .map(r => r.getAs[String]("algo") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_hot_buckets"), r.getAs[Long]("n_dropped_rows")))).toMap
+    for (algo <- Seq("minhash", "simhash")) {
+      val (nb, hot, dropped) = audit(algo)
+      assert(hot >= 1L, s"$algo: the planted bucket must be reported hot")
+      assert(dropped >= 5000L, s"$algo: every planted row is dropped from candidates")
+      assert(nb > hot, s"$algo: healthy buckets must remain")
+    }
+  }
 }
