@@ -423,36 +423,50 @@ final class StreamIngest(
     ss
   }
 
-  /** Start (without blocking) the file-source ingestion stream — the
-    * reference's F1 timer-loop shape when driven by
-    * `Trigger.ProcessingTime(...)` (`flusher/mod.rs:514-650` — wake on
-    * interval, flush what arrived). The caller owns the query lifecycle. */
-  def startFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
-                      trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery = {
-    val source = streamSession.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(stagingDir)
-    KeyedDedup(source, dedupStateTtlMs)
+  /** Start (without blocking) an ingestion stream over ANY raw-event-shaped
+    * streaming source — the composition point for alternative corpora
+    * (e.g. [[graft.sources.JsonlCorpus.readStream]] mapped to the event
+    * schema). `mkSource` receives the ingester's TUNED streaming session
+    * (RocksDB dedup state, NIO checkpoint manager, shuffle sizing) — a
+    * source built on an arbitrary session would silently drop those. */
+  def startSourceStream(mkSource: SparkSession => DataFrame,
+                        trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery =
+    KeyedDedup(mkSource(streamSession), dedupStateTtlMs)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", s"$tableRoot/checkpoint")
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id, upstreamDeduped = true))
       .start()
-  }
 
-  /** Drive a file-source stream over staged raw-event chunks to completion —
-    * the ingest-a-backlog mode (`Trigger.AvailableNow`). */
-  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
-                    trigger: Trigger = Trigger.AvailableNow()): Unit = {
+  /** Start (without blocking) the file-source ingestion stream — the
+    * reference's F1 timer-loop shape when driven by
+    * `Trigger.ProcessingTime(...)` (`flusher/mod.rs:514-650` — wake on
+    * interval, flush what arrived). The caller owns the query lifecycle. */
+  def startFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+                      trigger: Trigger = Trigger.ProcessingTime("1 second")): org.apache.spark.sql.streaming.StreamingQuery =
+    startSourceStream(
+      _.readStream.schema(schema).option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(stagingDir),
+      trigger)
+
+  /** Drive any raw-event-shaped source stream to completion — the
+    * ingest-a-backlog mode (`Trigger.AvailableNow`). */
+  def runSourceStream(mkSource: SparkSession => DataFrame,
+                      trigger: Trigger = Trigger.AvailableNow()): Unit = {
     val listener = new IngestMetricsListener(metrics)
     streamSession.streams.addListener(listener)
     try {
-      val q = startFileStream(stagingDir, schema, maxFilesPerTrigger, trigger)
+      val q = startSourceStream(mkSource, trigger)
       q.awaitTermination()
       finish()
     } finally streamSession.streams.removeListener(listener)
   }
+
+  /** Drive a file-source stream over staged raw-event chunks to completion. */
+  def runFileStream(stagingDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+                    trigger: Trigger = Trigger.AvailableNow()): Unit =
+    runSourceStream(
+      _.readStream.schema(schema).option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(stagingDir),
+      trigger)
 }
 
 /** A5: the Spark-native metrics tap — a StreamingQueryListener feeding the
