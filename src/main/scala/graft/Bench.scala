@@ -319,17 +319,22 @@ object Bench {
     // As the query count grows the line grows with it — shed the
     // lowest-priority blocks (micro, then gateway, then first_total; all
     // live at full precision in BENCH_FULL.json) until it fits, and say so.
-    def assemble(micro: Boolean, gw: Boolean, ft: Boolean): String =
+    def assemble(micro: Boolean, gw: Boolean, ft: Boolean, qmap: Boolean = true): String =
       f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
-        f""""queries":${q2(_._3)},""" +
+        (if (qmap) f""""queries":${q2(_._3)},"""
+         // the per-query map is the line's dominant block (~25 chars/query);
+         // past ~75 queries even a fully-shed line overflows the tail, so
+         // the last resort points at the committed full artifact instead
+         else s""""queries":"BENCH_FULL.json","n_queries":${results.size},""") +
         (if (ft) f""""first_total":$firstTotal%.1f,""" else "") +
         s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
         s""""qscale":$qScaleCompact,""" +
         (if (gw) s""""gateway":$gatewayCompact,""" else "") +
         (if (micro) s""""micro":$microCompact,""" else "") +
         s""""full":"BENCH_FULL.json"}"""
-    val rendered = Seq((true, true, true), (false, true, true), (false, false, true),
-      (false, false, false)).map { case (m, g, f) => assemble(m, g, f) }
+    val rendered = Seq(assemble(true, true, true), assemble(false, true, true),
+      assemble(false, false, true), assemble(false, false, false),
+      assemble(false, false, false, qmap = false))
     val compact = rendered.find(_.length <= 1900).getOrElse(rendered.last)
     if (compact.length < rendered.head.length)
       System.err.println(s"[graft-bench] compact line shed blocks to fit the driver tail " +

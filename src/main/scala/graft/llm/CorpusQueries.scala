@@ -50,6 +50,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    mixture toward a uniform target — per-source token totals (one
   *    shuffle), the corpus total as a broadcast single row, all shares and
   *    weights in integer permille.
+  *
+  *  - `t9_epoch_shuffle`: deterministic global permutation for training-
+  *    epoch data ordering (a training run must see the corpus in a
+  *    reproducible shuffled order, re-derivable from the seed alone).
+  *    Position = global rank in (hash-key, doc_id) order. A
+  *    `row_number() OVER (ORDER BY key)` is a single-task trap at scale;
+  *    this uses the engine's two-phase prefix shape — range-partition by
+  *    key, per-partition COUNTS collected (metadata-sized), broadcast
+  *    exclusive offsets, local increment.
+  *
+  *  - `t10_stratified_sample`: deterministic Bernoulli sample via the
+  *    same multiplicative-hash bucket family as d5 — pure map-side
+  *    membership (reproducible across engines/runs/SFs: a doc's
+  *    membership never depends on the rest of the corpus), audited
+  *    per source with sampled checksums.
   */
 object CorpusQueries {
 
@@ -63,6 +78,15 @@ object CorpusQueries {
   /** d5: multiplicative-hash bucket in [0, 1000) — all operations bounded
     * in Long, so the same expression is exact in Spark and DuckDB. */
   private[llm] val splitBucket = "((doc_id % 1000003) * 2654435761 + 12345) % 1000"
+
+  /** t9: epoch-seeded shuffle key (same hash family, epoch seed 777).
+    * Collisions are possible (doc_id folds through 1000003), so every
+    * ordering over it ties-break by doc_id — total and engine-identical. */
+  private[llm] val shuffleKey = "((doc_id % 1000003) * 2654435761 + 777) % 1000000007"
+
+  /** t10: sample-membership bucket in [0, 1000) (seed 999) and the rate. */
+  private[llm] val sampleBucket = "((doc_id % 1000003) * 2654435761 + 999) % 1000"
+  val SampleRatePermille = 200L
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -247,6 +271,43 @@ object CorpusQueries {
           col("source"), col("n_docs"), col("src_tokens"),
           expr("(1000 * src_tokens) div total_tokens").as("share_permille"),
           expr("(1000 * total_tokens) div (n_sources * src_tokens)").as("weight_permille"))
+    },
+
+    "t9_epoch_shuffle" -> { (s, dir) =>
+      // exact global positions without a global window: range-partition by
+      // (key, doc_id), collect per-range COUNTS (metadata-sized), then each
+      // range numbers its rows from a broadcast exclusive offset — t5's
+      // two-phase prefix shape with count instead of token-sum.
+      val keyed  = docs(s, dir).select(col("doc_id"), expr(shuffleKey).as("shuffle_key"))
+      val parts  = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+      val sorted = keyed.repartitionByRange(parts, col("shuffle_key"), col("doc_id"))
+        .sortWithinPartitions("shuffle_key", "doc_id")
+      val rdd = sorted.rdd
+      val perRange = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.size.toLong))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = perRange.scanLeft(0L)(_ + _)
+      val offB    = s.sparkContext.broadcast(offsets)
+      val numbered = rdd.mapPartitionsWithIndex { (i, it) =>
+        var pos = offB.value(i)
+        it.map { r => val p = pos; pos += 1; Row(r.getLong(0), r.getLong(1), p) }
+      }
+      s.createDataFrame(numbered, StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("shuffle_key", LongType, nullable = false),
+        StructField("pos", LongType, nullable = false))))
+    },
+
+    "t10_stratified_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .withColumn("b", expr(sampleBucket))
+        .withColumn("sampled", col("b") < SampleRatePermille)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          coalesce(sum(when(col("sampled"), col("doc_id"))), lit(0L)).as("sum_sampled_doc_id"),
+          coalesce(sum(when(col("sampled"), col("n_chars"))), lit(0L)).cast("long").as("sum_sampled_chars"))
     }
   )
 
@@ -386,6 +447,17 @@ object CorpusQueries {
          |SELECT source, n_docs, src_tokens,
          |  CAST((1000 * src_tokens) // total_tokens AS BIGINT) AS share_permille,
          |  CAST((1000 * total_tokens) // (n_sources * src_tokens) AS BIGINT) AS weight_permille
-         |FROM per_source CROSS JOIN t""".stripMargin
+         |FROM per_source CROSS JOIN t""".stripMargin,
+    "t9_epoch_shuffle" ->
+      s"""SELECT doc_id, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (SELECT doc_id, $shuffleKey AS shuffle_key FROM documents)""".stripMargin,
+    "t10_stratified_sample" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  COALESCE(SUM(CASE WHEN b < $SampleRatePermille THEN 1 ELSE 0 END), 0)::BIGINT AS n_sampled,
+         |  COALESCE(SUM(CASE WHEN b < $SampleRatePermille THEN doc_id END), 0)::BIGINT AS sum_sampled_doc_id,
+         |  COALESCE(SUM(CASE WHEN b < $SampleRatePermille THEN n_chars END), 0)::BIGINT AS sum_sampled_chars
+         |FROM (SELECT source, doc_id, n_chars, $sampleBucket AS b FROM documents)
+         |GROUP BY 1""".stripMargin
   )
 }

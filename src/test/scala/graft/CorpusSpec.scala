@@ -114,6 +114,38 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("t9 epoch shuffle: positions are a dense permutation matching the serial rank") {
+    val rows = CorpusQueries.queries("t9_epoch_shuffle")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === docs.length)
+    // dense 0..n-1: a permutation, no gap, no dup
+    assert(rows.map(_._3).sorted.toSeq === (0L until rows.length.toLong))
+    // the distributed two-phase rank equals the serial (key, doc_id) rank
+    val serial = rows.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    assert(rows.sortBy(_._3).map(_._1).toSeq === serial)
+    // shuffled, not identity: the hash must actually reorder the corpus
+    assert(rows.sortBy(_._3).map(_._1).toSeq !== rows.map(_._1).sorted.toSeq)
+    // re-running yields the identical permutation (seed-determinism)
+    val again = CorpusQueries.queries("t9_epoch_shuffle")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.forall(r => again(r._1) === r._3))
+  }
+
+  test("t10 stratified sample: membership is deterministic and the rate lands near 200 permille") {
+    val rows = CorpusQueries.queries("t10_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (n, k) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(n === docs.length.toLong)
+    // Bernoulli(0.2) over the whole corpus: allow a generous band at sf0.001
+    assert(k * 1000 > n * 120 && k * 1000 < n * 280, s"sampled $k of $n")
+    // per-source membership must never exceed the source size
+    rows.foreach { case (_, nd, ns) => assert(ns <= nd) }
+    // determinism: identical counts on a re-run
+    val again = CorpusQueries.queries("t10_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    rows.foreach { case (src, _, ns) => assert(again(src) === ns) }
+  }
+
   test("JSONL streaming ingest: files are picked up incrementally, exactly once") {
     import java.nio.file.{Files => NF, Paths, StandardCopyOption}
     val jsonlDir = NF.createTempDirectory("graft-jsonl-stream-src-")

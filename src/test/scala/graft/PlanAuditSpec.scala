@@ -31,6 +31,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d2/d10 hot-bucket cap: the bucket-count window rides the band join's own exchange") {
+    // The BandMaxBucket guard windows on the SAME key the self-join
+    // shuffles on. In the at-scale plan (broadcast off — band frames grow
+    // with the corpus) that must mean ONE exchange on the band key, with
+    // the join's second side a ReusedExchange of it: a refactor that
+    // breaks the alignment (e.g. capping on a differently-cased or
+    // derived key) doubles the widest shuffle in the pipeline.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    Seq("d2_minhash_lsh" -> "band_hash", "d10_simhash_neardup" -> "band_val").foreach {
+      case (q, key) =>
+        val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan
+        val bandShuffles = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains(key) => e
+        }
+        val reused = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
+        }
+        assert(bandShuffles.size === 1,
+          s"$q: the capped band frame must shuffle ONCE on the band key, got ${bandShuffles.size}:\n$p")
+        assert(reused.nonEmpty,
+          s"$q: the self-join's second side must reuse the first side's exchange:\n$p")
+        assert(p.toString.contains("Window"), s"$q: the cap must stay a Window, not an agg+join")
+    }
+  }
+
   test("d9_decontaminate: the eval vocabulary is the broadcast side of the overlap join") {
     val p = plan("d9_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
