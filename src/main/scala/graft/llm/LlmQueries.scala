@@ -318,7 +318,14 @@ object LlmQueries {
     }
 
   private def buildSignatures(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    signaturesOf(docs(s, dir))
+
+  /** The stateless signature computation over ANY (doc_id, text) frame —
+    * batch or streaming (every expression is per-row, so the same plan
+    * fragment drives d2's batch joins and the incremental
+    * [[StreamingNearDup]] path). */
+  private[llm] def signaturesOf(docsDf: DataFrame): DataFrame =
+    docsDf
         .withColumn("words", expr(wordsExpr))
         // zip_with over two slices, NOT element_at(words, i) in a lambda —
         // an outer-column reference inside a lambda body gets inlined by
@@ -377,7 +384,7 @@ object LlmQueries {
   /** The LSH band rows of a minhash signature: one (band, band_hash) struct
     * per band, band_hash joining the band's rows with '|'. Shared by d2 and
     * the d11 audit so the two can't drift. */
-  private val minhashBandsExpr: String =
+  private[llm] val minhashBandsExpr: String =
     s"""transform(sequence(0, ${Bands - 1}),
        |          b -> struct(b as band,
        |               array_join(slice(sig, $RowsPerBand * b + 1, $RowsPerBand), '|') as band_hash))""".stripMargin
@@ -395,6 +402,11 @@ object LlmQueries {
         .select(col("doc_id"),
           expr("graft_simhash_bands(transform(words, w -> md5(w)))").as("bands"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
+    * so the key is just the dir — any session reads the same files). */
+  private val streamDupSink = new Object
+  private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
     * count, hot buckets (> cap) and the rows those hot buckets drop from
@@ -510,6 +522,37 @@ object LlmQueries {
 
     // ---------- band-bucket skew audit for the capped self-joins ----------
     "d11_band_skew_audit" -> { (s, dir) => bandSkewAudit(s, dir) },
+
+    // ---------- INCREMENTAL near-dup over the streamed corpus ----------
+    "d12_stream_neardup" -> { (s, dir) =>
+      // The corpus replayed as a 3-drop file stream through
+      // [[StreamingNearDup.pairs]] (flatMapGroupsWithState band buckets)
+      // into a parquet sink — the 100 TB-honest emission path (executor-
+      // written files, nothing through the driver), cached per dir like
+      // the w2/w3 sinks. Over the full replay the emitted pair set equals
+      // the batch band join on the same documents (exactly-once per pair
+      // per band) while NO bucket overflows — d11 proves none does at the
+      // verify SFs; the overflow path is spec-gated with a planted bucket.
+      val out = streamDupSink.synchronized {
+        streamDupSinkCache.getOrElseUpdate(dir, {
+          val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
+          docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
+          val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
+          val src = s.readStream.schema(docs(s, dir).schema)
+            .option("maxFilesPerTrigger", 1).parquet(staging)
+          val q = StreamingNearDup.pairs(src).toDF().writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", sink)
+            .outputMode("append").start()
+          q.awaitTermination()
+          sink
+        })
+      }
+      s.read.parquet(out)
+        .select(col("doc_a"), col("doc_b"), col("band").cast("long").as("band"), col("est_permille"))
+    },
 
     // ---------- decontamination: eval-set n-gram overlap ----------
     "d9_decontaminate" -> { (s, dir) =>
@@ -707,6 +750,14 @@ object LlmQueries {
       // d1-style single-hop canonical assignment (smallest qualifying
       // vec_id wins). No floats in the output — counts and ids only, so the
       // row set hash-matches the oracle exactly.
+      //
+      // DELIBERATELY no [[BandMaxBucket]]-style drop-cap here: d2/d10 give
+      // every doc SEVERAL bands, so a pair dropped with one hot band can
+      // still surface through another (pigeonhole recovery); here a vector
+      // has ONE bucket, and dropping a hot bucket would silently lose its
+      // near-dups — the very rows this query exists to report. Bucket size
+      // is controlled by the OTHER knob: [[Hyperplanes]] (buckets ≈ 2^H),
+      // scaled with corpus size so expected occupancy stays bounded.
       val tau = 0.8
       val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
       val bucketExpr = planes.zipWithIndex
@@ -1026,6 +1077,19 @@ object LlmQueries {
          |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
          |) WHERE hamming <= $SimHammingMax""".stripMargin
 
+    /** d12 twin: the streamed band buckets emit exactly the batch band
+      * join's pair set (per band, no distinct) with the signature-match
+      * Jaccard estimate — integer permille of agreeing minhash rows. */
+    val streamDupSql =
+      s"""WITH $minhashCtes, bands_c AS (
+         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, band_hash) <= $BandMaxBucket
+         |)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.b AS band,
+         |  (1000 * len(list_filter(generate_series(1, $MinHashK), k -> sa.sig[k] = sc.sig[k]))) // $MinHashK AS est_permille
+         |FROM bands_c a JOIN bands_c c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |JOIN sigs sa ON sa.doc_id = a.doc_id
+         |JOIN sigs sc ON sc.doc_id = c.doc_id""".stripMargin
+
     /** d11 twin: per-(band, value) bucket sizes from the SAME two CTE
       * chains d2/d10 use, folded to one audit row per algorithm. */
     val bandAuditSql =
@@ -1262,6 +1326,7 @@ object LlmQueries {
       "d2_minhash_lsh" -> minhashSql,
       "d10_simhash_neardup" -> simhashDupSql,
       "d11_band_skew_audit" -> bandAuditSql,
+      "d12_stream_neardup" -> streamDupSql,
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental near-duplicate detection over a STREAMING corpus — the
+  * online twin of `d2_minhash_lsh` for documents that arrive continuously
+  * (crawler output, export drops) where "re-run the batch dedup" means
+  * re-reading the whole corpus per drop.
+  *
+  * Shape: the same stateless MinHash signature + LSH band computation as
+  * d2 ([[LlmQueries.signaturesOf]] — one plan fragment for both paths),
+  * then `flatMapGroupsWithState` keyed by (band, band_hash): each bucket's
+  * state holds the (doc_id, signature) list of its members, and a newly
+  * arrived doc emits one candidate pair per existing member, scored by the
+  * signature-estimated Jaccard (matching minhash positions / K — the
+  * standard streaming estimate; the exact set verify needs the full
+  * shingle sets, which no bounded state can hold).
+  *
+  * Every pair is emitted EXACTLY ONCE per shared band — when its second
+  * member arrives — so over any prefix of the stream the emitted set
+  * equals the batch answer on the documents seen so far (order-independent
+  * while no bucket overflows).
+  *
+  * Scale guards:
+  *  - state per bucket is capped at `maxBucket` ([[LlmQueries.BandMaxBucket]]
+  *    by default — d2's hot-bucket cap). A FULL bucket stops ADMITTING new
+  *    members (the streaming analogue of d2's drop-the-bucket: pairs
+  *    already emitted cannot be retracted in append mode) and counts the
+  *    overflow, surfaced via [[overflow]] markers so the cap is never
+  *    silent. Bounded state ⇒ bounded per-trigger work: a hot bucket costs
+  *    O(cap) per arrival, never O(bucket²).
+  *  - signatures in state are K short strings per doc (~100 B) — a bucket
+  *    at cap holds ~25 KB; RocksDB state keeps the total off-heap.
+  *
+  * Reference behavior: the dedup semantics of `d2_minhash_lsh` (SPEC
+  * near-dup pipeline) applied to the streamed-corpus arrival path the
+  * reference serves through its write API.
+  */
+object StreamingNearDup {
+
+  /** One exploded band row per (doc, band). */
+  final case class BandRow(band: Int, band_hash: String, doc_id: Long, sig: Seq[String])
+
+  /** Candidate pair with the signature-estimated Jaccard (integer
+    * permille). `band` identifies which bucket produced it — a pair
+    * agreeing on both bands appears once per band, like the batch band
+    * join before its `distinct()`. */
+  final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int, est_permille: Long)
+
+  /** Per-bucket state: admitted members + how many arrivals the cap turned
+    * away. `ids`/`sigs` are parallel lists (a Map is not encodable as
+    * cheaply and lookup is a full scan either way at cap size). */
+  final case class BucketState(ids: List[Long], sigs: List[Seq[String]], overflowed: Long)
+
+  /** Stateless (doc, band) explosion shared by [[pairs]] and [[overflow]]
+    * — column pruning drops the signature frame's unused set columns. */
+  private def bandRowsOf(docsStream: DataFrame): Dataset[BandRow] = {
+    val s = docsStream.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    LlmQueries.signaturesOf(docsStream)
+      .select(col("doc_id"), col("sig"), explode(expr(LlmQueries.minhashBandsExpr)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"),
+              col("doc_id"), col("sig"))
+      .as[BandRow]
+  }
+
+  /** Candidate-pair stream over a streaming (doc_id, text) frame. */
+  def pairs(docsStream: DataFrame,
+            maxBucket: Int = LlmQueries.BandMaxBucket): Dataset[CandidatePair] = {
+    val s = docsStream.sparkSession
+    import s.implicits._
+    val k = LlmQueries.MinHashK
+    bandRowsOf(docsStream)
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          // deterministic within-batch order so a replayed trigger emits
+          // the identical pair set (iterator order is not contractual)
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!st.ids.contains(r.doc_id)) {
+              if (st.ids.size >= maxBucket) st = st.copy(overflowed = st.overflowed + 1)
+              else {
+                st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
+                  val matches = osig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+                  out += CandidatePair(math.min(oid, r.doc_id), math.max(oid, r.doc_id),
+                                       key._1, 1000L * matches / k)
+                }
+                st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Overflow audit over the same state: buckets report how many arrivals
+    * the cap refused (run as its own query over a replayed stream, or
+    * derived downstream by counting `est_permille IS NULL` markers in an
+    * extended emit — kept separate so the hot pair path stays narrow). */
+  def overflow(docsStream: DataFrame,
+               maxBucket: Int = LlmQueries.BandMaxBucket): Dataset[(Int, String, Long)] = {
+    val s = docsStream.sparkSession
+    import s.implicits._
+    bandRowsOf(docsStream)
+      .groupByKey(r => (r.band, r.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+          var newOverflow = 0L
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!st.ids.contains(r.doc_id)) {
+              if (st.ids.size >= maxBucket) { st = st.copy(overflowed = st.overflowed + 1); newOverflow += 1 }
+              else st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
+            }
+          }
+          state.update(st)
+          if (newOverflow > 0) Iterator.single((key._1, key._2, newOverflow)) else Iterator.empty
+        })
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.llm.StreamingNearDup
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Behavior of the incremental near-dup operator: state survives across
+  * query restarts (a later drop pairs against earlier documents), every
+  * pair is emitted exactly once, and a hot bucket stops admitting at the
+  * cap instead of going quadratic. */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private def runPairs(staging: String, ckpt: String, sink: String, maxBucket: Int = 256): Unit = {
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val q = StreamingNearDup.pairs(src, maxBucket).toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink)
+      .outputMode("append").start()
+    q.awaitTermination()
+  }
+
+  private def readPairs(sink: String): Seq[(Long, Long, Long)] =
+    spark.read.parquet(sink).select("doc_a", "doc_b", "est_permille").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("a document arriving in a LATER drop pairs against state from an earlier run") {
+    val staging = Files.createTempDirectory("graft-snd-stage-").toString
+    val ckpt    = Files.createTempDirectory("graft-snd-ckpt-").toString
+    val sink    = Files.createTempDirectory("graft-snd-sink-").toString
+    val textA   = "the quick brown fox jumps over the lazy dog"
+    docsDf(0L -> textA, 3L -> "completely different words entirely here now")
+      .coalesce(1).write.mode("append").parquet(staging)
+    runPairs(staging, ckpt, sink)
+    val afterFirst = readPairs(sink)
+    assert(!afterFirst.exists(p => p._1 == 5L || p._2 == 5L))
+
+    // drop 2, SAME checkpoint: the restart must resume bucket state, so the
+    // new exact-dup pairs with doc 0 from run 1 (est 1000 — identical sigs)
+    docsDf(5L -> textA).coalesce(1).write.mode("append").parquet(staging)
+    runPairs(staging, ckpt, sink)
+    val all = readPairs(sink)
+    val p05 = all.filter(p => p._1 == 0L && p._2 == 5L)
+    assert(p05.nonEmpty, s"cross-drop duplicate must surface, got $all")
+    assert(p05.forall(_._3 === 1000L), "identical docs estimate full Jaccard")
+    // exactly once per shared band, and never against the unrelated doc
+    assert(p05.size <= graft.llm.LlmQueries.Bands)
+    assert(!all.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 > 500L))
+  }
+
+  test("a hot bucket stops admitting at the cap: bounded pairs + surfaced overflow") {
+    val staging = Files.createTempDirectory("graft-snd-hot-stage-").toString
+    val ckpt    = Files.createTempDirectory("graft-snd-hot-ckpt-").toString
+    val sink    = Files.createTempDirectory("graft-snd-hot-sink-").toString
+    val boiler  = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val cap     = 3
+    docsDf((0L until 10L).map(i => i -> boiler): _*)
+      .coalesce(1).write.mode("append").parquet(staging)
+    runPairs(staging, ckpt, sink, maxBucket = cap)
+    val pairs = readPairs(sink)
+    // per band: C(cap,2)=3 pairs max, never C(10,2)=45 — the quadratic guard
+    assert(pairs.size <= 3 * graft.llm.LlmQueries.Bands, s"got ${pairs.size} pairs")
+    assert(pairs.nonEmpty)
+
+    // the overflow audit reports the refused arrivals on a fresh replay
+    val ckpt2 = Files.createTempDirectory("graft-snd-hot-ckpt2-").toString
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val sink2 = Files.createTempDirectory("graft-snd-hot-ovf-").toString
+    val q = StreamingNearDup.overflow(src, cap).toDF("band", "band_hash", "n_refused")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", sink2)
+      .outputMode("append").start()
+    q.awaitTermination()
+    val refused = spark.read.parquet(sink2).select("n_refused").collect().map(_.getLong(0))
+    assert(refused.nonEmpty && refused.sum >= (10 - cap).toLong,
+      s"overflow must be surfaced, got ${refused.toSeq}")
+  }
+}
