@@ -67,33 +67,49 @@ object StreamingNearDup {
       .as[BandRow]
   }
 
+  /** The PURE per-trigger bucket transition shared by [[pairs]] and
+    * [[overflow]] (and property-tested in isolation): fold this trigger's
+    * arrivals into the bucket state, returning the new state, the pairs
+    * emitted, and how many arrivals the cap refused this trigger.
+    *
+    * Arrivals are sorted by doc_id first — group-iterator order is not
+    * contractual, and a replayed trigger must emit the IDENTICAL output
+    * for the file sink's exactly-once story. The sort materializes one
+    * bucket's arrivals for one trigger: bounded by per-trigger input
+    * (`maxFilesPerTrigger`), not by the bucket's lifetime size. */
+  private[graft] def stepBucket(band: Int, st0: BucketState, arrivals: Seq[BandRow],
+                                maxBucket: Int): (BucketState, Seq[CandidatePair], Long) = {
+    val k = LlmQueries.MinHashK
+    var st = st0
+    var refused = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+    arrivals.sortBy(_.doc_id).foreach { r =>
+      if (!st.ids.contains(r.doc_id)) {
+        if (st.ids.size >= maxBucket) { st = st.copy(overflowed = st.overflowed + 1); refused += 1 }
+        else {
+          st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
+            val matches = osig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
+            out += CandidatePair(math.min(oid, r.doc_id), math.max(oid, r.doc_id),
+                                 band, 1000L * matches / k)
+          }
+          st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
+        }
+      }
+    }
+    (st, out.toSeq, refused)
+  }
+
   /** Candidate-pair stream over a streaming (doc_id, text) frame. */
   def pairs(docsStream: DataFrame,
             maxBucket: Int = LlmQueries.BandMaxBucket): Dataset[CandidatePair] = {
     val s = docsStream.sparkSession
     import s.implicits._
-    val k = LlmQueries.MinHashK
     bandRowsOf(docsStream)
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-          // deterministic within-batch order so a replayed trigger emits
-          // the identical pair set (iterator order is not contractual)
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!st.ids.contains(r.doc_id)) {
-              if (st.ids.size >= maxBucket) st = st.copy(overflowed = st.overflowed + 1)
-              else {
-                st.ids.iterator.zip(st.sigs.iterator).foreach { case (oid, osig) =>
-                  val matches = osig.iterator.zip(r.sig.iterator).count { case (a, b) => a == b }
-                  out += CandidatePair(math.min(oid, r.doc_id), math.max(oid, r.doc_id),
-                                       key._1, 1000L * matches / k)
-                }
-                st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
-              }
-            }
-          }
+          val (st, out, _) = stepBucket(key._1,
+            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)), rows.toSeq, maxBucket)
           state.update(st)
           out.iterator
         })
@@ -111,16 +127,10 @@ object StreamingNearDup {
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          var st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-          var newOverflow = 0L
-          rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!st.ids.contains(r.doc_id)) {
-              if (st.ids.size >= maxBucket) { st = st.copy(overflowed = st.overflowed + 1); newOverflow += 1 }
-              else st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
-            }
-          }
+          val (st, _, refused) = stepBucket(key._1,
+            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)), rows.toSeq, maxBucket)
           state.update(st)
-          if (newOverflow > 0) Iterator.single((key._1, key._2, newOverflow)) else Iterator.empty
+          if (refused > 0) Iterator.single((key._1, key._2, refused)) else Iterator.empty
         })
   }
 }

@@ -90,4 +90,44 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(refused.nonEmpty && refused.sum >= (10 - cap).toLong,
       s"overflow must be surfaced, got ${refused.toSeq}")
   }
+
+  test("stepBucket properties: conservation, cap, exactly-once, order-independence across splits") {
+    import graft.llm.StreamingNearDup.{BandRow, BucketState, stepBucket}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val sigGen = Gen.listOfN(graft.llm.LlmQueries.MinHashK, Gen.chooseNum(0, 5).map(_.toString))
+    val rowGen = for { id <- Gen.chooseNum(0L, 40L); sig <- sigGen }
+      yield BandRow(0, "h", id, sig)
+    val gen = for {
+      rows <- Gen.listOf(rowGen)
+      cap  <- Gen.chooseNum(1, 12)
+      cut  <- Gen.chooseNum(0, rows.size)
+    } yield (rows, cap, cut)
+    val prop = Prop.forAll(gen) { case (rows, cap, cut) =>
+      val empty = BucketState(Nil, Nil, 0L)
+      // one big trigger
+      val (st1, out1, ref1) = stepBucket(0, empty, rows, cap)
+      // the same arrivals split across two triggers at an arbitrary cut
+      val (stA, outA, refA) = stepBucket(0, empty, rows.take(cut), cap)
+      val (stB, outB, refB) = stepBucket(0, stA, rows.drop(cut), cap)
+      val distinctIds = rows.map(_.doc_id).distinct.size
+      val admitted    = st1.ids.size
+      (admitted == math.min(distinctIds, cap)) :| "cap binds exactly" &&
+      (st1.ids.distinct.size == st1.ids.size) :| "state never holds a doc twice" &&
+      (out1.size == admitted.toLong * (admitted - 1) / 2) :| "emitted = C(admitted, 2) pairs" &&
+      (out1.map(p => (p.doc_a, p.doc_b)).distinct.size == out1.size) :| "each pair exactly once" &&
+      (out1.forall(p => p.doc_a < p.doc_b)) :| "pairs ordered" &&
+      (out1.forall(p => p.est_permille >= 0 && p.est_permille <= 1000)) :| "estimate in [0,1000]" &&
+      (ref1 == st1.overflowed) :| "refusals accumulate in state" &&
+      // split-invariance: WHICH docs are admitted depends on per-trigger
+      // order (first-come under the cap), but with no overflow the final
+      // state set and total emitted pair set must not depend on the cut
+      ((ref1 > 0 || refA + refB > 0) ||
+        (stB.ids.toSet == st1.ids.toSet &&
+         outA.concat(outB).map(p => (p.doc_a, p.doc_b)).toSet ==
+           out1.map(p => (p.doc_a, p.doc_b)).toSet)) :| "no-overflow runs are cut-invariant"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
