@@ -280,6 +280,41 @@ object Bench {
         }
       }
     }
+    // ANN RECALL at the bench SF: fraction of the brute-force neighbors
+    // each index path reproduces — the quality axis of the ANN speed
+    // numbers (a fast index with collapsed recall is not an index). The
+    // result sets are NumQueries x k rows — driver-side sets are fine.
+    val annRecall = {
+      if (only.nonEmpty) "null"
+      else try {
+        def ranked(name: String): Map[Long, Map[Long, Long]] = // q -> neighbor -> rank
+          SparkEntry.queries(name)(spark, sfDir)
+            .select("q_id", "rank", "neighbor_id").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(r => r.getLong(2) -> r.getLong(1)).toMap }
+        val brute = ranked("ann_topk_brute")
+        // recall@k: both sides cut to their top-k before intersecting
+        def recallOf(name: String, k: Int): Double = {
+          val got = ranked(name)
+          val per = brute.toSeq.map { case (q, nr) =>
+            val truth = nr.collect { case (n, r) if r <= k => n }.toSet
+            val g = got.getOrElse(q, Map.empty).collect { case (n, r) if r <= k => n }.toSet
+            if (truth.isEmpty) 1.0 else g.intersect(truth).size.toDouble / truth.size
+          }
+          per.sum / math.max(1, per.size)
+        }
+        val ivf   = recallOf("ann_ivf_probe", 3)
+        val ivf2  = recallOf("ann_ivf_probe2", 3)
+        val sq    = recallOf("ann_sq_topk", llm.LlmQueries.TopK)
+        val ivfsq = recallOf("ann_ivfsq_topk", llm.LlmQueries.TopK)
+        // probe1 vs probe2 is the recall/speed lever a deployment tunes —
+        // record both so the tradeoff is visible round-over-round
+        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"ivfsq_topk":$ivfsq%.3f}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] ann recall failed: $e"); "null"
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -299,7 +334,7 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},"queries_max":${jmap(_._5)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
-      s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,""" +
+      s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
       s""""query_scale":$qScale,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -51,8 +51,10 @@ object StreamingNearDup {
 
   /** Per-bucket state: admitted members + how many arrivals the cap turned
     * away. `ids`/`sigs` are parallel lists (a Map is not encodable as
-    * cheaply and lookup is a full scan either way at cap size). */
-  final case class BucketState(ids: List[Long], sigs: List[Seq[String]], overflowed: Long)
+    * cheaply and lookup is a full scan either way at cap size). `lastMs`
+    * stamps the last arrival for the TTL horizon (0 = never stamped). */
+  final case class BucketState(ids: List[Long], sigs: List[Seq[String]], overflowed: Long,
+                               lastMs: Long = 0L)
 
   /** Stateless (doc, band) explosion shared by [[pairs]] and [[overflow]]
     * — column pruning drops the signature frame's unused set columns. */
@@ -99,18 +101,38 @@ object StreamingNearDup {
     (st, out.toSeq, refused)
   }
 
+  /** TTL front half shared by both streams: the surviving base state for
+    * this trigger. A bucket idle past the horizon restarts empty — the
+    * DEDUP HORIZON semantic (a doc no longer pairs against documents older
+    * than the TTL), the bounded-retention mode a perpetual 100 TB stream
+    * runs in. Expiry is checked ON ARRIVAL (not via GroupStateTimeout:
+    * with ProcessingTimeTimeout an AvailableNow replay waits for every
+    * registered timeout before terminating — a backlog replay with a 24 h
+    * horizon would stall a day, measured here as a hung spec at 1 h). A
+    * bucket that never sees another arrival keeps its last state —
+    * dead-bucket GC belongs to checkpoint rotation, not the hot path. */
+  private def survivingState(state: GroupState[BucketState], stateTtlMs: Option[Long],
+                             nowMs: Long): BucketState = {
+    val prev = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
+    if (stateTtlMs.exists(ttl => prev.lastMs > 0 && nowMs - prev.lastMs > ttl))
+      BucketState(Nil, Nil, 0L)
+    else prev
+  }
+
   /** Candidate-pair stream over a streaming (doc_id, text) frame. */
   def pairs(docsStream: DataFrame,
-            maxBucket: Int = LlmQueries.BandMaxBucket): Dataset[CandidatePair] = {
+            maxBucket: Int = LlmQueries.BandMaxBucket,
+            stateTtlMs: Option[Long] = None): Dataset[CandidatePair] = {
     val s = docsStream.sparkSession
     import s.implicits._
     bandRowsOf(docsStream)
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val (st, out, _) = stepBucket(key._1,
-            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)), rows.toSeq, maxBucket)
-          state.update(st)
+          val nowMs = System.currentTimeMillis()
+          val (st, out, _) =
+            stepBucket(key._1, survivingState(state, stateTtlMs, nowMs), rows.toSeq, maxBucket)
+          state.update(st.copy(lastMs = nowMs))
           out.iterator
         })
   }
@@ -120,16 +142,18 @@ object StreamingNearDup {
     * derived downstream by counting `est_permille IS NULL` markers in an
     * extended emit — kept separate so the hot pair path stays narrow). */
   def overflow(docsStream: DataFrame,
-               maxBucket: Int = LlmQueries.BandMaxBucket): Dataset[(Int, String, Long)] = {
+               maxBucket: Int = LlmQueries.BandMaxBucket,
+               stateTtlMs: Option[Long] = None): Dataset[(Int, String, Long)] = {
     val s = docsStream.sparkSession
     import s.implicits._
     bandRowsOf(docsStream)
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val (st, _, refused) = stepBucket(key._1,
-            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)), rows.toSeq, maxBucket)
-          state.update(st)
+          val nowMs = System.currentTimeMillis()
+          val (st, _, refused) =
+            stepBucket(key._1, survivingState(state, stateTtlMs, nowMs), rows.toSeq, maxBucket)
+          state.update(st.copy(lastMs = nowMs))
           if (refused > 0) Iterator.single((key._1, key._2, refused)) else Iterator.empty
         })
   }

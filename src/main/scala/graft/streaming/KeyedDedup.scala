@@ -23,6 +23,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `ttlMs` plays the reference's cleanup watermark: keys idle longer than
   * the TTL are evicted (a very-late retry after eviction re-ingests, the
   * same tradeoff the reference documents for its watermark).
+  *
+  * CAVEAT — set `ttlMs` only for continuous (`ProcessingTime`) triggers:
+  * it registers ProcessingTimeTimeout per key, and an `AvailableNow`
+  * backlog replay waits for every registered timeout before terminating —
+  * a long TTL stalls the replay for the TTL's duration
+  * ([[graft.llm.StreamingNearDup]] checks its horizon on arrival instead
+  * for exactly this reason).
   */
 object KeyedDedup {
   def apply(df: Dataset[Row], ttlMs: Option[Long] = None): Dataset[Row] = {

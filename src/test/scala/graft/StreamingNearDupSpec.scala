@@ -91,6 +91,45 @@ class StreamingNearDupSpec extends AnyFunSuite {
       s"overflow must be surfaced, got ${refused.toSeq}")
   }
 
+  test("state TTL is a dedup horizon: duplicates inside it pair, beyond it do not") {
+    def runWithTtl(staging: String, ckpt: String, sink: String, ttlMs: Long): Unit = {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = StreamingNearDup.pairs(src, stateTtlMs = Some(ttlMs)).toDF().writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink)
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    val textA = "the quick brown fox jumps over the lazy dog"
+    // inside the horizon: the drop-2 duplicate pairs against drop 1
+    val (st1, ck1, sk1) = (Files.createTempDirectory("graft-ttl-in-s").toString,
+      Files.createTempDirectory("graft-ttl-in-c").toString,
+      Files.createTempDirectory("graft-ttl-in-k").toString)
+    docsDf(0L -> textA).coalesce(1).write.mode("append").parquet(st1)
+    runWithTtl(st1, ck1, sk1, ttlMs = 3600 * 1000L)
+    docsDf(5L -> textA).coalesce(1).write.mode("append").parquet(st1)
+    runWithTtl(st1, ck1, sk1, ttlMs = 3600 * 1000L)
+    assert(readPairs(sk1).exists(p => p._1 == 0L && p._2 == 5L),
+      "a duplicate inside the TTL horizon must pair")
+
+    // beyond the horizon: the idle bucket restarts empty, so no pair
+    val (st2, ck2, sk2) = (Files.createTempDirectory("graft-ttl-out-s").toString,
+      Files.createTempDirectory("graft-ttl-out-c").toString,
+      Files.createTempDirectory("graft-ttl-out-k").toString)
+    docsDf(0L -> textA).coalesce(1).write.mode("append").parquet(st2)
+    runWithTtl(st2, ck2, sk2, ttlMs = 300L)
+    Thread.sleep(1200)
+    docsDf(5L -> textA).coalesce(1).write.mode("append").parquet(st2)
+    runWithTtl(st2, ck2, sk2, ttlMs = 300L)
+    assert(!readPairs(sk2).exists(p => p._1 == 0L && p._2 == 5L),
+      "a duplicate beyond the TTL horizon must NOT pair (state expired)")
+  }
+
   test("stepBucket properties: conservation, cap, exactly-once, order-independence across splits") {
     import graft.llm.StreamingNearDup.{BandRow, BucketState, stepBucket}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
