@@ -274,6 +274,12 @@ object Bench {
             System.err.println(s"[graft-bench] query scale probe failed: $e")
             ("null", "null")
         } finally if (dir != null) {
+          // evict the replica-keyed persisted frames BEFORE deleting the
+          // files they were built from: a pinned 4x signature frame would
+          // otherwise hold executor memory for the rest of the bench and
+          // recompute a lost block against a deleted path
+          try llm.LlmQueries.evictDir(spark, dir.toString)
+          catch { case scala.util.control.NonFatal(_) => () }
           // the replica is 4x the largest table — never leave it in /tmp
           try core.FsUtil.deleteRecursively(dir)
           catch { case scala.util.control.NonFatal(_) => () }
@@ -394,9 +400,10 @@ object Bench {
       val bpDir = java.nio.file.Files.createTempDirectory("graft-benchgwbp-").toString
       val bp  = new serve.GatewayServer(spark, bpDir, maxInflight = 8,
                                         maxInflightBytes = 256 * 1024, walEnabled = false)
-      val base   = s"http://127.0.0.1:${gw.start()}"
-      val bpBase = s"http://127.0.0.1:${bp.start()}"
+      // starts INSIDE the try: a bp bind failure must still stop gw
       try {
+        val base   = s"http://127.0.0.1:${gw.start()}"
+        val bpBase = s"http://127.0.0.1:${bp.start()}"
         // the reference's full no-S3 L5 grid (9 scenarios), short per-round
         // durations — medians round-over-round, not one long soak
         val w   = serve.LoadHarness.singleWrite(base, "bench_gw", seconds = 3, concurrency = 8)
@@ -406,7 +413,9 @@ object Bench {
         val lag = serve.LoadHarness.writeReadLag(base, "bench_gwlag", seconds = 2)
         val bu  = serve.LoadHarness.burst(base, "bench_gwburst", seconds = 8, concurrency = 8)
         val sk  = serve.LoadHarness.partitionSkew(base, "bench_gwskew", seconds = 2, concurrency = 8)
-        val so  = serve.LoadHarness.soak(base, "bench_gwsoak", seconds = 6, concurrency = 8)
+        // 5 s halves: the soak gates (60% rate hold, 5x p99) need halves
+        // long enough that one GC pause can't flip the boolean
+        val so  = serve.LoadHarness.soak(base, "bench_gwsoak", seconds = 10, concurrency = 8)
         val bpr = serve.LoadHarness.backpressure(bpBase, "bench_gwbp", seconds = 2, concurrency = 8)
         val all = Seq(w, b, r, m, lag, bu, sk, so, bpr)
         val full = all.map(_.json).mkString("[", ",", "]")
@@ -419,7 +428,7 @@ object Bench {
           f""""burst_p99":${bu.p99Ms}%.2f,"skew_ev_s":${sk.evPerSec},""" +
           f""""soak_ok":${so.ok},"bp_ok":${bpr.ok},"n":${all.size}}"""
         (full, compact)
-      } finally { gw.stop(); bp.stop() }
+      } finally { try gw.stop() finally bp.stop() }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-bench] gateway scenarios failed: $e")

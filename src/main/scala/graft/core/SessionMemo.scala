@@ -46,6 +46,14 @@ final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => 
       try onEvict(v) catch { case _: Exception => () }))
   }
 
+  /** Drop ONE memoized key for `s`, running `onEvict` on its value —
+    * for throwaway keys (a benchmark's temp replica dir) whose cached
+    * values must not outlive the data they were built from. */
+  def remove(s: SparkSession, key: String): Unit = synchronized {
+    Option(bySession.get(s)).foreach(inner =>
+      inner.remove(key).foreach(v => try onEvict(v) catch { case _: Exception => () }))
+  }
+
   // register LAST: a construction-ordered publish — the registry must never
   // hand a concurrent release() a memo whose state is still uninitialized
   SessionMemo.register(this)

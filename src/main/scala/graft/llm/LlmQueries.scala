@@ -403,6 +403,19 @@ object LlmQueries {
           expr("graft_simhash_bands(transform(words, w -> md5(w)))").as("bands"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Evict everything this module memoized for (session, dir) — for
+    * callers that build a THROWAWAY copy of a corpus dir (the bench's 4×
+    * scale replica): without this, persisted signature/index frames keyed
+    * by the deleted temp dir stay pinned for the session's lifetime and
+    * any lost-block recompute would read a path that no longer exists. */
+  def evictDir(s: SparkSession, dir: String): Unit = {
+    sigCache.remove(s, dir)
+    simSigCache.remove(s, dir)
+    clusterCache.remove(s, dir)
+    ivfCache.remove(s, dir)
+    sqCache.remove(s, dir)
+  }
+
   /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
     * so the key is just the dir — any session reads the same files). */
   private val streamDupSink = new Object
@@ -529,10 +542,12 @@ object LlmQueries {
       // [[StreamingNearDup.pairs]] (flatMapGroupsWithState band buckets)
       // into a parquet sink — the 100 TB-honest emission path (executor-
       // written files, nothing through the driver), cached per dir like
-      // the w2/w3 sinks. Over the full replay the emitted pair set equals
-      // the batch band join on the same documents (exactly-once per pair
-      // per band) while NO bucket overflows — d11 proves none does at the
-      // verify SFs; the overflow path is spec-gated with a planted bucket.
+      // the w2/w3 sinks. The verify run is UNCAPPED (maxBucket = MaxValue):
+      // under overflow the streaming cap admits the FIRST arrivals while
+      // the batch QUALIFY drops the bucket whole — semantics no batch
+      // oracle can reproduce — so the oracle gate checks the exact
+      // property that CAN hold at any data (streamed set == batch band
+      // join), and the cap path is spec-gated with a planted hot bucket.
       val out = streamDupSink.synchronized {
         streamDupSinkCache.getOrElseUpdate(dir, {
           val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
@@ -541,7 +556,7 @@ object LlmQueries {
           val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
           val src = s.readStream.schema(docs(s, dir).schema)
             .option("maxFilesPerTrigger", 1).parquet(staging)
-          val q = StreamingNearDup.pairs(src).toDF().writeStream
+          val q = StreamingNearDup.pairs(src, maxBucket = Int.MaxValue).toDF().writeStream
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .option("checkpointLocation", ckpt)
             .format("parquet").option("path", sink)
@@ -1079,14 +1094,13 @@ object LlmQueries {
 
     /** d12 twin: the streamed band buckets emit exactly the batch band
       * join's pair set (per band, no distinct) with the signature-match
-      * Jaccard estimate — integer permille of agreeing minhash rows. */
+      * Jaccard estimate — integer permille of agreeing minhash rows.
+      * UNCAPPED on both sides (see the d12 query comment). */
     val streamDupSql =
-      s"""WITH $minhashCtes, bands_c AS (
-         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, band_hash) <= $BandMaxBucket
-         |)
+      s"""WITH $minhashCtes
          |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.b AS band,
          |  (1000 * len(list_filter(generate_series(1, $MinHashK), k -> sa.sig[k] = sc.sig[k]))) // $MinHashK AS est_permille
-         |FROM bands_c a JOIN bands_c c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |FROM bands a JOIN bands c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
          |JOIN sigs sa ON sa.doc_id = a.doc_id
          |JOIN sigs sc ON sc.doc_id = c.doc_id""".stripMargin
 

@@ -50,11 +50,13 @@ object StreamingNearDup {
   final case class CandidatePair(doc_a: Long, doc_b: Long, band: Int, est_permille: Long)
 
   /** Per-bucket state: admitted members + how many arrivals the cap turned
-    * away. `ids`/`sigs` are parallel lists (a Map is not encodable as
-    * cheaply and lookup is a full scan either way at cap size). `lastMs`
-    * stamps the last arrival for the TTL horizon (0 = never stamped). */
+    * away. `ids`/`sigs`/`admitMs` are parallel lists (a Map is not
+    * encodable as cheaply and lookup is a full scan either way at cap
+    * size); `admitMs` stamps each member's ADMISSION so the TTL horizon
+    * expires members individually by age — a bucket-level idle stamp
+    * would let steady traffic keep arbitrarily old members alive. */
   final case class BucketState(ids: List[Long], sigs: List[Seq[String]], overflowed: Long,
-                               lastMs: Long = 0L)
+                               admitMs: List[Long] = Nil)
 
   /** Stateless (doc, band) explosion shared by [[pairs]] and [[overflow]]
     * — column pruning drops the signature frame's unused set columns. */
@@ -78,11 +80,40 @@ object StreamingNearDup {
     * contractual, and a replayed trigger must emit the IDENTICAL output
     * for the file sink's exactly-once story. The sort materializes one
     * bucket's arrivals for one trigger: bounded by per-trigger input
-    * (`maxFilesPerTrigger`), not by the bucket's lifetime size. */
+    * (`maxFilesPerTrigger`), not by the bucket's lifetime size.
+    *
+    * `ttlMs` is the DEDUP HORIZON: members admitted more than the TTL
+    * before `nowMs` are expired FIRST (each by its own `admitMs` age —
+    * per-member, so steady bucket traffic cannot keep old members alive),
+    * freeing their capacity; arrivals then pair only against members
+    * inside the horizon — the bounded-retention mode a perpetual 100 TB
+    * stream runs in. Callers pass the BATCH processing time as `nowMs`
+    * (stable across a replay), never the wall clock. Expiry runs on
+    * arrival, not via GroupStateTimeout: with ProcessingTimeTimeout an
+    * AvailableNow replay waits out every registered timeout before
+    * terminating (measured here as a hung spec at a 1 h TTL); a bucket
+    * that never sees another arrival keeps its last state — dead-bucket
+    * GC belongs to checkpoint rotation, not the hot path.
+    *
+    * `refused` counts refused ARRIVALS, not distinct documents: under
+    * at-least-once upstream delivery a re-sent refused doc counts again
+    * (remembering refused ids would grow state without bound — the very
+    * thing the cap exists to prevent). */
   private[graft] def stepBucket(band: Int, st0: BucketState, arrivals: Seq[BandRow],
-                                maxBucket: Int): (BucketState, Seq[CandidatePair], Long) = {
+                                maxBucket: Int, nowMs: Long = 0L,
+                                ttlMs: Option[Long] = None): (BucketState, Seq[CandidatePair], Long) = {
     val k = LlmQueries.MinHashK
-    var st = st0
+    // states written before admitMs existed (or test fixtures) are treated
+    // as admitted-now rather than mis-zipped
+    val admits0 =
+      if (st0.admitMs.length == st0.ids.length) st0.admitMs else st0.ids.map(_ => nowMs)
+    var st = ttlMs match {
+      case Some(ttl) =>
+        val h = nowMs - ttl
+        val kept = st0.ids.lazyZip(st0.sigs).lazyZip(admits0).toList.filter(_._3 >= h)
+        BucketState(kept.map(_._1), kept.map(_._2), st0.overflowed, kept.map(_._3))
+      case None => st0.copy(admitMs = admits0)
+    }
     var refused = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
     arrivals.sortBy(_.doc_id).foreach { r =>
@@ -94,29 +125,11 @@ object StreamingNearDup {
             out += CandidatePair(math.min(oid, r.doc_id), math.max(oid, r.doc_id),
                                  band, 1000L * matches / k)
           }
-          st = st.copy(ids = r.doc_id :: st.ids, sigs = r.sig :: st.sigs)
+          st = BucketState(r.doc_id :: st.ids, r.sig :: st.sigs, st.overflowed, nowMs :: st.admitMs)
         }
       }
     }
     (st, out.toSeq, refused)
-  }
-
-  /** TTL front half shared by both streams: the surviving base state for
-    * this trigger. A bucket idle past the horizon restarts empty — the
-    * DEDUP HORIZON semantic (a doc no longer pairs against documents older
-    * than the TTL), the bounded-retention mode a perpetual 100 TB stream
-    * runs in. Expiry is checked ON ARRIVAL (not via GroupStateTimeout:
-    * with ProcessingTimeTimeout an AvailableNow replay waits for every
-    * registered timeout before terminating — a backlog replay with a 24 h
-    * horizon would stall a day, measured here as a hung spec at 1 h). A
-    * bucket that never sees another arrival keeps its last state —
-    * dead-bucket GC belongs to checkpoint rotation, not the hot path. */
-  private def survivingState(state: GroupState[BucketState], stateTtlMs: Option[Long],
-                             nowMs: Long): BucketState = {
-    val prev = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
-    if (stateTtlMs.exists(ttl => prev.lastMs > 0 && nowMs - prev.lastMs > ttl))
-      BucketState(Nil, Nil, 0L)
-    else prev
   }
 
   /** Candidate-pair stream over a streaming (doc_id, text) frame. */
@@ -129,10 +142,14 @@ object StreamingNearDup {
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val nowMs = System.currentTimeMillis()
-          val (st, out, _) =
-            stepBucket(key._1, survivingState(state, stateTtlMs, nowMs), rows.toSeq, maxBucket)
-          state.update(st.copy(lastMs = nowMs))
+          // BATCH processing time, not the wall clock: recorded with the
+          // batch, so a replayed trigger expires the same members and
+          // emits the identical pair set
+          val nowMs = state.getCurrentProcessingTimeMs()
+          val (st, out, _) = stepBucket(key._1,
+            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)),
+            rows.toSeq, maxBucket, nowMs, stateTtlMs)
+          state.update(st)
           out.iterator
         })
   }
@@ -150,10 +167,11 @@ object StreamingNearDup {
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val nowMs = System.currentTimeMillis()
-          val (st, _, refused) =
-            stepBucket(key._1, survivingState(state, stateTtlMs, nowMs), rows.toSeq, maxBucket)
-          state.update(st.copy(lastMs = nowMs))
+          val nowMs = state.getCurrentProcessingTimeMs()
+          val (st, _, refused) = stepBucket(key._1,
+            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)),
+            rows.toSeq, maxBucket, nowMs, stateTtlMs)
+          state.update(st)
           if (refused > 0) Iterator.single((key._1, key._2, refused)) else Iterator.empty
         })
   }

@@ -241,11 +241,16 @@ object LoadHarness {
       r
     }
     val sec = (System.nanoTime() - t0) / 1e9
+    // the drain gate: a server absorbing bursts into a growing queue shows
+    // compounding p99 cycle over cycle — the LAST cycle must stay within
+    // 5x the first (plus a 100 ms floor against short-cycle noise)
+    val drained = phases.size < 2 ||
+      phases.last.p99Ms <= phases.head.p99Ms * 5 + 100
     Result("burst", sec, phases.map(_.requests).sum, phases.map(_.events).sum,
            phases.map(_.errors).sum, phases.map(_.rejected503).sum,
            phases.map(_.p50Ms).max, phases.map(_.p99Ms).max,
-           ok = phases.map(_.errors).sum == 0,
-           note = f"cycles=$cycles on/off=${phaseSec}s/${phaseSec}s worst_cycle_p99=${phases.map(_.p99Ms).max}%.2f",
+           ok = phases.map(_.errors).sum == 0 && drained,
+           note = f"cycles=$cycles on/off=${phaseSec}s/${phaseSec}s worst_cycle_p99=${phases.map(_.p99Ms).max}%.2f drained=$drained",
            minMs = phases.map(_.minMs).min)
   }
 

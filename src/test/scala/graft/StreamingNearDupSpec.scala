@@ -130,6 +130,23 @@ class StreamingNearDupSpec extends AnyFunSuite {
       "a duplicate beyond the TTL horizon must NOT pair (state expired)")
   }
 
+  test("stepBucket TTL: members expire individually by age even under steady bucket traffic") {
+    import graft.llm.StreamingNearDup.{BandRow, BucketState, stepBucket}
+    val sig = Seq.fill(graft.llm.LlmQueries.MinHashK)("x")
+    val ttl = Some(100L)
+    // t=0: A arrives. t=60: B arrives (bucket traffic keeps flowing).
+    // t=150: C arrives — A (age 150) is past the horizon and must be gone
+    // even though the BUCKET was active at t=60; B (age 90) still pairs.
+    val (s1, o1, _) = stepBucket(0, BucketState(Nil, Nil, 0L), Seq(BandRow(0, "h", 1L, sig)), 10, 0L, ttl)
+    assert(o1.isEmpty && s1.ids === List(1L))
+    val (s2, o2, _) = stepBucket(0, s1, Seq(BandRow(0, "h", 2L, sig)), 10, 60L, ttl)
+    assert(o2.map(p => (p.doc_a, p.doc_b)) === Seq((1L, 2L)))
+    val (s3, o3, _) = stepBucket(0, s2, Seq(BandRow(0, "h", 3L, sig)), 10, 150L, ttl)
+    assert(o3.map(p => (p.doc_a, p.doc_b)) === Seq((2L, 3L)),
+      "the expired member must not pair; the in-horizon member must")
+    assert(s3.ids.toSet === Set(2L, 3L), "expiry frees the old member's slot")
+  }
+
   test("stepBucket properties: conservation, cap, exactly-once, order-independence across splits") {
     import graft.llm.StreamingNearDup.{BandRow, BucketState, stepBucket}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
