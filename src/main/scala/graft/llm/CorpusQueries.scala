@@ -88,6 +88,14 @@ object CorpusQueries {
   private[llm] val sampleBucket = "((doc_id % 1000003) * 2654435761 + 999) % 1000"
   val SampleRatePermille = 200L
 
+  /** t11: linear-counting bitmap width. The estimate quality knob: a
+    * register file of m bits per (source) — fixed size however large the
+    * corpus grows, which is the whole point of the sketch. */
+  val LinearCountBits = 4096L
+
+  /** t12: resample-membership bucket (seed 555 — independent of t10's). */
+  private[llm] val resampleBucket = "((doc_id % 1000003) * 2654435761 + 555) % 1000"
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -308,6 +316,53 @@ object CorpusQueries {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
           coalesce(sum(when(col("sampled"), col("doc_id"))), lit(0L)).as("sum_sampled_doc_id"),
           coalesce(sum(when(col("sampled"), col("n_chars"))), lit(0L)).cast("long").as("sum_sampled_chars"))
+    },
+
+    "t11_linear_counting" -> { (s, dir) =>
+      // Cardinality sketching with EXACT cross-engine parity: hash every
+      // word into a fixed m-bit register file per source and count the
+      // occupied bits — linear counting's observable, all integers (the
+      // -m·ln(1 - occupied/m) estimate is a driver-side float the oracle
+      // can't hash-compare; occupancy is the sketch). The scale shape:
+      // after the distinct, each source carries AT MOST m rows however
+      // big its vocabulary — the fixed-size-register property that lets a
+      // 100 TB corpus profile in one bounded shuffle. The exact distinct
+      // rides along as the accuracy reference (a production run drops it
+      // — it is the unbounded thing the sketch replaces).
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      docs(s, dir)
+        .select(col("source"), explode(expr(LlmQueries.wordsExpr)).as("w"))
+        .groupBy("source")
+        .agg(
+          countDistinct(expr(s"graft_fnv32(w) % $LinearCountBits")).as("occupied_bits"),
+          countDistinct(col("w")).as("exact_distinct"))
+        .withColumn("m_bits", lit(LinearCountBits))
+    },
+
+    "t12_mixture_resample" -> { (s, dir) =>
+      // t8 × t10 composed: resample every source at ITS OWN mixture
+      // weight (uniform-token target, integer permille, capped at keep-
+      // all) — the rebalancing pass a training pipeline runs after
+      // profiling. The weight table is sources-sized and broadcast; the
+      // corpus side stays map-local until the audit agg.
+      val perSource = docs(s, dir)
+        .select(col("source"), expr(tokensExpr).as("tokens"))
+        .groupBy("source").agg(sum(col("tokens")).as("src_tokens"))
+      val total = perSource.agg(
+        sum(col("src_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
+      val weights = perSource.crossJoin(broadcast(total))
+        .select(col("source"),
+          least(expr("(1000 * total_tokens) div (n_sources * src_tokens)"), lit(1000L)).as("keep_permille"))
+      docs(s, dir)
+        .withColumn("b", expr(resampleBucket))
+        .join(broadcast(weights), "source")
+        .withColumn("kept", col("b") < col("keep_permille"))
+        .groupBy("source")
+        .agg(
+          first(col("keep_permille")).as("keep_permille"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_doc_id"))
     }
   )
 
@@ -458,6 +513,32 @@ object CorpusQueries {
          |  COALESCE(SUM(CASE WHEN b < $SampleRatePermille THEN doc_id END), 0)::BIGINT AS sum_sampled_doc_id,
          |  COALESCE(SUM(CASE WHEN b < $SampleRatePermille THEN n_chars END), 0)::BIGINT AS sum_sampled_chars
          |FROM (SELECT source, doc_id, n_chars, $sampleBucket AS b FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "t11_linear_counting" ->
+      s"""SELECT source,
+         |  count(DISTINCT ${LlmQueries.fnv32Expr("w")} % $LinearCountBits) AS occupied_bits,
+         |  count(DISTINCT w) AS exact_distinct,
+         |  $LinearCountBits::BIGINT AS m_bits
+         |FROM (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS w
+         |      FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "t12_mixture_resample" ->
+      s"""WITH per_source AS (
+         |  SELECT source,
+         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per_source
+         |), w AS (
+         |  SELECT source,
+         |    CAST(least((1000 * total_tokens) // (n_sources * src_tokens), 1000) AS BIGINT) AS keep_permille
+         |  FROM per_source CROSS JOIN t
+         |)
+         |SELECT d.source, any_value(w.keep_permille) AS keep_permille, count(*) AS n_docs,
+         |  COALESCE(SUM(CASE WHEN d.b < w.keep_permille THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+         |  COALESCE(SUM(CASE WHEN d.b < w.keep_permille THEN d.doc_id END), 0)::BIGINT AS sum_kept_doc_id
+         |FROM (SELECT source, doc_id, $resampleBucket AS b FROM documents) d
+         |JOIN w USING (source)
          |GROUP BY 1""".stripMargin
   )
 }

@@ -146,6 +146,39 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach { case (src, _, ns) => assert(again(src) === ns) }
   }
 
+  test("t11 linear counting: occupancy bounds hold and the estimate tracks the exact count") {
+    val rows = CorpusQueries.queries("t11_linear_counting")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("occupied_bits"),
+                 r.getAs[Long]("exact_distinct"), r.getAs[Long]("m_bits")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, occ, exact, m) =>
+      assert(occ <= exact && occ <= m, s"$src: occupancy can never exceed distinct or m")
+      assert(occ > 0 == exact > 0)
+      // linear counting estimate: -m ln(1 - occ/m) — at this occupancy the
+      // estimate must track the truth closely (collisions are rare)
+      if (exact > 0 && occ < m) {
+        val est = -m * math.log1p(-occ.toDouble / m)
+        assert(math.abs(est - exact) <= math.max(2.0, exact * 0.15),
+          s"$src: estimate $est vs exact $exact")
+      }
+    }
+  }
+
+  test("t12 mixture resample: under-represented sources keep everything, over-represented are thinned") {
+    val rows = CorpusQueries.queries("t12_mixture_resample")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("keep_permille"),
+                 r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, keep, n, kept) =>
+      assert(kept <= n)
+      assert(keep >= 0 && keep <= 1000)
+      if (keep == 1000L) assert(kept === n, s"$src: keep-all weight must keep all docs")
+    }
+    // the uniform-token target must thin at least one source iff sources
+    // differ in token mass (they do in the fixture corpus)
+    assert(rows.exists(_._2 < 1000L), "some source must be over-represented")
+  }
+
   test("JSONL streaming ingest: files are picked up incrementally, exactly once") {
     import java.nio.file.{Files => NF, Paths, StandardCopyOption}
     val jsonlDir = NF.createTempDirectory("graft-jsonl-stream-src-")
