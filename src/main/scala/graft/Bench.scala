@@ -392,16 +392,19 @@ object Bench {
   private def gateway(spark: SparkSession, enabled: Boolean): (String, String) = {
     if (!enabled || sys.env.get("SPARK_GRAFT_BENCH_GATEWAY").contains("0")) return ("null", "null")
     try {
+      // bp is constructed AND started inside the try: gw's constructor
+      // already holds a WAL handle, so any later failure (bp temp dir,
+      // bp constructor, either bind) must still reach gw.stop()
       val dir = java.nio.file.Files.createTempDirectory("graft-benchgw-").toString
       val gw  = new serve.GatewayServer(spark, dir)
-      // backpressure needs a SATURABLE gateway: production admission
-      // budgets can't be overloaded from one machine, so it gets its own
-      // small-budget server (same shape as LoadHarness standalone mode)
-      val bpDir = java.nio.file.Files.createTempDirectory("graft-benchgwbp-").toString
-      val bp  = new serve.GatewayServer(spark, bpDir, maxInflight = 8,
-                                        maxInflightBytes = 256 * 1024, walEnabled = false)
-      // starts INSIDE the try: a bp bind failure must still stop gw
+      var bp: serve.GatewayServer = null
       try {
+        // backpressure needs a SATURABLE gateway: production admission
+        // budgets can't be overloaded from one machine, so it gets its
+        // own small-budget server (same as LoadHarness standalone mode)
+        val bpDir = java.nio.file.Files.createTempDirectory("graft-benchgwbp-").toString
+        bp = new serve.GatewayServer(spark, bpDir, maxInflight = 8,
+                                     maxInflightBytes = 256 * 1024, walEnabled = false)
         val base   = s"http://127.0.0.1:${gw.start()}"
         val bpBase = s"http://127.0.0.1:${bp.start()}"
         // the reference's full no-S3 L5 grid (9 scenarios), short per-round
@@ -428,7 +431,7 @@ object Bench {
           f""""burst_p99":${bu.p99Ms}%.2f,"skew_ev_s":${sk.evPerSec},""" +
           f""""soak_ok":${so.ok},"bp_ok":${bpr.ok},"n":${all.size}}"""
         (full, compact)
-      } finally { try gw.stop() finally bp.stop() }
+      } finally { try gw.stop() finally if (bp != null) bp.stop() }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft-bench] gateway scenarios failed: $e")

@@ -96,6 +96,47 @@ object CorpusQueries {
   /** t12: resample-membership bucket (seed 555 — independent of t10's). */
   private[llm] val resampleBucket = "((doc_id % 1000003) * 2654435761 + 555) % 1000"
 
+  /** t8/t12 shared: per-source mixture weights toward a uniform-token
+    * target. weight_permille = 1000·total div (n_sources·src_tokens):
+    * sampling at that rate per source yields a uniform token mixture. The
+    * corpus total is ONE row — broadcast, never a shuffle of the fact
+    * side. `greatest(…, 1)` guards the divisions: a source whose text has
+    * no [a-z0-9] tokens (CJK-only, punctuation-only) has src_tokens = 0,
+    * and Spark's default ANSI mode turns that into a DIVIDE_BY_ZERO crash
+    * while DuckDB's `// 0` yields NULL — the guard pins BOTH engines to
+    * the same convention (a token-less source gets the max weight and
+    * contributes nothing to shares). ONE definition for the Spark frame,
+    * with [[mixtureWeightCtes]] its oracle twin, so t8 and t12 can't
+    * drift. */
+  private def mixtureWeightFrame(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .select(col("source"), expr(tokensExpr).as("tokens"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("src_tokens"))
+    val total = perSource.agg(
+      sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(total))
+      .select(
+        col("source"), col("n_docs"), col("src_tokens"),
+        expr("(1000 * src_tokens) div greatest(total_tokens, 1)").as("share_permille"),
+        expr("(1000 * total_tokens) div (n_sources * greatest(src_tokens, 1))").as("weight_permille"))
+  }
+
+  /** DuckDB twin of [[mixtureWeightFrame]]: per_source / t / w CTEs. */
+  private def mixtureWeightCtes: String =
+    s"""per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per_source
+       |), w AS (
+       |  SELECT source, n_docs, src_tokens,
+       |    CAST((1000 * src_tokens) // greatest(total_tokens, 1) AS BIGINT) AS share_permille,
+       |    CAST((1000 * total_tokens) // (n_sources * greatest(src_tokens, 1)) AS BIGINT) AS weight_permille
+       |  FROM per_source CROSS JOIN t
+       |)""".stripMargin
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -265,20 +306,9 @@ object CorpusQueries {
     },
 
     "t8_mixture_weights" -> { (s, dir) =>
-      // weight_permille = 1000·total div (n_sources·src_tokens): sampling
-      // at that rate per source yields a uniform token mixture. The corpus
-      // total is ONE row — broadcast, never a shuffle of the fact side.
-      val perSource = docs(s, dir)
-        .select(col("source"), expr(tokensExpr).as("tokens"))
-        .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("src_tokens"))
-      val total = perSource.agg(
-        sum(col("src_tokens")).as("total_tokens"),
-        count(lit(1)).as("n_sources"))
-      perSource.crossJoin(broadcast(total))
-        .select(
-          col("source"), col("n_docs"), col("src_tokens"),
-          expr("(1000 * src_tokens) div total_tokens").as("share_permille"),
-          expr("(1000 * total_tokens) div (n_sources * src_tokens)").as("weight_permille"))
+      mixtureWeightFrame(s, dir)
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+                col("share_permille"), col("weight_permille"))
     },
 
     "t9_epoch_shuffle" -> { (s, dir) =>
@@ -345,14 +375,8 @@ object CorpusQueries {
       // all) — the rebalancing pass a training pipeline runs after
       // profiling. The weight table is sources-sized and broadcast; the
       // corpus side stays map-local until the audit agg.
-      val perSource = docs(s, dir)
-        .select(col("source"), expr(tokensExpr).as("tokens"))
-        .groupBy("source").agg(sum(col("tokens")).as("src_tokens"))
-      val total = perSource.agg(
-        sum(col("src_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
-      val weights = perSource.crossJoin(broadcast(total))
-        .select(col("source"),
-          least(expr("(1000 * total_tokens) div (n_sources * src_tokens)"), lit(1000L)).as("keep_permille"))
+      val weights = mixtureWeightFrame(s, dir)
+        .select(col("source"), least(col("weight_permille"), lit(1000L)).as("keep_permille"))
       docs(s, dir)
         .withColumn("b", expr(resampleBucket))
         .join(broadcast(weights), "source")
@@ -492,17 +516,8 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN rep_permille >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitious
         |FROM r GROUP BY 1""".stripMargin,
     "t8_mixture_weights" ->
-      s"""WITH per_source AS (
-         |  SELECT source, count(*) AS n_docs,
-         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS src_tokens
-         |  FROM documents GROUP BY 1
-         |), t AS (
-         |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per_source
-         |)
-         |SELECT source, n_docs, src_tokens,
-         |  CAST((1000 * src_tokens) // total_tokens AS BIGINT) AS share_permille,
-         |  CAST((1000 * total_tokens) // (n_sources * src_tokens) AS BIGINT) AS weight_permille
-         |FROM per_source CROSS JOIN t""".stripMargin,
+      s"""WITH $mixtureWeightCtes
+         |SELECT source, n_docs, src_tokens, share_permille, weight_permille FROM w""".stripMargin,
     "t9_epoch_shuffle" ->
       s"""SELECT doc_id, shuffle_key,
          |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
@@ -523,22 +538,14 @@ object CorpusQueries {
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
     "t12_mixture_resample" ->
-      s"""WITH per_source AS (
-         |  SELECT source,
-         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS src_tokens
-         |  FROM documents GROUP BY 1
-         |), t AS (
-         |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens, count(*) AS n_sources FROM per_source
-         |), w AS (
-         |  SELECT source,
-         |    CAST(least((1000 * total_tokens) // (n_sources * src_tokens), 1000) AS BIGINT) AS keep_permille
-         |  FROM per_source CROSS JOIN t
+      s"""WITH $mixtureWeightCtes, k AS (
+         |  SELECT source, CAST(least(weight_permille, 1000) AS BIGINT) AS keep_permille FROM w
          |)
-         |SELECT d.source, any_value(w.keep_permille) AS keep_permille, count(*) AS n_docs,
-         |  COALESCE(SUM(CASE WHEN d.b < w.keep_permille THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
-         |  COALESCE(SUM(CASE WHEN d.b < w.keep_permille THEN d.doc_id END), 0)::BIGINT AS sum_kept_doc_id
+         |SELECT d.source, any_value(k.keep_permille) AS keep_permille, count(*) AS n_docs,
+         |  COALESCE(SUM(CASE WHEN d.b < k.keep_permille THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+         |  COALESCE(SUM(CASE WHEN d.b < k.keep_permille THEN d.doc_id END), 0)::BIGINT AS sum_kept_doc_id
          |FROM (SELECT source, doc_id, $resampleBucket AS b FROM documents) d
-         |JOIN w USING (source)
+         |JOIN k USING (source)
          |GROUP BY 1""".stripMargin
   )
 }

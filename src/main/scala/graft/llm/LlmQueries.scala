@@ -414,6 +414,14 @@ object LlmQueries {
     clusterCache.remove(s, dir)
     ivfCache.remove(s, dir)
     sqCache.remove(s, dir)
+    // d12's sink is dir-keyed (session-independent files): drop the entry
+    // and its parquet so a reused dir path recomputes instead of serving
+    // a stale pre-change pair set
+    streamDupSink.synchronized {
+      streamDupSinkCache.remove(dir).foreach(sink =>
+        try graft.core.FsUtil.deleteRecursively(sink)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
   }
 
   /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
@@ -554,6 +562,8 @@ object LlmQueries {
           docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
           val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
           val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
+          // batch drivers exit without evicting — sweep on JVM shutdown
+          Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
           val src = s.readStream.schema(docs(s, dir).schema)
             .option("maxFilesPerTrigger", 1).parquet(staging)
           val q = StreamingNearDup.pairs(src, maxBucket = Int.MaxValue).toDF().writeStream

@@ -132,6 +132,23 @@ object StreamingNearDup {
     (st, out.toSeq, refused)
   }
 
+  /** The single stateful transition both streams run: resolve the batch
+    * processing time (NOT the wall clock — the batch timestamp is
+    * recorded with the batch, so a replayed trigger expires the same
+    * members and emits the identical output), step the bucket, persist
+    * the new state, and hand back (emitted pairs, refused count) for the
+    * caller to project. One body so the two query shapes cannot drift. */
+  private def stepGroup(key: (Int, String), rows: Iterator[BandRow],
+                        state: GroupState[BucketState], maxBucket: Int,
+                        stateTtlMs: Option[Long]): (Seq[CandidatePair], Long) = {
+    val nowMs = state.getCurrentProcessingTimeMs()
+    val (st, out, refused) = stepBucket(key._1,
+      state.getOption.getOrElse(BucketState(Nil, Nil, 0L)),
+      rows.toSeq, maxBucket, nowMs, stateTtlMs)
+    state.update(st)
+    (out, refused)
+  }
+
   /** Candidate-pair stream over a streaming (doc_id, text) frame. */
   def pairs(docsStream: DataFrame,
             maxBucket: Int = LlmQueries.BandMaxBucket,
@@ -141,17 +158,8 @@ object StreamingNearDup {
     bandRowsOf(docsStream)
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          // BATCH processing time, not the wall clock: recorded with the
-          // batch, so a replayed trigger expires the same members and
-          // emits the identical pair set
-          val nowMs = state.getCurrentProcessingTimeMs()
-          val (st, out, _) = stepBucket(key._1,
-            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)),
-            rows.toSeq, maxBucket, nowMs, stateTtlMs)
-          state.update(st)
-          out.iterator
-        })
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          stepGroup(key, rows, state, maxBucket, stateTtlMs)._1.iterator)
   }
 
   /** Overflow audit over the same state: buckets report how many arrivals
@@ -167,11 +175,7 @@ object StreamingNearDup {
       .groupByKey(r => (r.band, r.band_hash))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
-          val nowMs = state.getCurrentProcessingTimeMs()
-          val (st, _, refused) = stepBucket(key._1,
-            state.getOption.getOrElse(BucketState(Nil, Nil, 0L)),
-            rows.toSeq, maxBucket, nowMs, stateTtlMs)
-          state.update(st)
+          val refused = stepGroup(key, rows, state, maxBucket, stateTtlMs)._2
           if (refused > 0) Iterator.single((key._1, key._2, refused)) else Iterator.empty
         })
   }
