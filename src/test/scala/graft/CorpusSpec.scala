@@ -179,6 +179,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.exists(_._2 < 1000L), "some source must be over-represented")
   }
 
+  test("t8/t12 survive a zero-token source (ANSI divide-by-zero guard)") {
+    // a source whose text has no [a-z0-9] tokens: src_tokens = 0 — the
+    // division guard must yield max weight / keep-all instead of the
+    // DIVIDE_BY_ZERO Spark's default ANSI mode would raise
+    val d = java.nio.file.Files.createTempDirectory("graft-zerotok-").toString
+    import spark.implicits._
+    Seq(
+      (0L, "normal english words here", "en", "texty", 24L),
+      (1L, "。。。 ！！！ ？？？", "ja", "punct_only", 12L),
+      (2L, "more english words arrive", "en", "texty", 25L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val w = CorpusQueries.queries("t8_mixture_weights")(spark, d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight_permille")).toMap
+    assert(w.contains("punct_only"), "the token-less source must still be reported")
+    assert(w("punct_only") > w("texty"), "a token-less source gets the max weight")
+    val rs = CorpusQueries.queries("t12_mixture_resample")(spark, d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("keep_permille"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))).toMap
+    val (k, n, kept) = rs("punct_only")
+    assert(k === 1000L && kept === n, "token-less source resamples at keep-all")
+  }
+
   test("JSONL streaming ingest: files are picked up incrementally, exactly once") {
     import java.nio.file.{Files => NF, Paths, StandardCopyOption}
     val jsonlDir = NF.createTempDirectory("graft-jsonl-stream-src-")

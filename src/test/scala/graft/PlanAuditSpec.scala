@@ -59,6 +59,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
+    val p = plan("t12_mixture_resample")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the sources-sized weight table must broadcast to the corpus side")
+  }
+
   test("d9_decontaminate: the eval vocabulary is the broadcast side of the overlap join") {
     val p = plan("d9_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
