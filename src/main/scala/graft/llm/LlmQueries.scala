@@ -716,6 +716,20 @@ object LlmQueries {
         )
     },
 
+    // ---------- retrieval: ANN hits joined back to the document store ----------
+    "r1_rag_retrieve" -> { (s, dir) =>
+      // The RAG-shaped read: top-k in embedding space, then the hit list
+      // joined back to the corpus for the documents themselves. The hit
+      // list is queries×k rows — IT broadcasts; the document store is the
+      // fact side and never shuffles for the join (at 100 TB the corpus
+      // lookup is a broadcast-hash probe per scan partition, exactly like
+      // d9's eval vocabulary).
+      val hits = queries("ann_topk_brute")(s, dir)
+      docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("source"), col("n_chars"))
+    },
+
     // ---------- ANN: exact brute-force top-k (broadcast query set) ----------
     "ann_topk_brute" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -1409,6 +1423,10 @@ object LlmQueries {
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,
       "ann_topk_brute" -> bruteSql,
+      "r1_rag_retrieve" ->
+        s"""WITH hits AS ($bruteSql)
+           |SELECT h.q_id, h.rank, h.neighbor_id, d.source, d.n_chars
+           |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin,
       "ann_lsh_nn"     -> lshSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
