@@ -327,6 +327,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_simhash_bands"),
       new ExpressionInfo("graft.functions", "graft_simhash_bands"),
       (exprs: Seq[Expression]) => SimHashBands(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo("graft.functions", "graft_topk"),
+      (exprs: Seq[Expression]) => GraftFunctions.topkBuilder(exprs)))
   }
 }
 
@@ -348,6 +351,15 @@ object GraftFunctions {
       register(spark, "graft_fnv32", exprs => Fnv32(exprs.head))
       register(spark, "graft_simhash16", exprs => SimHash16(exprs.head))
       register(spark, "graft_simhash_bands", exprs => SimHashBands(exprs.head))
+      register(spark, "graft_topk", topkBuilder)
     }
+  }
+
+  /** `graft_topk(score, id, payload, k)` with k a foldable int literal. */
+  private[functions] def topkBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4, s"graft_topk(score, id, payload, k), got ${exprs.length} args")
+    require(exprs(3).foldable, "graft_topk's k must be a literal")
+    TopKByScore(exprs(0), exprs(1), exprs(2),
+      exprs(3).eval().asInstanceOf[Number].intValue())
   }
 }

@@ -317,6 +317,25 @@ object LlmQueries {
       })
     }
 
+  /** The shared two-phase distributed top-k for the ANN family: a scored
+    * frame with columns (q_id, sim, vec_id) folds through the bounded
+    * [[graft.functions.TopKByScore]] aggregate. The map side combines down
+    * to k entries per (task, q_id) BEFORE the exchange, so the shuffle onto
+    * `q_id` carries at most tasks × queries × k tiny triples — never the
+    * scored corpus. `posexplode` of the best-first survivor array
+    * reproduces the old `row_number` ranks exactly (same score-desc,
+    * id-asc ordering), so every oracle row is unchanged.
+    *
+    * `payload` rides one long of per-candidate context through the
+    * aggregation (the IVF queries carry the neighbor's cell id). */
+  private def topkPerQuery(scored: DataFrame, k: Int,
+                           payload: org.apache.spark.sql.Column = lit(0L)): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.column(col("sim"), col("vec_id"), payload, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("t.id").as("neighbor_id"), col("t.payload").as("payload"))
+
   private def buildSignatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(docs(s, dir))
 
@@ -737,19 +756,16 @@ object LlmQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       // Broadcast the (tiny) query set against the (huge) corpus: each
       // corpus partition scores locally; the only shuffle is the final
-      // per-query top-k (TakeOrdered shape) — the legitimate 100 TB
-      // brute-force plan, not an all-pairs crossJoin.
+      // per-query top-k, folded through the bounded partial aggregate
+      // (TakeOrdered shape) — the legitimate 100 TB brute-force plan:
+      // no all-pairs crossJoin, and no full-corpus window on q_id.
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn(
           "sim",
           expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))")
         )
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"))
+      topkPerQuery(scored, TopK).select("q_id", "rank", "neighbor_id")
     },
 
     // ---------- ANN: random-hyperplane LSH buckets, bucket-local NN ----------
@@ -828,14 +844,17 @@ object LlmQueries {
       val (_, assigned) = ivfIndex(s, dir)
       val q = assigned.filter(col("vec_id") < 4)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("centroid_id"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      assigned.join(q, "centroid_id")
+      // cell-local scoring, then the bounded two-phase top-k (the cell scan
+      // is N/centroids rows per query — a window on q_id over it would
+      // shuffle all of that onto |queries| tasks; the aggregate keeps the
+      // exchange at tasks × queries × k rows). The matched cell id rides
+      // the payload slot.
+      val scored = assigned.join(broadcast(q), "centroid_id")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"))
+      topkPerQuery(scored, 3, col("centroid_id").cast("long"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+                col("payload").as("centroid_id"))
     },
 
     // ---------- ANN: IVF — multi-probe (probe=2) ----------
@@ -854,14 +873,15 @@ object LlmQueries {
         .withColumn("pn", row_number().over(wProbe))
         .filter(col("pn") <= IvfProbes)
         .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      assigned.join(probes, "centroid_id")
+      // probed-cell scoring folded through the bounded top-k aggregate; the
+      // cell a neighbor was found in rides the payload slot (it is NOT a
+      // function of q_id here — a query probes two cells).
+      val scored = assigned.join(broadcast(probes), "centroid_id")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"), col("centroid_id").cast("long").as("centroid_id"))
+      topkPerQuery(scored, 3, col("centroid_id").cast("long"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+                col("payload").as("centroid_id"))
     },
 
     // ---------- ANN: int8 scalar quantization + exact re-rank ----------
@@ -882,21 +902,25 @@ object LlmQueries {
       val (mm, codes) = sqIndex(s, dir)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val wCand = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("vec_id"))
       val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       // de-quantize ON TOP of the 1-byte scan: (stored + 128) recovers the
-      // 0..255 cell, midpoint arithmetic bit-identical to coding from v
-      val cands = codes.crossJoin(broadcast(mm)).crossJoin(broadcast(q))
+      // 0..255 cell, midpoint arithmetic bit-identical to coding from v.
+      // The candidate cut is the bounded two-phase top-k aggregate — the
+      // codes scan never shuffles onto q_id; only ≤ tasks × queries ×
+      // SqCandidates partial survivors do. The wRank window below ranks
+      // the BOUNDED survivor set (queries × SqCandidates rows) — fine at
+      // any scale.
+      val scoredCodes = codes.crossJoin(broadcast(mm)).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("xhat", expr(
           """transform(code, (c, d) ->
             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
             |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
             |  END)""".stripMargin))
-        .withColumn("qsim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= SqCandidates)
-        .select(col("q_id"), col("qv"), col("vec_id"))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scoredCodes, SqCandidates)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        .join(broadcast(q), "q_id")
       e.join(broadcast(cands), "vec_id")
         .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
         .withColumn("rank", row_number().over(wRank))
@@ -926,9 +950,14 @@ object LlmQueries {
         .filter(col("pn") <= IvfProbes)
         .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
       val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val wCand = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("vec_id"))
       val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      val cands = codes.join(cells, "vec_id")
+      // probed-cell codes scoring folded through the bounded top-k
+      // aggregate (no q_id window over the codes scan); qv is re-attached
+      // to the bounded survivor set from the tiny query frame. The wRank
+      // window ranks queries × SqCandidates rows — bounded at any scale.
+      val qFrame = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scoredCodes = codes.join(cells, "vec_id")
         .join(broadcast(probes), "centroid_id")
         .filter(col("vec_id") =!= col("q_id"))
         .crossJoin(broadcast(mm))
@@ -937,10 +966,10 @@ object LlmQueries {
             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
             |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
             |  END)""".stripMargin))
-        .withColumn("qsim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("crank", row_number().over(wCand))
-        .filter(col("crank") <= SqCandidates)
-        .select(col("q_id"), col("qv"), col("vec_id"))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scoredCodes, SqCandidates)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        .join(broadcast(qFrame), "q_id")
       e.join(broadcast(cands), "vec_id")
         .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
         .withColumn("rank", row_number().over(wRank))

@@ -83,6 +83,41 @@ class GraftExpressionsSpec extends AnyFunSuite {
     new graft.functions.GraftSparkExtensions().apply(ext)
   }
 
+  test("graft_topk: bounded top-k aggregate matches the row_number window it replaces") {
+    GraftFunctions.ensureRegistered(spark)
+    // 10k scored rows over 5 groups, engineered score ties (score = id % 7)
+    // so the id-asc tiebreak is exercised, run at 8 partitions so partial
+    // buffers genuinely merge across tasks
+    val scored = spark.range(10000).repartition(8)
+      .selectExpr("id % 5 AS q_id", "cast(id % 7 as double) AS sim", "id AS vec_id")
+    val agg = scored.groupBy("q_id")
+      .agg(org.apache.spark.sql.functions.expr("graft_topk(sim, vec_id, 0L, 3)").as("top"))
+      .selectExpr("q_id", "posexplode(top) AS (pos, t)")
+      .selectExpr("q_id", "pos + 1 AS rank", "t.id AS vec_id", "t.score AS sim")
+    val win = scored.selectExpr("q_id", "sim", "vec_id",
+        "row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank")
+      .where("rank <= 3").select("q_id", "rank", "vec_id", "sim")
+    assert(agg.count() === 15)
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty,
+      "aggregate top-k must equal the window top-k exactly")
+    // groups smaller than k return all their rows, still best-first
+    val arr = spark.range(2).selectExpr("0L AS q_id", "cast(id as double) AS sim", "id AS vec_id")
+      .groupBy("q_id").agg(org.apache.spark.sql.functions.expr("graft_topk(sim, vec_id, 0L, 5)").as("top"))
+      .selectExpr("transform(top, t -> t.id) AS ids").head().getSeq[Long](0)
+    assert(arr === Seq(1L, 0L), "best-first: higher score first")
+  }
+
+  test("graft_topk: serialize/deserialize round-trips the bounded buffer") {
+    val b = new graft.functions.TopKByScore.Buffer(3)
+    Seq((0.9, 1L, 10L), (0.5, 2L, 20L), (0.9, 0L, 30L), (0.99, 7L, 70L), (0.1, 9L, 90L))
+      .foreach { case (s, i, p) => b.insert(s, i, p) }
+    val rt = graft.functions.TopKByScore.Buffer.fromBytes(3, b.toBytes)
+    val entries = rt.sortedBestFirst.toSeq
+    // kept the best 3 of 5; score desc, id-asc tiebreak between the 0.9s
+    assert(entries.map(e => (e.score, e.id, e.payload)) ===
+      Seq((0.99, 7L, 70L), (0.9, 0L, 30L), (0.9, 1L, 10L)))
+  }
+
   test("graft_dot handles length mismatch and nulls") {
     GraftFunctions.ensureRegistered(spark)
     val r = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")

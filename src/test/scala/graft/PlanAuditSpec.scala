@@ -77,6 +77,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "the tiny query set must broadcast; the corpus must never shuffle for it")
   }
 
+  test("ANN family: ranking is the bounded two-phase top-k aggregate, never a full-corpus q_id window") {
+    // The scale contract of the whole ANN family: the scored corpus folds
+    // through partial_graft_topk (map-side combine to <= k entries per
+    // (task, q_id)) BEFORE any exchange on q_id. A window doing the
+    // ranking instead would shuffle every scored row onto |queries| tasks.
+    Seq("ann_topk_brute", "ann_ivf_probe", "ann_ivf_probe2",
+        "ann_sq_topk", "ann_ivfsq_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_graft_topk"),
+        s"$q: the candidate cut must be the partial-aggregatable bounded top-k:\n${p.take(2000)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: graft_topk must plan as an ObjectHashAggregate")
+    }
+    // brute force needs NO window at all (ranks come from posexplode of the
+    // sorted survivor array); windows elsewhere may only rank bounded
+    // frames (probe selection over queries x centroids, the exact re-rank
+    // over queries x SqCandidates survivors) — never a corpus scan.
+    assert(!plan("ann_topk_brute").contains("Window ["),
+      "ann_topk_brute must not window at all")
+    assert(!plan("ann_ivf_probe").contains("Window ["),
+      "ann_ivf_probe must not window at all (its cell id is carried by the aggregate payload)")
+  }
+
   test("tpch_q3: dimension joins broadcast") {
     val p = plan("tpch_q3_shipping")
     assert(p.contains("BroadcastHashJoin"), "small dimension sides must broadcast")
