@@ -51,18 +51,27 @@ object LlmQueries {
     * on the FULL shingle sets of each surviving candidate pair. */
   val NgramMaxDf = 20
 
-  /** d2/d10: LSH band buckets larger than this are dropped from CANDIDATE
-    * GENERATION — the band-join twin of [[NgramMaxDf]]'s hot-posting cap.
+  /** d2/d10: LSH band buckets larger than this stop generating ALL-PAIRS
+    * candidates — the band-join twin of [[NgramMaxDf]]'s hot-posting cap.
     * Without it a single hot (band, value) bucket (mass-duplicated
     * boilerplate, near-empty docs hashing alike) makes the bucket-local
     * self-join quadratic IN THAT BUCKET: one 1M-doc bucket is 5·10^11
-    * pairs regardless of how healthy the other buckets are. Dropping the
-    * whole hot bucket (not sampling it) keeps the guard deterministic and
-    * oracle-reproducible; a pair lost this way still surfaces if it shares
-    * any NON-hot band (same recall argument as d4's cap). The cap bounds
-    * per-bucket work at C²/2 pairs, so the join is linear in bucket count.
-    * [[bandSkewAudit]] (`d11_band_skew_audit`) surfaces what was dropped —
-    * a silent cap would read as full coverage when it isn't. */
+    * pairs regardless of how healthy the other buckets are.
+    *
+    * Hot buckets are STAR-LINKED, not dropped: every member pairs with
+    * the bucket's hub (its minimum doc_id), |bucket|−1 pairs instead of
+    * |bucket|²/2 — linear, deterministic, oracle-reproducible. The verify
+    * step (exact Jaccard / hamming) then filters false positives as
+    * usual, and a genuinely near-identical mega-cluster still collapses:
+    * all its hub links pass verification, so connected components
+    * ([[dedupClusters]]) joins the whole cluster through the hub. (The
+    * old drop-the-bucket-whole guard made clusters LARGER than the cap —
+    * the most heavily duplicated content of all — invisible to near-dup
+    * entirely.) A cross-bucket near-dup pair that is hub-less in one hot
+    * band still surfaces through any NON-hot band it shares (d4's
+    * pigeonhole recall argument). [[bandSkewAudit]]
+    * (`d11_band_skew_audit`) surfaces how many rows were degraded from
+    * all-pairs to star links — the cap is never silent. */
   val BandMaxBucket = 256
 
   /** Deterministic multiply-add coefficients for the K minhash permutations
@@ -400,6 +409,56 @@ object LlmQueries {
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
   }
 
+  /** The d2/d10 candidate generator with the [[BandMaxBucket]] guard in
+    * star-link form. `bandRows` is (doc_id, key...); returns distinct
+    * (doc_a, doc_b) with doc_a < doc_b.
+    *
+    *  - bucket stats (size + hub = min doc_id) ride ONE
+    *    partial-aggregatable shuffle — map-side combine folds each task to
+    *    its distinct buckets, so the exchange carries bucket counts, not
+    *    rows (the round-10 window cap instead SORTED the full band frame
+    *    under a count window — measured 2-3× the whole query's cost);
+    *  - the hot set (> cap) is bounded by N/cap buckets and in practice
+    *    tiny — it broadcasts; the band frame never shuffles for the
+    *    anti-join/hub-join pair;
+    *  - cold buckets self-join all-pairs (≤ cap²/2 per bucket), hot
+    *    buckets emit |bucket|−1 hub links — both linear in bucket count;
+    *  - `carry` columns (small, doc-determined payloads like d10's 4-long
+    *    signature) ride through the joins as `<c>_a`/`<c>_b`, letting the
+    *    caller verify pairs WITHOUT joining back to the signature frame —
+    *    two fewer shuffles when the payload is small enough to carry.
+    */
+  private def bandPairs(bandRows: DataFrame, keys: Seq[String],
+                        carry: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
+    // hub id + its carry payloads travel as ONE struct column: both
+    // consumers of the tagged frame reference the same `hubinfo` column,
+    // so column pruning cannot specialize (and thereby duplicate) the
+    // broadcast build per branch
+    val hubStruct = struct(min("doc_id").as("hub") +:
+      carry.map(c => min_by(col(c), col("doc_id")).as(s"hub_$c")): _*)
+    val stats = bandRows.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bsz"), hubStruct.as("hubinfo"))
+    val hot = stats.filter(col("bsz") > BandMaxBucket).drop("bsz")
+    // ONE broadcast left join tags every band row with its bucket's hub
+    // (null ⇒ cold bucket): both downstream branches read the identical
+    // subtree, so the hot-set agg is built and broadcast exactly once
+    // (the second use is a ReusedExchange; an anti-join variant would
+    // column-prune the build side and defeat the reuse)
+    val tagged = bandRows.join(broadcast(hot), keys, "left")
+    val cold = tagged.filter(col("hubinfo").isNull)
+    val coldPairs = cold.as("a").join(cold.as("b"), keys)
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
+    val starPairs = tagged
+      .filter(col("hubinfo").isNotNull && col("doc_id") =!= col("hubinfo.hub"))
+      .select(col("hubinfo.hub").as("doc_a") +: col("doc_id").as("doc_b") +:
+        carry.flatMap(c => Seq(col(s"hubinfo.hub_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
+    // carry columns are functions of the doc ids, so dedup only on the pair
+    coldPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
+  }
+
   /** The LSH band rows of a minhash signature: one (band, band_hash) struct
     * per band, band_hash joining the band's rows with '|'. Shared by d2 and
     * the d11 audit so the two can't drift. */
@@ -449,18 +508,19 @@ object LlmQueries {
   private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
-    * count, hot buckets (> cap) and the rows those hot buckets drop from
-    * candidate generation. One partial-aggregatable shuffle per algorithm
-    * folded to a single row — a cheap side query a pipeline owner runs
-    * next to d2/d10 so the cap is never a silent truncation. */
+    * count, hot buckets (> cap) and the rows in them — rows whose
+    * candidate generation degraded from all-pairs to star links. One
+    * partial-aggregatable shuffle per algorithm folded to a single row —
+    * a cheap side query a pipeline owner runs next to d2/d10 so the cap
+    * is never a silent degradation. */
   private def bandSkewAudit(s: SparkSession, dir: String): DataFrame = {
     def auditOf(algo: String, bandDf: DataFrame, keys: Seq[String]): DataFrame =
       bandDf.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
         .agg(
           count(lit(1)).as("n_buckets"),
           coalesce(sum(when(col("sz") > BandMaxBucket, 1L).otherwise(0L)), lit(0L)).as("n_hot_buckets"),
-          coalesce(sum(when(col("sz") > BandMaxBucket, col("sz")).otherwise(lit(0L))), lit(0L)).as("n_dropped_rows"))
-        .select(lit(algo).as("algo"), col("n_buckets"), col("n_hot_buckets"), col("n_dropped_rows"))
+          coalesce(sum(when(col("sz") > BandMaxBucket, col("sz")).otherwise(lit(0L))), lit(0L)).as("n_capped_rows"))
+        .select(lit(algo).as("algo"), col("n_buckets"), col("n_hot_buckets"), col("n_capped_rows"))
     val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val mhBands = base.select(explode(expr(minhashBandsExpr)).as("bb"))
@@ -497,21 +557,11 @@ object LlmQueries {
       val bands = base.select(col("doc_id"), explode(expr(minhashBandsExpr)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
-      // Hot-bucket cap: the window partitions on the SAME key the join
-      // shuffles on, so the count rides the join's own exchange — the
-      // guard costs no extra shuffle.
-      val capped = bands
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-        .filter(col("bsz") <= BandMaxBucket)
-        .drop("bsz")
-
       // Candidate pairs exist ONLY inside (band, band_hash) buckets — the
-      // join is shuffle-local on the band hash, never all-pairs.
-      val pairs = capped.as("a")
-        .join(capped.as("b"), Seq("band", "band_hash"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // join is shuffle-local on the band hash, never all-pairs — with the
+      // [[BandMaxBucket]] hot-bucket guard in star-link form (see
+      // [[bandPairs]]): cold buckets all-pairs, hot buckets hub-linked.
+      val pairs = bandPairs(bands, Seq("band", "band_hash"))
 
       val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
       val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
@@ -534,23 +584,16 @@ object LlmQueries {
       // frame is memoized per (session, dir) so the self-join's two sides
       // read one persisted copy instead of re-hashing the corpus twice.
       val sigs = simhashSigs(s, dir)
-      val bandRows = sigs.select(col("doc_id"),
+      val bandRows = sigs.select(col("doc_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band", "band_val")))
-      // Same hot-bucket cap as d2 (see [[BandMaxBucket]]) — the window
-      // partitions on the join key, so the count reuses the join exchange.
-      val capped = bandRows
-        .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "band_val")))
-        .filter(col("bsz") <= BandMaxBucket)
-        .drop("bsz")
-      // Dedup candidate pairs BEFORE scoring: a pair sharing k bands would
-      // otherwise be xor/popcount'ed k times (≤4× wasted work).
-      val cand = capped.as("a").join(capped.as("b"), Seq("band", "band_val"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      // Same hot-bucket guard as d2 ([[bandPairs]]): cold buckets
+      // all-pairs, hot buckets star-linked to their hub. Pairs are
+      // deduped BEFORE scoring: a pair sharing k bands would otherwise
+      // be xor/popcount'ed k times (≤4× wasted work). The 4-long
+      // signature rides THROUGH the pair generation (carry) so the
+      // hamming verify needs no join back to the signature frame.
+      val cand = bandPairs(bandRows, Seq("band", "band_val"), carry = Seq("bands"))
       cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("bands").as("bands_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("bands").as("bands_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           expr("aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
             .cast("long").as("hamming"))
@@ -1054,11 +1097,18 @@ object LlmQueries {
          |)""".stripMargin
 
     val minhashSql =
-      s"""WITH $minhashCtes, bands_c AS (
-         |  SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY b, band_hash) <= $BandMaxBucket
+      s"""WITH $minhashCtes, bstats AS (
+         |  SELECT b, band_hash, count(*) AS bsz, min(doc_id) AS hub FROM bands GROUP BY 1, 2
+         |), bands_c AS (
+         |  SELECT bands.* FROM bands JOIN bstats USING (b, band_hash) WHERE bsz <= $BandMaxBucket
          |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM bands_c a JOIN bands_c c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |    FROM bands_c a JOIN bands_c c ON a.b = c.b AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+         |    UNION ALL
+         |    SELECT s.hub AS doc_a, bn.doc_id AS doc_b
+         |    FROM bands bn JOIN bstats s ON bn.b = s.b AND bn.band_hash = s.band_hash
+         |    WHERE s.bsz > $BandMaxBucket AND bn.doc_id != s.hub)
          |)
          |SELECT p.doc_a, p.doc_b,
          |       len(list_intersect(sa.shingle_set, sc.shingle_set)) AS inter_cnt,
@@ -1131,11 +1181,18 @@ object LlmQueries {
       * (mirroring the Spark plan exactly), then xor + per-bit popcount
       * hamming over the full 4-band signatures of each distinct pair. */
     val simhashDupSql =
-      s"""WITH $simhashBandCtes, sbr_c AS (
-         |  SELECT * FROM sbr QUALIFY count(*) OVER (PARTITION BY b, band_val) <= $BandMaxBucket
+      s"""WITH $simhashBandCtes, sstats AS (
+         |  SELECT b, band_val, count(*) AS bsz, min(doc_id) AS hub FROM sbr GROUP BY 1, 2
+         |), sbr_c AS (
+         |  SELECT sbr.* FROM sbr JOIN sstats USING (b, band_val) WHERE bsz <= $BandMaxBucket
          |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-         |  FROM sbr_c a JOIN sbr_c c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |    FROM sbr_c a JOIN sbr_c c ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+         |    UNION ALL
+         |    SELECT s.hub AS doc_a, sn.doc_id AS doc_b
+         |    FROM sbr sn JOIN sstats s ON sn.b = s.b AND sn.band_val = s.band_val
+         |    WHERE s.bsz > $BandMaxBucket AND sn.doc_id != s.hub)
          |)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b,
@@ -1165,12 +1222,12 @@ object LlmQueries {
          |sb AS (SELECT b, band_val, count(*) AS sz FROM sbr GROUP BY 1, 2)
          |SELECT 'minhash' AS algo, count(*)::BIGINT AS n_buckets,
          |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_buckets,
-         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_dropped_rows
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_capped_rows
          |FROM mh
          |UNION ALL
          |SELECT 'simhash' AS algo, count(*)::BIGINT AS n_buckets,
          |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_buckets,
-         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_dropped_rows
+         |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_capped_rows
          |FROM sb""".stripMargin
 
     val statsSql =

@@ -284,12 +284,14 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("d2/d10/d11: a planted hot band bucket is capped, not joined quadratically") {
+  test("d2/d10/d11: a planted hot band bucket is star-linked, not joined quadratically") {
     // 5000 identical docs land every one of their band values in the same
     // (band, value) buckets — uncapped, the self-join would generate
     // 5000²/2 ≈ 12.5M candidate pairs from boilerplate alone. The
-    // BandMaxBucket guard must drop those buckets whole while the healthy
-    // pairs (distinct texts, tiny buckets) still surface.
+    // BandMaxBucket guard must degrade those buckets to hub links (every
+    // member pairs ONLY with the bucket's min doc_id — 4999 pairs, linear)
+    // so the mega-cluster still collapses through the hub in d6, while the
+    // healthy pairs (distinct texts, tiny buckets) still surface all-pairs.
     val d = Files.createTempDirectory("graft-llm-skew-").toString
     val planted = (0L until 5000L).map(i =>
       (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do", "en", "boiler", 61L))
@@ -305,21 +307,26 @@ class LlmSpec extends AnyFunSuite {
     val d2 = LlmQueries.queries("d2_minhash_lsh")(spark, d).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     assert(d2.contains((9000001L, 9000002L)), "healthy small-bucket pair must survive the cap")
-    assert(!d2.exists(p => p._1 < 5000L || p._2 < 5000L),
-      "every planted doc's buckets are hot; none may reach candidate generation")
+    val d2Planted = d2.filter(p => p._1 < 5000L || p._2 < 5000L)
+    assert(d2Planted.forall(_._1 === 0L),
+      "hot-bucket candidates must all be hub links (doc 0 is the bucket min)")
+    assert(d2Planted.length === 4999,
+      s"star-linking emits exactly |bucket|-1 pairs, got ${d2Planted.length}")
 
     val d10 = LlmQueries.queries("d10_simhash_neardup")(spark, d).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
     assert(d10.contains((9000001L, 9000002L, 0L)))
-    assert(!d10.exists(p => p._1 < 5000L || p._2 < 5000L))
+    val d10Planted = d10.filter(p => p._1 < 5000L || p._2 < 5000L)
+    assert(d10Planted.forall(p => p._1 === 0L && p._3 === 0L))
+    assert(d10Planted.length === 4999)
 
     val audit = LlmQueries.queries("d11_band_skew_audit")(spark, d).collect()
       .map(r => r.getAs[String]("algo") ->
-        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_hot_buckets"), r.getAs[Long]("n_dropped_rows")))).toMap
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_hot_buckets"), r.getAs[Long]("n_capped_rows")))).toMap
     for (algo <- Seq("minhash", "simhash")) {
-      val (nb, hot, dropped) = audit(algo)
+      val (nb, hot, capped) = audit(algo)
       assert(hot >= 1L, s"$algo: the planted bucket must be reported hot")
-      assert(dropped >= 5000L, s"$algo: every planted row is dropped from candidates")
+      assert(capped >= 5000L, s"$algo: every planted row is star-capped")
       assert(nb > hot, s"$algo: healthy buckets must remain")
     }
   }
