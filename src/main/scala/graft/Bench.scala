@@ -85,10 +85,37 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // FAMILY-SCOPED CACHE EVICTION (adjudication of the round-10 tpch_q5/q7
+    // warm-median regression): the ANN/dedup index frames are persisted
+    // MEMORY_AND_DISK per (session, dir) and, without eviction, stay pinned
+    // through the rest of the sweep — storage-memory pressure that showed
+    // up as 2x+ medians on UNCHANGED tpch queries. Each cache is dropped
+    // right after its alphabetically-last consumer finishes its reps, so
+    // within-family reuse is untouched and later families run with the
+    // storage pool clean. SPARK_GRAFT_BENCH_EVICT=0 restores the
+    // hold-everything behavior (the A/B lever).
+    val evictEnabled = !sys.env.get("SPARK_GRAFT_BENCH_EVICT").contains("0")
+    val cacheLastConsumer: Seq[(Set[String], () => Unit)] = Seq(
+      (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
+           "d9_decontaminate", "d11_band_skew_audit", "t3_winnowing"),
+        () => llm.LlmQueries.evictSignatures(spark, sfDir)),
+      (Set("d10_simhash_neardup", "d11_band_skew_audit"),
+        () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
+      (Set("d6_dedup_clusters", "d7_curation_split"),
+        () => llm.LlmQueries.evictClusters(spark, sfDir)),
+      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfsq_topk"),
+        () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
+      (Set("ann_sq_topk", "ann_ivfsq_topk"),
+        () => llm.LlmQueries.evictSqIndex(spark, sfDir))
+    ).flatMap { case (consumers, hook) =>
+      names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
+    }
     val results = names.map { name =>
       val fn    = SparkEntry.queries(name)
       val first = timeOne(fn)
       val warm  = Seq.fill(reps)(timeOne(fn))
+      if (evictEnabled)
+        cacheLastConsumer.foreach { case (last, hook) => if (last.contains(name)) hook() }
       // min AND max: the per-query rep spread lets the next round tell
       // noise from regression without rerunning this one
       (name, first, median(warm), warm.min, warm.max)
@@ -293,15 +320,15 @@ object Bench {
     val annRecall = {
       if (only.nonEmpty) "null"
       else try {
-        def ranked(name: String): Map[Long, Map[Long, Long]] = // q -> neighbor -> rank
-          SparkEntry.queries(name)(spark, sfDir)
-            .select("q_id", "rank", "neighbor_id").collect()
+        def rankedDf(df: org.apache.spark.sql.DataFrame): Map[Long, Map[Long, Long]] = // q -> neighbor -> rank
+          df.select("q_id", "rank", "neighbor_id").collect()
             .groupBy(_.getLong(0))
             .map { case (q, rs) => q -> rs.map(r => r.getLong(2) -> r.getLong(1)).toMap }
+        def ranked(name: String): Map[Long, Map[Long, Long]] =
+          rankedDf(SparkEntry.queries(name)(spark, sfDir))
         val brute = ranked("ann_topk_brute")
         // recall@k: both sides cut to their top-k before intersecting
-        def recallOf(name: String, k: Int): Double = {
-          val got = ranked(name)
+        def recallAgainst(got: Map[Long, Map[Long, Long]], k: Int): Double = {
           val per = brute.toSeq.map { case (q, nr) =>
             val truth = nr.collect { case (n, r) if r <= k => n }.toSet
             val g = got.getOrElse(q, Map.empty).collect { case (n, r) if r <= k => n }.toSet
@@ -309,16 +336,30 @@ object Bench {
           }
           per.sum / math.max(1, per.size)
         }
+        def recallOf(name: String, k: Int): Double = recallAgainst(ranked(name), k)
         val ivf   = recallOf("ann_ivf_probe", 3)
         val ivf2  = recallOf("ann_ivf_probe2", 3)
         val sq    = recallOf("ann_sq_topk", llm.LlmQueries.TopK)
         val ivfsq = recallOf("ann_ivfsq_topk", llm.LlmQueries.TopK)
+        // recall-vs-probe curve 1..4: the lever a deployment tunes. Probe 1
+        // through the same parametric plan as probe 2+, so curve points are
+        // comparable (ann_ivf_probe's own-cell shortcut is plan-equivalent
+        // at nProbes=1 but measured separately above).
+        val curve = (1 to 4).map { p =>
+          p -> recallAgainst(rankedDf(llm.LlmQueries.ivfProbeAt(spark, sfDir, p)), 3)
+        }
+        val curveJson = curve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
         // probe1 vs probe2 is the recall/speed lever a deployment tunes —
         // record both so the tradeoff is visible round-over-round
-        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"ivfsq_topk":$ivfsq%.3f}"""
+        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson}"""
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"
+      } finally {
+        // the recall sweep rebuilt the ANN indexes the sweep evicted —
+        // drop them again so the micro/gateway phases run storage-clean
+        llm.LlmQueries.evictIvfIndex(spark, sfDir)
+        llm.LlmQueries.evictSqIndex(spark, sfDir)
       }
     }
     val microJson = micro()

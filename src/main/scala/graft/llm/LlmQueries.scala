@@ -90,9 +90,35 @@ object LlmQueries {
   // ---- ANN parameters ----
   val NumQueries   = 8   // query set: vec_id < 8
   val TopK         = 5
-  val Hyperplanes  = 6   // 2^6 = 64 LSH buckets
-  val NumCentroids = 8   // IVF cells
+  val Hyperplanes  = 6   // FLOOR of the derived plane count: ≥ 2^6 buckets
+  val NumCentroids = 8   // FLOOR of the derived IVF cell count
   val KMeansIters  = 2   // Lloyd updates from the first-N seeds
+
+  // Index sizing is DERIVED from the corpus, not hardcoded: a constant
+  // cell/bucket count means bucket-local candidate generation silently
+  // degrades to corpus-local as the data grows 100×. Both derivations use
+  // integer-or-IEEE-exact arithmetic so the DuckDB oracle lands on the
+  // same knob value from the same count(*).
+  val MaxCentroids       = 256  // training collect stays ≤ 256×64 rows
+  val MaxHyperplanes     = 16   // ≤ 65536 buckets
+  val LshTargetOccupancy = 32L  // expected vectors per LSH bucket
+
+  /** The FAISS √N rule, clamped to [[NumCentroids]]..[[MaxCentroids]]:
+    * IVF cell count from the indexed corpus size. floor(sqrt(n)) is
+    * bit-identical across engines — IEEE sqrt is correctly rounded. */
+  def centroidsFor(n: Long): Long =
+    math.min(MaxCentroids.toLong,
+      math.max(NumCentroids.toLong, math.floor(math.sqrt(n.toDouble)).toLong))
+
+  /** Occupancy rule with INTEGER semantics (no float log to disagree on):
+    * the smallest H in [[Hyperplanes]]..[[MaxHyperplanes]] with
+    * occupancy·2^H ≥ n, i.e. expected bucket size stays ≤
+    * [[LshTargetOccupancy]] as the corpus grows. */
+  def hyperplanesFor(n: Long): Int = {
+    var h = Hyperplanes
+    while (h < MaxHyperplanes && (LshTargetOccupancy << h) < n) h += 1
+    h
+  }
 
   /** Deterministic hyperplane component for (plane h, dim d): a dyadic
     * rational in [-0.5, 0.5) derived from md5("h:<h>:<d>") — exactly
@@ -122,6 +148,14 @@ object LlmQueries {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .repartition(col("vec_id"))
   }
+
+  /** Corpus size backing the derived index knobs ([[centroidsFor]],
+    * [[hyperplanesFor]]), memoized per (session, dir) — a count(*) over
+    * the parquet footers, metadata-priced at any scale. */
+  private val embCountCache = new graft.core.SessionMemo[Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.getOrElseUpdate(s, dir)(
+      s.read.parquet(s"$dir/embeddings.parquet").count())
 
   /** words: lowercase, whitespace-split, empties dropped. */
   /** Shared corpus tokenization — ONE definition for d2/d4/d9 shingles and
@@ -240,7 +274,8 @@ object LlmQueries {
     * integer sums (floor(x·2^20) per component), which are
     * order-independent, so Spark's shuffle order and the DuckDB oracle
     * produce bit-identical centroids and the whole query stays hash-gated.
-    * Per iteration the driver collects only k×dim sums (8×64 rows —
+    * Per iteration the driver collects only k×dim sums (k = √N cells via
+    * [[centroidsFor]], capped at [[MaxCentroids]] — ≤ 256×64 rows,
     * metadata-sized at any corpus scale); assignment is a broadcast(k
     * centroids) × corpus map, the standard distributed k-means shape, with
     * the argmax as a partial-aggregatable max_by over a UNIQUE
@@ -267,7 +302,10 @@ object LlmQueries {
             .select(col("vec_id"), col("best.v").as("v"), col("best.centroid_id").as("centroid_id"))
         }
 
-        var cents = e.filter(col("vec_id") < NumCentroids)
+        // √N cells ([[centroidsFor]]): the count also materializes the
+        // persisted frame before the training traversals
+        val nc = centroidsFor(e.count())
+        var cents = e.filter(col("vec_id") < nc)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
         (1 to KMeansIters).foreach { _ =>
           val sums = assign(cents)
@@ -344,6 +382,30 @@ object LlmQueries {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
               col("t.id").as("neighbor_id"), col("t.payload").as("payload"))
+
+  /** Parametric multi-probe IVF: the `ann_ivf_probe2` plan with `nProbes`
+    * cells searched per query. `ann_ivf_probe2` delegates here with
+    * [[IvfProbes]]; Bench sweeps probes 1..4 through it to record the
+    * recall-vs-probe curve — the recall/speed lever a deployment tunes has
+    * to be measured, not assumed. Probe selection is a broadcast(k cells)
+    * ranking per query; candidates stay cell-local at every probe count. */
+  private[graft] def ivfProbeAt(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, dir)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    val probes = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
+      .withColumn("pn", row_number().over(wProbe))
+      .filter(col("pn") <= nProbes)
+      .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
+    val scored = assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+    topkPerQuery(scored, 3, col("centroid_id").cast("long"))
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+              col("payload").as("centroid_id"))
+  }
 
   private def buildSignatures(s: SparkSession, dir: String): DataFrame =
     signaturesOf(docs(s, dir))
@@ -496,16 +558,52 @@ object LlmQueries {
     // and its parquet so a reused dir path recomputes instead of serving
     // a stale pre-change pair set
     streamDupSink.synchronized {
-      streamDupSinkCache.remove(dir).foreach(sink =>
-        try graft.core.FsUtil.deleteRecursively(sink)
-        catch { case scala.util.control.NonFatal(_) => () })
+      streamDupSinkCache.keys.filter(k => k == dir || k.startsWith(dir + "@")).toSeq
+        .foreach { k =>
+          streamDupSinkCache.remove(k).foreach(sink =>
+            try graft.core.FsUtil.deleteRecursively(sink)
+            catch { case scala.util.control.NonFatal(_) => () })
+        }
     }
   }
 
+  /** Family-scoped eviction, keyed by the memo that backs each query
+    * family. A long bench sweep (or any batch driver that runs query
+    * families in sequence) calls the hook for a cache as soon as its LAST
+    * consumer finishes, releasing executor storage memory for the
+    * families still to run — holding every index for the whole sweep was
+    * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
+    * medians). Consumers per cache:
+    *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, t3
+    *   - simhash signatures (simSigCache): d10, d11
+    *   - dedup clusters (clusterCache): d6, d7
+    *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2, ann_ivfsq_topk
+    *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk */
+  def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
+  def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
+  def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
+  def evictIvfIndex(s: SparkSession, dir: String): Unit    = ivfCache.remove(s, dir)
+  def evictSqIndex(s: SparkSession, dir: String): Unit     = sqCache.remove(s, dir)
+
   /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
-    * so the key is just the dir — any session reads the same files). */
+    * so the key is the dir — any session reads the same files — PLUS a
+    * content stamp of the input: a documents.parquet rewritten at the same
+    * path must recompute, not serve the stale pre-change pair set). */
   private val streamDupSink = new Object
   private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** mtime+length signature over the dir's documents.parquet file(s) — the
+    * invalidation component of the d12 sink-cache key. */
+  private def docsStamp(dir: String): String = {
+    val p = new java.io.File(dir, "documents.parquet")
+    val files =
+      if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
+      else Array(p)
+    val (m, l) = files.foldLeft((0L, 0L)) { case ((mm, ll), f) =>
+      (math.max(mm, f.lastModified()), ll + f.length())
+    }
+    s"$m:$l"
+  }
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
     * count, hot buckets (> cap) and the rows in them — rows whose
@@ -619,7 +717,16 @@ object LlmQueries {
       // property that CAN hold at any data (streamed set == batch band
       // join), and the cap path is spec-gated with a planted hot bucket.
       val out = streamDupSink.synchronized {
-        streamDupSinkCache.getOrElseUpdate(dir, {
+        val key = s"$dir@${docsStamp(dir)}"
+        // same dir, different stamp ⇒ the input was rewritten: drop the
+        // stale sink (entry + files) before computing the fresh one
+        streamDupSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq
+          .foreach { k =>
+            streamDupSinkCache.remove(k).foreach(sink =>
+              try graft.core.FsUtil.deleteRecursively(sink)
+              catch { case scala.util.control.NonFatal(_) => () })
+          }
+        streamDupSinkCache.getOrElseUpdate(key, {
           val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
           docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
           val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
@@ -813,7 +920,9 @@ object LlmQueries {
 
     // ---------- ANN: random-hyperplane LSH buckets, bucket-local NN ----------
     "ann_lsh_nn" -> { (s, dir) =>
-      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      // plane count derived from corpus size ([[hyperplanesFor]]): bucket
+      // occupancy stays bounded as the corpus grows
+      val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
       val bucketExpr = planes.zipWithIndex
         .map { case (p, h) =>
           val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
@@ -857,7 +966,7 @@ object LlmQueries {
       // is controlled by the OTHER knob: [[Hyperplanes]] (buckets ≈ 2^H),
       // scaled with corpus size so expected occupancy stays bounded.
       val tau = 0.8
-      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
+      val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
       val bucketExpr = planes.zipWithIndex
         .map { case (p, h) =>
           val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
@@ -885,7 +994,7 @@ object LlmQueries {
       // Probe=1: a query scores ONLY its own cell. Training + assignment
       // are memoized per dir (see ivfIndex) and shared with probe-2.
       val (_, assigned) = ivfIndex(s, dir)
-      val q = assigned.filter(col("vec_id") < 4)
+      val q = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("centroid_id"))
       // cell-local scoring, then the bounded two-phase top-k (the cell scan
       // is N/centroids rows per query — a window on q_id over it would
@@ -906,25 +1015,10 @@ object LlmQueries {
       // cells instead of one, catching neighbors that fell just across a
       // cell boundary. Candidates stay cell-local (2 cells/query — the
       // scored set merely doubles); probe selection is a broadcast(k)
-      // ranking, so the plan shape is unchanged at corpus scale.
-      val (cents, assigned) = ivfIndex(s, dir)
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
-      val probes = assigned.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
-        .withColumn("pn", row_number().over(wProbe))
-        .filter(col("pn") <= IvfProbes)
-        .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
-      // probed-cell scoring folded through the bounded top-k aggregate; the
-      // cell a neighbor was found in rides the payload slot (it is NOT a
-      // function of q_id here — a query probes two cells).
-      val scored = assigned.join(broadcast(probes), "centroid_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-      topkPerQuery(scored, 3, col("centroid_id").cast("long"))
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-                col("payload").as("centroid_id"))
+      // ranking, so the plan shape is unchanged at corpus scale. The
+      // parametric [[ivfProbeAt]] carries the plan; Bench sweeps it over
+      // probes 1..4 for the recall curve.
+      ivfProbeAt(s, dir, IvfProbes)
     },
 
     // ---------- ANN: int8 scalar quantization + exact re-rank ----------
@@ -1272,16 +1366,26 @@ object LlmQueries {
          |  FROM scored)
          |WHERE rank <= $TopK""".stripMargin
 
+    // Derived-knob CTE + gated bucket expression shared by the two
+    // hyperplane-LSH twins: the static SQL text carries ALL MaxHyperplanes
+    // plane literals, and planes beyond the floor contribute a bit only
+    // when h < hp — reproducing the Spark side's corpus-derived plane
+    // count ([[hyperplanesFor]]) with pure integer gating.
+    val lshKnobCte = {
+      val cases = (Hyperplanes until MaxHyperplanes)
+        .map(h => s"WHEN count(*) <= ${LshTargetOccupancy << h} THEN $h").mkString(" ")
+      s"k AS (SELECT CASE $cases ELSE $MaxHyperplanes END AS hp FROM e)"
+    }
+    val lshBucketExpr = (0 until MaxHyperplanes).map { h =>
+      val lit = hyperplane(h, EmbeddingDim).mkString("[", ", ", "]::DOUBLE[]")
+      val bit = s"CASE WHEN list_inner_product(v, $lit) >= 0.0 THEN ${1 << h} ELSE 0 END"
+      if (h < Hyperplanes) bit else s"CASE WHEN $h < k.hp THEN $bit ELSE 0 END"
+    }.mkString(" + ")
     val lshSql = {
-      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
-      val bucketExpr = planes.zipWithIndex
-        .map { case (p, h) =>
-          val lit = p.mkString("[", ", ", "]::DOUBLE[]")
-          s"CASE WHEN list_inner_product(v, $lit) >= 0.0 THEN ${1 << h} ELSE 0 END"
-        }
-        .mkString(" + ")
+      val bucketExpr = lshBucketExpr
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |$lshKnobCte,
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e, k),
          |pairs AS (
          |  SELECT a.vec_id, a.bucket, o.vec_id AS o_id,
          |         list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) AS sim
@@ -1320,10 +1424,11 @@ object LlmQueries {
     }.mkString(",\n")
     val ivfSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
          |$ivfTrainCtes,
          |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
-         |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < 4)
+         |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < $NumQueries)
          |SELECT q_id, rank, neighbor_id, centroid_id FROM (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, a.centroid_id::BIGINT AS centroid_id,
          |         row_number() OVER (PARTITION BY q.q_id ORDER BY
@@ -1334,7 +1439,8 @@ object LlmQueries {
 
     val ivfSql2 =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
          |$ivfTrainCtes,
          |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
          |qp AS (
@@ -1343,7 +1449,7 @@ object LlmQueries {
          |           row_number() OVER (PARTITION BY q.q_id ORDER BY
          |             list_inner_product(q.qv, c.cv) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
          |             c.c_id) AS pn
-         |    FROM (SELECT vec_id AS q_id, v AS qv FROM assigned WHERE vec_id < 4) q, c$KMeansIters c)
+         |    FROM (SELECT vec_id AS q_id, v AS qv FROM assigned WHERE vec_id < $NumQueries) q, c$KMeansIters c)
          |  WHERE pn <= $IvfProbes)
          |SELECT q_id, rank, neighbor_id, centroid_id FROM (
          |  SELECT qp.q_id, a.vec_id AS neighbor_id, a.centroid_id::BIGINT AS centroid_id,
@@ -1354,15 +1460,10 @@ object LlmQueries {
          |WHERE rank <= 3""".stripMargin
 
     val neardupSql = {
-      val planes = (0 until Hyperplanes).map(h => hyperplane(h, EmbeddingDim))
-      val bucketExpr = planes.zipWithIndex
-        .map { case (p, h) =>
-          val lit = p.mkString("[", ", ", "]::DOUBLE[]")
-          s"CASE WHEN list_inner_product(v, $lit) >= 0.0 THEN ${1 << h} ELSE 0 END"
-        }
-        .mkString(" + ")
+      val bucketExpr = lshBucketExpr
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |$lshKnobCte,
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e, k),
          |dups AS (
          |  SELECT a.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_neardups
          |  FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
@@ -1406,7 +1507,8 @@ object LlmQueries {
     // with sqSql's midpoint de-quantized asymmetric scoring + exact re-rank.
     val ivfSqSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
          |$ivfTrainCtes,
          |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
          |mm AS (SELECT dd.d AS d, min(v[dd.d]) AS mn, max(v[dd.d]) AS mx
