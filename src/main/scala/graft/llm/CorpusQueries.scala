@@ -150,6 +150,70 @@ object CorpusQueries {
   private val tokensExpr =
     "cast(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)) as long)"
 
+  /** t13: toy-BPE merge table — frequent English character n-grams as the
+    * learned vocabulary, ordered LONGEST-FIRST then by priority. Real BPE
+    * applies merges rank by rank; this toy fixes the trained table and
+    * applies ONE greedy left-to-right non-overlapping merge pass, which is
+    * exactly what a global regex scan does: both Java regex (Spark) and
+    * RE2 (DuckDB) match leftmost-position-first, first-listed-alternative,
+    * resuming after each match — so a single `regexp_extract_all` IS the
+    * merge pass, bit-identical across engines. Vocabulary = 26 letters +
+    * these merges; a match of length L collapses L chars into one token. */
+  private[graft] val BpeMerges: Seq[String] = Seq(
+    "the", "ing", "and", "ion", "ent", "her", "for", "ter", "ati",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to")
+  private[graft] val BpeMergePattern = BpeMerges.mkString("(", "|", ")")
+
+  /** Tokens = in-vocab chars (every [a-z] char is a base token) minus the
+    * chars saved by merges (L-char merge: L→1 token, saves L-1). Pure
+    * map-side, codegen'd — the kernel a 100 TB token-budget pass runs. */
+  private[llm] val bpeTokensExpr =
+    s"""cast(length(regexp_replace(lower(text), '[^a-z]', '')) -
+       |aggregate(transform(regexp_extract_all(lower(text), '$BpeMergePattern', 0),
+       |                    m -> length(m) - 1), 0, (a, x) -> a + x) as long)""".stripMargin
+
+  /** t5/t13 shared: greedy sequential packing of a (doc_id, tokens) frame
+    * into fixed token-budget context windows, window = floor(exclusive
+    * prefix sum / [[PackBudget]]). A naive `Window.orderBy(doc_id)` prefix
+    * sum puts the WHOLE corpus through one task; this is the engine's
+    * two-phase distributed prefix sum — range-partition by doc_id,
+    * per-range totals collected (O(ranges), metadata-sized), broadcast
+    * running offsets, per-partition local scan. */
+  private def packWindows(s: SparkSession, d: DataFrame): DataFrame = {
+    val parts  = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
+    val sorted = d.repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
+    val schema = sorted.schema
+    val docIdx = schema.fieldIndex("doc_id")
+    val tokIdx = schema.fieldIndex("tokens")
+    val rdd    = sorted.rdd
+    // per-range token totals: O(ranges) collect, metadata-sized
+    val perRange = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.map(_.getLong(tokIdx)).sum))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = perRange.scanLeft(0L)(_ + _) // exclusive prefix per range
+    val offB    = s.sparkContext.broadcast(offsets)
+    val packed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var prefix = offB.value(i)
+      it.map { r =>
+        val t  = r.getLong(tokIdx)
+        val wi = prefix / PackBudget // exclusive-prefix window assignment
+        prefix += t
+        Row(r.getLong(docIdx), t, wi)
+      }
+    }
+    s.createDataFrame(packed, StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("tokens", LongType, nullable = false),
+        StructField("window_id", LongType, nullable = false))))
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t4_corpus_profile" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -185,39 +249,15 @@ object CorpusQueries {
     },
 
     "t5_context_pack" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), expr(tokensExpr).as("tokens"))
-      // two-phase distributed prefix sum in doc_id order
-      val parts  = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
-      val sorted = d.repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
-      val schema = sorted.schema
-      val docIdx = schema.fieldIndex("doc_id")
-      val tokIdx = schema.fieldIndex("tokens")
-      val rdd    = sorted.rdd
-      // per-range token totals: O(ranges) collect, metadata-sized
-      val perRange = rdd
-        .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.map(_.getLong(tokIdx)).sum))
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = perRange.scanLeft(0L)(_ + _) // exclusive prefix per range
-      val offB    = s.sparkContext.broadcast(offsets)
-      val packed = rdd.mapPartitionsWithIndex { (i, it) =>
-        var prefix = offB.value(i)
-        it.map { r =>
-          val t  = r.getLong(tokIdx)
-          val wi = prefix / PackBudget // exclusive-prefix window assignment
-          prefix += t
-          Row(r.getLong(docIdx), t, wi)
-        }
-      }
-      s.createDataFrame(packed, StructType(Seq(
-          StructField("doc_id", LongType, nullable = false),
-          StructField("tokens", LongType, nullable = false),
-          StructField("window_id", LongType, nullable = false))))
-        .groupBy("window_id")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("tokens")).as("sum_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
+      packWindows(s, docs(s, dir).select(col("doc_id"), expr(tokensExpr).as("tokens")))
+    },
+
+    // ---------- context packing under the toy-BPE token budget ----------
+    "t13_bpe_pack" -> { (s, dir) =>
+      // t5's two-phase prefix-sum pack, but budgeted in [[bpeTokensExpr]]
+      // subword tokens instead of regex word counts — the packing/mixture
+      // family measured the way a training pipeline actually budgets.
+      packWindows(s, docs(s, dir).select(col("doc_id"), expr(bpeTokensExpr).as("tokens")))
     },
 
     "t6_pii_scrub" -> { (s, dir) =>
@@ -424,6 +464,27 @@ object CorpusQueries {
       s"""WITH d AS (
          |  SELECT doc_id,
          |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS tokens
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, tokens,
+         |         CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+         |  FROM d
+         |)
+         |SELECT CAST(prefix // $PackBudget AS BIGINT) AS window_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1""".stripMargin,
+    // t13 twin: same prefix-sum pack, tokens from the toy-BPE merge pass —
+    // RE2's leftmost-first alternation reproduces the Java-regex greedy
+    // merge scan exactly (pure-literal alternation, longest-first order)
+    "t13_bpe_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      - coalesce(list_sum(list_transform(
+         |          regexp_extract_all(lower(text), '$BpeMergePattern'),
+         |          m -> len(m) - 1)), 0) AS BIGINT) AS tokens
          |  FROM documents
          |), p AS (
          |  SELECT doc_id, tokens,

@@ -70,6 +70,36 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("t13 BPE packing equals a sequential greedy-merge reference") {
+    // independent reference: Java-regex greedy scan (the same leftmost-
+    // first, non-overlapping semantics the expr relies on) + naive pack
+    val pat = graft.llm.CorpusQueries.BpeMergePattern.r
+    def bpeTokens(text: String): Long = {
+      val lower = text.toLowerCase
+      val alpha = lower.count(c => c >= 'a' && c <= 'z').toLong
+      val saved = pat.findAllIn(lower).map(_.length - 1L).sum
+      alpha - saved
+    }
+    // hand-checked anchors for the merge semantics itself
+    assert(bpeTokens("there") == 2L)   // [the][re]
+    assert(bpeTokens("thin cat") == 4L) // [th][in] [c][at]
+    assert(bpeTokens("xyz") == 3L)     // no merges
+    val tokens = docs.sortBy(_._1).map { case (id, text, _, _) => id -> bpeTokens(text) }
+    var prefix = 0L
+    val naive = tokens.map { case (id, t) =>
+      val w = prefix / CorpusQueries.PackBudget; prefix += t; (id, t, w)
+    }
+    val expected = naive.groupBy(_._3).map { case (w, rows) =>
+      w -> (rows.size.toLong, rows.map(_._2).sum, rows.map(_._1).min, rows.map(_._1).max)
+    }
+    val got = CorpusQueries.queries("t13_bpe_pack")(spark, dir).collect().map { r =>
+      r.getAs[Long]("window_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+         r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("t6 scrub: every planted PII item found, zero residual, all docs audited") {
     val rows = CorpusQueries.queries("t6_pii_scrub")(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)
