@@ -421,8 +421,9 @@ final class GatewayServer(
            Option(rec.get("idempotency_key")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
         }.toSeq
       }
-    // one atomic batch: the whole bulk admits or rejects together (S2)
-    val offsets = hot.synchronized { records.map { case (p, part, ts, k) => hot.write(topic, part, p, ts, k)._1 } }
+    // one atomic batch: the whole bulk admits or rejects together (S2),
+    // one lock pass + one WAL flush for the whole batch
+    val offsets = hot.writeBulk(topic, records)
     metrics.inc("zombi_writes_total", offsets.size.toLong)
     metrics.incLabelled("zombi_writes_by_topic_total", s"""topic="${escape(topic)}"""", offsets.size.toLong)
     metrics.observeMs("zombi_write_latency_ms", (System.nanoTime() - t0) / 1e6)

@@ -55,10 +55,12 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
 
   /** Returns (offset, isDuplicate); duplicates return the original offset
     * and consume no sequence number. */
-  def write(topic: String, partition: Int, payload: Array[Byte], timestampMs: Long,
-            idempotencyKey: Option[String]): (Long, Boolean) = synchronized {
+  /** Buffer insert WITHOUT the WAL append — callers append (single or
+    * batched) and must hold this buffer's monitor. */
+  private def insert(topic: String, partition: Int, payload: Array[Byte], timestampMs: Long,
+                     idempotencyKey: Option[String]): (Long, Boolean, Option[StoredEvent]) =
     idempotencyKey.flatMap(k => idem.get((topic, partition, k))) match {
-      case Some(orig) => (orig, true)
+      case Some(orig) => (orig, true, None)
       case None =>
         val key  = (topic, partition)
         val next = seqs.getOrElse(key, 0L) + 1
@@ -66,9 +68,34 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
         val e = StoredEvent(next, topic, partition, payload, timestampMs, idempotencyKey)
         events.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += e
         idempotencyKey.foreach(k => idem.update((topic, partition, k), next))
-        wal.foreach(_.appendEvent(e)) // durable BEFORE the 202 ack
-        (next, false)
+        (next, false, Some(e))
     }
+
+  def write(topic: String, partition: Int, payload: Array[Byte], timestampMs: Long,
+            idempotencyKey: Option[String]): (Long, Boolean) = synchronized {
+    val (off, dup, e) = insert(topic, partition, payload, timestampMs, idempotencyKey)
+    e.foreach(ev => wal.foreach(_.appendEvent(ev))) // durable BEFORE the 202 ack
+    (off, dup)
+  }
+
+  /** S2 bulk: the whole batch admits atomically under ONE lock pass and
+    * lands in the WAL with ONE flush ([[WriteAheadLog.appendEvents]]).
+    * Appending each record's frame individually from inside the lock cost
+    * a flush syscall per event — 500 syscalls per bulk request — and that
+    * lock convoy was the burst-load worst-cycle p99. Durability is
+    * unchanged: the batch is WAL-appended before this returns (before the
+    * 202 ack); duplicates return their original offsets and are not
+    * re-logged. */
+  def writeBulk(topic: String,
+                records: Seq[(Array[Byte], Int, Long, Option[String])]): Seq[Long] = synchronized {
+    val fresh = Seq.newBuilder[StoredEvent]
+    val offs = records.map { case (payload, partition, ts, key) =>
+      val (off, _, e) = insert(topic, partition, payload, ts, key)
+      e.foreach(fresh += _)
+      off
+    }
+    wal.foreach(_.appendEvents(fresh.result()))
+    offs
   }
 
   def topics: Seq[String] = synchronized { events.keys.map(_._1).toSeq.distinct.sorted }
@@ -151,18 +178,31 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
     * within the retention window; drop idempotency entries for evicted
     * events (the reference's cleanup-watermark semantics). */
   def cleanup(topic: String, watermarks: Map[Int, Long], retainMs: Long = 0L,
-              nowMs: Long = System.currentTimeMillis()): Int = synchronized {
-    var evicted = 0
-    watermarks.foreach { case (p, wm) =>
-      events.get((topic, p)).foreach { buf =>
-        val (drop, keep) = buf.partition(e => e.sequence <= wm && e.timestampMs < nowMs - retainMs)
-        evicted += drop.size
-        drop.foreach(e => e.idempotencyKey.foreach(k => idem.remove((topic, p, k))))
-        buf.clear(); buf ++= keep
+              nowMs: Long = System.currentTimeMillis()): Int = {
+    // evict under the buffer lock; snapshot (refs only) what the WAL
+    // rewrite needs and run the compaction OUTSIDE the lock — holding it
+    // across a full live-set file rewrite blocked every concurrent write
+    // for the compaction's duration (the burst worst-cycle p99). Writes
+    // racing the rewrite stay durable: the WAL captures frames appended
+    // mid-compaction and drains them into the swapped file.
+    val (evicted, seqSnap, liveSnap) = synchronized {
+      var n = 0
+      watermarks.foreach { case (p, wm) =>
+        events.get((topic, p)).foreach { buf =>
+          val (drop, keep) = buf.partition(e => e.sequence <= wm && e.timestampMs < nowMs - retainMs)
+          n += drop.size
+          drop.foreach(e => e.idempotencyKey.foreach(k => idem.remove((topic, p, k))))
+          buf.clear(); buf ++= keep
+        }
       }
+      // arm the WAL's catch-up capture BEFORE the snapshot escapes this
+      // lock: a write landing after the snapshot is then guaranteed to be
+      // drained into the rewritten log
+      if (n > 0) wal.foreach(_.beginCapture())
+      (n, seqs.toMap, if (n > 0) events.values.flatten.toVector else Vector.empty)
     }
     // bound the WAL at O(live buffer): rewrite to seq-marks + live events
-    if (evicted > 0) wal.foreach(_.compact(seqs.toMap, events.values.flatten))
+    if (evicted > 0) wal.foreach(_.compact(seqSnap, liveSnap))
     evicted
   }
 }

@@ -46,6 +46,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
 
   private var out: DataOutputStream = _
   private var fileOut: FileOutputStream = _
+  // serializes whole compactions; `side` (guarded by this WAL's monitor)
+  // captures frames appended while a compaction rewrite is in flight
+  private val compactLock = new Object
+  private var side: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
   openAppend()
 
   private def openAppend(): Unit = {
@@ -53,24 +57,34 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     out = new DataOutputStream(new BufferedOutputStream(fileOut, 1 << 16))
   }
 
-  private def frame(tpe: Byte)(write: DataOutputStream => Unit): Unit = {
+  private def encode(tpe: Byte)(write: DataOutputStream => Unit): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     val d    = new DataOutputStream(body)
     d.writeByte(tpe)
     write(d)
     d.flush()
-    val bytes = body.toByteArray
-    val crc   = new CRC32(); crc.update(bytes)
+    body.toByteArray
+  }
+
+  /** Caller must hold this WAL's monitor. */
+  private def writeFrame(bytes: Array[Byte]): Unit = {
+    val crc = new CRC32(); crc.update(bytes)
+    out.writeInt(bytes.length)
+    out.writeLong(crc.getValue)
+    out.write(bytes)
+    if (side != null) side += bytes // a compaction is rewriting: capture
+  }
+
+  private def frame(tpe: Byte)(write: DataOutputStream => Unit): Unit = {
+    val bytes = encode(tpe)(write)
     synchronized {
-      out.writeInt(bytes.length)
-      out.writeLong(crc.getValue)
-      out.write(bytes)
+      writeFrame(bytes)
       out.flush()
       if (fsyncEachAppend) fileOut.getFD.sync()
     }
   }
 
-  def appendEvent(e: StoredEvent): Unit = frame(0) { d =>
+  private def eventBody(e: StoredEvent)(d: DataOutputStream): Unit = {
     d.writeUTF(e.topic)
     d.writeInt(e.partition)
     d.writeLong(e.sequence)
@@ -79,6 +93,25 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     e.idempotencyKey.foreach(d.writeUTF)
     d.writeInt(e.payload.length)
     d.write(e.payload)
+  }
+
+  def appendEvent(e: StoredEvent): Unit = frame(0)(eventBody(e))
+
+  /** Bulk append: every event framed individually (replay sees the same
+    * record stream as N single appends) but ONE flush — and one fsync when
+    * enabled — for the whole batch. A 500-record bulk write was paying 500
+    * flush syscalls inside the hot-buffer lock; under double-concurrency
+    * burst load that lock convoy was the gateway's worst-cycle p99. The
+    * durability point is unchanged: the batch is in the OS page cache (or
+    * on disk with fsync) before this returns, i.e. before the 202 ack. */
+  def appendEvents(es: Iterable[StoredEvent]): Unit = {
+    if (es.isEmpty) return
+    val frames = es.iterator.map(e => encode(0)(eventBody(e))).toArray
+    synchronized {
+      frames.foreach(writeFrame)
+      out.flush()
+      if (fsyncEachAppend) fileOut.getFD.sync()
+    }
   }
 
   def appendSeqMark(topic: String, partition: Int, sequence: Long): Unit = frame(1) { d =>
@@ -134,18 +167,58 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     }
   }
 
-  /** Atomically rewrite the log to `seqs` marks + `live` events. */
-  def compact(seqs: Map[(String, Int), Long], live: Iterable[StoredEvent]): Unit = synchronized {
-    val tmp    = dir.resolve(s"hot.wal.compact.${java.util.UUID.randomUUID()}")
-    val tmpLog = new TmpWal(tmp)
-    try {
-      seqs.toSeq.sortBy(t => (t._1._1, t._1._2)).foreach { case ((t, p), s) => tmpLog.appendSeqMark(t, p, s) }
-      live.foreach(tmpLog.appendEvent)
-    } finally tmpLog.close()
-    out.close()
-    Files.move(tmp, logPath, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    openAppend()
+  /** Arm the compaction catch-up capture: every frame appended from now on
+    * is ALSO retained in memory until the next [[compact]] drains it into
+    * the rewritten log. The caller arms this while it still holds whatever
+    * lock makes its live-set snapshot consistent, so no append can fall
+    * between the snapshot and the rewrite. Single in-flight compaction
+    * assumed (one flusher thread) — a second beginCapture before the first
+    * compact is a no-op. */
+  def beginCapture(): Unit = synchronized {
+    if (side == null) side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
   }
+
+  /** Atomically rewrite the log to `seqs` marks + `live` events WITHOUT
+    * stalling appends for the duration of the rewrite. The snapshot is
+    * written to a tmp file OUTSIDE the append monitor; concurrent appends
+    * keep landing in the current log (still the durable copy) AND are
+    * captured as raw frames in a side buffer; the final swap — bounded by
+    * what arrived during the rewrite, not by the live set — drains the
+    * side buffer into the tmp under the monitor and renames. Holding the
+    * monitor across the whole rewrite meant every write blocked behind a
+    * full live-set file write; with a large mid-burst live buffer that
+    * stall was the gateway's burst worst-cycle p99. Crash safety is
+    * unchanged: a crash mid-compaction leaves the old log (including every
+    * frame appended meanwhile) intact, and stale tmps are swept on open. */
+  def compact(seqs: Map[(String, Int), Long], live: Iterable[StoredEvent]): Unit =
+    compactLock.synchronized {
+      val tmp     = dir.resolve(s"hot.wal.compact.${java.util.UUID.randomUUID()}")
+      val tmpLog  = new TmpWal(tmp)
+      var swapped = false
+      // capture may already be armed by beginCapture() (the caller arms it
+      // BEFORE snapshotting its live set, closing the window where a write
+      // lands after the snapshot but before the rewrite starts)
+      synchronized { if (side == null) side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]] }
+      try {
+        seqs.toSeq.sortBy(t => (t._1._1, t._1._2)).foreach { case ((t, p), s) => tmpLog.appendSeqMark(t, p, s) }
+        live.foreach(tmpLog.appendEvent)
+        synchronized {
+          side.foreach(tmpLog.writeRaw) // catch-up: frames appended during the rewrite
+          side = null
+          tmpLog.close()
+          out.close()
+          Files.move(tmp, logPath, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          openAppend()
+          swapped = true
+        }
+      } finally {
+        synchronized { side = null }
+        if (!swapped) {
+          try tmpLog.close() catch { case _: Exception => () }
+          Files.deleteIfExists(tmp)
+        }
+      }
+    }
 
   /** Minimal writer over an arbitrary path sharing the frame format. */
   private final class TmpWal(path: Path) {
@@ -165,6 +238,11 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     }
     def appendSeqMark(t: String, p: Int, s: Long): Unit = fr(1) { d =>
       d.writeUTF(t); d.writeInt(p); d.writeLong(s)
+    }
+    /** Re-frame an already-encoded body (compaction catch-up). */
+    def writeRaw(body: Array[Byte]): Unit = {
+      val crc = new CRC32(); crc.update(body)
+      o.writeInt(body.length); o.writeLong(crc.getValue); o.write(body)
     }
     def close(): Unit = o.close()
   }
