@@ -473,51 +473,52 @@ object LlmQueries {
 
   /** The d2/d10 candidate generator with the [[BandMaxBucket]] guard in
     * star-link form. `bandRows` is (doc_id, key...); returns distinct
-    * (doc_a, doc_b) with doc_a < doc_b.
+    * (doc_a, doc_b, carry_a, carry_b) with doc_a < doc_b.
     *
-    *  - bucket stats (size + hub = min doc_id) ride ONE
-    *    partial-aggregatable shuffle — map-side combine folds each task to
-    *    its distinct buckets, so the exchange carries bucket counts, not
-    *    rows (the round-10 window cap instead SORTED the full band frame
-    *    under a count window — measured 2-3× the whole query's cost);
-    *  - the hot set (> cap) is bounded by N/cap buckets and in practice
-    *    tiny — it broadcasts; the band frame never shuffles for the
-    *    anti-join/hub-join pair;
-    *  - cold buckets self-join all-pairs (≤ cap²/2 per bucket), hot
-    *    buckets emit |bucket|−1 hub links — both linear in bucket count;
-    *  - `carry` columns (small, doc-determined payloads like d10's 4-long
-    *    signature) ride through the joins as `<c>_a`/`<c>_b`, letting the
-    *    caller verify pairs WITHOUT joining back to the signature frame —
-    *    two fewer shuffles when the payload is small enough to carry.
-    */
+    * ONE pass over the band frame: per bucket, the exact size plus the
+    * cap smallest member (doc_id, carry) entries fold through the bounded
+    * [[graft.functions.TopKByScore]] aggregate (constant score ⇒ min-k by
+    * id; ascending-id output). The map side combines to ≤ cap entries per
+    * (task, bucket), so the only band-key exchange carries bounded bucket
+    * summaries — never the raw band rows.
+    *
+    *  - cold buckets (size ≤ cap ⇒ the member array is COMPLETE) explode
+    *    their ≤ cap²/2 pairs LOCALLY from the aggregated array — no
+    *    self-join, no second shuffle of the band frame (the round-10
+    *    window cap sorted the full band frame; its star-link replacement
+    *    still cost a stats pass + a tagging pass + a two-sided self-join);
+    *  - hot buckets (> cap) emit |bucket|−1 hub links (hub = min doc_id =
+    *    members[0]) via a broadcast of the hot set (bounded by N/cap) —
+    *    linear, and an oversized near-identical cluster still collapses
+    *    through its hub in the connected-components pass;
+    *  - `carry` is an optional packed-long payload (d10's 4×16-bit
+    *    signature) riding the same aggregate, so the caller verifies
+    *    pairs WITHOUT joining back to the signature frame. */
   private def bandPairs(bandRows: DataFrame, keys: Seq[String],
-                        carry: Seq[String] = Nil): DataFrame = {
+                        carry: Option[String] = None): DataFrame = {
     val kc = keys.map(col)
-    // hub id + its carry payloads travel as ONE struct column: both
-    // consumers of the tagged frame reference the same `hubinfo` column,
-    // so column pruning cannot specialize (and thereby duplicate) the
-    // broadcast build per branch
-    val hubStruct = struct(min("doc_id").as("hub") +:
-      carry.map(c => min_by(col(c), col("doc_id")).as(s"hub_$c")): _*)
-    val stats = bandRows.groupBy(kc: _*)
-      .agg(count(lit(1)).as("bsz"), hubStruct.as("hubinfo"))
-    val hot = stats.filter(col("bsz") > BandMaxBucket).drop("bsz")
-    // ONE broadcast left join tags every band row with its bucket's hub
-    // (null ⇒ cold bucket): both downstream branches read the identical
-    // subtree, so the hot-set agg is built and broadcast exactly once
-    // (the second use is a ReusedExchange; an anti-join variant would
-    // column-prune the build side and defeat the reuse)
-    val tagged = bandRows.join(broadcast(hot), keys, "left")
-    val cold = tagged.filter(col("hubinfo").isNull)
-    val coldPairs = cold.as("a").join(cold.as("b"), keys)
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
-        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
-    val starPairs = tagged
-      .filter(col("hubinfo").isNotNull && col("doc_id") =!= col("hubinfo.hub"))
-      .select(col("hubinfo.hub").as("doc_a") +: col("doc_id").as("doc_b") +:
-        carry.flatMap(c => Seq(col(s"hubinfo.hub_$c").as(s"${c}_a"), col(c).as(s"${c}_b"))): _*)
-    // carry columns are functions of the doc ids, so dedup only on the pair
+    val payload = carry.map(col).getOrElse(lit(0L))
+    val buckets = bandRows.groupBy(kc: _*).agg(
+      count(lit(1)).as("bsz"),
+      graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), payload, BandMaxBucket)
+        .as("members"))
+    val coldPairs = buckets
+      .filter(col("bsz") >= 2 && col("bsz") <= BandMaxBucket)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2),
+          |  i -> transform(sequence(i + 1, size(members) - 1),
+          |    j -> struct(members[i].id AS doc_a, members[j].id AS doc_b,
+          |                members[i].payload AS carry_a, members[j].payload AS carry_b))))"""
+          .stripMargin)).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.carry_a"), col("pr.carry_b"))
+    val hot = buckets.filter(col("bsz") > BandMaxBucket)
+      .select(kc :+ col("members")(0).getField("id").as("hub")
+                 :+ col("members")(0).getField("payload").as("hub_carry"): _*)
+    val starPairs = bandRows.join(broadcast(hot), keys)
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
+              col("hub_carry").as("carry_a"), payload.as("carry_b"))
+    // carry values are functions of the doc ids, so dedup only on the pair
     coldPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
   }
 
@@ -656,10 +657,12 @@ object LlmQueries {
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
 
       // Candidate pairs exist ONLY inside (band, band_hash) buckets — the
-      // join is shuffle-local on the band hash, never all-pairs — with the
-      // [[BandMaxBucket]] hot-bucket guard in star-link form (see
-      // [[bandPairs]]): cold buckets all-pairs, hot buckets hub-linked.
+      // generation is bucket-local on the band hash, never all-pairs —
+      // with the [[BandMaxBucket]] hot-bucket guard in star-link form
+      // (see [[bandPairs]]): cold buckets all-pairs, hot buckets
+      // hub-linked, one band-key shuffle total.
       val pairs = bandPairs(bands, Seq("band", "band_hash"))
+        .select("doc_a", "doc_b")
 
       val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
       val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
@@ -682,19 +685,24 @@ object LlmQueries {
       // frame is memoized per (session, dir) so the self-join's two sides
       // read one persisted copy instead of re-hashing the corpus twice.
       val sigs = simhashSigs(s, dir)
-      val bandRows = sigs.select(col("doc_id"), col("bands"),
+      // the 4×16-bit bands packed into ONE long — it IS the 64-bit SimHash
+      // signature, and xor+popcount on the packed form equals the summed
+      // per-band hamming exactly (disjoint 16-bit lanes)
+      val packExpr = (0 until SimBands)
+        .map(i => s"shiftleft(cast(bands[$i] as bigint), ${16 * (SimBands - 1 - i)})")
+        .mkString(" + ")
+      val bandRows = sigs.select(col("doc_id"), expr(packExpr).as("packed"),
         posexplode(col("bands")).as(Seq("band", "band_val")))
       // Same hot-bucket guard as d2 ([[bandPairs]]): cold buckets
-      // all-pairs, hot buckets star-linked to their hub. Pairs are
-      // deduped BEFORE scoring: a pair sharing k bands would otherwise
-      // be xor/popcount'ed k times (≤4× wasted work). The 4-long
-      // signature rides THROUGH the pair generation (carry) so the
+      // all-pairs, hot buckets star-linked to their hub, one band-key
+      // shuffle. Pairs are deduped BEFORE scoring: a pair sharing k bands
+      // would otherwise be xor/popcount'ed k times (≤4× wasted work). The
+      // packed signature rides THROUGH the pair generation (carry) so the
       // hamming verify needs no join back to the signature frame.
-      val cand = bandPairs(bandRows, Seq("band", "band_val"), carry = Seq("bands"))
+      val cand = bandPairs(bandRows, Seq("band", "band_val"), carry = Some("packed"))
       cand
         .select(col("doc_a"), col("doc_b"),
-          expr("aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
-            .cast("long").as("hamming"))
+          expr("cast(bit_count(carry_a ^ carry_b) as long)").as("hamming"))
         .filter(col("hamming") <= SimHammingMax)
     },
 

@@ -31,18 +31,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("d2/d10 hot-bucket cap: agg'd bucket stats + broadcast hot set, no band-frame sort") {
-    // The BandMaxBucket guard computes bucket stats with a
-    // partial-aggregatable groupBy (map-side combine folds each task to
-    // its distinct buckets — the exchange carries counts, not rows) and
-    // applies the cap via BROADCAST anti/hub joins, so the band frame
-    // itself shuffles only for the cold self-join. At-scale plan facts
-    // (broadcast threshold off — only the explicit hints survive):
-    //   - at most TWO exchanges on the band key (cold self-join + the
-    //     bucket-stats agg), the self-join's second side a ReusedExchange
-    //   - the hot set rides BroadcastExchanges (bounded by N/cap buckets)
-    //   - NO Window anywhere: the round-10 count-window cap sorted the
-    //     full band frame and tripled d10's cost
+  test("d2/d10 hot-bucket cap: ONE bounded band-key agg, broadcast hot set, no self-join, no sort") {
+    // The BandMaxBucket guard folds the band frame through ONE
+    // partial-aggregatable groupBy whose state is bounded (count + the cap
+    // smallest members via graft_topk) — the only band-key exchange
+    // carries bucket summaries, never raw band rows. Cold buckets explode
+    // their pairs locally from the aggregated member array (no self-join
+    // — earlier versions paid a stats pass + tagging pass + two-sided
+    // self-join, or sorted the whole frame under a count window); hot
+    // buckets hub-link via a broadcast bounded by N/cap. At-scale plan
+    // facts (broadcast threshold off — only explicit hints survive):
+    //   - EXACTLY ONE exchange on the band key (the bounded bucket agg)
+    //   - the hot set rides a BroadcastExchange
+    //   - NO Window anywhere: nothing may sort the band frame
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
@@ -53,13 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if e.outputPartitioning.toString.contains(key) => e
         }
-        val reused = p.collect {
-          case e: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => e
-        }
-        assert(bandShuffles.size <= 2,
-          s"$q: band-key exchanges must be cold self-join + bucket-stats agg only, got ${bandShuffles.size}:\n$p")
-        assert(reused.nonEmpty,
-          s"$q: the cold self-join's second side must reuse the first side's exchange:\n$p")
+        assert(bandShuffles.size <= 1,
+          s"$q: the bounded bucket agg must be the ONLY band-key exchange, got ${bandShuffles.size}:\n$p")
+        assert(p.toString.contains("graft_topk"),
+          s"$q: bucket members must fold through the bounded graft_topk aggregate")
         assert(p.toString.contains("BroadcastExchange"),
           s"$q: the hot set must broadcast — the band frame never shuffles for the cap joins")
         assert(!p.toString.contains("Window "),
