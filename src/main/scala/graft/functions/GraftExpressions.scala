@@ -266,6 +266,81 @@ final case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Toy-BPE token count over an ALREADY-LOWERCASED string — the codegen'd
+  * kernel behind `t13_bpe_pack`'s token budgeting (callers pass
+  * `graft_bpe_tokens(lower(text))`; the expression itself never lowercases,
+  * so Spark's own `lower` semantics stay in charge of case folding).
+  *
+  * Semantics are EXACTLY the regex formulation the DuckDB oracle runs
+  * (`len(strip non-[a-z])` minus the chars saved by a single global
+  * `regexp_extract_all` over the ordered literal alternation in
+  * [[BpeTokens.Merges]]): scan positions left to right; at each position
+  * try the merges in table order (longest-first), the first that matches
+  * consumes its length as ONE token; an unmatched [a-z] char is one token;
+  * anything else is skipped. Leftmost-position-first + listed-alternative
+  * priority + resume-after-match is precisely Java regex / RE2 alternation
+  * over literals — property-gated against the regex reference in
+  * GraftExpressionsSpec. The hand scan exists because `java.util.regex`
+  * was the t13 kernel's whole cost at bench scale. */
+final case class BpeTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokens.count(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.BpeTokens.count($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  /** The fixed merge table: frequent English character n-grams, ordered
+    * LONGEST-FIRST then by priority. Single source of truth — the regex
+    * oracle twin builds its alternation from this same list. */
+  val Merges: Seq[String] = Seq(
+    "the", "ing", "and", "ion", "ent", "her", "for", "ter", "ati",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to")
+
+  // first-char dispatch: only merges starting with s(i) are tried, in
+  // table order (two merges with different first chars can never both
+  // match at one position, so bucketing preserves alternation priority)
+  private val byFirst: Array[Array[String]] = {
+    val buckets = Array.fill(26)(Vector.empty[String])
+    Merges.foreach { m => val b = m.charAt(0) - 'a'; buckets(b) = buckets(b) :+ m }
+    buckets.map(_.toArray)
+  }
+
+  def count(s: String): Long = {
+    var tokens = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        var consumed = 1
+        val cands = byFirst(c - 'a')
+        var j = 0
+        var done = false
+        while (j < cands.length && !done) {
+          val m = cands(j)
+          if (i + m.length <= n && s.startsWith(m, i)) { consumed = m.length; done = true }
+          j += 1
+        }
+        tokens += 1
+        i += consumed
+      } else i += 1
+    }
+    tokens
+  }
+}
+
 /** `might_contain` over a driver-broadcast [[org.apache.spark.util.sketch.BloomFilter]],
   * codegen'd — replaces the last Scala UDF on the streamed-ingest hot path
   * (the bootstrap committed-keys gate). Bit-compatible with
@@ -330,6 +405,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo("graft.functions", "graft_topk"),
       (exprs: Seq[Expression]) => GraftFunctions.topkBuilder(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo("graft.functions", "graft_bpe_tokens"),
+      (exprs: Seq[Expression]) => BpeTokens(exprs.head)))
   }
 }
 
@@ -352,6 +430,7 @@ object GraftFunctions {
       register(spark, "graft_simhash16", exprs => SimHash16(exprs.head))
       register(spark, "graft_simhash_bands", exprs => SimHashBands(exprs.head))
       register(spark, "graft_topk", topkBuilder)
+      register(spark, "graft_bpe_tokens", exprs => BpeTokens(exprs.head))
     }
   }
 

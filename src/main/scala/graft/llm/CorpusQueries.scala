@@ -159,19 +159,16 @@ object CorpusQueries {
     * resuming after each match — so a single `regexp_extract_all` IS the
     * merge pass, bit-identical across engines. Vocabulary = 26 letters +
     * these merges; a match of length L collapses L chars into one token. */
-  private[graft] val BpeMerges: Seq[String] = Seq(
-    "the", "ing", "and", "ion", "ent", "her", "for", "ter", "ati",
-    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
-    "ti", "es", "or", "te", "ed", "is", "it", "al", "ar", "st", "to")
+  private[graft] val BpeMerges: Seq[String] = graft.functions.BpeTokens.Merges
   private[graft] val BpeMergePattern = BpeMerges.mkString("(", "|", ")")
 
   /** Tokens = in-vocab chars (every [a-z] char is a base token) minus the
-    * chars saved by merges (L-char merge: L→1 token, saves L-1). Pure
-    * map-side, codegen'd — the kernel a 100 TB token-budget pass runs. */
-  private[llm] val bpeTokensExpr =
-    s"""cast(length(regexp_replace(lower(text), '[^a-z]', '')) -
-       |aggregate(transform(regexp_extract_all(lower(text), '$BpeMergePattern', 0),
-       |                    m -> length(m) - 1), 0, (a, x) -> a + x) as long)""".stripMargin
+    * chars saved by merges (L-char merge: L→1 token, saves L-1). The scan
+    * is the codegen'd [[graft.functions.BpeTokens]] kernel (java.util.regex
+    * was the whole query's cost); the DuckDB twin keeps the equivalent
+    * regex formulation, property-gated in GraftExpressionsSpec. Pure
+    * map-side — the kernel a 100 TB token-budget pass runs. */
+  private[llm] val bpeTokensExpr = "graft_bpe_tokens(lower(text))"
 
   /** t5/t13 shared: greedy sequential packing of a (doc_id, tokens) frame
     * into fixed token-budget context windows, window = floor(exclusive
@@ -257,6 +254,7 @@ object CorpusQueries {
       // t5's two-phase prefix-sum pack, but budgeted in [[bpeTokensExpr]]
       // subword tokens instead of regex word counts — the packing/mixture
       // family measured the way a training pipeline actually budgets.
+      graft.functions.GraftFunctions.ensureRegistered(s)
       packWindows(s, docs(s, dir).select(col("doc_id"), expr(bpeTokensExpr).as("tokens")))
     },
 

@@ -42,6 +42,44 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(graft.functions.Fnv32.hash("") === 2166136261L)
   }
 
+  test("graft_bpe_tokens equals the regex formulation (property + planted vectors)") {
+    GraftFunctions.ensureRegistered(spark)
+    // the regex reference: the EXACT formulation the DuckDB oracle runs —
+    // alpha chars minus the chars saved by a single greedy alternation scan
+    val pat = graft.functions.BpeTokens.Merges.mkString("(", "|", ")").r
+    def regexRef(text: String): Long = {
+      val lower = text.toLowerCase
+      val alpha = lower.count(c => c >= 'a' && c <= 'z').toLong
+      val saved = pat.findAllIn(lower).map(_.length - 1L).sum
+      alpha - saved
+    }
+    // planted vectors (hand-checked merge behavior)
+    assert(graft.functions.BpeTokens.count("there") === 2L)    // [the][re]
+    assert(graft.functions.BpeTokens.count("thin cat") === 4L) // [th][in] [c][at]
+    assert(graft.functions.BpeTokens.count("xyz") === 3L)
+    assert(graft.functions.BpeTokens.count("") === 0L)
+    assert(graft.functions.BpeTokens.count("123 %$") === 0L)
+    // property: random alpha/space/punct strings — kernel == regex reference
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz aeiou tthheeiinngg .,!?0189"
+    val samples = (1 to 400).map { _ =>
+      val len = rnd.nextInt(60)
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    samples.foreach { s =>
+      assert(graft.functions.BpeTokens.count(s.toLowerCase) === regexRef(s), s"for '$s'")
+    }
+    // and through the SQL surface (codegen path), against the regex expr
+    val pattern = graft.functions.BpeTokens.Merges.mkString("(", "|", ")")
+    val rows = samples.take(50).toDF("text").selectExpr(
+      "graft_bpe_tokens(lower(text)) AS native",
+      s"""cast(length(regexp_replace(lower(text), '[^a-z]', '')) -
+         |aggregate(transform(regexp_extract_all(lower(text), '$pattern', 0),
+         |                    m -> length(m) - 1), 0, (a, x) -> a + x) as long) AS sql""".stripMargin)
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("graft_simhash16 equals the nested-aggregate SQL chain") {
     GraftFunctions.ensureRegistered(spark)
     val chain =
