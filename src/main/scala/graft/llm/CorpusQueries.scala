@@ -93,6 +93,10 @@ object CorpusQueries {
     * corpus grows, which is the whole point of the sketch. */
   val LinearCountBits = 4096L
 
+  /** d14: the C4-style global-dedup unit — non-overlapping spans of this
+    * many words (the corpus has no sentence boundaries to span over). */
+  val SpanWords = 5
+
   /** t12: resample-membership bucket (seed 555 — independent of t10's). */
   private[llm] val resampleBucket = "((doc_id % 1000003) * 2654435761 + 555) % 1000"
 
@@ -256,6 +260,57 @@ object CorpusQueries {
       // family measured the way a training pipeline actually budgets.
       graft.functions.GraftFunctions.ensureRegistered(s)
       packWindows(s, docs(s, dir).select(col("doc_id"), expr(bpeTokensExpr).as("tokens")))
+    },
+
+    // ---------- corpus-global repeated-span removal (C4-style) ----------
+    "d14_span_dedup" -> { (s, dir) =>
+      // The C4 pipeline's global dedup (Raffel et al. 2020: any
+      // three-sentence span occurring more than once in the corpus is
+      // removed): this corpus has no sentence boundaries, so the unit is
+      // the non-overlapping [[SpanWords]]-word span. Two key-bucketed
+      // shuffles at any scale: span-df counts (map-side combined), then
+      // the spans frame co-partitioned against its own counts — never a
+      // driver-side set, never all-pairs. Output is the per-source audit a
+      // pipeline actually keeps (how much text the rule would remove).
+      val spans = docs(s, dir)
+        .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          s"""CASE WHEN size(words) < $SpanWords THEN array()
+             |ELSE transform(sequence(0, size(words) div $SpanWords - 1),
+             |               i -> array_join(slice(words, i * $SpanWords + 1, $SpanWords), ' '))
+             |END""".stripMargin)).as("span"))
+      val df = spans.groupBy("span").agg(count(lit(1)).as("span_df"))
+      spans.join(df, "span")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_spans").as("n_spans"),
+             sum("n_dup_spans").as("n_dup_spans"),
+             sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L)).as("n_docs_affected"))
+    },
+
+    // ---------- fastText-style linear quality filter ----------
+    "t14_quality_classifier" -> { (s, dir) =>
+      // The canonical LLM-corpus quality gate (CCNet/LLaMA use a fastText
+      // linear classifier): tokens → weight lookup → summed score →
+      // threshold. Weights come from the hashing trick with a fixed seed
+      // (integer in [-8, 7] per token hash — a deterministic stand-in for
+      // trained weights; the ENGINE contract is the shape: pure map-side
+      // codegen'd scoring, integer-exact, zero shuffles before the
+      // per-source audit agg, no model file to distribute because the
+      // "table" is the hash itself).
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      docs(s, dir)
+        .select(col("source"), expr(
+          s"""aggregate(transform(${LlmQueries.wordsExpr},
+             |                    w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
+             |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"),
+             sum("score").as("sum_score"))
     },
 
     "t6_pii_scrub" -> { (s, dir) =>
@@ -429,6 +484,41 @@ object CorpusQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "d14_span_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), sp AS (
+         |  SELECT doc_id, source, unnest(
+         |    CASE WHEN len(words) < $SpanWords THEN []
+         |    ELSE list_transform(generate_series(0, len(words) // $SpanWords - 1),
+         |                        i -> array_to_string(words[i * $SpanWords + 1 : i * $SpanWords + $SpanWords], ' '))
+         |    END) AS span
+         |  FROM w
+         |), df AS (SELECT span, count(*) AS span_df FROM sp GROUP BY 1),
+         |per_doc AS (
+         |  SELECT sp.doc_id, sp.source, count(*) AS n_spans,
+         |         CAST(sum(CASE WHEN df.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+         |  FROM sp JOIN df USING (span) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+         |  CAST(sum(n_dup_spans) AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN n_dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected
+         |FROM per_doc GROUP BY 1""".stripMargin,
+    "t14_quality_classifier" ->
+      s"""WITH w AS (
+         |  SELECT source,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source,
+         |         CAST(coalesce(list_sum(list_transform(words, w -> (${LlmQueries.fnv32Expr("w")}) % 16 - 8)), 0) AS BIGINT) AS score
+         |  FROM w)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(score) AS BIGINT) AS sum_score
+         |FROM sc GROUP BY 1""".stripMargin,
     "t4_corpus_profile" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,

@@ -997,6 +997,38 @@ object LlmQueries {
           coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
     },
 
+    // ---------- semantic dedup: cluster-then-cosine (SemDeDup) ----------
+    "d13_semdedup" -> { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023, public): k-means-cluster the
+      // embedding space, then call any within-cluster pair above a cosine
+      // threshold a SEMANTIC duplicate — catches paraphrases and
+      // re-encodings that shingle/LSH dedup (d2/d3/d10) can miss because
+      // the clusters are TRAINED on the data rather than sliced by random
+      // hyperplanes. Reuses the shared [[ivfIndex]] (√N cells, fixed-point
+      // deterministic Lloyd's) so the ANN family and the dedup family
+      // literally share one index build; candidates are cell-local (the
+      // paper's own O(N²/k) within-cluster pairwise), canonical = smallest
+      // qualifying vec_id, counts-and-ids-only output so the row set
+      // hash-matches the oracle exactly.
+      val tau = 0.8
+      val (_, assigned) = ivfIndex(s, dir)
+      val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
+      val dups = a.as("a")
+        .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
+              Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("o_id"))
+        .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_semdups"))
+      a.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          col("centroid_id"),
+          least(col("vec_id"), coalesce(col("min_partner"), col("vec_id"))).as("canonical_id"),
+          coalesce(col("n_semdups"), lit(0L)).as("n_semdups"))
+    },
+
     // ---------- ANN: IVF — k-means-trained cells, probe=1 ----------
     "ann_ivf_probe" -> { (s, dir) =>
       // Probe=1: a query scores ONLY its own cell. Training + assignment
@@ -1445,6 +1477,26 @@ object LlmQueries {
          |  FROM assigned a JOIN q ON a.centroid_id = q.centroid_id AND a.vec_id != q.q_id)
          |WHERE rank <= 3""".stripMargin
 
+    // SemDeDup twin: the trained-assignment CTE chain composed with the
+    // within-cell thresholded pair join — identical IEEE cosine, so the
+    // integer/id-only output hash-matches.
+    val semdedupSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |dups AS (
+         |  SELECT a.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_semdups
+         |  FROM assigned a JOIN assigned o
+         |    ON a.centroid_id = o.centroid_id AND a.vec_id != o.vec_id
+         |  WHERE list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.centroid_id::BIGINT AS centroid_id,
+         |       least(a.vec_id, coalesce(d.min_partner, a.vec_id)) AS canonical_id,
+         |       coalesce(d.n_semdups, 0)::BIGINT AS n_semdups
+         |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
+
     val ivfSql2 =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
@@ -1557,6 +1609,7 @@ object LlmQueries {
           |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
           |FROM documents""".stripMargin,
       "d3_embedding_neardup" -> neardupSql,
+      "d13_semdedup" -> semdedupSql,
       "d2_minhash_lsh" -> minhashSql,
       "d10_simhash_neardup" -> simhashDupSql,
       "d11_band_skew_audit" -> bandAuditSql,

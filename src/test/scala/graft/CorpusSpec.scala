@@ -100,6 +100,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("d14 span dedup equals a naive global span count") {
+    def words(t: String): Seq[String] = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def spans(t: String): Seq[String] = {
+      val w = words(t)
+      (0 until w.size / CorpusQueries.SpanWords)
+        .map(i => w.slice(i * CorpusQueries.SpanWords, (i + 1) * CorpusQueries.SpanWords).mkString(" "))
+    }
+    val all = docs.flatMap { case (id, text, src, _) => spans(text).map(sp => (id, src, sp)) }
+    val dfm = all.groupBy(_._3).view.mapValues(_.size).toMap
+    val perDoc = all.groupBy(d => (d._1, d._2)).map { case ((_, src), sps) =>
+      (src, sps.size.toLong, sps.count(s => dfm(s._3) >= 2).toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(_._2).sum, ds.map(_._3).sum,
+              ds.count(_._3 > 0).toLong)
+    }
+    val got = CorpusQueries.queries("d14_span_dedup")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_spans"),
+         r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_docs_affected"))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.map(_._3).sum > 0, "the corpus must contain at least one repeated span")
+  }
+
+  test("t14 quality classifier equals a naive hash-weight scorer") {
+    def score(t: String): Long = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(w => graft.functions.Fnv32.hash(w) % 16 - 8).sum
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val scores = ds.map(d => score(d._2))
+      src -> (ds.size.toLong, scores.count(_ >= 0).toLong, scores.sum)
+    }
+    val got = CorpusQueries.queries("t14_quality_classifier")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"), r.getAs[Long]("sum_score"))
+    }.toMap
+    assert(got == expected)
+    // the filter must actually split the corpus, not rubber-stamp it
+    val (n, keep) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(keep > 0 && keep < n, s"degenerate filter: keep=$keep of $n")
+  }
+
   test("t6 scrub: every planted PII item found, zero residual, all docs audited") {
     val rows = CorpusQueries.queries("t6_pii_scrub")(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)

@@ -152,6 +152,24 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(1L)._3 === 0L)
   }
 
+  test("d13 SemDeDup: trained cells surface the planted near-identical pairs; orthogonal vectors stay clean") {
+    val rows = run("d13_semdedup").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+                 r.getAs[Long]("canonical_id"), r.getAs[Long]("n_semdups")))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).toSet.size === rows.size, "one row per vector")
+    // the planted near-identical pairs (0,1) and (2,3) cluster together and
+    // dedup to the smaller id
+    assert(byId(0L)._2 === byId(1L)._2, "near-identical vectors must share a cell")
+    assert(byId(1L)._3 === 0L, "vector 1 dedups to canonical 0")
+    assert(byId(0L)._3 === 0L)
+    assert(byId(2L)._2 === byId(3L)._2)
+    assert(byId(3L)._3 === 2L)
+    assert(byId(1L)._4 >= 1L && byId(3L)._4 >= 1L)
+    // the lone axis-20 vector is nobody's semantic duplicate
+    assert(byId(4L)._3 === 4L && byId(4L)._4 === 0L)
+  }
+
   test("ann IVF: k-means cells keep near-identical pairs together (probe=1)") {
     val rows = run("ann_ivf_probe").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("centroid_id")))
