@@ -450,14 +450,26 @@ object LlmQueries {
     val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
-    val rare = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= NgramMaxDf)
-      .drop("df")
-    val pairs = rare.as("a")
-      .join(rare.as("b"), Seq("sh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One bounded posting-key aggregate instead of a df count-window (a
+    // keyed SORT of the full postings frame) followed by a two-sided
+    // self-join: per shingle, the exact df plus up to NgramMaxDf member
+    // doc ids fold through graft_topk (constant score ⇒ min-k by id; the
+    // array is COMPLETE whenever df ≤ the cap, which is the only case
+    // that emits). Rare postings explode their ≤ cap²/2 pairs locally
+    // from the aggregated array; hot postings (df > cap) are dropped
+    // whole — the documented IDF-style cap (a shingle shared by more
+    // than NgramMaxDf docs identifies nothing), same semantics as the
+    // windowed plan and the oracle.
+    val pairs = postings.groupBy("sh")
+      .agg(count(lit(1)).as("df"),
+           graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), lit(0L), NgramMaxDf)
+             .as("members"))
+      .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2),
+          |  i -> transform(sequence(i + 1, size(members) - 1),
+          |    j -> struct(members[i].id AS doc_a, members[j].id AS doc_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"))
       .distinct()
     val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
     val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
