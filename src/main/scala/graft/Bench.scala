@@ -103,7 +103,8 @@ object Bench {
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
       (Set("d6_dedup_clusters", "d7_curation_split"),
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
-      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfsq_topk"),
+      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfsq_topk", "d13_semdedup",
+           "d15_cell_skew_audit"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
       (Set("ann_sq_topk", "ann_ivfsq_topk"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir))
@@ -355,9 +356,11 @@ object Bench {
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"
-      } finally {
+      } finally if (evictEnabled) {
         // the recall sweep rebuilt the ANN indexes the sweep evicted —
-        // drop them again so the micro/gateway phases run storage-clean
+        // drop them again so the micro/gateway phases run storage-clean.
+        // Gated on the A/B lever: SPARK_GRAFT_BENCH_EVICT=0 must be
+        // hold-everything for the WHOLE run, including these phases.
         llm.LlmQueries.evictIvfIndex(spark, sfDir)
         llm.LlmQueries.evictSqIndex(spark, sfDir)
       }

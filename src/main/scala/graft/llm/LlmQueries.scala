@@ -99,8 +99,18 @@ object LlmQueries {
   // degrades to corpus-local as the data grows 100×. Both derivations use
   // integer-or-IEEE-exact arithmetic so the DuckDB oracle lands on the
   // same knob value from the same count(*).
-  val MaxCentroids       = 256  // training collect stays ≤ 256×64 rows
-  val MaxHyperplanes     = 16   // ≤ 65536 buckets
+  // The centroid cap is a BROADCAST bound, not a driver-collect bound: the
+  // Lloyd update is fully distributed (the k×dim fixed-point sums stay a
+  // frame), so k follows the √N rule up to 65536 cells — 65536×64 doubles
+  // ≈ 32 MB of centroids, the practical ceiling for the broadcast side of
+  // the assignment join. That is the SemDeDup paper's own k ≈ 10⁴–10⁵
+  // regime, keeping the within-cell O(N²/k) pair pass tolerable at scale.
+  val MaxCentroids       = 65536
+  // 30 planes → 2^30 buckets: the occupancy rule holds to ~34B vectors
+  // (beyond that the bucket id would overflow the int it packs into).
+  // Plane literals are DERIVED (hyperplane(h, d)) — raising the ceiling
+  // costs nothing until a corpus actually demands the extra planes.
+  val MaxHyperplanes     = 30
   val LshTargetOccupancy = 32L  // expected vectors per LSH bucket
 
   /** The FAISS √N rule, clamped to [[NumCentroids]]..[[MaxCentroids]]:
@@ -274,14 +284,16 @@ object LlmQueries {
     * integer sums (floor(x·2^20) per component), which are
     * order-independent, so Spark's shuffle order and the DuckDB oracle
     * produce bit-identical centroids and the whole query stays hash-gated.
-    * Per iteration the driver collects only k×dim sums (k = √N cells via
-    * [[centroidsFor]], capped at [[MaxCentroids]] — ≤ 256×64 rows,
-    * metadata-sized at any corpus scale); assignment is a broadcast(k
-    * centroids) × corpus map, the standard distributed k-means shape, with
-    * the argmax as a partial-aggregatable max_by over a UNIQUE
-    * (c_sim, -c_id) key — map-side combine, no window shuffle+sort, same
-    * tie-break as the oracle's row_number ordering. */
-  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (_, a) => a.unpersist(); () })
+    * The Lloyd update is FULLY DISTRIBUTED: the k×dim fixed-point sums
+    * stay a frame end to end (no driver `.collect()`), so k follows the
+    * √N rule ([[centroidsFor]]) all the way to the [[MaxCentroids]]
+    * broadcast bound instead of a driver-memory cap. Assignment is a
+    * broadcast(k centroids) × corpus map, the standard distributed
+    * k-means shape, with the argmax as a partial-aggregatable max_by over
+    * a UNIQUE (c_sim, -c_id) key — map-side combine, no window
+    * shuffle+sort, same tie-break as the oracle's row_number ordering.
+    * Both frames of the pair are persisted; onEvict drops both. */
+  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (c, a) => c.unpersist(); a.unpersist(); () })
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
@@ -308,27 +320,30 @@ object LlmQueries {
         var cents = e.filter(col("vec_id") < nc)
           .select(col("vec_id").as("c_id"), col("v").as("cv"))
         (1 to KMeansIters).foreach { _ =>
-          val sums = assign(cents)
+          // Distributed Lloyd update: per-(cell, dim) fixed-point sums fold
+          // through one partial-aggregatable shuffle, then re-pack to a
+          // k-row (c_id, cv) frame — never touching the driver. The
+          // division is the same binary64 arithmetic as the collected
+          // version (and the oracle): CAST(s)/(CAST(n) * 1048576.0).
+          cents = assign(cents)
             .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
             .groupBy("centroid_id", "pos")
             .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
-            .collect()
-          val next = sums
-            .groupBy(_.getAs[Long]("centroid_id"))
-            .toSeq
-            .map { case (cid, rows) =>
-              val cv = rows.sortBy(_.getAs[Int]("pos"))
-                .map(r => r.getAs[Long]("s").toDouble / (r.getAs[Long]("n").toDouble * 1048576.0))
-              (cid, cv.toSeq)
-            }
-          import s.implicits._
-          cents = next.toDF("c_id", "cv")
+            .groupBy(col("centroid_id"))
+            .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+            .select(col("centroid_id").as("c_id"),
+              expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
         }
-        val assigned = assign(cents)
+        // Persist the trained centroids too: they are re-broadcast by every
+        // probe-selection pass (ivfProbeAt, ann_ivfsq_topk) — without the
+        // persist each broadcast would replay the whole training chain.
+        val trained = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trained.count()
+        val assigned = assign(trained)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         assigned.count() // materialize off `e` before releasing it
         e.unpersist()
-        (cents, assigned)
+        (trained, assigned)
       })
     }
 
@@ -590,7 +605,12 @@ object LlmQueries {
     *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, t3
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
-    *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2, ann_ivfsq_topk
+    *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
+    *     ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit (ANY new
+    *     ivfIndex/sqIndex consumer
+    *     MUST be added to Bench's cacheLastConsumer table too — an omitted
+    *     consumer silently rebuilds the index mid-sweep and re-pins it,
+    *     the exact storage-pressure failure the eviction prevents)
     *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
@@ -605,17 +625,21 @@ object LlmQueries {
   private val streamDupSink = new Object
   private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
 
-  /** mtime+length signature over the dir's documents.parquet file(s) — the
-    * invalidation component of the d12 sink-cache key. */
+  /** Content signature over the dir's documents.parquet file(s) — the
+    * invalidation component of the d12 sink-cache key. Per-file
+    * (name, length, mtime) tuples, name-sorted, folded to one md5: an
+    * aggregated max(mtime)+total-length stamp would collide for a fixture
+    * regenerated within the same millisecond at identical total size. */
   private def docsStamp(dir: String): String = {
     val p = new java.io.File(dir, "documents.parquet")
     val files =
       if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
       else Array(p)
-    val (m, l) = files.foldLeft((0L, 0L)) { case ((mm, ll), f) =>
-      (math.max(mm, f.lastModified()), ll + f.length())
-    }
-    s"$m:$l"
+    val detail = files.sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+      .mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(detail.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
@@ -1039,6 +1063,28 @@ object LlmQueries {
           col("centroid_id"),
           least(col("vec_id"), coalesce(col("min_partner"), col("vec_id"))).as("canonical_id"),
           coalesce(col("n_semdups"), lit(0L)).as("n_semdups"))
+    },
+
+    // ---------- IVF/SemDeDup cell-occupancy audit ----------
+    "d15_cell_skew_audit" -> { (s, dir) =>
+      // d11-style visibility for the trained-cell family (d13 + the IVF
+      // ANN queries): per-cell occupancy folded to ONE row — cell count,
+      // corpus size, the largest cell, and the cells (and rows) above 4×
+      // the mean occupancy, i.e. exactly where d13's within-cell O(sz²)
+      // pair pass concentrates at scale. One partial-aggregatable shuffle
+      // over the SHARED cached assignment (no rebuild); the hot test is
+      // INTEGER-ONLY (sz·nc > 4·N — no float division for the oracle to
+      // disagree on, nc = the derived [[centroidsFor]] knob).
+      val (_, assigned) = ivfIndex(s, dir)
+      val n  = embCount(s, dir)
+      val nc = centroidsFor(n)
+      assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_vectors"),
+          coalesce(max(col("sz")), lit(0L)).as("max_cell"),
+          coalesce(sum(when(col("sz") * nc > n * 4L, 1L).otherwise(0L)), lit(0L)).as("n_hot_cells"),
+          coalesce(sum(when(col("sz") * nc > n * 4L, col("sz")).otherwise(lit(0L))), lit(0L)).as("n_hot_rows"))
     },
 
     // ---------- ANN: IVF — k-means-trained cells, probe=1 ----------
@@ -1509,6 +1555,24 @@ object LlmQueries {
          |       coalesce(d.n_semdups, 0)::BIGINT AS n_semdups
          |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id""".stripMargin
 
+    // Cell-occupancy audit twin: the same trained-assignment chain folded
+    // to one integer row; the hot test reuses the kc knob CTE so both
+    // engines gate on the identical derived cell count.
+    val cellAuditSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |tot AS (SELECT count(*) AS n FROM e),
+         |sizes AS (SELECT centroid_id, count(*) AS sz FROM assigned GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_cells,
+         |       COALESCE(SUM(sz), 0)::BIGINT AS n_vectors,
+         |       COALESCE(MAX(sz), 0)::BIGINT AS max_cell,
+         |       COALESCE(SUM(CASE WHEN sz * (SELECT nc FROM kc) > 4 * (SELECT n FROM tot) THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_cells,
+         |       COALESCE(SUM(CASE WHEN sz * (SELECT nc FROM kc) > 4 * (SELECT n FROM tot) THEN sz ELSE 0 END), 0)::BIGINT AS n_hot_rows
+         |FROM sizes""".stripMargin
+
     val ivfSql2 =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
@@ -1622,6 +1686,7 @@ object LlmQueries {
           |FROM documents""".stripMargin,
       "d3_embedding_neardup" -> neardupSql,
       "d13_semdedup" -> semdedupSql,
+      "d15_cell_skew_audit" -> cellAuditSql,
       "d2_minhash_lsh" -> minhashSql,
       "d10_simhash_neardup" -> simhashDupSql,
       "d11_band_skew_audit" -> bandAuditSql,

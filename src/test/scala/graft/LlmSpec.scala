@@ -246,6 +246,46 @@ class LlmSpec extends AnyFunSuite {
     assert(ivfsq.keySet.subsetOf(brute.keySet))
   }
 
+  test("derived index knobs hold their bounds past the old saturation points") {
+    import LlmQueries.{centroidsFor, hyperplanesFor, LshTargetOccupancy, MaxCentroids, MaxHyperplanes}
+    // √N rule, no longer capped at the round-11 driver-collect bound of
+    // 256: a 10M-vector corpus gets 3162 cells, a 1B-vector corpus 31622,
+    // and the cap only bites at the broadcast bound
+    assert(centroidsFor(10_000_000L) === 3162L)
+    assert(centroidsFor(1_000_000_000L) === 31622L)
+    assert(centroidsFor(10_000_000_000L) === MaxCentroids.toLong)
+    // occupancy rule past the old 16-plane saturation: 3M vectors need 17
+    // planes (32·2^17 ≥ 3M), 500M need 24 — and whenever the knob is
+    // below the cap the occupancy bound actually holds
+    assert(hyperplanesFor(3_000_000L) === 17)
+    assert(hyperplanesFor(500_000_000L) === 24)
+    Seq(1L, 1000L, 65_000L, 3_000_000L, 500_000_000L, 30_000_000_000L).foreach { n =>
+      val h = hyperplanesFor(n)
+      assert(h <= MaxHyperplanes)
+      if (h < MaxHyperplanes)
+        assert((LshTargetOccupancy << h) >= n, s"occupancy bound broken at n=$n (h=$h)")
+    }
+    // the bucket id must stay a positive int: sum of 2^h for h < 30
+    assert((0 until MaxHyperplanes).map(1 << _).sum === (1 << MaxHyperplanes) - 1)
+  }
+
+  test("d15: cell-occupancy audit is one consistent integer row over the shared index") {
+    val r = run("d15_cell_skew_audit").collect()
+    assert(r.length === 1)
+    val row      = r.head
+    val nCells   = row.getAs[Long]("n_cells")
+    val nVecs    = row.getAs[Long]("n_vectors")
+    val maxCell  = row.getAs[Long]("max_cell")
+    val hotCells = row.getAs[Long]("n_hot_cells")
+    val hotRows  = row.getAs[Long]("n_hot_rows")
+    assert(nVecs === 7L, "every fixture vector is assigned to exactly one cell")
+    assert(nCells >= 1L && nCells <= nVecs)
+    // the planted near-identical pairs share cells, so some cell holds >= 2
+    assert(maxCell >= 2L && maxCell <= nVecs)
+    assert(hotCells >= 0L && hotRows >= hotCells * 2L || hotCells === 0L)
+    assert(hotRows <= nVecs)
+  }
+
   test("hyperplanes are deterministic dyadic rationals in [-0.5, 0.5)") {
     val p1 = LlmQueries.hyperplane(3, 16)
     val p2 = LlmQueries.hyperplane(3, 16)

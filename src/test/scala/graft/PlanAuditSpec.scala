@@ -25,10 +25,24 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
-        "d9_decontaminate", "d10_simhash_neardup").foreach { q =>
+        "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
+  }
+
+  test("IVF/SemDeDup training is distributed: no collected-centroid LocalTableScan") {
+    // The Lloyd update keeps the k×dim fixed-point sums a frame end to
+    // end — so the √N cell count can actually scale (the round-11 cap of
+    // 256 existed only because the update collected onto the driver). A
+    // LocalTableScan in any trained-cell plan means a driver-side collect
+    // of the centroids crept back in and silently re-capped k.
+    Seq("ann_ivf_probe", "ann_ivf_probe2", "d13_semdedup", "d15_cell_skew_audit")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("LocalTableScan"),
+          s"$q: centroids must come from the distributed Lloyd update, not a driver collect:\n${p.take(2000)}")
+      }
   }
 
   test("d2/d10 hot-bucket cap: ONE bounded band-key agg, broadcast hot set, no self-join, no sort") {
