@@ -185,24 +185,38 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
     // for the compaction's duration (the burst worst-cycle p99). Writes
     // racing the rewrite stay durable: the WAL captures frames appended
     // mid-compaction and drains them into the swapped file.
-    val (evicted, seqSnap, liveSnap) = synchronized {
-      var n = 0
-      watermarks.foreach { case (p, wm) =>
-        events.get((topic, p)).foreach { buf =>
-          val (drop, keep) = buf.partition(e => e.sequence <= wm && e.timestampMs < nowMs - retainMs)
-          n += drop.size
-          drop.foreach(e => e.idempotencyKey.foreach(k => idem.remove((topic, p, k))))
-          buf.clear(); buf ++= keep
+    def run(): Int = {
+      val (evicted, seqSnap, liveSnap, token) = synchronized {
+        var n = 0
+        watermarks.foreach { case (p, wm) =>
+          events.get((topic, p)).foreach { buf =>
+            val (drop, keep) = buf.partition(e => e.sequence <= wm && e.timestampMs < nowMs - retainMs)
+            n += drop.size
+            drop.foreach(e => e.idempotencyKey.foreach(k => idem.remove((topic, p, k))))
+            buf.clear(); buf ++= keep
+          }
         }
+        // arm the WAL's catch-up capture BEFORE the snapshot escapes this
+        // lock: a write landing after the snapshot is then guaranteed to be
+        // drained into the rewritten log
+        val tok = if (n > 0) wal.map(_.beginCapture()) else None
+        (n, seqs.toMap, if (n > 0) events.values.flatten.toVector else Vector.empty, tok)
       }
-      // arm the WAL's catch-up capture BEFORE the snapshot escapes this
-      // lock: a write landing after the snapshot is then guaranteed to be
-      // drained into the rewritten log
-      if (n > 0) wal.foreach(_.beginCapture())
-      (n, seqs.toMap, if (n > 0) events.values.flatten.toVector else Vector.empty)
+      // bound the WAL at O(live buffer): rewrite to seq-marks + live events
+      if (evicted > 0) wal.foreach(_.compact(seqSnap, liveSnap, token.getOrElse(-1L)))
+      evicted
     }
-    // bound the WAL at O(live buffer): rewrite to seq-marks + live events
-    if (evicted > 0) wal.foreach(_.compact(seqSnap, liveSnap))
-    evicted
+    // the whole arm→snapshot→compact sequence runs under the WAL's
+    // compaction mutex: cleanup is called concurrently (flush daemon +
+    // POST /flush on HTTP pool threads) over ONE shared buffer/WAL, and
+    // two interleaved sequences can drop an acked event from the rewritten
+    // log (the first compact drains and disarms the capture the second
+    // cleanup armed; a write acked between the first swap and the second
+    // re-arm is in neither the second snapshot nor its side buffer).
+    // Appends never take this mutex, so the burst-p99 property is intact.
+    wal match {
+      case Some(w) => w.exclusively(run())
+      case None    => run()
+    }
   }
 }

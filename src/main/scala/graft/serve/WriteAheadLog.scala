@@ -46,11 +46,26 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
 
   private var out: DataOutputStream = _
   private var fileOut: FileOutputStream = _
-  // serializes whole compactions; `side` (guarded by this WAL's monitor)
-  // captures frames appended while a compaction rewrite is in flight
+  // serializes whole compaction SEQUENCES (arm → snapshot → compact, via
+  // [[exclusively]]); `side` (guarded by this WAL's monitor) captures
+  // frames appended while a compaction rewrite is in flight, and
+  // `sideToken` names the capture so a compaction can only drain/disarm
+  // the capture IT armed — never one a concurrent cleanup just armed
   private val compactLock = new Object
   private var side: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+  private var sideToken: Long = 0L
   openAppend()
+
+  /** Run `body` holding the compaction mutex. A caller that arms the
+    * catch-up capture ([[beginCapture]]), snapshots its live set, and then
+    * calls [[compact]] MUST wrap the whole sequence here: with two
+    * concurrent cleanups over one shared WAL (flush daemon + HTTP flush),
+    * an unserialized first compact would drain-and-disarm the capture the
+    * second cleanup just armed, and a write acked between the first swap
+    * and the second compact would land in neither the second snapshot nor
+    * its side buffer — dropped from the WAL on the second swap. Appends
+    * never take this lock, so writes are not stalled. Reentrant. */
+  def exclusively[T](body: => T): T = compactLock.synchronized(body)
 
   private def openAppend(): Unit = {
     fileOut = new FileOutputStream(logPath.toFile, true)
@@ -168,14 +183,18 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   }
 
   /** Arm the compaction catch-up capture: every frame appended from now on
-    * is ALSO retained in memory until the next [[compact]] drains it into
-    * the rewritten log. The caller arms this while it still holds whatever
-    * lock makes its live-set snapshot consistent, so no append can fall
-    * between the snapshot and the rewrite. Single in-flight compaction
-    * assumed (one flusher thread) — a second beginCapture before the first
-    * compact is a no-op. */
-  def beginCapture(): Unit = synchronized {
-    if (side == null) side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    * is ALSO retained in memory until the [[compact]] holding the returned
+    * token drains it into the rewritten log. The caller arms this while it
+    * still holds whatever lock makes its live-set snapshot consistent, so
+    * no append can fall between the snapshot and the rewrite — and wraps
+    * the whole arm→snapshot→compact sequence in [[exclusively]], so a
+    * concurrent cleanup can neither steal nor disarm this capture. */
+  def beginCapture(): Long = synchronized {
+    if (side == null) {
+      sideToken += 1
+      side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    }
+    sideToken
   }
 
   /** Atomically rewrite the log to `seqs` marks + `live` events WITHOUT
@@ -190,15 +209,23 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     * stall was the gateway's burst worst-cycle p99. Crash safety is
     * unchanged: a crash mid-compaction leaves the old log (including every
     * frame appended meanwhile) intact, and stale tmps are swept on open. */
-  def compact(seqs: Map[(String, Int), Long], live: Iterable[StoredEvent]): Unit =
+  def compact(seqs: Map[(String, Int), Long], live: Iterable[StoredEvent],
+              token: Long = -1L): Unit =
     compactLock.synchronized {
       val tmp     = dir.resolve(s"hot.wal.compact.${java.util.UUID.randomUUID()}")
       val tmpLog  = new TmpWal(tmp)
       var swapped = false
       // capture may already be armed by beginCapture() (the caller arms it
       // BEFORE snapshotting its live set, closing the window where a write
-      // lands after the snapshot but before the rewrite starts)
-      synchronized { if (side == null) side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]] }
+      // lands after the snapshot but before the rewrite starts, and passes
+      // the returned token here); a tokenless call self-arms
+      val tok = synchronized {
+        if (side == null) {
+          sideToken += 1
+          side = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          sideToken
+        } else if (token >= 0L) token else sideToken
+      }
       try {
         seqs.toSeq.sortBy(t => (t._1._1, t._1._2)).foreach { case ((t, p), s) => tmpLog.appendSeqMark(t, p, s) }
         live.foreach(tmpLog.appendEvent)
@@ -212,7 +239,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
           swapped = true
         }
       } finally {
-        synchronized { side = null }
+        // disarm ONLY the capture this compaction owns: an unconditional
+        // clear on the failure path would silently disarm a capture a
+        // concurrent cleanup armed after our swap
+        synchronized { if (sideToken == tok) side = null }
         if (!swapped) {
           try tmpLog.close() catch { case _: Exception => () }
           Files.deleteIfExists(tmp)

@@ -40,6 +40,55 @@ class DurabilitySpec extends AnyFunSuite {
     assert(off === 4L, s"sequence must continue past the evicted prefix, got $off")
   }
 
+  test("concurrent cleanups + writes: no acked event is ever dropped from the WAL") {
+    // The flush daemon and POST /tables/{t}/flush run cleanup concurrently
+    // over ONE shared HotBuffer/WAL. Unserialized, the first compaction's
+    // drain-and-disarm could swallow the capture a second cleanup just
+    // armed, and a write acked between the first swap and the second
+    // compact would vanish from the rewritten log — INV-2 broken on crash
+    // replay. Stress the interleaving, then crash-replay and check every
+    // event still live in the buffer is recoverable.
+    val dir = Files.createTempDirectory("graft-wal-race-")
+    val wal = new WriteAheadLog(dir)
+    val hot = new HotBuffer(Some(wal))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    def guarded(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => failed.compareAndSet(null, t); stop.set(true) }
+    val writer = new Thread(guarded {
+      var i = 0
+      while (!stop.get()) {
+        hot.write("race", i % 2, s"p$i".getBytes, 1000L + i, None)
+        i += 1
+      }
+    })
+    def cleaner = new Thread(guarded {
+      while (!stop.get()) {
+        val wm = hot.highWatermarks("race")
+        if (wm.nonEmpty) hot.cleanup("race", wm)
+      }
+    })
+    val (c1, c2) = (cleaner, cleaner)
+    Seq(writer, c1, c2).foreach(_.start())
+    Thread.sleep(1500)
+    stop.set(true)
+    Seq(writer, c1, c2).foreach(_.join(10000))
+    assert(failed.get() === null, s"worker thread died: ${failed.get()}")
+    wal.close()
+    // crash: rebuild from disk only; every event still live in the buffer
+    // (acked, not yet evicted by a cleanup) must come back, and sequence
+    // counters must not regress
+    val recovered = new HotBuffer(Some(new WriteAheadLog(dir)))
+    val liveBefore = Seq(0, 1).flatMap(p =>
+      hot.readPartition("race", p, 0L, Int.MaxValue).map(e => (e.partition, e.sequence)))
+    val liveAfter = Seq(0, 1).flatMap(p =>
+      recovered.readPartition("race", p, 0L, Int.MaxValue).map(e => (e.partition, e.sequence))).toSet
+    val missing = liveBefore.filterNot(liveAfter)
+    assert(missing.isEmpty, s"acked live events lost from the WAL: ${missing.take(10)}")
+    assert(recovered.highWatermarks("race") === hot.highWatermarks("race"),
+      "sequence counters must survive the crash intact")
+  }
+
   test("torn WAL tail: replay keeps the intact prefix and drops the partial frame") {
     val dir = Files.createTempDirectory("graft-wal-torn-")
     val wal = new WriteAheadLog(dir)
