@@ -267,11 +267,18 @@ object CorpusQueries {
       // The C4 pipeline's global dedup (Raffel et al. 2020: any
       // three-sentence span occurring more than once in the corpus is
       // removed): this corpus has no sentence boundaries, so the unit is
-      // the non-overlapping [[SpanWords]]-word span. Two key-bucketed
-      // shuffles at any scale: span-df counts (map-side combined), then
-      // the spans frame co-partitioned against its own counts — never a
-      // driver-side set, never all-pairs. Output is the per-source audit a
-      // pipeline actually keeps (how much text the rule would remove).
+      // the non-overlapping [[SpanWords]]-word span.
+      //
+      // SKEW-IMMUNE shape: a doc's dup-span count is its span count MINUS
+      // its corpus-UNIQUE span count, and a df=1 span has exactly one
+      // owner, which rides the span aggregate as min(struct(doc, src)) —
+      // so the spans frame is never JOINED on the span key at all. The
+      // earlier spans⋈counts join re-shuffled every occurrence of a
+      // corpus-viral span onto one task (the classic hot-key straggler);
+      // here both span-keyed operations are partial-aggregatable, so a
+      // viral span leaves each map task as ONE combined row. Remaining
+      // exchanges: one on span (bounded), one on (doc, source), one
+      // doc-keyed join — all skew-free at any scale.
       val spans = docs(s, dir)
         .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
         .select(col("doc_id"), col("source"), explode(expr(
@@ -279,11 +286,17 @@ object CorpusQueries {
              |ELSE transform(sequence(0, size(words) div $SpanWords - 1),
              |               i -> array_join(slice(words, i * $SpanWords + 1, $SpanWords), ' '))
              |END""".stripMargin)).as("span"))
-      val df = spans.groupBy("span").agg(count(lit(1)).as("span_df"))
-      spans.join(df, "span")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_spans"),
-             sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      val perDoc = spans.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_spans"))
+      val uniquePerDoc = spans.groupBy(col("span"))
+        .agg(count(lit(1)).as("span_df"),
+             min(struct(col("doc_id"), col("source"))).as("owner"))
+        .filter(col("span_df") === 1)
+        .groupBy(col("owner.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_spans"),
+                (col("n_spans") - coalesce(col("n_unique"), lit(0L))).as("n_dup_spans"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
              sum("n_spans").as("n_spans"),

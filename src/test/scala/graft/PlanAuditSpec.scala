@@ -79,6 +79,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d14: the spans frame is never JOINED on the span key (viral-span skew immunity)") {
+    // A corpus-viral span must not become a hot join key: the dup-span
+    // count derives from partial-aggregatable span counts (a viral span
+    // leaves each map task as ONE combined row), and the only join keys on
+    // doc_id. A shuffle JOIN keyed on span means the occurrence frame is
+    // being re-shuffled onto hot span keys again.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("d14_span_dedup")(s2, sf).queryExecution.executedPlan
+    val joinKeys = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.leftKeys.mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+    }
+    joinKeys.foreach(k =>
+      assert(!k.contains("span"), s"d14 joins must key on doc_id, never span: $k\n$p"))
+    assert(joinKeys.nonEmpty, "expected the doc-keyed unique-count join to be present")
+  }
+
   test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
     val p = plan("t12_mixture_resample")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
