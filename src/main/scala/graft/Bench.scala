@@ -365,6 +365,54 @@ object Bench {
         llm.LlmQueries.evictSqIndex(spark, sfDir)
       }
     }
+    // DEDUP RECALL at the bench SF: the quality axis of the dedup speed
+    // numbers, mirroring ann_recall — without it, the approximate families
+    // could trade recall for speed invisibly. Text side: pair recall of
+    // banded MinHash (d2) against d4's EXACT n-gram-Jaccard pairs (d2
+    // verifies exact Jaccard on its candidates, so precision is 1 by
+    // construction and recall isolates banding loss); d10's pairs use a
+    // different criterion (hamming<=3), so its overlap with the Jaccard
+    // truth is a cross-metric agreement number, reported as such.
+    // Embedding side: the synthetic embeddings have NO cosine>=0.8 pairs
+    // at any SF (measured), so recall at the operators' production tau is
+    // vacuous. The probe instead runs the SAME cell-local (d13 shape) and
+    // bucket-local (d3 shape) candidate generators at a tau where ground
+    // truth exists, measured against the exact brute-force dup-vector set
+    // at that tau — isolating the recall cost of cell/bucket LOCALITY,
+    // which is the only approximation these operators make.
+    val dedupRecall = {
+      if (only.nonEmpty) "null"
+      else try {
+        def pairSet(name: String): Set[(Long, Long)] =
+          SparkEntry.queries(name)(spark, sfDir).select("doc_a", "doc_b").collect()
+            .map { r =>
+              val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b))
+            }.toSet
+        val truth = pairSet("d4_ngram_jaccard")
+        def recall(got: Set[(Long, Long)]): Double =
+          if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+        val d2r  = recall(pairSet("d2_minhash_lsh"))
+        val d10r = recall(pairSet("d10_simhash_neardup"))
+        val tau   = 0.5
+        val exact = llm.LlmQueries.exactCosineDupVectors(spark, sfDir, tau)
+        def vrecall(got: Set[Long]): Double =
+          if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+        val cellR   = vrecall(llm.LlmQueries.cellDupVectorsAt(spark, sfDir, tau))
+        val bucketR = vrecall(llm.LlmQueries.bucketDupVectorsAt(spark, sfDir, tau))
+        f"""{"d2_pair_recall":$d2r%.3f,"d10_jaccard_agreement":$d10r%.3f,""" +
+          f""""truth_pairs":${truth.size},"cos_tau":$tau%.2f,""" +
+          f""""semdedup_cell_recall":$cellR%.3f,"lsh_bucket_recall":$bucketR%.3f,""" +
+          f""""truth_dup_vecs":${exact.size}}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] dedup recall failed: $e"); "null"
+      } finally if (evictEnabled) {
+        // this block rebuilt the signature + IVF caches the sweep evicted
+        llm.LlmQueries.evictSignatures(spark, sfDir)
+        llm.LlmQueries.evictSimSignatures(spark, sfDir)
+        llm.LlmQueries.evictIvfIndex(spark, sfDir)
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -385,6 +433,7 @@ object Bench {
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},"queries_max":${jmap(_._5)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
+      s""""dedup_recall":$dedupRecall,""" +
       s""""query_scale":$qScale,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -642,6 +642,58 @@ object LlmQueries {
       .digest(detail.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Exact embedding-space ground truth for the bench's dedup-recall
+    * block: vectors with at least one OTHER vector at cosine ≥ tau, from
+    * a brute-force all-pairs pass. Deliberately O(N²) — this is the
+    * bench-side oracle the approximate families (d3 bucket-local, d13
+    * cell-local) are measured against, not a pipeline operator. */
+  private[graft] def exactCosineDupVectors(s: SparkSession, dir: String,
+                                           tau: Double = 0.8): Set[Long] = {
+    val e = emb(s, dir)
+    val o = e.select(col("vec_id").as("o_id"), col("v").as("ov"))
+    e.crossJoin(o)
+      .filter(col("vec_id") < col("o_id"))
+      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      .select(explode(array(col("vec_id"), col("o_id"))).as("vec_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Parametric detection set for the bench's dedup-recall block: the
+    * vec_ids the CELL-LOCAL candidate generator (d13's shape — pairs only
+    * within a trained IVF cell) detects as cosine-≥tau duplicates. The
+    * production operator fixes tau = 0.8; the bench probes at a tau where
+    * the synthetic corpus actually HAS duplicates, isolating the recall
+    * cost of cell locality (the only approximation — the cosine itself is
+    * exact). */
+  private[graft] def cellDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] = {
+    val (_, assigned) = ivfIndex(s, dir)
+    val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
+    a.as("a")
+      .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
+            Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Same probe for the BUCKET-LOCAL generator (d3's shape — pairs only
+    * within a hyperplane-LSH bucket). */
+  private[graft] def bucketDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] = {
+    val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
+    val bucketExpr = planes.zipWithIndex
+      .map { case (p, h) =>
+        val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
+        s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+      }
+      .mkString(" + ")
+    val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
+    b.as("a")
+      .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+  }
+
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
     * count, hot buckets (> cap) and the rows in them — rows whose
     * candidate generation degraded from all-pairs to star links. One
