@@ -356,21 +356,20 @@ object Bench {
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"
-      } finally if (evictEnabled) {
-        // the recall sweep rebuilt the ANN indexes the sweep evicted —
-        // drop them again so the micro/gateway phases run storage-clean.
-        // Gated on the A/B lever: SPARK_GRAFT_BENCH_EVICT=0 must be
-        // hold-everything for the WHOLE run, including these phases.
-        llm.LlmQueries.evictIvfIndex(spark, sfDir)
-        llm.LlmQueries.evictSqIndex(spark, sfDir)
       }
+      // deliberately NO eviction here: the dedup-recall block immediately
+      // below reuses the IVF index this sweep rebuilt (its cell-locality
+      // probe), and evicting between the two forced a redundant full
+      // k-means train; the merged eviction lives in that block's finally
     }
     // DEDUP RECALL at the bench SF: the quality axis of the dedup speed
     // numbers, mirroring ann_recall — without it, the approximate families
     // could trade recall for speed invisibly. Text side: pair recall of
-    // banded MinHash (d2) against d4's EXACT n-gram-Jaccard pairs (d2
-    // verifies exact Jaccard on its candidates, so precision is 1 by
-    // construction and recall isolates banding loss); d10's pairs use a
+    // banded MinHash (d2) against d4's EXACT n-gram-Jaccard pairs. d2
+    // emits ALL band candidates with exact Jaccard counts (its contract),
+    // so the dup criterion (2·|∩| ≥ |∪|, d4's own test) is applied here
+    // before comparing; the filtered set then has precision 1 (the counts
+    // are exact) and recall isolates banding loss. d10's pairs use a
     // different criterion (hamming<=3), so its overlap with the Jaccard
     // truth is a cross-metric agreement number, reported as such.
     // Embedding side: the synthetic embeddings have NO cosine>=0.8 pairs
@@ -383,16 +382,18 @@ object Bench {
     val dedupRecall = {
       if (only.nonEmpty) "null"
       else try {
-        def pairSet(name: String): Set[(Long, Long)] =
-          SparkEntry.queries(name)(spark, sfDir).select("doc_a", "doc_b").collect()
+        def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("doc_a", "doc_b").collect()
             .map { r =>
               val (a, b) = (r.getLong(0), r.getLong(1)); (math.min(a, b), math.max(a, b))
             }.toSet
-        val truth = pairSet("d4_ngram_jaccard")
+        def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+        val truth = pairSet(run("d4_ngram_jaccard"))
         def recall(got: Set[(Long, Long)]): Double =
           if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
-        val d2r  = recall(pairSet("d2_minhash_lsh"))
-        val d10r = recall(pairSet("d10_simhash_neardup"))
+        val d2r  = recall(pairSet(run("d2_minhash_lsh")
+          .filter("inter_cnt * 2 >= union_cnt")))
+        val d10r = recall(pairSet(run("d10_simhash_neardup")))
         val tau   = 0.5
         val exact = llm.LlmQueries.exactCosineDupVectors(spark, sfDir, tau)
         def vrecall(got: Set[Long]): Double =
@@ -407,10 +408,14 @@ object Bench {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] dedup recall failed: $e"); "null"
       } finally if (evictEnabled) {
-        // this block rebuilt the signature + IVF caches the sweep evicted
+        // merged eviction for BOTH recall blocks (ann + dedup): drop every
+        // index they rebuilt so the micro/gateway phases run
+        // storage-clean. Gated on the A/B lever: SPARK_GRAFT_BENCH_EVICT=0
+        // must be hold-everything for the WHOLE run, including these.
         llm.LlmQueries.evictSignatures(spark, sfDir)
         llm.LlmQueries.evictSimSignatures(spark, sfDir)
         llm.LlmQueries.evictIvfIndex(spark, sfDir)
+        llm.LlmQueries.evictSqIndex(spark, sfDir)
       }
     }
     val microJson = micro()
@@ -436,9 +441,13 @@ object Bench {
       s""""dedup_recall":$dedupRecall,""" +
       s""""query_scale":$qScale,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
+    // the committed full-run artifact with a near-empty one — they write a
+    // sibling file instead
+    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL.partial.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-bench] BENCH_FULL.json write failed: $e") }
+    catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-bench] $fullPath write failed: $e") }
 
     def q2(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => f""""${r._1}":${f(r)}%.2f""").mkString("{", ",", "}")

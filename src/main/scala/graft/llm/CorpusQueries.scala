@@ -292,9 +292,12 @@ object CorpusQueries {
         .agg(count(lit(1)).as("span_df"),
              min(struct(col("doc_id"), col("source"))).as("owner"))
         .filter(col("span_df") === 1)
-        .groupBy(col("owner.doc_id").as("doc_id"))
+        // keyed on BOTH doc and source, like perDoc: a doc_id appearing
+        // under two sources must not get the combined unique count
+        // attached to each (doc, source) row
+        .groupBy(col("owner.doc_id").as("doc_id"), col("owner.source").as("source"))
         .agg(count(lit(1)).as("n_unique"))
-      perDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+      perDoc.join(uniquePerDoc, Seq("doc_id", "source"), "left")
         .select(col("doc_id"), col("source"), col("n_spans"),
                 (col("n_spans") - coalesce(col("n_unique"), lit(0L))).as("n_dup_spans"))
         .groupBy("source")

@@ -642,6 +642,44 @@ object LlmQueries {
       .digest(detail.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Cosine similarity between array columns `x` and `y` as a SQL
+    * fragment — the one formula every embedding operator shares. */
+  private def cosSim(x: String, y: String): String =
+    s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+
+  /** The hyperplane-LSH bucketed embedding frame — THE bucket generator,
+    * shared by ann_lsh_nn, d3, and the bench's bucket-locality probe (one
+    * definition, so the probe can't silently drift from what production
+    * uses). Plane count derived from corpus size ([[hyperplanesFor]]). */
+  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
+    val bucketExpr = planes.zipWithIndex
+      .map { case (p, h) =>
+        val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
+        s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+      }
+      .mkString(" + ")
+    emb(s, dir).withColumn("bucket", expr(bucketExpr))
+  }
+
+  /** Bucket-local candidate pairs over a [[lshBucketed]] frame: self-join
+    * ONLY within buckets (shuffles on the bucket id, never all-pairs). */
+  private def bucketLocalPairs(b: DataFrame): DataFrame =
+    b.as("a")
+      .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"),
+            Seq("bucket"))
+      .filter(col("vec_id") =!= col("o_id"))
+
+  /** Cell-local candidate pairs over the trained IVF assignment — d13's
+    * generator, also used by the bench's cell-locality probe. */
+  private def cellLocalPairs(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
+    a.as("a")
+      .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
+            Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("o_id"))
+  }
+
   /** Exact embedding-space ground truth for the bench's dedup-recall
     * block: vectors with at least one OTHER vector at cosine ≥ tau, from
     * a brute-force all-pairs pass. Deliberately O(N²) — this is the
@@ -653,46 +691,31 @@ object LlmQueries {
     val o = e.select(col("vec_id").as("o_id"), col("v").as("ov"))
     e.crossJoin(o)
       .filter(col("vec_id") < col("o_id"))
-      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
       .select(explode(array(col("vec_id"), col("o_id"))).as("vec_id"))
       .distinct().collect().map(_.getLong(0)).toSet
   }
 
   /** Parametric detection set for the bench's dedup-recall block: the
-    * vec_ids the CELL-LOCAL candidate generator (d13's shape — pairs only
-    * within a trained IVF cell) detects as cosine-≥tau duplicates. The
-    * production operator fixes tau = 0.8; the bench probes at a tau where
-    * the synthetic corpus actually HAS duplicates, isolating the recall
-    * cost of cell locality (the only approximation — the cosine itself is
-    * exact). */
+    * vec_ids the CELL-LOCAL candidate generator (d13's [[cellLocalPairs]]
+    * — the literal production generator, not a copy) detects as
+    * cosine-≥tau duplicates. The production operator fixes tau = 0.8; the
+    * bench probes at a tau where the synthetic corpus actually HAS
+    * duplicates, isolating the recall cost of cell locality (the only
+    * approximation — the cosine itself is exact). */
   private[graft] def cellDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] = {
     val (_, assigned) = ivfIndex(s, dir)
-    val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
-    a.as("a")
-      .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
-            Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("o_id"))
-      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+    cellLocalPairs(assigned)
+      .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
   }
 
-  /** Same probe for the BUCKET-LOCAL generator (d3's shape — pairs only
-    * within a hyperplane-LSH bucket). */
-  private[graft] def bucketDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] = {
-    val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
-    val bucketExpr = planes.zipWithIndex
-      .map { case (p, h) =>
-        val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
-        s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
-      }
-      .mkString(" + ")
-    val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
-    b.as("a")
-      .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"), Seq("bucket"))
-      .filter(col("vec_id") =!= col("o_id"))
-      .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+  /** Same probe for the BUCKET-LOCAL generator (d3's
+    * [[bucketLocalPairs]] over [[lshBucketed]]). */
+  private[graft] def bucketDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] =
+    bucketLocalPairs(lshBucketed(s, dir))
+      .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
-  }
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
     * count, hot buckets (> cap) and the rows in them — rows whose
@@ -1016,28 +1039,12 @@ object LlmQueries {
 
     // ---------- ANN: random-hyperplane LSH buckets, bucket-local NN ----------
     "ann_lsh_nn" -> { (s, dir) =>
-      // plane count derived from corpus size ([[hyperplanesFor]]): bucket
-      // occupancy stays bounded as the corpus grows
-      val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
-      val bucketExpr = planes.zipWithIndex
-        .map { case (p, h) =>
-          val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
-          s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
-        }
-        .mkString(" + ")
-      val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
-      // Self-join ONLY within buckets (64-way shuffle on bucket id), then
-      // keep each vector's nearest in-bucket neighbor.
-      val pairs = b.as("a")
-        .join(
-          b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"),
-          Seq("bucket")
-        )
-        .filter(col("vec_id") =!= col("o_id"))
-        .withColumn(
-          "sim",
-          expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")}))")
-        )
+      // Bucket-local candidates from the SHARED [[lshBucketed]] /
+      // [[bucketLocalPairs]] generator (plane count derived from corpus
+      // size, occupancy bounded as the corpus grows), then each vector's
+      // nearest in-bucket neighbor.
+      val pairs = bucketLocalPairs(lshBucketed(s, dir))
+        .withColumn("sim", expr(cosSim("v", "ov")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("o_id"))
       pairs
         .withColumn("rn", row_number().over(w))
@@ -1062,18 +1069,9 @@ object LlmQueries {
       // is controlled by the OTHER knob: [[Hyperplanes]] (buckets ≈ 2^H),
       // scaled with corpus size so expected occupancy stays bounded.
       val tau = 0.8
-      val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
-      val bucketExpr = planes.zipWithIndex
-        .map { case (p, h) =>
-          val lit = p.mkString("cast(array(", ", ", ") as array<double>)")
-          s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
-        }
-        .mkString(" + ")
-      val b = emb(s, dir).withColumn("bucket", expr(bucketExpr))
-      val dups = b.as("a")
-        .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"), Seq("bucket"))
-        .filter(col("vec_id") =!= col("o_id"))
-        .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      val b = lshBucketed(s, dir)
+      val dups = bucketLocalPairs(b)
+        .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
         .groupBy(col("vec_id"))
         .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_neardups"))
       b.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
@@ -1100,15 +1098,11 @@ object LlmQueries {
       // hash-matches the oracle exactly.
       val tau = 0.8
       val (_, assigned) = ivfIndex(s, dir)
-      val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
-      val dups = a.as("a")
-        .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
-              Seq("centroid_id"))
-        .filter(col("vec_id") =!= col("o_id"))
-        .filter(expr(s"${dot("v", "ov")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("ov", "ov")})) >= $tau"))
+      val dups = cellLocalPairs(assigned)
+        .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
         .groupBy(col("vec_id"))
         .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_semdups"))
-      a.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      assigned.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .join(dups, Seq("vec_id"), "left")
         .select(
           col("vec_id"),

@@ -212,9 +212,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   def compact(seqs: Map[(String, Int), Long], live: Iterable[StoredEvent],
               token: Long = -1L): Unit =
     compactLock.synchronized {
-      val tmp     = dir.resolve(s"hot.wal.compact.${java.util.UUID.randomUUID()}")
-      val tmpLog  = new TmpWal(tmp)
-      var swapped = false
+      val tmp        = dir.resolve(s"hot.wal.compact.${java.util.UUID.randomUUID()}")
+      val tmpLog     = new TmpWal(tmp)
+      var swapped    = false
+      var mainClosed = false
       // capture may already be armed by beginCapture() (the caller arms it
       // BEFORE snapshotting its live set, closing the window where a write
       // lands after the snapshot but before the rewrite starts, and passes
@@ -234,15 +235,23 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
           side = null
           tmpLog.close()
           out.close()
+          mainClosed = true
           Files.move(tmp, logPath, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
           openAppend()
           swapped = true
         }
       } finally {
-        // disarm ONLY the capture this compaction owns: an unconditional
-        // clear on the failure path would silently disarm a capture a
-        // concurrent cleanup armed after our swap
-        synchronized { if (sideToken == tok) side = null }
+        synchronized {
+          // disarm ONLY the capture this compaction owns: an unconditional
+          // clear on the failure path would silently disarm a capture a
+          // concurrent cleanup armed after our swap
+          if (sideToken == tok) side = null
+          // if the rename threw AFTER the append stream was closed, reopen
+          // it on the (still intact) old log — otherwise every later
+          // append throws on a closed stream and the gateway bricks until
+          // restart while the old log remains perfectly usable
+          if (!swapped && mainClosed) openAppend()
+        }
         if (!swapped) {
           try tmpLog.close() catch { case _: Exception => () }
           Files.deleteIfExists(tmp)
