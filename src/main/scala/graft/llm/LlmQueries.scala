@@ -1042,14 +1042,16 @@ object LlmQueries {
       // Bucket-local candidates from the SHARED [[lshBucketed]] /
       // [[bucketLocalPairs]] generator (plane count derived from corpus
       // size, occupancy bounded as the corpus grows), then each vector's
-      // nearest in-bucket neighbor.
-      val pairs = bucketLocalPairs(lshBucketed(s, dir))
+      // nearest in-bucket neighbor as a partial-aggregatable max_by over
+      // the UNIQUE (sim, -o_id) key — map-side combine to one row per
+      // (task, vec_id), no window shuffle+sort of the pair frame, same
+      // tie-break as the oracle's row_number (sim desc, o_id asc).
+      bucketLocalPairs(lshBucketed(s, dir))
         .withColumn("sim", expr(cosSim("v", "ov")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("o_id"))
-      pairs
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id")),
+                    struct(col("sim").as("s"), (-col("o_id")).as("neg_id"))).as("best"))
+        .select(col("vec_id"), col("best.bucket").as("bucket"), col("best.nn_id").as("nn_id"))
     },
 
     // ---------- embedding-cosine near-dup (bucket-local, thresholded) ----------

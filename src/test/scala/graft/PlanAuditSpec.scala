@@ -79,6 +79,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
+    // The bucket-pair frame is occupancy-bounded but corpus-sized; ranking
+    // it under a vec_id window means a full shuffle+sort. The max_by over
+    // the unique (sim, -o_id) key map-side combines to one row per
+    // (task, vec_id) before the exchange.
+    val p = plan("ann_lsh_nn")
+    assert(!p.contains("Window ["), s"ann_lsh_nn must not window the pair frame:\n${p.take(1500)}")
+    assert(p.contains("max_by"), "nearest-neighbor pick must be the max_by aggregate")
+  }
+
   test("d14: the spans frame is never JOINED on the span key (viral-span skew immunity)") {
     // A corpus-viral span must not become a hot join key: the dup-span
     // count derives from partial-aggregatable span counts (a viral span
