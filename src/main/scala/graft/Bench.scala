@@ -274,7 +274,7 @@ object Bench {
             else salted.withColumn("text", regexp_replace(col("text"), "([a-z0-9]+)", s"$$1r$i"))
           })
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
-                            "tpch_q18_large_orders", "d2_minhash_lsh")
+                            "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -289,7 +289,8 @@ object Bench {
             f""""${n}_sec":$m%.3f$ratio"""
           }.mkString(s"""{"factor":$factor,""", ",", "}")
           val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
-                          "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2")
+                          "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
+                          "d14_span_dedup" -> "d14")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
