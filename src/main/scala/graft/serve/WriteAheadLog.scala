@@ -54,6 +54,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   private val compactLock = new Object
   private var side: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
   private var sideToken: Long = 0L
+  // TEST-ONLY fault injection: when set, the next compaction throws at the
+  // worst point — after the append stream is closed, before the rename —
+  // exercising the reopen-on-failure path a real rename error would hit
+  private[graft] var failNextSwap: Boolean = false
   openAppend()
 
   /** Run `body` holding the compaction mutex. A caller that arms the
@@ -236,6 +240,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
           tmpLog.close()
           out.close()
           mainClosed = true
+          if (failNextSwap) {
+            failNextSwap = false
+            throw new java.io.IOException("injected swap failure (test hook)")
+          }
           Files.move(tmp, logPath, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
           openAppend()
           swapped = true

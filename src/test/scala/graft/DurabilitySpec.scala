@@ -89,6 +89,32 @@ class DurabilitySpec extends AnyFunSuite {
       "sequence counters must survive the crash intact")
   }
 
+  test("failed compaction swap: the WAL stays appendable and loses nothing") {
+    // The swap closes the append stream before the atomic rename; if the
+    // rename throws, the failure path must reopen the stream on the (still
+    // intact) old log — without that, every later append hits a closed
+    // stream and the gateway 500s all writes until restart.
+    val dir = Files.createTempDirectory("graft-wal-swapfail-")
+    val wal = new WriteAheadLog(dir)
+    val e1  = StoredEvent(1L, "t", 0, "a".getBytes, 100L, None)
+    val e2  = StoredEvent(2L, "t", 0, "b".getBytes, 101L, None)
+    wal.appendEvent(e1)
+    wal.failNextSwap = true
+    intercept[java.io.IOException] { wal.compact(Map(("t", 0) -> 1L), Seq(e1)) }
+    wal.appendEvent(e2) // would throw on a closed stream before the fix
+    wal.close()
+    val replayed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    new WriteAheadLog(dir).replay(e => replayed += e.sequence, (_, _, _) => ())
+    assert(replayed.toSeq === Seq(1L, 2L), "both events must survive the failed swap")
+    // and a later compaction over the same WAL succeeds normally
+    val wal2 = new WriteAheadLog(dir)
+    wal2.compact(Map(("t", 0) -> 2L), Seq(e2))
+    val after = scala.collection.mutable.ArrayBuffer.empty[Long]
+    wal2.close()
+    new WriteAheadLog(dir).replay(e => after += e.sequence, (_, _, _) => ())
+    assert(after.toSeq === Seq(2L))
+  }
+
   test("torn WAL tail: replay keeps the intact prefix and drops the partial frame") {
     val dir = Files.createTempDirectory("graft-wal-torn-")
     val wal = new WriteAheadLog(dir)
