@@ -294,6 +294,25 @@ class LlmSpec extends AnyFunSuite {
     assert(p1.toSeq !== LlmQueries.hyperplane(4, 16).toSeq)
   }
 
+  test("distributed k-means is partitioning-independent: same cells under a different shuffle width") {
+    // The Lloyd update's correctness rests on ORDER-INDEPENDENT fixed-point
+    // integer sums: however Spark partitions the shuffle, the trained
+    // centroids (and so every cell assignment and d13 verdict) must be
+    // bit-identical. Train in a fresh session with a different (prime)
+    // shuffle width and compare the full d13 row set.
+    val sf = "/root/testdata/sf0.001"
+    def rows(s: org.apache.spark.sql.SparkSession): Seq[(Long, Long, Long, Long)] =
+      LlmQueries.queries("d13_semdedup")(s, sf).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+                   r.getAs[Long]("canonical_id"), r.getAs[Long]("n_semdups")))
+        .sortBy(_._1).toSeq
+    val base = rows(spark)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    assert(rows(s2) === base,
+      "trained cells must not depend on shuffle partitioning (fixed-point sums are order-independent)")
+  }
+
   test("cached indexes are session-scoped: a second SparkSession reruns cleanly") {
     // sigCache/ivfCache/sqCache hold DataFrames bound to the creating
     // session — a dir-only key would hand session B a dead plan from
