@@ -129,6 +129,9 @@ final class GatewayServer(
     catch {
       case ApiError(status, code, msg)      => sendError(ex, status, code, msg)
       case ArrowOutput.UnknownColumn(name)  => sendError(ex, 400, "INVALID_INPUT", s"unknown column: $name")
+      // malformed protobuf is CLIENT input, not a server fault — the
+      // reference's handlers return 400 for undecodable proto bodies
+      case ProtoCodec.ProtoError(msg)       => sendError(ex, 400, "INVALID_INPUT", s"malformed protobuf: $msg")
       case e: Exception                     => sendError(ex, 500, "INTERNAL", String.valueOf(e.getMessage))
     } finally ex.close()
 
@@ -359,8 +362,11 @@ final class GatewayServer(
         throw ApiError(503, "SERVER_OVERLOADED", "in-flight byte budget exceeded")
       } else charged += delta
     try {
-      charge(Option(ex.getRequestHeaders.getFirst("Content-Length"))
-        .flatMap(_.toLongOption).getOrElse(4096L))
+      // clamp: a negative declared length must not be allowed to drive the
+      // SHARED inflight counter negative (which would disable the byte
+      // budget for every concurrent writer for the request's duration)
+      charge(math.max(0L, Option(ex.getRequestHeaders.getFirst("Content-Length"))
+        .flatMap(_.toLongOption).getOrElse(4096L)))
       val in  = ex.getRequestBody
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 * 1024)
@@ -378,18 +384,37 @@ final class GatewayServer(
   private def isProtobuf(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Content-Type")).exists(_.startsWith("application/x-protobuf"))
 
+  /** The reference's partition wire type is u32
+    * (`/root/reference/src/api/handlers.rs:283`) — a negative partition
+    * can never occur there; reject it instead of minting real
+    * buffer/sequence/table state under a nonsense key. */
+  private def validPartition(p: Int): Int =
+    if (p < 0) throw ApiError(400, "INVALID_INPUT", s"partition must be >= 0, got $p") else p
+
+  /** Per-event payload cap, kept safely under the WAL's 64 MiB frame
+    * replay cap (frame = payload + topic/key + ~40 bytes framing): an
+    * event whose frame exceeded the replay cap would truncate every later
+    * acked event out of the log on restart. */
+  private val MaxPayloadBytes: Int = 48 << 20
+  private def validPayload(b: Array[Byte]): Array[Byte] =
+    if (b.length > MaxPayloadBytes)
+      throw ApiError(413, "PAYLOAD_TOO_LARGE",
+        s"payload of ${b.length} bytes exceeds the $MaxPayloadBytes-byte limit")
+    else b
+
   private def writeOne(ex: HttpExchange, topic: String, t0: Long): Unit = admitted(ex) { body =>
     val (payload, partition, ts, key) =
       if (isProtobuf(ex)) {
         val e = ProtoCodec.decodeEvent(body)
-        val part = Option(ex.getRequestHeaders.getFirst("X-Partition")).flatMap(_.toIntOption).getOrElse(0)
-        (e.payload, part, if (e.timestampMs == 0) System.currentTimeMillis() else e.timestampMs, e.idempotencyKey)
+        val part = validPartition(
+          Option(ex.getRequestHeaders.getFirst("X-Partition")).flatMap(_.toIntOption).getOrElse(0))
+        (validPayload(e.payload), part, if (e.timestampMs == 0) System.currentTimeMillis() else e.timestampMs, e.idempotencyKey)
       } else {
         val n = parseJson(body)
         val payload = Option(n.get("payload")).filterNot(_.isNull).map(_.asText)
           .getOrElse(throw ApiError(400, "INVALID_INPUT", "payload is required"))
-        (payload.getBytes("UTF-8"),
-         Option(n.get("partition")).map(_.asInt).getOrElse(0),
+        (validPayload(payload.getBytes("UTF-8")),
+         validPartition(Option(n.get("partition")).map(_.asInt).getOrElse(0)),
          Option(n.get("timestamp_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(System.currentTimeMillis()),
          Option(n.get("idempotency_key")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
       }
@@ -407,16 +432,17 @@ final class GatewayServer(
     val records: Seq[(Array[Byte], Int, Long, Option[String])] =
       if (isProtobuf(ex))
         ProtoCodec.decodeBulkRequest(body).map { r =>
-          (r.payload, r.partition, if (r.timestampMs == 0) System.currentTimeMillis() else r.timestampMs, r.idempotencyKey)
+          (validPayload(r.payload), validPartition(r.partition),
+           if (r.timestampMs == 0) System.currentTimeMillis() else r.timestampMs, r.idempotencyKey)
         }
       else {
         val n = parseJson(body)
         val arr = Option(n.get("records")).filter(_.isArray)
           .getOrElse(throw ApiError(400, "INVALID_INPUT", "records array is required"))
         arr.elements().asScala.map { rec =>
-          (Option(rec.get("payload")).filterNot(_.isNull).map(_.asText).getOrElse(
-             throw ApiError(400, "INVALID_INPUT", "payload is required")).getBytes("UTF-8"),
-           Option(rec.get("partition")).map(_.asInt).getOrElse(0),
+          (validPayload(Option(rec.get("payload")).filterNot(_.isNull).map(_.asText).getOrElse(
+             throw ApiError(400, "INVALID_INPUT", "payload is required")).getBytes("UTF-8")),
+           validPartition(Option(rec.get("partition")).map(_.asInt).getOrElse(0)),
            Option(rec.get("timestamp_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(System.currentTimeMillis()),
            Option(rec.get("idempotency_key")).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty))
         }.toSeq
@@ -473,15 +499,25 @@ final class GatewayServer(
     val files = partition.map(p => EventTable.pruneByPartition(c, p)).getOrElse(c.activeDataFiles())
     var df    = EventTable.readCommitted(spark, root, files).filter(col("sequence") >= fromSeq)
     partition.foreach(p => df = df.filter(col("partition") === p))
+    // schema-on-flush tables (§1.3) commit typed columns + an optional
+    // `_payload_overflow` remainder INSTEAD of a raw payload column — a
+    // cold read of such a table serves the retained remainder (empty when
+    // fully extracted), never a 500 on the missing column
+    val cols = df.columns.toSet
     df.orderBy("sequence")
       .limit(limit)
       .collect()
       .toSeq
       .map { r =>
+        val payload =
+          if (cols("payload")) r.getAs[Array[Byte]]("payload")
+          else if (cols("_payload_overflow"))
+            Option(r.getAs[String]("_payload_overflow")).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          else Array.empty[Byte]
+        val key = if (cols("idempotency_key")) Option(r.getAs[String]("idempotency_key")) else None
         StoredEvent(
           r.getAs[Long]("sequence"), topic, r.getAs[Int]("partition"),
-          r.getAs[Array[Byte]]("payload"), r.getAs[Long]("timestamp_ms"),
-          Option(r.getAs[String]("idempotency_key")))
+          payload, r.getAs[Long]("timestamp_ms"), key)
       }
   }
 
@@ -490,6 +526,9 @@ final class GatewayServer(
       case "sequence"        => s""""sequence":${e.sequence}"""
       case "topic"           => s""""topic":"${escape(e.topic)}""""
       case "partition"       => s""""partition":${e.partition}"""
+      // lossy UTF-8 on purpose — REFERENCE PARITY: its JSON read path uses
+      // from_utf8_lossy (`handlers.rs:775,795`); exact bytes are served by
+      // the Arrow content type
       case "payload"         => s""""payload":"${escape(new String(e.payload, "UTF-8"))}""""
       case "timestamp_ms"    => s""""timestamp_ms":${e.timestampMs}"""
       case "idempotency_key" => e.idempotencyKey match {

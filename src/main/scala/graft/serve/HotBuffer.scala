@@ -71,10 +71,31 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
         (next, false, Some(e))
     }
 
+  /** Undo freshly-inserted events after a FAILED WAL append. Without this,
+    * a failed append left an un-logged event (and its idempotency entry)
+    * in the buffer: the client's retry with the same key would hit the dup
+    * path and be acked 202 without EVER reaching the log — an acked write
+    * lost on crash (INV-2 broken). Rolling back leaves no trace, so the
+    * 500'd request can be retried safely. Caller holds the monitor and
+    * passes events in REVERSE insertion order so per-partition sequence
+    * counters walk back correctly. */
+  private def rollback(evs: Seq[StoredEvent]): Unit = evs.foreach { ev =>
+    val key = (ev.topic, ev.partition)
+    events.get(key).foreach { buf =>
+      val i = buf.lastIndexWhere(_ eq ev)
+      if (i >= 0) buf.remove(i)
+    }
+    if (seqs.get(key).contains(ev.sequence)) seqs.update(key, ev.sequence - 1)
+    ev.idempotencyKey.foreach(k => idem.remove((ev.topic, ev.partition, k)))
+  }
+
   def write(topic: String, partition: Int, payload: Array[Byte], timestampMs: Long,
             idempotencyKey: Option[String]): (Long, Boolean) = synchronized {
     val (off, dup, e) = insert(topic, partition, payload, timestampMs, idempotencyKey)
-    e.foreach(ev => wal.foreach(_.appendEvent(ev))) // durable BEFORE the 202 ack
+    e.foreach { ev => // durable BEFORE the 202 ack
+      try wal.foreach(_.appendEvent(ev))
+      catch { case t: Throwable => rollback(Seq(ev)); throw t }
+    }
     (off, dup)
   }
 
@@ -94,7 +115,9 @@ final class HotBuffer(wal: Option[WriteAheadLog] = None) {
       e.foreach(fresh += _)
       off
     }
-    wal.foreach(_.appendEvents(fresh.result()))
+    val fs = fresh.result()
+    try wal.foreach(_.appendEvents(fs))
+    catch { case t: Throwable => rollback(fs.reverse); throw t }
     offs
   }
 

@@ -42,8 +42,13 @@ object ProtoCodec {
       res
     }
     def bytes(): Array[Byte] = {
-      val len = varint().toInt
-      if (len < 0 || pos + len > buf.length) throw ProtoError("truncated bytes")
+      // length check in LONG arithmetic: a crafted multi-GB declared
+      // length would overflow `pos + len` as an Int, slip past the guard,
+      // and escape as an unclassified IllegalArgumentException (500)
+      // instead of ProtoError (400)
+      val lenL = varint()
+      if (lenL < 0 || lenL > (buf.length - pos).toLong) throw ProtoError("truncated bytes")
+      val len = lenL.toInt
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
       pos += len
       out

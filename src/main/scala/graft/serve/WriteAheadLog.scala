@@ -58,6 +58,10 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   // worst point — after the append stream is closed, before the rename —
   // exercising the reopen-on-failure path a real rename error would hit
   private[graft] var failNextSwap: Boolean = false
+  // TEST-ONLY: the next appendFrames throws after buffering its frames but
+  // before the flush — simulating a mid-append IO failure, exercising the
+  // clean-tail recovery plus the HotBuffer rollback
+  private[graft] var failNextAppend: Boolean = false
   openAppend()
 
   /** Run `body` holding the compaction mutex. A caller that arms the
@@ -71,9 +75,14 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     * never take this lock, so writes are not stalled. Reentrant. */
   def exclusively[T](body: => T): T = compactLock.synchronized(body)
 
+  // bytes known durably flushed (through the OS page cache) to the log —
+  // the clean-tail watermark a failed append truncates back to
+  private var committedLen: Long = 0L
+
   private def openAppend(): Unit = {
     fileOut = new FileOutputStream(logPath.toFile, true)
     out = new DataOutputStream(new BufferedOutputStream(fileOut, 1 << 16))
+    committedLen = if (Files.exists(logPath)) Files.size(logPath) else 0L
   }
 
   private def encode(tpe: Byte)(write: DataOutputStream => Unit): Array[Byte] = {
@@ -94,13 +103,59 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
     if (side != null) side += bytes // a compaction is rewriting: capture
   }
 
-  private def frame(tpe: Byte)(write: DataOutputStream => Unit): Unit = {
-    val bytes = encode(tpe)(write)
-    synchronized {
-      writeFrame(bytes)
+  /** Replay rejects frames above this as corrupt and TRUNCATES the log
+    * there — so append must never produce one: an oversized admitted
+    * event would otherwise silently discard every acked event logged
+    * after it on the next restart. */
+  val MaxFrameBytes: Int = 64 << 20
+
+  private def checkFrame(bytes: Array[Byte]): Unit =
+    if (bytes.length > MaxFrameBytes)
+      throw new IllegalArgumentException(
+        s"event frame of ${bytes.length} bytes exceeds the $MaxFrameBytes-byte WAL replay cap")
+
+  /** Write + flush a batch of pre-encoded frames under the monitor. On ANY
+    * failure the log is restored to its last clean tail (close, truncate
+    * to [[committedLen]], reopen) and captured side frames are rolled
+    * back — continuing to append past a torn tail would make every later
+    * acked event unreachable to replay (which stops at the first torn
+    * frame). The caller ([[HotBuffer]]) rolls its buffer state back too,
+    * so a failed append leaves NO trace: the client's retry is safe. */
+  private def appendFrames(frames: Seq[Array[Byte]]): Unit = synchronized {
+    val sideMark = if (side != null) side.size else -1
+    try {
+      frames.foreach(writeFrame)
+      if (failNextAppend) {
+        failNextAppend = false
+        throw new java.io.IOException("injected append failure (test hook)")
+      }
       out.flush()
       if (fsyncEachAppend) fileOut.getFD.sync()
+      committedLen += frames.iterator.map(b => 12L + b.length.toLong).sum
+    } catch {
+      case t: Throwable =>
+        if (side != null && sideMark >= 0 && side.size > sideMark) side.takeInPlace(sideMark)
+        recoverTail()
+        throw t
     }
+  }
+
+  /** Restore a clean tail after a failed append: bytes past
+    * [[committedLen]] may be torn; truncate back and reopen so later
+    * appends stay replayable. Caller holds the monitor. */
+  private def recoverTail(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    try {
+      val ch = java.nio.channels.FileChannel.open(logPath, java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(committedLen) finally ch.close()
+    } catch { case _: Exception => () }
+    try openAppend() catch { case _: Exception => () }
+  }
+
+  private def frame(tpe: Byte)(write: DataOutputStream => Unit): Unit = {
+    val bytes = encode(tpe)(write)
+    checkFrame(bytes)
+    appendFrames(Seq(bytes))
   }
 
   private def eventBody(e: StoredEvent)(d: DataOutputStream): Unit = {
@@ -126,11 +181,8 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
   def appendEvents(es: Iterable[StoredEvent]): Unit = {
     if (es.isEmpty) return
     val frames = es.iterator.map(e => encode(0)(eventBody(e))).toArray
-    synchronized {
-      frames.foreach(writeFrame)
-      out.flush()
-      if (fsyncEachAppend) fileOut.getFD.sync()
-    }
+    frames.foreach(checkFrame) // validate ALL before writing ANY (atomic batch)
+    appendFrames(frames.toSeq)
   }
 
   def appendSeqMark(topic: String, partition: Int, sequence: Long): Unit = frame(1) { d =>
@@ -267,26 +319,17 @@ final class WriteAheadLog(dir: Path, fsyncEachAppend: Boolean = false) {
       }
     }
 
-  /** Minimal writer over an arbitrary path sharing the frame format. */
+  /** Minimal writer over an arbitrary path. Record bodies come from the
+    * OUTER [[encode]]/[[eventBody]] — format-identical to the live log BY
+    * CONSTRUCTION (an independent encoding here could drift and make
+    * compacted logs unreadable on the next restart). */
   private final class TmpWal(path: Path) {
     private val o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path.toFile), 1 << 16))
-    private def fr(tpe: Byte)(write: DataOutputStream => Unit): Unit = {
-      val body = new ByteArrayOutputStream(); val d = new DataOutputStream(body)
-      d.writeByte(tpe); write(d); d.flush()
-      val bytes = body.toByteArray
-      val crc = new CRC32(); crc.update(bytes)
-      o.writeInt(bytes.length); o.writeLong(crc.getValue); o.write(bytes)
-    }
-    def appendEvent(e: StoredEvent): Unit = fr(0) { d =>
-      d.writeUTF(e.topic); d.writeInt(e.partition); d.writeLong(e.sequence)
-      d.writeLong(e.timestampMs)
-      d.writeBoolean(e.idempotencyKey.isDefined); e.idempotencyKey.foreach(d.writeUTF)
-      d.writeInt(e.payload.length); d.write(e.payload)
-    }
-    def appendSeqMark(t: String, p: Int, s: Long): Unit = fr(1) { d =>
+    def appendEvent(e: StoredEvent): Unit = writeRaw(encode(0)(eventBody(e)))
+    def appendSeqMark(t: String, p: Int, s: Long): Unit = writeRaw(encode(1) { d =>
       d.writeUTF(t); d.writeInt(p); d.writeLong(s)
-    }
-    /** Re-frame an already-encoded body (compaction catch-up). */
+    })
+    /** CRC-frame an encoded body (also the compaction catch-up path). */
     def writeRaw(body: Array[Byte]): Unit = {
       val crc = new CRC32(); crc.update(body)
       o.writeInt(body.length); o.writeLong(crc.getValue); o.write(body)

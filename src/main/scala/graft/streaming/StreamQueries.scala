@@ -73,30 +73,41 @@ object StreamQueries {
     * a zero-delay watermark the final no-data batch closes every window
     * whose end is ≤ the stream's max event time — the oracle mirrors that
     * emission rule exactly, like w3's sessions. */
-  private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
-    windowSinkCache.getOrElseUpdate(dir, withSmallStateConf(s) {
-      val (staging, schema) = stagedRaw(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft-w2-sink-").toString
-      val q = s.readStream
+  /** The shared streamed-aggregation scaffold for w2/w3: watermarked raw
+    * stream → caller's grouped agg → append-mode parquet sink, run to
+    * completion with AvailableNow. ONE definition of the read schema /
+    * trigger / watermark / sink / checkpoint wiring — the two streaming
+    * tables differ only in their grouping, and a divergence in the
+    * scaffold (e.g. a checkpoint or watermark tweak applied to one copy)
+    * would silently change the other's emission semantics. */
+  private def runStreamAgg(s: SparkSession, dir: String, sinkPrefix: String)(
+      agg: DataFrame => DataFrame): String = withSmallStateConf(s) {
+    val (staging, schema) = stagedRaw(s, dir)
+    val out = java.nio.file.Files.createTempDirectory(sinkPrefix).toString
+    val q = agg(
+      s.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(staging)
         .withColumn("ts", timestamp_millis(col("timestamp_ms")))
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .withWatermark("ts", "0 seconds"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$out/_checkpoint") // _-prefixed: invisible to the parquet read
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+
+  private def streamWindowTable(s: SparkSession, dir: String): String = synchronized {
+    windowSinkCache.getOrElseUpdate(dir, runStreamAgg(s, dir, "graft-w2-sink-")(
+      _.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
              min("timestamp_ms").as("min_ts"),
-             max("timestamp_ms").as("max_ts"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$out/_checkpoint") // _-prefixed: invisible to the parquet read
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      out
-    })
+             max("timestamp_ms").as("max_ts"))))
   }
 
   private val sessionSinkCache = scala.collection.mutable.Map.empty[String, String]
@@ -108,28 +119,10 @@ object StreamQueries {
     * stream's max event time — the oracle mirrors that emission rule
     * exactly, so streamed sessionization is hash-gated. */
   private def streamSessionTable(s: SparkSession, dir: String): String = synchronized {
-    sessionSinkCache.getOrElseUpdate(dir, withSmallStateConf(s) {
-      val (staging, schema) = stagedRaw(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft-w3-sink-").toString
-      val q = s.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(staging)
-        .withColumn("ts", timestamp_millis(col("timestamp_ms")))
-        .withWatermark("ts", "0 seconds")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+    sessionSinkCache.getOrElseUpdate(dir, runStreamAgg(s, dir, "graft-w3-sink-")(
+      _.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), min("timestamp_ms").as("first_ts"),
-             max("timestamp_ms").as("last_ts"))
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$out/_checkpoint")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      out
-    })
+             max("timestamp_ms").as("last_ts"))))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

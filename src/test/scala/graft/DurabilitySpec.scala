@@ -89,6 +89,46 @@ class DurabilitySpec extends AnyFunSuite {
       "sequence counters must survive the crash intact")
   }
 
+  test("failed WAL append rolls the buffer back: the retry is acked AND durable") {
+    // Buffer state is inserted before the WAL append; if the append fails
+    // WITHOUT rollback, the un-logged event (and its idempotency entry)
+    // stays in the buffer, and the client's retry with the same key is
+    // acked 202 via the dup path without EVER reaching the log — an acked
+    // write lost on crash (INV-2). With rollback, the failed request
+    // leaves no trace and the retry is logged normally.
+    val dir = Files.createTempDirectory("graft-wal-appendfail-")
+    val wal = new WriteAheadLog(dir)
+    val hot = new HotBuffer(Some(wal))
+    wal.failNextAppend = true
+    intercept[java.io.IOException] { hot.write("t", 0, "a".getBytes, 100L, Some("k1")) }
+    assert(hot.size("t") === 0, "failed write must leave no buffer state")
+    val (off, dup) = hot.write("t", 0, "a".getBytes, 100L, Some("k1"))
+    assert(!dup && off === 1L, "the retry must be logged, not swallowed by the dup path")
+    wal.close()
+    val rebuilt = new HotBuffer(Some(new WriteAheadLog(dir)))
+    assert(rebuilt.size("t") === 1, "the retried write must survive the crash")
+    val (off2, dup2) = rebuilt.write("t", 0, "again".getBytes, 200L, Some("k1"))
+    assert(dup2 && off2 === 1L, "the replayed idempotency entry must dedup")
+  }
+
+  test("failed bulk WAL append rolls back the whole batch") {
+    val dir = Files.createTempDirectory("graft-wal-bulkfail-")
+    val wal = new WriteAheadLog(dir)
+    val hot = new HotBuffer(Some(wal))
+    val recs = Seq[(Array[Byte], Int, Long, Option[String])](
+      ("a".getBytes, 0, 100L, Some("ka")),
+      ("b".getBytes, 1, 101L, None),
+      ("c".getBytes, 0, 102L, Some("kc")))
+    wal.failNextAppend = true
+    intercept[java.io.IOException] { hot.writeBulk("t", recs) }
+    assert(hot.size("t") === 0)
+    // sequence counters walked back: the retry reuses 1..N cleanly
+    assert(hot.writeBulk("t", recs) === Seq(1L, 1L, 2L))
+    wal.close()
+    val rebuilt = new HotBuffer(Some(new WriteAheadLog(dir)))
+    assert(rebuilt.size("t") === 3)
+  }
+
   test("failed compaction swap: the WAL stays appendable and loses nothing") {
     // The swap closes the append stream before the atomic rename; if the
     // rename throws, the failure path must reopen the stream on the (still

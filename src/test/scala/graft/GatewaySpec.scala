@@ -346,6 +346,49 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "not json")
   }
 
+  test("cold read of a schema-extracted table serves the retained overflow, not a 500") {
+    // gwextract (flushed by the §1.3 test above) committed typed columns +
+    // _payload_overflow INSTEAD of a payload column — the cold tier must
+    // serve the retained remainder, not throw on the missing column
+    val r = get("/tables/gwextract?partition=0&tier=cold")
+    assert(r.statusCode() === 200, r.body())
+    assert(r.body().contains("keep"), s"overflow remainder should be served: ${r.body()}")
+  }
+
+  test("malformed protobuf body returns 400 INVALID_INPUT, not 500") {
+    // field 1, wire type 2, declared length 127 with no bytes following
+    val r = postBytes("/tables/protobad", Array[Byte](0x0A, 0x7F), "application/x-protobuf")
+    assert(r.statusCode() === 400, r.body())
+    assert(r.body().contains("INVALID_INPUT"))
+    // multi-GB declared length whose Int bounds check would overflow:
+    // varint 0xF0 0xFF 0xFF 0xFF 0x07 = 2147483632
+    val big = Array[Byte](0x0A, 0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x07)
+    val r2  = postBytes("/tables/protobad", big, "application/x-protobuf")
+    assert(r2.statusCode() === 400, r2.body())
+  }
+
+  test("negative partitions are rejected with 400 (reference wire type is u32)") {
+    assert(post("/tables/negpart", """{"payload":"x","partition":-3}""").statusCode() === 400)
+    assert(post("/tables/negpart/bulk",
+      """{"records":[{"payload":"x","partition":-1}]}""").statusCode() === 400)
+    val proto = ProtoCodec.encodeEvent(ProtoCodec.ProtoEvent("x".getBytes, 1000L, None))
+    assert(postBytes("/tables/negpart", proto, "application/x-protobuf",
+      "X-Partition" -> "-2").statusCode() === 400)
+    // and no state was minted under the nonsense keys
+    assert(server.hot.size("negpart") === 0)
+  }
+
+  test("a payload larger than the WAL frame budget is rejected with 413") {
+    // one oversized event would exceed the replay cap and silently truncate
+    // every later acked event out of the log on restart — reject upfront
+    val big   = new Array[Byte]((48 << 20) + 1)
+    val proto = ProtoCodec.encodeEvent(ProtoCodec.ProtoEvent(big, 1000L, None))
+    val r     = postBytes("/tables/bigpay", proto, "application/x-protobuf")
+    assert(r.statusCode() === 413, r.body())
+    assert(r.body().contains("PAYLOAD_TOO_LARGE"))
+    assert(server.hot.size("bigpay") === 0)
+  }
+
   test("expire endpoint prunes snapshot history through HTTP") {
     // gwflush has at least one committed snapshot; add another then expire
     post("/tables/gwflush", """{"payload":"extra","partition":1,"timestamp_ms":123456}""")
