@@ -97,7 +97,8 @@ object Bench {
     val evictEnabled = !sys.env.get("SPARK_GRAFT_BENCH_EVICT").contains("0")
     val cacheLastConsumer: Seq[(Set[String], () => Unit)] = Seq(
       (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
-           "d9_decontaminate", "d11_band_skew_audit", "t3_winnowing"),
+           "d9_decontaminate", "d11_band_skew_audit", "d16_incremental_dedup",
+           "t3_winnowing", "t15_filter_funnel"),
         () => llm.LlmQueries.evictSignatures(spark, sfDir)),
       (Set("d10_simhash_neardup", "d11_band_skew_audit"),
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
@@ -274,7 +275,8 @@ object Bench {
             else salted.withColumn("text", regexp_replace(col("text"), "([a-z0-9]+)", s"$$1r$i"))
           })
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
-                            "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup")
+                            "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
+                            "d16_incremental_dedup")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -290,7 +292,7 @@ object Bench {
           }.mkString(s"""{"factor":$factor,""", ",", "}")
           val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
                           "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
-                          "d14_span_dedup" -> "d14")
+                          "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }

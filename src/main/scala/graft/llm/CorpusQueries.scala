@@ -97,6 +97,17 @@ object CorpusQueries {
     * many words (the corpus has no sentence boundaries to span over). */
   val SpanWords = 5
 
+  // ---- t15: the curation funnel's stage gates (CCNet/C4-style pipeline
+  // order: cheap structural gates first, the model score next, dedup — the
+  // only non-map-side stage — last, over the already-shrunk survivor set).
+  // Every doc is attributed to the FIRST stage that drops it, so the
+  // per-stage counts read as a funnel: n_docs = Σ drops + kept.
+  val FunnelMinWords       = 20L  // len gate: shorter docs carry no signal
+  val FunnelLang           = "en" // lang gate: the training target language
+  val FunnelMaxRepPermille = 100L // rep gate: stricter than t7's 500 audit
+                                  // line — a funnel drops marginal docs a
+                                  // standalone audit only flags
+
   /** t12: resample-membership bucket (seed 555 — independent of t10's). */
   private[llm] val resampleBucket = "((doc_id % 1000003) * 2654435761 + 555) % 1000"
 
@@ -329,6 +340,61 @@ object CorpusQueries {
              sum("score").as("sum_score"))
     },
 
+    // ---------- the curation funnel: every filter composed, with per-stage accounting ----------
+    "t15_filter_funnel" -> { (s, dir) =>
+      // The end-to-end quality pipeline a corpus owner actually ships:
+      // length gate → language gate → repetition gate → classifier gate →
+      // near-dedup, each doc attributed to the FIRST stage that drops it
+      // (so the per-source rows read as a funnel and reconcile exactly:
+      // n_docs = n_drop_* + n_kept). Scale shape: stages 1–4 are pure
+      // map-side expressions over one corpus scan — zero shuffles; the
+      // dedup stage reuses d4's posting-bucketed pair generator (the
+      // NgramMaxDf-capped inverted index — bounded fan-out per posting)
+      // restricted to stage-1–4 survivors, keeping d1's "lowest doc_id of
+      // a dup pair wins" admission rule; the only other exchange is the
+      // final per-source rollup.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val staged = docs(s, dir)
+        .withColumn("words", expr(LlmQueries.wordsExpr))
+        .withColumn("bigrams", expr(LlmQueries.bigramsExpr))
+        .withColumn("nt", size(col("bigrams")).cast("long"))
+        .withColumn("rep_permille",
+          when(col("nt") === 0L, lit(0L))
+            .otherwise(expr("(1000 * (nt - size(array_distinct(bigrams)))) div nt")))
+        // t14's hashed-weight linear score — same expression, same gate
+        .withColumn("score", expr(
+          """aggregate(transform(words, w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
+            |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+        .withColumn("stage",
+          when(size(col("words")) < FunnelMinWords, "len")
+            .when(col("lang") =!= FunnelLang, "lang")
+            .when(col("rep_permille") >= FunnelMaxRepPermille, "rep")
+            .when(col("score") < 0, "cls"))
+      val survivors = staged.filter(col("stage").isNull).select("doc_id")
+      // dedup among survivors only (pipelines dedup AFTER quality gates —
+      // a pair whose better-quality copy was already dropped keeps its
+      // surviving copy): of each surviving dup pair, the higher doc_id is
+      // dropped — pairwise-greedy admission, the d16 arrival-order rule
+      // (d6's connected components is the full-cluster variant).
+      val dupDropped = LlmQueries.ngramDupPairs(s, dir)
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("dup_drop", lit(true))
+      staged.join(dupDropped, Seq("doc_id"), "left")
+        .withColumn("final_stage",
+          coalesce(col("stage"), when(col("dup_drop"), "dup").otherwise(lit("kept"))))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("final_stage") === "len", 1L).otherwise(0L)).as("n_drop_len"),
+          sum(when(col("final_stage") === "lang", 1L).otherwise(0L)).as("n_drop_lang"),
+          sum(when(col("final_stage") === "rep", 1L).otherwise(0L)).as("n_drop_rep"),
+          sum(when(col("final_stage") === "cls", 1L).otherwise(0L)).as("n_drop_cls"),
+          sum(when(col("final_stage") === "dup", 1L).otherwise(0L)).as("n_drop_dup"),
+          sum(when(col("final_stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("final_stage") === "kept", col("n_chars")).otherwise(0L)).as("kept_chars"))
+    },
+
     "t6_pii_scrub" -> { (s, dir) =>
       // plant deterministic doc_id-derived PII (the synthetic corpus has
       // none), scrub it, and AUDIT: every planted item found, zero residual
@@ -535,6 +601,42 @@ object CorpusQueries {
          |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  CAST(sum(score) AS BIGINT) AS sum_score
          |FROM sc GROUP BY 1""".stripMargin,
+    // Composes LlmQueries.ngramPairCtes (the d4 dup chain — ONE definition
+    // of the dup criterion) with the t7/t14 stage expressions.
+    "t15_filter_funnel" ->
+      s"""WITH ${LlmQueries.ngramPairCtes},
+         |st AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |         len(b.words) AS nw,
+         |         CASE WHEN len(s.shingles) = 0 THEN 0
+         |              ELSE (1000 * (len(s.shingles) - len(list_distinct(s.shingles)))) // len(s.shingles)
+         |         END AS rep,
+         |         CAST(coalesce(list_sum(list_transform(b.words, w -> (${LlmQueries.fnv32Expr("w")}) % 16 - 8)), 0) AS BIGINT) AS score
+         |  FROM documents d JOIN base b USING (doc_id) JOIN sh s USING (doc_id)
+         |), staged AS (
+         |  SELECT *, CASE WHEN nw < $FunnelMinWords THEN 'len'
+         |                 WHEN lang != '$FunnelLang' THEN 'lang'
+         |                 WHEN rep >= $FunnelMaxRepPermille THEN 'rep'
+         |                 WHEN score < 0 THEN 'cls' END AS stage
+         |  FROM st
+         |), surv AS (SELECT doc_id FROM staged WHERE stage IS NULL),
+         |dd AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM dup
+         |  WHERE doc_a IN (SELECT doc_id FROM surv) AND doc_b IN (SELECT doc_id FROM surv)
+         |), fin AS (
+         |  SELECT sg.source, sg.n_chars,
+         |         coalesce(sg.stage, CASE WHEN dd.doc_id IS NOT NULL THEN 'dup' ELSE 'kept' END) AS final_stage
+         |  FROM staged sg LEFT JOIN dd USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN final_stage = 'len' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_len,
+         |  CAST(sum(CASE WHEN final_stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
+         |  CAST(sum(CASE WHEN final_stage = 'rep' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_rep,
+         |  CAST(sum(CASE WHEN final_stage = 'cls' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_cls,
+         |  CAST(sum(CASE WHEN final_stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+         |  CAST(sum(CASE WHEN final_stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN final_stage = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM fin GROUP BY 1""".stripMargin,
     "t4_corpus_profile" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,

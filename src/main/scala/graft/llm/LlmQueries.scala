@@ -44,6 +44,13 @@ object LlmQueries {
   /** Winnowing window: guarantee window of W consecutive k-gram hashes. */
   val WinnowWindow = 4
 
+  /** d16: the incoming-batch slice — every [[IncrEvery]]-th doc (slot
+    * [[IncrSlot]]) plays "today's crawl"; the rest is the already-admitted
+    * corpus it must be deduplicated against. A modulus split (not a range
+    * split) so planted near-dup pairs straddle the boundary at every SF. */
+  val IncrEvery = 5L
+  val IncrSlot  = 0L
+
   /** d4: shingles seen in more than this many docs are dropped from
     * CANDIDATE GENERATION (the standard hot-posting cap of an inverted
     * index — a stop-shingle shared by half the corpus would otherwise
@@ -461,7 +468,7 @@ object LlmQueries {
     * is posting-list-local (bucketed by shingle); the [[NgramMaxDf]] cap
     * bounds each bucket's pair fan-out, which is what keeps the plan
     * linear-ish at corpus scale. */
-  private def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private[llm] def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
     val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
@@ -602,7 +609,7 @@ object LlmQueries {
     * families still to run — holding every index for the whole sweep was
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
-    *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, t3
+    *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d16, t3, t15
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
@@ -822,6 +829,72 @@ object LlmQueries {
 
     // ---------- band-bucket skew audit for the capped self-joins ----------
     "d11_band_skew_audit" -> { (s, dir) => bandSkewAudit(s, dir) },
+
+    // ---------- INCREMENTAL dedup: a new batch admitted against the corpus ----------
+    "d16_incremental_dedup" -> { (s, dir) =>
+      // The production shape of continuous corpus building: a daily crawl
+      // batch (doc_id % IncrEvery == IncrSlot here) is admitted against an
+      // already-deduplicated corpus. The asymmetry IS the scale story —
+      // the batch is MBs while the corpus is the 100 TB side, so:
+      //   - the corpus band frame folds through ONE bounded band-key
+      //     aggregate (count-free: just the cap smallest members via
+      //     graft_topk — map-side combine to ≤ cap entries per task), the
+      //     only shuffle the corpus pays;
+      //   - the batch's band rows are BROADCAST into those bucket
+      //     summaries (a hash probe, no corpus movement);
+      //   - batch-internal dedup (arrival order: lower doc_id wins) is a
+      //     broadcast self-probe of the batch — the corpus is not involved;
+      //   - exact-Jaccard verification probes the corpus shingle sets with
+      //     the (small) candidate list broadcast, so the corpus scan again
+      //     moves nothing.
+      // A corpus band bucket hotter than BandMaxBucket contributes only
+      // its cap smallest members as candidate partners (the d2/d10 cap
+      // family; d11 audits bucket heat) — a batch doc colliding with a
+      // mega-cluster still sees the cluster's lowest-id members, which
+      // include its canonical representative.
+      val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val isInc = col("doc_id") % IncrEvery === IncrSlot
+      val bands = base.select(col("doc_id"), explode(expr(minhashBandsExpr)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+      val incBands = bands.filter(isInc)
+        .select(col("doc_id").as("inc_id"), col("band"), col("band_hash"))
+      val corpBuckets = bands.filter(!isInc)
+        .groupBy("band", "band_hash")
+        .agg(graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), lit(0L), BandMaxBucket)
+          .as("members"))
+      val corpCand = corpBuckets
+        .join(broadcast(incBands), Seq("band", "band_hash"))
+        .select(col("inc_id"), explode(col("members")).as("m"))
+        .select(col("inc_id"), col("m.id").as("partner_id"), lit("corpus").as("kind"))
+      val batchCand = incBands
+        .join(broadcast(incBands.select(col("inc_id").as("partner_id"), col("band"), col("band_hash"))),
+              Seq("band", "band_hash"))
+        .filter(col("partner_id") < col("inc_id"))
+        .select(col("inc_id"), col("partner_id"), lit("batch").as("kind"))
+      val cand = corpCand.unionByName(batchCand).dropDuplicates("inc_id", "partner_id")
+      val incSets = base.filter(isInc)
+        .select(col("doc_id").as("inc_id"), col("shingle_set").as("set_i"))
+      val ver = base.select(col("doc_id").as("partner_id"), col("shingle_set").as("set_p"))
+        .join(broadcast(cand), "partner_id")
+        .join(broadcast(incSets), "inc_id")
+        .withColumn("inter_cnt", size(array_intersect(col("set_i"), col("set_p"))).cast("long"))
+        .withColumn("union_cnt",
+          (size(col("set_i")) + size(col("set_p"))).cast("long") - col("inter_cnt"))
+        // the d2/d4 dup criterion, float-free: Jaccard ≥ 1/2 ⇔ 2·|∩| ≥ |∪|
+        .filter(col("inter_cnt") * 2 >= col("union_cnt"))
+      val perDoc = ver.groupBy("inc_id").agg(
+        sum(when(col("kind") === "corpus", 1L).otherwise(0L)).as("n_corpus_dups"),
+        sum(when(col("kind") === "batch", 1L).otherwise(0L)).as("n_batch_dups"),
+        min(col("partner_id")).as("best_match"))
+      docs(s, dir).filter(isInc).select(col("doc_id"))
+        .join(perDoc.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("best_match").isNotNull, "reject").otherwise("admit").as("verdict"),
+          coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+          coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"),
+          col("best_match"))
+    },
 
     // ---------- INCREMENTAL near-dup over the streamed corpus ----------
     "d12_stream_neardup" -> { (s, dir) =>
@@ -1275,13 +1348,16 @@ object LlmQueries {
   /** DuckDB twins. Hash/compare-safe by construction: md5 hex strings,
     * integer counts as BIGINT, cosine similarities used only for ranking
     * (bit-identical double arithmetic on both sides). */
-  def oracles: Map[String, String] = {
-    val words =
-      "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+  /** DuckDB twin of [[wordsExpr]] — shared with CorpusQueries' oracles. */
+  private[llm] val duckWords =
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
 
-    /** d4/d6 shared CTE chain: shingle sets → inverted index with the
-      * hot-posting cap → candidate pairs → exact-Jaccard-thresholded `dup`. */
-    val ngramPairCtes =
+  /** d4/d6/t15 shared CTE chain: shingle sets → inverted index with the
+    * hot-posting cap → candidate pairs → exact-Jaccard-thresholded `dup`.
+    * Object-level so CorpusQueries' funnel oracle composes the same chain
+    * (one definition — the dup criterion can't drift between operators). */
+  private[llm] lazy val ngramPairCtes: String = {
+    val words = duckWords
       s"""base AS (SELECT doc_id, $words AS words FROM documents),
          |sh AS (
          |  SELECT doc_id,
@@ -1307,6 +1383,10 @@ object LlmQueries {
          |  FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
          |  WHERE 2 * len(list_intersect(sa.sset, sb.sset)) >= len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))
          |)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = {
+    val words = duckWords
 
     // Shared CTE chain (documents → bigrams → fnv32 → minhash sigs → band
     // rows) reused by d2's pair query and d11's bucket audit so the two
@@ -1356,6 +1436,49 @@ object LlmQueries {
          |FROM pairs p
          |JOIN sigs sa ON sa.doc_id = p.doc_a
          |JOIN sigs sc ON sc.doc_id = p.doc_b""".stripMargin
+
+    /** d16 twin: the corpus side capped to the BandMaxBucket smallest
+      * doc_ids per band bucket (row_number mirrors graft_topk's
+      * constant-score min-k), the batch side uncapped, batch-internal
+      * pairs in arrival order, then the exact-Jaccard dup criterion. */
+    val incrSql =
+      s"""WITH $minhashCtes,
+         |inc_b AS (SELECT doc_id, b, band_hash FROM bands WHERE doc_id % $IncrEvery = $IncrSlot),
+         |corp_m AS (
+         |  SELECT b, band_hash, doc_id FROM (
+         |    SELECT b, band_hash, doc_id,
+         |           row_number() OVER (PARTITION BY b, band_hash ORDER BY doc_id) AS rn
+         |    FROM bands WHERE doc_id % $IncrEvery != $IncrSlot)
+         |  WHERE rn <= $BandMaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT inc_id, partner_id, kind FROM (
+         |    SELECT i.doc_id AS inc_id, c.doc_id AS partner_id, 'corpus' AS kind
+         |    FROM inc_b i JOIN corp_m c USING (b, band_hash)
+         |    UNION ALL
+         |    SELECT i.doc_id, j.doc_id, 'batch'
+         |    FROM inc_b i JOIN inc_b j
+         |      ON i.b = j.b AND i.band_hash = j.band_hash AND j.doc_id < i.doc_id)),
+         |ver AS (
+         |  SELECT inc_id, partner_id, kind
+         |  FROM cand
+         |  JOIN sigs si ON si.doc_id = inc_id
+         |  JOIN sigs sp ON sp.doc_id = partner_id
+         |  WHERE 2 * len(list_intersect(si.shingle_set, sp.shingle_set))
+         |        >= len(si.shingle_set) + len(sp.shingle_set)
+         |           - len(list_intersect(si.shingle_set, sp.shingle_set))),
+         |vagg AS (
+         |  SELECT inc_id,
+         |         CAST(sum(CASE WHEN kind = 'corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_dups,
+         |         CAST(sum(CASE WHEN kind = 'batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups,
+         |         min(partner_id) AS best_match
+         |  FROM ver GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CASE WHEN a.best_match IS NOT NULL THEN 'reject' ELSE 'admit' END AS verdict,
+         |       CAST(coalesce(a.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+         |       CAST(coalesce(a.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
+         |       a.best_match
+         |FROM documents d LEFT JOIN vagg a ON a.inc_id = d.doc_id
+         |WHERE d.doc_id % $IncrEvery = $IncrSlot""".stripMargin
 
     val winnowSql = {
       val w = WinnowWindow
@@ -1736,6 +1859,7 @@ object LlmQueries {
       "d13_semdedup" -> semdedupSql,
       "d15_cell_skew_audit" -> cellAuditSql,
       "d2_minhash_lsh" -> minhashSql,
+      "d16_incremental_dedup" -> incrSql,
       "d10_simhash_neardup" -> simhashDupSql,
       "d11_band_skew_audit" -> bandAuditSql,
       "d12_stream_neardup" -> streamDupSql,

@@ -142,6 +142,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(keep > 0 && keep < n, s"degenerate filter: keep=$keep of $n")
   }
 
+  test("t15 funnel: per-stage attribution equals a naive serial pipeline") {
+    val meta = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    def words(t: String)              = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(ws: Seq[String])      = if (ws.size < 2) Seq.empty[String] else ws.sliding(2).map(_.mkString(" ")).toSeq
+    def rep(bs: Seq[String]): Long    = if (bs.isEmpty) 0L else 1000L * (bs.size - bs.distinct.size) / bs.size
+    def score(ws: Seq[String]): Long  = ws.map(w => graft.functions.Fnv32.hash(w) % 16 - 8).sum
+    // stages 1–4, first-fail attribution
+    val staged = meta.map { case (id, text, lang, src, nc) =>
+      val ws = words(text); val bs = bigrams(ws)
+      val stage =
+        if (ws.size < CorpusQueries.FunnelMinWords) Some("len")
+        else if (lang != CorpusQueries.FunnelLang) Some("lang")
+        else if (rep(bs) >= CorpusQueries.FunnelMaxRepPermille) Some("rep")
+        else if (score(ws) < 0) Some("cls")
+        else None
+      (id, src, nc, stage, bs.distinct.toSet)
+    }
+    // stage 5: d4's dup rule among survivors — candidates share a rare
+    // shingle (corpus-wide df <= NgramMaxDf), exact Jaccard >= 1/2, the
+    // higher doc_id of each surviving pair drops
+    val dfCount = meta.flatMap(m => bigrams(words(m._2)).distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val surv = staged.filter(_._4.isEmpty)
+    val maxDf = graft.llm.LlmQueries.NgramMaxDf
+    val dupDropped = (for {
+      a <- surv; b <- surv if a._1 < b._1
+      inter = a._5.intersect(b._5)
+      if inter.exists(sh => dfCount(sh) <= maxDf)
+      un = a._5.size + b._5.size - inter.size
+      if 2 * inter.size >= un
+    } yield b._1).toSet
+    val expected = staged.map { case (id, src, nc, st, _) =>
+      (src, nc, st.getOrElse(if (dupDropped(id)) "dup" else "kept"))
+    }.groupBy(_._1).map { case (src, rs) =>
+      def n(stage: String) = rs.count(_._3 == stage).toLong
+      src -> ((rs.length.toLong, n("len"), n("lang"), n("rep"), n("cls"), n("dup"), n("kept"),
+               rs.filter(_._3 == "kept").map(_._2).sum))
+    }
+    val got = CorpusQueries.queries("t15_filter_funnel")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_drop_len"), r.getAs[Long]("n_drop_lang"),
+          r.getAs[Long]("n_drop_rep"), r.getAs[Long]("n_drop_cls"), r.getAs[Long]("n_drop_dup"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("kept_chars")))
+    }.toMap
+    assert(got == expected)
+    // the funnel reconciles: every doc lands in exactly one bucket
+    got.values.foreach { case (n, l, g, rp, c, d, k, _) =>
+      assert(n == l + g + rp + c + d + k, s"funnel leak: $n != $l+$g+$rp+$c+$d+$k")
+    }
+  }
+
   test("t6 scrub: every planted PII item found, zero residual, all docs audited") {
     val rows = CorpusQueries.queries("t6_pii_scrub")(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)

@@ -61,6 +61,42 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3 || p._2 == 3))
   }
 
+  test("d16: a batch doc duplicating the corpus is rejected with its corpus partner") {
+    // fixture split (IncrEvery=5, slot 0): doc 0 is the incoming batch;
+    // docs 1–4 are the corpus. 1 is an exact copy of 0, 2 a near-dup.
+    val rows = run("d16_incremental_dedup").collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("n_corpus_dups"),
+         r.getAs[Long]("n_batch_dups"), Option(r.getAs[java.lang.Long]("best_match")))).toMap
+    assert(rows.keySet === Set(0L), "output covers exactly the incoming slice")
+    val (verdict, nCorp, nBatch, best) = rows(0L)
+    assert(verdict === "reject", "an exact corpus copy must be rejected")
+    assert(nCorp >= 1L && best === Some(1L),
+      "the rejected doc names its lowest-id corpus partner")
+    assert(nBatch === 0L, "no other batch member exists to collide with")
+  }
+
+  test("d16: within-batch duplicates admit the first arrival, reject the later copy") {
+    val d = Files.createTempDirectory("graft-d16-batch-").toString
+    Seq(
+      (0L,  "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0", 40L),
+      (5L,  "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0", 40L), // batch dup of 0
+      (10L, "totally unrelated content sits here sharing no phrasing at all", "en", "s1", 50L),
+      (1L,  "corpus resident document one with its very own vocabulary", "en", "s2", 40L),
+      (2L,  "another corpus resident covering different ground entirely today", "en", "s3", 40L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = LlmQueries.queries("d16_incremental_dedup")(spark, d).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("n_corpus_dups"),
+         r.getAs[Long]("n_batch_dups"), Option(r.getAs[java.lang.Long]("best_match")))).toMap
+    assert(rows.keySet === Set(0L, 5L, 10L))
+    assert(rows(0L)._1 === "admit", "first arrival of a batch-internal dup is admitted")
+    assert(rows(5L) === (("reject", 0L, 1L, Some(0L))),
+      "the later copy rejects against the earlier batch arrival, not the corpus")
+    assert(rows(10L)._1 === "admit", "a unique batch doc admits")
+  }
+
   test("d10: banded SimHash finds exactly the hamming<=3 pairs (brute-force differential)") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -79,6 +79,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d16: the corpus never shuffles for the batch probe — bounded band agg + broadcast batch") {
+    // Incremental admission's scale contract: the 100 TB corpus side pays
+    // exactly ONE band-key exchange (the bounded graft_topk bucket agg);
+    // the incoming batch (MBs) rides BroadcastExchanges for the band
+    // probe, the batch self-probe, AND the Jaccard verify join-back — no
+    // corpus-sized frame is ever re-partitioned onto candidate keys, and
+    // nothing sorts under a window.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("d16_incremental_dedup")(s2, sf).queryExecution.executedPlan
+    val bandShuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("band_hash") => e
+    }
+    assert(bandShuffles.size <= 1,
+      s"d16: the bounded bucket agg must be the ONLY band-key exchange, got ${bandShuffles.size}:\n$p")
+    assert(p.toString.contains("graft_topk"),
+      "d16: corpus band buckets must fold through the bounded graft_topk aggregate")
+    assert(p.toString.contains("BroadcastExchange"),
+      "d16: the batch side must broadcast — the corpus never moves for the probe")
+    assert(!p.toString.contains("Window "), "d16: nothing may sort the band frame")
+    assert(!p.toString.contains("CartesianProduct"), "d16: candidates stay bucket-local")
+  }
+
+  test("t15: the funnel is map-side until dedup; the dup stage reuses the capped posting generator") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("t15_filter_funnel")(s2, sf).queryExecution.executedPlan.toString
+    assert(p.contains("graft_topk"),
+      "t15: the dup stage must reuse d4's NgramMaxDf-capped posting aggregate")
+    assert(!p.contains("Window "), "t15: no stage may sort the corpus under a window")
+    assert(!p.contains("CartesianProduct"), "t15: the dup stage stays posting-local")
+  }
+
   test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
     // The bucket-pair frame is occupancy-bounded but corpus-sized; ranking
     // it under a vec_id window means a full shuffle+sort. The max_by over
