@@ -104,11 +104,13 @@ object Bench {
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
       (Set("d6_dedup_clusters", "d7_curation_split"),
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
-      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfsq_topk", "d13_semdedup",
-           "d15_cell_skew_audit"),
+      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "ann_ivfsq_topk",
+           "d13_semdedup", "d15_cell_skew_audit"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
       (Set("ann_sq_topk", "ann_ivfsq_topk"),
-        () => llm.LlmQueries.evictSqIndex(spark, sfDir))
+        () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
+      (Set("ann_ivfpq_topk", "ann_pq_topk"),
+        () => llm.LlmQueries.evictPqIndex(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }
@@ -344,6 +346,8 @@ object Bench {
         val ivf   = recallOf("ann_ivf_probe", 3)
         val ivf2  = recallOf("ann_ivf_probe2", 3)
         val sq    = recallOf("ann_sq_topk", llm.LlmQueries.TopK)
+        val pq    = recallOf("ann_pq_topk", llm.LlmQueries.TopK)
+        val ivfpq = recallOf("ann_ivfpq_topk", llm.LlmQueries.TopK)
         val ivfsq = recallOf("ann_ivfsq_topk", llm.LlmQueries.TopK)
         // recall-vs-probe curve 1..4: the lever a deployment tunes. Probe 1
         // through the same parametric plan as probe 2+, so curve points are
@@ -355,7 +359,7 @@ object Bench {
         val curveJson = curve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
         // probe1 vs probe2 is the recall/speed lever a deployment tunes —
         // record both so the tradeoff is visible round-over-round
-        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson}"""
+        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson}"""
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"
@@ -419,6 +423,7 @@ object Bench {
         llm.LlmQueries.evictSimSignatures(spark, sfDir)
         llm.LlmQueries.evictIvfIndex(spark, sfDir)
         llm.LlmQueries.evictSqIndex(spark, sfDir)
+        llm.LlmQueries.evictPqIndex(spark, sfDir)
       }
     }
     val microJson = micro()

@@ -208,6 +208,15 @@ object LlmQueries {
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
 
+  // ---- PQ parameters (FAISS's workhorse quantizer) ----
+  /** Subquantizers: the vector splits into PqM subvectors of PqSubDim
+    * dims; each is coded independently against a per-subspace codebook of
+    * PqK centroids — M×log2(K) bits per vector (8×4 = 4 bytes here vs 64
+    * for SQ8, 512 for raw doubles). */
+  val PqM      = 8
+  val PqSubDim = EmbeddingDim / PqM
+  val PqK      = 16
+
   /** SimHash near-dup: 4 independent 16-bit SimHash bands (disjoint md5
     * bit slices) form a 64-bit signature. Pigeonhole: hamming <=
     * SimBands - 1 over the full signature can flip bits in at most 3 of
@@ -383,6 +392,89 @@ object LlmQueries {
                |  END - 128 AS TINYINT))""".stripMargin).as("code"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (mm, codes)
+      })
+    }
+
+  /** PQ index per (session, sfDir): (bkm, codes).
+    *
+    *  - `bkm` is the packed codebook — ONE row whose `bkm[m][c]` is the
+    *    c-th codeword of subspace m (dense per-m lists, so the layout
+    *    stays total even when Lloyd leaves a codeword empty or the corpus
+    *    has fewer than PqK seed vectors) — broadcast to every scoring
+    *    scan, never joined.
+    *  - `codes` is the persisted sidecar (vec_id, code array<int>): the
+    *    DENSE per-subspace codeword index, PqM small ints per vector —
+    *    the 4-byte-per-vector scan that is PQ's whole point at 100 TB.
+    *
+    * Training is the same fully distributed fixed-point Lloyd as
+    * [[ivfIndex]], run per SUBSPACE: assignment by squared L2 (the PQ
+    * literature's metric; cosine is meaningless on subvectors) with
+    * ties to the smaller codeword id, update via order-independent
+    * floor(x·2^20) integer sums — bit-identical in the DuckDB twin.
+    * Empty codewords simply drop out of the update (both engines GROUP BY
+    * only assigned codewords), which is why codes store the DENSE re-key
+    * (row_number over the ≤ PqM×PqK trained codebook — a window over a
+    * bounded frame). */
+  private val pqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (b, c) => b.unpersist(); c.unpersist(); () })
+
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    {
+      pqCache.getOrElseUpdate(s, dir)({
+        val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        val sub = e.select(col("vec_id"), explode(expr(
+          s"""transform(sequence(0, ${PqM - 1}),
+             |          m -> struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin)).as("ms"))
+          .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+
+        // nearest codeword per (vector, subspace) by squared L2 — the same
+        // partial-aggregatable max_by shape as ivfIndex.assign (maximize
+        // (-dist, -c_id): ties go to the SMALLER codeword id)
+        def assign(books: DataFrame): DataFrame =
+          sub.join(broadcast(books), "m")
+            .withColumn("dist", expr(
+              "graft_dot(sv, sv) - 2.0D * graft_dot(sv, cv) + graft_dot(cv, cv)"))
+            .groupBy(col("vec_id"), col("m"))
+            .agg(max_by(struct(col("c_id"), col("sv")),
+                        struct((-col("dist")).as("nd"), (-col("c_id")).as("ni"))).as("best"))
+            .select(col("vec_id"), col("m"), col("best.c_id").as("c_id"), col("best.sv").as("sv"))
+
+        var books = sub.filter(col("vec_id") < PqK)
+          .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
+        (1 to KMeansIters).foreach { _ =>
+          books = assign(books)
+            .select(col("m"), col("c_id"), posexplode(col("sv")).as(Seq("pos", "x")))
+            .groupBy("m", "c_id", "pos")
+            .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+            .groupBy(col("m"), col("c_id"))
+            .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+            .select(col("m"), col("c_id"),
+              expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
+        }
+        val trained = books.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        trained.count()
+        // dense re-key: c-th surviving codeword of subspace m → index c
+        // (window over the ≤ PqM×PqK-row codebook — bounded by knobs)
+        val wDense = Window.partitionBy(col("m")).orderBy(col("c_id"))
+        val dense  = trained.withColumn("dc", row_number().over(wDense) - 1)
+        // persisted: every scoring scan re-broadcasts this one row, and
+        // without the persist each broadcast would replay the training
+        val bkm = dense
+          .groupBy("m").agg(expr("array_sort(collect_list(named_struct('c', dc, 'cv', cv)))").as("cl"))
+          .agg(expr("array_sort(collect_list(named_struct('m', m, 'cl', cl)))").as("ml"))
+          .select(expr("transform(ml, x -> transform(x.cl, y -> y.cv))").as("bkm"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bkm.count()
+        val codes = assign(trained)
+          .join(broadcast(dense.select(col("m"), col("c_id"), col("dc"))), Seq("m", "c_id"))
+          .groupBy(col("vec_id"))
+          .agg(expr("array_sort(collect_list(named_struct('m', m, 'dc', dc)))").as("pc"))
+          .select(col("vec_id"), expr("transform(pc, p -> p.dc)").as("code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        e.unpersist()
+        trained.unpersist()
+        (bkm, codes)
       })
     }
 
@@ -589,6 +681,7 @@ object LlmQueries {
     clusterCache.remove(s, dir)
     ivfCache.remove(s, dir)
     sqCache.remove(s, dir)
+    pqCache.remove(s, dir)
     // d12's sink is dir-keyed (session-independent files): drop the entry
     // and its parquet so a reused dir path recomputes instead of serving
     // a stale pre-change pair set
@@ -613,17 +706,19 @@ object LlmQueries {
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
-    *     ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit (ANY new
-    *     ivfIndex/sqIndex consumer
+    *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit
+    *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
     *     the exact storage-pressure failure the eviction prevents)
-    *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk */
+    *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk
+    *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
   def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
   def evictIvfIndex(s: SparkSession, dir: String): Unit    = ivfCache.remove(s, dir)
   def evictSqIndex(s: SparkSession, dir: String): Unit     = sqCache.remove(s, dir)
+  def evictPqIndex(s: SparkSession, dir: String): Unit     = pqCache.remove(s, dir)
 
   /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
     * so the key is the dir — any session reads the same files — PLUS a
@@ -1285,6 +1380,41 @@ object LlmQueries {
                 col("vec_id").as("neighbor_id"))
     },
 
+    // ---------- ANN: product quantization — 4-bit-per-subspace codes ----------
+    "ann_pq_topk" -> { (s, dir) =>
+      // PQ (the FAISS workhorse): the candidate pass scans the PqM-small-
+      // int codes sidecar ([[pqIndex]] — 8×4 bits per vector vs 64 bytes
+      // for SQ8), reconstructs each candidate from the BROADCAST packed
+      // codebook inside the scoring expression (bkm[m][code[m]] — no join,
+      // no decoded frame materialized), and scores the reconstruction
+      // against the full-precision query (asymmetric ADC, scored as ONE
+      // sequential 64-dim dot so the DuckDB twin is bit-identical). The
+      // bounded graft_topk cut keeps SqCandidates per query; only those
+      // survivors touch full-precision vectors for the exact re-rank,
+      // broadcast so the corpus never shuffles — the ann_sq_topk shape
+      // with a 16× smaller scan.
+      val e = emb(s, dir)
+      val (bkm, codes) = pqIndex(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val scored = codes.crossJoin(broadcast(bkm)).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("xhat", expr(
+          s"""flatten(transform(sequence(0, ${PqM - 1}),
+             |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scored, SqCandidates)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        .join(broadcast(q), "q_id")
+      e.join(broadcast(cands), "vec_id")
+        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"))
+    },
+
     // ---------- ANN: IVF cells × SQ8 codes — the composed scale index ----------
     "ann_ivfsq_topk" -> { (s, dir) =>
       // The FAISS IVFx,SQ8 shape: probe the top-IvfProbes trained cells per
@@ -1322,6 +1452,49 @@ object LlmQueries {
             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
             |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
             |  END)""".stripMargin))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scoredCodes, SqCandidates)
+        .select(col("q_id"), col("neighbor_id").as("vec_id"))
+        .join(broadcast(qFrame), "q_id")
+      e.join(broadcast(cands), "vec_id")
+        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+                col("vec_id").as("neighbor_id"))
+    },
+
+    // ---------- ANN: IVF cells × PQ codes — the FAISS IVFPQ composition ----------
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // IVFx,PQ: probe the top-IvfProbes trained cells, score ONLY the
+      // probed cells' 4-bit-per-subspace codes (reconstructed from the
+      // broadcast packed codebook inside the scan — ann_pq_topk's ADC),
+      // exact-re-rank the bounded survivors. The two pruning axes multiply
+      // — cells/total of the corpus touched × 4 bytes/vector scanned —
+      // the densest index this family ships; recall is recorded next to
+      // ivfsq's in the bench.
+      val e = emb(s, dir)
+      val (cents, assigned) = ivfIndex(s, dir)
+      val (bkm, codes)      = pqIndex(s, dir)
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+      val probes = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
+        .withColumn("pn", row_number().over(wProbe))
+        .filter(col("pn") <= IvfProbes)
+        .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
+      val cells = assigned.select(col("vec_id"), col("centroid_id"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val qFrame = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scoredCodes = codes.join(cells, "vec_id")
+        .join(broadcast(probes), "centroid_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .crossJoin(broadcast(bkm))
+        .withColumn("xhat", expr(
+          s"""flatten(transform(sequence(0, ${PqM - 1}),
+             |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
         .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
       val cands = topkPerQuery(scoredCodes, SqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
@@ -1810,6 +1983,97 @@ object LlmQueries {
          |  FROM cand WHERE crank <= $SqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
+    // PQ twins: the ivfTrain pattern run per SUBSPACE over subvectors with
+    // squared-L2 assignment, dense re-key of surviving codewords, packed-
+    // codebook reconstruction, then sqSql's asymmetric scoring + re-rank.
+    def pqAssignSql(booksCte: String): String =
+      s"""SELECT vec_id, m, sv, c_id FROM (
+         |    SELECT s.vec_id, s.m, s.sv, c.c_id,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_inner_product(s.sv, s.sv) - 2.0 * list_inner_product(s.sv, c.cv) + list_inner_product(c.cv, c.cv) ASC,
+         |             c.c_id) AS rn
+         |    FROM sub s JOIN $booksCte c ON c.m = s.m)
+         |  WHERE rn = 1""".stripMargin
+    def pqUpdateSql(assignCte: String): String =
+      s"""SELECT m, c_id,
+         |       list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+         |    SELECT m, c_id, dd.d AS d,
+         |           sum(CAST(floor(sv[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+         |    FROM $assignCte, (SELECT unnest(generate_series(1, $PqSubDim)) AS d) dd
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2""".stripMargin
+    val pqTrainCtes = (1 to KMeansIters).map { i =>
+      s"pa${i - 1} AS (${pqAssignSql(s"p${i - 1}")}),\np$i AS (${pqUpdateSql(s"pa${i - 1}")})"
+    }.mkString(",\n")
+    // the full trained-PQ reconstruction chain (sub → train → dense re-key
+    // → packed codebook → per-vector xhat), shared by pqSql and ivfPqSql
+    val pqIndexCtes =
+      s"""sub AS (SELECT vec_id, mm.m AS m, v[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
+         |        FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm),
+         |p0 AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $PqK),
+         |$pqTrainCtes,
+         |pfin AS (${pqAssignSql(s"p$KMeansIters")}),
+         |db AS (SELECT m, c_id, row_number() OVER (PARTITION BY m ORDER BY c_id) - 1 AS dc FROM p$KMeansIters),
+         |cd AS (SELECT a.vec_id, list(db.dc ORDER BY a.m) AS code
+         |       FROM pfin a JOIN db ON db.m = a.m AND db.c_id = a.c_id GROUP BY 1),
+         |bk AS (SELECT list(cl ORDER BY m) AS bkm
+         |       FROM (SELECT m, list(cv ORDER BY c_id) AS cl FROM p$KMeansIters GROUP BY 1)),
+         |x AS (SELECT vec_id, flatten(list_transform(generate_series(0, ${PqM - 1}),
+         |                             m -> bkm[m + 1][code[m + 1] + 1])) AS xhat
+         |      FROM cd, bk)""".stripMargin
+    val pqSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$pqIndexCtes,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT x.vec_id, q.q_id, q.qv,
+         |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |           list_inner_product(x.xhat, q.qv) / (sqrt(list_inner_product(x.xhat, x.xhat)) * sqrt(list_inner_product(q.qv, q.qv))) DESC,
+         |           x.vec_id) AS crank
+         |  FROM x, q WHERE x.vec_id != q.q_id)
+         |SELECT q_id, rank, neighbor_id FROM (
+         |  SELECT c.q_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |           list_inner_product(e.v, c.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.qv, c.qv))) DESC,
+         |           c.vec_id) AS rank
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |  WHERE c.crank <= $SqCandidates)
+         |WHERE rank <= $TopK""".stripMargin
+
+    // IVF×PQ twin: the trained-cell probe restriction composed with the
+    // PQ reconstruction chain's asymmetric scoring + exact re-rank.
+    val ivfPqSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$pqIndexCtes,
+         |qp AS (
+         |  SELECT q_id, qv, c_id AS centroid_id FROM (
+         |    SELECT q.q_id, q.qv, cc.c_id,
+         |           row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |             list_inner_product(q.qv, cc.cv) / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(cc.cv, cc.cv))) DESC,
+         |             cc.c_id) AS pn
+         |    FROM (SELECT vec_id AS q_id, v AS qv FROM assigned WHERE vec_id < $NumQueries) q, c$KMeansIters cc)
+         |  WHERE pn <= $IvfProbes),
+         |cand AS (
+         |  SELECT a.vec_id, qp.q_id, qp.qv,
+         |         row_number() OVER (PARTITION BY qp.q_id ORDER BY
+         |           list_inner_product(x.xhat, qp.qv) / (sqrt(list_inner_product(x.xhat, x.xhat)) * sqrt(list_inner_product(qp.qv, qp.qv))) DESC,
+         |           a.vec_id) AS crank
+         |  FROM assigned a
+         |  JOIN qp ON a.centroid_id = qp.centroid_id AND a.vec_id != qp.q_id
+         |  JOIN x ON x.vec_id = a.vec_id)
+         |SELECT q_id, rank, neighbor_id FROM (
+         |  SELECT c.q_id, c.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |           list_inner_product(e.v, c.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.qv, c.qv))) DESC,
+         |           c.vec_id) AS rank
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |  WHERE c.crank <= $SqCandidates)
+         |WHERE rank <= $TopK""".stripMargin
+
     // IVF×SQ8 twin: the trained-cell probe restriction of ivfSql2 composed
     // with sqSql's midpoint de-quantized asymmetric scoring + exact re-rank.
     val ivfSqSql =
@@ -1929,6 +2193,8 @@ object LlmQueries {
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
       "ann_sq_topk"    -> sqSql,
+      "ann_pq_topk"    -> pqSql,
+      "ann_ivfpq_topk" -> ivfPqSql,
       "ann_ivfsq_topk" -> ivfSqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,
       "m2_frame_sample" -> Multimodal.frameOracleSql

@@ -206,6 +206,36 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._3 === 4L && byId(4L)._4 === 0L)
   }
 
+  test("ann PQ: 4-bit codes rank the planted nearest neighbors first (dense re-key under short corpus)") {
+    // 7 fixture vectors < PqK=16 seeds — every subspace codebook is short
+    // AND Lloyd can empty codewords, so this exercises the dense re-key
+    // path that keeps bkm[m][code[m]] total. The planted near-identical
+    // pairs must survive quantization + exact re-rank.
+    val rows = run("ann_pq_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.find(r => r._1 == 0L && r._2 == 1L).map(_._3) === Some(1L))
+    assert(rows.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
+    assert(rows.find(r => r._1 == 2L && r._2 == 1L).map(_._3) === Some(3L))
+    // every query returns a full dense ranking 1..k over the others
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted === (1L to g.size.toLong), "ranks must be dense from 1")
+    }
+  }
+
+  test("ann PQ: recall vs brute-force top-5 on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    def topk(name: String) = LlmQueries.queries(name)(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq    = topk("ann_pq_topk")
+    val brute = topk("ann_topk_brute")
+    val recalls = brute.map { case (q, b) => (pq.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
+    val mean = recalls.sum / recalls.size
+    // 4 bits/subspace is a coarse quantizer; the SqCandidates over-fetch +
+    // exact re-rank must still recover most of the true top-5
+    assert(mean >= 0.5, s"PQ mean recall@5 was $mean (per-query $recalls)")
+  }
+
   test("ann IVF: k-means cells keep near-identical pairs together (probe=1)") {
     val rows = run("ann_ivf_probe").collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"), r.getAs[Long]("centroid_id")))

@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
-        "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup").foreach { q =>
+        "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
+        "ann_pq_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -37,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // 256 existed only because the update collected onto the driver). A
     // LocalTableScan in any trained-cell plan means a driver-side collect
     // of the centroids crept back in and silently re-capped k.
-    Seq("ann_ivf_probe", "ann_ivf_probe2", "d13_semdedup", "d15_cell_skew_audit")
+    Seq("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "d13_semdedup",
+        "d15_cell_skew_audit")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("LocalTableScan"),
@@ -168,7 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // (task, q_id)) BEFORE any exchange on q_id. A window doing the
     // ranking instead would shuffle every scored row onto |queries| tasks.
     Seq("ann_topk_brute", "ann_ivf_probe", "ann_ivf_probe2",
-        "ann_sq_topk", "ann_ivfsq_topk").foreach { q =>
+        "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfsq_topk").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_graft_topk"),
         s"$q: the candidate cut must be the partial-aggregatable bounded top-k:\n${p.take(2000)}")
