@@ -110,7 +110,9 @@ object Bench {
       (Set("ann_sq_topk", "ann_ivfsq_topk"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
       (Set("ann_ivfpq_topk", "ann_pq_topk"),
-        () => llm.LlmQueries.evictPqIndex(spark, sfDir))
+        () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
+      (Set("t15_filter_funnel"),
+        () => llm.CorpusQueries.evictFunnel(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

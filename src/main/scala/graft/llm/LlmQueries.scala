@@ -211,11 +211,18 @@ object LlmQueries {
   // ---- PQ parameters (FAISS's workhorse quantizer) ----
   /** Subquantizers: the vector splits into PqM subvectors of PqSubDim
     * dims; each is coded independently against a per-subspace codebook of
-    * PqK centroids — M×log2(K) bits per vector (8×4 = 4 bytes here vs 64
-    * for SQ8, 512 for raw doubles). */
+    * PqK centroids — M×log2(K) bits per vector (8×5 = 5 bytes here vs 64
+    * for SQ8, 512 for raw doubles). K=32 over K=16 measured recall@5
+    * 0.600→0.775 (ivfpq 0.775→0.850) at sf0.1 for ~+0.1 s — the
+    * codebook-size lever, still a broadcast-trivial 256-codeword table. */
   val PqM      = 8
   val PqSubDim = EmbeddingDim / PqM
-  val PqK      = 16
+  val PqK      = 32
+
+  /** PQ refine cut: 4-bit codes are a much coarser approximation than SQ8,
+    * so the exact re-rank over-fetches 2× deeper (the FAISS refine-factor
+    * lever) — still bounded, still broadcast-sized survivors. */
+  val PqCandidates = 8 * TopK
 
   /** SimHash near-dup: 4 independent 16-bit SimHash bands (disjoint md5
     * bit slices) form a 64-bit signature. Pigeonhole: hamming <=
@@ -478,6 +485,48 @@ object LlmQueries {
       })
     }
 
+  /** Probe selection shared by EVERY IVF-composed query (ivfProbeAt,
+    * ann_ivfsq_topk, ann_ivfpq_topk — one definition so probe tie-breaking
+    * can never silently diverge between the variants): the top-nProbes
+    * trained cells per query by centroid cosine, ranked over the bounded
+    * queries × broadcast(cells) frame. */
+  private def probeSelect(assigned: DataFrame, cents: DataFrame, nProbes: Int): DataFrame = {
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
+    assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
+      .withColumn("pn", row_number().over(wProbe))
+      .filter(col("pn") <= nProbes)
+      .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
+  }
+
+  /** The exact full-precision re-rank tail shared by the coded ANN family
+    * (SQ/PQ/IVF×SQ/IVF×PQ): bounded candidates (q_id, vec_id, qv)
+    * broadcast onto the vectors, exact cosine, ranked over the
+    * queries × candidates survivor set — never a corpus-sized window. */
+  private def exactRerank(e: DataFrame, cands: DataFrame): DataFrame = {
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(cands), "vec_id")
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+              col("vec_id").as("neighbor_id"))
+  }
+
+  /** Per-VECTOR PQ reconstruction over a codes frame: appends (xhat, xn2)
+    * from the broadcast packed codebook. Called BEFORE any per-query or
+    * per-probe join, so each vector decodes exactly once per scan — the
+    * DuckDB twin's `x` CTE shape. */
+  private def pqDecode(codesFrame: DataFrame, bkm: DataFrame): DataFrame =
+    codesFrame.crossJoin(broadcast(bkm))
+      .withColumn("xhat", expr(
+        s"""flatten(transform(sequence(0, ${PqM - 1}),
+           |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
+      .withColumn("xn2", expr(dot("xhat", "xhat")))
+      .drop("bkm")
+
   /** The shared two-phase distributed top-k for the ANN family: a scored
     * frame with columns (q_id, sim, vec_id) folds through the bounded
     * [[graft.functions.TopKByScore]] aggregate. The map side combines down
@@ -505,14 +554,7 @@ object LlmQueries {
     * ranking per query; candidates stay cell-local at every probe count. */
   private[graft] def ivfProbeAt(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
     val (cents, assigned) = ivfIndex(s, dir)
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
-    val probes = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
-      .withColumn("pn", row_number().over(wProbe))
-      .filter(col("pn") <= nProbes)
-      .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
+    val probes = probeSelect(assigned, cents, nProbes)
     val scored = assigned.join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
@@ -682,6 +724,7 @@ object LlmQueries {
     ivfCache.remove(s, dir)
     sqCache.remove(s, dir)
     pqCache.remove(s, dir)
+    CorpusQueries.evictFunnel(s, dir)
     // d12's sink is dir-keyed (session-independent files): drop the entry
     // and its parquet so a reused dir path recomputes instead of serving
     // a stale pre-change pair set
@@ -928,9 +971,16 @@ object LlmQueries {
     // ---------- INCREMENTAL dedup: a new batch admitted against the corpus ----------
     "d16_incremental_dedup" -> { (s, dir) =>
       // The production shape of continuous corpus building: a daily crawl
-      // batch (doc_id % IncrEvery == IncrSlot here) is admitted against an
-      // already-deduplicated corpus. The asymmetry IS the scale story —
-      // the batch is MBs while the corpus is the 100 TB side, so:
+      // batch (doc_id % IncrEvery == IncrSlot here — the modulus split is
+      // FIXTURE convenience so planted pairs straddle the boundary at
+      // every SF; a real deployment's batch is a separate input) is
+      // admitted against an already-deduplicated corpus. The asymmetry IS
+      // the scale story, and it is a CONTRACT: every broadcast below is
+      // BATCH-proportional (bands, shingle sets, candidates), so the plan
+      // assumes a batch within the broadcast bound (the daily-crawl
+      // regime — GBs against a 100 TB corpus). A batch approaching corpus
+      // scale is not an admission problem; run the d2 full self-dedup
+      // instead. Under that contract:
       //   - the corpus band frame folds through ONE bounded band-key
       //     aggregate (count-free: just the cap smallest members via
       //     graft_topk — map-side combine to ≤ cap entries per task), the
@@ -1353,13 +1403,12 @@ object LlmQueries {
       val (mm, codes) = sqIndex(s, dir)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       // de-quantize ON TOP of the 1-byte scan: (stored + 128) recovers the
       // 0..255 cell, midpoint arithmetic bit-identical to coding from v.
       // The candidate cut is the bounded two-phase top-k aggregate — the
       // codes scan never shuffles onto q_id; only ≤ tasks × queries ×
-      // SqCandidates partial survivors do. The wRank window below ranks
-      // the BOUNDED survivor set (queries × SqCandidates rows) — fine at
+      // SqCandidates partial survivors do; [[exactRerank]] ranks the
+      // BOUNDED survivor set (queries × SqCandidates rows) — fine at
       // any scale.
       val scoredCodes = codes.crossJoin(broadcast(mm)).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
@@ -1372,12 +1421,7 @@ object LlmQueries {
       val cands = topkPerQuery(scoredCodes, SqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(q), "q_id")
-      e.join(broadcast(cands), "vec_id")
-        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"))
+      exactRerank(e, cands)
     },
 
     // ---------- ANN: product quantization — 4-bit-per-subspace codes ----------
@@ -1389,7 +1433,8 @@ object LlmQueries {
       // no decoded frame materialized), and scores the reconstruction
       // against the full-precision query (asymmetric ADC, scored as ONE
       // sequential 64-dim dot so the DuckDB twin is bit-identical). The
-      // bounded graft_topk cut keeps SqCandidates per query; only those
+      // bounded graft_topk cut keeps PqCandidates per query (a 2× deeper
+      // refine cut than SQ8 — 4-bit codes are coarser); only those
       // survivors touch full-precision vectors for the exact re-rank,
       // broadcast so the corpus never shuffles — the ann_sq_topk shape
       // with a 16× smaller scan.
@@ -1397,22 +1442,17 @@ object LlmQueries {
       val (bkm, codes) = pqIndex(s, dir)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      val scored = codes.crossJoin(broadcast(bkm)).crossJoin(broadcast(q))
+      // decode ONCE per vector ([[pqDecode]] before the query join —
+      // scoring against NumQueries queries reuses one reconstruction),
+      // then sim from the precomputed xhat norm: the same doubles as
+      // recomputing dot(xhat, xhat) per pair, 1/NumQueries the decode work
+      val scored = pqDecode(codes, bkm).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("xhat", expr(
-          s"""flatten(transform(sequence(0, ${PqM - 1}),
-             |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
-        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
-      val cands = topkPerQuery(scored, SqCandidates)
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scored, PqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(q), "q_id")
-      e.join(broadcast(cands), "vec_id")
-        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"))
+      exactRerank(e, cands)
     },
 
     // ---------- ANN: IVF cells × SQ8 codes — the composed scale index ----------
@@ -1427,20 +1467,11 @@ object LlmQueries {
       val e = emb(s, dir)
       val (cents, assigned) = ivfIndex(s, dir)
       val (mm, codes)       = sqIndex(s, dir)
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
-      val probes = assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
-        .withColumn("pn", row_number().over(wProbe))
-        .filter(col("pn") <= IvfProbes)
-        .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
-      val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val probes = probeSelect(assigned, cents, IvfProbes)
+      val cells  = assigned.select(col("vec_id"), col("centroid_id"))
       // probed-cell codes scoring folded through the bounded top-k
       // aggregate (no q_id window over the codes scan); qv is re-attached
-      // to the bounded survivor set from the tiny query frame. The wRank
-      // window ranks queries × SqCandidates rows — bounded at any scale.
+      // to the bounded survivor set from the tiny query frame.
       val qFrame = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val scoredCodes = codes.join(cells, "vec_id")
@@ -1456,12 +1487,7 @@ object LlmQueries {
       val cands = topkPerQuery(scoredCodes, SqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(qFrame), "q_id")
-      e.join(broadcast(cands), "vec_id")
-        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"))
+      exactRerank(e, cands)
     },
 
     // ---------- ANN: IVF cells × PQ codes — the FAISS IVFPQ composition ----------
@@ -1476,35 +1502,23 @@ object LlmQueries {
       val e = emb(s, dir)
       val (cents, assigned) = ivfIndex(s, dir)
       val (bkm, codes)      = pqIndex(s, dir)
-      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_id"))
-      val probes = assigned.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .crossJoin(broadcast(cents))
-        .withColumn("c_sim", expr(s"${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")}))"))
-        .withColumn("pn", row_number().over(wProbe))
-        .filter(col("pn") <= IvfProbes)
-        .select(col("q_id"), col("qv"), col("c_id").as("centroid_id"))
-      val cells = assigned.select(col("vec_id"), col("centroid_id"))
-      val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      val probes = probeSelect(assigned, cents, IvfProbes)
+      val cells  = assigned.select(col("vec_id"), col("centroid_id"))
       val qFrame = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val scoredCodes = codes.join(cells, "vec_id")
-        .join(broadcast(probes), "centroid_id")
+      // restrict to probed cells FIRST (the IVF pruning axis), then decode
+      // each surviving vector ONCE — a vector in a cell probed by several
+      // queries still reconstructs a single xhat
+      val probedCells = probes.select("centroid_id").distinct()
+      val decoded = pqDecode(
+        codes.join(cells, "vec_id").join(broadcast(probedCells), "centroid_id"), bkm)
+      val scoredCodes = decoded.join(broadcast(probes), "centroid_id")
         .filter(col("vec_id") =!= col("q_id"))
-        .crossJoin(broadcast(bkm))
-        .withColumn("xhat", expr(
-          s"""flatten(transform(sequence(0, ${PqM - 1}),
-             |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
-        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
-      val cands = topkPerQuery(scoredCodes, SqCandidates)
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
+      val cands = topkPerQuery(scoredCodes, PqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(qFrame), "q_id")
-      e.join(broadcast(cands), "vec_id")
-        .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
-        .withColumn("rank", row_number().over(wRank))
-        .filter(col("rank") <= TopK)
-        .select(col("q_id"), col("rank").cast("long").as("rank"),
-                col("vec_id").as("neighbor_id"))
+      exactRerank(e, cands)
     },
 
     // ---------- multimodal: opaque binary payload + typed feature extraction ----------
@@ -2037,7 +2051,7 @@ object LlmQueries {
          |           list_inner_product(e.v, c.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.qv, c.qv))) DESC,
          |           c.vec_id) AS rank
          |  FROM cand c JOIN e ON e.vec_id = c.vec_id
-         |  WHERE c.crank <= $SqCandidates)
+         |  WHERE c.crank <= $PqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
     // IVF×PQ twin: the trained-cell probe restriction composed with the
@@ -2071,7 +2085,7 @@ object LlmQueries {
          |           list_inner_product(e.v, c.qv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.qv, c.qv))) DESC,
          |           c.vec_id) AS rank
          |  FROM cand c JOIN e ON e.vec_id = c.vec_id
-         |  WHERE c.crank <= $SqCandidates)
+         |  WHERE c.crank <= $PqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
     // IVF×SQ8 twin: the trained-cell probe restriction of ivfSql2 composed
