@@ -112,7 +112,9 @@ object Bench {
       (Set("ann_ivfpq_topk", "ann_pq_topk"),
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
       (Set("t15_filter_funnel"),
-        () => llm.CorpusQueries.evictFunnel(spark, sfDir))
+        () => llm.CorpusQueries.evictFunnel(spark, sfDir)),
+      (Set("t16_perplexity_filter"),
+        () => llm.CorpusQueries.evictLmToks(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

@@ -108,6 +108,14 @@ object CorpusQueries {
                                   // line — a funnel drops marginal docs a
                                   // standalone audit only flags
 
+  // ---- t16: LM-surprise (perplexity-filter) band, in permille of bits
+  // per bigram. The CCNet filter keeps the MIDDLE of the perplexity
+  // distribution: too-predictable text is boilerplate, too-surprising is
+  // gibberish. Thresholds bracket the synthetic corpus's p10/p90 (measured
+  // 4407/4611 at sf0.01) so both reject bands are exercised. ----
+  val LmLowBitsPermille  = 4400L
+  val LmHighBitsPermille = 4620L
+
   /** t12: resample-membership bucket (seed 555 — independent of t10's). */
   private[llm] val resampleBucket = "((doc_id % 1000003) * 2654435761 + 555) % 1000"
 
@@ -162,6 +170,13 @@ object CorpusQueries {
     * t15's reps, like the other per-family memos. */
   private val funnelCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
   def evictFunnel(s: SparkSession, dir: String): Unit = funnelCache.remove(s, dir)
+
+  /** t16's bigram-token frame (doc_id, bigram, w1) per (session, dir): the
+    * LM count, the context count, and the scoring join all read it — four
+    * corpus scans with the words/bigrams explode collapse to one build.
+    * Bench evicts right after t16's reps. */
+  private val lmTokCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
+  def evictLmToks(s: SparkSession, dir: String): Unit = lmTokCache.remove(s, dir)
 
   /** t6: PII patterns — conservative constructs only (char classes, bounded
     * repeats, `\b`), valid and identical in Java regex and RE2/DuckDB. */
@@ -411,6 +426,50 @@ object CorpusQueries {
           sum(when(col("final_stage") === "kept", col("n_chars")).otherwise(0L)).as("kept_chars"))
     },
 
+    // ---------- LM-surprise perplexity filter (the CCNet quality signal) ----------
+    "t16_perplexity_filter" -> { (s, dir) =>
+      // A bigram LM trained ON THE CORPUS scores every document's
+      // cross-entropy, and the filter keeps the middle band (CCNet: low
+      // perplexity = boilerplate, high = gibberish). Floating log() is not
+      // bit-portable across engines, so surprise is measured in INTEGER
+      // BITS: for Laplace probability (n2+1)/(n1+V), the per-occurrence
+      // surprise is bits(n1+V) − bits(n2+1) where bits(x) = length of the
+      // binary representation = floor(log2 x)+1 — log2 at power-of-two
+      // resolution, exact in both engines via length(bin(x)) on integers.
+      // Scale shape: the bigram LM is ONE corpus shuffle (count by bigram);
+      // the context-count table is vocabulary-sized and BROADCAST; scoring
+      // joins each bigram occurrence to its own LM row (bigram-key
+      // co-partitioned, posting-local) and folds per doc with map-side
+      // combine — the standard distributed LM-scoring dataflow.
+      val base = docs(s, dir).withColumn("words", expr(LlmQueries.wordsExpr))
+      val toks = lmTokCache.getOrElseUpdate(s, dir)(base
+        .select(col("doc_id"), explode(expr(LlmQueries.bigramsExpr)).as("bigram"))
+        .withColumn("w1", expr("split(bigram, ' ')[0]"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val lm2   = toks.groupBy("bigram").agg(count(lit(1)).as("n2"))
+      val lm1   = toks.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val vocab = base.select(explode(col("words")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val scored = toks.join(lm2, "bigram")
+        .join(broadcast(lm1), "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("bits", expr("cast(length(bin(n1 + v)) - length(bin(n2 + 1)) as bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(sum("bits").as("doc_bits"), count(lit(1)).as("nb"))
+        .withColumn("ap", expr("(1000 * doc_bits) div nb"))
+      docs(s, dir).select("doc_id", "source")
+        .join(scored, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("nb").isNull, 1L).otherwise(0L)).as("n_short"),
+          coalesce(sum("doc_bits"), lit(0L)).as("sum_bits"),
+          coalesce(sum("nb"), lit(0L)).as("sum_bigrams"),
+          sum(when(col("ap") < LmLowBitsPermille, 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("ap") > LmHighBitsPermille, 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("ap") >= LmLowBitsPermille && col("ap") <= LmHighBitsPermille, 1L)
+            .otherwise(0L)).as("n_kept"))
+    },
+
     "t6_pii_scrub" -> { (s, dir) =>
       // plant deterministic doc_id-derived PII (the synthetic corpus has
       // none), scrub it, and AUDIT: every planted item found, zero residual
@@ -617,6 +676,43 @@ object CorpusQueries {
          |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
          |  CAST(sum(score) AS BIGINT) AS sum_score
          |FROM sc GROUP BY 1""".stripMargin,
+    "t16_perplexity_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(words) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+         |    END AS bg
+         |  FROM base
+         |), tok AS (
+         |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram
+         |  FROM (SELECT doc_id, unnest(bg) AS bigram FROM sh)
+         |), c2 AS (SELECT bigram, count(*) AS n2 FROM tok GROUP BY 1),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM tok GROUP BY 1),
+         |vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |          FROM (SELECT unnest(words) AS w FROM base)),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         CAST(sum(length(bin(c1.n1 + (SELECT v FROM vocab))) - length(bin(c2.n2 + 1))) AS BIGINT) AS doc_bits,
+         |         CAST(count(*) AS BIGINT) AS nb
+         |  FROM tok t JOIN c2 USING (bigram) JOIN c1 USING (w1)
+         |  GROUP BY 1
+         |), pd AS (
+         |  SELECT d.doc_id, d.source, s.doc_bits, s.nb,
+         |         CASE WHEN s.nb IS NULL THEN NULL ELSE (1000 * s.doc_bits) // s.nb END AS ap
+         |  FROM documents d LEFT JOIN scored s USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         |  CAST(coalesce(sum(doc_bits), 0) AS BIGINT) AS sum_bits,
+         |  CAST(coalesce(sum(nb), 0) AS BIGINT) AS sum_bigrams,
+         |  CAST(sum(CASE WHEN ap < $LmLowBitsPermille THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  CAST(sum(CASE WHEN ap > $LmHighBitsPermille THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+         |  CAST(sum(CASE WHEN ap >= $LmLowBitsPermille AND ap <= $LmHighBitsPermille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM pd GROUP BY 1""".stripMargin,
     // Composes LlmQueries.ngramPairCtes (the d4 dup chain — ONE definition
     // of the dup criterion) with the t7/t14 stage expressions.
     "t15_filter_funnel" ->

@@ -725,6 +725,7 @@ object LlmQueries {
     sqCache.remove(s, dir)
     pqCache.remove(s, dir)
     CorpusQueries.evictFunnel(s, dir)
+    CorpusQueries.evictLmToks(s, dir)
     // d12's sink is dir-keyed (session-independent files): drop the entry
     // and its parquet so a reused dir path recomputes instead of serving
     // a stale pre-change pair set

@@ -142,6 +142,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(keep > 0 && keep < n, s"degenerate filter: keep=$keep of $n")
   }
 
+  test("t16 LM-surprise equals a naive serial bigram-LM scorer") {
+    def words(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def bigrams(ws: Seq[String]) = if (ws.size < 2) Seq.empty[String] else ws.sliding(2).map(_.mkString(" ")).toSeq
+    def bits(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = docs.map { case (id, text, src, _) => (id, src, bigrams(words(text))) }
+    val c2 = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = perDoc.flatMap(_._3.map(_.split(" ")(0))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v  = docs.flatMap(d => words(d._2)).distinct.size.toLong
+    val expected = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val scoredDocs = ds.filter(_._3.nonEmpty).map { case (_, _, bs) =>
+        val docBits = bs.map(b => bits(c1(b.split(" ")(0)) + v) - bits(c2(b) + 1)).sum
+        (docBits, bs.size.toLong, 1000L * docBits / bs.size)
+      }
+      src -> ((ds.size.toLong, ds.count(_._3.isEmpty).toLong,
+               scoredDocs.map(_._1).sum, scoredDocs.map(_._2).sum,
+               scoredDocs.count(_._3 < CorpusQueries.LmLowBitsPermille).toLong,
+               scoredDocs.count(_._3 > CorpusQueries.LmHighBitsPermille).toLong,
+               scoredDocs.count(d => d._3 >= CorpusQueries.LmLowBitsPermille &&
+                                     d._3 <= CorpusQueries.LmHighBitsPermille).toLong))
+    }
+    val got = CorpusQueries.queries("t16_perplexity_filter")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_short"), r.getAs[Long]("sum_bits"),
+          r.getAs[Long]("sum_bigrams"), r.getAs[Long]("n_low"), r.getAs[Long]("n_high"),
+          r.getAs[Long]("n_kept")))
+    }.toMap
+    assert(got == expected)
+    // the filter must band the corpus, not rubber-stamp it: every scored
+    // doc lands in exactly one band
+    got.values.foreach { case (n, short, _, _, lo, hi, kept) =>
+      assert(n == short + lo + hi + kept, s"band leak: $n != $short+$lo+$hi+$kept")
+    }
+  }
+
   test("t15 funnel: per-stage attribution equals a naive serial pipeline") {
     val meta = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "lang", "source", "n_chars").collect()
