@@ -282,7 +282,7 @@ object Bench {
           })
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
-                            "d16_incremental_dedup")
+                            "d16_incremental_dedup", "t16_perplexity_filter")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -298,7 +298,8 @@ object Bench {
           }.mkString(s"""{"factor":$factor,""", ",", "}")
           val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
                           "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
-                          "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16")
+                          "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16",
+                          "t16_perplexity_filter" -> "t16")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }

@@ -117,6 +117,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "t15: the dup stage stays posting-local")
   }
 
+  test("t16: the LM context table broadcasts; scoring never windows the token frame") {
+    // The bigram LM join is corpus-sized on both sides (co-partitioned on
+    // the bigram key — fine); the CONTEXT-count join must ride a
+    // BroadcastExchange (the vocabulary-sized side), and nothing may rank
+    // or window the corpus-sized token frame.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = SparkEntry.queries("t16_perplexity_filter")(s2, sf).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      "t16: the vocabulary-sized context/vocab tables must broadcast")
+    assert(!p.contains("Window "), "t16: no stage may window the token frame")
+    assert(!p.contains("CartesianProduct"), "t16: only the one-row vocab may cross-join (broadcast NLJ)")
+  }
+
   test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
     // The bucket-pair frame is occupancy-bounded but corpus-sized; ranking
     // it under a vec_id window means a full shuffle+sort. The max_by over
