@@ -108,6 +108,10 @@ object CorpusQueries {
                                   // line — a funnel drops marginal docs a
                                   // standalone audit only flags
 
+  /** t17: token budget per exported training shard (t5's window budget is
+    * the per-sample context; this is the per-FILE dataloader unit). */
+  val ShardTokenBudget = 2048L
+
   // ---- t16: LM-surprise (perplexity-filter) band, in permille of bits
   // per bigram. The CCNet filter keeps the MIDDLE of the perplexity
   // distribution: too-predictable text is boilerplate, too-surprising is
@@ -215,9 +219,16 @@ object CorpusQueries {
     * two-phase distributed prefix sum — range-partition by doc_id,
     * per-range totals collected (O(ranges), metadata-sized), broadcast
     * running offsets, per-partition local scan. */
-  private def packWindows(s: SparkSession, d: DataFrame): DataFrame = {
+  /** The two-phase distributed prefix-sum assignment shared by t5/t13
+    * packing and t17 sharding: range-partition by `orderCols`, collect the
+    * metadata-sized per-range token totals, broadcast exclusive offsets,
+    * assign each doc its exclusive-prefix div `budget` window locally.
+    * Returns the per-doc frame (doc_id, tokens, window_id). */
+  private def packBy(s: SparkSession, d: DataFrame, budget: Long,
+                     orderCols: Seq[String]): DataFrame = {
     val parts  = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
-    val sorted = d.repartitionByRange(parts, col("doc_id")).sortWithinPartitions("doc_id")
+    val sorted = d.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val schema = sorted.schema
     val docIdx = schema.fieldIndex("doc_id")
     val tokIdx = schema.fieldIndex("tokens")
@@ -232,7 +243,7 @@ object CorpusQueries {
       var prefix = offB.value(i)
       it.map { r =>
         val t  = r.getLong(tokIdx)
-        val wi = prefix / PackBudget // exclusive-prefix window assignment
+        val wi = prefix / budget // exclusive-prefix window assignment
         prefix += t
         Row(r.getLong(docIdx), t, wi)
       }
@@ -241,13 +252,16 @@ object CorpusQueries {
         StructField("doc_id", LongType, nullable = false),
         StructField("tokens", LongType, nullable = false),
         StructField("window_id", LongType, nullable = false))))
+  }
+
+  private def packWindows(s: SparkSession, d: DataFrame): DataFrame =
+    packBy(s, d, PackBudget, Seq("doc_id"))
       .groupBy("window_id")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t4_corpus_profile" -> { (s, dir) =>
@@ -285,6 +299,31 @@ object CorpusQueries {
 
     "t5_context_pack" -> { (s, dir) =>
       packWindows(s, docs(s, dir).select(col("doc_id"), expr(tokensExpr).as("tokens")))
+    },
+
+    // ---------- dataset shard export: manifest of training-order shards ----------
+    "t17_shard_export" -> { (s, dir) =>
+      // The export stage a training run reads: shards are cut along the
+      // t9 TRAINING ORDER (epoch-shuffle key, doc_id tie-break) with a
+      // token budget per shard — the dataloader unit — and the result is
+      // the shard MANIFEST: doc/token counts, doc-id range, and an
+      // order-independent content checksum (bit_xor of per-doc fnv32) a
+      // reader verifies after download. Same two-phase distributed prefix
+      // sum as t5 ([[packBy]] — per-range totals collected
+      // metadata-sized, never a single-task global window), ordered by the
+      // shuffle key instead of doc_id.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val d = docs(s, dir).select(col("doc_id"),
+        expr(tokensExpr).as("tokens"),
+        expr(shuffleKey).as("skey"))
+      packBy(s, d, ShardTokenBudget, Seq("skey", "doc_id"))
+        .groupBy(col("window_id").as("shard_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"),
+          expr("bit_xor(graft_fnv32(cast(doc_id as string)))").as("checksum"))
     },
 
     // ---------- context packing under the toy-BPE token budget ----------
@@ -792,6 +831,25 @@ object CorpusQueries {
          |SELECT CAST(prefix // $PackBudget AS BIGINT) AS window_id, count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1""".stripMargin,
+    // t17 twin: t5's prefix-sum shape ordered by the t9 shuffle key; the
+    // checksum is an order-independent xor so GROUP BY order is immaterial
+    "t17_shard_export" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS tokens,
+         |         $shuffleKey AS skey
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, tokens,
+         |         CAST(coalesce(sum(tokens) OVER (ORDER BY skey, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+         |  FROM d
+         |)
+         |SELECT CAST(prefix // $ShardTokenBudget AS BIGINT) AS shard_id, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  CAST(bit_xor(${LlmQueries.fnv32Expr("doc_id::VARCHAR")}) AS BIGINT) AS checksum
          |FROM p GROUP BY 1""".stripMargin,
     // t13 twin: same prefix-sum pack, tokens from the toy-BPE merge pass —
     // RE2's leftmost-first alternation reproduces the Java-regex greedy

@@ -142,6 +142,53 @@ class CorpusSpec extends AnyFunSuite {
     assert(keep > 0 && keep < n, s"degenerate filter: keep=$keep of $n")
   }
 
+  test("d16/t15/t16 are layout-independent: same results from a re-split corpus under a different shuffle width") {
+    // The new corpus operators' determinism rests on integer-exact
+    // arithmetic and order-independent aggregation: neither the parquet
+    // file layout of the input nor Spark's shuffle width may change a
+    // verdict. Re-split the corpus into a different file count, run in a
+    // fresh session with a prime shuffle width, compare full row sets.
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    val alt = java.nio.file.Files.createTempDirectory("graft-resplit-").toString
+    src.repartition(7).write.parquet(s"$alt/documents.parquet")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "5")
+    def rows(s: org.apache.spark.sql.SparkSession, d: String, q: String): Seq[Seq[Any]] =
+      graft.SparkEntry.queries(q)(s, d).collect()
+        .map(_.toSeq.map(v => if (v == null) "∅" else v.toString).toSeq)
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter").foreach { q =>
+      assert(rows(s2, alt, q) === rows(spark, dir, q),
+        s"$q must be independent of input file layout and shuffle width")
+    }
+  }
+
+  test("t17 shard export equals a serial pass in training order; checksums verify") {
+    def toks(t: String): Long = "[a-z]+|[0-9]+".r.findAllIn(t.toLowerCase).size.toLong
+    def skey(id: Long): Long  = ((id % 1000003L) * 2654435761L + 777L) % 1000000007L
+    val ordered = docs.map { case (id, text, _, _) => (id, toks(text)) }
+      .sortBy { case (id, _) => (skey(id), id) }
+    var prefix = 0L
+    val assigned = ordered.map { case (id, t) =>
+      val shard = prefix / CorpusQueries.ShardTokenBudget
+      prefix += t
+      (shard, id, t)
+    }
+    val expected = assigned.groupBy(_._1).map { case (sh, ds) =>
+      sh -> ((ds.size.toLong, ds.map(_._3).sum, ds.map(_._2).min, ds.map(_._2).max,
+              ds.map(d => graft.functions.Fnv32.hash(d._2.toString)).reduce(_ ^ _)))
+    }
+    val got = CorpusQueries.queries("t17_shard_export")(spark, dir).collect().map { r =>
+      r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"), r.getAs[Long]("min_doc"),
+          r.getAs[Long]("max_doc"), r.getAs[Long]("checksum")))
+    }.toMap
+    assert(got == expected)
+    // every doc lands in exactly one shard; shards respect the budget
+    // (exclusive-prefix rule: a shard only overflows by its LAST doc)
+    assert(got.values.map(_._1).sum == docs.size.toLong)
+  }
+
   test("t16 LM-surprise equals a naive serial bigram-LM scorer") {
     def words(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     def bigrams(ws: Seq[String]) = if (ws.size < 2) Seq.empty[String] else ws.sliding(2).map(_.mkString(" ")).toSeq
