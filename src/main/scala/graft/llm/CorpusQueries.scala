@@ -180,7 +180,14 @@ object CorpusQueries {
     * corpus scans with the words/bigrams explode collapse to one build.
     * Bench evicts right after t16's reps. */
   private val lmTokCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
-  def evictLmToks(s: SparkSession, dir: String): Unit = lmTokCache.remove(s, dir)
+  /** t16's vocabulary size per (session, dir) — a single Long (the
+    * embCountCache pattern): without it every invocation re-scans the
+    * corpus with the words explode just to recount distinct words. */
+  private val lmVocabCache = new graft.core.SessionMemo[Long]()
+  def evictLmToks(s: SparkSession, dir: String): Unit = {
+    lmTokCache.remove(s, dir)
+    lmVocabCache.remove(s, dir)
+  }
 
   /** t6: PII patterns — conservative constructs only (char classes, bounded
     * repeats, `\b`), valid and identical in Java regex and RE2/DuckDB. */
@@ -223,7 +230,9 @@ object CorpusQueries {
     * packing and t17 sharding: range-partition by `orderCols`, collect the
     * metadata-sized per-range token totals, broadcast exclusive offsets,
     * assign each doc its exclusive-prefix div `budget` window locally.
-    * Returns the per-doc frame (doc_id, tokens, window_id). */
+    * Returns the per-doc frame (doc_id, tokens, window_id[, chash]) — an
+    * optional long `chash` column in the input (a per-doc content hash)
+    * rides through the assignment for manifest checksums. */
   private def packBy(s: SparkSession, d: DataFrame, budget: Long,
                      orderCols: Seq[String]): DataFrame = {
     val parts  = math.max(1, s.conf.get("spark.sql.shuffle.partitions", "32").toInt / 4)
@@ -232,6 +241,7 @@ object CorpusQueries {
     val schema = sorted.schema
     val docIdx = schema.fieldIndex("doc_id")
     val tokIdx = schema.fieldIndex("tokens")
+    val carry  = if (schema.fieldNames.contains("chash")) Some(schema.fieldIndex("chash")) else None
     val rdd    = sorted.rdd
     // per-range token totals: O(ranges) collect, metadata-sized
     val perRange = rdd
@@ -245,13 +255,18 @@ object CorpusQueries {
         val t  = r.getLong(tokIdx)
         val wi = prefix / budget // exclusive-prefix window assignment
         prefix += t
-        Row(r.getLong(docIdx), t, wi)
+        carry match {
+          case Some(ci) => Row(r.getLong(docIdx), t, wi, r.getLong(ci))
+          case None     => Row(r.getLong(docIdx), t, wi)
+        }
       }
     }
-    s.createDataFrame(packed, StructType(Seq(
-        StructField("doc_id", LongType, nullable = false),
-        StructField("tokens", LongType, nullable = false),
-        StructField("window_id", LongType, nullable = false))))
+    val fields = Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("tokens", LongType, nullable = false),
+      StructField("window_id", LongType, nullable = false)) ++
+      carry.map(_ => StructField("chash", LongType, nullable = false))
+    s.createDataFrame(packed, StructType(fields))
   }
 
   private def packWindows(s: SparkSession, d: DataFrame): DataFrame =
@@ -307,15 +322,17 @@ object CorpusQueries {
       // t9 TRAINING ORDER (epoch-shuffle key, doc_id tie-break) with a
       // token budget per shard — the dataloader unit — and the result is
       // the shard MANIFEST: doc/token counts, doc-id range, and an
-      // order-independent content checksum (bit_xor of per-doc fnv32) a
-      // reader verifies after download. Same two-phase distributed prefix
-      // sum as t5 ([[packBy]] — per-range totals collected
-      // metadata-sized, never a single-task global window), ordered by the
-      // shuffle key instead of doc_id.
+      // order-independent CONTENT checksum (bit_xor of per-doc
+      // fnv32("id:text") — corrupted or swapped text changes it, not just
+      // membership) a reader verifies after download. Same two-phase
+      // distributed prefix sum as t5 ([[packBy]] — per-range totals
+      // collected metadata-sized, never a single-task global window),
+      // ordered by the shuffle key instead of doc_id.
       graft.functions.GraftFunctions.ensureRegistered(s)
       val d = docs(s, dir).select(col("doc_id"),
         expr(tokensExpr).as("tokens"),
-        expr(shuffleKey).as("skey"))
+        expr(shuffleKey).as("skey"),
+        expr("graft_fnv32(concat(cast(doc_id as string), ':', text))").as("chash"))
       packBy(s, d, ShardTokenBudget, Seq("skey", "doc_id"))
         .groupBy(col("window_id").as("shard_id"))
         .agg(
@@ -323,7 +340,7 @@ object CorpusQueries {
           sum(col("tokens")).as("sum_tokens"),
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc"),
-          expr("bit_xor(graft_fnv32(cast(doc_id as string)))").as("checksum"))
+          expr("bit_xor(chash)").as("checksum"))
     },
 
     // ---------- context packing under the toy-BPE token budget ----------
@@ -487,12 +504,14 @@ object CorpusQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val lm2   = toks.groupBy("bigram").agg(count(lit(1)).as("n2"))
       val lm1   = toks.groupBy("w1").agg(count(lit(1)).as("n1"))
-      val vocab = base.select(explode(col("words")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
+      // vocabulary size memoized as one Long — a metadata-sized collect,
+      // so warm invocations skip the words-explode distinct scan entirely
+      val v = lmVocabCache.getOrElseUpdate(s, dir)(
+        base.select(explode(col("words")).as("w"))
+          .agg(countDistinct(col("w"))).head.getLong(0))
       val scored = toks.join(lm2, "bigram")
         .join(broadcast(lm1), "w1")
-        .crossJoin(broadcast(vocab))
-        .withColumn("bits", expr("cast(length(bin(n1 + v)) - length(bin(n2 + 1)) as bigint)"))
+        .withColumn("bits", expr(s"cast(length(bin(n1 + ${v}L)) - length(bin(n2 + 1)) as bigint)"))
         .groupBy(col("doc_id"))
         .agg(sum("bits").as("doc_bits"), count(lit(1)).as("nb"))
         .withColumn("ap", expr("(1000 * doc_bits) div nb"))
@@ -838,10 +857,11 @@ object CorpusQueries {
       s"""WITH d AS (
          |  SELECT doc_id,
          |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))::BIGINT AS tokens,
-         |         $shuffleKey AS skey
+         |         $shuffleKey AS skey,
+         |         ${LlmQueries.fnv32Expr("doc_id::VARCHAR || ':' || text")} AS chash
          |  FROM documents
          |), p AS (
-         |  SELECT doc_id, tokens,
+         |  SELECT doc_id, tokens, chash,
          |         CAST(coalesce(sum(tokens) OVER (ORDER BY skey, doc_id
          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
          |  FROM d
@@ -849,7 +869,7 @@ object CorpusQueries {
          |SELECT CAST(prefix // $ShardTokenBudget AS BIGINT) AS shard_id, count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-         |  CAST(bit_xor(${LlmQueries.fnv32Expr("doc_id::VARCHAR")}) AS BIGINT) AS checksum
+         |  CAST(bit_xor(chash) AS BIGINT) AS checksum
          |FROM p GROUP BY 1""".stripMargin,
     // t13 twin: same prefix-sum pack, tokens from the toy-BPE merge pass —
     // RE2's leftmost-first alternation reproduces the Java-regex greedy

@@ -219,7 +219,7 @@ object LlmQueries {
   val PqSubDim = EmbeddingDim / PqM
   val PqK      = 32
 
-  /** PQ refine cut: 4-bit codes are a much coarser approximation than SQ8,
+  /** PQ refine cut: 5-bit codes are a much coarser approximation than SQ8,
     * so the exact re-rank over-fetches 2× deeper (the FAISS refine-factor
     * lever) — still bounded, still broadcast-sized survivors. */
   val PqCandidates = 8 * TopK
@@ -411,7 +411,7 @@ object LlmQueries {
     *    scan, never joined.
     *  - `codes` is the persisted sidecar (vec_id, code array<int>): the
     *    DENSE per-subspace codeword index, PqM small ints per vector —
-    *    the 4-byte-per-vector scan that is PQ's whole point at 100 TB.
+    *    the 5-bytes-per-vector scan that is PQ's whole point at 100 TB.
     *
     * Training is the same fully distributed fixed-point Lloyd as
     * [[ivfIndex]], run per SUBSPACE: assignment by squared L2 (the PQ
@@ -1425,20 +1425,20 @@ object LlmQueries {
       exactRerank(e, cands)
     },
 
-    // ---------- ANN: product quantization — 4-bit-per-subspace codes ----------
+    // ---------- ANN: product quantization — 5-bit-per-subspace codes ----------
     "ann_pq_topk" -> { (s, dir) =>
       // PQ (the FAISS workhorse): the candidate pass scans the PqM-small-
-      // int codes sidecar ([[pqIndex]] — 8×4 bits per vector vs 64 bytes
+      // int codes sidecar ([[pqIndex]] — 8×5 bits per vector vs 64 bytes
       // for SQ8), reconstructs each candidate from the BROADCAST packed
       // codebook inside the scoring expression (bkm[m][code[m]] — no join,
       // no decoded frame materialized), and scores the reconstruction
       // against the full-precision query (asymmetric ADC, scored as ONE
       // sequential 64-dim dot so the DuckDB twin is bit-identical). The
       // bounded graft_topk cut keeps PqCandidates per query (a 2× deeper
-      // refine cut than SQ8 — 4-bit codes are coarser); only those
+      // refine cut than SQ8 — 5-bit codes are coarser); only those
       // survivors touch full-precision vectors for the exact re-rank,
       // broadcast so the corpus never shuffles — the ann_sq_topk shape
-      // with a 16× smaller scan.
+      // with a ~13× smaller scan.
       val e = emb(s, dir)
       val (bkm, codes) = pqIndex(s, dir)
       val q = e.filter(col("vec_id") < NumQueries)
@@ -1494,7 +1494,7 @@ object LlmQueries {
     // ---------- ANN: IVF cells × PQ codes — the FAISS IVFPQ composition ----------
     "ann_ivfpq_topk" -> { (s, dir) =>
       // IVFx,PQ: probe the top-IvfProbes trained cells, score ONLY the
-      // probed cells' 4-bit-per-subspace codes (reconstructed from the
+      // probed cells' 5-bit-per-subspace codes (reconstructed from the
       // broadcast packed codebook inside the scan — ann_pq_topk's ADC),
       // exact-re-rank the bounded survivors. The two pruning axes multiply
       // — cells/total of the corpus touched × 4 bytes/vector scanned —

@@ -157,26 +157,36 @@ class CorpusSpec extends AnyFunSuite {
       graft.SparkEntry.queries(q)(s, d).collect()
         .map(_.toSeq.map(v => if (v == null) "∅" else v.toString).toSeq)
         .map(_.toSeq).sortBy(_.mkString("|")).toSeq
-    Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter").foreach { q =>
-      assert(rows(s2, alt, q) === rows(spark, dir, q),
-        s"$q must be independent of input file layout and shuffle width")
+    try {
+      // t17 included deliberately: its global (skey, doc_id) order is
+      // REBUILT by repartitionByRange from whatever file layout arrives —
+      // the most layout-sensitive path of the four
+      Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter",
+          "t17_shard_export").foreach { q =>
+        assert(rows(s2, alt, q) === rows(spark, dir, q),
+          s"$q must be independent of input file layout and shuffle width")
+      }
+    } finally {
+      // free the throwaway session's memoized frames and the replica dir
+      graft.core.SessionMemo.release(s2)
+      graft.core.FsUtil.deleteRecursively(alt)
     }
   }
 
   test("t17 shard export equals a serial pass in training order; checksums verify") {
     def toks(t: String): Long = "[a-z]+|[0-9]+".r.findAllIn(t.toLowerCase).size.toLong
     def skey(id: Long): Long  = ((id % 1000003L) * 2654435761L + 777L) % 1000000007L
-    val ordered = docs.map { case (id, text, _, _) => (id, toks(text)) }
-      .sortBy { case (id, _) => (skey(id), id) }
+    val ordered = docs.map { case (id, text, _, _) => (id, toks(text), text) }
+      .sortBy { case (id, _, _) => (skey(id), id) }
     var prefix = 0L
-    val assigned = ordered.map { case (id, t) =>
+    val assigned = ordered.map { case (id, t, text) =>
       val shard = prefix / CorpusQueries.ShardTokenBudget
       prefix += t
-      (shard, id, t)
+      (shard, id, t, graft.functions.Fnv32.hash(s"$id:$text"))
     }
     val expected = assigned.groupBy(_._1).map { case (sh, ds) =>
       sh -> ((ds.size.toLong, ds.map(_._3).sum, ds.map(_._2).min, ds.map(_._2).max,
-              ds.map(d => graft.functions.Fnv32.hash(d._2.toString)).reduce(_ ^ _)))
+              ds.map(_._4).reduce(_ ^ _)))
     }
     val got = CorpusQueries.queries("t17_shard_export")(spark, dir).collect().map { r =>
       r.getAs[Long]("shard_id") ->
@@ -184,9 +194,21 @@ class CorpusSpec extends AnyFunSuite {
           r.getAs[Long]("max_doc"), r.getAs[Long]("checksum")))
     }.toMap
     assert(got == expected)
-    // every doc lands in exactly one shard; shards respect the budget
-    // (exclusive-prefix rule: a shard only overflows by its LAST doc)
+    // every doc lands in exactly one shard
     assert(got.values.map(_._1).sum == docs.size.toLong)
+    // budget invariant (exclusive-prefix rule): a shard exceeds the budget
+    // only by its LAST doc — before that doc, it was strictly under budget
+    assigned.groupBy(_._1).values.foreach { ds =>
+      assert(ds.map(_._3).sum - ds.last._3 < CorpusQueries.ShardTokenBudget,
+        "a shard must be under budget before its last doc")
+    }
+    // a content change (not just membership) must flip the checksum
+    val tampered = assigned.map { case t @ (sh, id, tk, _) =>
+      if (id == assigned.head._2) (sh, id, tk, graft.functions.Fnv32.hash(s"$id:TAMPERED")) else t
+    }
+    assert(tampered.groupBy(_._1).map { case (sh, ds) => sh -> ds.map(_._4).reduce(_ ^ _) } !=
+           expected.map { case (sh, v) => sh -> v._5 },
+      "the checksum must detect content corruption, not just membership changes")
   }
 
   test("t16 LM-surprise equals a naive serial bigram-LM scorer") {

@@ -129,7 +129,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"),
       "t16: the vocabulary-sized context/vocab tables must broadcast")
     assert(!p.contains("Window "), "t16: no stage may window the token frame")
-    assert(!p.contains("CartesianProduct"), "t16: only the one-row vocab may cross-join (broadcast NLJ)")
+    assert(!p.contains("CartesianProduct"), "t16: no join may degenerate to a cartesian product")
   }
 
   test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
