@@ -97,6 +97,90 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(10L)._1 === "admit", "a unique batch doc admits")
   }
 
+  test("d16: randomized differential vs an independent serial MinHash pipeline") {
+    // From-scratch reimplementation (own FNV fold, own permutations from
+    // the public constants, own banding/cap/jaccard) — shares NO kernel
+    // code with production, so a bug in the Catalyst expressions or the
+    // band-bucket plumbing cannot cancel out of the comparison.
+    import LlmQueries._
+    def fnv(s: String): Long = {
+      var h = 2166136261L
+      s.foreach(c => h = ((h ^ c.toLong) * 16777619L) % 4294967296L)
+      h
+    }
+    def sigOf(text: String): Option[(Seq[String], Set[String])] = {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val sh = if (ws.length < 2) Seq.empty[String] else ws.sliding(2).map(_.mkString(" ")).toSeq
+      if (sh.isEmpty) None
+      else {
+        val vh  = sh.map(fnv)
+        val sig = (0 until MinHashK).map(k => vh.map(v => (MinHashA(k) * v + MinHashB(k)) % MinHashP).min.toString)
+        Some((0 until Bands).map(b => s"$b|" + sig.slice(RowsPerBand * b, RowsPerBand * (b + 1)).mkString("|")) -> sh.toSet)
+      }
+    }
+    def naive(corpus: Seq[(Long, String)]): Map[Long, (String, Long, Long, Option[Long])] = {
+      val sigs  = corpus.flatMap { case (id, t) => sigOf(t).map(id -> _) }.toMap
+      val isInc = (id: Long) => id % IncrEvery == IncrSlot
+      val corpBuckets = sigs.toSeq.filterNot(kv => isInc(kv._1))
+        .flatMap { case (id, (bands, _)) => bands.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(BandMaxBucket)).toMap
+      val incBands = sigs.toSeq.filter(kv => isInc(kv._1))
+        .flatMap { case (id, (bands, _)) => bands.map(id -> _) }
+      corpus.filter(d => isInc(d._1)).map { case (id, _) =>
+        val mine = sigs.get(id)
+        val cands: Set[(Long, String)] = mine match {
+          case None => Set.empty
+          case Some((bands, _)) =>
+            val corp  = bands.flatMap(b => corpBuckets.getOrElse(b, Seq.empty)).map(_ -> "corpus")
+            val batch = bands.flatMap(b => incBands.collect { case (j, bb) if bb == b && j < id => j })
+              .map(_ -> "batch")
+            (corp ++ batch).toSet
+        }
+        def jacDup(p: Long): Boolean = {
+          val (a, bset) = (mine.get._2, sigs(p)._2)
+          val inter = a.intersect(bset).size
+          2 * inter >= a.size + bset.size - inter
+        }
+        val dups = cands.filter { case (p, _) => jacDup(p) }
+        val best = if (dups.isEmpty) None else Some(dups.map(_._1).min)
+        id -> ((if (best.isDefined) "reject" else "admit",
+                dups.count(_._2 == "corpus").toLong, dups.count(_._2 == "batch").toLong, best))
+      }.toMap
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "zeta", "omega", "kappa", "sigma")
+    val rnd   = new scala.util.Random(42)
+    (1 to 6).foreach { trial =>
+      val n = 8 + rnd.nextInt(12)
+      val base = (0L until n.toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // plant near-copies so rejects actually occur: later ids copy an
+      // earlier doc's text, sometimes with one word appended
+      val corpus = base.map { case (id, t) =>
+        if (id >= 3 && rnd.nextInt(3) == 0) {
+          val src = base(rnd.nextInt(id.toInt))._2
+          id -> (if (rnd.nextBoolean()) src else s"$src ${vocab(rnd.nextInt(vocab.size))}")
+        } else id -> t
+      }
+      val d = java.nio.file.Files.createTempDirectory(s"graft-d16-fuzz$trial-").toString
+      import spark.implicits._
+      corpus.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      try {
+        val got = LlmQueries.queries("d16_incremental_dedup")(spark, d).collect().map(r =>
+          r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("verdict"), r.getAs[Long]("n_corpus_dups"),
+              r.getAs[Long]("n_batch_dups"),
+              Option(r.getAs[java.lang.Long]("best_match")).map(_.toLong)))).toMap
+        assert(got == naive(corpus), s"trial $trial diverged on corpus:\n${corpus.mkString("\n")}")
+      } finally {
+        LlmQueries.evictDir(spark, d)
+        graft.core.FsUtil.deleteRecursively(d)
+      }
+    }
+  }
+
   test("d10: banded SimHash finds exactly the hamming<=3 pairs (brute-force differential)") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
