@@ -406,6 +406,18 @@ object Bench {
         val d2r  = recall(pairSet(run("d2_minhash_lsh")
           .filter("inter_cnt * 2 >= union_cnt")))
         val d10r = recall(pairSet(run("d10_simhash_neardup")))
+        // d16's quality axis: of the TRUE dup pairs that straddle the
+        // corpus/batch boundary, does incremental admission reject the
+        // batch endpoint? (Same jaccard criterion as d4 — the shortfall
+        // measured here is banding loss plus the corpus-bucket cap.)
+        def isInc(id: Long) = id % llm.LlmQueries.IncrEvery == llm.LlmQueries.IncrSlot
+        val straddleBatchIds = truth
+          .filter { case (a, b) => isInc(a) ^ isInc(b) }
+          .map { case (a, b) => if (isInc(a)) a else b }
+        val d16Rejected = run("d16_incremental_dedup")
+          .filter("verdict = 'reject'").select("doc_id").collect().map(_.getLong(0)).toSet
+        val d16r = if (straddleBatchIds.isEmpty) 1.0
+          else (d16Rejected & straddleBatchIds).size.toDouble / straddleBatchIds.size
         val tau   = 0.5
         val exact = llm.LlmQueries.exactCosineDupVectors(spark, sfDir, tau)
         def vrecall(got: Set[Long]): Double =
@@ -413,7 +425,9 @@ object Bench {
         val cellR   = vrecall(llm.LlmQueries.cellDupVectorsAt(spark, sfDir, tau))
         val bucketR = vrecall(llm.LlmQueries.bucketDupVectorsAt(spark, sfDir, tau))
         f"""{"d2_pair_recall":$d2r%.3f,"d10_jaccard_agreement":$d10r%.3f,""" +
-          f""""truth_pairs":${truth.size},"cos_tau":$tau%.2f,""" +
+          f""""truth_pairs":${truth.size},""" +
+          f""""d16_straddle_recall":$d16r%.3f,"straddle_truth":${straddleBatchIds.size},""" +
+          f""""cos_tau":$tau%.2f,""" +
           f""""semdedup_cell_recall":$cellR%.3f,"lsh_bucket_recall":$bucketR%.3f,""" +
           f""""truth_dup_vecs":${exact.size}}"""
       } catch {
