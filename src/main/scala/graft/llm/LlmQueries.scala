@@ -204,6 +204,35 @@ object LlmQueries {
   /** Multi-probe IVF: cells searched per query in `ann_ivf_probe2`. */
   val IvfProbes = 2
 
+  /** SemDeDup multi-probe: trained cells each vector's pair pass searches
+    * (its own cell plus the [[SemDeDupProbes]]-1 next-nearest) — the IVF
+    * probe lever applied to d13's dedup candidates. Single-probe cell
+    * locality measurably leaks near-dups across cell boundaries (bench
+    * `dedup_recall` recorded 0.286 cell recall at the probe tau); the
+    * recorded probe curve on the bench fixture is P=2 → 0.536, P=4 →
+    * 0.571, P=8 → 0.750, P=12 → 0.929, P=16 → 0.964, so 12 clears the
+    * 0.8 quality floor at 12× the paper's own O(N²/k) pair volume — the
+    * probe-tau pairs sit at cosine 0.50–0.60 (57–60° apart, measured),
+    * far outside a single √N-cell's radius; at the production tau 0.8
+    * (37°) far fewer probes would suffice, so 12 is the conservative
+    * end of the candidates-vs-recall trade the IVF family records for
+    * probes 1..4. */
+  val SemDeDupProbes = 12
+
+  /** d3 multi-table LSH: independent hyperplane tables (the classic
+    * Indyk–Motwani amplification, and exactly d2's band shape applied to
+    * sign-bit signatures). ONE table of [[hyperplanesFor]] planes keeps
+    * occupancy bounded but measurably misses boundary-straddlers (bench
+    * recall 0.0 at the probe tau — a cos-0.5 pair crosses ≥1 of 6 planes
+    * almost surely); L independent tables retry the experiment L times.
+    * Recorded on the bench fixture: L=8 → 0.643, L=12 → 0.786, L=16 →
+    * 0.857, L=24 → 0.929. 16 clears the 0.8 floor with candidate volume
+    * bounded at L × [[LshTargetOccupancy]] per vector — constant in N,
+    * since the per-table plane count (not L) absorbs corpus growth.
+    * Table t draws planes [[hyperplane]](t·32 + h) so tables never share
+    * a plane even at the [[MaxHyperplanes]] ceiling. */
+  val LshTables = 16
+
   /** Scalar-quantized search: candidates kept per query before the exact
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
@@ -816,13 +845,74 @@ object LlmQueries {
             Seq("bucket"))
       .filter(col("vec_id") =!= col("o_id"))
 
-  /** Cell-local candidate pairs over the trained IVF assignment — d13's
-    * generator, also used by the bench's cell-locality probe. */
-  private def cellLocalPairs(assigned: DataFrame): DataFrame = {
+  /** The [[LshTables]]-table hyperplane-LSH frame for d3: per vector, one
+    * band struct (t, bkt) per independent table — table t over planes
+    * t·32+h, h < the corpus-derived count — plus `bucket`, the table-0
+    * bucket (the same planes as [[lshBucketed]], so the reported bucket id
+    * is unchanged from the single-table operator). All per-row arithmetic,
+    * no shuffle; the oracle rebuilds the planes from the same md5
+    * derivation ([[hyperplane]] components are dyadic rationals exactly
+    * expressible in SQL), bit-for-bit. */
+  private def lshTabled(s: SparkSession, dir: String): DataFrame = {
+    val hp = hyperplanesFor(embCount(s, dir))
+    def bucketExprFor(t: Int): String =
+      (0 until hp).map { h =>
+        val lit = hyperplane(t * 32 + h, EmbeddingDim).mkString("cast(array(", ", ", ") as array<double>)")
+        s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+      }.mkString(" + ")
+    val bandsExpr = (0 until LshTables)
+      .map(t => s"named_struct('t', $t, 'bkt', ${bucketExprFor(t)})")
+      .mkString("array(", ", ", ")")
+    emb(s, dir).withColumn("bands", expr(bandsExpr))
+      .withColumn("bucket", expr("bands[0].bkt"))
+  }
+
+  /** Multi-table bucket-local pairs over a [[lshTabled]] frame — d3's
+    * generator, also the bench's bucket-locality probe. Candidates are
+    * pairs sharing a bucket in ANY of the [[LshTables]] tables: one
+    * explode (L rows per vector), ONE shuffle on the (table, bucket) key
+    * — exactly d2's band-join shape, never all-pairs, candidate volume
+    * bounded at L × occupancy per vector. A pair agreeing in several
+    * tables appears once per agreeing table; consumers that count
+    * partners dedupe (d3 counts DISTINCT o_id). */
+  private def lshTablePairs(b: DataFrame): DataFrame = {
+    val x = b.select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
+      .select(col("vec_id"), col("v"), col("band.t").as("t"), col("band.bkt").as("bkt"))
+    x.join(x.select(col("vec_id").as("o_id"), col("v").as("ov"), col("t"), col("bkt")),
+           Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("o_id"))
+  }
+
+  /** Multi-probe cell-local candidate pairs over the trained IVF index —
+    * d13's generator, also the bench's cell-locality probe. Each vector
+    * searches its own cell PLUS its [[SemDeDupProbes]]-1 next-nearest
+    * trained cells (the recorded IVF probe-curve lever applied to the
+    * dedup pair pass). The extra cells come from ONE bounded graft_topk
+    * aggregate over the (corpus × broadcast centroids) scored frame —
+    * map-side combine, no corpus-wide window; re-attaching `v` joins on
+    * vec_id, the partitioning the persisted assignment already carries.
+    * Probe 1 needs no pass at all (the assigned cell IS the nearest,
+    * same score and tie-break). The pair join then shuffles on the cell
+    * key exactly like the single-probe plan with ≤ P× the candidate
+    * volume, and the excluded own-cell filter plus distinct probe cells
+    * guarantee no duplicate (vec_id, o_id) pairs. */
+  private def semProbePairs(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, dir)
     val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
-    a.as("a")
-      .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"), col("centroid_id")).as("o"),
-            Seq("centroid_id"))
+    val extras = a.crossJoin(broadcast(cents))
+      .filter(col("c_id") =!= col("centroid_id"))
+      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKByScore.column(col("c_sim"), col("c_id"), lit(0L),
+                                              SemDeDupProbes - 1).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("tp"))
+      .select(col("vec_id"), col("tp.id").as("pcell"))
+      .join(a.select(col("vec_id"), col("v")), Seq("vec_id"))
+    a.select(col("vec_id"), col("v"), col("centroid_id").as("pcell"))
+      .unionAll(extras.select(col("vec_id"), col("v"), col("pcell")))
+      .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"),
+                     col("centroid_id").as("pcell")),
+            Seq("pcell"))
       .filter(col("vec_id") =!= col("o_id"))
   }
 
@@ -843,23 +933,21 @@ object LlmQueries {
   }
 
   /** Parametric detection set for the bench's dedup-recall block: the
-    * vec_ids the CELL-LOCAL candidate generator (d13's [[cellLocalPairs]]
+    * vec_ids the CELL-LOCAL candidate generator (d13's [[semProbePairs]]
     * — the literal production generator, not a copy) detects as
     * cosine-≥tau duplicates. The production operator fixes tau = 0.8; the
     * bench probes at a tau where the synthetic corpus actually HAS
     * duplicates, isolating the recall cost of cell locality (the only
     * approximation — the cosine itself is exact). */
-  private[graft] def cellDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] = {
-    val (_, assigned) = ivfIndex(s, dir)
-    cellLocalPairs(assigned)
+  private[graft] def cellDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] =
+    semProbePairs(s, dir)
       .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
-  }
 
   /** Same probe for the BUCKET-LOCAL generator (d3's
-    * [[bucketLocalPairs]] over [[lshBucketed]]). */
+    * [[lshTablePairs]] over [[lshTabled]]). */
   private[graft] def bucketDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] =
-    bucketLocalPairs(lshBucketed(s, dir))
+    lshTablePairs(lshTabled(s, dir))
       .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
 
@@ -1275,26 +1363,32 @@ object LlmQueries {
 
     // ---------- embedding-cosine near-dup (bucket-local, thresholded) ----------
     "d3_embedding_neardup" -> { (s, dir) =>
-      // Near-duplicate detection in EMBEDDING space: hyperplane-LSH buckets
-      // (identical plan shape to ann_lsh_nn — candidates are bucket-local,
-      // never all-pairs), cosine >= threshold as the dup criterion, then a
-      // d1-style single-hop canonical assignment (smallest qualifying
-      // vec_id wins). No floats in the output — counts and ids only, so the
-      // row set hash-matches the oracle exactly.
+      // Near-duplicate detection in EMBEDDING space: MULTI-TABLE
+      // hyperplane-LSH ([[lshTabled]] — [[LshTables]] independent plane
+      // sets, candidates share a bucket in ANY table), cosine >= threshold
+      // as the dup criterion, then a d1-style single-hop canonical
+      // assignment (smallest qualifying vec_id wins). Candidates stay
+      // bucket-local (ONE shuffle on the (table, bucket) key — d2's band
+      // shape — never all-pairs); partners are counted DISTINCT because a
+      // pair can agree in several tables. The reported `bucket` is the
+      // table-0 bucket — the same planes as the single-table operator. No
+      // floats in the output — counts and ids only, so the row set
+      // hash-matches the oracle exactly.
       //
-      // DELIBERATELY no [[BandMaxBucket]]-style drop-cap here: d2/d10 give
-      // every doc SEVERAL bands, so a pair dropped with one hot band can
-      // still surface through another (pigeonhole recovery); here a vector
-      // has ONE bucket, and dropping a hot bucket would silently lose its
-      // near-dups — the very rows this query exists to report. Bucket size
-      // is controlled by the OTHER knob: [[Hyperplanes]] (buckets ≈ 2^H),
-      // scaled with corpus size so expected occupancy stays bounded.
+      // DELIBERATELY no [[BandMaxBucket]]-style drop-cap here: dropping a
+      // hot bucket would silently lose near-dups — the very rows this
+      // query exists to report (multi-table recovery softens but doesn't
+      // void that: all L tables can be hot for a viral vector). Bucket
+      // size is controlled by the OTHER knob: the per-table plane count
+      // ([[hyperplanesFor]]), scaled with corpus size so expected
+      // occupancy stays bounded.
       val tau = 0.8
-      val b = lshBucketed(s, dir)
-      val dups = bucketLocalPairs(b)
+      val b = lshTabled(s, dir)
+      val dups = lshTablePairs(b)
         .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
         .groupBy(col("vec_id"))
-        .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_neardups"))
+        .agg(min(col("o_id")).as("min_partner"),
+             countDistinct(col("o_id")).as("n_neardups"))
       b.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
         .join(dups, Seq("vec_id"), "left")
         .select(
@@ -1313,13 +1407,15 @@ object LlmQueries {
       // the clusters are TRAINED on the data rather than sliced by random
       // hyperplanes. Reuses the shared [[ivfIndex]] (√N cells, fixed-point
       // deterministic Lloyd's) so the ANN family and the dedup family
-      // literally share one index build; candidates are cell-local (the
-      // paper's own O(N²/k) within-cluster pairwise), canonical = smallest
+      // literally share one index build; candidates are cell-local with
+      // top-2 multi-probe ([[semProbePairs]] — the paper's O(N²/k)
+      // within-cluster pairwise, extended by each vector's next-nearest
+      // cell so boundary-straddling dups are found), canonical = smallest
       // qualifying vec_id, counts-and-ids-only output so the row set
       // hash-matches the oracle exactly.
       val tau = 0.8
       val (_, assigned) = ivfIndex(s, dir)
-      val dups = cellLocalPairs(assigned)
+      val dups = semProbePairs(s, dir)
         .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
         .groupBy(col("vec_id"))
         .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_semdups"))
@@ -1895,7 +1991,10 @@ object LlmQueries {
          |WHERE rank <= 3""".stripMargin
 
     // SemDeDup twin: the trained-assignment CTE chain composed with the
-    // within-cell thresholded pair join — identical IEEE cosine, so the
+    // multi-probe thresholded pair join — `p2` mirrors the Spark side's
+    // bounded graft_topk over non-assigned cells (same cosine, same
+    // score-desc/id-asc tie-break), the probe union = own cell + the
+    // SemDeDupProbes-1 next-nearest. Identical IEEE cosine, so the
     // integer/id-only output hash-matches.
     val semdedupSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1903,11 +2002,22 @@ object LlmQueries {
          |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
          |$ivfTrainCtes,
          |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |p2 AS (
+         |  SELECT vec_id, v, c_id AS pcell FROM (
+         |    SELECT a.vec_id, a.v, c.c_id,
+         |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |             list_inner_product(a.v, c.cv) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+         |             c.c_id) AS rn
+         |    FROM assigned a JOIN c$KMeansIters c ON c.c_id != a.centroid_id)
+         |  WHERE rn <= ${SemDeDupProbes - 1}),
+         |probes AS (
+         |  SELECT vec_id, v, centroid_id AS pcell FROM assigned
+         |  UNION ALL SELECT vec_id, v, pcell FROM p2),
          |dups AS (
-         |  SELECT a.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_semdups
-         |  FROM assigned a JOIN assigned o
-         |    ON a.centroid_id = o.centroid_id AND a.vec_id != o.vec_id
-         |  WHERE list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
+         |  SELECT p.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_semdups
+         |  FROM probes p JOIN assigned o
+         |    ON p.pcell = o.centroid_id AND p.vec_id != o.vec_id
+         |  WHERE list_inner_product(p.v, o.v) / (sqrt(list_inner_product(p.v, p.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
          |  GROUP BY 1)
          |SELECT a.vec_id, a.centroid_id::BIGINT AS centroid_id,
          |       least(a.vec_id, coalesce(d.min_partner, a.vec_id)) AS canonical_id,
@@ -1954,22 +2064,41 @@ object LlmQueries {
          |  FROM assigned a JOIN qp ON a.centroid_id = qp.centroid_id AND a.vec_id != qp.q_id)
          |WHERE rank <= 3""".stripMargin
 
-    val neardupSql = {
-      val bucketExpr = lshBucketExpr
+    // d3 twin: the multi-table band join. Planes are REBUILT in SQL from
+    // the same md5 derivation as [[hyperplane]] (dyadic rationals — the
+    // hex-prefix cast lands on the identical double), table t over plane
+    // ids t·32+h; bits beyond the derived count are gated by the same
+    // knob CTE. Table 0 is the reported `bucket` (same planes as the
+    // single-table ann_lsh_nn). DISTINCT candidate pairs mirror the Spark
+    // side's countDistinct partner count.
+    val neardupSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |$lshKnobCte,
-         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e, k),
+         |ph AS (
+         |  SELECT t, h,
+         |         list((('0x' || substr(md5('h:' || (t * 32 + h) || ':' || d), 1, 4))::INT - 32768)::DOUBLE / 65536.0 ORDER BY d) AS p
+         |  FROM generate_series(0, ${LshTables - 1}) tt(t),
+         |       generate_series(0, ${MaxHyperplanes - 1}) hh(h),
+         |       generate_series(0, ${EmbeddingDim - 1}) dd(d)
+         |  GROUP BY t, h),
+         |bands AS (
+         |  SELECT e.vec_id, e.v, ph.t,
+         |         sum(CASE WHEN ph.h < k.hp AND list_inner_product(e.v, ph.p) >= 0.0 THEN 1 << ph.h ELSE 0 END)::INT AS bkt
+         |  FROM e, ph, k GROUP BY 1, 2, 3),
+         |b AS (SELECT vec_id, v, bkt AS bucket FROM bands WHERE t = 0),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, a.v, o.vec_id AS o_id, o.v AS ov
+         |  FROM bands a JOIN bands o ON a.t = o.t AND a.bkt = o.bkt AND a.vec_id != o.vec_id),
          |dups AS (
-         |  SELECT a.vec_id, min(o.vec_id) AS min_partner, count(*) AS n_neardups
-         |  FROM b a JOIN b o ON a.bucket = o.bucket AND a.vec_id != o.vec_id
-         |  WHERE list_inner_product(a.v, o.v) / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
+         |  SELECT vec_id, min(o_id) AS min_partner, count(*) AS n_neardups
+         |  FROM cand
+         |  WHERE list_inner_product(v, ov) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(ov, ov))) >= 0.8
          |  GROUP BY 1
          |)
          |SELECT b.vec_id, b.bucket::BIGINT AS bucket,
          |       least(b.vec_id, coalesce(d.min_partner, b.vec_id)) AS canonical_id,
          |       coalesce(d.n_neardups, 0)::BIGINT AS n_neardups
          |FROM b LEFT JOIN dups d ON d.vec_id = b.vec_id""".stripMargin
-    }
 
     // SQ8 twin: identical affine coding and midpoint de-quantization
     // (same IEEE sub/div/mul/floor on the same per-dimension min/max),

@@ -290,6 +290,31 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(4L)._3 === 4L && byId(4L)._4 === 0L)
   }
 
+  test("multi-probe recall gate: d13 cell and d3 bucket generators recover >=0.8 of exact cosine dups at the probe tau") {
+    // The quality axis the single-probe generators failed (measured
+    // 0.286 cell / 0.0 bucket recall on this very fixture, bench round
+    // 12): of the vectors with an exact brute-force cosine>=tau partner,
+    // what fraction does each LOCALITY-bounded candidate generator
+    // surface? Multi-probe (top-2 cells for d13, flip-one-plane for d3)
+    // exists to recover the boundary-straddlers; this pins the floor so
+    // a locality regression can never land silently. tau matches the
+    // bench's dedup_recall probe (the production tau 0.8 has no ground
+    // truth on the synthetic fixtures — measured, see Bench.scala).
+    val sfDir = "/root/testdata/sf0.1"
+    val tau   = 0.5
+    val s2 = spark.newSession()
+    try {
+      val exact = LlmQueries.exactCosineDupVectors(s2, sfDir, tau)
+      assert(exact.nonEmpty, "fixture must contain ground-truth dup vectors")
+      def recall(got: Set[Long]): Double = (got & exact).size.toDouble / exact.size
+      val cellR   = recall(LlmQueries.cellDupVectorsAt(s2, sfDir, tau))
+      val bucketR = recall(LlmQueries.bucketDupVectorsAt(s2, sfDir, tau))
+      info(f"cell recall $cellR%.3f, bucket recall $bucketR%.3f over ${exact.size} truth vectors")
+      assert(cellR >= 0.8, f"d13 cell-locality recall $cellR%.3f < 0.8 at tau $tau")
+      assert(bucketR >= 0.8, f"d3 bucket-locality recall $bucketR%.3f < 0.8 at tau $tau")
+    } finally graft.core.SessionMemo.release(s2)
+  }
+
   test("ann PQ: 4-bit codes rank the planted nearest neighbors first (dense re-key under short corpus)") {
     // 7 fixture vectors < PqK=16 seeds — every subspace codebook is short
     // AND Lloyd can empty codewords, so this exercises the dense re-key
