@@ -503,6 +503,15 @@ object CorpusQueries {
         .withColumn("w1", expr("split(bigram, ' ')[0]"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val lm2   = toks.groupBy("bigram").agg(count(lit(1)).as("n2"))
+      // SCALE ASSUMPTION (weaker than lm2's co-partitioned join): the
+      // broadcast hint presumes a bounded word-level vocabulary — real
+      // corpora plateau in the tens of millions of distinct words (a
+      // few hundred MB of (word, count)), inside the broadcast ceiling,
+      // but the tail is unbounded in principle. If a corpus breaks the
+      // assumption, drop this one hint and the planner falls back to the
+      // same bigram-style shuffle join lm2 uses; the plan shape is pinned
+      // in PlanAuditSpec, so the fallback is a deliberate edit, not a
+      // silent regression.
       val lm1   = toks.groupBy("w1").agg(count(lit(1)).as("n1"))
       // vocabulary size memoized as one Long — a metadata-sized collect,
       // so warm invocations skip the words-explode distinct scan entirely

@@ -51,6 +51,15 @@ object LlmQueries {
   val IncrEvery = 5L
   val IncrSlot  = 0L
 
+  /** d16: the enforced batch-size bound of the incremental-admission
+    * contract. Every batch-proportional frame in d16 rides a broadcast
+    * (bands, shingle sets, candidates); 2^22 band rows ≈ a few hundred
+    * MB of the fattest of those (the shingle-set probe) — the practical
+    * broadcast ceiling. Beyond it, admission is the wrong tool (run the
+    * d2 full self-dedup) and d16 fails fast with that message instead of
+    * a driver OOM mid-plan. */
+  val IncrMaxBatchBands = 1L << 22
+
   /** d4: shingles seen in more than this many docs are dropped from
     * CANDIDATE GENERATION (the standard hot-posting cap of an inverted
     * index — a stop-shingle shared by half the corpus would otherwise
@@ -1093,6 +1102,16 @@ object LlmQueries {
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
       val incBands = bands.filter(isInc)
         .select(col("doc_id").as("inc_id"), col("band"), col("band_hash"))
+      // ENFORCE the batch-fits-broadcast contract instead of stating it: a
+      // batch above the bound would otherwise surface as a driver OOM or
+      // an opaque broadcast error mid-plan. One count over the persisted
+      // signature frame (batch-side rows only) — metadata-priced next to
+      // the admission joins it guards.
+      val nIncBands = incBands.count()
+      require(nIncBands <= IncrMaxBatchBands,
+        s"d16 batch has $nIncBands band rows > $IncrMaxBatchBands (IncrMaxBatchBands): " +
+          "the batch exceeds the incremental-admission broadcast bound — " +
+          "run d2_minhash_lsh full dedup over the combined corpus instead")
       val corpBuckets = bands.filter(!isInc)
         .groupBy("band", "band_hash")
         .agg(graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), lit(0L), BandMaxBucket)

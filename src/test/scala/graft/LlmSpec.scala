@@ -315,8 +315,8 @@ class LlmSpec extends AnyFunSuite {
     } finally graft.core.SessionMemo.release(s2)
   }
 
-  test("ann PQ: 4-bit codes rank the planted nearest neighbors first (dense re-key under short corpus)") {
-    // 7 fixture vectors < PqK=16 seeds — every subspace codebook is short
+  test("ann PQ: 5-bit codes rank the planted nearest neighbors first (dense re-key under short corpus)") {
+    // 7 fixture vectors < PqK=32 seeds — every subspace codebook is short
     // AND Lloyd can empty codewords, so this exercises the dense re-key
     // path that keeps bkm[m][code[m]] total. The planted near-identical
     // pairs must survive quantization + exact re-rank.
@@ -340,7 +340,7 @@ class LlmSpec extends AnyFunSuite {
     val brute = topk("ann_topk_brute")
     val recalls = brute.map { case (q, b) => (pq.getOrElse(q, Set.empty) & b).size.toDouble / b.size }
     val mean = recalls.sum / recalls.size
-    // 4 bits/subspace is a coarse quantizer; the SqCandidates over-fetch +
+    // 5 bits/subspace is a coarse quantizer; the PqCandidates over-fetch +
     // exact re-rank must still recover most of the true top-5
     assert(mean >= 0.5, s"PQ mean recall@5 was $mean (per-query $recalls)")
   }

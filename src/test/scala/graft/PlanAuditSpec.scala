@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    Seq("d2_minhash_lsh" -> "band_hash", "d10_simhash_neardup" -> "band_val").foreach {
+    try Seq("d2_minhash_lsh" -> "band_hash", "d10_simhash_neardup" -> "band_val").foreach {
       case (q, key) =>
         val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan
         val bandShuffles = p.collect {
@@ -78,7 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
           s"$q: the hot set must broadcast — the band frame never shuffles for the cap joins")
         assert(!p.toString.contains("Window "),
           s"$q: the cap must not sort the band frame under a count window")
-    }
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("d16: the corpus never shuffles for the batch probe — bounded band agg + broadcast batch") {
@@ -91,30 +91,34 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val p = SparkEntry.queries("d16_incremental_dedup")(s2, sf).queryExecution.executedPlan
-    val bandShuffles = p.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        if e.outputPartitioning.toString.contains("band_hash") => e
-    }
-    assert(bandShuffles.size <= 1,
-      s"d16: the bounded bucket agg must be the ONLY band-key exchange, got ${bandShuffles.size}:\n$p")
-    assert(p.toString.contains("graft_topk"),
-      "d16: corpus band buckets must fold through the bounded graft_topk aggregate")
-    assert(p.toString.contains("BroadcastExchange"),
-      "d16: the batch side must broadcast — the corpus never moves for the probe")
-    assert(!p.toString.contains("Window "), "d16: nothing may sort the band frame")
-    assert(!p.toString.contains("CartesianProduct"), "d16: candidates stay bucket-local")
+    try {
+      val p = SparkEntry.queries("d16_incremental_dedup")(s2, sf).queryExecution.executedPlan
+      val bandShuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("band_hash") => e
+      }
+      assert(bandShuffles.size <= 1,
+        s"d16: the bounded bucket agg must be the ONLY band-key exchange, got ${bandShuffles.size}:\n$p")
+      assert(p.toString.contains("graft_topk"),
+        "d16: corpus band buckets must fold through the bounded graft_topk aggregate")
+      assert(p.toString.contains("BroadcastExchange"),
+        "d16: the batch side must broadcast — the corpus never moves for the probe")
+      assert(!p.toString.contains("Window "), "d16: nothing may sort the band frame")
+      assert(!p.toString.contains("CartesianProduct"), "d16: candidates stay bucket-local")
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("t15: the funnel is map-side until dedup; the dup stage reuses the capped posting generator") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val p = SparkEntry.queries("t15_filter_funnel")(s2, sf).queryExecution.executedPlan.toString
-    assert(p.contains("graft_topk"),
-      "t15: the dup stage must reuse d4's NgramMaxDf-capped posting aggregate")
-    assert(!p.contains("Window "), "t15: no stage may sort the corpus under a window")
-    assert(!p.contains("CartesianProduct"), "t15: the dup stage stays posting-local")
+    try {
+      val p = SparkEntry.queries("t15_filter_funnel")(s2, sf).queryExecution.executedPlan.toString
+      assert(p.contains("graft_topk"),
+        "t15: the dup stage must reuse d4's NgramMaxDf-capped posting aggregate")
+      assert(!p.contains("Window "), "t15: no stage may sort the corpus under a window")
+      assert(!p.contains("CartesianProduct"), "t15: the dup stage stays posting-local")
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("t16: the LM context table broadcasts; scoring never windows the token frame") {
@@ -125,11 +129,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val p = SparkEntry.queries("t16_perplexity_filter")(s2, sf).queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange"),
-      "t16: the vocabulary-sized context/vocab tables must broadcast")
-    assert(!p.contains("Window "), "t16: no stage may window the token frame")
-    assert(!p.contains("CartesianProduct"), "t16: no join may degenerate to a cartesian product")
+    try {
+      val p = SparkEntry.queries("t16_perplexity_filter")(s2, sf).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastExchange"),
+        "t16: the vocabulary-sized context/vocab tables must broadcast")
+      assert(!p.contains("Window "), "t16: no stage may window the token frame")
+      assert(!p.contains("CartesianProduct"), "t16: no join may degenerate to a cartesian product")
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
@@ -151,14 +157,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    val p = SparkEntry.queries("d14_span_dedup")(s2, sf).queryExecution.executedPlan
-    val joinKeys = p.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.leftKeys.mkString(",")
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
-    }
-    joinKeys.foreach(k =>
-      assert(!k.contains("span"), s"d14 joins must key on doc_id, never span: $k\n$p"))
-    assert(joinKeys.nonEmpty, "expected the doc-keyed unique-count join to be present")
+    try {
+      val p = SparkEntry.queries("d14_span_dedup")(s2, sf).queryExecution.executedPlan
+      val joinKeys = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.leftKeys.mkString(",")
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+      }
+      joinKeys.foreach(k =>
+        assert(!k.contains("span"), s"d14 joins must key on doc_id, never span: $k\n$p"))
+      assert(joinKeys.nonEmpty, "expected the doc-keyed unique-count join to be present")
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
@@ -216,7 +224,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    Seq("tpch_q3_shipping", "tpch_q5_local_supplier", "tpch_q10_returns").foreach { q =>
+    try Seq("tpch_q3_shipping", "tpch_q5_local_supplier", "tpch_q10_returns").foreach { q =>
       val phys = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan
       val forced = phys.collect {
         case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
@@ -226,7 +234,7 @@ class PlanAuditSpec extends AnyFunSuite {
       }
       assert(forced.isEmpty,
         s"$q forces a broadcast whose input scans orders/customer:\n${forced.headOption.map(_.toString).getOrElse("")}")
-    }
+    } finally graft.core.SessionMemo.release(s2)
   }
 
   test("tpch_q6: filters AND column pruning reach the lineitem scan") {
