@@ -362,9 +362,17 @@ object Bench {
           p -> recallAgainst(rankedDf(llm.LlmQueries.ivfProbeAt(spark, sfDir, p)), 3)
         }
         val curveJson = curve.map { case (p, r) => f""""$p":$r%.3f""" }.mkString("{", ",", "}")
+        // PQ refine-cut curve: the OTHER recall lever (FAISS refine
+        // factor). The round-12 verdict flagged the cut as the binding
+        // constraint on PQ recall — recording the ladder keeps the chosen
+        // PqCandidates point (and its headroom) visible round-over-round.
+        val pqCurve = Seq(40, 80, llm.LlmQueries.PqCandidates, 200).distinct.sorted.map { c =>
+          c -> recallAgainst(rankedDf(llm.LlmQueries.pqTopkAt(spark, sfDir, c)), llm.LlmQueries.TopK)
+        }
+        val pqCurveJson = pqCurve.map { case (c, r) => f""""$c":$r%.3f""" }.mkString("{", ",", "}")
         // probe1 vs probe2 is the recall/speed lever a deployment tunes —
         // record both so the tradeoff is visible round-over-round
-        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson}"""
+        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson,"pq_refine_curve":$pqCurveJson}"""
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"

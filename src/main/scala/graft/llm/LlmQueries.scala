@@ -258,9 +258,14 @@ object LlmQueries {
   val PqK      = 32
 
   /** PQ refine cut: 5-bit codes are a much coarser approximation than SQ8,
-    * so the exact re-rank over-fetches 2× deeper (the FAISS refine-factor
-    * lever) — still bounded, still broadcast-sized survivors. */
-  val PqCandidates = 8 * TopK
+    * so the exact re-rank over-fetches deeper (the FAISS refine-factor
+    * lever) — still bounded, still broadcast-sized survivors. The cut was
+    * the binding constraint on PQ recall, measured on the sf0.1 ladder:
+    * 40 → 0.775, 80 → 0.825, 120 → 0.875, 200 → 0.900 recall@5 with FLAT
+    * warm latency (~0.8 s — the scan dominates; the re-rank join-back is
+    * queries × cut rows). 24×TopK clears the 0.85 bar with margin, at a
+    * survivor set still thousands of times smaller than the corpus. */
+  val PqCandidates = 24 * TopK
 
   /** SimHash near-dup: 4 independent 16-bit SimHash bands (disjoint md5
     * bit slices) form a 64-bit signature. Pigeonhole: hamming <=
@@ -599,6 +604,31 @@ object LlmQueries {
     topkPerQuery(scored, 3, col("centroid_id").cast("long"))
       .select(col("q_id"), col("rank"), col("neighbor_id"),
               col("payload").as("centroid_id"))
+  }
+
+  /** Parametric PQ search: the `ann_pq_topk` plan with a caller-chosen
+    * refine cut (candidates kept per query before the exact re-rank).
+    * `ann_pq_topk` delegates here with [[PqCandidates]]; Bench sweeps the
+    * cut to record the refine-factor-vs-recall curve — the FAISS refine
+    * lever, measured instead of assumed. The survivor set stays bounded
+    * (queries × candidates) at every sweep point, so plan shape never
+    * changes — only the breadth of the broadcast join-back. */
+  private[graft] def pqTopkAt(s: SparkSession, dir: String, candidates: Int): DataFrame = {
+    val e = emb(s, dir)
+    val (bkm, codes) = pqIndex(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // decode ONCE per vector ([[pqDecode]] before the query join —
+    // scoring against NumQueries queries reuses one reconstruction),
+    // then sim from the precomputed xhat norm: the same doubles as
+    // recomputing dot(xhat, xhat) per pair, 1/NumQueries the decode work
+    val scored = pqDecode(codes, bkm).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
+    val cands = topkPerQuery(scored, candidates)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+      .join(broadcast(q), "q_id")
+    exactRerank(e, cands)
   }
 
   private def buildSignatures(s: SparkSession, dir: String): DataFrame =
@@ -1549,26 +1579,13 @@ object LlmQueries {
       // no decoded frame materialized), and scores the reconstruction
       // against the full-precision query (asymmetric ADC, scored as ONE
       // sequential 64-dim dot so the DuckDB twin is bit-identical). The
-      // bounded graft_topk cut keeps PqCandidates per query (a 2× deeper
-      // refine cut than SQ8 — 5-bit codes are coarser); only those
+      // bounded graft_topk cut keeps PqCandidates per query (a 6× deeper
+      // refine cut than SQ8 — 5-bit codes are coarser; see the measured
+      // ladder at the constant); only those
       // survivors touch full-precision vectors for the exact re-rank,
       // broadcast so the corpus never shuffles — the ann_sq_topk shape
       // with a ~13× smaller scan.
-      val e = emb(s, dir)
-      val (bkm, codes) = pqIndex(s, dir)
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      // decode ONCE per vector ([[pqDecode]] before the query join —
-      // scoring against NumQueries queries reuses one reconstruction),
-      // then sim from the precomputed xhat norm: the same doubles as
-      // recomputing dot(xhat, xhat) per pair, 1/NumQueries the decode work
-      val scored = pqDecode(codes, bkm).crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
-      val cands = topkPerQuery(scored, PqCandidates)
-        .select(col("q_id"), col("neighbor_id").as("vec_id"))
-        .join(broadcast(q), "q_id")
-      exactRerank(e, cands)
+      pqTopkAt(s, dir, PqCandidates)
     },
 
     // ---------- ANN: IVF cells × SQ8 codes — the composed scale index ----------
