@@ -97,8 +97,9 @@ object Bench {
     val evictEnabled = !sys.env.get("SPARK_GRAFT_BENCH_EVICT").contains("0")
     val cacheLastConsumer: Seq[(Set[String], () => Unit)] = Seq(
       (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
-           "d9_decontaminate", "d11_band_skew_audit", "d16_incremental_dedup",
-           "t3_winnowing", "t15_filter_funnel"),
+           "d9_decontaminate", "d11_band_skew_audit", "d12_state_audit",
+           "d16_incremental_dedup", "t3_winnowing", "t15_filter_funnel",
+           "t15_funnel_ppl"),
         () => llm.LlmQueries.evictSignatures(spark, sfDir)),
       (Set("d10_simhash_neardup", "d11_band_skew_audit"),
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
@@ -111,9 +112,9 @@ object Bench {
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
       (Set("ann_ivfpq_topk", "ann_pq_topk"),
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
-      (Set("t15_filter_funnel"),
+      (Set("t15_filter_funnel", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictFunnel(spark, sfDir)),
-      (Set("t16_perplexity_filter"),
+      (Set("t16_perplexity_filter", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictLmToks(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
@@ -280,9 +281,32 @@ object Bench {
             if (i == 0) salted
             else salted.withColumn("text", regexp_replace(col("text"), "([a-z0-9]+)", s"$$1r$i"))
           })
+          //  - embeddings replicate with shifted vec_ids AND a per-replica
+          //    CYCLIC DIMENSION ROTATION: cosine is invariant under a
+          //    shared permutation, so each replica preserves the original
+          //    within-replica pair structure EXACTLY (dup pairs scale
+          //    linearly, 4x), while a rotated replica of a vector is
+          //    cosine-unrelated to its source — naive duplication would
+          //    quadruple every dup cluster and the cell/bucket pair work
+          //    in a cluster is quadratic in it. This is the probe that
+          //    validates the DERIVED knobs: at 4x vectors the plane count
+          //    steps 6 -> 8 and the cell count ~doubles, exactly the
+          //    derivations d3/d13/ann_lsh_nn rely on at corpus scale.
+          rep("embeddings", (d, i) => {
+            import org.apache.spark.sql.functions._
+            val dim = llm.LlmQueries.EmbeddingDim
+            val shifted = d.withColumn("vec_id", col("vec_id") + (i * shift))
+            if (i == 0) shifted
+            else {
+              val rot = (i * (dim / factor)) % dim
+              shifted.withColumn("embedding",
+                expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
+            }
+          })
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
-                            "d16_incremental_dedup", "t16_perplexity_filter")
+                            "d16_incremental_dedup", "t16_perplexity_filter",
+                            "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -299,7 +323,8 @@ object Bench {
           val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
                           "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
                           "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16",
-                          "t16_perplexity_filter" -> "t16")
+                          "t16_perplexity_filter" -> "t16", "d3_embedding_neardup" -> "d3",
+                          "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }

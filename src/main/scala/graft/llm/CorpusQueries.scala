@@ -189,6 +189,111 @@ object CorpusQueries {
     lmVocabCache.remove(s, dir)
   }
 
+  /** The per-doc LM-surprise scorer shared by t16 and the t15 perplexity
+    * funnel stage — ONE definition of the bigram LM so the filter band
+    * can never drift from the audit. Returns (doc_id, doc_bits, nb, ap):
+    * integer total surprise bits, bigram count, and the permille average
+    * (`ap`) the band gates on; docs with no bigrams are absent (LEFT join
+    * and treat null as "too short"). Scale shape: the bigram LM is ONE
+    * corpus shuffle (count by bigram); the context-count table is
+    * vocabulary-sized and BROADCAST (see the note at lm1); scoring joins
+    * each bigram occurrence to its own LM row (bigram-key co-partitioned,
+    * posting-local) and folds per doc with map-side combine — the
+    * standard distributed LM-scoring dataflow. */
+  private def lmDocBits(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).withColumn("words", expr(LlmQueries.wordsExpr))
+    val toks = lmTokCache.getOrElseUpdate(s, dir)(base
+      .select(col("doc_id"), explode(expr(LlmQueries.bigramsExpr)).as("bigram"))
+      .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lm2   = toks.groupBy("bigram").agg(count(lit(1)).as("n2"))
+    // SCALE ASSUMPTION (weaker than lm2's co-partitioned join): the
+    // broadcast hint presumes a bounded word-level vocabulary — real
+    // corpora plateau in the tens of millions of distinct words (a
+    // few hundred MB of (word, count)), inside the broadcast ceiling,
+    // but the tail is unbounded in principle. If a corpus breaks the
+    // assumption, drop this one hint and the planner falls back to the
+    // same bigram-style shuffle join lm2 uses; the plan shape is pinned
+    // in PlanAuditSpec, so the fallback is a deliberate edit, not a
+    // silent regression.
+    val lm1   = toks.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // vocabulary size memoized as one Long — a metadata-sized collect,
+    // so warm invocations skip the words-explode distinct scan entirely
+    val v = lmVocabCache.getOrElseUpdate(s, dir)(
+      base.select(explode(col("words")).as("w"))
+        .agg(countDistinct(col("w"))).head.getLong(0))
+    toks.join(lm2, "bigram")
+      .join(broadcast(lm1), "w1")
+      .withColumn("bits", expr(s"cast(length(bin(n1 + ${v}L)) - length(bin(n2 + 1)) as bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(sum("bits").as("doc_bits"), count(lit(1)).as("nb"))
+      .withColumn("ap", expr("(1000 * doc_bits) div nb"))
+  }
+
+  /** t15's staged frame: every MAP-SIDE funnel gate evaluated in one
+    * corpus scan, memoize-persisted narrow (doc_id, source, n_chars,
+    * stage — the heavy word/bigram intermediates are dropped before the
+    * persist). Shared by t15 and the t15_funnel_ppl variant; it feeds the
+    * survivor semi-joins AND the rollup join of each, so without the memo
+    * the per-word classifier scoring would run once per branch per
+    * query. Bench evicts after the LAST funnel consumer's reps. */
+  private def funnelStaged(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    funnelCache.getOrElseUpdate(s, dir)(docs(s, dir)
+      .withColumn("words", expr(LlmQueries.wordsExpr))
+      .withColumn("bigrams", expr(LlmQueries.bigramsExpr))
+      .withColumn("nt", size(col("bigrams")).cast("long"))
+      .withColumn("rep_permille",
+        when(col("nt") === 0L, lit(0L))
+          .otherwise(expr("(1000 * (nt - size(array_distinct(bigrams)))) div nt")))
+      // t14's hashed-weight linear score — same expression, same gate
+      .withColumn("score", expr(
+        """aggregate(transform(words, w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
+          |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+      .withColumn("stage",
+        when(size(col("words")) < FunnelMinWords, "len")
+          .when(col("lang") =!= FunnelLang, "lang")
+          .when(col("rep_permille") >= FunnelMaxRepPermille, "rep")
+          .when(col("score") < 0, "cls"))
+      // the heavy intermediates are DROPPED before persisting: only the
+      // stage verdict and the rollup keys stay resident
+      .select("doc_id", "source", "n_chars", "stage")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The funnel's dedup stage + per-source rollup over a staged frame
+    * carrying `gate_stage` (the first-fail verdict of every NON-dedup
+    * gate). Dedup runs among gate survivors only (pipelines dedup AFTER
+    * quality gates — a pair whose better-quality copy was already dropped
+    * keeps its surviving copy): of each surviving dup pair the higher
+    * doc_id is dropped — pairwise-greedy admission, the d16 arrival-order
+    * rule (d6's connected components is the full-cluster variant). The
+    * pair generator is d4's NgramMaxDf-capped posting index — bounded
+    * fan-out per posting, never all-pairs. */
+  private def funnelRollup(s: SparkSession, dir: String,
+                           staged: DataFrame, withPpl: Boolean): DataFrame = {
+    val survivors = staged.filter(col("gate_stage").isNull).select("doc_id")
+    val dupDropped = LlmQueries.ngramDupPairs(s, dir)
+      .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dup_drop", lit(true))
+    val fin = staged.join(dupDropped, Seq("doc_id"), "left")
+      .withColumn("final_stage",
+        coalesce(col("gate_stage"), when(col("dup_drop"), "dup").otherwise(lit("kept"))))
+    val aggs =
+      Seq(sum(when(col("final_stage") === "len", 1L).otherwise(0L)).as("n_drop_len"),
+          sum(when(col("final_stage") === "lang", 1L).otherwise(0L)).as("n_drop_lang"),
+          sum(when(col("final_stage") === "rep", 1L).otherwise(0L)).as("n_drop_rep"),
+          sum(when(col("final_stage") === "cls", 1L).otherwise(0L)).as("n_drop_cls")) ++
+      (if (withPpl) Seq(sum(when(col("final_stage") === "ppl", 1L).otherwise(0L)).as("n_drop_ppl"))
+       else Seq.empty) ++
+      Seq(sum(when(col("final_stage") === "dup", 1L).otherwise(0L)).as("n_drop_dup"),
+          sum(when(col("final_stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("final_stage") === "kept", col("n_chars")).otherwise(0L)).as("kept_chars"))
+    fin.groupBy("source").agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
   /** t6: PII patterns — conservative constructs only (char classes, bounded
     * repeats, `\b`), valid and identical in Java regex and RE2/DuckDB. */
   private[llm] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -432,54 +537,30 @@ object CorpusQueries {
       // restricted to stage-1–4 survivors, keeping d1's "lowest doc_id of
       // a dup pair wins" admission rule; the only other exchange is the
       // final per-source rollup.
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      // the staged frame feeds TWO branches (the survivor set for the dup
-      // semi-joins AND the final rollup join) — memoize-persist it so the
-      // per-word classifier scoring and bigram math run over the corpus
-      // once, not once per branch (Bench evicts after t15's reps)
-      val staged = funnelCache.getOrElseUpdate(s, dir)(docs(s, dir)
-        .withColumn("words", expr(LlmQueries.wordsExpr))
-        .withColumn("bigrams", expr(LlmQueries.bigramsExpr))
-        .withColumn("nt", size(col("bigrams")).cast("long"))
-        .withColumn("rep_permille",
-          when(col("nt") === 0L, lit(0L))
-            .otherwise(expr("(1000 * (nt - size(array_distinct(bigrams)))) div nt")))
-        // t14's hashed-weight linear score — same expression, same gate
-        .withColumn("score", expr(
-          """aggregate(transform(words, w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
-            |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
-        .withColumn("stage",
-          when(size(col("words")) < FunnelMinWords, "len")
-            .when(col("lang") =!= FunnelLang, "lang")
-            .when(col("rep_permille") >= FunnelMaxRepPermille, "rep")
-            .when(col("score") < 0, "cls"))
-        // the heavy intermediates are DROPPED before persisting: only the
-        // stage verdict and the rollup keys stay resident
-        .select("doc_id", "source", "n_chars", "stage")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val survivors = staged.filter(col("stage").isNull).select("doc_id")
-      // dedup among survivors only (pipelines dedup AFTER quality gates —
-      // a pair whose better-quality copy was already dropped keeps its
-      // surviving copy): of each surviving dup pair, the higher doc_id is
-      // dropped — pairwise-greedy admission, the d16 arrival-order rule
-      // (d6's connected components is the full-cluster variant).
-      val dupDropped = LlmQueries.ngramDupPairs(s, dir)
-        .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-        .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-        .select(col("doc_b").as("doc_id")).distinct()
-        .withColumn("dup_drop", lit(true))
-      staged.join(dupDropped, Seq("doc_id"), "left")
-        .withColumn("final_stage",
-          coalesce(col("stage"), when(col("dup_drop"), "dup").otherwise(lit("kept"))))
-        .groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("final_stage") === "len", 1L).otherwise(0L)).as("n_drop_len"),
-          sum(when(col("final_stage") === "lang", 1L).otherwise(0L)).as("n_drop_lang"),
-          sum(when(col("final_stage") === "rep", 1L).otherwise(0L)).as("n_drop_rep"),
-          sum(when(col("final_stage") === "cls", 1L).otherwise(0L)).as("n_drop_cls"),
-          sum(when(col("final_stage") === "dup", 1L).otherwise(0L)).as("n_drop_dup"),
-          sum(when(col("final_stage") === "kept", 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("final_stage") === "kept", col("n_chars")).otherwise(0L)).as("kept_chars"))
+      val staged = funnelStaged(s, dir)
+      funnelRollup(s, dir, staged.withColumn("gate_stage", col("stage")), withPpl = false)
+    },
+
+    // ---------- the funnel with the CCNet perplexity band inside the chain ----------
+    "t15_funnel_ppl" -> { (s, dir) =>
+      // The CCNet-style variant: the LM-surprise band gate (t16's
+      // [[lmDocBits]] — the SAME memoized bigram LM, one definition)
+      // joins the chain after the classifier, before dedup. First-fail
+      // accounting gains an `n_drop_ppl` stage: a doc outside
+      // [LmLowBitsPermille, LmHighBitsPermille] that passed the map-side
+      // gates is attributed to the LM band, and the dedup stage then runs
+      // over the SMALLER survivor set. The staged frame and the LM are
+      // both shared memos, so running t15 and this variant side by side
+      // pays one corpus scoring pass and one LM build between them. A
+      // stage-null doc always has >= FunnelMinWords words, hence >= 1
+      // bigram, hence a non-null `ap` — the left join can't leak nulls
+      // into the band predicate for surviving docs.
+      val staged = funnelStaged(s, dir)
+      val withPpl = staged
+        .join(lmDocBits(s, dir).select("doc_id", "ap"), Seq("doc_id"), "left")
+        .withColumn("gate_stage", coalesce(col("stage"),
+          when(col("ap") < LmLowBitsPermille || col("ap") > LmHighBitsPermille, "ppl")))
+      funnelRollup(s, dir, withPpl, withPpl = true)
     },
 
     // ---------- LM-surprise perplexity filter (the CCNet quality signal) ----------
@@ -497,35 +578,8 @@ object CorpusQueries {
       // joins each bigram occurrence to its own LM row (bigram-key
       // co-partitioned, posting-local) and folds per doc with map-side
       // combine — the standard distributed LM-scoring dataflow.
-      val base = docs(s, dir).withColumn("words", expr(LlmQueries.wordsExpr))
-      val toks = lmTokCache.getOrElseUpdate(s, dir)(base
-        .select(col("doc_id"), explode(expr(LlmQueries.bigramsExpr)).as("bigram"))
-        .withColumn("w1", expr("split(bigram, ' ')[0]"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val lm2   = toks.groupBy("bigram").agg(count(lit(1)).as("n2"))
-      // SCALE ASSUMPTION (weaker than lm2's co-partitioned join): the
-      // broadcast hint presumes a bounded word-level vocabulary — real
-      // corpora plateau in the tens of millions of distinct words (a
-      // few hundred MB of (word, count)), inside the broadcast ceiling,
-      // but the tail is unbounded in principle. If a corpus breaks the
-      // assumption, drop this one hint and the planner falls back to the
-      // same bigram-style shuffle join lm2 uses; the plan shape is pinned
-      // in PlanAuditSpec, so the fallback is a deliberate edit, not a
-      // silent regression.
-      val lm1   = toks.groupBy("w1").agg(count(lit(1)).as("n1"))
-      // vocabulary size memoized as one Long — a metadata-sized collect,
-      // so warm invocations skip the words-explode distinct scan entirely
-      val v = lmVocabCache.getOrElseUpdate(s, dir)(
-        base.select(explode(col("words")).as("w"))
-          .agg(countDistinct(col("w"))).head.getLong(0))
-      val scored = toks.join(lm2, "bigram")
-        .join(broadcast(lm1), "w1")
-        .withColumn("bits", expr(s"cast(length(bin(n1 + ${v}L)) - length(bin(n2 + 1)) as bigint)"))
-        .groupBy(col("doc_id"))
-        .agg(sum("bits").as("doc_bits"), count(lit(1)).as("nb"))
-        .withColumn("ap", expr("(1000 * doc_bits) div nb"))
       docs(s, dir).select("doc_id", "source")
-        .join(scored, Seq("doc_id"), "left")
+        .join(lmDocBits(s, dir), Seq("doc_id"), "left")
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("nb").isNull, 1L).otherwise(0L)).as("n_short"),
@@ -812,6 +866,61 @@ object CorpusQueries {
          |  CAST(sum(CASE WHEN final_stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
          |  CAST(sum(CASE WHEN final_stage = 'rep' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_rep,
          |  CAST(sum(CASE WHEN final_stage = 'cls' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_cls,
+         |  CAST(sum(CASE WHEN final_stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+         |  CAST(sum(CASE WHEN final_stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN final_stage = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM fin GROUP BY 1""".stripMargin,
+    // The ppl variant: t15's chain with t16's LM band between cls and dup.
+    // The LM CTEs reuse ngramPairCtes' sh — shingles ARE word bigrams (one
+    // definition of the bigram on both engines), so the funnel's LM
+    // cannot drift from d4's shingle pipeline either.
+    "t15_funnel_ppl" ->
+      s"""WITH ${LlmQueries.ngramPairCtes},
+         |tok AS (
+         |  SELECT doc_id, string_split(bigram, ' ')[1] AS w1, bigram
+         |  FROM (SELECT doc_id, unnest(shingles) AS bigram FROM sh)
+         |), c2 AS (SELECT bigram, count(*) AS n2 FROM tok GROUP BY 1),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM tok GROUP BY 1),
+         |vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+         |          FROM (SELECT unnest(words) AS w FROM base)),
+         |scored_lm AS (
+         |  SELECT t.doc_id,
+         |         CAST(sum(length(bin(c1.n1 + (SELECT v FROM vocab))) - length(bin(c2.n2 + 1))) AS BIGINT) AS doc_bits,
+         |         CAST(count(*) AS BIGINT) AS nb
+         |  FROM tok t JOIN c2 USING (bigram) JOIN c1 USING (w1)
+         |  GROUP BY 1
+         |), st AS (
+         |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+         |         len(b.words) AS nw,
+         |         CASE WHEN len(s.shingles) = 0 THEN 0
+         |              ELSE (1000 * (len(s.shingles) - len(list_distinct(s.shingles)))) // len(s.shingles)
+         |         END AS rep,
+         |         CAST(coalesce(list_sum(list_transform(b.words, w -> (${LlmQueries.fnv32Expr("w")}) % 16 - 8)), 0) AS BIGINT) AS score,
+         |         CASE WHEN lm.nb IS NULL THEN NULL ELSE (1000 * lm.doc_bits) // lm.nb END AS ap
+         |  FROM documents d JOIN base b USING (doc_id) JOIN sh s USING (doc_id)
+         |       LEFT JOIN scored_lm lm USING (doc_id)
+         |), staged AS (
+         |  SELECT *, CASE WHEN nw < $FunnelMinWords THEN 'len'
+         |                 WHEN lang != '$FunnelLang' THEN 'lang'
+         |                 WHEN rep >= $FunnelMaxRepPermille THEN 'rep'
+         |                 WHEN score < 0 THEN 'cls'
+         |                 WHEN ap < $LmLowBitsPermille OR ap > $LmHighBitsPermille THEN 'ppl' END AS stage
+         |  FROM st
+         |), surv AS (SELECT doc_id FROM staged WHERE stage IS NULL),
+         |dd AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM dup
+         |  WHERE doc_a IN (SELECT doc_id FROM surv) AND doc_b IN (SELECT doc_id FROM surv)
+         |), fin AS (
+         |  SELECT sg.source, sg.n_chars,
+         |         coalesce(sg.stage, CASE WHEN dd.doc_id IS NOT NULL THEN 'dup' ELSE 'kept' END) AS final_stage
+         |  FROM staged sg LEFT JOIN dd USING (doc_id)
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN final_stage = 'len' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_len,
+         |  CAST(sum(CASE WHEN final_stage = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_lang,
+         |  CAST(sum(CASE WHEN final_stage = 'rep' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_rep,
+         |  CAST(sum(CASE WHEN final_stage = 'cls' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_cls,
+         |  CAST(sum(CASE WHEN final_stage = 'ppl' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_ppl,
          |  CAST(sum(CASE WHEN final_stage = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
          |  CAST(sum(CASE WHEN final_stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN final_stage = 'kept' THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars

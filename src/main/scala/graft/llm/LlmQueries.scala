@@ -832,12 +832,45 @@ object LlmQueries {
   def evictSqIndex(s: SparkSession, dir: String): Unit     = sqCache.remove(s, dir)
   def evictPqIndex(s: SparkSession, dir: String): Unit     = pqCache.remove(s, dir)
 
-  /** d12: one parquet pair-sink per sfDir (file sink ⇒ session-independent,
-    * so the key is the dir — any session reads the same files — PLUS a
-    * content stamp of the input: a documents.parquet rewritten at the same
-    * path must recompute, not serve the stale pre-change pair set). */
+  /** d12 family: one parquet sink per (sfDir, variant) — the pair sink
+    * (variant "") and the overflow-audit sink (variant "#audit"). File
+    * sinks are session-independent, so the key is the dir — any session
+    * reads the same files — PLUS a content stamp of the input: a
+    * documents.parquet rewritten at the same path must recompute, not
+    * serve the stale pre-change set. */
   private val streamDupSink = new Object
   private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** The d12-family sink protocol: replay `dir`'s corpus as a 3-drop file
+    * stream into a cached parquet sink, returning the sink path. `run`
+    * starts the streaming query for its variant (pairs or overflow
+    * markers). Stale-STAMP keys of the whole family are dropped before
+    * computing (prefix compare — a stamp change invalidates both
+    * variants; a sibling variant under the CURRENT stamp is preserved). */
+  private def streamSinkFor(s: SparkSession, dir: String, variant: String)(
+      run: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery): String =
+    streamDupSink.synchronized {
+      val prefix = s"$dir@${docsStamp(dir)}"
+      val key = s"$prefix$variant"
+      streamDupSinkCache.keys.filter(k => k.startsWith(dir + "@") && !k.startsWith(prefix)).toSeq
+        .foreach { k =>
+          streamDupSinkCache.remove(k).foreach(sink =>
+            try graft.core.FsUtil.deleteRecursively(sink)
+            catch { case scala.util.control.NonFatal(_) => () })
+        }
+      streamDupSinkCache.getOrElseUpdate(key, {
+        val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
+        docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
+        val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
+        // batch drivers exit without evicting — sweep on JVM shutdown
+        Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+        val src = s.readStream.schema(docs(s, dir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging)
+        run(src, sink, ckpt).awaitTermination()
+        sink
+      })
+    }
 
   /** Content signature over the dir's documents.parquet file(s) — the
     * invalidation component of the d12 sink-cache key. Per-file
@@ -1191,36 +1224,54 @@ object LlmQueries {
       // oracle can reproduce — so the oracle gate checks the exact
       // property that CAN hold at any data (streamed set == batch band
       // join), and the cap path is spec-gated with a planted hot bucket.
-      val out = streamDupSink.synchronized {
-        val key = s"$dir@${docsStamp(dir)}"
-        // same dir, different stamp ⇒ the input was rewritten: drop the
-        // stale sink (entry + files) before computing the fresh one
-        streamDupSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq
-          .foreach { k =>
-            streamDupSinkCache.remove(k).foreach(sink =>
-              try graft.core.FsUtil.deleteRecursively(sink)
-              catch { case scala.util.control.NonFatal(_) => () })
-          }
-        streamDupSinkCache.getOrElseUpdate(key, {
-          val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
-          docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
-          val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
-          val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
-          // batch drivers exit without evicting — sweep on JVM shutdown
-          Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
-          val src = s.readStream.schema(docs(s, dir).schema)
-            .option("maxFilesPerTrigger", 1).parquet(staging)
-          val q = StreamingNearDup.pairs(src, maxBucket = Int.MaxValue).toDF().writeStream
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .option("checkpointLocation", ckpt)
-            .format("parquet").option("path", sink)
-            .outputMode("append").start()
-          q.awaitTermination()
-          sink
-        })
+      val out = streamSinkFor(s, dir, "") { (src, sink, ckpt) =>
+        StreamingNearDup.pairs(src, maxBucket = Int.MaxValue).toDF().writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", sink)
+          .outputMode("append").start()
       }
       s.read.parquet(out)
         .select(col("doc_a"), col("doc_b"), col("band").cast("long").as("band"), col("est_permille"))
+    },
+
+    // ---------- streaming state-cap audit ----------
+    "d12_state_audit" -> { (s, dir) =>
+      // d11/d15-style visibility for the STREAMING cap: d12's production
+      // path degrades SILENTLY at [[BandMaxBucket]] — a full bucket
+      // refuses admissions, so pairs involving refused members are never
+      // emitted. This audit replays the SAME 3-drop stream through
+      // [[StreamingNearDup.overflow]] at the production cap and folds the
+      // per-trigger refusal markers to ONE row next to the batch-side
+      // bucket facts. With the TTL off, refusals are ORDER-INDEPENDENT: a
+      // bucket with sz arrivals admits min(sz, cap) members whatever the
+      // arrival order, so the oracle reproduces the stream's numbers from
+      // the batch band frame as greatest(0, sz − cap) — the hash equality
+      // PROVES the streaming cap implements exactly that contract, and
+      // the degradation (refused members) is a CI-visible number.
+      val out = streamSinkFor(s, dir, "#audit") { (src, sink, ckpt) =>
+        StreamingNearDup.overflow(src, maxBucket = BandMaxBucket)
+          .toDF("band", "band_hash", "refused").writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", sink)
+          .outputMode("append").start()
+      }
+      // explicit schema: a refusal-free corpus leaves the sink empty and
+      // schema inference would fail on a metadata-only directory
+      val streamAgg = s.read.schema("band INT, band_hash STRING, refused BIGINT").parquet(out)
+        .groupBy("band", "band_hash").agg(sum("refused").as("refused"))
+        .agg(count(lit(1)).as("n_overflow_buckets_stream"),
+             coalesce(sum("refused"), lit(0L)).as("n_refused_stream"))
+      val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val batchAgg = base.select(explode(expr(minhashBandsExpr)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_buckets"),
+             coalesce(sum(when(col("sz") > BandMaxBucket, 1L).otherwise(0L)), lit(0L)).as("n_hot_buckets"),
+             coalesce(sum(when(col("sz") > BandMaxBucket, col("sz") - BandMaxBucket).otherwise(lit(0L))), lit(0L)).as("n_refused_expected"))
+      batchAgg.crossJoin(streamAgg)
     },
 
     // ---------- decontamination: eval-set n-gram overlap ----------
@@ -1913,6 +1964,23 @@ object LlmQueries {
          |       COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz ELSE 0 END), 0)::BIGINT AS n_capped_rows
          |FROM sb""".stripMargin
 
+    /** d12 audit twin: with the TTL off, the streaming cap's refusals are
+      * a pure function of batch bucket size — refused = greatest(0,
+      * sz − cap) — so BOTH the batch columns and the stream columns come
+      * from the same band CTE. Hash equality of the Spark row (whose
+      * stream columns really come from the replayed stream) against this
+      * row is the proof the streaming state machine implements the
+      * contract. */
+    val streamAuditSql =
+      s"""WITH $minhashCtes,
+         |mh AS (SELECT b, band_hash, count(*) AS sz FROM bands GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_buckets,
+         |  COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_buckets,
+         |  COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz - $BandMaxBucket ELSE 0 END), 0)::BIGINT AS n_refused_expected,
+         |  COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN 1 ELSE 0 END), 0)::BIGINT AS n_overflow_buckets_stream,
+         |  COALESCE(SUM(CASE WHEN sz > $BandMaxBucket THEN sz - $BandMaxBucket ELSE 0 END), 0)::BIGINT AS n_refused_stream
+         |FROM mh""".stripMargin
+
     val statsSql =
       s"""SELECT doc_id,
          |  len($words)::BIGINT AS n_words,
@@ -2306,6 +2374,7 @@ object LlmQueries {
       "d16_incremental_dedup" -> incrSql,
       "d10_simhash_neardup" -> simhashDupSql,
       "d11_band_skew_audit" -> bandAuditSql,
+      "d12_state_audit" -> streamAuditSql,
       "d12_stream_neardup" -> streamDupSql,
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes

@@ -315,6 +315,30 @@ class LlmSpec extends AnyFunSuite {
     } finally graft.core.SessionMemo.release(s2)
   }
 
+  test("d12_state_audit: a planted hot bucket's streamed refusals match the batch contract exactly") {
+    // BandMaxBucket + 4 EXACT duplicates: identical signatures land every
+    // doc in the same bucket of all `Bands` bands, so the streamed replay
+    // must refuse exactly 4 admissions per band — the order-independent
+    // greatest(0, sz − cap) contract the audit row's batch columns
+    // predict. This is the nonzero path of the audit (the synthetic
+    // corpora never heat a bucket past the production cap).
+    val d = Files.createTempDirectory("graft-hotbucket-").toString
+    val n = LlmQueries.BandMaxBucket + 4
+    (0 until n).map(i =>
+        (i.toLong, "the same exact duplicated text repeated for bucket heat", "en", "srch", 55L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    try {
+      val row = LlmQueries.queries("d12_state_audit")(spark, d).collect().head
+      assert(row.getAs[Long]("n_hot_buckets") === LlmQueries.Bands.toLong)
+      assert(row.getAs[Long]("n_refused_expected") === LlmQueries.Bands.toLong * 4)
+      assert(row.getAs[Long]("n_overflow_buckets_stream") === row.getAs[Long]("n_hot_buckets"),
+        "the stream must overflow exactly the buckets the batch frame predicts")
+      assert(row.getAs[Long]("n_refused_stream") === row.getAs[Long]("n_refused_expected"),
+        "streamed refusal totals must equal greatest(0, sz - cap) per bucket")
+    } finally LlmQueries.evictDir(spark, d)
+  }
+
   test("ann PQ: 5-bit codes rank the planted nearest neighbors first (dense re-key under short corpus)") {
     // 7 fixture vectors < PqK=32 seeds — every subspace codebook is short
     // AND Lloyd can empty codewords, so this exercises the dense re-key

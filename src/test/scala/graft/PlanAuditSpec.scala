@@ -112,12 +112,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val p = SparkEntry.queries("t15_filter_funnel")(s2, sf).queryExecution.executedPlan.toString
+    try Seq("t15_filter_funnel", "t15_funnel_ppl").foreach { q =>
+      val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan.toString
       assert(p.contains("graft_topk"),
-        "t15: the dup stage must reuse d4's NgramMaxDf-capped posting aggregate")
-      assert(!p.contains("Window "), "t15: no stage may sort the corpus under a window")
-      assert(!p.contains("CartesianProduct"), "t15: the dup stage stays posting-local")
+        s"$q: the dup stage must reuse d4's NgramMaxDf-capped posting aggregate")
+      assert(!p.contains("Window "), s"$q: no stage may sort the corpus under a window")
+      assert(!p.contains("CartesianProduct"), s"$q: the dup stage stays posting-local")
+      if (q == "t15_funnel_ppl")
+        assert(p.contains("BroadcastExchange"),
+          s"$q: the LM context table must broadcast (t16's pinned shape carries over)")
     } finally graft.core.SessionMemo.release(s2)
   }
 
