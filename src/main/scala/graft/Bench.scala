@@ -112,6 +112,8 @@ object Bench {
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
       (Set("ann_ivfpq_topk", "ann_pq_topk"),
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
+      (Set("d3_embedding_neardup"),
+        () => llm.LlmQueries.evictLshTables(spark, sfDir)),
       (Set("t15_filter_funnel", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictFunnel(spark, sfDir)),
       (Set("t16_perplexity_filter", "t15_funnel_ppl"),
@@ -476,6 +478,7 @@ object Bench {
         llm.LlmQueries.evictIvfIndex(spark, sfDir)
         llm.LlmQueries.evictSqIndex(spark, sfDir)
         llm.LlmQueries.evictPqIndex(spark, sfDir)
+        llm.LlmQueries.evictLshTables(spark, sfDir)
       }
     }
     val microJson = micro()

@@ -170,15 +170,17 @@ object CorpusQueries {
   /** t15's staged frame (doc_id, source, n_chars, stage) per (session,
     * dir): the funnel's survivor branch and its final rollup both read it,
     * so it persists narrow (verdict + rollup keys only) instead of
-    * re-running the per-word scoring per branch. Bench evicts right after
-    * t15's reps, like the other per-family memos. */
+    * re-running the per-word scoring per branch. Consumers: t15,
+    * t15_funnel_ppl — Bench evicts right after the LAST one's reps, like
+    * the other per-family memos. */
   private val funnelCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
   def evictFunnel(s: SparkSession, dir: String): Unit = funnelCache.remove(s, dir)
 
   /** t16's bigram-token frame (doc_id, bigram, w1) per (session, dir): the
     * LM count, the context count, and the scoring join all read it — four
     * corpus scans with the words/bigrams explode collapse to one build.
-    * Bench evicts right after t16's reps. */
+    * Consumers: t16, t15_funnel_ppl (via [[lmDocBits]]) — Bench evicts
+    * right after the LAST one's reps. */
   private val lmTokCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
   /** t16's vocabulary size per (session, dir) — a single Long (the
     * embCountCache pattern): without it every invocation re-scans the

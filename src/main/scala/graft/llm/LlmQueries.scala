@@ -792,6 +792,7 @@ object LlmQueries {
     ivfCache.remove(s, dir)
     sqCache.remove(s, dir)
     pqCache.remove(s, dir)
+    lshCache.remove(s, dir)
     CorpusQueries.evictFunnel(s, dir)
     CorpusQueries.evictLmToks(s, dir)
     // d12's sink is dir-keyed (session-independent files): drop the entry
@@ -814,7 +815,8 @@ object LlmQueries {
     * families still to run — holding every index for the whole sweep was
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
-    *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d16, t3, t15
+    *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d12_state_audit,
+    *     d16, t3, t15, t15_funnel_ppl
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
@@ -824,7 +826,9 @@ object LlmQueries {
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
     *     the exact storage-pressure failure the eviction prevents)
     *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk
-    *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk */
+    *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk
+    *   - LSH tables (lshCache): d3_embedding_neardup (and the bench's
+    *     bucket-recall probe) */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
   def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
@@ -925,19 +929,32 @@ object LlmQueries {
     * no shuffle; the oracle rebuilds the planes from the same md5
     * derivation ([[hyperplane]] components are dyadic rationals exactly
     * expressible in SQL), bit-for-bit. */
-  private def lshTabled(s: SparkSession, dir: String): DataFrame = {
-    val hp = hyperplanesFor(embCount(s, dir))
-    def bucketExprFor(t: Int): String =
-      (0 until hp).map { h =>
-        val lit = hyperplane(t * 32 + h, EmbeddingDim).mkString("cast(array(", ", ", ") as array<double>)")
-        s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
-      }.mkString(" + ")
-    val bandsExpr = (0 until LshTables)
-      .map(t => s"named_struct('t', $t, 'bkt', ${bucketExprFor(t)})")
-      .mkString("array(", ", ", ")")
-    emb(s, dir).withColumn("bands", expr(bandsExpr))
-      .withColumn("bucket", expr("bands[0].bkt"))
-  }
+  private val lshCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
+  def evictLshTables(s: SparkSession, dir: String): Unit = lshCache.remove(s, dir)
+
+  private def lshTabled(s: SparkSession, dir: String): DataFrame =
+    lshCache.getOrElseUpdate(s, dir) {
+      val hp = hyperplanesFor(embCount(s, dir))
+      def bucketExprFor(t: Int): String =
+        (0 until hp).map { h =>
+          val lit = hyperplane(t * 32 + h, EmbeddingDim).mkString("cast(array(", ", ", ") as array<double>)")
+          s"CASE WHEN ${dot("v", lit)} >= 0.0 THEN ${1 << h} ELSE 0 END"
+        }.mkString(" + ")
+      val bandsExpr = (0 until LshTables)
+        .map(t => s"named_struct('t', $t, 'bkt', ${bucketExprFor(t)})")
+        .mkString("array(", ", ", ")")
+      // MEMOIZE-PERSIST (the sigCache pattern — at 100 TB this is the LSH
+      // sidecar a deployment materializes next to the vectors): the bands
+      // expression is L×hp inline plane literals, and measured cost is
+      // dominated by re-ANALYZING and re-COMPILING that tree on every
+      // invocation (the d3 plan references the frame three times), not by
+      // evaluating it — persisting turns the giant expression into data
+      // built once per (session, dir).
+      emb(s, dir).withColumn("bands", expr(bandsExpr))
+        .withColumn("bucket", expr("bands[0].bkt"))
+        .select("vec_id", "v", "bands", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Multi-table bucket-local pairs over a [[lshTabled]] frame — d3's
     * generator, also the bench's bucket-locality probe. Candidates are
