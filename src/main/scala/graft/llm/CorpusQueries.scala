@@ -97,6 +97,28 @@ object CorpusQueries {
     * many words (the corpus has no sentence boundaries to span over). */
   val SpanWords = 5
 
+  /** d17: the exact-substring unit — SLIDING windows of this many words
+    * (stride 1, unlike d14's non-overlapping spans: a repeat is caught at
+    * every alignment, so its exact extent is measurable). */
+  val SubstrGramWords = 5
+  /** d17: flag threshold — a maximal run of ≥ this many consecutive
+    * duplicated grams (= run + [[SubstrGramWords]] − 1 duplicated words,
+    * ≥ 12 here: the Lee et al. min-match-length knob in word units). */
+  val SubstrMinRunGrams = 8
+
+  // t18: the Gopher quality-rule gate (Rae et al. 2021, public — Table A1's
+  // heuristics). The RULE SHAPES are the contract; the band constants are
+  // config, here tuned so every rule is exercised by the synthetic corpus
+  // (Gopher's own bands: words 50..100k, mean word length 3..10 chars,
+  // symbol ratio 0.1, 80% alpha words, ≥2 stop words).
+  val GopherMinWords           = 40L
+  val GopherMaxWords           = 100000L
+  val GopherMeanLenLowPermille = 4000L  // mean word length, chars ×1000
+  val GopherMeanLenHighPermille = 5000L
+  val GopherMaxSymbolPermille  = 100L   // '#' + '…'-style ellipsis per word
+  val GopherMinAlphaPermille   = 800L   // words containing ≥1 letter
+  val GopherMinStopWords       = 2L     // distinct members of the t1 stop set
+
   // ---- t15: the curation funnel's stage gates (CCNet/C4-style pipeline
   // order: cheap structural gates first, the model score next, dedup — the
   // only non-map-side stage — last, over the already-shrunk survivor set).
@@ -504,6 +526,91 @@ object CorpusQueries {
              sum(when(col("n_dup_spans") > 0, 1L).otherwise(0L)).as("n_docs_affected"))
     },
 
+    // ---------- corpus-global exact-substring dedup (suffix-array style) ----------
+    "d17_substring_dedup" -> { (s, dir) =>
+      // Lee et al. 2022 ("Deduplicating Training Data Makes Language
+      // Models Better", public): EXACT-SUBSTRING dedup — any substring of
+      // at least the threshold length repeated ANYWHERE in the corpus
+      // (across docs or within one) marks every occurrence. The paper
+      // builds one corpus-wide suffix array; the distributed twin is
+      // sliding word-grams (stride 1) + global df + per-doc maximal runs
+      // of consecutive duplicated positions: a run of r grams is an
+      // r+G−1-word duplicated substring, so max_run measures the exact
+      // extent the suffix array would report (at word granularity).
+      //
+      // SKEW-IMMUNE d14 shape: the gram frame is NEVER joined on the
+      // gram key. A df=1 gram has exactly ONE owner (doc, pos), which
+      // rides the gram aggregate as min(doc_id)/min(pos); duplicated
+      // positions are then all positions MINUS the unique ones via a
+      // (doc_id, pos) anti-join — doc-keyed, skew-free, and a
+      // corpus-viral gram leaves each map task as ONE combined row. Run
+      // detection windows PER DOC over positions (bounded by the doc's
+      // own length — never a corpus-wide window): the islands trick,
+      // pos − row_number.
+      val g = docs(s, dir)
+        .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
+        .filter(size(col("words")) >= SubstrGramWords)
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          s"""transform(sequence(0, size(words) - $SubstrGramWords),
+             |          i -> array_join(slice(words, i + 1, $SubstrGramWords), ' '))""".stripMargin
+        )).as(Seq("pos", "gram")))
+      val uniq = g.groupBy("gram")
+        .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"), min("pos").as("pos"))
+        .filter(col("df") === 1)
+        .select("doc_id", "pos")
+      val dup = g.select("doc_id", "source", "pos")
+        .join(uniq, Seq("doc_id", "pos"), "left_anti")
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val perDoc = dup
+        .withColumn("grp", col("pos") - row_number().over(wDoc))
+        .groupBy(col("doc_id"), col("source"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy("doc_id", "source")
+        .agg(max("run").as("max_run"), sum("run").as("n_dup_grams"))
+      docs(s, dir).select("doc_id", "source")
+        .join(perDoc, Seq("doc_id", "source"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("max_run") >= SubstrMinRunGrams, 1L).otherwise(0L)).as("n_docs_flagged"),
+          coalesce(sum("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(max("max_run"), lit(0L)).as("max_run"))
+    },
+
+    // ---------- Gopher quality-rule gate ----------
+    "t18_gopher_rules" -> { (s, dir) =>
+      // The Gopher/MassiveText repetition-independent document filters
+      // (Rae et al. 2021): word-count band, mean-word-length band,
+      // symbol-to-word ratio, minimum alphabetic-word share, minimum
+      // stop-word presence — each doc attributed to the FIRST rule it
+      // fails (t15's funnel accounting applied to the Gopher rule set, so
+      // n_docs = Σ drops + kept reconciles exactly). Every rule is
+      // integer permille arithmetic over one corpus scan — pure map-side,
+      // zero shuffles before the per-source rollup, the t14 scale shape.
+      docs(s, dir)
+        .withColumn("words", expr(LlmQueries.wordsExpr))
+        .withColumn("nw", size(col("words")).cast("long"))
+        .withColumn("ml", expr("CASE WHEN nw = 0 THEN 0 ELSE (1000 * aggregate(words, cast(0 as bigint), (a, x) -> a + length(x))) div nw END"))
+        .withColumn("nsym", expr("cast(length(text) - length(replace(text, '#', '')) + (length(text) - length(replace(text, '...', ''))) div 3 as bigint)"))
+        .withColumn("nalpha", expr("cast(size(filter(words, w -> w rlike '[a-z]')) as bigint)"))
+        .withColumn("nstop", expr("cast(size(filter(array('the','a','of','and','to','in'), sw -> array_contains(words, sw))) as bigint)"))
+        .withColumn("rule",
+          when(col("nw") < GopherMinWords || col("nw") > GopherMaxWords, "words")
+            .when(col("ml") < GopherMeanLenLowPermille || col("ml") > GopherMeanLenHighPermille, "meanlen")
+            .when(col("nsym") * 1000L > col("nw") * GopherMaxSymbolPermille, "symbol")
+            .when(col("nalpha") * 1000L < col("nw") * GopherMinAlphaPermille, "alpha")
+            .when(col("nstop") < GopherMinStopWords, "stop"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rule") === "words", 1L).otherwise(0L)).as("n_drop_words"),
+          sum(when(col("rule") === "meanlen", 1L).otherwise(0L)).as("n_drop_meanlen"),
+          sum(when(col("rule") === "symbol", 1L).otherwise(0L)).as("n_drop_symbol"),
+          sum(when(col("rule") === "alpha", 1L).otherwise(0L)).as("n_drop_alpha"),
+          sum(when(col("rule") === "stop", 1L).otherwise(0L)).as("n_drop_stop"),
+          sum(when(col("rule").isNull, 1L).otherwise(0L)).as("n_kept"))
+    },
+
     // ---------- fastText-style linear quality filter ----------
     "t14_quality_classifier" -> { (s, dir) =>
       // The canonical LLM-corpus quality gate (CCNet/LLaMA use a fastText
@@ -764,6 +871,68 @@ object CorpusQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "t18_gopher_rules" ->
+      s"""WITH w AS (
+         |  SELECT source, text,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), m AS (
+         |  SELECT source,
+         |         len(words)::BIGINT AS nw,
+         |         CASE WHEN len(words) = 0 THEN 0
+         |              ELSE (1000 * list_sum(list_transform(words, x -> length(x)))) // len(words)
+         |         END AS ml,
+         |         (length(text) - length(replace(text, '#', ''))
+         |          + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS nsym,
+         |         len(list_filter(words, x -> regexp_matches(x, '[a-z]')))::BIGINT AS nalpha,
+         |         len(list_filter(['the','a','of','and','to','in'], sw -> list_contains(words, sw)))::BIGINT AS nstop
+         |  FROM w
+         |), r AS (
+         |  SELECT source,
+         |         CASE WHEN nw < $GopherMinWords OR nw > $GopherMaxWords THEN 'words'
+         |              WHEN ml < $GopherMeanLenLowPermille OR ml > $GopherMeanLenHighPermille THEN 'meanlen'
+         |              WHEN nsym * 1000 > nw * $GopherMaxSymbolPermille THEN 'symbol'
+         |              WHEN nalpha * 1000 < nw * $GopherMinAlphaPermille THEN 'alpha'
+         |              WHEN nstop < $GopherMinStopWords THEN 'stop' END AS rule
+         |  FROM m
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rule = 'words' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_words,
+         |  CAST(sum(CASE WHEN rule = 'meanlen' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_meanlen,
+         |  CAST(sum(CASE WHEN rule = 'symbol' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_symbol,
+         |  CAST(sum(CASE WHEN rule = 'alpha' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_alpha,
+         |  CAST(sum(CASE WHEN rule = 'stop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_stop,
+         |  CAST(sum(CASE WHEN rule IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY 1""".stripMargin,
+    "d17_substring_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, source, i AS pos,
+         |         array_to_string(words[i + 1:i + $SubstrGramWords], ' ') AS gram
+         |  FROM base, LATERAL unnest(generate_series(0, len(words) - $SubstrGramWords)) t(i)
+         |  WHERE len(words) >= $SubstrGramWords
+         |), dfreq AS (
+         |  SELECT gram, count(*) AS df, min(doc_id) AS od, min(pos) AS op FROM g GROUP BY 1
+         |), uniq AS (SELECT od AS doc_id, op AS pos FROM dfreq WHERE df = 1),
+         |dup AS (
+         |  SELECT g.doc_id, g.source, g.pos
+         |  FROM g ANTI JOIN uniq u ON g.doc_id = u.doc_id AND g.pos = u.pos
+         |), runs AS (
+         |  SELECT doc_id, source,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup
+         |), rl AS (SELECT doc_id, source, grp, count(*) AS run FROM runs GROUP BY 1, 2, 3),
+         |pd AS (SELECT doc_id, source, max(run) AS max_run, sum(run) AS n_dup_grams
+         |       FROM rl GROUP BY 1, 2)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pd.max_run >= $SubstrMinRunGrams THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+         |  CAST(coalesce(sum(pd.n_dup_grams), 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(coalesce(max(pd.max_run), 0) AS BIGINT) AS max_run
+         |FROM documents d LEFT JOIN pd USING (doc_id, source)
+         |GROUP BY 1""".stripMargin,
     "d14_span_dedup" ->
       s"""WITH w AS (
          |  SELECT doc_id, source,

@@ -125,6 +125,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0, "the corpus must contain at least one repeated span")
   }
 
+  test("d17 substring dedup equals a naive sliding-gram run scan") {
+    val G = CorpusQueries.SubstrGramWords
+    def words(t: String): Seq[String] = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String): Seq[String] = words(t).sliding(G).filter(_.size == G).map(_.mkString(" ")).toSeq
+    val all = docs.map { case (id, text, src, _) => (id, src, grams(text)) }
+    val dfm = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    val perDoc = all.map { case (id, src, gs) =>
+      // maximal runs of consecutive duplicated positions
+      val dupFlags = gs.map(g => dfm(g) >= 2)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = 0L
+      dupFlags.foreach { d => if (d) cur += 1 else { if (cur > 0) runs += cur; cur = 0 } }
+      if (cur > 0) runs += cur
+      (src, if (runs.isEmpty) 0L else runs.max, runs.sum)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> (ds.size.toLong,
+              ds.count(_._2 >= CorpusQueries.SubstrMinRunGrams).toLong,
+              ds.map(_._3).sum,
+              ds.map(_._2).max)
+    }
+    val got = CorpusQueries.queries("d17_substring_dedup")(spark, dir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_flagged"),
+         r.getAs[Long]("n_dup_grams"), r.getAs[Long]("max_run"))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.map(_._3).sum > 0, "the corpus must contain at least one repeated substring")
+  }
+
+  test("t18 gopher rules: first-fail funnel reconciles per source and the live rules fire") {
+    val rows = CorpusQueries.queries("t18_gopher_rules")(spark, dir).collect()
+    val dropCols = Seq("n_drop_words", "n_drop_meanlen", "n_drop_symbol", "n_drop_alpha", "n_drop_stop")
+    rows.foreach { r =>
+      val total = (dropCols :+ "n_kept").map(c => r.getAs[Long](c)).sum
+      assert(total === r.getAs[Long]("n_docs"),
+        s"rule accounting must reconcile for ${r.getAs[String]("source")}")
+    }
+    def sumCol(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(sumCol("n_kept") > 0, "some docs must survive the gate")
+    assert(sumCol("n_drop_words") > 0, "the word-count band must fire on the fixture")
+    assert(sumCol("n_drop_stop") > 0, "the stop-word rule must fire on the fixture")
+  }
+
   test("t14 quality classifier equals a naive hash-weight scorer") {
     def score(t: String): Long = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .map(w => graft.functions.Fnv32.hash(w) % 16 - 8).sum

@@ -160,15 +160,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val p = SparkEntry.queries("d14_span_dedup")(s2, sf).queryExecution.executedPlan
-      val joinKeys = p.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.leftKeys.mkString(",")
-        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
-      }
-      joinKeys.foreach(k =>
-        assert(!k.contains("span"), s"d14 joins must key on doc_id, never span: $k\n$p"))
-      assert(joinKeys.nonEmpty, "expected the doc-keyed unique-count join to be present")
+    try Seq("d14_span_dedup" -> "span", "d17_substring_dedup" -> "gram").foreach {
+      case (q, key) =>
+        val p = SparkEntry.queries(q)(s2, sf).queryExecution.executedPlan
+        val joinKeys = p.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.leftKeys.mkString(",")
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.mkString(",")
+        }
+        joinKeys.foreach(k =>
+          assert(!k.contains(key), s"$q joins must key on doc_id, never $key: $k\n$p"))
+        assert(joinKeys.nonEmpty, s"$q: expected the doc-keyed join to be present")
     } finally graft.core.SessionMemo.release(s2)
   }
 
