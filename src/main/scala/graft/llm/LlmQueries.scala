@@ -246,6 +246,12 @@ object LlmQueries {
     * full-precision re-rank (the standard SQ8 refine step). */
   val SqCandidates = 4 * TopK
 
+  /** r2 hybrid retrieval: the RRF rank constant (Cormack et al.'s k=60)
+    * and the fixed bits(N) stand-in for the integer idf (valid to 2^40
+    * documents; a constant here only shifts every term's idf uniformly). */
+  val RrfK        = 60
+  val RrfIdfScale = 40
+
   // ---- PQ parameters (FAISS's workhorse quantizer) ----
   /** Subquantizers: the vector splits into PqM subvectors of PqSubDim
     * dims; each is coded independently against a per-subspace codebook of
@@ -820,7 +826,8 @@ object LlmQueries {
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
-    *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit
+    *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit,
+    *     r2_hybrid_retrieve
     *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
@@ -1429,6 +1436,53 @@ object LlmQueries {
     },
 
     // ---------- retrieval: ANN hits joined back to the document store ----------
+    // ---------- hybrid retrieval: lexical + dense, RRF-fused ----------
+    "r2_hybrid_retrieve" -> { (s, dir) =>
+      // The production RAG retriever shape: a BM25-backbone lexical
+      // ranking and the dense IVF ranking fused by Reciprocal Rank
+      // Fusion (Cormack et al. 2009, public). Everything is
+      // integer-exact so the row set hash-gates:
+      //  - lexical score = Σ over DISTINCT shared terms of idf_bits(w) =
+      //    [[RrfIdfScale]] − bits(df_w) (t16's power-of-two log; the
+      //    constant plays bits(N)'s role so no corpus-count job runs) —
+      //    BM25's idf backbone without the float k1/b terms;
+      //  - RRF = 1000000 div ([[RrfK]] + rank), summed over the arms a
+      //    doc appears in.
+      // Plan shape: the query vocabulary (NumQueries docs' distinct
+      // words) rides BROADCASTS — first onto the term-df frame, then
+      // onto the corpus postings (the d9 probe: postings never shuffle
+      // for it); per-(q, doc) idf sums fold through ONE doc-keyed agg
+      // and the bounded graft_topk cut; the dense arm is the recorded
+      // ivf probe-2 plan; fusion touches only the two queries×k hit
+      // lists (tiny) and re-cuts with graft_topk.
+      val posts = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(expr(wordsExpr))).as("w"))
+      val qterms = posts.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("q_id"), col("w"))
+      val qw = posts.groupBy("w").agg(count(lit(1)).as("df"))
+        .join(broadcast(qterms), "w")
+        .withColumn("idf_bits", expr(s"${RrfIdfScale}L - cast(length(bin(df)) as bigint)"))
+        .select("q_id", "w", "idf_bits")
+      val lexTop = topkPerQuery(
+        posts.join(broadcast(qw), "w")
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum("idf_bits").as("lex"))
+          .select(col("q_id"), col("lex").cast("double").as("sim"), col("doc_id").as("vec_id")),
+        TopK)
+        .select(col("q_id"), col("rank").as("lex_rank"), col("neighbor_id"))
+      val vecTop = ivfProbeAt(s, dir, IvfProbes)
+        .select(col("q_id"), col("rank").as("vec_rank"), col("neighbor_id"))
+      val fused = lexTop.join(vecTop, Seq("q_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf", expr(
+          s"coalesce(1000000L div (${RrfK}L + lex_rank), 0L) + coalesce(1000000L div (${RrfK}L + vec_rank), 0L)"))
+      topkPerQuery(
+        fused.select(col("q_id"), col("rrf").cast("double").as("sim"),
+                     col("neighbor_id").as("vec_id"), col("rrf")),
+        TopK, col("rrf"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"), col("payload").as("rrf"))
+    },
+
     "r1_rag_retrieve" -> { (s, dir) =>
       // The RAG-shaped read: top-k in embedding space, then the hit list
       // joined back to the corpus for the documents themselves. The hit
@@ -2455,6 +2509,39 @@ object LlmQueries {
         s"""WITH hits AS ($bruteSql)
            |SELECT h.q_id, h.rank, h.neighbor_id, d.source, d.n_chars
            |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin,
+      // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
+      // the dense arm embeds the ivf probe-2 query whole (DuckDB allows a
+      // nested WITH inside a CTE body), fusion is the same integer RRF.
+      "r2_hybrid_retrieve" ->
+        s"""WITH base AS (SELECT doc_id, $duckWords AS words FROM documents),
+           |posts AS (SELECT doc_id, unnest(list_distinct(words)) AS w FROM base),
+           |dfreq AS (SELECT w, count(*) AS df FROM posts GROUP BY 1),
+           |qterms AS (SELECT doc_id AS q_id, w FROM posts WHERE doc_id < $NumQueries),
+           |qw AS (
+           |  SELECT q.q_id, q.w, $RrfIdfScale - length(bin(d.df)) AS idf_bits
+           |  FROM qterms q JOIN dfreq d USING (w)),
+           |lex AS (
+           |  SELECT qw.q_id, p.doc_id, CAST(sum(qw.idf_bits) AS BIGINT) AS lex
+           |  FROM posts p JOIN qw ON p.w = qw.w AND p.doc_id != qw.q_id
+           |  GROUP BY 1, 2),
+           |lextop AS (
+           |  SELECT q_id, doc_id AS neighbor_id, lex_rank FROM (
+           |    SELECT q_id, doc_id,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY lex DESC, doc_id) AS lex_rank
+           |    FROM lex)
+           |  WHERE lex_rank <= $TopK),
+           |vectop AS (SELECT q_id, neighbor_id, rank AS vec_rank FROM ($ivfSql2)),
+           |fused AS (
+           |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+           |         coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+           |         coalesce(1000000 // ($RrfK + l.lex_rank), 0) + coalesce(1000000 // ($RrfK + v.vec_rank), 0) AS rrf
+           |  FROM lextop l FULL JOIN vectop v
+           |    ON l.q_id = v.q_id AND l.neighbor_id = v.neighbor_id)
+           |SELECT q_id, rank, neighbor_id, rrf FROM (
+           |  SELECT q_id, neighbor_id, CAST(rrf AS BIGINT) AS rrf,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id) AS rank
+           |  FROM fused)
+           |WHERE rank <= $TopK""".stripMargin,
       "ann_lsh_nn"     -> lshSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,

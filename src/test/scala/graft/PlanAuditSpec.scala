@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
         "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
-        "ann_pq_topk").foreach { q =>
+        "ann_pq_topk", "r2_hybrid_retrieve").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // LocalTableScan in any trained-cell plan means a driver-side collect
     // of the centroids crept back in and silently re-capped k.
     Seq("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "d13_semdedup",
-        "d15_cell_skew_audit")
+        "d15_cell_skew_audit", "r2_hybrid_retrieve")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("LocalTableScan"),
