@@ -285,12 +285,14 @@ object Bench {
           })
           //  - embeddings replicate with shifted vec_ids AND a per-replica
           //    CYCLIC DIMENSION ROTATION: cosine is invariant under a
-          //    shared permutation, so each replica preserves the original
-          //    within-replica pair structure EXACTLY (dup pairs scale
-          //    linearly, 4x), while a rotated replica of a vector is
-          //    cosine-unrelated to its source — naive duplication would
-          //    quadruple every dup cluster and the cell/bucket pair work
-          //    in a cluster is quadratic in it. This is the probe that
+          //    shared permutation up to summation order (graft_dot is a
+          //    sequential fold, so a pair within an ulp of tau can flip —
+          //    harmless at probe granularity), so each replica preserves
+          //    the original within-replica pair structure (dup pairs
+          //    scale ~linearly, 4x), while a rotated replica of a vector
+          //    is cosine-unrelated to its source — naive duplication
+          //    would quadruple every dup cluster and the cell/bucket pair
+          //    work in a cluster is quadratic in it. This is the probe that
           //    validates the DERIVED knobs: at 4x vectors the plane count
           //    steps 6 -> 8 and the cell count ~doubles, exactly the
           //    derivations d3/d13/ann_lsh_nn rely on at corpus scale.

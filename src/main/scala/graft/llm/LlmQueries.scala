@@ -851,13 +851,18 @@ object LlmQueries {
     * serve the stale pre-change set. */
   private val streamDupSink = new Object
   private val streamDupSinkCache = scala.collection.mutable.Map.empty[String, String]
+  // staging replicas shared ACROSS variants, keyed by the same dir@stamp
+  // prefix: the pair sink and the audit sink replay the identical 3-drop
+  // input, so one corpus rewrite serves both
+  private val streamStageCache = scala.collection.mutable.Map.empty[String, String]
 
   /** The d12-family sink protocol: replay `dir`'s corpus as a 3-drop file
     * stream into a cached parquet sink, returning the sink path. `run`
     * starts the streaming query for its variant (pairs or overflow
     * markers). Stale-STAMP keys of the whole family are dropped before
     * computing (prefix compare — a stamp change invalidates both
-    * variants; a sibling variant under the CURRENT stamp is preserved). */
+    * variants and the shared staging replica; a sibling variant under
+    * the CURRENT stamp, and its staging, are preserved). */
   private def streamSinkFor(s: SparkSession, dir: String, variant: String)(
       run: (DataFrame, String, String) => org.apache.spark.sql.streaming.StreamingQuery): String =
     streamDupSink.synchronized {
@@ -869,13 +874,23 @@ object LlmQueries {
             try graft.core.FsUtil.deleteRecursively(sink)
             catch { case scala.util.control.NonFatal(_) => () })
         }
+      streamStageCache.keys.filter(k => k.startsWith(dir + "@") && k != prefix).toSeq
+        .foreach { k =>
+          streamStageCache.remove(k).foreach(st =>
+            try graft.core.FsUtil.deleteRecursively(st)
+            catch { case scala.util.control.NonFatal(_) => () })
+        }
       streamDupSinkCache.getOrElseUpdate(key, {
-        val staging = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
-        docs(s, dir).repartition(3).write.mode("overwrite").parquet(staging)
+        val staging = streamStageCache.getOrElseUpdate(prefix, {
+          val st = java.nio.file.Files.createTempDirectory("graft-d12-stage-").toString
+          docs(s, dir).repartition(3).write.mode("overwrite").parquet(st)
+          graft.core.FsUtil.deleteOnExit(st)
+          st
+        })
         val sink = java.nio.file.Files.createTempDirectory("graft-d12-sink-").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft-d12-ckpt-").toString
         // batch drivers exit without evicting — sweep on JVM shutdown
-        Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+        Seq(sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
         val src = s.readStream.schema(docs(s, dir).schema)
           .option("maxFilesPerTrigger", 1).parquet(staging)
         run(src, sink, ckpt).awaitTermination()
@@ -905,10 +920,13 @@ object LlmQueries {
   private def cosSim(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
-  /** The hyperplane-LSH bucketed embedding frame — THE bucket generator,
-    * shared by ann_lsh_nn, d3, and the bench's bucket-locality probe (one
-    * definition, so the probe can't silently drift from what production
-    * uses). Plane count derived from corpus size ([[hyperplanesFor]]). */
+  /** The SINGLE-TABLE hyperplane-LSH bucketed embedding frame —
+    * ann_lsh_nn's generator. Its planes are [[lshTabled]]'s table 0
+    * (plane ids 0..hp−1), so the ANN bucket ids and d3's reported
+    * `bucket` column stay the same id space; d3 and the bench's
+    * bucket-locality probe use the multi-table [[lshTabled]] /
+    * [[lshTablePairs]]. Plane count derived from corpus size
+    * ([[hyperplanesFor]]). */
   private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
     val planes = (0 until hyperplanesFor(embCount(s, dir))).map(h => hyperplane(h, EmbeddingDim))
     val bucketExpr = planes.zipWithIndex
@@ -1579,11 +1597,13 @@ object LlmQueries {
       // hyperplanes. Reuses the shared [[ivfIndex]] (√N cells, fixed-point
       // deterministic Lloyd's) so the ANN family and the dedup family
       // literally share one index build; candidates are cell-local with
-      // top-2 multi-probe ([[semProbePairs]] — the paper's O(N²/k)
-      // within-cluster pairwise, extended by each vector's next-nearest
-      // cell so boundary-straddling dups are found), canonical = smallest
-      // qualifying vec_id, counts-and-ids-only output so the row set
-      // hash-matches the oracle exactly.
+      // top-[[SemDeDupProbes]] multi-probe ([[semProbePairs]] — the
+      // paper's O(N²/k) within-cluster pairwise at P× the volume,
+      // extended by each vector's P−1 next-nearest cells so
+      // boundary-straddling dups are found; recall curve at the
+      // constant), canonical = smallest qualifying vec_id,
+      // counts-and-ids-only output so the row set hash-matches the
+      // oracle exactly.
       val tau = 0.8
       val (_, assigned) = ivfIndex(s, dir)
       val dups = semProbePairs(s, dir)

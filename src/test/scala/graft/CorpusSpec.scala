@@ -204,9 +204,11 @@ class CorpusSpec extends AnyFunSuite {
     try {
       // t17 included deliberately: its global (skey, doc_id) order is
       // REBUILT by repartitionByRange from whatever file layout arrives —
-      // the most layout-sensitive path of the four
+      // the most layout-sensitive path here; d17's islands windows and
+      // t18/t15_funnel_ppl's permille gates join as the round-13 cohort
       Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter",
-          "t17_shard_export").foreach { q =>
+          "t17_shard_export", "d17_substring_dedup", "t18_gopher_rules",
+          "t15_funnel_ppl").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

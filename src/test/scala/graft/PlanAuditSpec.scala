@@ -141,6 +141,25 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.core.SessionMemo.release(s2)
   }
 
+  test("t18/d12_state_audit: the gate is one scan + one rollup; the audits never window or sort the corpus") {
+    Seq("t18_gopher_rules", "d12_state_audit").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window "), s"$q must not window the corpus")
+    }
+    // t18 is pure map-side scoring: the per-source rollup's exchange must
+    // be the ONLY shuffle in the plan (the t14 scale shape).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("t18_gopher_rules")(s2, sf).queryExecution.executedPlan
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size === 1,
+        s"t18: expected exactly the rollup exchange, got ${exchanges.size}:\n$p")
+    } finally graft.core.SessionMemo.release(s2)
+  }
+
   test("ann_lsh_nn: nearest-in-bucket is a partial-aggregatable max_by, not a window") {
     // The bucket-pair frame is occupancy-bounded but corpus-sized; ranking
     // it under a vec_id window means a full shuffle+sort. The max_by over
