@@ -125,13 +125,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum > 0, "the corpus must contain at least one repeated span")
   }
 
-  test("d17 substring dedup equals a naive sliding-gram run scan") {
+  /** Serial reimplementation of d17's sliding-gram run scan — the naive
+    * twin shared by the fixture test and the fuzz trials. */
+  private def d17Naive(rows: Seq[(Long, String, String)]): Map[String, (Long, Long, Long, Long)] = {
     val G = CorpusQueries.SubstrGramWords
     def words(t: String): Seq[String] = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     def grams(t: String): Seq[String] = words(t).sliding(G).filter(_.size == G).map(_.mkString(" ")).toSeq
-    val all = docs.map { case (id, text, src, _) => (id, src, grams(text)) }
+    val all = rows.map { case (id, text, src) => (id, src, grams(text)) }
     val dfm = all.flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
-    val perDoc = all.map { case (id, src, gs) =>
+    val perDoc = all.map { case (_, src, gs) =>
       // maximal runs of consecutive duplicated positions
       val dupFlags = gs.map(g => dfm(g) >= 2)
       val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -140,19 +142,63 @@ class CorpusSpec extends AnyFunSuite {
       if (cur > 0) runs += cur
       (src, if (runs.isEmpty) 0L else runs.max, runs.sum)
     }
-    val expected = perDoc.groupBy(_._1).map { case (src, ds) =>
-      src -> (ds.size.toLong,
-              ds.count(_._2 >= CorpusQueries.SubstrMinRunGrams).toLong,
-              ds.map(_._3).sum,
-              ds.map(_._2).max)
+    perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.size.toLong,
+               ds.count(_._2 >= CorpusQueries.SubstrMinRunGrams).toLong,
+               ds.map(_._3).sum,
+               ds.map(_._2).max))
     }
-    val got = CorpusQueries.queries("d17_substring_dedup")(spark, dir).collect().map { r =>
+  }
+
+  private def d17Rows(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long, Long)] =
+    df.collect().map { r =>
       r.getAs[String]("source") ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_flagged"),
-         r.getAs[Long]("n_dup_grams"), r.getAs[Long]("max_run"))
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_flagged"),
+          r.getAs[Long]("n_dup_grams"), r.getAs[Long]("max_run")))
     }.toMap
+
+  test("d17 substring dedup equals a naive sliding-gram run scan") {
+    val expected = d17Naive(docs.map { case (id, text, src, _) => (id, text, src) })
+    val got = d17Rows(CorpusQueries.queries("d17_substring_dedup")(spark, dir))
     assert(got == expected)
     assert(got.values.map(_._3).sum > 0, "the corpus must contain at least one repeated substring")
+  }
+
+  test("d17 fuzz: random corpora with planted substring copies match the serial scan") {
+    // The d16-fuzz pattern applied to d17: tiny vocab (forced gram
+    // collisions), random doc lengths, and PLANTED substring copies —
+    // later docs splice a random-length slice of an earlier doc into a
+    // random position, the exact shape (partial overlap at arbitrary
+    // alignment) d14's non-overlapping spans cannot see and d17 exists
+    // to measure.
+    val vocab = Seq("ax", "bo", "cu", "de", "ek", "fi")
+    val rnd   = new scala.util.Random(4242)
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(8)
+      val base = (0L until n.toLong).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val corpus = base.map { case (id, ws) =>
+        if (id >= 2 && rnd.nextInt(2) == 0) {
+          val srcWs = base(rnd.nextInt(id.toInt))._2
+          val from  = rnd.nextInt(srcWs.size)
+          val len   = 1 + rnd.nextInt(srcWs.size - from)
+          val at    = rnd.nextInt(ws.size + 1)
+          (id, (ws.take(at) ++ srcWs.slice(from, from + len) ++ ws.drop(at)).mkString(" "),
+           s"s${id % 2}")
+        } else (id, ws.mkString(" "), s"s${id % 2}")
+      }
+      val d = java.nio.file.Files.createTempDirectory(s"graft-d17-fuzz$trial-").toString
+      corpus.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      try {
+        val got = d17Rows(CorpusQueries.queries("d17_substring_dedup")(spark, d))
+        assert(got == d17Naive(corpus),
+          s"trial $trial diverged on corpus:\n${corpus.mkString("\n")}")
+      } finally graft.core.FsUtil.deleteRecursively(d)
+    }
   }
 
   test("t18 gopher rules: first-fail funnel reconciles per source and the live rules fire") {

@@ -322,6 +322,24 @@ class LlmSpec extends AnyFunSuite {
     } finally graft.core.SessionMemo.release(s2)
   }
 
+  test("r2 hybrid retrieval: a doc's exact copy wins both arms and tops the fused ranking") {
+    // Fixture doc 1 is doc 0's exact text copy AND its near-identical
+    // embedding: it must win the lexical arm (every term shared at max
+    // idf mass) and the dense arm (cosine ~1), so RRF must place it at
+    // rank 1 for query 0 — and symmetrically 0 for query 1. Ranks must
+    // be dense from 1 per query (the graft_topk posexplode contract).
+    val rows = run("r2_hybrid_retrieve").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+                 r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf")))
+    assert(rows.find(r => r._1 == 0L && r._2 == 1L).map(_._3) === Some(1L))
+    assert(rows.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted === (1L to g.size.toLong), "ranks must be dense from 1")
+      val top = g.minBy(_._2)
+      assert(g.forall(r => r._4 <= top._4), "rank 1 must carry the maximal RRF score")
+    }
+  }
+
   test("d12_state_audit: a planted hot bucket's streamed refusals match the batch contract exactly") {
     // BandMaxBucket + 4 EXACT duplicates: identical signatures land every
     // doc in the same bucket of all `Bands` bands, so the streamed replay
