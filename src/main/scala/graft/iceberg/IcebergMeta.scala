@@ -86,13 +86,25 @@ object IcebergSchema {
     "Utf8" -> "string", "Int32" -> "int", "Int64" -> "long",
     "Float64" -> "double", "Boolean" -> "boolean", "Binary" -> "binary")
 
-  def withExtraction(fieldTypes: Seq[(String, String)]): IcebergSchema = {
+  /** The §1.3 schema-on-flush shape: typed extracted columns (ids 100+) +
+    * the `_payload_overflow` remainder (id 99) INSTEAD of the raw payload
+    * — the reference's extracted tables never carry a payload column.
+    * `keepPayload = true` is the EVOLUTION shape for a table that
+    * committed default-schema files before its extraction config
+    * appeared: Iceberg evolution may not drop a field, so the payload
+    * column stays (demoted to optional — post-config files read it as
+    * null) and the extracted columns join it. */
+  def withExtraction(fieldTypes: Seq[(String, String)], keepPayload: Boolean = false): IcebergSchema = {
     val extracted = fieldTypes.zipWithIndex.map { case ((name, dt), i) =>
       IcebergField(FieldIds.ExtractedStart + i, name,
         icebergTypes.getOrElse(dt, throw new IllegalArgumentException(s"bad type $dt")),
         required = false)
     }
-    IcebergSchema(0, default.fields.filterNot(_.id == FieldIds.Payload) ++ extracted :+
+    val baseFields =
+      if (keepPayload)
+        default.fields.map(f => if (f.id == FieldIds.Payload) f.copy(required = false) else f)
+      else default.fields.filterNot(_.id == FieldIds.Payload)
+    IcebergSchema(0, baseFields ++ extracted :+
       IcebergField(FieldIds.PayloadOverflow, "_payload_overflow", "string", required = false))
   }
 }

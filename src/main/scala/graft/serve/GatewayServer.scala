@@ -518,11 +518,17 @@ final class GatewayServer(
       .collect()
       .toSeq
       .map { r =>
+        // an EVOLVED table carries BOTH columns: pre-config rows have
+        // payload bytes (null overflow), post-config rows have null
+        // payload (typed columns + overflow remainder) — fall through
+        // null payload to the overflow, never NPE on either shape
         val payload =
-          if (cols("payload")) r.getAs[Array[Byte]]("payload")
-          else if (cols("_payload_overflow"))
-            Option(r.getAs[String]("_payload_overflow")).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
-          else Array.empty[Byte]
+          (if (cols("payload")) Option(r.getAs[Array[Byte]]("payload")) else None)
+            .orElse(
+              if (cols("_payload_overflow"))
+                Option(r.getAs[String]("_payload_overflow")).map(_.getBytes("UTF-8"))
+              else None)
+            .getOrElse(Array.empty[Byte])
         val key = if (cols("idempotency_key")) Option(r.getAs[String]("idempotency_key")) else None
         StoredEvent(
           r.getAs[Long]("sequence"), topic, r.getAs[Int]("partition"),
@@ -590,10 +596,17 @@ final class GatewayServer(
     // a table that existed BEFORE its extraction config appeared (or
     // whose config grew a field) evolves additively here, like the
     // ingest path's appendExtracted — evolveSchema no-ops when the
-    // declared schema already matches
+    // declared schema already matches. A default-schema past means the
+    // payload field must SURVIVE the evolution (Iceberg may not drop a
+    // field): keepPayload demotes it to optional next to the typed
+    // columns.
     tableSchemaConfig(topic).foreach { cfg =>
-      if (c.currentVersion() > 0)
-        c.evolveSchema(graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
+      if (c.currentVersion() > 0) {
+        val keep = c.currentSchema()
+          .exists(_.fields.exists(_.id == graft.iceberg.FieldIds.Payload))
+        c.evolveSchema(graft.iceberg.IcebergSchema.withExtraction(
+          cfg.fields.map(f => f.name -> f.dataType), keepPayload = keep))
+      }
     }
     var committed      = c.maxCommittedSequencePerPartition()
     var last: Option[Long] = None

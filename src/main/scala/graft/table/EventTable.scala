@@ -421,9 +421,16 @@ object EventTable {
         col("part_id").as("partition")
       ): _*
     )
-    val schema    = IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
+    val names     = cfg.fields.map(f => f.name -> f.dataType)
+    val schema    = IcebergSchema.withExtraction(names)
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic, schema)
-    if (committer.currentVersion() > 0) committer.evolveSchema(schema)
+    if (committer.currentVersion() > 0) {
+      // a default-schema past keeps its payload field through the
+      // evolution (Iceberg may not drop a field — see withExtraction)
+      val keep = committer.currentSchema()
+        .exists(_.fields.exists(_.id == graft.iceberg.FieldIds.Payload))
+      committer.evolveSchema(IcebergSchema.withExtraction(names, keepPayload = keep))
+    }
     val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))

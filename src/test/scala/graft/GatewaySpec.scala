@@ -346,6 +346,30 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(1) === "not json")
   }
 
+  test("extraction config appearing AFTER the table exists evolves the schema on the next flush") {
+    // Regression for the gateway metadata gap: committing typed columns
+    // without DECLARING them left any metadata-driven reader (ours, or an
+    // external Iceberg engine) seeing only the 8 default columns. A table
+    // flushed before its table_schema.json must evolve additively on the
+    // first post-config flush — the payload field survives (demoted to
+    // optional; Iceberg may not drop a field), pre-config rows read the
+    // new typed columns as null, post-config rows carry the extracted
+    // value with a null payload.
+    post("/tables/gwevolve", """{"payload":"{\"m\":{\"v\":1}}","partition":0,"timestamp_ms":1000}""")
+    assert(post("/tables/gwevolve/flush", "").statusCode() === 200)
+    val root = java.nio.file.Paths.get(baseDir, "gwevolve")
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}""")
+    post("/tables/gwevolve", """{"payload":"{\"m\":{\"v\":9}}","partition":0,"timestamp_ms":2000}""")
+    assert(post("/tables/gwevolve/flush", "").statusCode() === 200)
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("v"),
+      "the evolved schema must declare the extracted column")
+    val bySeq = committed.orderBy("sequence").select("v").collect()
+    assert(bySeq(0).isNullAt(0), "pre-config file reads the evolved column as null")
+    assert(bySeq(1).getInt(0) === 9, "post-config flush extracts the typed value")
+  }
+
   test("cold read of a schema-extracted table serves the retained overflow, not a 500") {
     // gwextract (flushed by the §1.3 test above) committed typed columns +
     // _payload_overflow INSTEAD of a payload column — the cold tier must
