@@ -106,6 +106,12 @@ object CorpusQueries {
     * ≥ 12 here: the Lee et al. min-match-length knob in word units). */
   val SubstrMinRunGrams = 8
 
+  /** t19: BPE merge-learning rounds. Each round is one vocab-sized pair
+    * count + a LIMIT-1 argmax; K bounds the learned table (real
+    * tokenizers run tens of thousands of rounds of exactly this step —
+    * the ENGINE contract is the round, not the vocabulary size). */
+  val BpeLearnMerges = 6
+
   // t18: the Gopher quality-rule gate (Rae et al. 2021, public — Table A1's
   // heuristics). The RULE SHAPES are the contract; the band constants are
   // config, here tuned so every rule is exercised by the synthetic corpus
@@ -589,6 +595,67 @@ object CorpusQueries {
           coalesce(max("max_run"), lit(0L)).as("max_run"))
     },
 
+    // ---------- BPE merge learning ----------
+    "t19_bpe_learn" -> { (s, dir) =>
+      // BPE merge LEARNING (Sennrich et al. 2016, public): K rounds of
+      // count-adjacent-symbol-pairs → take the most frequent pair →
+      // merge it corpus-wide. t13 APPLIES a fixed merge table; this
+      // LEARNS one — the other half of the tokenizer story.
+      //
+      // Distributed shape: everything runs over the VOCABULARY frame
+      // (word, count) — corpus-sized text folds to the bounded
+      // word-count table first (t16's vocabulary assumption), so each
+      // round is one partial-aggregatable (l, r) pair-count shuffle over
+      // vocab rows plus a LIMIT-1 argmax. The chosen pair (ONE row per
+      // round — a decision value, like compaction's candidate list) is
+      // collected and embedded as literals in the next round's plan; the
+      // driver sees K rows total, and the K-row result is returned as a
+      // local frame. Merge application is a separator-anchored string
+      // replace — both engines scan left-to-right over non-overlapping
+      // occurrences, the shared-separator anchoring prevents cross-
+      // boundary matches AND back-to-back double merges (greedy BPE
+      // semantics), and the U+0001 separator cannot occur inside a symbol (symbols are
+      // whitespace-split word characters; a corpus carrying literal
+      // U+0001 bytes needs upstream sanitation). Tie-break: count desc,
+      // then (l, r) binary-ascending — identical in both engines.
+      val sep = "char(1)"
+      val base = docs(s, dir)
+        .select(explode(expr(LlmQueries.wordsExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("seq", expr(
+          s"concat($sep, array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), $sep), $sep)"))
+        .select("cnt", "seq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      try {
+        var seqs: DataFrame = base
+        (1 to BpeLearnMerges).foreach { round =>
+          val top = seqs
+            .select(col("cnt"), expr(s"filter(split(seq, $sep), x -> x != '')").as("syms"))
+            .filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum("cnt").as("pcnt"))
+            .orderBy(col("pcnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          top.headOption.foreach { row =>
+            val (lSym, rSym, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += org.apache.spark.sql.Row(round.toLong, lSym, rSym, c)
+            def q(x: String) = x.replace("'", "''")
+            seqs = seqs.withColumn("seq", expr(
+              s"replace(seq, concat($sep, '${q(lSym)}', $sep, '${q(rSym)}', $sep), concat($sep, '${q(lSym)}${q(rSym)}', $sep))"))
+          }
+        }
+      } finally base.unpersist()
+      val st = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_sym", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r_sym", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType)))
+      s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava, st)
+    },
+
     // ---------- Gopher quality-rule gate ----------
     "t18_gopher_rules" -> { (s, dir) =>
       // The Gopher/MassiveText repetition-independent document filters
@@ -883,6 +950,37 @@ object CorpusQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // t19 twin: the same K rounds unrolled as CTE triplets (pair counts →
+    // LIMIT-1 argmax → separator-anchored replace). An exhausted
+    // vocabulary leaves pK empty; the coalesce(chr(2)) guards turn the
+    // replace into a no-op instead of poisoning seq with NULL, and the
+    // UNION arms contribute nothing — matching the Spark loop's break.
+    "t19_bpe_learn" -> {
+      def round(i: Int) =
+        s"""pc$i AS (
+           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+           |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
+           |      SELECT cnt, list_filter(string_split(seq, chr(1)), x -> x != '') AS syms FROM s${i - 1}),
+           |      LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+           |    WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT l, r, pcnt FROM pc$i ORDER BY pcnt DESC, l, r LIMIT 1),
+           |s$i AS (SELECT cnt, replace(seq,
+           |          coalesce((SELECT chr(1) || l || chr(1) || r || chr(1) FROM p$i), chr(2)),
+           |          coalesce((SELECT chr(1) || l || r || chr(1) FROM p$i), chr(2))) AS seq FROM s${i - 1})""".stripMargin
+      s"""WITH base AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), w0 AS (SELECT word, count(*) AS cnt FROM (SELECT unnest(words) AS word FROM base) GROUP BY 1),
+         |s0 AS (
+         |  SELECT cnt,
+         |         chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1)) || chr(1) AS seq
+         |  FROM w0),
+         |${(1 to BpeLearnMerges).map(round).mkString(",\n")}
+         |${(1 to BpeLearnMerges)
+             .map(i => s"SELECT $i::BIGINT AS merge_rank, l AS l_sym, r AS r_sym, pcnt AS pair_count FROM p$i")
+             .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "t18_gopher_rules" ->
       s"""WITH w AS (
          |  SELECT source, text,

@@ -1454,6 +1454,38 @@ object LlmQueries {
     },
 
     // ---------- retrieval: ANN hits joined back to the document store ----------
+    // ---------- per-label embedding coherence audit ----------
+    "e1_embedding_coherence" -> { (s, dir) =>
+      // The curation-side question "does this label hold together in
+      // embedding space?" — per-label centroid plus the distribution of
+      // each member's cosine to its OWN centroid (a low min or mean flags
+      // a polluted label; the audit a labeling pipeline runs next to
+      // d13's semantic dedup). Numerics are the shared k-means toolkit:
+      // ORDER-INDEPENDENT fixed-point component sums (floor(x·2^20) —
+      // both engines derive bit-identical binary64 centroids from
+      // identical integer sums) and floor(cos·2^20) integers for the
+      // per-member fold — no unordered float aggregation anywhere, so the
+      // row set hash-gates. Scale shape: one partial-aggregatable
+      // (label, dim) shuffle for the centroids, centroids broadcast back
+      // (labels are a bounded dimension), one map-side cosine pass, one
+      // label rollup.
+      val e = emb(s, dir)
+      val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+        .select(col("label"),
+          expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
+      e.join(broadcast(cents), "label")
+        .withColumn("cos_fp", expr(s"cast(floor((${cosSim("v", "cv")}) * 1048576) as bigint)"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum("cos_fp").as("sum_cos_fp"),
+             min("cos_fp").as("min_cos_fp"),
+             max("cos_fp").as("max_cos_fp"))
+    },
+
     // ---------- hybrid retrieval: lexical + dense, RRF-fused ----------
     "r2_hybrid_retrieve" -> { (s, dir) =>
       // The production RAG retriever shape: a BM25-backbone lexical
@@ -2529,6 +2561,26 @@ object LlmQueries {
         s"""WITH hits AS ($bruteSql)
            |SELECT h.q_id, h.rank, h.neighbor_id, d.source, d.n_chars
            |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin,
+      // e1 twin: per-label fixed-point centroids (the ivfUpdateSql
+      // pattern keyed by label) + floor(cos·2^20) member folds.
+      "e1_embedding_coherence" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (
+           |  SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+           |    SELECT label, dd.d AS d,
+           |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+           |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |sc AS (
+           |  SELECT e.label,
+           |         CAST(floor((list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))) * 1048576) AS BIGINT) AS cos_fp
+           |  FROM e JOIN c USING (label))
+           |SELECT label::BIGINT AS label, count(*) AS n_vecs,
+           |  CAST(sum(cos_fp) AS BIGINT) AS sum_cos_fp,
+           |  min(cos_fp) AS min_cos_fp,
+           |  max(cos_fp) AS max_cos_fp
+           |FROM sc GROUP BY 1""".stripMargin,
       // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
       // the dense arm embeds the ivf probe-2 query whole (DuckDB allows a
       // nested WITH inside a CTE body), fusion is the same integer RRF.

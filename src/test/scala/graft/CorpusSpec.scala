@@ -201,6 +201,43 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 BPE learning equals a serial reference learner") {
+    val K = CorpusQueries.BpeLearnMerges
+    // word multiset → per-word symbol sequences, then K rounds of
+    // (count overlapping adjacent pairs, weighted) → argmax (count desc,
+    // pair asc) → greedy left-to-right merge application per word
+    val wordCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, text, _, _) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w => wordCnt(w) += 1L)
+    }
+    var syms: Map[String, Seq[String]] = wordCnt.keys.map(w => w -> w.map(_.toString)).toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (1 to K).foreach { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      syms.foreach { case (w, ss) =>
+        ss.sliding(2).filter(_.size == 2).foreach(p => counts((p(0), p(1))) += wordCnt(w))
+      }
+      if (counts.nonEmpty) {
+        val (bl, br) = counts.keys.toSeq.minBy { case (l, r) => (-counts((l, r)), l, r) }
+        expected += ((round.toLong, bl, br, counts((bl, br))))
+        syms = syms.view.mapValues { ss =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.size) {
+            if (i + 1 < ss.size && ss(i) == bl && ss(i + 1) == br) { out += bl + br; i += 2 }
+            else { out += ss(i); i += 1 }
+          }
+          out.toSeq
+        }.toMap
+      }
+    }
+    val got = CorpusQueries.queries("t19_bpe_learn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("l_sym"),
+                 r.getAs[String]("r_sym"), r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
+    assert(got === expected.toSeq)
+    assert(got.size === K, "the fixture vocabulary must sustain all K merge rounds")
+  }
+
   test("t18 gopher rules: first-fail funnel reconciles per source and the live rules fire") {
     val rows = CorpusQueries.queries("t18_gopher_rules")(spark, dir).collect()
     val dropCols = Seq("n_drop_words", "n_drop_meanlen", "n_drop_symbol", "n_drop_alpha", "n_drop_stop")
