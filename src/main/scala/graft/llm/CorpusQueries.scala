@@ -610,20 +610,28 @@ object CorpusQueries {
       // round — a decision value, like compaction's candidate list) is
       // collected and embedded as literals in the next round's plan; the
       // driver sees K rows total, and the K-row result is returned as a
-      // local frame. Merge application is a separator-anchored string
+      // local frame. Merge application is a boundary-anchored string
       // replace — both engines scan left-to-right over non-overlapping
-      // occurrences, the shared-separator anchoring prevents cross-
-      // boundary matches AND back-to-back double merges (greedy BPE
-      // semantics), and the U+0001 separator cannot occur inside a symbol (symbols are
+      // occurrences; the anchoring prevents cross-boundary matches, and
+      // the U+0001 separator cannot occur inside a symbol (symbols are
       // whitespace-split word characters; a corpus carrying literal
       // U+0001 bytes needs upstream sanitation). Tie-break: count desc,
       // then (l, r) binary-ascending — identical in both engines.
-      val sep = "char(1)"
+      // BOUNDARIES ARE DOUBLE SEPARATORS (U+0001 U+0001): a merge pattern
+      // consumes only the INNER separator of each shared boundary
+      // (sep·l·sep·sep·r·sep → sep·lr·sep), so back-to-back occurrences
+      // of the winning pair all merge in one pass — the zero-width
+      // lookaround semantics of Sennrich's own re.sub, which a
+      // single-separator pattern cannot reproduce ("mama" would
+      // under-merge to [ma, m, a] because the shared boundary is
+      // consumed; verified against the serial reference learner).
+      val sep  = "char(1)"
+      val sep2 = s"concat($sep, $sep)"
       val base = docs(s, dir)
         .select(explode(expr(LlmQueries.wordsExpr)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .withColumn("seq", expr(
-          s"concat($sep, array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), $sep), $sep)"))
+          s"concat($sep2, array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), $sep2), $sep2)"))
         .select("cnt", "seq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -642,9 +650,12 @@ object CorpusQueries {
           top.headOption.foreach { row =>
             val (lSym, rSym, c) = (row.getString(0), row.getString(1), row.getLong(2))
             merges += org.apache.spark.sql.Row(round.toLong, lSym, rSym, c)
-            def q(x: String) = x.replace("'", "''")
+            // Spark string literals need BACKSLASH escaping — SQL-style
+            // quote doubling would parse 'n''t' as adjacent-literal
+            // concatenation ("nt") and silently corrupt the pattern
+            def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
             seqs = seqs.withColumn("seq", expr(
-              s"replace(seq, concat($sep, '${q(lSym)}', $sep, '${q(rSym)}', $sep), concat($sep, '${q(lSym)}${q(rSym)}', $sep))"))
+              s"replace(seq, concat($sep, '${q(lSym)}', $sep2, '${q(rSym)}', $sep), concat($sep, '${q(lSym)}${q(rSym)}', $sep))"))
           }
         }
       } finally base.unpersist()
@@ -956,6 +967,10 @@ object CorpusQueries {
     // replace into a no-op instead of poisoning seq with NULL, and the
     // UNION arms contribute nothing — matching the Spark loop's break.
     "t19_bpe_learn" -> {
+      // Boundaries are DOUBLE chr(1)s; the merge pattern consumes only
+      // the inner separator of each shared boundary (Sennrich's
+      // zero-width-lookaround semantics — back-to-back occurrences of
+      // the winning pair all merge), mirroring the Spark side exactly.
       def round(i: Int) =
         s"""pc$i AS (
            |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
@@ -966,7 +981,7 @@ object CorpusQueries {
            |  GROUP BY 1, 2),
            |p$i AS (SELECT l, r, pcnt FROM pc$i ORDER BY pcnt DESC, l, r LIMIT 1),
            |s$i AS (SELECT cnt, replace(seq,
-           |          coalesce((SELECT chr(1) || l || chr(1) || r || chr(1) FROM p$i), chr(2)),
+           |          coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1) FROM p$i), chr(2)),
            |          coalesce((SELECT chr(1) || l || r || chr(1) FROM p$i), chr(2))) AS seq FROM s${i - 1})""".stripMargin
       s"""WITH base AS (
          |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
@@ -974,7 +989,7 @@ object CorpusQueries {
          |), w0 AS (SELECT word, count(*) AS cnt FROM (SELECT unnest(words) AS word FROM base) GROUP BY 1),
          |s0 AS (
          |  SELECT cnt,
-         |         chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1)) || chr(1) AS seq
+         |         chr(1) || chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1) || chr(1)) || chr(1) || chr(1) AS seq
          |  FROM w0),
          |${(1 to BpeLearnMerges).map(round).mkString(",\n")}
          |${(1 to BpeLearnMerges)

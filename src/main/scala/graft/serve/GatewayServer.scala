@@ -105,14 +105,47 @@ final class GatewayServer(
       // commit — readers (ours and external engines) drive reads off
       // metadata, not parquet footers, so committing typed columns
       // without declaring them would make them invisible.
-      val schema = schemaConfigFrom(io)
+      val cfgSchema = schemaConfigFrom(io)
         .map(cfg => graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
-        .getOrElse(graft.iceberg.IcebergSchema.default)
-      val c = new IcebergCommitter(io, t, schema)
+      val c = new IcebergCommitter(io, t, cfgSchema.getOrElse(graft.iceberg.IcebergSchema.default))
+      // HEAL on first access (read or write): a table committed by a
+      // build that predates declared extraction — or whose config
+      // appeared without a flush since — gets its metadata evolved here,
+      // so a read-only workload is not stuck with invisible columns. An
+      // incompatible config must not brick reads: log and continue under
+      // the declared schema; the flush path re-raises with remediation.
+      if (cfgSchema.isDefined)
+        try ensureExtractionDeclared(c)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[gateway] $t: ${e.getMessage}")
+        }
       hot.seed(t, c.maxCommittedSequencePerPartition()) // F9 reconciliation
       c
     })
   }
+
+  /** Evolve an EXISTING table's metadata to declare its configured
+    * extraction (additive; no-op when already declared; keeps the payload
+    * field when the declared past has one). Throws an actionable error on
+    * a non-additive config edit — the caller decides whether that brick's
+    * its path (flush: yes, files must not diverge from metadata) or is
+    * logged (read: no). */
+  private def ensureExtractionDeclared(c: IcebergCommitter): Unit =
+    schemaConfigFrom(c.io).foreach { cfg =>
+      if (c.currentVersion() > 0) {
+        val cur  = c.currentSchema()
+        val keep = cur.exists(_.fields.exists(_.id == graft.iceberg.FieldIds.Payload))
+        try c.evolveSchema(graft.iceberg.IcebergSchema.withExtraction(
+          cfg.fields.map(f => f.name -> f.dataType), keepPayload = keep))
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalStateException(
+              s"table_schema.json for '${c.topic}' is incompatible with the declared schema " +
+                s"(${e.getMessage}): revert the config change or create a new table", e)
+        }
+      }
+    }
 
   // ---------------------------------------------------------------- server
 
@@ -564,10 +597,16 @@ final class GatewayServer(
     schemaConfigFrom(committer(topic).io)
 
   /** io-level variant so [[committer]] can read the config BEFORE the
-    * committer (and its construction-time schema) exists. */
+    * committer (and its construction-time schema) exists.
+    *
+    * HARDENED: a malformed config (bad JSON, missing keys, unsupported
+    * data_type) degrades to None — no extraction — with a loud log and a
+    * metric, instead of throwing inside committer construction and
+    * bricking every request for the topic (posts and hot reads never
+    * depended on the config being parseable). */
   private def schemaConfigFrom(io: graft.iceberg.TableIO): Option[graft.extract.TableSchemaConfig] = {
     if (!io.exists("table_schema.json")) None
-    else {
+    else scala.util.Try {
       val n = mapper.readTree(io.get("table_schema.json"))
       val fields = Option(n.get("fields")).toSeq.flatMap(_.elements().asScala).map { f =>
         graft.extract.FieldSpec(
@@ -576,8 +615,18 @@ final class GatewayServer(
           f.get("data_type").asText,
           Option(f.get("nullable")).forall(_.asBoolean))
       }
-      Some(graft.extract.TableSchemaConfig(
-        Option(n.get("payload_format")).map(_.asText).getOrElse("json"), fields))
+      val cfg = graft.extract.TableSchemaConfig(
+        Option(n.get("payload_format")).map(_.asText).getOrElse("json"), fields)
+      // validate data_types eagerly — a bad type must invalidate the
+      // whole config HERE, not throw later inside a schema build
+      graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
+      cfg
+    } match {
+      case scala.util.Success(cfg) => Some(cfg)
+      case scala.util.Failure(e) =>
+        System.err.println(s"[gateway] ignoring invalid table_schema.json under ${io.root}: ${e.getMessage}")
+        metrics.inc("zombi_schema_config_errors_total")
+        None
     }
   }
 
@@ -591,22 +640,27 @@ final class GatewayServer(
     * `_payload_overflow`). Serialized per table with compaction — both
     * rewrite the same table dir. */
   def flushNow(topic: String): Option[Long] = tableLock(topic).synchronized {
-    val c    = committer(topic)
+    val c0   = committer(topic)
     val root = s"$baseDir/$topic"
-    // a table that existed BEFORE its extraction config appeared (or
-    // whose config grew a field) evolves additively here, like the
-    // ingest path's appendExtracted — evolveSchema no-ops when the
-    // declared schema already matches. A default-schema past means the
-    // payload field must SURVIVE the evolution (Iceberg may not drop a
-    // field): keepPayload demotes it to optional next to the typed
-    // columns.
-    tableSchemaConfig(topic).foreach { cfg =>
-      if (c.currentVersion() > 0) {
-        val keep = c.currentSchema()
-          .exists(_.fields.exists(_.id == graft.iceberg.FieldIds.Payload))
-        c.evolveSchema(graft.iceberg.IcebergSchema.withExtraction(
-          cfg.fields.map(f => f.name -> f.dataType), keepPayload = keep))
-      }
+    // The flush must commit under the DECLARED extraction, whatever the
+    // config's timing relative to this committer's construction:
+    //  - config appeared while the cached committer (default schema) had
+    //    NOT committed yet → the first commit's metadata must carry the
+    //    extracted schema, so the cached committer is swapped;
+    //  - table existed before the config (or the config grew a field) →
+    //    additive evolution, payload surviving as optional (Iceberg may
+    //    not drop a field); a NON-additive edit raises the remediation
+    //    error here rather than committing files that diverge from
+    //    metadata.
+    val c = schemaConfigFrom(c0.io) match {
+      case Some(cfg) if c0.currentVersion() == 0 &&
+          !c0.schema.fields.exists(_.id == graft.iceberg.FieldIds.PayloadOverflow) =>
+        val fresh = new IcebergCommitter(c0.io, topic,
+          graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
+        committers.put(topic, fresh)
+        fresh
+      case Some(_) => ensureExtractionDeclared(c0); c0
+      case None    => c0
     }
     var committed      = c.maxCommittedSequencePerPartition()
     var last: Option[Long] = None

@@ -238,6 +238,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.size === K, "the fixture vocabulary must sustain all K merge rounds")
   }
 
+  test("t19 merges back-to-back pair repeats like greedy BPE (the lookaround semantics)") {
+    // "mamama"-shaped words are the case a shared-separator replace
+    // under-merges ([ma, m, a] instead of [ma, ma]): with (m, a) winning
+    // round 1, round 2's top pair must be (ma, ma) — only possible if
+    // BOTH adjacent (m, a) occurrences merged in every word.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-t19-runs-").toString
+    Seq((0L, "mama mama mamama", "en", "s0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    try {
+      val got = CorpusQueries.queries("t19_bpe_learn")(spark, d).collect()
+        .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("l_sym"),
+                   r.getAs[String]("r_sym"), r.getAs[Long]("pair_count"))).sortBy(_._1)
+      // vocab: mama(cnt 2: pairs (m,a)×2, (a,m)×1), mamama(cnt 1: (m,a)×3,
+      // (a,m)×2) → round 1 learns (m, a) at 2·2+3 = 7
+      assert(got(0) === ((1L, "m", "a", 7L)), s"round 1 must learn (m, a): ${got.toSeq}")
+      // round 2 sees mama -> [ma, ma] (cnt 2 → 1 pair each) and
+      // mamama -> [ma, ma, ma] (cnt 1 → 2 pairs): (ma, ma) counts
+      // 2 + 2 = 4 — those sequences exist ONLY if BOTH adjacent (m, a)
+      // occurrences merged in every word
+      assert(got(1) === ((2L, "ma", "ma", 4L)),
+        s"round 2 must learn (ma, ma) at 4 — back-to-back merges must not be dropped: ${got.toSeq}")
+    } finally graft.core.FsUtil.deleteRecursively(d)
+  }
+
   test("t18 gopher rules: first-fail funnel reconciles per source and the live rules fire") {
     val rows = CorpusQueries.queries("t18_gopher_rules")(spark, dir).collect()
     val dropCols = Seq("n_drop_words", "n_drop_meanlen", "n_drop_symbol", "n_drop_alpha", "n_drop_stop")
@@ -278,6 +304,10 @@ class CorpusSpec extends AnyFunSuite {
     val src = spark.read.parquet(s"$dir/documents.parquet")
     val alt = java.nio.file.Files.createTempDirectory("graft-resplit-").toString
     src.repartition(7).write.parquet(s"$alt/documents.parquet")
+    // embeddings re-split too: e1's fixed-point centroid sums are the
+    // order-independence claim under test
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(3).write.parquet(s"$alt/embeddings.parquet")
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "5")
     def rows(s: org.apache.spark.sql.SparkSession, d: String, q: String): Seq[Seq[Any]] =
@@ -291,7 +321,7 @@ class CorpusSpec extends AnyFunSuite {
       // t18/t15_funnel_ppl's permille gates join as the round-13 cohort
       Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter",
           "t17_shard_export", "d17_substring_dedup", "t18_gopher_rules",
-          "t15_funnel_ppl").foreach { q =>
+          "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

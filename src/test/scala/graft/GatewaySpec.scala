@@ -370,6 +370,42 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bySeq(1).getInt(0) === 9, "post-config flush extracts the typed value")
   }
 
+  test("config appearing after the committer is cached but BEFORE the first flush still declares the extraction") {
+    // The version-0 late-config hole: POST caches the committer (default
+    // schema, nothing committed), THEN table_schema.json appears, then
+    // the first flush runs — the first commit's metadata must carry the
+    // extracted schema (the cached committer is swapped), or the typed
+    // columns would be invisible to every metadata-driven reader and a
+    // later compaction would drop them permanently.
+    post("/tables/gwlatecfg", """{"payload":"{\"m\":{\"v\":3}}","partition":0,"timestamp_ms":1000}""")
+    val root = java.nio.file.Paths.get(baseDir, "gwlatecfg")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}""")
+    assert(post("/tables/gwlatecfg/flush", "").statusCode() === 200)
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("v"),
+      "the FIRST commit's metadata must declare the extracted column")
+    assert(committed.select("v").collect().head.getInt(0) === 3)
+  }
+
+  test("a malformed table_schema.json degrades to no-extraction instead of bricking the topic") {
+    val root = java.nio.file.Paths.get(baseDir, "gwbadcfg")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Float512"}]}""")
+    // posts, hot reads, and flush must all keep working (pre-hardening,
+    // config parsing inside committer construction 500'd every request)
+    val w = post("/tables/gwbadcfg", """{"payload":"ok","partition":0,"timestamp_ms":1000}""")
+    assert(w.statusCode() === 202, w.body())
+    assert(get("/tables/gwbadcfg?partition=0").statusCode() === 200)
+    assert(post("/tables/gwbadcfg/flush", "").statusCode() === 200)
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("payload"),
+      "an invalid config flushes unextracted under the default schema")
+    assert(!committed.columns.contains("v"))
+  }
+
   test("cold read of a schema-extracted table serves the retained overflow, not a 500") {
     // gwextract (flushed by the §1.3 test above) committed typed columns +
     // _payload_overflow INSTEAD of a payload column — the cold tier must

@@ -192,6 +192,14 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally graft.core.SessionMemo.release(s2)
   }
 
+  test("e1_embedding_coherence: centroids broadcast back; no window, no cartesian") {
+    val p = plan("e1_embedding_coherence")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the label-centroid frame (bounded dimension) must broadcast to the member pass")
+    assert(!p.contains("Window "), "the coherence fold must stay a partial-aggregatable agg")
+    assert(!p.contains("CartesianProduct"), "the member join keys on label")
+  }
+
   test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
     val p = plan("t12_mixture_resample")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
