@@ -201,15 +201,15 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
-  test("t19 BPE learning equals a serial reference learner") {
+  /** Serial reference BPE learner — word multiset → per-word symbol
+    * sequences, then K rounds of (count overlapping adjacent pairs,
+    * weighted) → argmax (count desc, pair asc) → greedy left-to-right
+    * merge application per word. The naive twin shared by the fixture
+    * test and the fuzz trials. */
+  private def t19Naive(texts: Seq[String]): Seq[(Long, String, String, Long)] = {
     val K = CorpusQueries.BpeLearnMerges
-    // word multiset → per-word symbol sequences, then K rounds of
-    // (count overlapping adjacent pairs, weighted) → argmax (count desc,
-    // pair asc) → greedy left-to-right merge application per word
     val wordCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    docs.foreach { case (_, text, _, _) =>
-      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w => wordCnt(w) += 1L)
-    }
+    texts.foreach(_.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w => wordCnt(w) += 1L))
     var syms: Map[String, Seq[String]] = wordCnt.keys.map(w => w -> w.map(_.toString)).toMap
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     (1 to K).foreach { round =>
@@ -231,11 +231,45 @@ class CorpusSpec extends AnyFunSuite {
         }.toMap
       }
     }
-    val got = CorpusQueries.queries("t19_bpe_learn")(spark, dir).collect()
-      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("l_sym"),
-                 r.getAs[String]("r_sym"), r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
-    assert(got === expected.toSeq)
-    assert(got.size === K, "the fixture vocabulary must sustain all K merge rounds")
+    expected.toSeq
+  }
+
+  private def t19Rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] =
+    df.collect().map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("l_sym"),
+                           r.getAs[String]("r_sym"), r.getAs[Long]("pair_count"))).sortBy(_._1).toSeq
+
+  test("t19 BPE learning equals a serial reference learner") {
+    val expected = t19Naive(docs.map(_._2))
+    val got = t19Rows(CorpusQueries.queries("t19_bpe_learn")(spark, dir))
+    assert(got === expected)
+    assert(got.size === CorpusQueries.BpeLearnMerges,
+      "the fixture vocabulary must sustain all K merge rounds")
+  }
+
+  test("t19 fuzz: random syllable corpora (repeat-heavy) match the serial learner") {
+    // Syllable-built words make back-to-back winning-pair repeats COMMON
+    // — exactly the regime where merge-application semantics (lookaround
+    // vs separator-consuming) diverge, and where tie-breaks get
+    // exercised hard (few distinct pairs, many equal counts).
+    val syllables = Seq("ma", "mi", "ha", "ta")
+    val rnd = new scala.util.Random(1313)
+    import spark.implicits._
+    (1 to 4).foreach { trial =>
+      val texts = (0 until 4 + rnd.nextInt(4)).map { _ =>
+        (0 until 3 + rnd.nextInt(5))
+          .map(_ => Seq.fill(1 + rnd.nextInt(4))(syllables(rnd.nextInt(syllables.size))).mkString)
+          .mkString(" ")
+      }
+      val d = java.nio.file.Files.createTempDirectory(s"graft-t19-fuzz$trial-").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      try {
+        val got = t19Rows(CorpusQueries.queries("t19_bpe_learn")(spark, d))
+        assert(got === t19Naive(texts),
+          s"trial $trial diverged on corpus:\n${texts.mkString("\n")}")
+      } finally graft.core.FsUtil.deleteRecursively(d)
+    }
   }
 
   test("t19 merges back-to-back pair repeats like greedy BPE (the lookaround semantics)") {
