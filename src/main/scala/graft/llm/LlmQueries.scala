@@ -801,16 +801,21 @@ object LlmQueries {
     lshCache.remove(s, dir)
     CorpusQueries.evictFunnel(s, dir)
     CorpusQueries.evictLmToks(s, dir)
-    // d12's sink is dir-keyed (session-independent files): drop the entry
-    // and its parquet so a reused dir path recomputes instead of serving
-    // a stale pre-change pair set
+    // d12's sink AND staging replica are dir-keyed (session-independent
+    // files): drop the entries and their parquet so a reused dir path
+    // recomputes instead of serving a stale pre-change pair set, and a
+    // throwaway dir doesn't leave its staging replica on disk until JVM
+    // exit
     streamDupSink.synchronized {
-      streamDupSinkCache.keys.filter(k => k == dir || k.startsWith(dir + "@")).toSeq
-        .foreach { k =>
-          streamDupSinkCache.remove(k).foreach(sink =>
-            try graft.core.FsUtil.deleteRecursively(sink)
-            catch { case scala.util.control.NonFatal(_) => () })
-        }
+      def drop(cache: scala.collection.mutable.Map[String, String]): Unit =
+        cache.keys.filter(k => k == dir || k.startsWith(dir + "@")).toSeq
+          .foreach { k =>
+            cache.remove(k).foreach(path =>
+              try graft.core.FsUtil.deleteRecursively(path)
+              catch { case scala.util.control.NonFatal(_) => () })
+          }
+      drop(streamDupSinkCache)
+      drop(streamStageCache)
     }
   }
 

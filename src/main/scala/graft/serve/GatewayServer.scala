@@ -651,16 +651,41 @@ final class GatewayServer(
     //    additive evolution, payload surviving as optional (Iceberg may
     //    not drop a field); a NON-additive edit raises the remediation
     //    error here rather than committing files that diverge from
-    //    metadata.
+    //    metadata;
+    //  - config DISAPPEARED (deleted or degraded to None by the malformed-
+    //    config hardening) after a committer was built WITH extraction:
+    //    the flush below would write default-shaped files (payload column,
+    //    no typed columns) — at v0 swap back to a default-schema committer
+    //    so files and first-commit metadata agree; past v0, fail with a
+    //    remediation error when the committed metadata has no payload
+    //    field to read those files through (a silent commit would serve
+    //    every flushed payload back as empty).
     val c = schemaConfigFrom(c0.io) match {
-      case Some(cfg) if c0.currentVersion() == 0 &&
-          !c0.schema.fields.exists(_.id == graft.iceberg.FieldIds.PayloadOverflow) =>
-        val fresh = new IcebergCommitter(c0.io, topic,
-          graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType)))
-        committers.put(topic, fresh)
-        fresh
+      case Some(cfg) if c0.currentVersion() == 0 =>
+        val want = graft.iceberg.IcebergSchema.withExtraction(cfg.fields.map(f => f.name -> f.dataType))
+        // rebuild on ANY mismatch, not just missing-extraction: a config
+        // edited since this committer's construction (e.g. grew a field)
+        // must not commit v1 metadata with the stale field set
+        if (c0.schema == want) c0
+        else {
+          val fresh = new IcebergCommitter(c0.io, topic, want)
+          committers.put(topic, fresh)
+          fresh
+        }
       case Some(_) => ensureExtractionDeclared(c0); c0
-      case None    => c0
+      case None =>
+        val declared =
+          if (c0.currentVersion() > 0) c0.currentSchema().getOrElse(c0.schema) else c0.schema
+        if (!declared.fields.exists(_.id == graft.iceberg.FieldIds.PayloadOverflow)) c0
+        else if (c0.currentVersion() == 0) {
+          val fresh = new IcebergCommitter(c0.io, topic, graft.iceberg.IcebergSchema.default)
+          committers.put(topic, fresh)
+          fresh
+        } else if (declared.fields.exists(_.id == graft.iceberg.FieldIds.Payload)) c0
+        else
+          throw new IllegalStateException(
+            s"$topic: table_schema.json is missing or invalid but the committed schema declares " +
+            "extraction without a payload field; restore the config (or evolve the schema) before flushing")
     }
     var committed      = c.maxCommittedSequencePerPartition()
     var last: Option[Long] = None

@@ -469,11 +469,15 @@ object EventTable {
     // read as null).
     val dataFields = fields.filterNot(_.name == "partition")
     if (active.isEmpty) {
-      // typed empty frame in the same layout, nullability from metadata
+      // typed empty frame in the same layout. Nullability is nullable=true
+      // to MATCH the non-empty branch (a user-schema parquet read returns
+      // nullable columns regardless of metadata required flags, and
+      // evolved columns genuinely are null in pre-evolution files) — the
+      // two paths must return identical StructTypes for the same table.
       val part = fields.find(_.name == "partition")
       val st = StructType(
-        dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = !f.required)) ++
-          part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = !f.required)))
+        dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)) ++
+          part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     } else {
       val st = StructType(

@@ -120,6 +120,17 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.filter(col("k_str").isNotNull).count() === kStrBefore)
   }
 
+  test("empty and non-empty projected reads return the identical StructType") {
+    // The empty branch once derived nullability from metadata required
+    // flags while the non-empty branch hardcoded nullable=true — the
+    // same table must present one schema regardless of row count.
+    val root = Files.createTempDirectory("graft-proj-schema-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val nonEmpty = EventTable.readCommittedProjected(spark, root).schema
+    val empty    = EventTable.readCommittedProjected(spark, root, Seq.empty).schema
+    assert(empty === nonEmpty)
+  }
+
   test("C3 rollback: a concurrent commit aborts compaction and removes rewrites") {
     val root = Files.createTempDirectory("graft-compact-conflict-").toString
     EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))

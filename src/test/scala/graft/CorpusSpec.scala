@@ -210,7 +210,21 @@ class CorpusSpec extends AnyFunSuite {
     val K = CorpusQueries.BpeLearnMerges
     val wordCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     texts.foreach(_.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w => wordCnt(w) += 1L))
-    var syms: Map[String, Seq[String]] = wordCnt.keys.map(w => w -> w.map(_.toString)).toMap
+    // initial symbols are CODEPOINTS, not UTF-16 units: both engines'
+    // string functions count code points, so a supplementary-plane char
+    // is one symbol there — splitting it into surrogate halves here
+    // would learn merges neither engine can produce
+    def codepoints(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toSeq
+    }
+    var syms: Map[String, Seq[String]] = wordCnt.keys.map(w => w -> codepoints(w)).toMap
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     (1 to K).foreach { round =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
@@ -218,7 +232,24 @@ class CorpusSpec extends AnyFunSuite {
         ss.sliding(2).filter(_.size == 2).foreach(p => counts((p(0), p(1))) += wordCnt(w))
       }
       if (counts.nonEmpty) {
-        val (bl, br) = counts.keys.toSeq.minBy { case (l, r) => (-counts((l, r)), l, r) }
+        // tie-break by UTF-8 BYTES, not Java compareTo (UTF-16 code
+        // units): both engines order strings by binary/UTF-8 collation
+        // (Spark UTF8String, DuckDB binary), and the two diverge for
+        // supplementary-plane characters — the twin must match the
+        // engines, not the JVM default
+        val u8: Ordering[String] = (a: String, b: String) =>
+          java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        val pairOrd: Ordering[(String, String)] = new Ordering[(String, String)] {
+          def compare(a: (String, String), b: (String, String)): Int = {
+            val c = java.lang.Long.compare(counts(b), counts(a)) // count desc
+            if (c != 0) c
+            else {
+              val cl = u8.compare(a._1, b._1)
+              if (cl != 0) cl else u8.compare(a._2, b._2)
+            }
+          }
+        }
+        val (bl, br) = counts.keys.min(pairOrd)
         expected += ((round.toLong, bl, br, counts((bl, br))))
         syms = syms.view.mapValues { ss =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -270,6 +301,27 @@ class CorpusSpec extends AnyFunSuite {
           s"trial $trial diverged on corpus:\n${texts.mkString("\n")}")
       } finally graft.core.FsUtil.deleteRecursively(d)
     }
+  }
+
+  test("t19 tie-breaks supplementary-plane symbols by UTF-8 bytes (engine collation)") {
+    // U+FB00 'ﬀ' (UTF-8 EF AC 80, UTF-16 0xFB00) vs U+1D552 '𝕒' (UTF-8
+    // F0 9D 95 92, UTF-16 surrogate 0xD835 0xDD52): UTF-8 bytes order
+    // 'ﬀ' < '𝕒' while UTF-16 code units order '𝕒' < 'ﬀ'. A corpus where
+    // (a,ﬀ) and (a,𝕒) tie on count forces the argmax through exactly
+    // this divergence — the engine (UTF8String binary order) and the
+    // serial twin must agree on the BYTE ordering.
+    import spark.implicits._
+    val texts = Seq("aﬀ a𝕒")
+    val d = java.nio.file.Files.createTempDirectory("graft-t19-astral-").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    try {
+      val got = t19Rows(CorpusQueries.queries("t19_bpe_learn")(spark, d))
+      assert(got === t19Naive(texts))
+      assert(got.head._3 === "ﬀ",
+        "round 1 must pick the pair whose right symbol is smaller in UTF-8 bytes")
+    } finally graft.core.FsUtil.deleteRecursively(d)
   }
 
   test("t19 merges back-to-back pair repeats like greedy BPE (the lookaround semantics)") {

@@ -406,6 +406,72 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!committed.columns.contains("v"))
   }
 
+  test("a config that GREW a field after the committer was cached still shapes the first commit") {
+    // Version-0 stale-committer hole: the committer is constructed from
+    // config A (one field), the config is edited to A+B before anything
+    // is committed, then the first flush runs — v1 metadata must declare
+    // BOTH fields (the cached committer is rebuilt on ANY schema
+    // mismatch at v0, not only when it lacks extraction entirely).
+    val root = java.nio.file.Paths.get(baseDir, "gwgrowcfg")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}""")
+    post("/tables/gwgrowcfg", """{"payload":"{\"m\":{\"v\":4,\"w\":\"x\"}}","partition":0,"timestamp_ms":1000}""")
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true},{"name":"w","json_path":"m.w","data_type":"Utf8","nullable":true}]}""")
+    assert(post("/tables/gwgrowcfg/flush", "").statusCode() === 200)
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("v") && committed.columns.contains("w"),
+      "the first commit's metadata must declare the EDITED field set")
+    val r = committed.select("v", "w").collect().head
+    assert(r.getInt(0) === 4 && r.getString(1) === "x")
+  }
+
+  test("a config that vanished before the first flush falls back to the default schema") {
+    // The committer was cached WITH extraction, then table_schema.json
+    // was deleted (or degraded to None by the malformed-config
+    // hardening): the flush builds default-shaped files, so at v0 the
+    // committer must be swapped back to the default schema — metadata
+    // omitting `payload` over payload-shaped files would read every
+    // event back empty.
+    val root = java.nio.file.Paths.get(baseDir, "gwgonecfg")
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"),
+      """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}""")
+    post("/tables/gwgonecfg", """{"payload":"{\"m\":{\"v\":5}}","partition":0,"timestamp_ms":1000}""")
+    java.nio.file.Files.delete(root.resolve("table_schema.json"))
+    assert(post("/tables/gwgonecfg/flush", "").statusCode() === 200)
+    val committed = EventTable.readCommitted(spark, root.toString)
+    assert(committed.columns.contains("payload") && !committed.columns.contains("v"),
+      "v0 falls back to the default schema when the config is gone")
+    assert(new String(committed.select("payload").collect().head.getAs[Array[Byte]](0), "UTF-8")
+      .contains("\"v\":5"))
+  }
+
+  test("a config that vanished AFTER an extraction commit fails the flush with remediation") {
+    // Past v0 the committed metadata declares typed columns WITHOUT a
+    // payload field — a default-shaped flush would diverge from metadata
+    // and serve those payloads back empty forever. The flush must fail
+    // loudly until the config is restored, then succeed.
+    val root = java.nio.file.Paths.get(baseDir, "gwlostcfg")
+    java.nio.file.Files.createDirectories(root)
+    val cfg = """{"payload_format":"json","fields":[{"name":"v","json_path":"m.v","data_type":"Int32","nullable":true}]}"""
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"), cfg)
+    post("/tables/gwlostcfg", """{"payload":"{\"m\":{\"v\":6}}","partition":0,"timestamp_ms":1000}""")
+    assert(post("/tables/gwlostcfg/flush", "").statusCode() === 200)
+    java.nio.file.Files.delete(root.resolve("table_schema.json"))
+    post("/tables/gwlostcfg", """{"payload":"{\"m\":{\"v\":7}}","partition":0,"timestamp_ms":2000}""")
+    val failed = post("/tables/gwlostcfg/flush", "")
+    assert(failed.statusCode() === 500, failed.body())
+    assert(failed.body().contains("table_schema.json"), failed.body())
+    // restore → flush drains the backlog under the declared extraction
+    java.nio.file.Files.writeString(root.resolve("table_schema.json"), cfg)
+    assert(post("/tables/gwlostcfg/flush", "").statusCode() === 200)
+    val vs = EventTable.readCommitted(spark, root.toString)
+      .orderBy("sequence").select("v").collect().map(_.getInt(0)).toSeq
+    assert(vs === Seq(6, 7))
+  }
+
   test("cold read of a schema-extracted table serves the retained overflow, not a 500") {
     // gwextract (flushed by the §1.3 test above) committed typed columns +
     // _payload_overflow INSTEAD of a payload column — the cold tier must
