@@ -227,6 +227,78 @@ object CorpusQueries {
     lmDocCache.remove(s, dir)
   }
 
+  /** t19/t20 shared: the learned BPE merge table per (session, dir) — K
+    * (rank, l, r, count) rows, a decision value like compaction's
+    * candidate list. Driver-side Seq (no executor storage), but still
+    * evicted with the family so a rewritten corpus dir relearns and a
+    * bench sweep's throwaway replica doesn't pin a stale table.
+    * Consumers: t19_bpe_learn, t20_bpe_apply — Bench evicts after the
+    * LAST one's reps. */
+  private val bpeMergeCache = new graft.core.SessionMemo[Seq[(Long, String, String, Long)]]()
+  def evictBpeMerges(s: SparkSession, dir: String): Unit = bpeMergeCache.remove(s, dir)
+
+  /** BPE symbol-boundary plumbing shared by the learner and the apply
+    * pass. Boundaries are DOUBLE U+0001 separators: a merge pattern
+    * consumes only the INNER separator of each shared boundary
+    * (sep·l·sep·sep·r·sep → sep·lr·sep), so back-to-back occurrences of
+    * the winning pair all merge in one pass — the zero-width lookaround
+    * semantics of Sennrich's re.sub, which a single-separator pattern
+    * cannot reproduce ("mama" would under-merge to [ma, m, a] because
+    * the shared boundary is consumed). The U+0001 separator cannot occur
+    * inside a symbol (symbols are whitespace-split word characters; a
+    * corpus carrying literal U+0001 bytes needs upstream sanitation). */
+  private[llm] val BpeSep  = "char(1)"
+  private[llm] val BpeSep2 = s"concat($BpeSep, $BpeSep)"
+  private def bpeSeqExpr(wordCol: String): String =
+    s"concat($BpeSep2, array_join(transform(sequence(1, length($wordCol)), i -> substring($wordCol, i, 1)), $BpeSep2), $BpeSep2)"
+  // Spark string literals need BACKSLASH escaping — SQL-style quote
+  // doubling would parse 'n''t' as adjacent-literal concatenation ("nt")
+  // and silently corrupt the pattern
+  private def bpeQuote(x: String): String = x.replace("\\", "\\\\").replace("'", "\\'")
+  private def bpeMergeApplied(seqExpr: String, l: String, r: String): String =
+    s"replace($seqExpr, concat($BpeSep, '${bpeQuote(l)}', $BpeSep2, '${bpeQuote(r)}', $BpeSep), concat($BpeSep, '${bpeQuote(l)}${bpeQuote(r)}', $BpeSep))"
+  private def bpeTokenCount(seqCol: String): String =
+    s"cast(size(filter(split($seqCol, $BpeSep), x -> x != '')) as bigint)"
+
+  /** The K learning rounds (Sennrich et al. 2016): everything runs over
+    * the VOCABULARY frame (word, count) — corpus-sized text folds to the
+    * bounded word-count table first, so each round is one
+    * partial-aggregatable (l, r) pair-count shuffle over vocab rows plus
+    * a LIMIT-1 argmax. The chosen pair (ONE row per round) is collected
+    * and embedded as literals in the next round's plan; the driver sees
+    * K rows total. Tie-break: count desc, then (l, r) binary-ascending —
+    * identical in both engines. */
+  private def bpeLearnedMerges(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate(s, dir) {
+      val base = docs(s, dir)
+        .select(explode(expr(LlmQueries.wordsExpr)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("seq", expr(bpeSeqExpr("word")))
+        .select("cnt", "seq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      try {
+        var seqs: DataFrame = base
+        (1 to BpeLearnMerges).foreach { round =>
+          val top = seqs
+            .select(col("cnt"), expr(s"filter(split(seq, $BpeSep), x -> x != '')").as("syms"))
+            .filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum("cnt").as("pcnt"))
+            .orderBy(col("pcnt").desc, col("l"), col("r"))
+            .limit(1).collect()
+          top.headOption.foreach { row =>
+            val (lSym, rSym, c) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((round.toLong, lSym, rSym, c))
+            seqs = seqs.withColumn("seq", expr(bpeMergeApplied("seq", lSym, rSym)))
+          }
+        }
+      } finally base.unpersist()
+      merges.toSeq
+    }
+
   /** The per-doc LM-surprise scorer shared by t16 and the t15 perplexity
     * funnel stage — ONE definition of the bigram LM so the filter band
     * can never drift from the audit. Returns (doc_id, doc_bits, nb, ap):
@@ -600,71 +672,48 @@ object CorpusQueries {
       // BPE merge LEARNING (Sennrich et al. 2016, public): K rounds of
       // count-adjacent-symbol-pairs → take the most frequent pair →
       // merge it corpus-wide. t13 APPLIES a fixed merge table; this
-      // LEARNS one — the other half of the tokenizer story.
-      //
-      // Distributed shape: everything runs over the VOCABULARY frame
-      // (word, count) — corpus-sized text folds to the bounded
-      // word-count table first (t16's vocabulary assumption), so each
-      // round is one partial-aggregatable (l, r) pair-count shuffle over
-      // vocab rows plus a LIMIT-1 argmax. The chosen pair (ONE row per
-      // round — a decision value, like compaction's candidate list) is
-      // collected and embedded as literals in the next round's plan; the
-      // driver sees K rows total, and the K-row result is returned as a
-      // local frame. Merge application is a boundary-anchored string
-      // replace — both engines scan left-to-right over non-overlapping
-      // occurrences; the anchoring prevents cross-boundary matches, and
-      // the U+0001 separator cannot occur inside a symbol (symbols are
-      // whitespace-split word characters; a corpus carrying literal
-      // U+0001 bytes needs upstream sanitation). Tie-break: count desc,
-      // then (l, r) binary-ascending — identical in both engines.
-      // BOUNDARIES ARE DOUBLE SEPARATORS (U+0001 U+0001): a merge pattern
-      // consumes only the INNER separator of each shared boundary
-      // (sep·l·sep·sep·r·sep → sep·lr·sep), so back-to-back occurrences
-      // of the winning pair all merge in one pass — the zero-width
-      // lookaround semantics of Sennrich's own re.sub, which a
-      // single-separator pattern cannot reproduce ("mama" would
-      // under-merge to [ma, m, a] because the shared boundary is
-      // consumed; verified against the serial reference learner).
-      val sep  = "char(1)"
-      val sep2 = s"concat($sep, $sep)"
-      val base = docs(s, dir)
-        .select(explode(expr(LlmQueries.wordsExpr)).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .withColumn("seq", expr(
-          s"concat($sep2, array_join(transform(sequence(1, length(word)), i -> substring(word, i, 1)), $sep2), $sep2)"))
-        .select("cnt", "seq")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      try {
-        var seqs: DataFrame = base
-        (1 to BpeLearnMerges).foreach { round =>
-          val top = seqs
-            .select(col("cnt"), expr(s"filter(split(seq, $sep), x -> x != '')").as("syms"))
-            .filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i + 1)))")).as("p"))
-            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-            .agg(sum("cnt").as("pcnt"))
-            .orderBy(col("pcnt").desc, col("l"), col("r"))
-            .limit(1).collect()
-          top.headOption.foreach { row =>
-            val (lSym, rSym, c) = (row.getString(0), row.getString(1), row.getLong(2))
-            merges += org.apache.spark.sql.Row(round.toLong, lSym, rSym, c)
-            // Spark string literals need BACKSLASH escaping — SQL-style
-            // quote doubling would parse 'n''t' as adjacent-literal
-            // concatenation ("nt") and silently corrupt the pattern
-            def q(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-            seqs = seqs.withColumn("seq", expr(
-              s"replace(seq, concat($sep, '${q(lSym)}', $sep2, '${q(rSym)}', $sep), concat($sep, '${q(lSym)}${q(rSym)}', $sep))"))
-          }
-        }
-      } finally base.unpersist()
+      // LEARNS one — the other half of the tokenizer story. The K-row
+      // table comes from [[bpeLearnedMerges]] (shared with t20, which
+      // applies it), returned as a local frame.
+      val merges = bpeLearnedMerges(s, dir)
       val st = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("merge_rank", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("l_sym", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("r_sym", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("pair_count", org.apache.spark.sql.types.LongType)))
-      s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(merges.toSeq).asJava, st)
+      val rows = merges.map { case (rank, l, r, c) => org.apache.spark.sql.Row(rank, l, r, c) }
+      s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, st)
+    },
+
+    // ---------- BPE tokenization under the LEARNED merge table ----------
+    "t20_bpe_apply" -> { (s, dir) =>
+      // The learner's output APPLIED back to the corpus — what a
+      // tokenize-and-count pass before training actually runs: every
+      // word segmented under the K learned merges, rolled up per source
+      // as token/word totals and the tokens-per-word ratio (integer
+      // permille — the compression the vocabulary bought).
+      //
+      // Distributed shape: the corpus folds to (source, word) counts
+      // first (bounded by vocab × sources), the merge chain runs over
+      // the DISTINCT vocabulary only (K codegen'd replaces — never over
+      // corpus text), and the token counts join back on the word key:
+      // vocab-sized frames on both sides, one bounded shuffle. At 100 TB
+      // the corpus-side work is exactly one explode + partial-agg scan.
+      val merges = bpeLearnedMerges(s, dir)
+      val sourceWords = docs(s, dir)
+        .select(col("source"), explode(expr(LlmQueries.wordsExpr)).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      val seqApplied = merges.foldLeft(
+        sourceWords.select("word").distinct().withColumn("seq", expr(bpeSeqExpr("word")))) {
+          case (df, (_, l, r, _)) => df.withColumn("seq", expr(bpeMergeApplied("seq", l, r)))
+        }
+      val tokens = seqApplied.select(col("word"), expr(bpeTokenCount("seq")).as("n_tokens"))
+      sourceWords.join(tokens, "word")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_word_types"),
+          sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tokens")).as("n_tokens"),
+          expr("cast((1000 * sum(cnt * n_tokens)) div sum(cnt) as bigint)").as("tok_permille"))
     },
 
     // ---------- Gopher quality-rule gate ----------
@@ -995,6 +1044,46 @@ object CorpusQueries {
          |${(1 to BpeLearnMerges)
              .map(i => s"SELECT $i::BIGINT AS merge_rank, l AS l_sym, r AS r_sym, pcnt AS pair_count FROM p$i")
              .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // t20 twin: t19's learning chain re-unrolled CARRYING the word column
+    // (the apply pass needs word → final segmentation), then token counts
+    // joined back to per-(source, word) occurrence counts. The pc/p
+    // argmax CTEs are identical in structure to t19's — the learned
+    // merges must be the same rows.
+    "t20_bpe_apply" -> {
+      def round(i: Int) =
+        s"""pc$i AS (
+           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+           |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
+           |      SELECT cnt, list_filter(string_split(seq, chr(1)), x -> x != '') AS syms FROM a${i - 1}),
+           |      LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+           |    WHERE len(syms) >= 2)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT l, r, pcnt FROM pc$i ORDER BY pcnt DESC, l, r LIMIT 1),
+           |a$i AS (SELECT word, cnt, replace(seq,
+           |          coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1) FROM p$i), chr(2)),
+           |          coalesce((SELECT chr(1) || l || r || chr(1) FROM p$i), chr(2))) AS seq FROM a${i - 1})""".stripMargin
+      s"""WITH base AS (
+         |  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+         |  FROM documents
+         |), sw AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest(words) AS word FROM base) GROUP BY 1, 2),
+         |w0 AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM sw GROUP BY 1),
+         |a0 AS (
+         |  SELECT word, cnt,
+         |         chr(1) || chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1) || chr(1)) || chr(1) || chr(1) AS seq
+         |  FROM w0),
+         |${(1 to BpeLearnMerges).map(round).mkString(",\n")},
+         |applied AS (
+         |  SELECT word, CAST(len(list_filter(string_split(seq, chr(1)), x -> x != '')) AS BIGINT) AS n_tokens
+         |  FROM a$BpeLearnMerges)
+         |SELECT sw.source, count(*) AS n_word_types,
+         |  CAST(sum(sw.cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(sw.cnt * a.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST((1000 * sum(sw.cnt * a.n_tokens)) // sum(sw.cnt) AS BIGINT) AS tok_permille
+         |FROM sw JOIN applied a USING (word)
+         |GROUP BY 1""".stripMargin
     },
     "t18_gopher_rules" ->
       s"""WITH w AS (

@@ -206,7 +206,12 @@ class CorpusSpec extends AnyFunSuite {
     * weighted) → argmax (count desc, pair asc) → greedy left-to-right
     * merge application per word. The naive twin shared by the fixture
     * test and the fuzz trials. */
-  private def t19Naive(texts: Seq[String]): Seq[(Long, String, String, Long)] = {
+  private def t19Naive(texts: Seq[String]): Seq[(Long, String, String, Long)] =
+    t19NaiveFull(texts)._1
+
+  /** Like [[t19Naive]] but also exposes the final per-word segmentation —
+    * the t20 apply-pass twin. */
+  private def t19NaiveFull(texts: Seq[String]): (Seq[(Long, String, String, Long)], Map[String, Seq[String]]) = {
     val K = CorpusQueries.BpeLearnMerges
     val wordCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     texts.foreach(_.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach(w => wordCnt(w) += 1L))
@@ -262,7 +267,7 @@ class CorpusSpec extends AnyFunSuite {
         }.toMap
       }
     }
-    expected.toSeq
+    (expected.toSeq, syms)
   }
 
   private def t19Rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] =
@@ -300,6 +305,30 @@ class CorpusSpec extends AnyFunSuite {
         assert(got === t19Naive(texts),
           s"trial $trial diverged on corpus:\n${texts.mkString("\n")}")
       } finally graft.core.FsUtil.deleteRecursively(d)
+    }
+  }
+
+  test("t20 apply equals the serial learner's segmentation, rolled up per source") {
+    val (_, syms) = t19NaiveFull(docs.map(_._2))
+    val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
+      val words = ds.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      if (words.isEmpty) None
+      else {
+        val byWord = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val nWords  = byWord.values.sum
+        val nTokens = byWord.map { case (w, c) => c * syms(w).size }.sum
+        Some(src -> (byWord.size.toLong, nWords, nTokens, 1000L * nTokens / nWords))
+      }
+    }
+    val got = CorpusQueries.queries("t20_bpe_apply")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_word_types"), r.getAs[Long]("n_words"),
+         r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_permille"))).toMap
+    assert(got === expected)
+    // applying merges can only SHORTEN segmentations: tokens <= chars-ish
+    got.values.foreach { case (_, nw, nt, permille) =>
+      assert(nt >= nw, "every word is at least one token")
+      assert(permille >= 1000L, "tokens-per-word permille is >= 1 token/word")
     }
   }
 

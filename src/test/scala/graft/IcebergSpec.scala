@@ -291,7 +291,15 @@ class IcebergSpec extends AnyFunSuite {
     assert(none.isEmpty)
     val df = graft.table.EventTable.readCommitted(spark, root, none)
     assert(df.count() === 0L)
-    assert(df.schema === graft.table.EventTable.committedReadSchema)
+    // committed reads return all-nullable columns on BOTH the empty and
+    // non-empty paths (a user-schema parquet read is nullable regardless
+    // of metadata required flags) — pin the layout, not the required bits.
+    assert(df.schema === org.apache.spark.sql.types.StructType(
+      graft.table.EventTable.committedReadSchema.map(_.copy(nullable = true))))
+    val nonEmpty = graft.table.EventTable.readCommitted(
+      spark, root, c.activeDataFiles())
+    assert(nonEmpty.schema === df.schema,
+      "empty and non-empty reads of the same table must agree on schema")
   }
 
   test("unknown table loads as None; version 0") {

@@ -272,6 +272,33 @@ class LlmSpec extends AnyFunSuite {
     assert(byId(1L)._3 === 0L)
   }
 
+  test("d18: bloom contamination flags CONTAIN d9's exact flags (false positives only)") {
+    // On real data the Bloom probe may over-flag (FP) but can never
+    // under-flag: every gram in the exact intersection set all of its
+    // bits when the filter was built. Containment therefore holds per
+    // source for both the doc flags and the gram counts.
+    val sf = "/root/testdata/sf0.001"
+    val exact = LlmQueries.queries("d9_decontaminate")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
+         r.getAs[Long]("sum_overlap"), r.getAs[Long]("sum_shingles"))).toMap
+    val bloom = LlmQueries.queries("d18_bloom_decontaminate")(spark, sf).collect()
+    assert(bloom.nonEmpty && bloom.map(_.getAs[String]("source")).toSet === exact.keySet)
+    bloom.foreach { r =>
+      val (nd, ec, so, ss) = exact(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("sum_shingles") === ss)
+      assert(r.getAs[Long]("n_contaminated") >= ec, r.getAs[String]("source"))
+      assert(r.getAs[Long]("sum_overlap") >= so, r.getAs[String]("source"))
+      val fill = r.getAs[Long]("fill_permille")
+      assert(fill >= 0 && fill < 1000, s"filter must not saturate on the fixture (fill=$fill)")
+    }
+    // and on the planted fixture: the eval doc's exact duplicate is flagged
+    val planted = run("d18_bloom_decontaminate").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_contaminated")).toMap
+    assert(planted("src1") === 1L, "the exact dup of the eval doc must be bloom-flagged")
+  }
+
   test("d13 SemDeDup: trained cells surface the planted near-identical pairs; orthogonal vectors stay clean") {
     val rows = run("d13_semdedup").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
@@ -320,6 +347,20 @@ class LlmSpec extends AnyFunSuite {
       assert(cellR >= 0.8, f"d13 cell-locality recall $cellR%.3f < 0.8 at tau $tau")
       assert(bucketR >= 0.8, f"d3 bucket-locality recall $bucketR%.3f < 0.8 at tau $tau")
     } finally graft.core.SessionMemo.release(s2)
+  }
+
+  test("r3 MMR: rank 1 equals brute rank 1; rank 2 trades the redundant runner-up for diversity") {
+    val brute = run("ann_topk_brute").collect().filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+    val mmr = run("r3_mmr_rerank").collect().filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(mmr.head === brute.head, "the most relevant candidate is always selected first")
+    // fixture geometry: vec 8 shares vec 1's axis (redundant, sim≈0.96 to
+    // the rank-1 pick) while 2/3/4 are orthogonal to it — plain ranking
+    // takes 8 second, MMR must take the smallest orthogonal vector
+    assert(brute(1) === 8L, "precondition: relevance ranking picks the redundant vector second")
+    assert(mmr(1) === 2L, "MMR must prefer an orthogonal candidate over the redundant runner-up")
+    assert(mmr.size === math.min(LlmQueries.MmrK, 6), "K selections (or every candidate when fewer)")
   }
 
   test("r2 hybrid retrieval: a doc's exact copy wins both arms and tops the fused ranking") {

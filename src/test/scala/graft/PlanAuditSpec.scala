@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
         "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
-        "ann_pq_topk", "r2_hybrid_retrieve").foreach { q =>
+        "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -210,6 +210,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("d9_decontaminate")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       "the (fixed-size) eval vocab must broadcast — the corpus postings must never shuffle for it")
+  }
+
+  test("d18: the bloom probe is a plan literal — filter build never joins the corpus scan") {
+    val p = plan("d18_bloom_decontaminate")
+    // the filter's bit_or aggregation ran at query-construction time over
+    // eval grams only; the returned plan must carry the packed words as a
+    // literal array probed map-side (forall over the 3 fnv positions),
+    // with no join or aggregate of the filter frame anywhere in it
+    assert(!p.contains("bit_or"), "filter build must not be part of the probe plan")
+    assert(p.contains("forall"), "the probe must be the map-side forall over plan-literal words")
   }
 
   test("ann_topk_brute: the query set is the broadcast side") {
