@@ -93,6 +93,42 @@ object CorpusQueries {
     * corpus grows, which is the whole point of the sketch. */
   val LinearCountBits = 4096L
 
+  /** t21: HyperLogLog geometry (Flajolet et al. 2007). p precision bits →
+    * m = 2^p registers per source; the remaining 32−p hash bits feed the
+    * leading-zero rank, so ranks live in [1, 32−p+1]. The estimate is kept
+    * integer-exact across engines: Σ 2^−M[j] is summed as 2^(HllFp −
+    * M[j]) fixed-point longs and the bias constant α_m enters as the
+    * pre-scaled literal [[HllAlpha16]] = floor(α_256 · 2^16), so the
+    * estimate α·m²/Σ — with m² = 2^16 exactly cancelling the α scale —
+    * collapses to `floor(α16 · 2^HllFp / S_scaled)`: pure long division
+    * in Spark and DuckDB both. */
+  val HllP       = 8
+  val HllM       = 1 << HllP        // 256 registers
+  val HllRestBits = 32 - HllP       // 24 rank-feeding bits
+  val HllFp      = 30               // fixed-point scale for Σ 2^−M[j]
+  val HllAlpha16 = 47073L           // floor(0.7182725 * 2^16), α for m=256
+
+  /** t22: count-min sketch geometry (Cormode & Muthukrishnan 2005). d
+    * independent rows (seeded FNV streams) × w counters — 3·1024 longs
+    * per sketch however large the corpus, mergeable by addition. The
+    * audit reports the top-[[CmsTopK]] exact heavy hitters against their
+    * sketch estimates (CMS never underestimates; the overshoot column is
+    * the collision noise the d×w budget buys down). */
+  val CmsRows = 3
+  val CmsWidth = 1024L
+  val CmsTopK = 20
+
+  /** t23: Cavnar–Trenkle (1994) n-gram language ID — per-language ranked
+    * trigram profiles of this size, compared to each doc's top
+    * [[LangIdDocTop]] trigrams by the out-of-place measure (rank distance;
+    * a gram absent from a language profile costs the full profile size).
+    * All ranks are integers with a total (count DESC, gram ASC)
+    * tie-break, so profiles, distances, and argmin predictions are
+    * bit-identical across engines. ASCII corpus assumed (like t19): both
+    * engines index strings by code point, so the trigram windows agree. */
+  val LangIdProfile = 50L
+  val LangIdDocTop  = 20L
+
   /** d14: the C4-style global-dedup unit — non-overlapping spans of this
     * many words (the corpus has no sentence boundaries to span over). */
   val SpanWords = 5
@@ -1006,6 +1042,126 @@ object CorpusQueries {
           count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("sum_kept_doc_id"))
+    },
+
+    // ---------- sketch: HyperLogLog cardinality per source ----------
+    "t21_hll_cardinality" -> { (s, dir) =>
+      // t11's estimator upgraded to the production sketch: HyperLogLog
+      // registers (m = 2^p per source) instead of a linear-count bitmap.
+      // reg = low p hash bits, rank = leading-zero count of the high bits
+      // + 1 via the exact floor-log2 trick (length(bin(x))) — integers
+      // end to end, including the estimate (fixed-point Σ 2^−M[j], see
+      // [[HllAlpha16]]). Scale shape: ONE shuffle onto (source, reg) with
+      // map-side max-combine; after it each source is ≤ m rows however
+      // large the corpus, and the per-register countDistinct rides the
+      // same exchange (same word → same register, so the rollup's sum of
+      // per-register distincts IS the exact distinct — the accuracy
+      // reference a production run drops).
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val maxRank = HllRestBits + 1
+      val regs = docs(s, dir)
+        .select(col("source"), explode(expr(LlmQueries.wordsExpr)).as("w"))
+        .withColumn("h", expr("graft_fnv32(w)"))
+        .select(col("source"), col("w"),
+                expr(s"h % $HllM").as("reg"),
+                expr(s"CASE WHEN h div $HllM = 0 THEN $maxRank ELSE $maxRank - length(bin(h div $HllM)) END").as("rank"))
+        .groupBy(col("source"), col("reg"))
+        .agg(max(col("rank")).as("m_rank"),
+             countDistinct(col("w")).as("reg_distinct"))
+      regs.groupBy("source")
+        .agg(count(lit(1)).as("n_registers_set"),
+             sum(expr(s"shiftleft(cast(1 as bigint), $HllFp - m_rank)")).as("present_inv"),
+             sum(col("reg_distinct")).as("exact_distinct"),
+             max(col("m_rank")).cast("long").as("max_rank"))
+        .withColumn("sum_inv_scaled",
+          col("present_inv") +
+            (lit(HllM.toLong) - col("n_registers_set")) * lit(1L << HllFp))
+        .withColumn("hll_estimate",
+          expr(s"(cast($HllAlpha16 as bigint) * cast(shiftleft(cast(1 as bigint), $HllFp) as bigint)) div sum_inv_scaled"))
+        .select(col("source"), col("n_registers_set"), col("sum_inv_scaled"),
+                col("hll_estimate"), col("exact_distinct"), col("max_rank"))
+    },
+
+    // ---------- sketch: count-min heavy-hitter audit ----------
+    "t22_cms_heavy_hitters" -> { (s, dir) =>
+      // Frequency estimation under a fixed memory budget: a d×w count-min
+      // sketch ([[CmsRows]]×[[CmsWidth]] counters — mergeable longs,
+      // constant size at any corpus scale), audited against the exact
+      // top-[[CmsTopK]] tokens. Scale shape: the sketch build is ONE
+      // shuffle onto (row, col) with map-side sum-combine and ≤ d·w rows
+      // alive after it; the exact side is a vocabulary-bounded aggregate
+      // cut to K through TakeOrdered (never a corpus-wide window); the
+      // estimate join broadcasts K·d probe rows against the d·w counter
+      // frame. CMS never underestimates — `overshoot` is the collision
+      // noise the d×w budget buys down.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val words = docs(s, dir).select(explode(expr(LlmQueries.wordsExpr)).as("w"))
+      val probeExpr =
+        s"""transform(sequence(0, ${CmsRows - 1}),
+           |          r -> named_struct('r', r, 'c', graft_fnv32(concat('cms', r, ':', w)) % $CmsWidth))""".stripMargin
+      val counters = words
+        .select(explode(expr(probeExpr)).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("w")).limit(CmsTopK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("exact_cnt"), asc("w"))).cast("long"))
+      val probes = top
+        .select(col("rank"), col("w"), col("exact_cnt"),
+                explode(expr(probeExpr)).as("rc"))
+        .select(col("rank"), col("w"), col("exact_cnt"),
+                col("rc.r").as("r"), col("rc.c").as("c"))
+      counters.join(broadcast(probes), Seq("r", "c"))
+        .groupBy(col("rank"), col("w"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_estimate"))
+        .withColumn("overshoot", col("cms_estimate") - col("exact_cnt"))
+    },
+
+    // ---------- text analysis: n-gram language identification ----------
+    "t23_langid" -> { (s, dir) =>
+      // Cavnar–Trenkle n-gram language ID (see [[LangIdProfile]]): learn a
+      // ranked character-trigram profile per labeled language, score every
+      // doc's top trigrams by the out-of-place rank distance, predict the
+      // argmin language, and report the confusion matrix. Scale shape:
+      // the training aggregate is trigram-vocabulary-bounded (counts per
+      // (lang, gram), never corpus rows, ranked by a window over ≤
+      // |langs| partitions of vocab-sized frames); the doc side's window
+      // partitions by doc_id; the languages × profile frame is tiny and
+      // broadcast into the distance join, so the per-doc work stays
+      // map-local until the bounded confusion rollup.
+      val tri = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+                lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("doc_id"), col("actual_lang"), explode(expr(tri)).as("g"))
+      val langProf = grams
+        .groupBy(col("actual_lang").as("lang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("c"), asc("g"))).cast("long"))
+        .filter(col("lrank") <= LangIdProfile)
+        .select("lang", "g", "lrank")
+      val docProf = grams
+        .groupBy(col("doc_id"), col("actual_lang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("drank", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("c"), asc("g"))).cast("long"))
+        .filter(col("drank") <= LangIdDocTop)
+        .select("doc_id", "actual_lang", "g", "drank")
+      val langs = langProf.select("lang").distinct()
+      val dists = docProf.crossJoin(broadcast(langs))
+        .join(broadcast(langProf), Seq("lang", "g"), "left")
+        .groupBy(col("doc_id"), col("actual_lang"), col("lang"))
+        .agg(sum(coalesce(abs(col("drank") - col("lrank")),
+                          lit(LangIdProfile))).as("dist"))
+      val pred = dists
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(asc("dist"), asc("lang"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("actual_lang"), col("lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dist")).as("sum_dist"))
     }
   )
 
@@ -1506,6 +1662,98 @@ object CorpusQueries {
          |  COALESCE(SUM(CASE WHEN d.b < k.keep_permille THEN d.doc_id END), 0)::BIGINT AS sum_kept_doc_id
          |FROM (SELECT source, doc_id, $resampleBucket AS b FROM documents) d
          |JOIN k USING (source)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // t21 twin: the identical register/rank/fixed-point pipeline — FNV
+    // low bits → register, 25 − length(bin(high bits)) → rank, Σ 2^(30−M)
+    // longs, and the same α16·2^30 // S integer estimate.
+    "t21_hll_cardinality" -> {
+      val maxRank = HllRestBits + 1
+      s"""WITH words AS (
+         |  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS w
+         |  FROM documents),
+         |h AS (SELECT source, w, ${LlmQueries.fnv32Expr("w")} AS h FROM words),
+         |r AS (SELECT source, w, h % $HllM AS reg,
+         |             CASE WHEN h // $HllM = 0 THEN $maxRank
+         |                  ELSE $maxRank - length(bin(h // $HllM)) END AS rank
+         |      FROM h),
+         |regs AS (
+         |  SELECT source, reg, max(rank) AS m_rank, count(DISTINCT w) AS reg_distinct
+         |  FROM r GROUP BY 1, 2),
+         |roll AS (
+         |  SELECT source, count(*)::BIGINT AS n_registers_set,
+         |         sum((1::BIGINT << ($HllFp - m_rank))::BIGINT)::BIGINT AS present_inv,
+         |         sum(reg_distinct)::BIGINT AS exact_distinct,
+         |         max(m_rank)::BIGINT AS max_rank
+         |  FROM regs GROUP BY 1)
+         |SELECT source, n_registers_set,
+         |  (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp))::BIGINT AS sum_inv_scaled,
+         |  (($HllAlpha16::BIGINT * (1::BIGINT << $HllFp))
+         |     // (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp)))::BIGINT AS hll_estimate,
+         |  exact_distinct, max_rank
+         |FROM roll""".stripMargin
+    },
+
+    // t22 twin: the same d seeded FNV streams build the counter grid, the
+    // exact top-K cut shares the (count DESC, token ASC) total order, and
+    // the estimate is the min over the K·d probe lookups.
+    "t22_cms_heavy_hitters" ->
+      s"""WITH words AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')) AS w
+         |  FROM documents),
+         |rows_ AS (SELECT unnest(generate_series(0, ${CmsRows - 1})) AS r),
+         |counters AS (
+         |  SELECT r, ${LlmQueries.fnv32Expr("('cms' || r::VARCHAR || ':' || w)")} % $CmsWidth AS c,
+         |         count(*)::BIGINT AS cnt
+         |  FROM words CROSS JOIN rows_ GROUP BY 1, 2),
+         |top AS (
+         |  SELECT w, exact_cnt,
+         |         row_number() OVER (ORDER BY exact_cnt DESC, w) AS rank
+         |  FROM (SELECT w, count(*)::BIGINT AS exact_cnt FROM words GROUP BY 1)
+         |  QUALIFY rank <= $CmsTopK),
+         |probes AS (
+         |  SELECT t.rank, t.w, t.exact_cnt, r.r,
+         |         ${LlmQueries.fnv32Expr("('cms' || r.r::VARCHAR || ':' || t.w)")} % $CmsWidth AS c
+         |  FROM top t CROSS JOIN rows_ r)
+         |SELECT p.rank, p.w, p.exact_cnt,
+         |  min(c.cnt)::BIGINT AS cms_estimate,
+         |  (min(c.cnt) - p.exact_cnt)::BIGINT AS overshoot
+         |FROM probes p JOIN counters c ON c.r = p.r AND c.c = p.c
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // t23 twin: identical trigram windows (both engines index by code
+    // point), identical (count DESC, gram ASC) rank tie-break, the same
+    // out-of-place distance with the profile-size penalty, and the same
+    // (dist ASC, lang ASC) argmin.
+    "t23_langid" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang AS actual_lang,
+         |         unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+         |                               i -> substr(lower(text), i, 3))) AS g
+         |  FROM documents WHERE length(lower(text)) >= 3),
+         |lp AS (
+         |  SELECT lang, g,
+         |         row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS lrank
+         |  FROM (SELECT actual_lang AS lang, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |  QUALIFY lrank <= $LangIdProfile),
+         |dp AS (
+         |  SELECT doc_id, actual_lang, g,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS drank
+         |  FROM (SELECT doc_id, actual_lang, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+         |  QUALIFY drank <= $LangIdDocTop),
+         |langs AS (SELECT DISTINCT lang FROM lp),
+         |dist AS (
+         |  SELECT d.doc_id, d.actual_lang, l.lang,
+         |         sum(COALESCE(abs(d.drank - p.lrank), $LangIdProfile))::BIGINT AS dist
+         |  FROM dp d CROSS JOIN langs l
+         |  LEFT JOIN lp p ON p.lang = l.lang AND p.g = d.g
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT actual_lang, lang AS pred_lang, dist,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+         |  FROM dist QUALIFY rn = 1)
+         |SELECT actual_lang, pred_lang, count(*) AS n_docs,
+         |  sum(dist)::BIGINT AS sum_dist
+         |FROM pred GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1690,6 +1690,30 @@ object LlmQueries {
       s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava, st)
     },
 
+    // ---------- retrieval: hard-negative mining for embedding training ----------
+    "r4_hard_negatives" -> { (s, dir) =>
+      // Contrastive-training hard negatives (the DPR/SimCSE mining step,
+      // public): for each anchor, the corpus vectors MOST similar to it
+      // whose label differs — the near-miss examples a contrastive loss
+      // learns the most from. The plan is ann_topk_brute with the label
+      // inequality fused into the same broadcast-scored scan (the filter
+      // runs before the bounded per-query top-k cut, so mislabeled
+      // lookalikes never occupy candidate slots), and the negative's
+      // label rides the payload long — no join-back to recover it.
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+                col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .withColumn(
+          "sim",
+          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      topkPerQuery(scored, TopK, col("label").cast("long"))
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+                col("payload").as("neighbor_label"))
+    },
+
     // ---------- ANN: exact brute-force top-k (broadcast query set) ----------
     "ann_topk_brute" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -2796,6 +2820,21 @@ object LlmQueries {
         s"""WITH hits AS ($bruteSql)
            |SELECT h.q_id, h.rank, h.neighbor_id, d.source, d.n_chars
            |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin,
+      // r4 twin: bruteSql with the label inequality in the scored join
+      // and the negative's label carried through the rank cut.
+      "r4_hard_negatives" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+           |         list_inner_product(c.v, q.v) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS sim
+           |  FROM e q JOIN e c ON c.vec_id != q.vec_id AND c.label != q.label
+           |  WHERE q.vec_id < $NumQueries
+           |)
+           |SELECT q_id, rank, neighbor_id, neighbor_label::BIGINT AS neighbor_label FROM (
+           |  SELECT q_id, neighbor_id, neighbor_label,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= $TopK""".stripMargin,
       // e1 twin: per-label fixed-point centroids (the ivfUpdateSql
       // pattern keyed by label) + floor(cos·2^20) member folds.
       "e1_embedding_coherence" ->

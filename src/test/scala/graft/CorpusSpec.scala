@@ -436,7 +436,9 @@ class CorpusSpec extends AnyFunSuite {
       // t18/t15_funnel_ppl's permille gates join as the round-13 cohort
       Seq("d16_incremental_dedup", "t15_filter_funnel", "t16_perplexity_filter",
           "t17_shard_export", "d17_substring_dedup", "t18_gopher_rules",
-          "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence").foreach { q =>
+          "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence",
+          "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
+          "t23_langid", "r4_hard_negatives").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
@@ -664,6 +666,122 @@ class CorpusSpec extends AnyFunSuite {
           s"$src: estimate $est vs exact $exact")
       }
     }
+  }
+
+  test("t21 HLL registers and estimate equal a serial single-threaded sketch") {
+    import scala.collection.mutable
+    val maxRank = CorpusQueries.HllRestBits + 1
+    val regs = mutable.Map.empty[(String, Long), Int]
+    val distinct = mutable.Map.empty[String, mutable.Set[String]]
+    docs.foreach { case (_, text, src, _) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        val h    = graft.functions.Fnv32.hash(w)
+        val reg  = h % CorpusQueries.HllM
+        val rest = h / CorpusQueries.HllM
+        val rank = if (rest == 0L) maxRank
+                   else maxRank - java.lang.Long.toBinaryString(rest).length
+        regs((src, reg)) = math.max(regs.getOrElse((src, reg), 0), rank)
+        distinct.getOrElseUpdate(src, mutable.Set.empty) += w
+      }
+    }
+    val expected = regs.keys.map(_._1).toSet.map { (src: String) =>
+      val rs = regs.filter(_._1._1 == src).values.toSeq
+      val present = rs.map(m => 1L << (CorpusQueries.HllFp - m)).sum
+      val s = present + (CorpusQueries.HllM - rs.size) * (1L << CorpusQueries.HllFp)
+      src -> (rs.size.toLong, s,
+              CorpusQueries.HllAlpha16 * (1L << CorpusQueries.HllFp) / s,
+              distinct(src).size.toLong, rs.max.toLong)
+    }.toMap
+    val got = CorpusQueries.queries("t21_hll_cardinality")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_registers_set"), r.getAs[Long]("sum_inv_scaled"),
+         r.getAs[Long]("hll_estimate"), r.getAs[Long]("exact_distinct"),
+         r.getAs[Long]("max_rank"))).toMap
+    assert(got === expected)
+    // accuracy: the engine ships the RAW integer estimator (bias-corrected
+    // estimates need floats the oracle can't hash); apply Flajolet's
+    // small-range correction HERE (n << m ⇒ linear counting on the empty
+    // registers, E* = m·ln(m/V)) and the corrected value must track the
+    // truth (m=256 → ~6.5% std err; allow small-sample slack)
+    val m = CorpusQueries.HllM.toDouble
+    got.values.foreach { case (nSet, _, est, exact, _) =>
+      val v = m - nSet
+      val corrected = if (est <= 2.5 * m && v > 0) m * math.log(m / v) else est.toDouble
+      assert(corrected > 0 && math.abs(corrected - exact) <= math.max(4.0, exact * 0.25),
+        s"HLL corrected estimate $corrected (raw $est) vs exact $exact")
+    }
+  }
+
+  test("t22 CMS estimates are min-of-rows, never underestimate, and match a serial sketch") {
+    import scala.collection.mutable
+    val counts = mutable.Map.empty[String, Long]
+    val grid = mutable.Map.empty[(Int, Long), Long]
+    docs.foreach { case (_, text, _, _) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { w =>
+        counts(w) = counts.getOrElse(w, 0L) + 1
+        (0 until CorpusQueries.CmsRows).foreach { r =>
+          val c = graft.functions.Fnv32.hash(s"cms$r:$w") % CorpusQueries.CmsWidth
+          grid((r, c)) = grid.getOrElse((r, c), 0L) + 1
+        }
+      }
+    }
+    val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(CorpusQueries.CmsTopK)
+    val expected = top.zipWithIndex.map { case ((w, c), i) =>
+      val est = (0 until CorpusQueries.CmsRows)
+        .map(r => grid((r, graft.functions.Fnv32.hash(s"cms$r:$w") % CorpusQueries.CmsWidth))).min
+      (i + 1L, w) -> (c, est, est - c)
+    }.toMap
+    val got = CorpusQueries.queries("t22_cms_heavy_hitters")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w")) ->
+        (r.getAs[Long]("exact_cnt"), r.getAs[Long]("cms_estimate"),
+         r.getAs[Long]("overshoot"))).toMap
+    assert(got === expected)
+    got.values.foreach { case (exact, est, over) =>
+      assert(est >= exact && over === est - exact, "CMS can never underestimate")
+    }
+  }
+
+  test("t23 language-ID confusion matrix equals a serial Cavnar-Trenkle pass") {
+    import scala.collection.mutable
+    val profM = CorpusQueries.LangIdProfile
+    val docTop = CorpusQueries.LangIdDocTop.toInt
+    val dl = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase, r.getString(2)))
+      .filter(_._2.length >= 3)
+    def tris(t: String): Seq[String] = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    // per-language ranked profiles (count DESC, gram ASC; ASCII corpus so
+    // JVM string order equals both engines' binary collation)
+    val langCounts = mutable.Map.empty[(String, String), Long]
+    dl.foreach { case (_, t, l) =>
+      tris(t).foreach(g => langCounts((l, g)) = langCounts.getOrElse((l, g), 0L) + 1) }
+    val langProf: Map[String, Map[String, Long]] =
+      langCounts.groupBy(_._1._1).map { case (l, m) =>
+        l -> m.toSeq.map { case ((_, g), c) => (g, c) }
+          .sortBy { case (g, c) => (-c, g) }.take(profM.toInt)
+          .zipWithIndex.map { case ((g, _), i) => g -> (i + 1).toLong }.toMap
+      }
+    val langs = langProf.keys.toSeq.sorted
+    val conf = mutable.Map.empty[(String, String), (Long, Long)]
+    dl.foreach { case (_, t, actual) =>
+      val dc = mutable.Map.empty[String, Long]
+      tris(t).foreach(g => dc(g) = dc.getOrElse(g, 0L) + 1)
+      val dp = dc.toSeq.sortBy { case (g, c) => (-c, g) }.take(docTop)
+        .zipWithIndex.map { case ((g, _), i) => g -> (i + 1).toLong }
+      val dists = langs.map { l =>
+        val lp = langProf(l)
+        l -> dp.map { case (g, dr) => lp.get(g).map(lr => math.abs(dr - lr)).getOrElse(profM) }.sum
+      }
+      val (pl, d) = dists.minBy { case (l, dist) => (dist, l) }
+      val (n, s) = conf.getOrElse((actual, pl), (0L, 0L))
+      conf((actual, pl)) = (n + 1, s + d)
+    }
+    val got = CorpusQueries.queries("t23_langid")(spark, dir).collect()
+      .map(r => (r.getAs[String]("actual_lang"), r.getAs[String]("pred_lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dist"))).toMap
+    assert(got === conf.toMap)
+    // the matrix must cover every doc exactly once
+    assert(got.values.map(_._1).sum === dl.length.toLong)
   }
 
   test("t12 mixture resample: under-represented sources keep everything, over-represented are thinned") {

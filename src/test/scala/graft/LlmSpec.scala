@@ -263,6 +263,25 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.find(r => r._1 == 2L && r._2 == 1L).get._3 === 3L)
   }
 
+  test("r4 hard negatives exclude the anchor's own label and rank by (sim, id)") {
+    val labels = Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 8L -> 0L, 9L -> 1L)
+    val rows = run("r4_hard_negatives").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+                 r.getAs[Long]("neighbor_id"), r.getAs[Long]("neighbor_label")))
+    rows.foreach { case (q, _, n, nl) =>
+      assert(labels(n) === nl, s"neighbor $n must carry its own label")
+      assert(nl !== labels(q), s"negative $n shares anchor $q's label")
+    }
+    // anchor 4 (label 2, axis-20 unit vector) is orthogonal to every other
+    // vector: all negatives tie at cos 0 and the cut falls back to the
+    // deterministic id tie-break — 6 candidates, TopK=5 keeps the lowest ids
+    assert(rows.filter(_._1 == 4L).sortBy(_._2).map(_._3).toSeq ===
+      Seq(0L, 1L, 2L, 3L, 8L))
+    // anchor 0's same-label lookalikes (1: near-identical, 8: offset copy)
+    // must NEVER appear however similar they are
+    assert(!rows.filter(_._1 == 0L).exists(r => r._3 == 1L || r._3 == 8L))
+  }
+
   test("ann LSH: near-identical vectors land in one bucket and pick each other") {
     val rows = run("ann_lsh_nn").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"), r.getAs[Long]("nn_id")))

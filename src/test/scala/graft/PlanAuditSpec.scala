@@ -222,6 +222,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("forall"), "the probe must be the map-side forall over plan-literal words")
   }
 
+  test("r4_hard_negatives: broadcast anchors, bounded top-k cut, no window") {
+    val p = plan("r4_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the tiny anchor set must broadcast; the corpus must never shuffle for it")
+    assert(p.contains("partial_graft_topk"),
+      "the negative cut must fold through the bounded partial top-k aggregate")
+    assert(!p.contains("Window ["), "r4 must not window at all")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t21_hll_cardinality: one register shuffle, no window, no cartesian") {
+    val p = plan("t21_hll_cardinality")
+    assert(!p.contains("Window ["),
+      "the register file is a bounded aggregate, never a corpus window")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("fnv32("), "registers must come from the codegen'd hash")
+  }
+
+  test("t22_cms_heavy_hitters: exact cut is TakeOrdered over the vocab agg; probes broadcast") {
+    val p = plan("t22_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the heavy-hitter cut must be TakeOrdered over the vocabulary aggregate, " +
+        "never a global window over the pre-cut vocab")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the KxD probe rows must broadcast into the counter grid")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t23_langid: language profiles broadcast; no cartesian on the corpus side") {
+    val p = plan("t23_langid")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the languages x profile frames are tiny and must broadcast into the distance join")
+  }
+
   test("ann_topk_brute: the query set is the broadcast side") {
     val p = plan("ann_topk_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
