@@ -312,7 +312,8 @@ object Bench {
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
-                            "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn")
+                            "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn",
+                            "t21_hll_cardinality", "t23_langid")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -330,7 +331,8 @@ object Bench {
                           "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
                           "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16",
                           "t16_perplexity_filter" -> "t16", "d3_embedding_neardup" -> "d3",
-                          "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh")
+                          "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh",
+                          "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }

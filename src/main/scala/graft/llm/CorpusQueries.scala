@@ -1123,45 +1123,66 @@ object CorpusQueries {
       // Cavnar–Trenkle n-gram language ID (see [[LangIdProfile]]): learn a
       // ranked character-trigram profile per labeled language, score every
       // doc's top trigrams by the out-of-place rank distance, predict the
-      // argmin language, and report the confusion matrix. Scale shape:
-      // the training aggregate is trigram-vocabulary-bounded (counts per
-      // (lang, gram), never corpus rows, ranked by a window over ≤
-      // |langs| partitions of vocab-sized frames); the doc side's window
-      // partitions by doc_id; the languages × profile frame is tiny and
-      // broadcast into the distance join, so the per-doc work stays
-      // map-local until the bounded confusion rollup.
+      // argmin language, and report the confusion matrix.
+      //
+      // Scale shape (three alternatives MEASURED, BENCH_NOTES r14): the
+      // training aggregate is trigram-vocabulary-bounded (counts per
+      // (lang, gram) with map-side combine, ranked by a window over ≤
+      // |langs| partitions of vocab-sized frames); the doc-profile cut is
+      // the bounded two-phase graft_topk aggregate with grams packed as
+      // big-endian code-point longs (long order == the oracle's string
+      // order for ASCII; packing happens on COUNTED rows, never per
+      // occurrence) — NEVER a doc_id window sort; the profile lookups are
+      // codegen'd broadcast hash joins (an in-row map-literal probe lost
+      // 60% — interpreted element_at is a LINEAR scan of the 250-key
+      // MapData per probe; a fully in-row variant also counting grams
+      // per-expression lost 3× — O(L²) interpreted lambdas); and the
+      // argmin is min(struct(dist, lang)) — a partial-aggregatable
+      // aggregate, not a per-doc rank window. After the gram-count
+      // exchange every frame shrinks: docs×top, docs×|langs|, |langs|².
       val tri = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
-      val grams = docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), col("lang").as("actual_lang"),
                 lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)
+      // ONE gram explode: the (doc, lang, gram) count exchange feeds BOTH
+      // the doc profiles and (rolled up — already vocabulary-bounded) the
+      // language profiles, so Spark's ReuseExchange materializes the
+      // expensive trigram pass once instead of once per branch
+      val docCounts = base
         .select(col("doc_id"), col("actual_lang"), explode(expr(tri)).as("g"))
-      val langProf = grams
-        .groupBy(col("actual_lang").as("lang"), col("g"))
+        .groupBy(col("doc_id"), col("actual_lang"), col("g"))
         .agg(count(lit(1)).as("c"))
+      val encExpr = "ascii(substring(g, 1, 1)) * 65536L + ascii(substring(g, 2, 1)) * 256L + ascii(substring(g, 3, 1))"
+      val langProf = docCounts
+        .groupBy(col("actual_lang").as("lang"), col("g"))
+        .agg(sum(col("c")).as("c"))
         .withColumn("lrank", row_number().over(
           Window.partitionBy("lang").orderBy(desc("c"), asc("g"))).cast("long"))
         .filter(col("lrank") <= LangIdProfile)
-        .select("lang", "g", "lrank")
-      val docProf = grams
-        .groupBy(col("doc_id"), col("actual_lang"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("drank", row_number().over(
-          Window.partitionBy("doc_id").orderBy(desc("c"), asc("g"))).cast("long"))
-        .filter(col("drank") <= LangIdDocTop)
-        .select("doc_id", "actual_lang", "g", "drank")
-      val langs = langProf.select("lang").distinct()
+        .select(col("lang"), expr(encExpr).as("enc"), col("lrank"))
+      // every filtered doc yields ≥1 gram, so the candidate set comes from
+      // the (unexploded) base — re-deriving it from langProf would
+      // duplicate the profile subtree (and its window) in the plan
+      val langs = base.select(col("actual_lang").as("lang")).distinct()
+      val docProf = docCounts
+        .withColumn("enc", expr(encExpr))
+        .groupBy(col("doc_id"), col("actual_lang"))
+        .agg(graft.functions.TopKByScore.column(
+          col("c").cast("double"), col("enc"), lit(0L), LangIdDocTop.toInt).as("top"))
+        .select(col("doc_id"), col("actual_lang"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("doc_id"), col("actual_lang"), col("t.id").as("enc"),
+                (col("pos") + 1).cast("long").as("drank"))
       val dists = docProf.crossJoin(broadcast(langs))
-        .join(broadcast(langProf), Seq("lang", "g"), "left")
+        .join(broadcast(langProf), Seq("lang", "enc"), "left")
         .groupBy(col("doc_id"), col("actual_lang"), col("lang"))
         .agg(sum(coalesce(abs(col("drank") - col("lrank")),
                           lit(LangIdProfile))).as("dist"))
-      val pred = dists
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(asc("dist"), asc("lang"))))
-        .filter(col("rn") === 1)
-      pred.groupBy(col("actual_lang"), col("lang").as("pred_lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dist")).as("sum_dist"))
+      dists
+        .groupBy(col("doc_id"), col("actual_lang"))
+        .agg(min(struct(col("dist"), col("lang"))).as("best"))
+        .groupBy(col("actual_lang"), col("best.lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("best.dist")).as("sum_dist"))
     }
   )
 

@@ -250,11 +250,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("t23_langid: language profiles broadcast; no cartesian on the corpus side") {
+  test("t23_langid: topk doc-profile cut, broadcast profile joins, one vocab-bounded window") {
+    // doc profiles fold through the bounded graft_topk aggregate (never a
+    // doc_id window sort); profile lookups are broadcast hash joins; the
+    // ONLY window ranks the (lang, gram) count frame — vocabulary-bounded
+    // after its map-side combine, never corpus rows
     val p = plan("t23_langid")
-    assert(!p.contains("CartesianProduct"))
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+    assert(p.contains("partial_graft_topk"),
+      "the doc-profile cut must be the partial-aggregatable bounded top-k")
+    assert(p.contains("BroadcastExchange"),
       "the languages x profile frames are tiny and must broadcast into the distance join")
+    assert(!p.contains("CartesianProduct"))
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows <= 1, s"only the vocab-bounded profile rank may window, got $windows")
   }
 
   test("ann_topk_brute: the query set is the broadcast side") {
