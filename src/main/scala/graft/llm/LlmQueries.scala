@@ -308,6 +308,18 @@ object LlmQueries {
     * SparkSession too (identity), not just the dir: a cached DataFrame is
     * bound to the session that created it, and handing it to a second
     * session in the same JVM would be a dead reference. */
+  /** d18's packed Bloom filter per (session, dir): [[BloomBits]] /
+    * [[BloomWordBits]] = 2048 longs plus the set-bit count — a driver-side
+    * decision value (8 KiB by geometry, like the BPE merge table, NOT
+    * corpus-sized state). Memoized so warm invocations skip the
+    * filter-build collect job; the probe enters the plan as ONE typedLit
+    * array literal instead of a 2048-element parsed expression tree (the
+    * giant-literal re-ANALYSIS cost CLAUDE.md flags — the d3 sigCache
+    * lesson). Consumers: d18_bloom_decontaminate — Bench evicts after its
+    * reps. */
+  private val bloomCache = new graft.core.SessionMemo[(Array[Long], Long)]()
+  def evictBloom(s: SparkSession, dir: String): Unit = bloomCache.remove(s, dir)
+
   private val sigCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
 
   /** Connected components over the near-dup pair graph (doc_id,
@@ -605,6 +617,35 @@ object LlmQueries {
     *
     * `payload` rides one long of per-candidate context through the
     * aggregation (the IVF queries carry the neighbor's cell id). */
+  /** r3's bounded candidate frames — (relevance: q_id, vec_id, rel) and
+    * (pairwise sims: q_id, a_id, b_id, sim), both queries × C(²) rows by
+    * construction. Split out so PlanAuditSpec can pin the candidate
+    * generation (broadcast query set, bounded top-C graft_topk cut, no
+    * cartesian on the corpus side — the per-query candidate×candidate
+    * pair join runs over the already-cut C rows only). */
+  private[graft] def mmrCandidateFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cosQ = s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(cosQ))
+    val cand = topkPerQuery(scored, MmrCandidates)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val cv = cand.join(e.select(col("vec_id"), col("v")), "vec_id")
+    val rel = cv.join(broadcast(q), "q_id")
+      .withColumn("rel", expr(cosQ))
+      .select("q_id", "vec_id", "rel")
+    val pairs = cv.select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(cv.select(col("q_id"), col("vec_id").as("b_id"), col("v").as("bv")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", expr(
+        s"${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))"))
+      .select("q_id", "a_id", "b_id", "sim")
+    (rel, pairs)
+  }
+
   private def topkPerQuery(scored: DataFrame, k: Int,
                            payload: org.apache.spark.sql.Column = lit(0L)): DataFrame =
     scored.groupBy(col("q_id"))
@@ -817,9 +858,12 @@ object LlmQueries {
     sqCache.remove(s, dir)
     pqCache.remove(s, dir)
     lshCache.remove(s, dir)
+    bloomCache.remove(s, dir)
+    CorpusQueries.evictCmsVocab(s, dir)
     CorpusQueries.evictFunnel(s, dir)
     CorpusQueries.evictLmToks(s, dir)
     CorpusQueries.evictBpeMerges(s, dir)
+    CorpusQueries.evictLangProfiles(s, dir)
     // d12's sink AND staging replica are dir-keyed (session-independent
     // files): drop the entries and their parquet so a reused dir path
     // recomputes instead of serving a stale pre-change pair set, and a
@@ -861,7 +905,11 @@ object LlmQueries {
     *   - LSH tables (lshCache): d3_embedding_neardup (and the bench's
     *     bucket-recall probe)
     *   - BPE merge table (CorpusQueries.bpeMergeCache, driver-side Seq):
-    *     t19_bpe_learn, t20_bpe_apply */
+    *     t19_bpe_learn, t20_bpe_apply
+    *   - language-ID profiles (CorpusQueries.langProfCache): t23_langid
+    *   - CMS word-count vocab (CorpusQueries.cmsVocabCache): t22_cms_heavy_hitters
+    *   - d18 Bloom filter words (bloomCache, driver-side Array[Long]):
+    *     d18_bloom_decontaminate */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
   def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
@@ -1388,26 +1436,33 @@ object LlmQueries {
       val nWords = BloomBits / BloomWordBits
       val posExpr = (g: String) =>
         s"transform(sequence(0, ${BloomHashes - 1}), j -> graft_fnv32(concat(cast(j as string), ':', $g)) % $BloomBits)"
-      val filterRows = base.filter(col("doc_id") % 50 === 0)
-        .select(explode(col("shingle_set")).as("g")).distinct()
-        .select(explode(expr(posExpr("g"))).as("pos")).distinct()
-        .select(expr(s"pos div $BloomWordBits").as("w"),
-                expr(s"shiftleft(1L, cast(pos % $BloomWordBits as int))").as("bit"))
-        .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
-        .collect()
-      val bloom = Array.fill(nWords)(0L)
-      filterRows.foreach(r => bloom(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
-      val setBits  = bloom.map(java.lang.Long.bitCount).sum.toLong
-      val bloomLit = bloom.mkString("array(", "L, ", "L)")
-      val hitCnt =
-        s"""size(filter(shingle_set, g ->
-           |  forall(${posExpr("g")}, p ->
-           |    (element_at($bloomLit, cast(p div $BloomWordBits as int) + 1)
-           |       & shiftleft(1L, cast(p % $BloomWordBits as int))) != 0)))""".stripMargin
+      val (bloom, setBits) = bloomCache.getOrElseUpdate(s, dir) {
+        val filterRows = base.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("shingle_set")).as("g")).distinct()
+          .select(explode(expr(posExpr("g"))).as("pos")).distinct()
+          .select(expr(s"pos div $BloomWordBits").as("w"),
+                  expr(s"shiftleft(1L, cast(pos % $BloomWordBits as int))").as("bit"))
+          .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+          .collect()
+        val arr = Array.fill(nWords)(0L)
+        filterRows.foreach(r => arr(r.getAs[Long]("w").toInt) = r.getAs[Long]("bits"))
+        (arr, arr.map(java.lang.Long.bitCount).sum.toLong)
+      }
+      // ONE Literal node carrying the packed words (typedLit), not a
+      // parsed-and-analyzed 2048-element array(...) expression string —
+      // probe math identical to the pre-literal SQL form
+      val bloomCol  = typedLit(bloom)
+      val wordShift = java.lang.Integer.numberOfTrailingZeros(BloomWordBits)
+      val positions = (g: org.apache.spark.sql.Column) =>
+        transform(sequence(lit(0), lit(BloomHashes - 1)),
+          j => call_function("graft_fnv32", concat(j.cast("string"), lit(":"), g)) % lit(BloomBits))
+      val hit = (g: org.apache.spark.sql.Column) => forall(positions(g), p =>
+        element_at(bloomCol, shiftright(p, wordShift).cast("int") + lit(1))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % lit(BloomWordBits)).cast("int"))) =!= lit(0L))
       base.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
                 size(col("shingle_set")).cast("long").as("n_shingles"),
-                expr(hitCnt).cast("long").as("bloom_cnt"))
+                size(filter(col("shingle_set"), hit)).cast("long").as("bloom_cnt"))
         .join(docs(s, dir).select("doc_id", "source"), "doc_id")
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
@@ -1638,25 +1693,7 @@ object LlmQueries {
       // SAME engine expressions the oracle twin uses (sequential
       // graft_dot ↔ list_inner_product), so the selection is
       // bit-reproducible across engines.
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val cosQ = s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"
-      val scored = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", expr(cosQ))
-      val cand = topkPerQuery(scored, MmrCandidates)
-        .select(col("q_id"), col("neighbor_id").as("vec_id"))
-      val cv = cand.join(e.select(col("vec_id"), col("v")), "vec_id")
-      val rel = cv.join(broadcast(q), "q_id")
-        .withColumn("rel", expr(cosQ))
-        .select("q_id", "vec_id", "rel")
-      val pairs = cv.select(col("q_id"), col("vec_id").as("a_id"), col("v").as("av"))
-        .join(cv.select(col("q_id"), col("vec_id").as("b_id"), col("v").as("bv")), Seq("q_id"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("sim", expr(
-          s"${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))"))
-        .select("q_id", "a_id", "b_id", "sim")
+      val (rel, pairs) = mmrCandidateFrames(s, dir)
       val rels = rel.collect()
         .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
       val sims = pairs.collect()
@@ -1670,14 +1707,20 @@ object LlmQueries {
           if (remaining.isEmpty) None
           else {
             // round 1 maximizes pure relevance (empty-set diversity term);
-            // later rounds the λ=0.5 marginal score. Ties → smaller vec_id,
-            // the oracle's row_number(score DESC, vec_id) order.
+            // later rounds the λ=0.5 marginal score. Ties → smaller vec_id.
+            // Explicit Double.compare, not key negation: under negation
+            // -0.0 < 0.0 and NaN inverts, diverging from the oracle's
+            // row_number(score DESC, vec_id) — Double.compare ranks NaN
+            // above all reals, exactly DuckDB's DESC NaN-first order.
             val best = remaining.map { c =>
               val score =
                 if (selected.isEmpty) relOf(c)
                 else 0.5 * relOf(c) - 0.5 * selected.map(sb => sims((qid, c, sb))).max
               (c, score)
-            }.minBy { case (c, sc) => (-sc, c) }._1
+            }.reduceLeft { (x, y) =>
+              val cmp = java.lang.Double.compare(y._2, x._2)
+              if (cmp > 0 || (cmp == 0 && y._1 < x._1)) y else x
+            }._1
             selected :+= best
             Some(org.apache.spark.sql.Row(qid, rank.toLong, best))
           }

@@ -80,6 +80,60 @@ class GraftExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("graft_trigrams equals the substring lambda; packed order == UTF-8 byte order (full Unicode)") {
+    GraftFunctions.ensureRegistered(spark)
+    // deterministic pseudo-random strings over ASCII, BMP, and
+    // supplementary-plane alphabets — the kernel's 21-bit fields must be
+    // injective and order-preserving on ALL of Unicode, not just ASCII
+    val rng = new scala.util.Random(42)
+    val alphabets = Seq(
+      ('a' to 'z').map(_.toString),
+      Seq("é", "ß", "日", "本", "語", "ü", "α", "я", " "),
+      Seq("😀", "🌍", "𝛼", "🚀", "a", "本", "\uFFFD"))
+    val strings = (for {
+      alpha <- alphabets
+      n     <- Seq(0, 1, 2, 3, 4, 7, 40)
+      _     <- 1 to 3
+    } yield (1 to n).map(_ => alpha(rng.nextInt(alpha.size))).mkString) ++
+      Seq("", "ab", "abc", "aaaa", "mámá😀是")
+    val rows = strings.toDF("t").selectExpr(
+      "t",
+      "graft_trigrams(t) AS native",
+      "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) ELSE array() END AS lambda")
+      .collect()
+    def unpack(v: Long): String = {
+      val cps = Array((v >>> 42).toInt, ((v >> 21) & 0x1FFFFF).toInt, (v & 0x1FFFFF).toInt)
+      new String(cps, 0, 3)
+    }
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      val lambda = r.getSeq[String](2)
+      assert(native.map(unpack) === lambda, s"for '${r.getString(0)}'")
+    }
+    // order preservation: packed long order must equal unsigned UTF-8
+    // byte order (both engines' binary string collation) on every gram pair
+    val grams = rows.flatMap(_.getSeq[Long](1)).distinct
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (a <- grams; b <- grams if a != b)
+      assert((a < b) === utf8Lt(unpack(a), unpack(b)),
+        s"packed order diverges from UTF-8 byte order on '${unpack(a)}' vs '${unpack(b)}'")
+    // interpreted path agrees with codegen (pack is shared) + short strings empty
+    assert(graft.functions.CodePointTrigrams.pack("ab").isEmpty)
+    assert(graft.functions.CodePointTrigrams.pack("😀a").isEmpty) // 2 code points
+    assert(graft.functions.CodePointTrigrams.pack("abc").toSeq ===
+      Seq((97L << 42) | (98L << 21) | 99L))
+  }
+
   test("graft_simhash16 equals the nested-aggregate SQL chain") {
     GraftFunctions.ensureRegistered(spark)
     val chain =
