@@ -493,6 +493,74 @@ object Bench {
         llm.LlmQueries.evictLshTables(spark, sfDir)
       }
     }
+    // RETRIEVAL QUALITY at the bench SF: the quality axis of the r3/r4
+    // speed numbers (the ann_recall/dedup_recall discipline extended to
+    // the rerank/mining family — a rerank that loses the relevant hit, or
+    // "hard" negatives that aren't actually near-misses, should be
+    // visible here, not invisible). All sets are queries × K — driver-
+    // side decision values.
+    val retrievalQuality = {
+      if (only.nonEmpty) "null"
+      else try {
+        val (relDf, pairsDf) = llm.LlmQueries.mmrCandidateFrames(spark, sfDir)
+        val rel = relDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val sims = pairsDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+        def sel(df: org.apache.spark.sql.DataFrame, idCol: String): Map[Long, Seq[(Long, Long)]] =
+          df.select("q_id", "rank", idCol).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
+        val mmr   = sel(SparkEntry.queries("r3_mmr_rerank")(spark, sfDir), "vec_id")
+        val brute = sel(SparkEntry.queries("ann_topk_brute")(spark, sfDir), "neighbor_id")
+        val k     = llm.LlmQueries.MmrK
+        // rank-1 parity: MMR round 1 is pure relevance, so its first pick
+        // must equal the brute nearest neighbor — a broken candidate cut
+        // or tie-break shows up here first
+        val qs = mmr.keySet & brute.keySet
+        val parity = qs.count(q => mmr(q).headOption.map(_._2) == brute(q).headOption.map(_._2))
+          .toDouble / math.max(1, qs.size)
+        // diversity: mean pairwise cosine among the K selected — MMR's
+        // whole point is that this drops vs the plain top-K at bounded
+        // relevance cost (the relevance retained is reported alongside)
+        def meanPairSim(sets: Map[Long, Seq[(Long, Long)]]): Double = {
+          val vals = for {
+            (q, rs) <- sets.toSeq
+            ids = rs.take(k).map(_._2)
+            a <- ids; b <- ids if a != b
+            s <- sims.get((q, a, b))
+          } yield s
+          if (vals.isEmpty) 0.0 else vals.sum / vals.size
+        }
+        def meanRel(sets: Map[Long, Seq[(Long, Long)]]): Double = {
+          val vals = for {
+            (q, rs) <- sets.toSeq
+            (_, id) <- rs.take(k)
+            r <- rel.get((q, id))
+          } yield r
+          if (vals.isEmpty) 0.0 else vals.sum / vals.size
+        }
+        val mmrSim   = meanPairSim(mmr)
+        val topkSim  = meanPairSim(brute)
+        val mmrRel   = meanRel(mmr)
+        val topkRel  = meanRel(brute)
+        // r4 hardness: fraction of mined negatives that rank inside the
+        // anchor's UNFILTERED brute top-K — negatives that near-miss the
+        // global neighborhood, the examples a contrastive loss wants
+        val neg = sel(SparkEntry.queries("r4_hard_negatives")(spark, sfDir), "neighbor_id")
+        val negPairs = neg.toSeq.flatMap { case (q, rs) => rs.map(r => (q, r._2)) }
+        val inTopk = negPairs.count { case (q, id) =>
+          brute.get(q).exists(_.exists(_._2 == id)) }
+        val hardness = if (negPairs.isEmpty) 0.0 else inTopk.toDouble / negPairs.size
+        f"""{"mmr_rank1_parity":$parity%.3f,"mmr_avg_pairsim":$mmrSim%.4f,""" +
+          f""""topk_avg_pairsim":$topkSim%.4f,"mmr_diversity_drop":${topkSim - mmrSim}%.4f,""" +
+          f""""mmr_avg_rel":$mmrRel%.4f,"topk_avg_rel":$topkRel%.4f,""" +
+          f""""r4_in_brute_topk":$hardness%.3f,"r4_negatives":${negPairs.size}}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] retrieval quality failed: $e"); "null"
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -513,7 +581,7 @@ object Bench {
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},"queries_max":${jmap(_._5)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
-      s""""dedup_recall":$dedupRecall,""" +
+      s""""dedup_recall":$dedupRecall,"retrieval_quality":$retrievalQuality,""" +
       s""""query_scale":$qScale,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
