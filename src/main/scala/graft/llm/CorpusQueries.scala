@@ -107,6 +107,15 @@ object CorpusQueries {
   val HllRestBits = 32 - HllP       // 24 rank-feeding bits
   val HllFp      = 30               // fixed-point scale for Σ 2^−M[j]
   val HllAlpha16 = 47073L           // floor(0.7182725 * 2^16), α for m=256
+  /** Flajolet's small-range correction as integers: linear-counting
+    * estimates round(m·ln(m/e)) for e = 1..m−1 EMPTY registers, computed
+    * once here and embedded as the SAME literals in both engines' plans
+    * (the md5-dyadic-literal trick) — the corrected estimate stays
+    * bit-identical without either engine evaluating a float log at query
+    * time. Applied when registers remain empty and the raw estimate is
+    * below 2.5m (the standard HLL regime switch). */
+  val HllLinearCount: IndexedSeq[Long] =
+    (1 until HllM).map(e => Math.round(HllM.toDouble * Math.log(HllM.toDouble / e)))
 
   /** t22: count-min sketch geometry (Cormode & Muthukrishnan 2005). d
     * independent rows (seeded FNV streams) × w counters — 3·1024 longs
@@ -1131,8 +1140,14 @@ object CorpusQueries {
             (lit(HllM.toLong) - col("n_registers_set")) * lit(1L << HllFp))
         .withColumn("hll_estimate",
           expr(s"(cast($HllAlpha16 as bigint) * cast(shiftleft(cast(1 as bigint), $HllFp) as bigint)) div sum_inv_scaled"))
+        .withColumn("corrected_estimate",
+          when(col("n_registers_set") < HllM.toLong && col("hll_estimate") * 2 < 5L * HllM,
+               element_at(typedLit(HllLinearCount.toArray),
+                          (lit(HllM.toLong) - col("n_registers_set")).cast("int")))
+            .otherwise(col("hll_estimate")))
         .select(col("source"), col("n_registers_set"), col("sum_inv_scaled"),
-                col("hll_estimate"), col("exact_distinct"), col("max_rank"))
+                col("hll_estimate"), col("corrected_estimate"),
+                col("exact_distinct"), col("max_rank"))
     },
 
     // ---------- sketch: count-min heavy-hitter audit ----------
@@ -1759,13 +1774,21 @@ object CorpusQueries {
          |         sum((1::BIGINT << ($HllFp - m_rank))::BIGINT)::BIGINT AS present_inv,
          |         sum(reg_distinct)::BIGINT AS exact_distinct,
          |         max(m_rank)::BIGINT AS max_rank
-         |  FROM regs GROUP BY 1)
-         |SELECT source, n_registers_set,
-         |  (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp))::BIGINT AS sum_inv_scaled,
-         |  (($HllAlpha16::BIGINT * (1::BIGINT << $HllFp))
-         |     // (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp)))::BIGINT AS hll_estimate,
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT source, n_registers_set,
+         |    (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp))::BIGINT AS sum_inv_scaled,
+         |    (($HllAlpha16::BIGINT * (1::BIGINT << $HllFp))
+         |       // (present_inv + ($HllM - n_registers_set) * (1::BIGINT << $HllFp)))::BIGINT AS hll_estimate,
+         |    exact_distinct, max_rank
+         |  FROM roll)
+         |SELECT source, n_registers_set, sum_inv_scaled, hll_estimate,
+         |  (CASE WHEN n_registers_set < $HllM AND hll_estimate * 2 < ${5L * HllM}
+         |        THEN list_extract(${HllLinearCount.mkString("[", ", ", "]")},
+         |                          ($HllM - n_registers_set)::INT)
+         |        ELSE hll_estimate END)::BIGINT AS corrected_estimate,
          |  exact_distinct, max_rank
-         |FROM roll""".stripMargin
+         |FROM est""".stripMargin
     },
 
     // t22 twin: the same d seeded FNV streams build the counter grid, the

@@ -688,28 +688,57 @@ class CorpusSpec extends AnyFunSuite {
       val rs = regs.filter(_._1._1 == src).values.toSeq
       val present = rs.map(m => 1L << (CorpusQueries.HllFp - m)).sum
       val s = present + (CorpusQueries.HllM - rs.size) * (1L << CorpusQueries.HllFp)
-      src -> (rs.size.toLong, s,
-              CorpusQueries.HllAlpha16 * (1L << CorpusQueries.HllFp) / s,
+      val raw = CorpusQueries.HllAlpha16 * (1L << CorpusQueries.HllFp) / s
+      // the shipped small-range correction: integer linear counting from
+      // the shared LUT when registers remain empty and raw < 2.5m
+      val corrected =
+        if (rs.size < CorpusQueries.HllM && raw * 2 < 5L * CorpusQueries.HllM)
+          CorpusQueries.HllLinearCount(CorpusQueries.HllM - rs.size - 1)
+        else raw
+      src -> (rs.size.toLong, s, raw, corrected,
               distinct(src).size.toLong, rs.max.toLong)
     }.toMap
     val got = CorpusQueries.queries("t21_hll_cardinality")(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_registers_set"), r.getAs[Long]("sum_inv_scaled"),
-         r.getAs[Long]("hll_estimate"), r.getAs[Long]("exact_distinct"),
-         r.getAs[Long]("max_rank"))).toMap
+         r.getAs[Long]("hll_estimate"), r.getAs[Long]("corrected_estimate"),
+         r.getAs[Long]("exact_distinct"), r.getAs[Long]("max_rank"))).toMap
     assert(got === expected)
-    // accuracy: the engine ships the RAW integer estimator (bias-corrected
-    // estimates need floats the oracle can't hash); apply Flajolet's
-    // small-range correction HERE (n << m ⇒ linear counting on the empty
-    // registers, E* = m·ln(m/V)) and the corrected value must track the
-    // truth (m=256 → ~6.5% std err; allow small-sample slack)
-    val m = CorpusQueries.HllM.toDouble
-    got.values.foreach { case (nSet, _, est, exact, _) =>
-      val v = m - nSet
-      val corrected = if (est <= 2.5 * m && v > 0) m * math.log(m / v) else est.toDouble
-      assert(corrected > 0 && math.abs(corrected - exact) <= math.max(4.0, exact * 0.25),
+    // accuracy: the SHIPPED corrected estimate must track the truth
+    // (m=256 → ~6.5% std err in the LC regime; allow small-sample slack)
+    got.values.foreach { case (_, _, est, corrected, exact, _) =>
+      assert(corrected > 0 && math.abs(corrected.toDouble - exact) <= math.max(4.0, exact * 0.25),
         s"HLL corrected estimate $corrected (raw $est) vs exact $exact")
     }
+  }
+
+  test("t21 correction regimes: sparse source linear-counts, dense source keeps the raw estimator") {
+    // planted corpus: a 6-word source (n << m — the raw HLL estimator is
+    // badly biased here; the LC branch must fire and land near-exact) and
+    // a 2000-word source (most registers set — the raw branch must hold)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hllreg-").toString
+    try {
+      import spark.implicits._
+      val sparse = (0 until 3).map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo f$i", "sparse", 30L))
+      val dense = (10 until 20).map(i =>
+        (i.toLong, (0 until 200).map(j => s"w${i}_$j").mkString(" "), "dense", 200L))
+      (sparse ++ dense).toDF("doc_id", "text", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = CorpusQueries.queries("t21_hll_cardinality")(spark, tmp).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_registers_set"), r.getAs[Long]("hll_estimate"),
+           r.getAs[Long]("corrected_estimate"), r.getAs[Long]("exact_distinct"))).toMap
+      val (spSet, spRaw, spCorr, spExact) = rows("sparse")
+      assert(spSet < CorpusQueries.HllM && spRaw * 2 < 5L * CorpusQueries.HllM,
+        "sparse source must sit in the linear-counting regime")
+      assert(spCorr === CorpusQueries.HllLinearCount((CorpusQueries.HllM - spSet).toInt - 1))
+      assert(math.abs(spCorr - spExact) <= 1, s"LC near-exact at n<<m: $spCorr vs $spExact")
+      val (_, dRaw, dCorr, dExact) = rows("dense")
+      assert(dCorr === dRaw, "dense source must keep the raw HLL estimate")
+      assert(math.abs(dCorr.toDouble - dExact) <= dExact * 0.2,
+        s"raw HLL within std-err band at high cardinality: $dCorr vs $dExact")
+    } finally graft.core.FsUtil.deleteRecursively(tmp)
   }
 
   test("t22 CMS estimates are min-of-rows, never underestimate, and match a serial sketch") {
