@@ -2047,6 +2047,11 @@ object LlmQueries {
     // ---------- multimodal: frame sampling + resize-to-target ----------
     "m2_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamples(s, dir)
+    },
+
+    // ---------- multimodal: REAL PNG encode->decode round trip ----------
+    "m3_image_decode" -> { (s, dir) =>
+      Multimodal.imageDecode(s, dir)
     }
   )
 
@@ -2939,7 +2944,8 @@ object LlmQueries {
       "ann_ivfpq_topk" -> ivfPqSql,
       "ann_ivfsq_topk" -> ivfSqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,
-      "m2_frame_sample" -> Multimodal.frameOracleSql
+      "m2_frame_sample" -> Multimodal.frameOracleSql,
+      "m3_image_decode" -> Multimodal.decodeOracleSql
     )
   }
 }

@@ -23,10 +23,13 @@ final case class MediaFeatures(
   *
   * The Spark-side shape is the real thing: a typed `Dataset[MediaRecord]`,
   * `mapPartitions` so a decoder handle is initialized ONCE per partition
-  * (the slot where libjpeg/ffmpeg would live — this container has no media
-  * libs, so the decode is a clearly-marked deterministic fake over md5 of
-  * the bytes), and a typed `Dataset[MediaFeatures]` out. At 100 TB this is
-  * embarrassingly parallel: no shuffle, featureExtract scales with input
+  * (the slot where libjpeg/ffmpeg would live), and a typed
+  * `Dataset[MediaFeatures]` out. [[features]]/[[frameSamples]] use a
+  * clearly-marked deterministic fake over md5 of the bytes (no media
+  * FIXTURES ship in this container); [[imageDecode]] exercises a REAL
+  * codec — `javax.imageio` PNG encode→decode, pixel-checksummed against
+  * the generator — behind the same batch shape. At 100 TB this is
+  * embarrassingly parallel: no shuffle, extraction scales with input
   * partitions, and the binary column never leaves the executor.
   */
 object Multimodal {
@@ -113,6 +116,96 @@ object Multimodal {
       .toDF()
   }
 
+  /** m3's decoded-image row: REAL codec output — dimensions, band count,
+    * and pixel checksum all read from the decoded raster. */
+  final case class ImageDecoded(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      pixel_checksum: Long,
+      decoder: String
+  )
+
+  /** REAL image decode behind the same once-per-partition-init batch
+    * shape as [[features]]. The container ships no media fixture files,
+    * so each image-typed record's payload is first RENDERED as an actual
+    * PNG (a deterministic md5-derived grayscale pattern, 8–23 px per
+    * side), then decoded back through `javax.imageio` — a genuine
+    * byte-level PNG encode→decode round trip, not a fake: the reported
+    * width/height/band-count/pixel-checksum are read from the DECODED
+    * raster. The oracle reproduces the GENERATOR's arithmetic (never the
+    * codec), so any codec mis-decode breaks the hash gate. Where ImageIO
+    * lacks a PNG codec the operator falls back to the generator's
+    * arithmetic with decoder='fake' — flagged in the output, never
+    * silent (the oracle pins 'imageio', so a degraded environment fails
+    * loudly instead of greenwashing). Plan shape: mapPartitions, no
+    * shuffle — scales with input splits like [[features]]. */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // decoder capability probed ONCE per partition, like a real codec
+        // handle; MessageDigest likewise
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hasPng =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext &&
+            javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext
+        it.map { r =>
+          md.reset()
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          def h(i: Int): Int = Character.digit(hex.charAt(i), 16)
+          val w  = 8 + h(0)
+          val ht = 8 + h(1)
+          val a  = h(2) * 16 + h(3)
+          def lum(x: Int, y: Int): Int = (a + 7 * x + 13 * y) % 256
+          if (hasPng) {
+            val img = new java.awt.image.BufferedImage(
+              w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            var y = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) {
+                val l = lum(x, y)
+                img.setRGB(x, y, (l << 16) | (l << 8) | l)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val back = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val raster = back.getRaster
+            var sum = 0L
+            var yy  = 0
+            while (yy < back.getHeight) {
+              var xx = 0
+              while (xx < back.getWidth) {
+                sum += (xx + yy * back.getWidth + 1).toLong * raster.getSample(xx, yy, 0)
+                xx += 1
+              }
+              yy += 1
+            }
+            ImageDecoded(r.doc_id, back.getWidth, back.getHeight,
+              raster.getNumBands, sum, "imageio")
+          } else {
+            var sum = 0L
+            var y   = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) { sum += (x + y * w + 1).toLong * lum(x, y); x += 1 }
+              y += 1
+            }
+            ImageDecoded(r.doc_id, w, ht, 3, sum, "fake")
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** DuckDB twin of the fake decode (md5-hex arithmetic is portable). */
   val oracleSql: String = {
     def h(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
@@ -145,5 +238,31 @@ object Multimodal {
        |       CAST(CASE WHEN w >= hgt THEN (hgt * 224) // w ELSE 224 END AS INT) AS out_height
        |FROM m, (SELECT unnest(generate_series(0, 7)) AS i) f
        |WHERE f.i < n_frames""".stripMargin
+  }
+
+
+  /** DuckDB twin of [[imageDecode]]: reproduces the pattern GENERATOR's
+    * integer arithmetic over a (x, y) grid — deliberately never the PNG
+    * codec — so the Spark side's real encode→decode round trip is what
+    * the hash gate actually checks. decoder is pinned 'imageio': an
+    * environment without a PNG codec fails the gate loudly. */
+  val decodeOracleSql: String = {
+    def h(i: Int) = s"(instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, md5(text) AS hx FROM documents WHERE source = 'src0'
+       |), d AS (
+       |  SELECT doc_id, 8 + ${h(0)} AS w, 8 + ${h(1)} AS hgt,
+       |         ${h(2)} * 16 + ${h(3)} AS a
+       |  FROM m)
+       |SELECT doc_id, CAST(w AS INT) AS width, CAST(hgt AS INT) AS height,
+       |  CAST(3 AS INT) AS channels,
+       |  CAST(sum((g.x + g.y * w + 1) * ((a + 7 * g.x + 13 * g.y) % 256)) AS BIGINT)
+       |    AS pixel_checksum,
+       |  'imageio' AS decoder
+       |FROM d, (SELECT x.i AS x, y.i AS y
+       |         FROM (SELECT unnest(generate_series(0, 22)) AS i) x,
+       |              (SELECT unnest(generate_series(0, 22)) AS i) y) g
+       |WHERE g.x < w AND g.y < hgt
+       |GROUP BY doc_id, w, hgt, a""".stripMargin
   }
 }

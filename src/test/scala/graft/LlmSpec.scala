@@ -624,6 +624,38 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r._4 >= 64 && r._4 < 320 && r._6 >= 1 && r._6 <= 3))
   }
 
+  test("m3: the real PNG codec runs and round-trips the generated pattern exactly") {
+    val rows = run("m3_image_decode").collect()
+    assert(rows.nonEmpty, "the fixture has image-typed records")
+    rows.foreach { r =>
+      assert(r.getAs[String]("decoder") === "imageio",
+        "this JDK ships a PNG reader+writer; the REAL decode path must run, not the fallback")
+      assert(r.getAs[Int]("channels") === 3, "TYPE_3BYTE_BGR decodes to 3 bands")
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(w >= 8 && w <= 23 && h >= 8 && h <= 23)
+    }
+    // the decoded-raster checksum must equal the generator arithmetic —
+    // i.e. the PNG encode→decode round trip is lossless and indexed the
+    // raster the same way the pattern was written
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("source = 'src0'").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val hex = md.digest(texts(r.getAs[Long]("doc_id")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      def hx(i: Int): Int = Character.digit(hex.charAt(i), 16)
+      val (w, h, a) = (8 + hx(0), 8 + hx(1), hx(2) * 16 + hx(3))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (x + y * w + 1).toLong * ((a + 7 * x + 13 * y) % 256)
+      assert(r.getAs[Long]("pixel_checksum") === sum,
+        s"doc ${r.getAs[Long]("doc_id")}: decoded checksum diverges from the generated pattern")
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) === ((w, h)))
+    }
+  }
+
   test("m2: videos fan out to sampled frames; stills yield one; resize fits 224 with aspect kept") {
     val rows = run("m2_frame_sample").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), r.getAs[Int]("frame_idx"),
