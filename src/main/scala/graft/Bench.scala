@@ -106,7 +106,8 @@ object Bench {
       (Set("d6_dedup_clusters", "d7_curation_split"),
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
       (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "ann_ivfsq_topk",
-           "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve"),
+           "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",
+           "r5_bitext_mining"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
       (Set("ann_sq_topk", "ann_ivfsq_topk"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),

@@ -124,6 +124,10 @@ object LlmQueries {
     * every per-query decision frame: C relevances + C² pair sims. */
   val MmrCandidates = 20
   val MmrK          = 5
+  /** r5: neighborhood size for the margin denominator (Artetxe & Schwenk's
+    * k), and the fixed-point scale for the shifted-cosine sims. */
+  val BitextK  = 4
+  val BitextFp = 1 << 20
   val Hyperplanes  = 6   // FLOOR of the derived plane count: ≥ 2^6 buckets
   val NumCentroids = 8   // FLOOR of the derived IVF cell count
   val KMeansIters  = 2   // Lloyd updates from the first-N seeds
@@ -396,6 +400,13 @@ object LlmQueries {
     * shuffle+sort, same tie-break as the oracle's row_number ordering.
     * Both frames of the pair are persisted; onEvict drops both. */
   private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (c, a) => c.unpersist(); a.unpersist(); () })
+
+  /** Test/spec accessor: the trained cell assignment (vec_id, v,
+    * centroid_id) — lets serial references (r5's mutual-NN spec) start
+    * from the SAME index the operator consumed instead of replicating the
+    * k-means chain. */
+  private[graft] def ivfAssignments(s: SparkSession, dir: String): DataFrame =
+    ivfIndex(s, dir)._2
 
   private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
@@ -895,7 +906,7 @@ object LlmQueries {
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
     *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit,
-    *     r2_hybrid_retrieve
+    *     r2_hybrid_retrieve, r5_bitext_mining
     *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
@@ -1755,6 +1766,57 @@ object LlmQueries {
       topkPerQuery(scored, TopK, col("label").cast("long"))
         .select(col("q_id"), col("rank"), col("neighbor_id"),
                 col("payload").as("neighbor_label"))
+    },
+
+    // ---------- retrieval: margin-based bitext mining (cell-local) ----------
+    "r5_bitext_mining" -> { (s, dir) =>
+      // Margin-based parallel-pair mining (Artetxe & Schwenk 2019 — the
+      // LASER/CCMatrix alignment step, public): two corpus "sides" (even
+      // vs odd label standing in for the two languages), candidates
+      // restricted to mutual nearest neighbors, scored by the RATIO
+      // margin — cos(x, y) normalized by the mean similarity of each
+      // endpoint's top-[[BitextK]] neighborhood — so generically-central
+      // vectors don't flood the mined set.
+      //
+      // Distributed shape: candidates are CELL-LOCAL over the shared
+      // trained IVF index (the d13 discipline — ONE bounded join on the
+      // cell key, occupancy follows the √N rule; this is exactly how the
+      // production pipelines shard the FAISS search). Each side's
+      // neighborhood folds through the bounded partial graft_topk; the
+      // mutual-NN join touches two narrow per-id summary frames; no
+      // windows, no corpus-wide shuffle beyond the cell join. Integer-
+      // exact: sims enter as 1 + floor((1+cos)·2^20) — strictly positive
+      // fixed-point longs (exactly representable as the topk ordering
+      // doubles; the shift keeps every denominator off zero and the
+      // integer division positive-only, where Spark's truncating div and
+      // DuckDB's flooring // agree) — so the mined rows hash-gate.
+      val (_, assigned) = ivfIndex(s, dir)
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val sided = assigned.join(lab, "vec_id")
+      val a = sided.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("av"), col("centroid_id").as("cell"))
+      val b = sided.filter(col("label") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("v").as("bv"), col("centroid_id").as("cell"))
+      val pairs = a.join(b, "cell")
+        .withColumn("s1", expr(
+          s"1L + cast(floor((1.0D + ${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))) * $BitextFp) as bigint)"))
+        .select(col("cell"), col("a_id"), col("b_id"), col("s1"))
+      def side(key: String, other: String): DataFrame = pairs
+        .groupBy(col(key), col("cell"))
+        .agg(graft.functions.TopKByScore.column(
+          col("s1").cast("double"), col(other), col("s1"), BitextK).as("top"))
+        .select(col(key), col("cell"),
+          expr("top[0].id").as(s"${other}1"),
+          expr("top[0].payload").as("top_s1"),
+          expr("aggregate(top, 0L, (acc, t) -> acc + t.payload)").as(s"d_$key"),
+          size(col("top")).cast("long").as(s"k_$key"))
+      val fwd = side("a_id", "b_id")
+      val bwd = side("b_id", "a_id")
+        .select(col("b_id"), col("a_id1"), col("d_b_id"), col("k_b_id"))
+      fwd.join(bwd, col("b_id1") === col("b_id") && col("a_id1") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("cell").cast("long").as("cell"),
+          expr("(2000L * top_s1 * k_a_id * k_b_id) div (d_a_id * k_b_id + d_b_id * k_a_id)")
+            .as("margin_permille"))
     },
 
     // ---------- ANN: exact brute-force top-k (broadcast query set) ----------
@@ -2701,6 +2763,44 @@ object LlmQueries {
          |  WHERE cand.crank <= $SqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
+    // r5 twin: the shared k-means chain re-unrolled (same CTEs as ivfSql),
+    // then cell-local cross-side pairs, per-endpoint top-K neighborhoods
+    // by (s1 DESC, id) — the exact order graft_topk keeps, since s1 longs
+    // are exactly representable as its ordering doubles — mutual-NN join,
+    // and the all-integer ratio margin. s1 = 1 + floor((1+cos)·2^20):
+    // strictly positive, so // here equals Spark's truncating div.
+    val bitextSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |sa AS (SELECT a.vec_id AS a_id, a.v AS av, a.centroid_id AS cell
+         |       FROM assigned a JOIN lab l ON l.vec_id = a.vec_id WHERE l.label % 2 = 0),
+         |sb AS (SELECT b.vec_id AS b_id, b.v AS bv, b.centroid_id AS cell
+         |       FROM assigned b JOIN lab l ON l.vec_id = b.vec_id WHERE l.label % 2 = 1),
+         |p AS (SELECT sa.cell, a_id, b_id,
+         |        1 + CAST(floor((1.0 + list_inner_product(av, bv) / (sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(bv, bv)))) * $BitextFp) AS BIGINT) AS s1
+         |      FROM sa JOIN sb ON sa.cell = sb.cell),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY s1 DESC, b_id) AS rn FROM p),
+         |fwd AS (SELECT a_id, any_value(cell) AS cell,
+         |               max(CASE WHEN rn = 1 THEN b_id END) AS b1,
+         |               max(CASE WHEN rn = 1 THEN s1 END) AS s1,
+         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS da,
+         |               count(*) FILTER (WHERE rn <= $BitextK) AS ka
+         |        FROM fr GROUP BY a_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY s1 DESC, a_id) AS rn FROM p),
+         |bwd AS (SELECT b_id,
+         |               max(CASE WHEN rn = 1 THEN a_id END) AS a1,
+         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS db,
+         |               count(*) FILTER (WHERE rn <= $BitextK) AS kb
+         |        FROM br GROUP BY b_id)
+         |SELECT f.a_id, f.b1 AS b_id, f.cell::BIGINT AS cell,
+         |       ((2000 * f.s1 * f.ka * w.kb) // (f.da * w.kb + w.db * f.ka))::BIGINT AS margin_permille
+         |FROM fwd f JOIN bwd w ON w.b_id = f.b1 AND w.a1 = f.a_id""".stripMargin
+
+
     Map(
       "d1_exact_dedup" ->
         """SELECT doc_id, md5(text) AS content_hash,
@@ -2937,6 +3037,7 @@ object LlmQueries {
            |  FROM fused)
            |WHERE rank <= $TopK""".stripMargin,
       "ann_lsh_nn"     -> lshSql,
+      "r5_bitext_mining" -> bitextSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
       "ann_sq_topk"    -> sqSql,

@@ -438,7 +438,7 @@ class CorpusSpec extends AnyFunSuite {
           "t17_shard_export", "d17_substring_dedup", "t18_gopher_rules",
           "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence",
           "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
-          "t23_langid", "r4_hard_negatives").foreach { q =>
+          "t23_langid", "r4_hard_negatives", "r5_bitext_mining").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

@@ -624,6 +624,66 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r._4 >= 64 && r._4 < 320 && r._6 >= 1 && r._6 <= 3))
   }
 
+  test("r5: mined pairs equal a serial mutual-NN margin pass over the same trained cells") {
+    // start from the SAME trained assignment the operator consumed (the
+    // k-means chain itself is pinned by the IVF oracle rows) and replay
+    // the mining serially: cell-local cross-side pairs, fixed-point
+    // shifted sims, top-K neighborhoods by (s1 DESC, id ASC), mutual-NN,
+    // all-integer ratio margin. Runs on sf0.001 — the constructed
+    // 7-vector fixture is degenerate here (k-means seeds >= vector
+    // count gives every vector its own cell, so no cell holds both
+    // sides and the mined set is legitimately empty).
+    val sfd = "/root/testdata/sf0.001"
+    val assigned = LlmQueries.ivfAssignments(spark, sfd)
+      .select("vec_id", "v", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val label = spark.read.parquet(s"$sfd/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def s1(x: Array[Double], y: Array[Double]): Long = {
+      var (dxy, dxx, dyy) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < x.length) { dxy += x(i) * y(i); dxx += x(i) * x(i); dyy += y(i) * y(i); i += 1 }
+      1L + math.floor((1.0 + dxy / (math.sqrt(dxx) * math.sqrt(dyy))) * LlmQueries.BitextFp).toLong
+    }
+    val byCell = assigned.groupBy(_._3)
+    final case class Side(best: Long, bestS1: Long, d: Long, k: Long)
+    val fwd = scala.collection.mutable.Map.empty[Long, (Long, Side)] // a -> (cell, side)
+    val bwd = scala.collection.mutable.Map.empty[Long, Side]
+    byCell.foreach { case (cell, vs) =>
+      val as = vs.filter(v => label(v._1) % 2 == 0)
+      val bs = vs.filter(v => label(v._1) % 2 == 1)
+      if (as.nonEmpty && bs.nonEmpty) {
+        def top(me: (Long, Array[Double], Long), others: Seq[(Long, Array[Double], Long)]): Side = {
+          val ranked = others.map(o => (o._1, s1(me._2, o._2)))
+            .sortBy { case (id, s) => (-s, id) }.take(LlmQueries.BitextK)
+          Side(ranked.head._1, ranked.head._2, ranked.map(_._2).sum, ranked.size.toLong)
+        }
+        as.foreach(a => fwd(a._1) = (cell, top(a, bs.toSeq)))
+        bs.foreach(b => bwd(b._1) = top(b, as.toSeq))
+      }
+    }
+    val expected = fwd.toSeq.flatMap { case (aId, (cell, f)) =>
+      val b = bwd(f.best)
+      if (b.best == aId)
+        Some((aId, f.best, cell,
+          (2000L * f.bestS1 * f.k * b.k) / (f.d * b.k + b.d * f.k)))
+      else None
+    }.toSet
+    val got = LlmQueries.queries("r5_bitext_mining")(spark, sfd).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+                 r.getAs[Long]("cell"), r.getAs[Long]("margin_permille"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture must mine at least one mutual pair")
+    // mutual NN is a partial matching: no endpoint appears twice
+    assert(got.toSeq.map(_._1).distinct.size === got.size)
+    assert(got.toSeq.map(_._2).distinct.size === got.size)
+    // sides are genuinely cross-label-parity
+    got.foreach { case (a, b, _, _) =>
+      assert(label(a) % 2 === 0); assert(label(b) % 2 === 1)
+    }
+  }
+
   test("m3: the real PNG codec runs and round-trips the generated pattern exactly") {
     val rows = run("m3_image_decode").collect()
     assert(rows.nonEmpty, "the fixture has image-typed records")

@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // LocalTableScan in any trained-cell plan means a driver-side collect
     // of the centroids crept back in and silently re-capped k.
     Seq("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "d13_semdedup",
-        "d15_cell_skew_audit", "r2_hybrid_retrieve")
+        "d15_cell_skew_audit", "r2_hybrid_retrieve", "r5_bitext_mining")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("LocalTableScan"),
@@ -238,6 +238,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "the register file is a bounded aggregate, never a corpus window")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("fnv32("), "registers must come from the codegen'd hash")
+  }
+
+  test("r5_bitext_mining: cell-local candidates, bounded topk neighborhoods, no window, no cartesian") {
+    // the pair join must ride the IVF cell key (the d13 discipline), each
+    // side's neighborhood must fold through the partial graft_topk, and
+    // nothing may window or cross-join the corpus
+    val p = plan("r5_bitext_mining")
+    assert(p.contains("partial_graft_topk"),
+      "per-endpoint neighborhoods must be the partial-aggregatable bounded top-k")
+    assert(!p.contains("CartesianProduct"), "candidates must stay cell-local")
+    assert(!p.contains("Window ["), "r5 must not window — argmax rides the topk buffer")
   }
 
   test("r3_mmr_rerank: candidate gen broadcasts the query set, cuts via bounded top-C, no cartesian") {
