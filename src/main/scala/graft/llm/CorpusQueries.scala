@@ -140,6 +140,13 @@ object CorpusQueries {
   val LangIdProfile = 50L
   val LangIdDocTop  = 20L
 
+  /** t24: DSIR importance resampling (Xie et al. 2023) — hashed-bigram
+    * feature space size (DSIR's fixed-bucket trick: both "LMs" stay
+    * bucket-bounded however large the corpus) and the keep fraction in
+    * permille (top 20% of raw docs by importance, ties inclusive). */
+  val DsirBuckets      = 512
+  val DsirKeepPermille = 200L
+
   /** d14: the C4-style global-dedup unit — non-overlapping spans of this
     * many words (the corpus has no sentence boundaries to span over). */
   val SpanWords = 5
@@ -1107,6 +1114,60 @@ object CorpusQueries {
     },
 
     // ---------- sketch: HyperLogLog cardinality per source ----------
+    // ---------- data selection: DSIR hashed-n-gram importance resampling ----------
+    "t24_dsir_select" -> { (s, dir) =>
+      // DSIR domain selection (Xie et al. 2023, public): keep the raw
+      // documents whose hashed-bigram distribution most resembles a
+      // TARGET domain (src0 plays the target). Importance(doc) =
+      // Σ_b c_b·(bits(np_b+1) − bits(nq_b+1)) − W0·Σ_b c_b — the exact
+      // floor-log2 "bits" trick (t16's length(bin(x))) standing in for
+      // log p/q, with W0 = bits(Np+1) − bits(Nq+1) normalizing the two
+      // LM masses — integers end to end, so the selection hash-gates.
+      // Docs with no bigrams carry no distributional signal and are out
+      // of scope on both engines.
+      //
+      // Scale shape: the feature space is FIXED ([[DsirBuckets]]
+      // buckets — DSIR's own trick), so both "LMs" are bucket-bounded
+      // frames that BROADCAST; per-doc importance folds through ONE
+      // (doc, bucket) count exchange with map-side combine; the
+      // selection threshold is t4's exact nearest-rank percentile over
+      // the VALUE-aggregated importance frame (a window over distinct
+      // importance values, never corpus rows); the verdict gate is a
+      // broadcast one-row threshold probe.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docB = docs(s, dir)
+        .withColumn("words", expr(LlmQueries.wordsExpr))
+        .select(col("doc_id"), col("source"), explode(expr(LlmQueries.bigramsExpr)).as("bg"))
+        .withColumn("b", expr(s"graft_fnv32(concat('dsir:', bg)) % $DsirBuckets"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val lm = docB.groupBy("b").agg(
+        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("np"),
+        sum(when(col("source") =!= "src0", col("c")).otherwise(0L)).as("nq"))
+      val w = lm.select(col("b"),
+        expr("cast(length(bin(np + 1)) - length(bin(nq + 1)) as bigint)").as("w"))
+      val w0 = lm.agg(expr(
+        "cast(length(bin(sum(np) + 1)) - length(bin(sum(nq) + 1)) as bigint)").as("w0"))
+      val imp = docB.filter(col("source") =!= "src0")
+        .join(broadcast(w), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c") * col("w")).as("cw"), sum(col("c")).as("cl"))
+        .crossJoin(broadcast(w0))
+        .select(col("doc_id"), col("source"), (col("cw") - col("w0") * col("cl")).as("imp"))
+      val n = imp.agg(count(lit(1)).as("n"))
+      val cum = imp.groupBy("imp").agg(count(lit(1)).as("cnt"))
+        .withColumn("cc", sum(col("cnt")).over(Window.orderBy(desc("imp"))))
+      val thr = cum.crossJoin(broadcast(n))
+        .filter(col("cc") * 1000 >= lit(DsirKeepPermille) * col("n"))
+        .agg(max(col("imp")).as("thr"))
+      imp.crossJoin(broadcast(thr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("imp") >= col("thr"), 1L).otherwise(0L)).as("n_selected"),
+             sum(col("imp")).as("sum_importance"),
+             min(col("thr")).as("threshold"))
+    },
+
     "t21_hll_cardinality" -> { (s, dir) =>
       // t11's estimator upgraded to the production sketch: HyperLogLog
       // registers (m = 2^p per source) instead of a linear-count bitmap.
@@ -1790,6 +1851,41 @@ object CorpusQueries {
          |  exact_distinct, max_rank
          |FROM est""".stripMargin
     },
+
+    // t24 twin: same fixed hashed-bigram buckets (fnv32), same bits-trick
+    // LM weights and W0 mass normalizer, the same nearest-rank threshold
+    // over distinct importance values (ties inclusive), identical rollup.
+    "t24_dsir_select" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${LlmQueries.duckWords} AS words FROM documents
+         |), sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(words) < 2 THEN []
+         |    ELSE list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1])
+         |    END AS bg
+         |  FROM base
+         |), tok AS (
+         |  SELECT doc_id, source, ${LlmQueries.fnv32Expr("('dsir:' || bg)")} % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, source, unnest(bg) AS bg FROM sh)
+         |), docb AS (SELECT doc_id, source, b, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2, 3),
+         |lm AS (SELECT b, sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)::BIGINT AS np,
+         |              sum(CASE WHEN source != 'src0' THEN c ELSE 0 END)::BIGINT AS nq
+         |       FROM docb GROUP BY 1),
+         |w AS (SELECT b, (length(bin(np + 1)) - length(bin(nq + 1)))::BIGINT AS w FROM lm),
+         |w0 AS (SELECT (length(bin(sum(np) + 1)) - length(bin(sum(nq) + 1)))::BIGINT AS w0 FROM lm),
+         |imp AS (SELECT d.doc_id, d.source,
+         |          (sum(d.c * w.w) - (SELECT w0 FROM w0) * sum(d.c))::BIGINT AS imp
+         |        FROM docb d JOIN w ON w.b = d.b WHERE d.source != 'src0' GROUP BY 1, 2),
+         |n AS (SELECT count(*)::BIGINT AS n FROM imp),
+         |cum AS (SELECT imp, sum(cnt) OVER (ORDER BY imp DESC) AS cc
+         |        FROM (SELECT imp, count(*)::BIGINT AS cnt FROM imp GROUP BY 1)),
+         |thr AS (SELECT max(imp) AS thr FROM cum
+         |        WHERE cc * 1000 >= $DsirKeepPermille * (SELECT n FROM n))
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN imp >= (SELECT thr FROM thr) THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+         |  sum(imp)::BIGINT AS sum_importance,
+         |  (SELECT thr FROM thr)::BIGINT AS threshold
+         |FROM imp GROUP BY 1""".stripMargin,
 
     // t22 twin: the same d seeded FNV streams build the counter grid, the
     // exact top-K cut shares the (count DESC, token ASC) total order, and

@@ -438,7 +438,8 @@ class CorpusSpec extends AnyFunSuite {
           "t17_shard_export", "d17_substring_dedup", "t18_gopher_rules",
           "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence",
           "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
-          "t23_langid", "r4_hard_negatives", "r5_bitext_mining").foreach { q =>
+          "t23_langid", "r4_hard_negatives", "r5_bitext_mining",
+          "t24_dsir_select").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
@@ -666,6 +667,54 @@ class CorpusSpec extends AnyFunSuite {
           s"$src: estimate $est vs exact $exact")
       }
     }
+  }
+
+  test("t24 DSIR selection equals a serial hashed-bigram importance pass") {
+    import scala.collection.mutable
+    val B = CorpusQueries.DsirBuckets
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    // per-doc bucket counts + the two bucket LMs
+    val docBuckets = docs.map { case (id, text, src, _) =>
+      val ws  = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val bgs = if (ws.length < 2) Seq.empty[String]
+                else ws.sliding(2).map(a => a(0) + " " + a(1)).toSeq
+      val cnt = mutable.Map.empty[Long, Long]
+      bgs.foreach { bg =>
+        val b = graft.functions.Fnv32.hash("dsir:" + bg) % B
+        cnt(b) = cnt.getOrElse(b, 0L) + 1
+      }
+      (id, src, cnt.toMap)
+    }.filter(_._3.nonEmpty)
+    val np = mutable.Map.empty[Long, Long]
+    val nq = mutable.Map.empty[Long, Long]
+    docBuckets.foreach { case (_, src, cnt) =>
+      val m = if (src == "src0") np else nq
+      cnt.foreach { case (b, c) => m(b) = m.getOrElse(b, 0L) + c }
+    }
+    val w0  = bits(np.values.sum + 1) - bits(nq.values.sum + 1)
+    def w(b: Long): Long = bits(np.getOrElse(b, 0L) + 1) - bits(nq.getOrElse(b, 0L) + 1)
+    val imps = docBuckets.filter(_._2 != "src0").map { case (id, src, cnt) =>
+      (id, src, cnt.map { case (b, c) => c * w(b) }.sum - w0 * cnt.values.sum)
+    }
+    // nearest-rank threshold over distinct values, ties inclusive
+    val n = imps.size.toLong
+    val byVal = imps.groupBy(_._3).view.mapValues(_.size.toLong).toSeq.sortBy(-_._1)
+    var cc = 0L
+    val thr = byVal.flatMap { case (v, c) =>
+      cc += c
+      if (cc * 1000 >= CorpusQueries.DsirKeepPermille * n) Some(v) else None
+    }.max
+    val expected = imps.groupBy(_._2).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.count(_._3 >= thr).toLong, ds.map(_._3).sum, thr)
+    }
+    val got = CorpusQueries.queries("t24_dsir_select")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_selected"),
+         r.getAs[Long]("sum_importance"), r.getAs[Long]("threshold"))).toMap
+    assert(got === expected)
+    // the gate actually splits the raw corpus
+    val (sel, tot) = (got.values.map(_._2).sum, got.values.map(_._1).sum)
+    assert(sel > 0 && sel < tot, s"degenerate selection: $sel of $tot")
   }
 
   test("t21 HLL registers and estimate equal a serial single-threaded sketch") {

@@ -232,6 +232,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t24_dsir_select: bucket LMs broadcast; only the distinct-importance-value rank windows") {
+    val p = plan("t24_dsir_select")
+    assert(p.contains("BroadcastExchange"),
+      "the bucket-bounded LM weight table and the one-row W0/N/threshold frames must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val windows = "Window \\[".r.findAllMatchIn(p).size
+    assert(windows <= 1,
+      s"only the nearest-rank cum-sum over DISTINCT importance values may window, got $windows")
+  }
+
   test("t21_hll_cardinality: one register shuffle, no window, no cartesian") {
     val p = plan("t21_hll_cardinality")
     assert(!p.contains("Window ["),
