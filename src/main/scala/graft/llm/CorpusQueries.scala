@@ -147,6 +147,13 @@ object CorpusQueries {
   val DsirBuckets      = 512
   val DsirKeepPermille = 200L
 
+  /** t25: Gopher repetition thresholds — permille of a doc's word chars
+    * that the most-covering n-gram may span before the doc drops
+    * (Rae et al. 2021 Table A1: 20%/18%/16% for n = 2/3/4). */
+  val RepTop2Permille = 200L
+  val RepTop3Permille = 180L
+  val RepTop4Permille = 160L
+
   /** d14: the C4-style global-dedup unit — non-overlapping spans of this
     * many words (the corpus has no sentence boundaries to span over). */
   val SpanWords = 5
@@ -1114,6 +1121,66 @@ object CorpusQueries {
     },
 
     // ---------- sketch: HyperLogLog cardinality per source ----------
+    // ---------- Gopher repetition filters (the half t18 leaves out) ----------
+    "t25_gopher_repetition" -> { (s, dir) =>
+      // Gopher/MassiveText REPETITION rules (Rae et al. 2021, Table A1) —
+      // complementing t18, whose rules are repetition-independent. The
+      // corpus is single-line (no \n / sentence structure), so the
+      // duplicate-line/paragraph rules are vacuous here; implemented is
+      // the top-n-gram character-coverage family for n = 2, 3, 4: a doc
+      // fails when the chars covered by its MOST-COVERING REPEATED word
+      // n-gram (occurrences × gram chars, over grams occurring ≥ 2 times
+      // — a deterministic, tie-free refinement of the paper's "most
+      // frequent n-gram" wording that also keeps the rule a REPETITION
+      // measure: a once-occurring long gram in a short doc covers a big
+      // fraction without any repetition) exceed the 20%/18%/16% band of
+      // its total word chars. First-failing-rule attribution,
+      // t18/t15-style (n_docs = Σ drops + kept reconciles).
+      //
+      // Scale shape: ONE corpus scan explodes all three gram sizes
+      // tagged (n, g); one (doc, n, g) count exchange with map-side
+      // combine; coverage folds through a plain partial-aggregatable
+      // max — no window, no broadcast side at all; the totals join is
+      // doc-key co-partitioned; then one source rollup. Integer permille
+      // end to end.
+      val ns = Seq(2, 3, 4)
+      val gramsExpr = ns.map(n =>
+        s"""CASE WHEN size(words) >= $n THEN
+           |  transform(sequence(1, size(words) - ${n - 1}),
+           |            i -> named_struct('n', $n, 'g', array_join(slice(words, i, $n), ' ')))
+           |ELSE array() END""".stripMargin).mkString("concat(", ", ", ")")
+      val base = docs(s, dir)
+        .withColumn("words", expr(LlmQueries.wordsExpr))
+        .withColumn("total_chars", expr("cast(length(array_join(words, '')) as bigint)"))
+      val cov = base
+        .select(col("doc_id"), explode(expr(gramsExpr)).as("t"))
+        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(coalesce(max(when(col("cnt") >= 2,
+          expr(s"cnt * (length(g) - (n - 1))"))), lit(0L)).as("covered"))
+      val p = base.select(col("doc_id"), col("source"), col("total_chars"))
+        .join(cov.groupBy("doc_id").agg(
+          max(when(col("n") === 2, col("covered"))).as("c2"),
+          max(when(col("n") === 3, col("covered"))).as("c3"),
+          max(when(col("n") === 4, col("covered"))).as("c4")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          expr("coalesce((1000 * c2) div total_chars, 0L)").as("p2"),
+          expr("coalesce((1000 * c3) div total_chars, 0L)").as("p3"),
+          expr("coalesce((1000 * c4) div total_chars, 0L)").as("p4"))
+      p.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("p2") > RepTop2Permille, 1L).otherwise(0L)).as("drop_top2"),
+        sum(when(col("p2") <= RepTop2Permille && col("p3") > RepTop3Permille, 1L)
+          .otherwise(0L)).as("drop_top3"),
+        sum(when(col("p2") <= RepTop2Permille && col("p3") <= RepTop3Permille &&
+                 col("p4") > RepTop4Permille, 1L).otherwise(0L)).as("drop_top4"),
+        sum(when(col("p2") <= RepTop2Permille && col("p3") <= RepTop3Permille &&
+                 col("p4") <= RepTop4Permille, 1L).otherwise(0L)).as("n_kept"),
+        max(col("p2")).as("max_p2"), max(col("p3")).as("max_p3"),
+        max(col("p4")).as("max_p4"))
+    },
+
     // ---------- data selection: DSIR hashed-n-gram importance resampling ----------
     "t24_dsir_select" -> { (s, dir) =>
       // DSIR domain selection (Xie et al. 2023, public): keep the raw
@@ -1851,6 +1918,39 @@ object CorpusQueries {
          |  exact_distinct, max_rank
          |FROM est""".stripMargin
     },
+
+    // t25 twin: same gram windows (list slices over the shared word split),
+    // same max-coverage fold, identical permille gates and attribution.
+    "t25_gopher_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${LlmQueries.duckWords} AS words,
+         |         length(array_to_string(${LlmQueries.duckWords}, ''))::BIGINT AS total_chars
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, t.n, array_to_string(list_slice(words, u.i, u.i + t.n - 1), ' ') AS g
+         |  FROM base, (VALUES (2), (3), (4)) t(n),
+         |       LATERAL unnest(generate_series(1, len(words) - t.n + 1)) u(i)
+         |  WHERE len(words) >= t.n
+         |), cov AS (
+         |  SELECT doc_id, n,
+         |    coalesce(max(CASE WHEN cnt >= 2 THEN cnt * (length(g) - (n - 1)) END), 0)::BIGINT AS covered
+         |  FROM (SELECT doc_id, n, g, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2
+         |), p AS (
+         |  SELECT b.doc_id, b.source,
+         |    coalesce((1000 * max(CASE WHEN n = 2 THEN covered END)) // total_chars, 0)::BIGINT AS p2,
+         |    coalesce((1000 * max(CASE WHEN n = 3 THEN covered END)) // total_chars, 0)::BIGINT AS p3,
+         |    coalesce((1000 * max(CASE WHEN n = 4 THEN covered END)) // total_chars, 0)::BIGINT AS p4
+         |  FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+         |  GROUP BY 1, 2, b.total_chars
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN p2 > $RepTop2Permille THEN 1 ELSE 0 END)::BIGINT AS drop_top2,
+         |  sum(CASE WHEN p2 <= $RepTop2Permille AND p3 > $RepTop3Permille THEN 1 ELSE 0 END)::BIGINT AS drop_top3,
+         |  sum(CASE WHEN p2 <= $RepTop2Permille AND p3 <= $RepTop3Permille AND p4 > $RepTop4Permille THEN 1 ELSE 0 END)::BIGINT AS drop_top4,
+         |  sum(CASE WHEN p2 <= $RepTop2Permille AND p3 <= $RepTop3Permille AND p4 <= $RepTop4Permille THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  max(p2)::BIGINT AS max_p2, max(p3)::BIGINT AS max_p3, max(p4)::BIGINT AS max_p4
+         |FROM p GROUP BY 1""".stripMargin,
 
     // t24 twin: same fixed hashed-bigram buckets (fnv32), same bits-trick
     // LM weights and W0 mass normalizer, the same nearest-rank threshold

@@ -439,7 +439,7 @@ class CorpusSpec extends AnyFunSuite {
           "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence",
           "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
           "t23_langid", "r4_hard_negatives", "r5_bitext_mining",
-          "t24_dsir_select").foreach { q =>
+          "t24_dsir_select", "t25_gopher_repetition").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
@@ -667,6 +667,63 @@ class CorpusSpec extends AnyFunSuite {
           s"$src: estimate $est vs exact $exact")
       }
     }
+  }
+
+  test("t25 repetition gates equal a serial top-n-gram coverage pass; planted repeats trip the rules") {
+    import scala.collection.mutable
+    def permilles(text: String): (Long, Long, Long) = {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val total = ws.map(_.length.toLong).sum
+      def p(n: Int): Long = {
+        if (ws.length < n || total == 0) 0L
+        else {
+          val cnt = mutable.Map.empty[String, Long]
+          ws.sliding(n).foreach { g =>
+            val k = g.mkString(" ")
+            cnt(k) = cnt.getOrElse(k, 0L) + 1
+          }
+          val covered = cnt.collect { case (g, c) if c >= 2 => c * (g.length - (n - 1)) }
+            .foldLeft(0L)(math.max)
+          1000L * covered / total
+        }
+      }
+      (p(2), p(3), p(4))
+    }
+    val expected = docs.groupBy(_._3).map { case (src, ds) =>
+      val ps = ds.map(d => permilles(d._2))
+      def drop2(p: (Long, Long, Long)) = p._1 > CorpusQueries.RepTop2Permille
+      def drop3(p: (Long, Long, Long)) = !drop2(p) && p._2 > CorpusQueries.RepTop3Permille
+      def drop4(p: (Long, Long, Long)) = !drop2(p) && !drop3(p) && p._3 > CorpusQueries.RepTop4Permille
+      src -> (ds.size.toLong, ps.count(drop2).toLong, ps.count(drop3).toLong, ps.count(drop4).toLong,
+              ps.count(p => !drop2(p) && !drop3(p) && !drop4(p)).toLong,
+              ps.map(_._1).max, ps.map(_._2).max, ps.map(_._3).max)
+    }
+    val got = CorpusQueries.queries("t25_gopher_repetition")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("drop_top2"), r.getAs[Long]("drop_top3"),
+         r.getAs[Long]("drop_top4"), r.getAs[Long]("n_kept"),
+         r.getAs[Long]("max_p2"), r.getAs[Long]("max_p3"), r.getAs[Long]("max_p4"))).toMap
+    assert(got === expected)
+    // reconciliation: every doc lands in exactly one bucket
+    got.values.foreach { case (n, d2, d3, d4, kept, _, _, _) => assert(n === d2 + d3 + d4 + kept) }
+    // planted fixtures trip each rule in first-fail order
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rep-").toString
+    try {
+      import spark.implicits._
+      Seq(
+        (0L, ("spam ham " * 20).trim, "planted", 1L),              // top-2gram covers ~all chars
+        (1L, (1 to 12).map(i => s"a$i b c d").mkString(" "), "planted", 1L), // unique bigrams, hot 4-gram? b c d repeats as 3-gram
+        (2L, "all words here are entirely distinct tokens", "planted", 1L)
+      ).map { case (id, t, s0, nc) => (id, t, "en", s0, nc) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val r = CorpusQueries.queries("t25_gopher_repetition")(spark, tmp).collect().head
+      assert(r.getAs[Long]("drop_top2") >= 1L, "the spam-ham doc must fail the top-2gram band")
+      assert(r.getAs[Long]("n_kept") >= 1L, "the all-distinct doc must pass")
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("drop_top2") + r.getAs[Long]("drop_top3") +
+        r.getAs[Long]("drop_top4") + r.getAs[Long]("n_kept"))
+    } finally graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
   }
 
   test("t24 DSIR selection equals a serial hashed-bigram importance pass") {

@@ -232,6 +232,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t25_gopher_repetition: coverage folds through plain aggregates — no window, no cartesian") {
+    val p = plan("t25_gopher_repetition")
+    assert(!p.contains("Window ["),
+      "the max-coverage fold is a partial-aggregatable max, never a per-doc rank window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t24_dsir_select: bucket LMs broadcast; only the distinct-importance-value rank windows") {
     val p = plan("t24_dsir_select")
     assert(p.contains("BroadcastExchange"),
