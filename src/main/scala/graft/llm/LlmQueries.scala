@@ -224,7 +224,7 @@ object LlmQueries {
   /** DuckDB twin of [[graft.functions.Fnv32]]: FNV-1a 32-bit folded over
     * code points with `list_reduce` — verified bit-identical to the Spark
     * expression for ASCII and multi-byte inputs. */
-  private[llm] def fnv32Expr(s: String): String =
+  private[graft] def fnv32Expr(s: String): String =
     s"""list_reduce(
        |  list_prepend(2166136261::BIGINT,
        |               list_transform(generate_series(1, length($s)), fnv_i -> unicode(substr($s, fnv_i, 1))::BIGINT)),

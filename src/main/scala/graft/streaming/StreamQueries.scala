@@ -125,6 +125,33 @@ object StreamQueries {
              max("timestamp_ms").as("last_ts"))))
   }
 
+  private val hllSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Streaming HLL (w4): the 256-register distinct-user sketch per 1-hour
+    * tumbling window, maintained BY the streaming aggregation —
+    * `groupBy(window, reg).max(rank)` makes the REGISTERS the mergeable
+    * streaming state (bounded: open windows × [[graft.llm.CorpusQueries.HllM]]
+    * rows, however many users flow through — exactly how a production
+    * pipeline streams cardinality), emitted append-mode when the
+    * watermark closes the window. The estimate is a READ-time rollup over
+    * the emitted register rows (t21's integer fixed-point math + the
+    * shared linear-counting LUT) — finalization never lives in streaming
+    * state. */
+  private def streamHllTable(s: SparkSession, dir: String): String = synchronized {
+    hllSinkCache.getOrElseUpdate(dir, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val m       = graft.llm.CorpusQueries.HllM
+      val maxRank = graft.llm.CorpusQueries.HllRestBits + 1
+      runStreamAgg(s, dir, "graft-w4-sink-")(
+        _.withColumn("h", expr("graft_fnv32(concat('whll:', cast(user_id as string)))"))
+          .withColumn("reg", expr(s"h % $m"))
+          .withColumn("rank", expr(
+            s"CASE WHEN h div $m = 0 THEN $maxRank ELSE $maxRank - length(bin(h div $m)) END"))
+          .groupBy(window(col("ts"), "1 hour"), col("reg"))
+          .agg(max("rank").as("m_rank")))
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_stream_sessions" -> { (s, dir) =>
       val out = streamSessionTable(s, dir)
@@ -133,6 +160,26 @@ object StreamQueries {
         col("first_ts").as("session_start_ms"),
         col("last_ts").as("session_last_ms"),
         col("n_events"))
+    },
+    "w4_stream_hll" -> { (s, dir) =>
+      import graft.llm.CorpusQueries.{HllM, HllFp, HllAlpha16, HllLinearCount}
+      val out = streamHllTable(s, dir)
+      s.read.parquet(out)
+        .groupBy(unix_millis(col("window.start")).as("window_start_ms"))
+        .agg(count(lit(1)).as("n_registers_set"),
+             sum(expr(s"shiftleft(cast(1 as bigint), $HllFp - m_rank)")).as("present_inv"))
+        .withColumn("sum_inv_scaled",
+          col("present_inv") +
+            (lit(HllM.toLong) - col("n_registers_set")) * lit(1L << HllFp))
+        .withColumn("hll_estimate",
+          expr(s"(cast($HllAlpha16 as bigint) * cast(shiftleft(cast(1 as bigint), $HllFp) as bigint)) div sum_inv_scaled"))
+        .withColumn("corrected_estimate",
+          when(col("n_registers_set") < HllM.toLong && col("hll_estimate") * 2 < 5L * HllM,
+               element_at(typedLit(HllLinearCount.toArray),
+                          (lit(HllM.toLong) - col("n_registers_set")).cast("int")))
+            .otherwise(col("hll_estimate")))
+        .select(col("window_start_ms"), col("n_registers_set"),
+                col("hll_estimate"), col("corrected_estimate"))
     },
     "w2_stream_window" -> { (s, dir) =>
       val out = streamWindowTable(s, dir)
@@ -199,6 +246,39 @@ object StreamQueries {
     // end is ≤ max_ts. (The staged chunks replay in event_id order and
     // timestamps are nondecreasing in event_id, so no row is ever late —
     // verified at every SF — making this emission rule exact.)
+    // w4: the same register math as t21 keyed by tumbling hour, the same
+    // closed-window emission rule as w2 (zero-delay watermark: windows
+    // whose end is <= the stream's max event time), the same fixed-point
+    // estimate + linear-counting LUT as the batch sketch.
+    "w4_stream_hll" -> Oracle.sql({
+      import graft.llm.{CorpusQueries => C, LlmQueries => L}
+      val m       = C.HllM
+      val maxRank = C.HllRestBits + 1
+      s"""SELECT ws AS window_start_ms, n_registers_set,
+         |  ((${C.HllAlpha16}::BIGINT * (1::BIGINT << ${C.HllFp})) // sum_inv)::BIGINT AS hll_estimate,
+         |  (CASE WHEN n_registers_set < $m AND
+         |             ((${C.HllAlpha16}::BIGINT * (1::BIGINT << ${C.HllFp})) // sum_inv) * 2 < ${5L * m}
+         |        THEN list_extract(${C.HllLinearCount.mkString("[", ", ", "]")},
+         |                          ($m - n_registers_set)::INT)
+         |        ELSE ((${C.HllAlpha16}::BIGINT * (1::BIGINT << ${C.HllFp})) // sum_inv) END)::BIGINT
+         |    AS corrected_estimate
+         |FROM (
+         |  SELECT ws, count(*)::BIGINT AS n_registers_set,
+         |         (sum((1::BIGINT << (${C.HllFp} - m_rank))::BIGINT)
+         |            + ($m - count(*)) * (1::BIGINT << ${C.HllFp}))::BIGINT AS sum_inv
+         |  FROM (
+         |    SELECT ws, reg, max(rank) AS m_rank FROM (
+         |      SELECT (timestamp_ms // 3600000) * 3600000 AS ws,
+         |             h % $m AS reg,
+         |             CASE WHEN h // $m = 0 THEN $maxRank
+         |                  ELSE $maxRank - length(bin(h // $m)) END AS rank
+         |      FROM (SELECT timestamp_ms,
+         |                   ${L.fnv32Expr("('whll:' || user_id::VARCHAR)")} AS h
+         |            FROM raw))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |WHERE ws + 3600000 <= (SELECT max(timestamp_ms) FROM raw)""".stripMargin
+    }),
     "w2_stream_window" -> Oracle.sql(
       """SELECT (timestamp_ms // 3600000) * 3600000 AS window_start_ms, event_type,
         |       count(*) AS n_events, min(timestamp_ms) AS min_ts, max(timestamp_ms) AS max_ts

@@ -669,6 +669,55 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("w4: streamed HLL matches a serial per-window sketch and tracks distinct users") {
+    import scala.collection.mutable
+    val rows = graft.SparkEntry.queries("w4_stream_hll")(spark, dir).collect()
+      .map(r => r.getAs[Long]("window_start_ms") ->
+        (r.getAs[Long]("n_registers_set"), r.getAs[Long]("hll_estimate"),
+         r.getAs[Long]("corrected_estimate"))).toMap
+    assert(rows.nonEmpty)
+    // serial truth from the raw event stream (retries duplicate events
+    // but never change a window's distinct-user set — HLL registers are
+    // idempotent under duplicates by construction)
+    val ev = graft.core.EventLog.events(spark, dir)
+      .selectExpr("timestamp_ms", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxTs = ev.map(_._1).max
+    val m       = CorpusQueries.HllM
+    val maxRank = CorpusQueries.HllRestBits + 1
+    val regs  = mutable.Map.empty[(Long, Long), Int]
+    val users = mutable.Map.empty[Long, mutable.Set[Long]]
+    ev.foreach { case (ts, uid) =>
+      val ws = ts / 3600000L * 3600000L
+      if (ws + 3600000L <= maxTs) { // only windows the final watermark closed
+        val h    = graft.functions.Fnv32.hash("whll:" + uid)
+        val reg  = h % m
+        val rest = h / m
+        val rank = if (rest == 0L) maxRank
+                   else maxRank - java.lang.Long.toBinaryString(rest).length
+        regs((ws, reg)) = math.max(regs.getOrElse((ws, reg), 0), rank)
+        users.getOrElseUpdate(ws, mutable.Set.empty) += uid
+      }
+    }
+    val expected = regs.keys.map(_._1).toSet.map { (ws: Long) =>
+      val rs = regs.filter(_._1._1 == ws).values.toSeq
+      val sInv = rs.map(r => 1L << (CorpusQueries.HllFp - r)).sum +
+        (m - rs.size) * (1L << CorpusQueries.HllFp)
+      val raw = CorpusQueries.HllAlpha16 * (1L << CorpusQueries.HllFp) / sInv
+      val corrected =
+        if (rs.size < m && raw * 2 < 5L * m) CorpusQueries.HllLinearCount(m - rs.size - 1)
+        else raw
+      ws -> (rs.size.toLong, raw, corrected)
+    }.toMap
+    assert(rows === expected)
+    // quality: corrected estimate within the small-range/std-err band
+    rows.foreach { case (ws, (_, _, corrected)) =>
+      val exact = users(ws).size
+      assert(math.abs(corrected.toDouble - exact) <= math.max(4.0, exact * 0.25),
+        s"window $ws: corrected $corrected vs exact $exact")
+    }
+  }
+
   test("t25 repetition gates equal a serial top-n-gram coverage pass; planted repeats trip the rules") {
     import scala.collection.mutable
     def permilles(text: String): (Long, Long, Long) = {
