@@ -2114,6 +2114,11 @@ object LlmQueries {
     // ---------- multimodal: REAL PNG encode->decode round trip ----------
     "m3_image_decode" -> { (s, dir) =>
       Multimodal.imageDecode(s, dir)
+    },
+
+    // ---------- multimodal: REAL WAV encode->parse round trip ----------
+    "m4_audio_decode" -> { (s, dir) =>
+      Multimodal.audioDecode(s, dir)
     }
   )
 
@@ -3046,7 +3051,8 @@ object LlmQueries {
       "ann_ivfsq_topk" -> ivfSqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,
       "m2_frame_sample" -> Multimodal.frameOracleSql,
-      "m3_image_decode" -> Multimodal.decodeOracleSql
+      "m3_image_decode" -> Multimodal.decodeOracleSql,
+      "m4_audio_decode" -> Multimodal.audioOracleSql
     )
   }
 }

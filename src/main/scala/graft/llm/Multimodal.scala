@@ -241,6 +241,89 @@ object Multimodal {
   }
 
 
+  /** m4's decoded-audio row: REAL parser output — format fields and
+    * sample checksum all read from the decoded stream. */
+  final case class AudioDecoded(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      sample_checksum: Long,
+      decoder: String
+  )
+
+  /** REAL audio decode — the WAV sibling of [[imageDecode]]. Each
+    * audio-typed record's payload is RENDERED as an actual RIFF/WAVE file
+    * (PCM 16-bit signed little-endian mono; deterministic md5-derived
+    * samples, 8 kHz, 64–319 frames), then parsed back through
+    * `javax.sound.sampled.AudioSystem` — a genuine byte-level WAV
+    * encode→decode round trip: the reported sample rate / channel count /
+    * frame count / sample checksum are read from the DECODED stream. The
+    * oracle reproduces the sample GENERATOR's integer arithmetic (never
+    * the codec), so a mis-parse breaks the hash gate. Environments
+    * without a WAV provider fall back to the generator's arithmetic with
+    * decoder='fake' — flagged, never silent. mapPartitions, no shuffle. */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "audio")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hasWav =
+          try { javax.sound.sampled.AudioSystem.getAudioFileTypes
+                  .contains(javax.sound.sampled.AudioFileFormat.Type.WAVE) }
+          catch { case _: Throwable => false }
+        it.map { r =>
+          md.reset()
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          def h(i: Int): Int = Character.digit(hex.charAt(i), 16)
+          val nFrames = 64 + h(0) * 16 + h(1)
+          val a       = h(2) * 16 + h(3)
+          def sample(i: Int): Short = ((a * 257 + i * 2311) % 65536 - 32768).toShort
+          def genChecksum: Long = {
+            var sum = 0L
+            var i   = 0
+            while (i < nFrames) { sum += (i + 1).toLong * sample(i); i += 1 }
+            sum
+          }
+          if (hasWav) {
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val pcm = new Array[Byte](nFrames * 2)
+            var i = 0
+            while (i < nFrames) {
+              val v = sample(i)
+              pcm(2 * i) = (v & 0xFF).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            val df      = in.getFormat
+            val frames  = in.getFrameLength
+            val decoded = in.readAllBytes()
+            var sum = 0L
+            var j   = 0
+            while (j < decoded.length / 2) {
+              val v = ((decoded(2 * j) & 0xFF) | (decoded(2 * j + 1) << 8)).toShort
+              sum += (j + 1).toLong * v
+              j += 1
+            }
+            AudioDecoded(r.doc_id, df.getSampleRate.toInt, df.getChannels,
+              frames, sum, "javaxsound")
+          } else {
+            AudioDecoded(r.doc_id, 8000, 1, nFrames.toLong, genChecksum, "fake")
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** DuckDB twin of [[imageDecode]]: reproduces the pattern GENERATOR's
     * integer arithmetic over a (x, y) grid — deliberately never the PNG
     * codec — so the Spark side's real encode→decode round trip is what
@@ -264,5 +347,28 @@ object Multimodal {
        |              (SELECT unnest(generate_series(0, 22)) AS i) y) g
        |WHERE g.x < w AND g.y < hgt
        |GROUP BY doc_id, w, hgt, a""".stripMargin
+  }
+
+
+  /** DuckDB twin of [[audioDecode]]: the sample GENERATOR's integer
+    * arithmetic over a frame grid — deliberately never the WAV codec —
+    * so the Spark side's real encode→parse round trip is what the hash
+    * gate checks. decoder pinned 'javaxsound'. */
+  val audioOracleSql: String = {
+    def h(i: Int) = s"(instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, md5(text) AS hx FROM documents WHERE source = 'src1'
+       |), d AS (
+       |  SELECT doc_id, 64 + ${h(0)} * 16 + ${h(1)} AS nf,
+       |         ${h(2)} * 16 + ${h(3)} AS a
+       |  FROM m)
+       |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       |  CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(sum((g.i + 1) * (((a * 257 + g.i * 2311) % 65536) - 32768)) AS BIGINT)
+       |    AS sample_checksum,
+       |  'javaxsound' AS decoder
+       |FROM d, (SELECT unnest(generate_series(0, 318)) AS i) g
+       |WHERE g.i < nf
+       |GROUP BY doc_id, nf, a""".stripMargin
   }
 }

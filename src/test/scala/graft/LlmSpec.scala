@@ -716,6 +716,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("m4: the real WAV parser runs and round-trips the generated PCM exactly") {
+    val rows = run("m4_audio_decode").collect()
+    assert(rows.nonEmpty, "the fixture has audio-typed records")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("source = 'src1'").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("decoder") === "javaxsound",
+        "this JDK ships a WAV provider; the REAL parse path must run, not the fallback")
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      val hex = md.digest(texts(r.getAs[Long]("doc_id")).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      def hx(i: Int): Int = Character.digit(hex.charAt(i), 16)
+      val nf = 64 + hx(0) * 16 + hx(1)
+      val a  = hx(2) * 16 + hx(3)
+      var sum = 0L
+      for (i <- 0 until nf) sum += (i + 1).toLong * (((a * 257 + i * 2311) % 65536) - 32768)
+      assert(r.getAs[Long]("n_frames") === nf.toLong)
+      assert(r.getAs[Long]("sample_checksum") === sum,
+        s"doc ${r.getAs[Long]("doc_id")}: parsed PCM diverges from the generated samples")
+    }
+  }
+
   test("m2: videos fan out to sampled frames; stills yield one; resize fits 224 with aspect kept") {
     val rows = run("m2_frame_sample").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), r.getAs[Int]("frame_idx"),
