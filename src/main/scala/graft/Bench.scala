@@ -98,8 +98,8 @@ object Bench {
     val cacheLastConsumer: Seq[(Set[String], () => Unit)] = Seq(
       (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
            "d9_decontaminate", "d11_band_skew_audit", "d12_state_audit",
-           "d16_incremental_dedup", "d18_bloom_decontaminate", "t3_winnowing",
-           "t15_filter_funnel", "t15_funnel_ppl"),
+           "d16_incremental_dedup", "d18_bloom_decontaminate", "d19_containment",
+           "t3_winnowing", "t15_filter_funnel", "t15_funnel_ppl"),
         () => llm.LlmQueries.evictSignatures(spark, sfDir)),
       (Set("d10_simhash_neardup", "d11_band_skew_audit"),
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),

@@ -128,6 +128,9 @@ object LlmQueries {
     * k), and the fixed-point scale for the shifted-cosine sims. */
   val BitextK  = 4
   val BitextFp = 1 << 20
+  /** d19: permille of a doc's shingle set that must overlap another doc
+    * for the doc to count as CONTAINED in it (asymmetric near-dup). */
+  val ContainPermille = 800L
   val Hyperplanes  = 6   // FLOOR of the derived plane count: ≥ 2^6 buckets
   val NumCentroids = 8   // FLOOR of the derived IVF cell count
   val KMeansIters  = 2   // Lloyd updates from the first-N seeds
@@ -783,6 +786,36 @@ object LlmQueries {
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
   }
 
+  /** d19's candidate scorer — the SAME posting-local pair generator as
+    * [[ngramDupPairs]] (shared df-capped candidate semantics) but
+    * reporting exact |∩| with BOTH set sizes, pre-filter, so the
+    * asymmetric containment gate can run in either direction. */
+  private def ngramScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
+    val pairs = postings.groupBy("sh")
+      .agg(count(lit(1)).as("df"),
+           graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), lit(0L), NgramMaxDf)
+             .as("members"))
+      .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(members) - 2),
+          |  i -> transform(sequence(i + 1, size(members) - 1),
+          |    j -> struct(members[i].id AS doc_a, members[j].id AS doc_b))))""".stripMargin)).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
+    pairs
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        size(col("set_a")).cast("long").as("na"),
+        size(col("set_b")).cast("long").as("nb"))
+  }
+
   /** The d2/d10 candidate generator with the [[BandMaxBucket]] guard in
     * star-link form. `bandRows` is (doc_id, key...); returns distinct
     * (doc_a, doc_b, carry_a, carry_b) with doc_a < doc_b.
@@ -901,7 +934,7 @@ object LlmQueries {
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
     *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d12_state_audit,
-    *     d16, d18, t3, t15, t15_funnel_ppl
+    *     d16, d18, d19, t3, t15, t15_funnel_ppl
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
@@ -1252,6 +1285,29 @@ object LlmQueries {
 
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
     "d4_ngram_jaccard" -> { (s, dir) => ngramDupPairs(s, dir) },
+
+    // ---------- asymmetric containment dedup (partial-copy detection) ----------
+    "d19_containment" -> { (s, dir) =>
+      // Near-CONTAINMENT detection (Broder's containment coefficient,
+      // public): |A∩B| / |A| ≥ [[ContainPermille]]‰ flags A as contained
+      // in B — the asymmetric criterion Jaccard misses (a page quoting a
+      // whole smaller doc has low Jaccard but total containment), the
+      // real-world partial-copy / quotation dedup case. Candidates come
+      // from the SAME df-capped posting-local generator as d4 (a
+      // contained doc shares every shingle with its container, so any
+      // sub-cap shared shingle surfaces the pair); the gate is integer
+      // permille, emitted in BOTH directions when both hold (mutual
+      // containment = near-identical sets). One extra frame over d4's
+      // machinery — no new shuffle shape.
+      val sc = ngramScoredPairs(s, dir)
+      val fwd = sc.filter(col("inter_cnt") * 1000 >= lit(ContainPermille) * col("na"))
+        .select(col("doc_a").as("contained_id"), col("doc_b").as("container_id"),
+                col("inter_cnt"), col("na").as("n_contained"), col("nb").as("n_container"))
+      val bwd = sc.filter(col("inter_cnt") * 1000 >= lit(ContainPermille) * col("nb"))
+        .select(col("doc_b").as("contained_id"), col("doc_a").as("container_id"),
+                col("inter_cnt"), col("nb").as("n_contained"), col("na").as("n_container"))
+      fwd.unionByName(bwd)
+    },
 
     // ---------- band-bucket skew audit for the capped self-joins ----------
     "d11_band_skew_audit" -> { (s, dir) => bandSkewAudit(s, dir) },
@@ -2823,6 +2879,22 @@ object LlmQueries {
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,
+      // d19 twin: same candidate CTEs, exact |∩| with both set sizes,
+      // the same permille containment gate in both directions
+      "d19_containment" ->
+        s"""WITH $ngramPairCtes,
+           |sc AS (
+           |  SELECT doc_a, doc_b,
+           |    CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter_cnt,
+           |    CAST(len(sa.sset) AS BIGINT) AS na, CAST(len(sb.sset) AS BIGINT) AS nb
+           |  FROM cand JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+           |)
+           |SELECT doc_a AS contained_id, doc_b AS container_id, inter_cnt,
+           |       na AS n_contained, nb AS n_container
+           |FROM sc WHERE inter_cnt * 1000 >= $ContainPermille * na
+           |UNION ALL
+           |SELECT doc_b, doc_a, inter_cnt, nb, na
+           |FROM sc WHERE inter_cnt * 1000 >= $ContainPermille * nb""".stripMargin,
       // reuses the base/sh/sets prefix; DuckDB prunes the unused pair CTEs
       "d9_decontaminate" ->
         s"""WITH $ngramPairCtes,

@@ -716,6 +716,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("d19: a planted sub-document is flagged contained in its container, not vice versa") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain-").toString
+    try {
+      import spark.implicits._
+      val container = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      val quoted    = "charlie delta echo foxtrot golf"   // strict sub-span: containment 1.0, low jaccard
+      val unrelated = "zebra yankee xray whiskey victor uniform tango sierra"
+      Seq((0L, container, "en", "src0", 1L), (1L, quoted, "en", "src1", 1L),
+          (2L, unrelated, "en", "src2", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$tmp/documents.parquet")
+      val rows = LlmQueries.queries("d19_containment")(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+                   r.getAs[Long]("inter_cnt"), r.getAs[Long]("n_contained"),
+                   r.getAs[Long]("n_container")))
+      assert(rows.toSet === Set((1L, 0L, 4L, 4L, 11L)),
+        s"only the quoted doc is contained (all 4 of its bigram shingles in the container); got ${rows.toSeq}")
+      // the same pair is NOT a Jaccard dup — the asymmetric gate is the point
+      val jac = LlmQueries.queries("d4_ngram_jaccard")(spark, tmp).collect()
+      assert(jac.isEmpty, "jaccard misses the partial copy; containment catches it")
+    } finally graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("m4: the real WAV parser runs and round-trips the generated PCM exactly") {
     val rows = run("m4_audio_decode").collect()
     assert(rows.nonEmpty, "the fixture has audio-typed records")

@@ -26,7 +26,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("near-dup and ANN candidate generation never degenerates to a cartesian product") {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
         "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
-        "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate").foreach { q =>
+        "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate",
+        "d19_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
