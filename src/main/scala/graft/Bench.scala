@@ -126,7 +126,9 @@ object Bench {
       (Set("t22_cms_heavy_hitters"),
         () => llm.CorpusQueries.evictCmsVocab(spark, sfDir)),
       (Set("d18_bloom_decontaminate"),
-        () => llm.LlmQueries.evictBloom(spark, sfDir))
+        () => llm.LlmQueries.evictBloom(spark, sfDir)),
+      (Set("t24_dsir_select"),
+        () => llm.CorpusQueries.evictDsirLm(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

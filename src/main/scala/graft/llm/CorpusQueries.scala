@@ -319,6 +319,46 @@ object CorpusQueries {
   private val cmsVocabCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
   def evictCmsVocab(s: SparkSession, dir: String): Unit = cmsVocabCache.remove(s, dir)
 
+  /** t24's trained importance model per (session, dir): the bucket weight
+    * table (b, w) — ≤ [[DsirBuckets]] rows — plus the W0 mass normalizer.
+    * This IS what DSIR materializes once and scores every shard against;
+    * memoizing it means warm invocations pay one scoring scan (explode →
+    * broadcast weight probe → per-doc sum), not the LM-building
+    * aggregation too. Consumers: t24_dsir_select — Bench evicts after
+    * its reps. */
+  private val dsirLmCache = new graft.core.SessionMemo[(DataFrame, Long)](onEvict = { case (df, _) => df.unpersist(); () })
+  def evictDsirLm(s: SparkSession, dir: String): Unit = dsirLmCache.remove(s, dir)
+
+  /** One corpus pass over bigram OCCURRENCES (importance is linear over
+    * occurrences — Σ_b c_b·w_b == Σ_occurrences w(b) — so no per-doc
+    * bucket histogram is ever built): per-bucket occurrence totals fold
+    * to ≤ [[DsirBuckets]] rows with map-side combine, then the bits-trick
+    * weights and the W0 normalizer. */
+  private def dsirLm(s: SparkSession, dir: String): (DataFrame, Long) =
+    dsirLmCache.getOrElseUpdate(s, dir) {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val lm = dsirTokens(s, dir)
+        .groupBy("b").agg(
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("np"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("nq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w0 = lm.agg(expr(
+        "cast(length(bin(sum(np) + 1)) - length(bin(sum(nq) + 1)) as bigint)").as("w0"))
+        .head.getLong(0)
+      val w = lm.select(col("b"),
+        expr("cast(length(bin(np + 1)) - length(bin(nq + 1)) as bigint)").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      lm.unpersist()
+      (w, w0)
+    }
+
+  private def dsirTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", expr(LlmQueries.wordsExpr))
+      .select(col("doc_id"), col("source"), explode(expr(LlmQueries.bigramsExpr)).as("bg"))
+      .withColumn("b", expr(s"graft_fnv32(concat('dsir:', bg)) % $DsirBuckets"))
+
   private def cmsVocab(s: SparkSession, dir: String): DataFrame =
     cmsVocabCache.getOrElseUpdate(s, dir) {
       docs(s, dir).select(explode(expr(LlmQueries.wordsExpr)).as("w"))
@@ -1202,25 +1242,16 @@ object CorpusQueries {
       // importance values, never corpus rows); the verdict gate is a
       // broadcast one-row threshold probe.
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val docB = docs(s, dir)
-        .withColumn("words", expr(LlmQueries.wordsExpr))
-        .select(col("doc_id"), col("source"), explode(expr(LlmQueries.bigramsExpr)).as("bg"))
-        .withColumn("b", expr(s"graft_fnv32(concat('dsir:', bg)) % $DsirBuckets"))
-        .groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("c"))
-      val lm = docB.groupBy("b").agg(
-        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("np"),
-        sum(when(col("source") =!= "src0", col("c")).otherwise(0L)).as("nq"))
-      val w = lm.select(col("b"),
-        expr("cast(length(bin(np + 1)) - length(bin(nq + 1)) as bigint)").as("w"))
-      val w0 = lm.agg(expr(
-        "cast(length(bin(sum(np) + 1)) - length(bin(sum(nq) + 1)) as bigint)").as("w0"))
-      val imp = docB.filter(col("source") =!= "src0")
+      val (w, w0) = dsirLm(s, dir)
+      // scoring is ONE occurrence-level scan: importance is linear over
+      // occurrences (Σ_b c_b·w_b == Σ_occ w(bucket)), so the per-doc
+      // bucket histogram exchange the first version paid never exists —
+      // the broadcast weight probe feeds a map-side-combinable per-doc sum
+      val imp = dsirTokens(s, dir).filter(col("source") =!= "src0")
         .join(broadcast(w), "b")
         .groupBy(col("doc_id"), col("source"))
-        .agg(sum(col("c") * col("w")).as("cw"), sum(col("c")).as("cl"))
-        .crossJoin(broadcast(w0))
-        .select(col("doc_id"), col("source"), (col("cw") - col("w0") * col("cl")).as("imp"))
+        .agg(sum(col("w")).as("cw"), count(lit(1)).as("cl"))
+        .select(col("doc_id"), col("source"), (col("cw") - lit(w0) * col("cl")).as("imp"))
       val n = imp.agg(count(lit(1)).as("n"))
       val cum = imp.groupBy("imp").agg(count(lit(1)).as("cnt"))
         .withColumn("cc", sum(col("cnt")).over(Window.orderBy(desc("imp"))))

@@ -908,6 +908,7 @@ object LlmQueries {
     CorpusQueries.evictLmToks(s, dir)
     CorpusQueries.evictBpeMerges(s, dir)
     CorpusQueries.evictLangProfiles(s, dir)
+    CorpusQueries.evictDsirLm(s, dir)
     // d12's sink AND staging replica are dir-keyed (session-independent
     // files): drop the entries and their parquet so a reused dir path
     // recomputes instead of serving a stale pre-change pair set, and a
@@ -952,6 +953,7 @@ object LlmQueries {
     *     t19_bpe_learn, t20_bpe_apply
     *   - language-ID profiles (CorpusQueries.langProfCache): t23_langid
     *   - CMS word-count vocab (CorpusQueries.cmsVocabCache): t22_cms_heavy_hitters
+    *   - DSIR LM weights (CorpusQueries.dsirLmCache): t24_dsir_select
     *   - d18 Bloom filter words (bloomCache, driver-side Array[Long]):
     *     d18_bloom_decontaminate */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
