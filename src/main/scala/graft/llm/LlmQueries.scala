@@ -1877,6 +1877,34 @@ object LlmQueries {
             .as("margin_permille"))
     },
 
+    // ---------- retrieval: label-relevance evaluation of the top-k ----------
+    "r6_retrieval_eval" -> { (s, dir) =>
+      // The eval harness a retrieval deployment runs after every index
+      // build: treat the query's label as the relevance oracle and score
+      // the brute top-K per query — precision@K and the reciprocal rank
+      // of the first relevant hit, both integer-scaled (permille / ppm)
+      // so the rows hash-gate. Plan shape: the hit list is queries×K —
+      // it BROADCASTS into the corpus label frame (the r1 lookup
+      // discipline, the corpus never shuffles for it); everything after
+      // is per-query arithmetic over ≤ K rows.
+      val hits = queries("ann_topk_brute")(s, dir)
+      val lab  = emb(s, dir).select(col("vec_id"), col("label"))
+      val qlab = lab.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      lab.join(broadcast(hits), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qlab), "q_id")
+        .withColumn("rel", (col("label") === col("q_label")).cast("long"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+             sum(col("rel")).as("n_relevant"),
+             min(when(col("rel") === 1L, col("rank"))).as("first_rel"))
+        .select(col("q_id"),
+          col("n_relevant"),
+          expr("(1000 * n_relevant) div k").as("p_at_k_permille"),
+          coalesce(col("first_rel"), lit(0L)).as("first_rel_rank"),
+          coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_ppm"))
+    },
+
     // ---------- ANN: exact brute-force top-k (broadcast query set) ----------
     "ann_topk_brute" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -2993,6 +3021,24 @@ object LlmQueries {
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,
       "ann_topk_brute" -> bruteSql,
+      // r6 twin: the brute top-K embedded whole, labels joined back, the
+      // same integer permille/ppm scoring
+      "r6_retrieval_eval" ->
+        s"""WITH hits AS ($bruteSql),
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |j AS (
+           |  SELECT h.q_id, h.rank,
+           |         CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+           |  FROM hits h
+           |  JOIN lab nl ON nl.vec_id = h.neighbor_id
+           |  JOIN lab ql ON ql.vec_id = h.q_id
+           |)
+           |SELECT q_id,
+           |  sum(rel)::BIGINT AS n_relevant,
+           |  ((1000 * sum(rel)) // count(*))::BIGINT AS p_at_k_permille,
+           |  coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)::BIGINT AS first_rel_rank,
+           |  coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0)::BIGINT AS rr_ppm
+           |FROM j GROUP BY 1""".stripMargin,
       // r3 twin: brute top-C candidates (bruteSql's ranking at C), the
       // C×C pair-sim table, then the K greedy MMR rounds unrolled as
       // CTE pairs (score over not-yet-selected → row_number argmax).

@@ -716,6 +716,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("r6: precision@k / MRR equal a serial pass over the brute hits and labels") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hits = run("ann_topk_brute").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    val expected = hits.groupBy(_._1).map { case (q, hs) =>
+      val rels = hs.sortBy(_._2).map(h => labels(h._3) == labels(q))
+      val nRel = rels.count(identity).toLong
+      val first = rels.indexWhere(identity) match { case -1 => 0L; case i => i + 1L }
+      q -> (nRel, 1000L * nRel / hs.length,
+            first, if (first == 0) 0L else 1000000L / first)
+    }
+    val got = run("r6_retrieval_eval").collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_relevant"), r.getAs[Long]("p_at_k_permille"),
+         r.getAs[Long]("first_rel_rank"), r.getAs[Long]("rr_ppm"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("d19: a planted sub-document is flagged contained in its container, not vice versa") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-contain-").toString
     try {
