@@ -505,16 +505,21 @@ object Bench {
     val retrievalQuality = {
       if (only.nonEmpty) "null"
       else try {
+        // ONE candidate-generation execution: the collected rel/sims feed
+        // BOTH the quality arithmetic and the shared mmrSelect greedy
+        // (the same function r3 runs), so the bench tail never pays the
+        // broadcast-scored corpus scan twice for identical data
         val (relDf, pairsDf) = llm.LlmQueries.mmrCandidateFrames(spark, sfDir)
-        val rel = relDf.collect()
-          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-        val sims = pairsDf.collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+        val relSeq  = llm.LlmQueries.collectMmrRels(relDf)
+        val simsMap = llm.LlmQueries.collectMmrSims(pairsDf)
+        val rel  = relSeq.map(t => (t._1, t._2) -> t._3).toMap
+        val sims = simsMap
         def sel(df: org.apache.spark.sql.DataFrame, idCol: String): Map[Long, Seq[(Long, Long)]] =
           df.select("q_id", "rank", idCol).collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
             .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
-        val mmr   = sel(SparkEntry.queries("r3_mmr_rerank")(spark, sfDir), "vec_id")
+        val mmr = llm.LlmQueries.mmrSelect(relSeq, simsMap)
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq }
         val brute = sel(SparkEntry.queries("ann_topk_brute")(spark, sfDir), "neighbor_id")
         val k     = llm.LlmQueries.MmrK
         // rank-1 parity: MMR round 1 is pure relevance, so its first pick

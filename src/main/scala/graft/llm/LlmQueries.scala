@@ -637,6 +637,49 @@ object LlmQueries {
     * generation (broadcast query set, bounded top-C graft_topk cut, no
     * cartesian on the corpus side — the per-query candidate×candidate
     * pair join runs over the already-cut C rows only). */
+  private[graft] def collectMmrRels(rel: DataFrame): Seq[(Long, Long, Double)] =
+    rel.collect().toSeq
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
+
+  private[graft] def collectMmrSims(pairs: DataFrame): Map[(Long, Long, Long), Double] =
+    pairs.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("sim")).toMap
+
+  /** The MMR greedy over the collected decision values — ONE definition
+    * shared by r3 and Bench's retrieval-quality block, so the bench never
+    * re-executes the candidate generation just to replay the selection.
+    * Round 1 maximizes pure relevance (empty-set diversity term); later
+    * rounds the λ=0.5 marginal score. Ties → smaller vec_id. Explicit
+    * Double.compare, not key negation: under negation -0.0 < 0.0 and NaN
+    * inverts, diverging from the oracle's row_number(score DESC, vec_id)
+    * — Double.compare ranks NaN above all reals, exactly DuckDB's DESC
+    * NaN-first order. */
+  private[graft] def mmrSelect(
+      rels: Seq[(Long, Long, Double)],
+      sims: Map[(Long, Long, Long), Double]): Seq[(Long, Long, Long)] =
+    rels.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val relOf = cs.map(c => c._2 -> c._3).toMap
+      var selected = Vector.empty[Long]
+      (1 to MmrK).flatMap { rank =>
+        val remaining = relOf.keys.filterNot(selected.contains).toSeq
+        if (remaining.isEmpty) None
+        else {
+          val best = remaining.map { c =>
+            val score =
+              if (selected.isEmpty) relOf(c)
+              else 0.5 * relOf(c) - 0.5 * selected.map(sb => sims((qid, c, sb))).max
+            (c, score)
+          }.reduceLeft { (x, y) =>
+            val cmp = java.lang.Double.compare(y._2, x._2)
+            if (cmp > 0 || (cmp == 0 && y._1 < x._1)) y else x
+          }._1
+          selected :+= best
+          Some((qid, rank.toLong, best))
+        }
+      }
+    }
+
   private[graft] def mmrCandidateFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -749,47 +792,28 @@ object LlmQueries {
     * is posting-list-local (bucketed by shingle); the [[NgramMaxDf]] cap
     * bounds each bucket's pair fan-out, which is what keeps the plan
     * linear-ish at corpus scale. */
-  private[llm] def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val postings = base.select(col("doc_id"), explode(col("shingle_set")).as("sh"))
-    // One bounded posting-key aggregate instead of a df count-window (a
-    // keyed SORT of the full postings frame) followed by a two-sided
-    // self-join: per shingle, the exact df plus up to NgramMaxDf member
-    // doc ids fold through graft_topk (constant score ⇒ min-k by id; the
-    // array is COMPLETE whenever df ≤ the cap, which is the only case
-    // that emits). Rare postings explode their ≤ cap²/2 pairs locally
-    // from the aggregated array; hot postings (df > cap) are dropped
-    // whole — the documented IDF-style cap (a shingle shared by more
-    // than NgramMaxDf docs identifies nothing), same semantics as the
-    // windowed plan and the oracle.
-    val pairs = postings.groupBy("sh")
-      .agg(count(lit(1)).as("df"),
-           graft.functions.TopKByScore.column(lit(0.0), col("doc_id"), lit(0L), NgramMaxDf)
-             .as("members"))
-      .filter(col("df") >= 2 && col("df") <= NgramMaxDf)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(members) - 2),
-          |  i -> transform(sequence(i + 1, size(members) - 1),
-          |    j -> struct(members[i].id AS doc_a, members[j].id AS doc_b))))""".stripMargin)).as("pr"))
-      .select(col("pr.doc_a"), col("pr.doc_b"))
-      .distinct()
-    val sa = base.select(col("doc_id").as("doc_a"), col("shingle_set").as("set_a"))
-    val sb = base.select(col("doc_id").as("doc_b"), col("shingle_set").as("set_b"))
-    pairs
-      .join(sa, "doc_a")
-      .join(sb, "doc_b")
-      .withColumn("inter_cnt", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("union_cnt", (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter_cnt"))
-      // Jaccard >= 1/2 without a float: 2·|∩| >= |∪|
+  private[llm] def ngramDupPairs(s: SparkSession, dir: String): DataFrame =
+    // Jaccard >= 1/2 without a float: 2·|∩| >= |∪|, over the shared
+    // posting-local candidate scorer (ONE generator for d4 AND d19 — the
+    // DuckDB ngramPairCtes is likewise shared, so candidate semantics
+    // cannot drift between the two operators)
+    ngramScoredPairs(s, dir)
+      .withColumn("union_cnt", col("na") + col("nb") - col("inter_cnt"))
       .filter(col("inter_cnt") * 2 >= col("union_cnt"))
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
-  }
 
-  /** d19's candidate scorer — the SAME posting-local pair generator as
-    * [[ngramDupPairs]] (shared df-capped candidate semantics) but
-    * reporting exact |∩| with BOTH set sizes, pre-filter, so the
-    * asymmetric containment gate can run in either direction. */
+  /** The d4/d19 shared candidate scorer: posting-local pairs with exact
+    * |∩| and both set sizes, pre-filter. One bounded posting-key
+    * aggregate instead of a df count-window (a keyed SORT of the full
+    * postings frame) followed by a two-sided self-join: per shingle, the
+    * exact df plus up to NgramMaxDf member doc ids fold through
+    * graft_topk (constant score ⇒ min-k by id; the array is COMPLETE
+    * whenever df ≤ the cap, which is the only case that emits). Rare
+    * postings explode their ≤ cap²/2 pairs locally from the aggregated
+    * array; hot postings (df > cap) are dropped whole — the documented
+    * IDF-style cap (a shingle shared by more than NgramMaxDf docs
+    * identifies nothing), same semantics as the windowed plan and the
+    * oracle. */
   private def ngramScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val base = sigCache.getOrElseUpdate(s, dir)(buildSignatures(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1763,38 +1787,8 @@ object LlmQueries {
       // graft_dot ↔ list_inner_product), so the selection is
       // bit-reproducible across engines.
       val (rel, pairs) = mmrCandidateFrames(s, dir)
-      val rels = rel.collect()
-        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
-      val sims = pairs.collect()
-        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
-          r.getAs[Double]("sim")).toMap
-      val out = rels.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
-        val relOf = cs.map(c => c._2 -> c._3).toMap
-        var selected = Vector.empty[Long]
-        (1 to MmrK).flatMap { rank =>
-          val remaining = relOf.keys.filterNot(selected.contains).toSeq
-          if (remaining.isEmpty) None
-          else {
-            // round 1 maximizes pure relevance (empty-set diversity term);
-            // later rounds the λ=0.5 marginal score. Ties → smaller vec_id.
-            // Explicit Double.compare, not key negation: under negation
-            // -0.0 < 0.0 and NaN inverts, diverging from the oracle's
-            // row_number(score DESC, vec_id) — Double.compare ranks NaN
-            // above all reals, exactly DuckDB's DESC NaN-first order.
-            val best = remaining.map { c =>
-              val score =
-                if (selected.isEmpty) relOf(c)
-                else 0.5 * relOf(c) - 0.5 * selected.map(sb => sims((qid, c, sb))).max
-              (c, score)
-            }.reduceLeft { (x, y) =>
-              val cmp = java.lang.Double.compare(y._2, x._2)
-              if (cmp > 0 || (cmp == 0 && y._1 < x._1)) y else x
-            }._1
-            selected :+= best
-            Some(org.apache.spark.sql.Row(qid, rank.toLong, best))
-          }
-        }
-      }
+      val out = mmrSelect(collectMmrRels(rel), collectMmrSims(pairs))
+        .map { case (q, rank, v) => org.apache.spark.sql.Row(q, rank, v) }
       val st = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),

@@ -439,7 +439,8 @@ class CorpusSpec extends AnyFunSuite {
           "t15_funnel_ppl", "t19_bpe_learn", "e1_embedding_coherence",
           "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
           "t23_langid", "r4_hard_negatives", "r5_bitext_mining",
-          "t24_dsir_select", "t25_gopher_repetition", "d19_containment").foreach { q =>
+          "t24_dsir_select", "t25_gopher_repetition", "d19_containment",
+          "r6_retrieval_eval").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

@@ -258,6 +258,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("fnv32("), "registers must come from the codegen'd hash")
   }
 
+  test("r6_retrieval_eval: the hit list broadcasts into the label frame; no window, no cartesian") {
+    val p = plan("r6_retrieval_eval")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the queries x K hit list must broadcast — the corpus label frame never shuffles for it")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window ["), "scoring is per-query aggregation, never a window")
+  }
+
   test("r5_bitext_mining: cell-local candidates, bounded topk neighborhoods, no window, no cartesian") {
     // the pair join must ride the IVF cell key (the d13 discipline), each
     // side's neighborhood must fold through the partial graft_topk, and
