@@ -322,7 +322,8 @@ object Bench {
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
                             "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn",
-                            "t21_hll_cardinality", "t23_langid")
+                            "t21_hll_cardinality", "t23_langid", "r5_bitext_mining",
+                            "t24_dsir_select", "t25_gopher_repetition")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -341,7 +342,9 @@ object Bench {
                           "d14_span_dedup" -> "d14", "d16_incremental_dedup" -> "d16",
                           "t16_perplexity_filter" -> "t16", "d3_embedding_neardup" -> "d3",
                           "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh",
-                          "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23")
+                          "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23",
+                          "r5_bitext_mining" -> "r5", "t24_dsir_select" -> "t24",
+                          "t25_gopher_repetition" -> "t25")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
