@@ -959,7 +959,7 @@ object LlmQueries {
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
     *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d12_state_audit,
-    *     d16, d18, d19, t3, t15, t15_funnel_ppl
+    *     d16, d18, d19, t3, t15, t15_funnel_ppl, t26_source_overlap
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
@@ -1311,6 +1311,33 @@ object LlmQueries {
 
     // ---------- near-dedup: EXACT n-gram Jaccard via inverted index ----------
     "d4_ngram_jaccard" -> { (s, dir) => ngramDupPairs(s, dir) },
+
+    // ---------- cross-source duplication matrix (corpus provenance audit) ----------
+    "t26_source_overlap" -> { (s, dir) =>
+      // WHICH sources duplicate WHICH: d4's exact near-dup pairs rolled
+      // up into a source×source matrix — the provenance audit a corpus
+      // curator reads before choosing what to crawl less of (mirrors the
+      // cross-snapshot overlap tables in the C4/RefinedWeb writeups,
+      // public). Ordered (source_a ≤ source_b) so each unordered source
+      // pair is one row; self-cells count within-source duplication.
+      // Plan: the pair frame is the shared d4 generator (posting-local,
+      // df-capped); the two source lookups are corpus-key joins over the
+      // narrow (doc_id, source) projection; the rollup is a bounded
+      // sources² aggregate.
+      val pairs = ngramDupPairs(s, dir)
+      val srcOf = docs(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+                greatest(col("sa"), col("sb")).as("source_b"),
+                col("inter_cnt"), col("union_cnt"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+             sum(col("inter_cnt")).as("sum_inter"),
+             expr("cast((1000 * sum(inter_cnt)) div sum(union_cnt) as bigint)")
+               .as("mean_jaccard_permille"))
+    },
 
     // ---------- asymmetric containment dedup (partial-copy detection) ----------
     "d19_containment" -> { (s, dir) =>
@@ -2903,6 +2930,20 @@ object LlmQueries {
       "d4_ngram_jaccard" ->
         s"""WITH $ngramPairCtes
            |SELECT doc_a, doc_b, inter_cnt, union_cnt FROM dup""".stripMargin,
+      // t26 twin: d4's dup CTE joined to sources, ordered pair key,
+      // identical integer permille rollup
+      "t26_source_overlap" ->
+        s"""WITH $ngramPairCtes
+           |SELECT least(da.source, db.source) AS source_a,
+           |       greatest(da.source, db.source) AS source_b,
+           |       count(*) AS n_dup_pairs,
+           |       CAST(sum(inter_cnt) AS BIGINT) AS sum_inter,
+           |       CAST((1000 * sum(inter_cnt)) // sum(union_cnt) AS BIGINT) AS mean_jaccard_permille
+           |FROM dup
+           |JOIN documents da ON da.doc_id = dup.doc_a
+           |JOIN documents db ON db.doc_id = dup.doc_b
+           |GROUP BY 1, 2""".stripMargin,
+
       // d19 twin: same candidate CTEs, exact |∩| with both set sizes,
       // the same permille containment gate in both directions
       "d19_containment" ->

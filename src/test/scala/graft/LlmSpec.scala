@@ -716,6 +716,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("t26: the source matrix is exactly d4's pairs rolled up by ordered source pair") {
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("d4_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+                 r.getAs[Long]("inter_cnt"), r.getAs[Long]("union_cnt")))
+    val expected = pairs.groupBy { case (a, b, _, _) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(_._3).sum,
+            1000L * ps.map(_._3).sum / ps.map(_._4).sum)
+    }
+    val got = run("t26_source_overlap").collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("sum_inter"),
+         r.getAs[Long]("mean_jaccard_permille"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture's planted dups must appear in the matrix")
+    got.keys.foreach { case (a, b) => assert(a <= b, "pair key must be ordered") }
+  }
+
   test("r6: precision@k / MRR equal a serial pass over the brute hits and labels") {
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "label").collect()
