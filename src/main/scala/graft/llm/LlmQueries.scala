@@ -131,6 +131,9 @@ object LlmQueries {
   /** d19: permille of a doc's shingle set that must overlap another doc
     * for the doc to count as CONTAINED in it (asymmetric near-dup). */
   val ContainPermille = 800L
+  /** e2: a vector is an outlier when its cosine to its OWN label centroid
+    * falls below this permille of the label's mean cosine. */
+  val OutlierPermille = 800L
   val Hyperplanes  = 6   // FLOOR of the derived plane count: ≥ 2^6 buckets
   val NumCentroids = 8   // FLOOR of the derived IVF cell count
   val KMeansIters  = 2   // Lloyd updates from the first-N seeds
@@ -637,6 +640,23 @@ object LlmQueries {
     * generation (broadcast query set, bounded top-C graft_topk cut, no
     * cartesian on the corpus side — the per-query candidate×candidate
     * pair join runs over the already-cut C rows only). */
+  /** e1/e2 shared: every vector scored against its OWN label centroid —
+    * fixed-point order-independent centroid sums (the k-means toolkit),
+    * centroids broadcast back (labels are a bounded dimension),
+    * floor(cos·2^20) longs out, so both consumers hash-gate. */
+  private def labelScored(e: DataFrame): DataFrame = {
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+      .select(col("label"),
+        expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
+    e.join(broadcast(cents), "label")
+      .withColumn("cos_fp", expr(s"cast(floor((${cosSim("v", "cv")}) * 1048576) as bigint)"))
+      .select(col("label"), col("vec_id"), col("cos_fp"))
+  }
+
   private[graft] def collectMmrRels(rel: DataFrame): Seq[(Long, Long, Double)] =
     rel.collect().toSeq
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("rel")))
@@ -1719,20 +1739,42 @@ object LlmQueries {
       // (labels are a bounded dimension), one map-side cosine pass, one
       // label rollup.
       val e = emb(s, dir)
-      val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
-        .groupBy("label")
-        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
-        .select(col("label"),
-          expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
-      e.join(broadcast(cents), "label")
-        .withColumn("cos_fp", expr(s"cast(floor((${cosSim("v", "cv")}) * 1048576) as bigint)"))
+      labelScored(e)
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vecs"),
              sum("cos_fp").as("sum_cos_fp"),
              min("cos_fp").as("min_cos_fp"),
              max("cos_fp").as("max_cos_fp"))
+    },
+
+    // ---------- embedding audit: per-label outlier flagging ----------
+    "e2_embedding_outliers" -> { (s, dir) =>
+      // e1's question sharpened to the actionable row: WHICH vectors drag
+      // a label down — the mislabeled-example audit an embedding-training
+      // pipeline runs before contrastive fine-tuning. A vector is an
+      // outlier when its centroid cosine falls below
+      // [[OutlierPermille]]‰ of its label's MEAN centroid cosine
+      // (mean_fp = sum div n, floored — the comparison
+      // cos_fp·1000 < ‰·mean_fp keeps every product inside a long at any
+      // corpus size; the band presumes coherent labels, mean > 0 — the
+      // e1 audit upstream). Worst offender per label is the min(struct)
+      // argmin. Plan: the label-stats frame is labels-bounded and
+      // broadcasts back onto the scored scan (two narrow embedding
+      // passes); everything else is the e1 toolkit, integer end to end.
+      val scored = labelScored(emb(s, dir))
+      val stats = scored.groupBy("label")
+        .agg(expr("sum(cos_fp) div count(1)").as("mean_fp"))
+      scored.join(broadcast(stats), "label")
+        .withColumn("is_out",
+          col("cos_fp") * 1000 < lit(OutlierPermille) * col("mean_fp"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+             min(struct(col("cos_fp"), col("vec_id"))).as("worst"),
+             min(col("mean_fp")).as("mean_fp"))
+        .select(col("label"), col("n_vecs"), col("n_outliers"),
+                col("worst.cos_fp").as("worst_cos_fp"),
+                col("worst.vec_id").as("worst_vec_id"), col("mean_fp"))
     },
 
     // ---------- hybrid retrieval: lexical + dense, RRF-fused ----------
@@ -3163,7 +3205,31 @@ object LlmQueries {
            |  min(cos_fp) AS min_cos_fp,
            |  max(cos_fp) AS max_cos_fp
            |FROM sc GROUP BY 1""".stripMargin,
-      // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
+      // e2 twin: e1's scored CTE with vec_id, the floored integer mean
+      // band, and the two-level (min cos, then min vec_id) argmin
+      "e2_embedding_outliers" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (
+           |  SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+           |    SELECT label, dd.d AS d,
+           |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+           |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |sc AS (
+           |  SELECT e.label, e.vec_id,
+           |         CAST(floor((list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))) * 1048576) AS BIGINT) AS cos_fp
+           |  FROM e JOIN c USING (label)),
+           |st AS (SELECT label, sum(cos_fp) // count(*) AS mean_fp FROM sc GROUP BY 1),
+           |w AS (SELECT label, min(cos_fp) AS worst_cos FROM sc GROUP BY 1)
+           |SELECT sc.label::BIGINT AS label, count(*) AS n_vecs,
+           |  CAST(sum(CASE WHEN sc.cos_fp * 1000 < $OutlierPermille * st.mean_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  min(sc.cos_fp) AS worst_cos_fp,
+           |  CAST(min(CASE WHEN sc.cos_fp = w.worst_cos THEN sc.vec_id END) AS BIGINT) AS worst_vec_id,
+           |  CAST(min(st.mean_fp) AS BIGINT) AS mean_fp
+           |FROM sc JOIN st USING (label) JOIN w ON w.label = sc.label
+           |GROUP BY 1""".stripMargin,
+            // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
       // the dense arm embeds the ivf probe-2 query whole (DuckDB allows a
       // nested WITH inside a CTE body), fusion is the same integer RRF.
       "r2_hybrid_retrieve" ->

@@ -440,7 +440,8 @@ class CorpusSpec extends AnyFunSuite {
           "t20_bpe_apply", "t21_hll_cardinality", "t22_cms_heavy_hitters",
           "t23_langid", "r4_hard_negatives", "r5_bitext_mining",
           "t24_dsir_select", "t25_gopher_repetition", "d19_containment",
-          "r6_retrieval_eval", "t26_source_overlap").foreach { q =>
+          "r6_retrieval_eval", "t26_source_overlap",
+          "e2_embedding_outliers").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

@@ -716,6 +716,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("e2: outlier counts reconcile with the band; planted off-label vector is the worst offender") {
+    val rows = run("e2_embedding_outliers").collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_outliers"),
+         r.getAs[Long]("worst_cos_fp"), r.getAs[Long]("worst_vec_id"),
+         r.getAs[Long]("mean_fp"))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { case (n, out, worstCos, _, meanFp) =>
+      assert(out <= n)
+      // the worst offender defines the band edge: if anyone is an
+      // outlier the worst one is; if nobody is, the worst sits inside
+      val worstIsOut = worstCos * 1000 < LlmQueries.OutlierPermille * meanFp
+      assert((out > 0) === worstIsOut)
+    }
+    // planted check: the fixture's label-0 family is vectors 0, 1
+    // (near-identical axis-0) plus vec 8 (axis 0 with a large eps
+    // component) — vec 8 must be label 0's worst offender
+    assert(rows(0L)._4 === 8L, s"label 0's worst offender should be vec 8, got ${rows(0L)._4}")
+  }
+
   test("t26: the source matrix is exactly d4's pairs rolled up by ordered source pair") {
     val srcOf = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source").collect()
