@@ -129,7 +129,9 @@ object Bench {
       (Set("d18_bloom_decontaminate"),
         () => llm.LlmQueries.evictBloom(spark, sfDir)),
       (Set("t24_dsir_select"),
-        () => llm.CorpusQueries.evictDsirLm(spark, sfDir))
+        () => llm.CorpusQueries.evictDsirLm(spark, sfDir)),
+      (Set("e1_embedding_coherence", "e2_embedding_outliers"),
+        () => llm.LlmQueries.evictLabelCentroids(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

@@ -643,19 +643,28 @@ object LlmQueries {
   /** e1/e2 shared: every vector scored against its OWN label centroid —
     * fixed-point order-independent centroid sums (the k-means toolkit),
     * centroids broadcast back (labels are a bounded dimension),
-    * floor(cos·2^20) longs out, so both consumers hash-gate. */
-  private def labelScored(e: DataFrame): DataFrame = {
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
-      .groupBy("label")
-      .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
-      .select(col("label"),
-        expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
-    e.join(broadcast(cents), "label")
+    * floor(cos·2^20) longs out, so both consumers hash-gate. The
+    * centroid frame is the trained model a deployment materializes once
+    * (the IVF-centroid discipline), memoized per (session, dir) so e2's
+    * two consumers of the scored frame — the label-stats fold and the
+    * probe side — each pay only the narrow map-side cosine pass, never a
+    * second (label, dim) centroid shuffle. */
+  private val centroidCache = new graft.core.SessionMemo[DataFrame](onEvict = _.unpersist())
+  def evictLabelCentroids(s: SparkSession, dir: String): Unit = centroidCache.remove(s, dir)
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    centroidCache.getOrElseUpdate(s, dir)(
+      emb(s, dir).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+        .select(col("label"),
+          expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def labelScored(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).join(broadcast(labelCentroids(s, dir)), "label")
       .withColumn("cos_fp", expr(s"cast(floor((${cosSim("v", "cv")}) * 1048576) as bigint)"))
       .select(col("label"), col("vec_id"), col("cos_fp"))
-  }
 
   private[graft] def collectMmrRels(rel: DataFrame): Seq[(Long, Long, Double)] =
     rel.collect().toSeq
@@ -947,6 +956,7 @@ object LlmQueries {
     pqCache.remove(s, dir)
     lshCache.remove(s, dir)
     bloomCache.remove(s, dir)
+    centroidCache.remove(s, dir)
     CorpusQueries.evictCmsVocab(s, dir)
     CorpusQueries.evictFunnel(s, dir)
     CorpusQueries.evictLmToks(s, dir)
@@ -999,7 +1009,9 @@ object LlmQueries {
     *   - CMS word-count vocab (CorpusQueries.cmsVocabCache): t22_cms_heavy_hitters
     *   - DSIR LM weights (CorpusQueries.dsirLmCache): t24_dsir_select
     *   - d18 Bloom filter words (bloomCache, driver-side Array[Long]):
-    *     d18_bloom_decontaminate */
+    *     d18_bloom_decontaminate
+    *   - label centroids (centroidCache): e1_embedding_coherence,
+    *     e2_embedding_outliers */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
   def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
@@ -1738,8 +1750,7 @@ object LlmQueries {
       // (label, dim) shuffle for the centroids, centroids broadcast back
       // (labels are a bounded dimension), one map-side cosine pass, one
       // label rollup.
-      val e = emb(s, dir)
-      labelScored(e)
+      labelScored(s, dir)
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vecs"),
              sum("cos_fp").as("sum_cos_fp"),
@@ -1761,7 +1772,7 @@ object LlmQueries {
       // argmin. Plan: the label-stats frame is labels-bounded and
       // broadcasts back onto the scored scan (two narrow embedding
       // passes); everything else is the e1 toolkit, integer end to end.
-      val scored = labelScored(emb(s, dir))
+      val scored = labelScored(s, dir)
       val stats = scored.groupBy("label")
         .agg(expr("sum(cos_fp) div count(1)").as("mean_fp"))
       scored.join(broadcast(stats), "label")
@@ -2277,6 +2288,25 @@ object LlmQueries {
   /** DuckDB twin of [[wordsExpr]] — shared with CorpusQueries' oracles. */
   private[llm] val duckWords =
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> w != '')"
+
+  /** e1/e2 shared DuckDB CTE block — the twin of [[labelScored]]: per-label
+    * fixed-point centroids (integer floor(x·2^20) sums, so both engines
+    * derive bit-identical binary64 centroids) and every vector's
+    * floor(cos·2^20) against its OWN label centroid. One definition so a
+    * centroid-math fix can never apply to one twin and not the other. */
+  private[llm] lazy val labelScoredCtes: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (
+       |  SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+       |    SELECT label, dd.d AS d,
+       |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+       |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT e.label, e.vec_id,
+       |         CAST(floor((list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))) * 1048576) AS BIGINT) AS cos_fp
+       |  FROM e JOIN c USING (label))""".stripMargin
 
   /** d4/d6/t15 shared CTE chain: shingle sets → inverted index with the
     * hot-posting cap → candidate pairs → exact-Jaccard-thresholded `dup`.
@@ -3186,40 +3216,22 @@ object LlmQueries {
            |  FROM scored)
            |WHERE rank <= $TopK""".stripMargin,
       // e1 twin: per-label fixed-point centroids (the ivfUpdateSql
-      // pattern keyed by label) + floor(cos·2^20) member folds.
+      // pattern keyed by label) + floor(cos·2^20) member folds. The
+      // e/c/sc block is [[labelScoredCtes]], shared with e2 so the
+      // centroid semantics cannot drift between the twins (the
+      // ngramPairCtes discipline — the Spark side already shares
+      // labelScored).
       "e1_embedding_coherence" ->
-        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |c AS (
-           |  SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
-           |    SELECT label, dd.d AS d,
-           |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
-           |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
-           |    GROUP BY 1, 2)
-           |  GROUP BY 1),
-           |sc AS (
-           |  SELECT e.label,
-           |         CAST(floor((list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))) * 1048576) AS BIGINT) AS cos_fp
-           |  FROM e JOIN c USING (label))
+        s"""WITH $labelScoredCtes
            |SELECT label::BIGINT AS label, count(*) AS n_vecs,
            |  CAST(sum(cos_fp) AS BIGINT) AS sum_cos_fp,
            |  min(cos_fp) AS min_cos_fp,
            |  max(cos_fp) AS max_cos_fp
            |FROM sc GROUP BY 1""".stripMargin,
-      // e2 twin: e1's scored CTE with vec_id, the floored integer mean
+      // e2 twin: e1's shared scored CTE, the floored integer mean
       // band, and the two-level (min cos, then min vec_id) argmin
       "e2_embedding_outliers" ->
-        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-           |c AS (
-           |  SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
-           |    SELECT label, dd.d AS d,
-           |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
-           |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
-           |    GROUP BY 1, 2)
-           |  GROUP BY 1),
-           |sc AS (
-           |  SELECT e.label, e.vec_id,
-           |         CAST(floor((list_inner_product(e.v, c.cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv)))) * 1048576) AS BIGINT) AS cos_fp
-           |  FROM e JOIN c USING (label)),
+        s"""WITH $labelScoredCtes,
            |st AS (SELECT label, sum(cos_fp) // count(*) AS mean_fp FROM sc GROUP BY 1),
            |w AS (SELECT label, min(cos_fp) AS worst_cos FROM sc GROUP BY 1)
            |SELECT sc.label::BIGINT AS label, count(*) AS n_vecs,

@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
         "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
         "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate",
-        "d19_containment", "t26_source_overlap").foreach { q =>
+        "d19_containment", "t26_source_overlap", "e2_embedding_outliers").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -199,6 +199,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "the label-centroid frame (bounded dimension) must broadcast to the member pass")
     assert(!p.contains("Window "), "the coherence fold must stay a partial-aggregatable agg")
     assert(!p.contains("CartesianProduct"), "the member join keys on label")
+  }
+
+  test("e2_embedding_outliers: both bounded sides broadcast; no window, no cartesian") {
+    val p = plan("e2_embedding_outliers")
+    val broadcastJoins = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcastJoins >= 2,
+      s"the label-centroid frame AND the label-stats frame (both label-bounded) must " +
+        s"broadcast onto the scored scan; saw $broadcastJoins broadcast joins\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized shuffle join may appear — every join side is label-bounded")
+    assert(!p.contains("Window "), "the outlier fold must stay a partial-aggregatable agg")
   }
 
   test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
