@@ -99,12 +99,12 @@ object Bench {
       (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
            "d9_decontaminate", "d11_band_skew_audit", "d12_state_audit",
            "d16_incremental_dedup", "d18_bloom_decontaminate", "d19_containment",
-           "t3_winnowing", "t15_filter_funnel", "t15_funnel_ppl",
-           "t26_source_overlap"),
+           "d20_cluster_canon", "t3_winnowing", "t15_filter_funnel",
+           "t15_funnel_ppl", "t26_source_overlap"),
         () => llm.LlmQueries.evictSignatures(spark, sfDir)),
       (Set("d10_simhash_neardup", "d11_band_skew_audit"),
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
-      (Set("d6_dedup_clusters", "d7_curation_split"),
+      (Set("d6_dedup_clusters", "d7_curation_split", "d20_cluster_canon"),
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
       (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "ann_ivfsq_topk",
            "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",

@@ -914,10 +914,7 @@ object CorpusQueries {
       // "table" is the hash itself).
       graft.functions.GraftFunctions.ensureRegistered(s)
       docs(s, dir)
-        .select(col("source"), expr(
-          s"""aggregate(transform(${LlmQueries.wordsExpr},
-             |                    w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
-             |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("score"))
+        .select(col("source"), expr(LlmQueries.qualityScoreExpr).as("score"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
              sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"),
@@ -1579,8 +1576,7 @@ object CorpusQueries {
          |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
          |  FROM documents
          |), sc AS (
-         |  SELECT source,
-         |         CAST(coalesce(list_sum(list_transform(words, w -> (${LlmQueries.fnv32Expr("w")}) % 16 - 8)), 0) AS BIGINT) AS score
+         |  SELECT source, ${LlmQueries.duckQualityScore("words")} AS score
          |  FROM w)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,

@@ -238,6 +238,21 @@ object LlmQueries {
 
   private def duckArray(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
 
+  /** t14/d20 shared: the fastText-style hashed linear quality score —
+    * one integer weight in [-8, 7] per token hash, summed. ONE definition
+    * so the classifier that gates t14's per-source audit and the one that
+    * picks d20's canonical member can never drift. */
+  private[llm] val qualityScoreExpr: String =
+    s"""aggregate(transform($wordsExpr,
+       |                    w -> cast(graft_fnv32(w) % 16 as bigint) - 8),
+       |          cast(0 as bigint), (a, x) -> a + x)""".stripMargin
+
+  /** DuckDB twin of [[qualityScoreExpr]] over an already-split words
+    * column (t14's twin splits its own; d20's twin reuses the
+    * ngramPairCtes `base`). */
+  private[llm] def duckQualityScore(wordsCol: String): String =
+    s"CAST(coalesce(list_sum(list_transform($wordsCol, w -> (${fnv32Expr("w")}) % 16 - 8)), 0) AS BIGINT)"
+
   /** Multi-probe IVF: cells searched per query in `ann_ivf_probe2`. */
   val IvfProbes = 2
 
@@ -989,9 +1004,9 @@ object LlmQueries {
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
     *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d12_state_audit,
-    *     d16, d18, d19, t3, t15, t15_funnel_ppl, t26_source_overlap
+    *     d16, d18, d19, d20, t3, t15, t15_funnel_ppl, t26_source_overlap
     *   - simhash signatures (simSigCache): d10, d11
-    *   - dedup clusters (clusterCache): d6, d7
+    *   - dedup clusters (clusterCache): d6, d7, d20
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
     *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit,
     *     r2_hybrid_retrieve, r5_bitext_mining
@@ -1654,6 +1669,39 @@ object LlmQueries {
           count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("sum_doc_id"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
+    },
+
+    // ---------- dedup: quality-aware canonical selection per cluster ----------
+    "d20_cluster_canon" -> { (s, dir) =>
+      // d7's admission rule keeps each cluster's MIN doc_id; the policy a
+      // production pipeline actually wants is "keep the BEST member" —
+      // highest t14 classifier score, doc_id tie-break. One row per
+      // NON-SINGLETON cluster: size, the quality-argmax keeper and its
+      // score, the min-id policy's score, and whether the two policies
+      // agree — the audit that quantifies the quality the min-id rule
+      // leaves on the table before a corpus owner switches admission
+      // policies.
+      // Scale shape: the cluster frame is the shared d6 memo; the score
+      // is t14's pure map-side classifier over one corpus scan (shared
+      // [[qualityScoreExpr]] — the two operators cannot drift); their
+      // join is doc-keyed (one co-partitioned exchange); the rollup is
+      // one cluster_id agg whose argmax is a partial-aggregatable
+      // min(struct(-score, doc_id)) — no window, integers end to end
+      // (scores are token-bounded sums, negation exact).
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val scored = docs(s, dir).select(col("doc_id"), expr(qualityScoreExpr).as("score"))
+      dedupClusters(s, dir)
+        .join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+             min(struct((-col("score")).as("ns"), col("doc_id").as("d"))).as("best"),
+             max(when(col("doc_id") === col("cluster_id"), col("score"))).as("minid_score"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("n_members"),
+                col("best.d").as("keep_doc_id"),
+                (-col("best.ns")).as("keep_score"),
+                col("minid_score"),
+                (col("best.d") === col("cluster_id")).as("policies_agree"))
     },
 
     // ---------- winnowing: rolling k-gram fingerprints (MOSS scheme) ----------
@@ -3124,6 +3172,34 @@ object LlmQueries {
            |FROM (SELECT d.source, d.doc_id, d.n_chars, ${CorpusQueries.splitBucket} AS b
            |      FROM documents d JOIN canon USING (doc_id))
            |GROUP BY 1, 2""".stripMargin,
+      // d20 twin: d6's component CTEs + the shared t14 classifier score
+      // (scored over ngramPairCtes' own `base` words frame), argmax via
+      // row_number(score DESC, doc_id) — the min(struct(-score, doc_id))
+      // twin.
+      "d20_cluster_canon" ->
+        s"""WITH RECURSIVE $ngramPairCtes,
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup UNION ALL SELECT doc_b, doc_a FROM dup),
+           |reach(u, m) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v
+           |),
+           |cl AS (SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+           |scq AS (SELECT doc_id, ${duckQualityScore("words")} AS score FROM base),
+           |j AS (SELECT cl.cluster_id, cl.doc_id, scq.score FROM cl JOIN scq USING (doc_id)),
+           |best AS (
+           |  SELECT cluster_id, doc_id, score,
+           |         row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+           |  FROM j),
+           |ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
+           |SELECT a.cluster_id, a.n_members,
+           |  b.doc_id AS keep_doc_id, b.score AS keep_score,
+           |  m.score AS minid_score,
+           |  (b.doc_id = a.cluster_id) AS policies_agree
+           |FROM ag a
+           |JOIN best b ON b.cluster_id = a.cluster_id AND b.rn = 1
+           |JOIN j m ON m.cluster_id = a.cluster_id AND m.doc_id = a.cluster_id
+           |WHERE a.n_members >= 2""".stripMargin,
       "t3_winnowing"   -> winnowSql,
       "t2_fingerprint" -> simhashSql,
       "t1_text_stats"  -> statsSql,

@@ -759,6 +759,38 @@ class LlmSpec extends AnyFunSuite {
     got.keys.foreach { case (a, b) => assert(a <= b, "pair key must be ordered") }
   }
 
+  test("d20: the quality-argmax keeper matches a serial classifier over d6's clusters") {
+    // Serial reference: FNV-1a 32-bit over code points (the Fnv32 kernel's
+    // contract), weight = hash % 16 - 8 per word, summed — then per
+    // cluster the (score DESC, doc_id ASC) argmax.
+    def fnv32(w: String): Long = {
+      var h = 2166136261L
+      w.codePoints().toArray.foreach(c => h = ((h ^ c) * 16777619L) % 4294967296L)
+      h
+    }
+    def score(text: String): Long =
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(w => fnv32(w) % 16 - 8).sum
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clusters = run("d6_dedup_clusters").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val expected = clusters.groupBy(_._2).filter(_._2.length >= 2).map { case (cid, ms) =>
+      val members = ms.map(_._1)
+      val keep = members.minBy(d => (-score(texts(d)), d))
+      cid -> (members.length.toLong, keep, score(texts(keep)), score(texts(cid)), keep == cid)
+    }
+    val got = run("d20_cluster_canon").collect().map(r =>
+      r.getAs[Long]("cluster_id") -> (r.getAs[Long]("n_members"),
+        r.getAs[Long]("keep_doc_id"), r.getAs[Long]("keep_score"),
+        r.getAs[Long]("minid_score"), r.getAs[Boolean]("policies_agree"))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "the fixture's planted dup cluster must yield a canon row")
+    got.foreach { case (_, (_, _, keepScore, minidScore, _)) =>
+      assert(keepScore >= minidScore, "the argmax keeper can never score below the min-id keeper")
+    }
+  }
+
   test("r6: precision@k / MRR equal a serial pass over the brute hits and labels") {
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "label").collect()

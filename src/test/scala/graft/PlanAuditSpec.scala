@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq("d2_minhash_lsh", "ann_lsh_nn", "d3_embedding_neardup", "ann_ivf_probe",
         "d9_decontaminate", "d10_simhash_neardup", "d13_semdedup",
         "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate",
-        "d19_containment", "t26_source_overlap", "e2_embedding_outliers").foreach { q =>
+        "d19_containment", "t26_source_overlap", "e2_embedding_outliers",
+        "d20_cluster_canon").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
