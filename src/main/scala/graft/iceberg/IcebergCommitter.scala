@@ -229,9 +229,16 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
                           extraSummary, expectedBaseVersion) }
 
   /** Compaction commit: optimistic replace. Fails with CommitConflict if the
-    * current snapshot is not `expectedBase` (another writer committed). */
-  def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long): CommitResult =
-    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation = "replace", Map.empty, Map.empty, None) }
+    * current snapshot is not `expectedBase` (another writer committed).
+    * MERGE passes `operation = "overwrite"` (the Iceberg name for a
+    * replace that also adds rows) and the post-insert `watermarks` so a
+    * merge's appended tail advances F7/F9 like any other append; plain
+    * compaction/delete rewrites keep the defaults (watermarks carry
+    * forward from the parent summary). */
+  def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long,
+                    watermarks: Map[Int, Long] = Map.empty,
+                    operation: String = "replace"): CommitResult =
+    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks, Map.empty, None) }
 
   private def commit(
       added: Seq[DataFile],

@@ -563,6 +563,128 @@ object EventTable {
     }
   }
 
+  /** Outcome of a copy-on-write MERGE (upsert). */
+  final case class MergeResult(rewrittenFiles: Int, untouchedFiles: Int,
+                               updatedRows: Long, insertedRows: Long, snapshotId: Option[Long])
+
+  /** Copy-on-write MERGE keyed on `(partition, sequence)` — the corrections
+    * path: a batch row whose key exists in the table REPLACES that row's
+    * `payload` (timestamps, keys, and sequence are immutable event-log
+    * identity); a row whose key is new is APPENDED. `updates` must be a
+    * corrections feed (batch-sized), not a second corpus: its keys are the
+    * file-pruning decision values and are collected driver-side, exactly
+    * like compaction's candidate list. Insert keys must land BEYOND the
+    * partition watermark — sequences below it are either taken or burned
+    * by a delete, and resurrecting a burned sequence would corrupt F9's
+    * max-sequence recovery.
+    *
+    * Scale shape: manifest partition+sequence bounds prune the probe to
+    * candidate files only (bounds alone cannot CONFIRM membership —
+    * deletes burn gaps inside a file's range — so candidates are
+    * row-probed with a broadcast join, O(matched) rows collected); only
+    * files holding ≥1 match are rewritten; untouched files keep their
+    * identity; one atomic replace-snapshot (`"overwrite"`) swaps in the
+    * rewritten + inserted files and advances the summary watermarks.
+    */
+  def mergeUpsert(spark: SparkSession, tableRoot: String, updates: DataFrame): MergeResult = {
+    import spark.implicits._
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val meta      = committer.load().getOrElse(return MergeResult(0, 0, 0L, 0L, None))
+    val base      = meta.currentSnapshotId.getOrElse(return MergeResult(0, 0, 0L, 0L, None))
+    val active    = committer.activeDataFiles()
+    if (active.isEmpty) return MergeResult(0, 0, 0L, 0L, None)
+
+    val up = updates.select(
+      col("partition").cast("int").as("partition"),
+      col("sequence").cast("long").as("sequence"),
+      col("timestamp_ms").cast("long").as("timestamp_ms"),
+      col("payload").cast("binary").as("payload"),
+      col("idempotency_key").cast("string").as("idempotency_key"))
+
+    val keys = up.select("partition", "sequence").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (keys.isEmpty) return MergeResult(0, active.size, 0L, 0L, None) // empty batch: no-op, no snapshot
+    require(keys.length == keys.toSet.size, "merge batch carries duplicate (partition, sequence) keys")
+    val byPart = keys.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    // Manifest-level pruning: only files whose (partition, [min,max] seq)
+    // bounds cover some batch key are scanned at all. Files without bounds
+    // are conservatively kept.
+    val candidates = active.filter { f =>
+      (for {
+        p  <- f.lowerInt(FieldIds.Partition)
+        lo <- f.lowerLong(FieldIds.Sequence)
+        hi <- f.upperLong(FieldIds.Sequence)
+      } yield byPart.get(p).exists(_.exists(s => s >= lo && s <= hi))).getOrElse(true)
+    }
+
+    // Row-probe the candidates: which keys truly exist, and in which files.
+    val keyDf = keys.toSeq.toDF("partition", "sequence")
+    val probe =
+      if (candidates.isEmpty) Array.empty[Row]
+      else readCommittedProjected(spark, tableRoot, candidates)
+        .withColumn("_file", input_file_name())
+        .join(broadcast(keyDf), Seq("partition", "sequence"))
+        .select(col("_file"), col("partition"), col("sequence"))
+        .collect() // ≤ |updates| rows — bounded decision values
+    val matchedKeys  = probe.map(r => (r.getInt(1), r.getLong(2))).toSet
+    val matchedPaths = probe.map(r => decodeFileUri(r.getString(0))).toSet
+    val rootPath =
+      if (graft.iceberg.TableIO.hasScheme(tableRoot))
+        Option(new org.apache.hadoop.fs.Path(tableRoot).toUri.getPath).getOrElse(tableRoot)
+      else Paths.get(tableRoot).toAbsolutePath.normalize.toString
+    val affected = candidates.filter(f => matchedPaths.contains(s"$rootPath/${f.filePath}"))
+
+    val wm         = watermarksOf(active)
+    val insertKeys = keys.filterNot(matchedKeys)
+    insertKeys.foreach { case (p, s) =>
+      require(s > wm.getOrElse(p, 0L),
+        s"insert key ($p, $s) is at or below partition $p's watermark ${wm.getOrElse(p, 0L)}: " +
+          "unmatched sequences in committed ranges are burned (deleted), not insertable")
+    }
+
+    val matchedDf = matchedKeys.toSeq.toDF("partition", "sequence")
+    // Rewritten survivors: affected files re-read (projected against the
+    // current schema), matched rows' payload swapped in from the batch.
+    val schemaDf = readCommittedProjected(spark, tableRoot, Seq.empty)
+    val rewritten =
+      if (affected.isEmpty) schemaDf
+      else {
+        val repl = up.select(col("partition"), col("sequence"), col("payload").as("_new_payload"))
+        val baseRows = readForRewrite(spark, tableRoot, affected)
+        baseRows
+          .join(broadcast(repl), Seq("partition", "sequence"), "left")
+          .withColumn("payload", coalesce(col("_new_payload"), col("payload")))
+          .select(baseRows.columns.map(col).toIndexedSeq: _*)
+      }
+    // Insert rows aligned to the committed schema: derived date/hour from
+    // the batch timestamp; evolved columns the batch doesn't carry are null.
+    val insBase = up.join(broadcast(matchedDf), Seq("partition", "sequence"), "left_anti")
+      .withColumn("topic", lit(Topic))
+      .withColumn("event_date",
+        expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
+      .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
+    val inserts = insBase.select(schemaDf.schema.fields.map { f =>
+      if (insBase.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+    val newPaths = writeData(rewritten.unionByName(inserts), tableRoot)
+    val added    = collectDataFiles(spark, tableRoot, newPaths)
+    // Watermarks only ADVANCE (a rewrite of early files must not regress one).
+    val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
+    try {
+      val res = committer.commitReplace(affected, added, base, watermarks = newWm, operation = "overwrite")
+      affected.foreach(f => committer.io.delete(f.filePath))
+      MergeResult(affected.size, active.size - affected.size,
+                  matchedKeys.size.toLong, insertKeys.length.toLong, Some(res.snapshotId))
+    } catch {
+      case c: graft.iceberg.CommitConflict =>
+        newPaths.foreach(committer.io.delete)
+        throw c
+    }
+  }
+
   /** Decoded filesystem path of an `input_file_name()` URI. Spark returns
     * percent-encoded `file:///...` URIs; `URI.getPath` decodes them. Falls
     * back to the raw string for non-URI inputs (plain local paths). */

@@ -179,6 +179,22 @@ object IcebergQueries {
           count(lit(1)).as("n"),
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
+    },
+    // Copy-on-write MERGE (upsert): every 11th event in partitions 0–3 has
+    // its payload k shifted +100000 (matched → update), every 101st event
+    // spawns a NEW row at the partition tail with k = -event_id (insert). The
+    // read-back must equal the oracle applying the same CASE + UNION — the
+    // sum catches a missed update, the count a missed insert, max_seq the
+    // watermark advance.
+    "x5_merge_upsert" -> { (s, dir) =>
+      val root = MergedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
 
@@ -242,7 +258,32 @@ object IcebergQueries {
         |GROUP BY 1""".stripMargin),
     "v2_source_read" -> Oracle.sql(
       """SELECT sequence, part_id, timestamp_ms, props FROM evlog
-        |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin)
+        |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin),
+    // MERGE semantics twin. The fixture recovers each row's ORIGINAL event
+    // id from the idempotency key ('k<id>' — retry rows carry the retried
+    // event's id), so the oracle does the same: update k+100000 where
+    // id % 11 = 0; insert (-id) rows at watermark + rank(id % 101 rows by
+    // their pre-merge sequence) per partition.
+    "x5_merge_upsert" -> Oracle.sql(
+      """, kv AS (
+        |  SELECT part_id, sequence,
+        |         CAST(substring(idempotency_key, 2) AS BIGINT) AS evid,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM evlog
+        |), wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+        |ins AS (
+        |  SELECT kv.part_id,
+        |         wm.wm + row_number() OVER (PARTITION BY kv.part_id ORDER BY kv.sequence) AS sequence,
+        |         -kv.evid AS k
+        |  FROM kv JOIN wm USING (part_id) WHERE kv.evid % 101 = 0
+        |), merged AS (
+        |  SELECT part_id, sequence,
+        |         CASE WHEN evid % 11 = 0 AND part_id < 4 THEN k + 100000 ELSE k END AS k
+        |  FROM kv
+        |  UNION ALL SELECT part_id, sequence, k FROM ins
+        |)
+        |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+        |FROM merged GROUP BY 1""".stripMargin)
   )
 }
 
@@ -273,6 +314,52 @@ object DeletedTables {
         val res = EventTable.deleteWhere(spark, root,
           expr("cast(get_json_object(cast(payload as string), '$.k') as int) % 7 = 0"))
         require(res.deletedRows > 0, "delete fixture must remove rows")
+        root
+      }
+    )
+  }
+}
+
+/** One merged-into table per (JVM, sfDir): full fragmented ingest, then one
+  * copy-on-write mergeUpsert whose batch is derived deterministically from
+  * the committed table itself — every 11th ORIGINAL event (id recovered
+  * from the idempotency key, so retry-surviving rows resolve to the
+  * retried event) in partitions 0–3 gets payload k+100000 (matched
+  * updates); every 101st
+  * spawns a tail insert at watermark + rank with k = -id and a fresh
+  * 'm<id>' idempotency key. Both merge arms and the untouched-file
+  * invariant are enforced here so the oracle genuinely gates them. */
+object MergedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        import org.apache.spark.sql.expressions.Window
+        val root = java.nio.file.Files.createTempDirectory("graft-merge-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16))
+        val committed = EventTable.readCommitted(spark, root)
+        val evid = expr("cast(substring(idempotency_key, 2) as bigint)")
+        val k    = expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")
+        // updates confined to partitions 0–3 so partitions 4–7's original
+        // files provably survive the merge untouched (1-in-11 density blankets
+        // every sequence bucket of a touched partition at any fragmentation)
+        val updates = committed.filter(evid % 11 === 0 && col("partition").cast("int") < 4)
+          .select(col("partition"), col("sequence"), col("timestamp_ms"),
+                  concat(lit("{\"k\": "), (k + 100000).cast("string"), lit("}")).cast("binary").as("payload"),
+                  col("idempotency_key"))
+        val wmDf = committed.groupBy("partition").agg(max("sequence").as("_wm"))
+        val inserts = committed.filter(evid % 101 === 0)
+          .join(wmDf, "partition")
+          .withColumn("_rn", row_number().over(Window.partitionBy("partition").orderBy("sequence")).cast("long"))
+          .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
+                  (col("timestamp_ms") + 86400000L).as("timestamp_ms"),
+                  concat(lit("{\"k\": "), (-evid).cast("string"), lit("}")).cast("binary").as("payload"),
+                  concat(lit("m"), evid.cast("string")).as("idempotency_key"))
+        val res = EventTable.mergeUpsert(spark, root, updates.unionByName(inserts))
+        require(res.updatedRows > 0 && res.insertedRows > 0,
+          s"merge fixture must exercise both arms: $res")
+        require(res.untouchedFiles > 0, s"merge must leave unmatched files untouched: $res")
         root
       }
     )

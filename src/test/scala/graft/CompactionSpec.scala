@@ -94,6 +94,67 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("copy-on-write merge updates matched payloads, appends inserts, leaves unmatched files alone") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-merge-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val before     = committer.activeDataFiles().map(_.filePath).toSet
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+    val wmBefore   = committer.summaryWatermarks()
+    val wm5        = wmBefore(5)
+
+    val updates = Seq(
+      (0, 1L, 111L, """{"k": 777}""", "u1"), // matched → payload replaced
+      (0, 2L, 112L, """{"k": 778}""", "u2"),
+      (5, wm5 + 1, 113L, """{"k": -1}""", "m1"), // beyond watermark → inserted
+      (5, wm5 + 2, 114L, """{"k": -2}""", "m2"))
+      .toDF("partition", "sequence", "timestamp_ms", "payload", "idempotency_key")
+      .withColumn("payload", col("payload").cast("binary"))
+    val res = EventTable.mergeUpsert(spark, root, updates)
+    assert(res.updatedRows === 2 && res.insertedRows === 2)
+    assert(res.rewrittenFiles > 0 && res.untouchedFiles > 0 && res.snapshotId.nonEmpty)
+
+    // files of partitions the merge never touched keep their identity
+    val after = committer.activeDataFiles().map(_.filePath).toSet
+    assert(before.filterNot(p => p.contains("partition=0") || p.contains("partition=5"))
+      .subsetOf(after), "files without matches must keep their identity")
+    assert(EventTable.listParquet(root).size === after.size, "replaced files physically gone")
+
+    val table = EventTable.readCommitted(spark, root)
+    assert(table.count() === rowsBefore + 2)
+    val got = table.filter(col("partition") === 0 && col("sequence") <= 2)
+      .select(col("sequence"), expr("cast(payload as string)").as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === """{"k": 777}""" && got(2L) === """{"k": 778}""")
+    // inserted rows are readable at the partition tail
+    assert(table.filter(col("partition") === 5 && col("sequence") > wm5).count() === 2)
+
+    // watermarks: only the inserted-into partition advances; F7 and F9 agree
+    val wmAfter = committer.summaryWatermarks()
+    assert(wmAfter(5) === wm5 + 2)
+    assert(wmAfter.filterNot(_._1 == 5) === wmBefore.filterNot(_._1 == 5))
+    assert(committer.maxCommittedSequencePerPartition()(5) === wm5 + 2)
+
+    // guard rails: duplicate batch keys and below-watermark inserts must refuse
+    val dup = updates.unionByName(updates.limit(1))
+    assertThrows[IllegalArgumentException](EventTable.mergeUpsert(spark, root, dup))
+    // a sequence inside the committed range whose row was deleted is BURNED:
+    // re-inserting it would corrupt F9's max-sequence recovery, so it refuses
+    EventTable.deleteWhere(spark, root, col("partition") === 3 && col("sequence") === 1L)
+    val resurrect = Seq((3, 1L, 99L, """{"k": 0}""", "b2"))
+      .toDF("partition", "sequence", "timestamp_ms", "payload", "idempotency_key")
+      .withColumn("payload", col("payload").cast("binary"))
+    assertThrows[IllegalArgumentException](EventTable.mergeUpsert(spark, root, resurrect))
+
+    // an empty batch is a no-op: no new snapshot, nothing rewritten
+    val versionBefore = committer.currentVersion()
+    val noop = EventTable.mergeUpsert(spark, root, updates.limit(0))
+    assert(noop.updatedRows === 0 && noop.insertedRows === 0 && noop.snapshotId.isEmpty)
+    assert(committer.currentVersion() === versionBefore)
+  }
+
   test("compaction of a schema-EVOLVED table keeps the added column (projected rewrite)") {
     val root = Files.createTempDirectory("graft-compact-evo-").toString
     val log  = graft.core.EventLog.log(spark, "/root/testdata/sf0.001")
