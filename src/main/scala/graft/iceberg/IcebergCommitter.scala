@@ -419,6 +419,29 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Active files as of a historical snapshot (time-travel read). */
   def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))
 
+  /** Incremental append scan (Iceberg `appendsBetween` semantics): the data
+    * files added AFTER `fromSnapshotId` up to the current head — the CDC
+    * feed a downstream consumer reads instead of re-scanning the table.
+    * Requires an append-only range: an overwrite/replace/delete snapshot in
+    * between rewrites existing rows (and this table physically deletes
+    * replaced files), so a file-level diff cannot represent the row-level
+    * change — the scan refuses and the consumer must fall back to a full
+    * read. With the range verified append-only, head-active minus
+    * base-active IS exactly the appended file set. */
+  def appendsSince(fromSnapshotId: Long): Seq[DataFile] = {
+    val meta  = load().getOrElse(return Seq.empty)
+    val snaps = meta.snapshots
+    val idx   = snaps.indexWhere(_.snapshotId == fromSnapshotId)
+    require(idx >= 0, s"unknown snapshot $fromSnapshotId")
+    snaps.drop(idx + 1).foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      require(op == "append",
+        s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'")
+    }
+    val baseSet = activeDataFilesAt(fromSnapshotId).map(_.filePath).toSet
+    activeDataFiles().filterNot(f => baseSet.contains(f.filePath))
+  }
+
   /** Snapshot expiration + orphan GC (table maintenance the reference
     * delegates to external engines): keep the most recent `keepLast`
     * snapshots, rewrite metadata without the expired ones, delete manifest

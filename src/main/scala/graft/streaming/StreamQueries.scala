@@ -217,6 +217,23 @@ object StreamQueries {
         .readCommitted(s, root, c.activeDataFilesAt(first.snapshotId))
         .groupBy(col("partition").cast("int").as("part_id"))
         .agg(count(lit(1)).as("n_events"), max("sequence").as("max_seq"))
+    },
+    // Incremental append scan (CDC): ONLY the rows committed after tt1's
+    // first snapshot — the feed a downstream consumer ingests per refresh
+    // instead of re-scanning the table. File-level diff over a verified
+    // append-only snapshot range; exactly the complement of tt1.
+    "tt2_snapshot_diff" -> { (s, dir) =>
+      val root = StreamedTables.tableRoot(s, dir)
+      val c = new graft.iceberg.IcebergCommitter(
+        graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+      val first = c.load().get.snapshots
+        .find(_.summary.get("graft.batch-id-max").contains("1"))
+        .getOrElse(throw new IllegalStateException("missing first streamed snapshot"))
+      EventTable
+        .readCommitted(s, root, c.appendsSince(first.snapshotId))
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min("sequence").as("min_seq"), max("sequence").as("max_seq"))
     }
   )
 
@@ -295,6 +312,15 @@ object StreamQueries {
       """SELECT part_id, count(*) AS n_events, max(sequence) AS max_seq
         |FROM evlog
         |WHERE event_id < 2 * ((SELECT max(event_id) FROM ev) // 4 + 1)
+        |GROUP BY 1""".stripMargin),
+    // the complement of tt1: committed rows whose FIRST occurrence is in
+    // the later chunks (retries of earlier events were deduped at ingest,
+    // so every row in a later-batch file has a later-chunk event_id)
+    "tt2_snapshot_diff" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n_events,
+        |       min(sequence) AS min_seq, max(sequence) AS max_seq
+        |FROM evlog
+        |WHERE event_id >= 2 * ((SELECT max(event_id) FROM ev) // 4 + 1)
         |GROUP BY 1""".stripMargin)
   )
 }

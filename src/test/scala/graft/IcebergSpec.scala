@@ -391,6 +391,28 @@ class IcebergSpec extends AnyFunSuite {
     assert(graft.table.EventTable.readCommitted(spark, root).count() === expected - res.deletedRows)
   }
 
+  test("appendsSince: exact appended-file diff; refuses a range holding a rewrite") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val e  = df("data/partition=1/e.parquet", 5, 1, 5)
+    val r0 = c.commitAppend(Seq(a), Map(0 -> 10L))
+    c.commitAppend(Seq(b), Map(0 -> 20L))
+    val r2 = c.commitAppend(Seq(e), Map(1 -> 5L))
+    // two appends after r0: the diff is exactly {b, e}, head-relative empty
+    assert(c.appendsSince(r0.snapshotId).map(_.filePath).toSet ===
+      Set(b.filePath, e.filePath))
+    assert(c.appendsSince(r2.snapshotId).isEmpty)
+    assertThrows[IllegalArgumentException](c.appendsSince(12345L)) // unknown id
+    // a replace (compaction) inside the range: file diff ≠ row diff → refuse
+    val merged = df("data/partition=0/m.parquet", 20, 0, 20)
+    c.commitReplace(Seq(a, b), Seq(merged), expectedBase = r2.snapshotId)
+    assertThrows[IllegalArgumentException](c.appendsSince(r0.snapshotId))
+    // ...but a range starting AT the replace is append-only again
+    val head = c.load().get.currentSnapshotId.get
+    assert(c.appendsSince(head).isEmpty)
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
