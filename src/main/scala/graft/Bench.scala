@@ -120,7 +120,7 @@ object Bench {
         () => llm.CorpusQueries.evictFunnel(spark, sfDir)),
       (Set("t16_perplexity_filter", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictLmToks(spark, sfDir)),
-      (Set("t19_bpe_learn", "t20_bpe_apply"),
+      (Set("t19_bpe_learn", "t20_bpe_apply", "t27_fertility_hist"),
         () => llm.CorpusQueries.evictBpeMerges(spark, sfDir)),
       (Set("t23_langid"),
         () => llm.CorpusQueries.evictLangProfiles(spark, sfDir)),

@@ -293,8 +293,8 @@ object CorpusQueries {
     * candidate list. Driver-side Seq (no executor storage), but still
     * evicted with the family so a rewritten corpus dir relearns and a
     * bench sweep's throwaway replica doesn't pin a stale table.
-    * Consumers: t19_bpe_learn, t20_bpe_apply — Bench evicts after the
-    * LAST one's reps. */
+    * Consumers: t19_bpe_learn, t20_bpe_apply, t27_fertility_hist — Bench
+    * evicts after the LAST one's reps. */
   private val bpeMergeCache = new graft.core.SessionMemo[Seq[(Long, String, String, Long)]]()
   def evictBpeMerges(s: SparkSession, dir: String): Unit = bpeMergeCache.remove(s, dir)
 
@@ -450,6 +450,60 @@ object CorpusQueries {
       } finally base.unpersist()
       merges.toSeq
     }
+
+  /** DuckDB twin of [[bpeAppliedVocab]]: the t19 learning chain re-unrolled
+    * CARRYING the word column (the apply pass needs word → final
+    * segmentation), producing CTEs `sw` (source, word, cnt) and `applied`
+    * (word, n_tokens). Shared prefix of the t20 and t27 twins — the learned
+    * merges must be the same rows as t19's pc/p argmax chain. */
+  private def bpeApplySqlPrefix: String = {
+    def round(i: Int) =
+      s"""pc$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+         |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
+         |      SELECT cnt, list_filter(string_split(seq, chr(1)), x -> x != '') AS syms FROM a${i - 1}),
+         |      LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT l, r, pcnt FROM pc$i ORDER BY pcnt DESC, l, r LIMIT 1),
+         |a$i AS (SELECT word, cnt, replace(seq,
+         |          coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1) FROM p$i), chr(2)),
+         |          coalesce((SELECT chr(1) || l || r || chr(1) FROM p$i), chr(2))) AS seq FROM a${i - 1})""".stripMargin
+    s"""base AS (
+       |  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+       |  FROM documents
+       |), sw AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest(words) AS word FROM base) GROUP BY 1, 2),
+       |w0 AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM sw GROUP BY 1),
+       |a0 AS (
+       |  SELECT word, cnt,
+       |         chr(1) || chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1) || chr(1)) || chr(1) || chr(1) AS seq
+       |  FROM w0),
+       |${(1 to BpeLearnMerges).map(round).mkString(",\n")},
+       |applied AS (
+       |  SELECT word, CAST(len(list_filter(string_split(seq, chr(1)), x -> x != '')) AS BIGINT) AS n_tokens
+       |  FROM a$BpeLearnMerges)""".stripMargin
+  }
+
+  /** t20/t27 shared apply pass: per-(source, word) occurrence counts plus
+    * the learned merges applied over the DISTINCT vocabulary — the corpus
+    * folds to vocab × sources first, the K codegen'd replaces never touch
+    * corpus text, and token counts join back on the word key (vocab-sized
+    * frames, one bounded shuffle). ONE definition so the mean ratio (t20)
+    * and the fertility histogram (t27) segment identically. */
+  private def bpeAppliedVocab(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val merges = bpeLearnedMerges(s, dir)
+    val sourceWords = docs(s, dir)
+      .select(col("source"), explode(expr(LlmQueries.wordsExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val seqApplied = merges.foldLeft(
+      sourceWords.select("word").distinct().withColumn("seq", expr(bpeSeqExpr("word")))) {
+        case (df, (_, l, r, _)) => df.withColumn("seq", expr(bpeMergeApplied("seq", l, r)))
+      }
+    val tokens = seqApplied.select(col("word"), expr(bpeTokenCount("seq")).as("n_tokens"))
+    (sourceWords, tokens)
+  }
 
   /** The per-doc LM-surprise scorer shared by t16 and the t15 perplexity
     * funnel stage — ONE definition of the bigram LM so the filter band
@@ -851,21 +905,36 @@ object CorpusQueries {
       // corpus text), and the token counts join back on the word key:
       // vocab-sized frames on both sides, one bounded shuffle. At 100 TB
       // the corpus-side work is exactly one explode + partial-agg scan.
-      val merges = bpeLearnedMerges(s, dir)
-      val sourceWords = docs(s, dir)
-        .select(col("source"), explode(expr(LlmQueries.wordsExpr)).as("word"))
-        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
-      val seqApplied = merges.foldLeft(
-        sourceWords.select("word").distinct().withColumn("seq", expr(bpeSeqExpr("word")))) {
-          case (df, (_, l, r, _)) => df.withColumn("seq", expr(bpeMergeApplied("seq", l, r)))
-        }
-      val tokens = seqApplied.select(col("word"), expr(bpeTokenCount("seq")).as("n_tokens"))
+      val (sourceWords, tokens) = bpeAppliedVocab(s, dir)
       sourceWords.join(tokens, "word")
         .groupBy("source").agg(
           count(lit(1)).as("n_word_types"),
           sum(col("cnt")).as("n_words"),
           sum(col("cnt") * col("n_tokens")).as("n_tokens"),
           expr("cast((1000 * sum(cnt * n_tokens)) div sum(cnt) as bigint)").as("tok_permille"))
+    },
+
+    // ---------- tokenizer fertility histogram ----------
+    "t27_fertility_hist" -> { (s, dir) =>
+      // t20 reports the MEAN tokens-per-word; a tokenizer QA pass needs
+      // the DISTRIBUTION — how much of each source's word mass the
+      // vocabulary covers whole (1 token), splits once (2), or shatters
+      // (4+ ≈ character fallback). One row per (source, bucket): word
+      // types, word occurrences, and the occurrence share in permille.
+      // Same [[bpeAppliedVocab]] frames as t20 (vocab-sized merge chain,
+      // corpus folds to (source, word) counts first); the per-source
+      // totals frame is source-cardinality and broadcast for the share
+      // division — no window over the corpus.
+      val (sourceWords, tokens) = bpeAppliedVocab(s, dir)
+      val bucketed = sourceWords.join(tokens, "word")
+        .withColumn("fertility_bucket", least(col("n_tokens"), lit(4L)))
+        .groupBy("source", "fertility_bucket")
+        .agg(count(lit(1)).as("n_word_types"), sum(col("cnt")).as("n_words"))
+      val totals = bucketed.groupBy("source").agg(sum("n_words").as("_tw"))
+      bucketed.join(broadcast(totals), "source")
+        .select(col("source"), col("fertility_bucket"),
+                col("n_word_types"), col("n_words"),
+                expr("cast((1000 * n_words) div _tw as bigint)").as("share_permille"))
     },
 
     // ---------- Gopher quality-rule gate ----------
@@ -1451,41 +1520,30 @@ object CorpusQueries {
     // joined back to per-(source, word) occurrence counts. The pc/p
     // argmax CTEs are identical in structure to t19's — the learned
     // merges must be the same rows.
-    "t20_bpe_apply" -> {
-      def round(i: Int) =
-        s"""pc$i AS (
-           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
-           |    SELECT cnt, syms[i] AS l, syms[i + 1] AS r FROM (
-           |      SELECT cnt, list_filter(string_split(seq, chr(1)), x -> x != '') AS syms FROM a${i - 1}),
-           |      LATERAL unnest(generate_series(1, len(syms) - 1)) t(i)
-           |    WHERE len(syms) >= 2)
-           |  GROUP BY 1, 2),
-           |p$i AS (SELECT l, r, pcnt FROM pc$i ORDER BY pcnt DESC, l, r LIMIT 1),
-           |a$i AS (SELECT word, cnt, replace(seq,
-           |          coalesce((SELECT chr(1) || l || chr(1) || chr(1) || r || chr(1) FROM p$i), chr(2)),
-           |          coalesce((SELECT chr(1) || l || r || chr(1) FROM p$i), chr(2))) AS seq FROM a${i - 1})""".stripMargin
-      s"""WITH base AS (
-         |  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
-         |  FROM documents
-         |), sw AS (
-         |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT source, unnest(words) AS word FROM base) GROUP BY 1, 2),
-         |w0 AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM sw GROUP BY 1),
-         |a0 AS (
-         |  SELECT word, cnt,
-         |         chr(1) || chr(1) || array_to_string(list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), chr(1) || chr(1)) || chr(1) || chr(1) AS seq
-         |  FROM w0),
-         |${(1 to BpeLearnMerges).map(round).mkString(",\n")},
-         |applied AS (
-         |  SELECT word, CAST(len(list_filter(string_split(seq, chr(1)), x -> x != '')) AS BIGINT) AS n_tokens
-         |  FROM a$BpeLearnMerges)
+    "t20_bpe_apply" ->
+      s"""WITH $bpeApplySqlPrefix
          |SELECT sw.source, count(*) AS n_word_types,
          |  CAST(sum(sw.cnt) AS BIGINT) AS n_words,
          |  CAST(sum(sw.cnt * a.n_tokens) AS BIGINT) AS n_tokens,
          |  CAST((1000 * sum(sw.cnt * a.n_tokens)) // sum(sw.cnt) AS BIGINT) AS tok_permille
          |FROM sw JOIN applied a USING (word)
-         |GROUP BY 1""".stripMargin
-    },
+         |GROUP BY 1""".stripMargin,
+    // t27 twin: the SAME learn+apply chain as t20's (shared prefix — the
+    // two oracles cannot drift), bucketed least(n_tokens, 4) and shared
+    // against per-source occurrence totals.
+    "t27_fertility_hist" ->
+      s"""WITH $bpeApplySqlPrefix,
+         |fb AS (
+         |  SELECT sw.source, least(a.n_tokens, 4) AS fertility_bucket,
+         |         CAST(count(*) AS BIGINT) AS n_word_types,
+         |         CAST(sum(sw.cnt) AS BIGINT) AS n_words
+         |  FROM sw JOIN applied a USING (word)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, sum(n_words) AS tw FROM fb GROUP BY 1)
+         |SELECT source, CAST(fb.fertility_bucket AS BIGINT) AS fertility_bucket,
+         |  fb.n_word_types, fb.n_words,
+         |  CAST((1000 * fb.n_words) // t.tw AS BIGINT) AS share_permille
+         |FROM fb JOIN tot t USING (source)""".stripMargin,
     "t18_gopher_rules" ->
       s"""WITH w AS (
          |  SELECT source, text,

@@ -315,6 +315,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "t20 ranks nothing — token counts join back on the word key")
   }
 
+  test("t27_fertility_hist: shared apply frames, totals broadcast, no cartesian, no window") {
+    val p = plan("t27_fertility_hist")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window ["),
+      "t27 buckets and shares via joins — never a corpus-wide rank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the source-cardinality totals frame must broadcast for the share division")
+  }
+
   test("t22_cms_heavy_hitters: warm plan reads ONLY the memoized vocab — zero corpus scans") {
     // both the counter grid and the heavy-hitter cut fold out of the
     // persisted (w, cnt) frame; a leaf that is not the in-memory vocab
