@@ -1896,6 +1896,47 @@ object LlmQueries {
         .select(col("q_id"), col("rank"), col("neighbor_id"), col("source"), col("n_chars"))
     },
 
+    // ---------- retrieval: Rocchio pseudo-relevance feedback ----------
+    "r7_rocchio_prf" -> { (s, dir) =>
+      // Rocchio PRF (Rocchio 1971 — the classic query-refinement loop):
+      // the first-pass top-K hits are ASSUMED relevant, their mean pulls
+      // the query toward the relevant region (α=β=1), and the shifted
+      // query re-retrieves. Each feedback-pass hit carries its FIRST-pass
+      // rank (0 = newly surfaced) — the reorder/drift signal a retrieval
+      // owner reads before enabling PRF in production.
+      // Parity/scale shape: the feedback mean folds through
+      // ORDER-INDEPENDENT fixed-point component sums (floor(x·2^20)
+      // longs — both engines derive bit-identical binary64 feedback
+      // vectors, the e1/IVF centroid discipline); the query-side frames
+      // (hits, shifted queries) are NumQueries-bounded and broadcast on
+      // both passes; corpus work is two brute scans with bounded partial
+      // top-k — no corpus window, no all-pairs.
+      val e     = emb(s, dir)
+      val first = queries("ann_topk_brute")(s, dir)
+      val fb = first
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+        .select(col("q_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("q_id", "pos")
+        .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("fs"), count(lit(1)).as("n"))
+        .groupBy("q_id")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', fs, 'n', n)))").as("pc"))
+        .select(col("q_id"),
+          expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("fv"))
+      val q2 = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .join(fb, "q_id")
+        .select(col("q_id"), expr("zip_with(qv, fv, (a, b) -> a + b)").as("qv"))
+      val rescored = e.crossJoin(broadcast(q2))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      topkPerQuery(rescored, TopK)
+        .join(broadcast(first.select(col("q_id"), col("neighbor_id"), col("rank").as("_fr"))),
+              Seq("q_id", "neighbor_id"), "left")
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+                coalesce(col("_fr"), lit(0L)).as("first_rank"))
+    },
+
     // ---------- retrieval: MMR-diversified rerank over ANN candidates ----------
     "r3_mmr_rerank" -> { (s, dir) =>
       // Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
@@ -3276,6 +3317,47 @@ object LlmQueries {
         s"""WITH hits AS ($bruteSql)
            |SELECT h.q_id, h.rank, h.neighbor_id, d.source, d.n_chars
            |FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin,
+      // r7 twin: brute first pass → fixed-point feedback mean (the
+      // labelScoredCtes centroid pattern keyed by q_id) → q + fv shift →
+      // brute second pass, held-hit flag via LEFT JOIN against the first
+      // pass. Same floor(x·2^20) sums and binary64 division as Spark.
+      "r7_rocchio_prf" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id, c.v AS cv,
+           |         list_inner_product(c.v, q.v) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.v, q.v))) AS sim
+           |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+           |  WHERE q.vec_id < $NumQueries),
+           |first AS (
+           |  SELECT q_id, neighbor_id, cv, rank FROM (
+           |    SELECT q_id, neighbor_id, cv,
+           |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= $TopK),
+           |fv AS (
+           |  SELECT q_id, list(fs::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS fv FROM (
+           |    SELECT q_id, dd.d AS d,
+           |           sum(CAST(floor(cv[dd.d] * 1048576) AS BIGINT)) AS fs, count(*) AS n
+           |    FROM first, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |q2 AS (
+           |  SELECT q.vec_id AS q_id,
+           |         list_transform(generate_series(1, $EmbeddingDim), i -> q.v[i] + fv.fv[i]) AS qv
+           |  FROM e q JOIN fv ON fv.q_id = q.vec_id),
+           |re AS (
+           |  SELECT q2.q_id, c.vec_id AS neighbor_id,
+           |         list_inner_product(c.v, q2.qv) / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q2.qv, q2.qv))) AS sim
+           |  FROM q2 JOIN e c ON c.vec_id != q2.q_id),
+           |rr AS (
+           |  SELECT q_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rank
+           |  FROM re)
+           |SELECT rr.q_id, rr.rank, rr.neighbor_id,
+           |       coalesce(f.rank, 0) AS first_rank
+           |FROM rr LEFT JOIN first f
+           |  ON f.q_id = rr.q_id AND f.neighbor_id = rr.neighbor_id
+           |WHERE rr.rank <= $TopK""".stripMargin,
       // r4 twin: bruteSql with the label inequality in the scored join
       // and the negative's label carried through the rank cut.
       "r4_hard_negatives" ->

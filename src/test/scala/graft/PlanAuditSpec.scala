@@ -380,13 +380,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "the tiny query set must broadcast; the corpus must never shuffle for it")
   }
 
+  test("r7_rocchio_prf: both passes broadcast the query side; no corpus window") {
+    val p = plan("r7_rocchio_prf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the shifted query set must broadcast like the brute pass's")
+    assert(!p.contains("Window ["),
+      "ranking is the bounded partial top-k on both passes — never a corpus window")
+  }
+
   test("ANN family: ranking is the bounded two-phase top-k aggregate, never a full-corpus q_id window") {
     // The scale contract of the whole ANN family: the scored corpus folds
     // through partial_graft_topk (map-side combine to <= k entries per
     // (task, q_id)) BEFORE any exchange on q_id. A window doing the
     // ranking instead would shuffle every scored row onto |queries| tasks.
     Seq("ann_topk_brute", "ann_ivf_probe", "ann_ivf_probe2",
-        "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfsq_topk").foreach { q =>
+        "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfsq_topk",
+        "r7_rocchio_prf").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_graft_topk"),
         s"$q: the candidate cut must be the partial-aggregatable bounded top-k:\n${p.take(2000)}")
