@@ -110,7 +110,7 @@ object Bench {
            "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",
            "r5_bitext_mining"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
-      (Set("ann_sq_topk", "ann_ivfsq_topk"),
+      (Set("ann_sq_topk", "ann_ivfsq_topk", "e3_quantization_error"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
       (Set("ann_ivfpq_topk", "ann_pq_topk"),
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),

@@ -1014,7 +1014,8 @@ object LlmQueries {
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
     *     the exact storage-pressure failure the eviction prevents)
-    *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk
+    *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk,
+    *     e3_quantization_error
     *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk
     *   - LSH tables (lshCache): d3_embedding_neardup (and the bench's
     *     bucket-recall probe)
@@ -1834,6 +1835,40 @@ object LlmQueries {
         .select(col("label"), col("n_vecs"), col("n_outliers"),
                 col("worst.cos_fp").as("worst_cos_fp"),
                 col("worst.vec_id").as("worst_vec_id"), col("mean_fp"))
+    },
+
+    // ---------- embedding audit: SQ reconstruction fidelity per label ----------
+    "e3_quantization_error" -> { (s, dir) =>
+      // The recall ladders say WHERE the SQ8 index ranks diverge; this
+      // audits WHY — the reconstruction fidelity itself. Each vector is
+      // de-quantized from its own 1-byte codes ([[sqIndex]]'s sidecar,
+      // the exact expression ann_sq_topk scores with) and scored against
+      // its full-precision self as floor(cos·2^20); per label: the
+      // floored mean, the worst member, and its id — what a quantization
+      // owner reads before trading the SQ scan for PQ's coarser codes.
+      // Reconstruction cosine is positive by construction (midpoint
+      // error per dimension is < the observed corpus range / 255, far
+      // under a unit vector's norm), so the floored integer mean agrees
+      // across engines. Plan: codes join back to vectors on the shared
+      // vec_id partitioning, mm broadcasts, one label rollup — integer
+      // outputs end to end.
+      val e = emb(s, dir)
+      val (mm, codes) = sqIndex(s, dir)
+      codes.join(e, "vec_id").crossJoin(broadcast(mm))
+        .withColumn("xhat", expr(
+          """transform(code, (c, d) ->
+            |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
+            |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
+            |  END)""".stripMargin))
+        .withColumn("cos_fp", expr(
+          s"cast(floor((${dot("v", "xhat")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("xhat", "xhat")}))) * 1048576) as bigint)"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             expr("sum(cos_fp) div count(1)").as("avg_cos_fp"),
+             min(struct(col("cos_fp"), col("vec_id"))).as("worst"))
+        .select(col("label"), col("n_vecs"), col("avg_cos_fp"),
+                col("worst.cos_fp").as("worst_cos_fp"),
+                col("worst.vec_id").as("worst_vec_id"))
     },
 
     // ---------- hybrid retrieval: lexical + dense, RRF-fused ----------
@@ -3398,6 +3433,29 @@ object LlmQueries {
            |  CAST(min(CASE WHEN sc.cos_fp = w.worst_cos THEN sc.vec_id END) AS BIGINT) AS worst_vec_id,
            |  CAST(min(st.mean_fp) AS BIGINT) AS mean_fp
            |FROM sc JOIN st USING (label) JOIN w ON w.label = sc.label
+           |GROUP BY 1""".stripMargin,
+      // e3 twin: sqSql's mm/xhat reconstruction CTEs (midpoint
+      // de-quantization from the SAME corpus min/max), each vector scored
+      // against its own reconstruction as floor(cos·2^20), the e2-style
+      // floored mean and two-level argmin.
+      "e3_quantization_error" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |mm AS (SELECT dd.d AS d, min(v[dd.d]) AS mn, max(v[dd.d]) AS mx
+           |       FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd GROUP BY 1),
+           |c AS (SELECT e.vec_id, e.label, e.v,
+           |             list(CASE WHEN mm.mx = mm.mn THEN mm.mn
+           |                       ELSE mm.mn + (CAST(least(255, greatest(0, CAST(floor((e.v[mm.d] - mm.mn) / (mm.mx - mm.mn) * 255.0) AS BIGINT))) AS DOUBLE) + 0.5) * (mm.mx - mm.mn) / 255.0
+           |                  END ORDER BY mm.d) AS xhat
+           |      FROM e, mm GROUP BY e.vec_id, e.label, e.v),
+           |sq AS (SELECT label, vec_id,
+           |              CAST(floor((list_inner_product(v, xhat) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(xhat, xhat)))) * 1048576) AS BIGINT) AS cos_fp
+           |       FROM c),
+           |w AS (SELECT label, min(cos_fp) AS worst_cos FROM sq GROUP BY 1)
+           |SELECT sq.label::BIGINT AS label, count(*) AS n_vecs,
+           |  CAST(sum(sq.cos_fp) // count(*) AS BIGINT) AS avg_cos_fp,
+           |  min(sq.cos_fp) AS worst_cos_fp,
+           |  CAST(min(CASE WHEN sq.cos_fp = w.worst_cos THEN sq.vec_id END) AS BIGINT) AS worst_vec_id
+           |FROM sq JOIN w ON w.label = sq.label
            |GROUP BY 1""".stripMargin,
             // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
       // the dense arm embeds the ivf probe-2 query whole (DuckDB allows a
