@@ -419,6 +419,40 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Active files as of a historical snapshot (time-travel read). */
   def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))
 
+  /** Roll the table back to a historical snapshot (Iceberg's
+    * rollback-to-snapshot): a CAS metadata commit that re-points
+    * current-snapshot-id at `snapshotId` and appends to the snapshot log.
+    * The abandoned snapshots STAY in the metadata — time travel still
+    * resolves them, and `expireSnapshots` GCs their now-orphaned files
+    * later. Requires the abandoned range to be append-only: a
+    * replace/overwrite commit physically deleted the files it replaced,
+    * so a snapshot behind one could reference files that no longer exist.
+    * Returns the metadata version that won (unchanged when the table is
+    * already at the target). */
+  def rollbackTo(snapshotId: Long): Int = synchronized {
+    val (baseVersion, baseMeta) = resolveCurrent()
+    val base = baseMeta.getOrElse(
+      throw new IllegalArgumentException(s"cannot roll back an empty table to $snapshotId"))
+    val idx = base.snapshots.indexWhere(_.snapshotId == snapshotId)
+    require(idx >= 0, s"unknown snapshot $snapshotId")
+    if (base.currentSnapshotId.contains(snapshotId)) return baseVersion
+    base.snapshots.drop(idx + 1).foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      require(op == "append",
+        s"rollback across snapshot ${s.snapshotId} ('$op') would reference physically deleted files")
+    }
+    val now = System.currentTimeMillis()
+    val next = base.copy(
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)")
+    }
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    won
+  }
+
   /** Incremental append scan (Iceberg `appendsBetween` semantics): the data
     * files added AFTER `fromSnapshotId` up to the current head — the CDC
     * feed a downstream consumer reads instead of re-scanning the table.

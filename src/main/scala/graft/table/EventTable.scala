@@ -659,15 +659,8 @@ object EventTable {
       }
     // Insert rows aligned to the committed schema: derived date/hour from
     // the batch timestamp; evolved columns the batch doesn't carry are null.
-    val insBase = up.join(broadcast(matchedDf), Seq("partition", "sequence"), "left_anti")
-      .withColumn("topic", lit(Topic))
-      .withColumn("event_date",
-        expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
-      .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
-    val inserts = insBase.select(schemaDf.schema.fields.map { f =>
-      if (insBase.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    val inserts = alignToCommitted(spark, tableRoot,
+      up.join(broadcast(matchedDf), Seq("partition", "sequence"), "left_anti"))
 
     val newPaths = writeData(rewritten.unionByName(inserts), tableRoot)
     val added    = collectDataFiles(spark, tableRoot, newPaths)
@@ -683,6 +676,45 @@ object EventTable {
         newPaths.foreach(committer.io.delete)
         throw c
     }
+  }
+
+  /** Batch rows (partition, sequence, timestamp_ms, payload,
+    * idempotency_key) projected onto the table's CURRENT metadata schema:
+    * topic constant, event_date/event_hour derived from the batch
+    * timestamp, evolved columns the batch doesn't carry null. Shared by
+    * the merge insert arm and [[appendBatch]]. */
+  private def alignToCommitted(spark: SparkSession, tableRoot: String, batch: DataFrame): DataFrame = {
+    val schemaDf = readCommittedProjected(spark, tableRoot, Seq.empty)
+    val b = batch
+      .withColumn("topic", lit(Topic))
+      .withColumn("event_date",
+        expr("date_add(date '1970-01-01', cast(timestamp_ms div 86400000 as int))"))
+      .withColumn("event_hour", expr("cast((timestamp_ms div 3600000) % 24 as int)"))
+    b.select(schemaDf.schema.fields.map { f =>
+      if (b.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
+  /** Plain append commit of a pre-sequenced batch — the building block a
+    * backfill or fixture uses next to the streaming path. Rows are
+    * aligned to the committed schema ([[alignToCommitted]]), written in
+    * the standard sorted layout, and committed as ONE "append" snapshot;
+    * summary watermarks only ADVANCE (a batch entirely below a
+    * partition's watermark carries that partition's key forward). */
+  def appendBatch(spark: SparkSession, tableRoot: String, batch: DataFrame): CommitResult = {
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val wm = watermarksOf(committer.activeDataFiles())
+    val rows = alignToCommitted(spark, tableRoot, batch.select(
+      col("partition").cast("int").as("partition"),
+      col("sequence").cast("long").as("sequence"),
+      col("timestamp_ms").cast("long").as("timestamp_ms"),
+      col("payload").cast("binary").as("payload"),
+      col("idempotency_key").cast("string").as("idempotency_key")))
+    val paths = writeData(rows, tableRoot)
+    val added = collectDataFiles(spark, tableRoot, paths)
+    val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
+    committer.commitAppend(added, newWm)
   }
 
   /** Decoded filesystem path of an `input_file_name()` URI. Spark returns

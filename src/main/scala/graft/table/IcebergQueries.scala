@@ -195,6 +195,20 @@ object IcebergQueries {
           count(lit(1)).as("n"),
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
+    },
+    // Snapshot rollback: a poison append (k=999999 rows past every
+    // watermark) is undone by rollbackTo(base). The read-back must equal
+    // the PLAIN ingest derivation — a rollback that silently kept the
+    // head would inflate n and sum_k and advance max_seq.
+    "x6_rollback" -> { (s, dir) =>
+      val root = RolledBackTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
 
@@ -283,7 +297,14 @@ object IcebergQueries {
         |  UNION ALL SELECT part_id, sequence, k FROM ins
         |)
         |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
-        |FROM merged GROUP BY 1""".stripMargin)
+        |FROM merged GROUP BY 1""".stripMargin),
+    // x6 twin: the rolled-back table must equal the PLAIN ingest
+    // derivation — no trace of the poison append.
+    "x6_rollback" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM evlog GROUP BY 1""".stripMargin)
   )
 }
 
@@ -360,6 +381,45 @@ object MergedTables {
         require(res.updatedRows > 0 && res.insertedRows > 0,
           s"merge fixture must exercise both arms: $res")
         require(res.untouchedFiles > 0, s"merge must leave unmatched files untouched: $res")
+        root
+      }
+    )
+  }
+}
+
+/** One rolled-back table per (JVM, sfDir): full ingest, then a poison
+  * append (10 junk rows per partition past its watermark, k=999999),
+  * then `rollbackTo` the pre-append snapshot. The fixture asserts the
+  * poison was visible before the rollback and the snapshot log grew, so
+  * the oracle (plain ingest derivation) genuinely gates the undo. */
+object RolledBackTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        import org.apache.spark.sql.expressions.Window
+        val root      = java.nio.file.Files.createTempDirectory("graft-rollback-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val base      = committer.load().get.currentSnapshotId.get
+        val nRows     = EventTable.readCommitted(spark, root).count()
+        val committed = EventTable.readCommitted(spark, root)
+        val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
+        val junk = committed.join(wmDf, "partition")
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("partition").orderBy("sequence")).cast("long"))
+          .filter(col("_rn") <= 10)
+          .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
+                  col("timestamp_ms"),
+                  lit("""{"k": 999999}""").cast("binary").as("payload"),
+                  concat(lit("j"), col("partition"), lit("-"), col("_rn")).as("idempotency_key"))
+        EventTable.appendBatch(spark, root, junk)
+        require(EventTable.readCommitted(spark, root).count() > nRows,
+          "the poison append must be visible before the rollback")
+        committer.rollbackTo(base)
+        require(committer.load().get.currentSnapshotId.contains(base), "rollback must re-point current")
+        require(EventTable.readCommitted(spark, root).count() == nRows,
+          "the rolled-back read must no longer see the poison rows")
         root
       }
     )

@@ -413,6 +413,39 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.appendsSince(head).isEmpty)
   }
 
+  test("rollbackTo: repoints current, keeps abandoned snapshots, refuses rewrites in range") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val r0 = c.commitAppend(Seq(a), Map(0 -> 10L))
+    val r1 = c.commitAppend(Seq(b), Map(0 -> 20L))
+    val vBefore = c.currentVersion()
+
+    val won = c.rollbackTo(r0.snapshotId)
+    assert(won > vBefore, "rollback is a CAS metadata commit")
+    val meta = c.load().get
+    assert(meta.currentSnapshotId.contains(r0.snapshotId))
+    assert(c.activeDataFiles().map(_.filePath) === Seq(a.filePath))
+    // abandoned snapshot stays resolvable (time travel) and logged
+    assert(meta.snapshots.exists(_.snapshotId == r1.snapshotId))
+    assert(c.activeDataFilesAt(r1.snapshotId).map(_.filePath).toSet ===
+      Set(a.filePath, b.filePath))
+    assert(meta.snapshotLog.last.snapshotId === r0.snapshotId)
+    // watermark recovery follows the restored snapshot's manifests
+    assert(c.maxCommittedSequencePerPartition()(0) === 10L)
+
+    // no-op at the target; unknown id refuses
+    assert(c.rollbackTo(r0.snapshotId) === c.currentVersion())
+    assertThrows[IllegalArgumentException](c.rollbackTo(424242L))
+
+    // a replace in the abandoned range refuses (its inputs were
+    // physically deleted — the restored state could dangle)
+    val merged = df("data/partition=0/m.parquet", 10, 0, 10)
+    val r2 = c.commitReplace(Seq(a), Seq(merged), expectedBase = r0.snapshotId)
+    assertThrows[IllegalArgumentException](c.rollbackTo(r0.snapshotId))
+    assert(c.load().get.currentSnapshotId.contains(r2.snapshotId), "failed rollback must not move the table")
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
