@@ -392,7 +392,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * snapshot's manifest list is retained in metadata, so any historical
     * state is reconstructible until expired. */
   def entriesAt(snapshotId: Long): Seq[ManifestEntry] =
-    load().toSeq.flatMap(_.snapshots.find(_.snapshotId == snapshotId)).flatMap { s =>
+    load().toSeq.flatMap(m => entriesOf(m, snapshotId))
+
+  /** [[entriesAt]] against an ALREADY-LOADED metadata — for callers that
+    * must resolve several snapshots of one consistent table version. */
+  private def entriesOf(meta: TableMetadata, snapshotId: Long): Seq[ManifestEntry] =
+    meta.snapshots.find(_.snapshotId == snapshotId).toSeq.flatMap { s =>
       IcebergCommitter
         .cachedManifestList(io, s.manifestList)
         .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
@@ -463,17 +468,37 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * read. With the range verified append-only, head-active minus
     * base-active IS exactly the appended file set. */
   def appendsSince(fromSnapshotId: Long): Seq[DataFile] = {
+    // ONE metadata load: validation and the head diff must see the same
+    // table version (a replace committed between two loads would slip an
+    // unvalidated range past the guard).
     val meta  = load().getOrElse(return Seq.empty)
-    val snaps = meta.snapshots
-    val idx   = snaps.indexWhere(_.snapshotId == fromSnapshotId)
-    require(idx >= 0, s"unknown snapshot $fromSnapshotId")
-    snaps.drop(idx + 1).foreach { s =>
+    val byId  = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
+    // Walk the PARENT chain from head to base — not snapshot-list order:
+    // a rollback re-points current without creating a snapshot, so a
+    // list-position range would validate abandoned appends as live and
+    // return a diff the consumer cannot apply. Unreachable base = the
+    // base was abandoned by a rollback → refuse.
+    val head = meta.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot to diff against $fromSnapshotId"))
+    var cur = head
+    val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cur != fromSnapshotId) {
+      val s = byId.getOrElse(cur,
+        throw new IllegalArgumentException(s"snapshot $cur missing from metadata"))
+      range += s
+      cur = s.parentSnapshotId.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $fromSnapshotId is not an ancestor of the current head $head " +
+            "(abandoned by a rollback?) — fall back to a full read"))
+    }
+    range.foreach { s =>
       val op = s.summary.getOrElse("operation", "append")
       require(op == "append",
         s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'")
     }
-    val baseSet = activeDataFilesAt(fromSnapshotId).map(_.filePath).toSet
-    activeDataFiles().filterNot(f => baseSet.contains(f.filePath))
+    val baseSet = resolveActive(entriesOf(meta, fromSnapshotId)).map(_.filePath).toSet
+    resolveActive(entriesOf(meta, head)).filterNot(f => baseSet.contains(f.filePath))
   }
 
   /** Snapshot expiration + orphan GC (table maintenance the reference

@@ -1966,8 +1966,17 @@ object LlmQueries {
       // (hits, shifted queries) are NumQueries-bounded and broadcast on
       // both passes; corpus work is two brute scans with bounded partial
       // top-k — no corpus window, no all-pairs.
-      val e     = emb(s, dir)
+      import s.implicits._
+      val e = emb(s, dir)
+      // The first pass feeds BOTH the feedback fold and the drift join:
+      // referenced lazily twice it would embed the brute corpus scan
+      // twice in the plan, so collect its bounded result once
+      // (NumQueries × TopK rows — the r3/compaction decision-values
+      // discipline) and fan the local frame out.
       val first = queries("ann_topk_brute")(s, dir)
+        .select(col("q_id"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("q_id", "rank", "neighbor_id")
       val fb = first
         .join(e.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
         .select(col("q_id"), posexplode(col("v")).as(Seq("pos", "x")))

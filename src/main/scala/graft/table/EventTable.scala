@@ -635,7 +635,12 @@ object EventTable {
       else Paths.get(tableRoot).toAbsolutePath.normalize.toString
     val affected = candidates.filter(f => matchedPaths.contains(s"$rootPath/${f.filePath}"))
 
-    val wm         = watermarksOf(active)
+    // Burned-sequence guard against the MONOTONIC summary watermark
+    // max-merged with file stats: a delete of a partition's TOP sequence
+    // lowers the file bounds but never the summary (watermarks only
+    // advance), so file stats alone would let that burned top sequence
+    // resurrect.
+    val wm = mergedWatermarks(committer, active)
     val insertKeys = keys.filterNot(matchedKeys)
     insertKeys.foreach { case (p, s) =>
       require(s > wm.getOrElse(p, 0L),
@@ -678,6 +683,20 @@ object EventTable {
     }
   }
 
+  /** Per-partition max sequence for INSERT guards: the snapshot summary's
+    * monotonic watermark max-merged with the active files' stats. The
+    * summary never regresses (a delete of a partition's top sequence
+    * lowers file bounds but not it); file stats cover tables whose
+    * summary predates watermark keys. Shared by the merge insert arm and
+    * [[appendBatch]]. */
+  private def mergedWatermarks(committer: IcebergCommitter, active: Seq[DataFile]): Map[Int, Long] = {
+    val stats   = watermarksOf(active)
+    val summary = committer.summaryWatermarks()
+    (stats.keySet ++ summary.keySet).map { p =>
+      p -> math.max(stats.getOrElse(p, 0L), summary.getOrElse(p, 0L))
+    }.toMap
+  }
+
   /** Batch rows (partition, sequence, timestamp_ms, payload,
     * idempotency_key) projected onto the table's CURRENT metadata schema:
     * topic constant, event_date/event_hour derived from the batch
@@ -704,13 +723,24 @@ object EventTable {
     * partition's watermark carries that partition's key forward). */
   def appendBatch(spark: SparkSession, tableRoot: String, batch: DataFrame): CommitResult = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
-    val wm = watermarksOf(committer.activeDataFiles())
-    val rows = alignToCommitted(spark, tableRoot, batch.select(
+    val wm = mergedWatermarks(committer, committer.activeDataFiles())
+    val b = batch.select(
       col("partition").cast("int").as("partition"),
       col("sequence").cast("long").as("sequence"),
       col("timestamp_ms").cast("long").as("timestamp_ms"),
       col("payload").cast("binary").as("payload"),
-      col("idempotency_key").cast("string").as("idempotency_key")))
+      col("idempotency_key").cast("string").as("idempotency_key"))
+    // (partition, sequence) is the event's identity: a batch row at or
+    // below the watermark would silently duplicate (or resurrect) a
+    // committed key — the same guard the merge insert arm enforces.
+    val keys = b.select("partition", "sequence").collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(keys.length == keys.toSet.size, "append batch carries duplicate (partition, sequence) keys")
+    keys.foreach { case (p, s) =>
+      require(s > wm.getOrElse(p, 0L),
+        s"append key ($p, $s) is at or below partition $p's watermark ${wm.getOrElse(p, 0L)}: " +
+          "committed sequences are taken or burned, never re-appendable")
+    }
+    val rows  = alignToCommitted(spark, tableRoot, b)
     val paths = writeData(rows, tableRoot)
     val added = collectDataFiles(spark, tableRoot, paths)
     val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }

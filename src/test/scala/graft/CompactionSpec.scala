@@ -147,6 +147,16 @@ class CompactionSpec extends AnyFunSuite {
       .toDF("partition", "sequence", "timestamp_ms", "payload", "idempotency_key")
       .withColumn("payload", col("payload").cast("binary"))
     assertThrows[IllegalArgumentException](EventTable.mergeUpsert(spark, root, resurrect))
+    // ...including the TOP sequence: deleting it lowers the FILE bounds
+    // but never the summary watermark, so only the summary-merged guard
+    // refuses the resurrection
+    val wm3 = wmBefore(3)
+    EventTable.deleteWhere(spark, root, col("partition") === 3 && col("sequence") === wm3)
+    val resurrectTop = Seq((3, wm3, 99L, """{"k": 0}""", "b3"))
+      .toDF("partition", "sequence", "timestamp_ms", "payload", "idempotency_key")
+      .withColumn("payload", col("payload").cast("binary"))
+    assertThrows[IllegalArgumentException](EventTable.mergeUpsert(spark, root, resurrectTop))
+    assertThrows[IllegalArgumentException](EventTable.appendBatch(spark, root, resurrectTop))
 
     // an empty batch is a no-op: no new snapshot, nothing rewritten
     val versionBefore = committer.currentVersion()

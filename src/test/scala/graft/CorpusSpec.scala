@@ -441,7 +441,9 @@ class CorpusSpec extends AnyFunSuite {
           "t23_langid", "r4_hard_negatives", "r5_bitext_mining",
           "t24_dsir_select", "t25_gopher_repetition", "d19_containment",
           "r6_retrieval_eval", "t26_source_overlap",
-          "e2_embedding_outliers", "d20_cluster_canon").foreach { q =>
+          "e2_embedding_outliers", "d20_cluster_canon",
+          "d21_banding_loss", "e3_quantization_error",
+          "r7_rocchio_prf", "t27_fertility_hist").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }

@@ -438,10 +438,20 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.rollbackTo(r0.snapshotId) === c.currentVersion())
     assertThrows[IllegalArgumentException](c.rollbackTo(424242L))
 
+    // CDC × rollback interplay: r1 was abandoned by the rollback, so an
+    // incremental scan from it must REFUSE (its file b is not on the
+    // current lineage — a list-order diff would return a wrong delta),
+    // while a scan from the restored head sees the post-rollback appends.
+    assertThrows[IllegalArgumentException](c.appendsSince(r1.snapshotId))
+    val e2 = df("data/partition=1/e2.parquet", 5, 1, 5)
+    c.commitAppend(Seq(e2), Map(1 -> 5L))
+    assert(c.appendsSince(r0.snapshotId).map(_.filePath) === Seq(e2.filePath))
+
     // a replace in the abandoned range refuses (its inputs were
     // physically deleted — the restored state could dangle)
+    val postAppendHead = c.load().get.currentSnapshotId.get
     val merged = df("data/partition=0/m.parquet", 10, 0, 10)
-    val r2 = c.commitReplace(Seq(a), Seq(merged), expectedBase = r0.snapshotId)
+    val r2 = c.commitReplace(Seq(a), Seq(merged), expectedBase = postAppendHead)
     assertThrows[IllegalArgumentException](c.rollbackTo(r0.snapshotId))
     assert(c.load().get.currentSnapshotId.contains(r2.snapshotId), "failed rollback must not move the table")
   }
