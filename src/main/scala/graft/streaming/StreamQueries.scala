@@ -152,6 +152,29 @@ object StreamQueries {
     })
   }
 
+  private val cmsSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** Streaming CMS (w5): t22's d×w count-min grid keyed by 1-hour tumbling
+    * window — the CELLS are the mergeable streaming state
+    * (`groupBy(window, r, c).count`; bounded at open windows ×
+    * CmsRows×CmsWidth rows no matter the traffic), emitted append-mode
+    * when the watermark closes the window. Estimation never lives in
+    * streaming state: read time probes fixed keys against the emitted
+    * cells (t22's min-over-rows), so the sketch streams exactly like a
+    * production per-window heavy-hitter pipeline. */
+  private def streamCmsTable(s: SparkSession, dir: String): String = synchronized {
+    cmsSinkCache.getOrElseUpdate(dir, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      import graft.llm.CorpusQueries.{CmsRows, CmsWidth}
+      runStreamAgg(s, dir, "graft-w5-sink-")(
+        _.select(col("ts"), explode(expr(
+          s"""transform(sequence(0, ${CmsRows - 1}),
+             |          r -> named_struct('r', r, 'c', graft_fnv32(concat('wcms', r, ':', cast(user_id as string))) % $CmsWidth))""".stripMargin)).as("rc"))
+          .groupBy(window(col("ts"), "1 hour"), col("rc.r").as("r"), col("rc.c").as("c"))
+          .agg(count(lit(1)).as("cnt")))
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w3_stream_sessions" -> { (s, dir) =>
       val out = streamSessionTable(s, dir)
@@ -180,6 +203,43 @@ object StreamQueries {
             .otherwise(col("hll_estimate")))
         .select(col("window_start_ms"), col("n_registers_set"),
                 col("hll_estimate"), col("corrected_estimate"))
+    },
+    "w5_stream_cms" -> { (s, dir) =>
+      // Per-window frequency estimates for the global top-8 users
+      // (deterministic probe set: total count desc, id asc) read off the
+      // streamed CMS cells — estimate = min over the d rows with absent
+      // cells counting 0, audited against the exact per-window count
+      // (CMS never underestimates, so overshoot >= 0 row-wise). All
+      // probe-side frames are bounded (8 users × d rows × closed
+      // windows) and broadcast; the cells frame is sketch-sized by
+      // construction.
+      import graft.llm.CorpusQueries.{CmsRows, CmsWidth}
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val out = streamCmsTable(s, dir)
+      val cells = s.read.parquet(out)
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+                col("r"), col("c"), col("cnt"))
+      val (staging, schema) = stagedRaw(s, dir)
+      val raw = s.read.schema(schema).parquet(staging)
+      val top = raw.groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+        .orderBy(desc("total"), asc("user_id")).limit(8)
+      val probes = top
+        .select(col("user_id"), explode(expr(
+          s"""transform(sequence(0, ${CmsRows - 1}),
+             |          r -> named_struct('r', r, 'c', graft_fnv32(concat('wcms', r, ':', cast(user_id as string))) % $CmsWidth))""".stripMargin)).as("rc"))
+        .select(col("user_id"), col("rc.r").as("r"), col("rc.c").as("c"))
+      val grid = cells.select("window_start_ms").distinct().crossJoin(broadcast(probes))
+      val est = grid.join(cells, Seq("window_start_ms", "r", "c"), "left")
+        .groupBy("window_start_ms", "user_id")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+      val exact = raw.join(broadcast(top.select("user_id")), "user_id")
+        .groupBy(expr("(timestamp_ms div 3600000) * 3600000").as("window_start_ms"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("window_start_ms", "user_id"), "left")
+        .select(col("window_start_ms"), col("user_id").cast("long").as("user_id"),
+                coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+                col("cms_estimate"),
+                (col("cms_estimate") - coalesce(col("exact_cnt"), lit(0L))).as("overshoot"))
     },
     "w2_stream_window" -> { (s, dir) =>
       val out = streamWindowTable(s, dir)
@@ -295,6 +355,43 @@ object StreamQueries {
          |    GROUP BY 1, 2)
          |  GROUP BY 1)
          |WHERE ws + 3600000 <= (SELECT max(timestamp_ms) FROM raw)""".stripMargin
+    }),
+    // w5: the same closed-window emission rule as w2/w4; cells, probes,
+    // and the top-8 cut rebuilt with the identical fnv32 keying; absent
+    // cells are 0 under the min (grid LEFT JOIN), like the Spark read.
+    "w5_stream_cms" -> Oracle.sql({
+      import graft.llm.{CorpusQueries => C, LlmQueries => L}
+      val probe = (r: String, u: String) =>
+        s"${L.fnv32Expr(s"('wcms' || $r::VARCHAR || ':' || $u::VARCHAR)")} % ${C.CmsWidth}"
+      s""", cw AS (
+         |  SELECT DISTINCT (timestamp_ms // 3600000) * 3600000 AS ws FROM raw
+         |  WHERE (timestamp_ms // 3600000) * 3600000 + 3600000 <= (SELECT max(timestamp_ms) FROM raw)
+         |), topu AS (
+         |  SELECT user_id FROM (
+         |    SELECT user_id, count(*) AS total FROM raw GROUP BY 1
+         |    ORDER BY total DESC, user_id LIMIT 8)
+         |), cells AS (
+         |  SELECT ws, r, c, count(*)::BIGINT AS cnt FROM (
+         |    SELECT (timestamp_ms // 3600000) * 3600000 AS ws, rr.r AS r,
+         |           ${probe("rr.r", "user_id")} AS c
+         |    FROM raw, (SELECT unnest(generate_series(0, ${C.CmsRows - 1})) AS r) rr)
+         |  GROUP BY 1, 2, 3
+         |), probes AS (
+         |  SELECT user_id, rr.r AS r, ${probe("rr.r", "user_id")} AS c
+         |  FROM topu, (SELECT unnest(generate_series(0, ${C.CmsRows - 1})) AS r) rr
+         |), est AS (
+         |  SELECT cw.ws, p.user_id, min(coalesce(cells.cnt, 0))::BIGINT AS cms_estimate
+         |  FROM cw CROSS JOIN probes p
+         |  LEFT JOIN cells ON cells.ws = cw.ws AND cells.r = p.r AND cells.c = p.c
+         |  GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT (timestamp_ms // 3600000) * 3600000 AS ws, user_id, count(*)::BIGINT AS exact_cnt
+         |  FROM raw JOIN topu USING (user_id) GROUP BY 1, 2)
+         |SELECT e.ws AS window_start_ms, e.user_id::BIGINT AS user_id,
+         |       coalesce(x.exact_cnt, 0)::BIGINT AS exact_cnt,
+         |       e.cms_estimate,
+         |       (e.cms_estimate - coalesce(x.exact_cnt, 0))::BIGINT AS overshoot
+         |FROM est e LEFT JOIN exact x ON x.ws = e.ws AND x.user_id = e.user_id""".stripMargin
     }),
     "w2_stream_window" -> Oracle.sql(
       """SELECT (timestamp_ms // 3600000) * 3600000 AS window_start_ms, event_type,
