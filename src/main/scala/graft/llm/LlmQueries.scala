@@ -2432,6 +2432,21 @@ object LlmQueries {
     // ---------- multimodal: REAL WAV encode->parse round trip ----------
     "m4_audio_decode" -> { (s, dir) =>
       Multimodal.audioDecode(s, dir)
+    },
+
+    // ---------- multimodal: perceptual-hash image dedup ----------
+    "m5_image_phash" -> { (s, dir) =>
+      // dHash dedup over REAL decoded rasters ([[Multimodal.imagePhash]]):
+      // the image half of the dedup story — duplicate uploads collapse by
+      // fingerprint even though their bytes re-encoded separately. One
+      // phash-key shuffle for the canonical rollup (the d1 shape), the
+      // canon frame joins back on the same key — no all-pairs, no window.
+      val ph = Multimodal.imagePhash(s, dir)
+      val canon = ph.groupBy("phash")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      ph.join(canon, "phash")
+        .select(col("doc_id"), col("phash"), col("canonical_id"),
+                col("n_copies"), col("decoder"))
     }
   )
 
@@ -3556,7 +3571,8 @@ object LlmQueries {
       "m1_multimodal"  -> Multimodal.oracleSql,
       "m2_frame_sample" -> Multimodal.frameOracleSql,
       "m3_image_decode" -> Multimodal.decodeOracleSql,
-      "m4_audio_decode" -> Multimodal.audioOracleSql
+      "m4_audio_decode" -> Multimodal.audioOracleSql,
+      "m5_image_phash"  -> Multimodal.phashOracleSql
     )
   }
 }

@@ -206,6 +206,79 @@ object Multimodal {
       .toDF()
   }
 
+  /** m5's row: a 56-bit dHash perceptual fingerprint read from the
+    * DECODED raster — 8×8 integer-grid samples, 7 horizontal
+    * brighter-than comparisons per row (shifts 0..55, safely inside a
+    * signed 64-bit long on both engines). */
+  final case class ImagePhash(doc_id: Long, phash: Long, decoder: String)
+
+  /** dHash (difference hash — the classic perceptual image fingerprint)
+    * over the REAL codec round trip: each image renders as an actual PNG
+    * (the [[imageDecode]] generator), decodes back through
+    * `javax.imageio`, and the hash samples the DECODED raster on an
+    * integer 8×8 grid (gx = x·w/8, gy = y·h/8 — floor division, no
+    * resize kernel, so the oracle reproduces it with pure integer math
+    * from the generator's luminance). A codec mis-decode flips bits and
+    * breaks the hash gate; a missing codec degrades to decoder='fake',
+    * which the oracle pins against ('imageio') so it fails loudly. Same
+    * mapPartitions batch shape as [[imageDecode]]. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(col("media_type") === "image")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hasPng =
+          javax.imageio.ImageIO.getImageWritersByFormatName("png").hasNext &&
+            javax.imageio.ImageIO.getImageReadersByFormatName("png").hasNext
+        it.map { r =>
+          md.reset()
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          def h(i: Int): Int = Character.digit(hex.charAt(i), 16)
+          val w  = 8 + h(0)
+          val ht = 8 + h(1)
+          val a  = h(2) * 16 + h(3)
+          def lum(x: Int, y: Int): Int = (a + 7 * x + 13 * y) % 256
+          val sample: (Int, Int) => Int =
+            if (hasPng) {
+              val img = new java.awt.image.BufferedImage(
+                w, ht, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              var y = 0
+              while (y < ht) {
+                var x = 0
+                while (x < w) {
+                  val l = lum(x, y)
+                  img.setRGB(x, y, (l << 16) | (l << 8) | l)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              val back = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bos.toByteArray))
+              val raster = back.getRaster
+              (gx, gy) => raster.getSample(gx, gy, 0)
+            } else lum
+          var bits = 0L
+          var y = 0
+          while (y < 8) {
+            val gy = y * ht / 8
+            var x = 0
+            while (x < 7) {
+              if (sample((x + 1) * w / 8, gy) > sample(x * w / 8, gy))
+                bits |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImagePhash(r.doc_id, bits, if (hasPng) "imageio" else "fake")
+        }
+      }
+      .toDF()
+  }
+
   /** DuckDB twin of the fake decode (md5-hex arithmetic is portable). */
   val oracleSql: String = {
     def h(i: Int) = s"(instr('0123456789abcdef', substr(md5(text), ${i + 1}, 1)) - 1)"
@@ -349,6 +422,33 @@ object Multimodal {
        |GROUP BY doc_id, w, hgt, a""".stripMargin
   }
 
+
+  /** DuckDB twin of [[imagePhash]]: the dHash recomputed with pure
+    * integer math from the GENERATOR's luminance — never the codec — and
+    * the same exact-phash canonical rollup. decoder pinned 'imageio'. */
+  val phashOracleSql: String = {
+    def h(i: Int) = s"(instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1)"
+    s"""WITH m AS (
+       |  SELECT doc_id, md5(text) AS hx FROM documents WHERE source = 'src0'
+       |), d AS (
+       |  SELECT doc_id, 8 + ${h(0)} AS w, 8 + ${h(1)} AS hgt,
+       |         ${h(2)} * 16 + ${h(3)} AS a
+       |  FROM m
+       |), ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN ((a + 7 * (((g.x + 1) * w) // 8) + 13 * ((g.y * hgt) // 8)) % 256)
+       |                     > ((a + 7 * ((g.x * w) // 8) + 13 * ((g.y * hgt) // 8)) % 256)
+       |             THEN (1::BIGINT << (g.y * 7 + g.x)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM d, (SELECT x.i AS x, y.i AS y
+       |           FROM (SELECT unnest(generate_series(0, 6)) AS i) x,
+       |                (SELECT unnest(generate_series(0, 7)) AS i) y) g
+       |  GROUP BY doc_id
+       |), c AS (
+       |  SELECT phash, min(doc_id) AS canonical_id, count(*)::BIGINT AS n_copies
+       |  FROM ph GROUP BY 1)
+       |SELECT ph.doc_id, ph.phash, c.canonical_id, c.n_copies, 'imageio' AS decoder
+       |FROM ph JOIN c USING (phash)""".stripMargin
+  }
 
   /** DuckDB twin of [[audioDecode]]: the sample GENERATOR's integer
     * arithmetic over a frame grid — deliberately never the WAV codec —
