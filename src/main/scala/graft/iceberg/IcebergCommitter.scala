@@ -240,6 +240,44 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
                     operation: String = "replace"): CommitResult =
     synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks, Map.empty, None) }
 
+  /** Write-audit-publish, stage half: commits the snapshot into the
+    * metadata WITHOUT advancing the current pointer — readers keep seeing
+    * the parent until [[publish]] fast-forwards. Iceberg's stage-only
+    * commit (`wap` pattern): the staged snapshot is fully formed (own
+    * manifest list on top of the current head, summary watermarks), so an
+    * audit job can read it by id via [[activeDataFilesAt]]. */
+  def commitStaged(added: Seq[DataFile], watermarks: Map[Int, Long] = Map.empty): CommitResult =
+    synchronized { commit(added, Nil, expectedSnapshotId = None, operation = "append", watermarks,
+                          Map("zombi.staged" -> "true"), None, stageOnly = true) }
+
+  /** Write-audit-publish, publish half: fast-forwards the current pointer
+    * to a staged snapshot. Requires the target's parent to BE the current
+    * head — the audit window saw exactly the state the stage built on; a
+    * foreign commit in between means the staged snapshot must be rebuilt
+    * (no cherry-pick re-parenting here). CAS-versioned like every commit. */
+  def publish(snapshotId: Long): Int = synchronized {
+    val (baseVersion, baseMeta) = resolveCurrent()
+    val base = baseMeta.getOrElse(
+      throw new IllegalArgumentException(s"cannot publish $snapshotId on an empty table"))
+    val snap = base.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"unknown snapshot $snapshotId"))
+    if (base.currentSnapshotId.contains(snapshotId)) return baseVersion
+    if (snap.parentSnapshotId != base.currentSnapshotId)
+      throw CommitConflict(
+        s"staged snapshot $snapshotId was built on ${snap.parentSnapshotId}, " +
+          s"but the table advanced to ${base.currentSnapshotId} — restage")
+    val now = System.currentTimeMillis()
+    val next = base.copy(
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)")
+    }
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    won
+  }
+
   private def commit(
       added: Seq[DataFile],
       removed: Seq[DataFile],
@@ -247,7 +285,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       operation: String,
       watermarks: Map[Int, Long],
       extraSummary: Map[String, String],
-      expectedBaseVersion: Option[Int]
+      expectedBaseVersion: Option[Int],
+      stageOnly: Boolean = false
   ): CommitResult = {
     val (baseVersion, baseMeta) = resolveCurrent()
     val base = baseMeta.getOrElse(TableMetadata.create(s"table://$topic", schema))
@@ -323,12 +362,16 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapshotId, base.currentSnapshotId, now, listName, summary, base.currentSchemaId)
+    // stageOnly: the snapshot enters the metadata but the current pointer
+    // (and the snapshot log, which records pointer changes) stay put.
     val next = base.copy(
       lastSequenceNumber = seqNum,
       lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
+      currentSnapshotId = if (stageOnly) base.currentSnapshotId else Some(snapshotId),
       snapshots = base.snapshots :+ snapshot,
-      snapshotLog = base.snapshotLog :+ SnapshotLogEntry(snapshotId, now)
+      snapshotLog =
+        if (stageOnly) base.snapshotLog
+        else base.snapshotLog :+ SnapshotLogEntry(snapshotId, now)
     )
 
     val wonVersion = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
@@ -438,13 +481,26 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val (baseVersion, baseMeta) = resolveCurrent()
     val base = baseMeta.getOrElse(
       throw new IllegalArgumentException(s"cannot roll back an empty table to $snapshotId"))
-    val idx = base.snapshots.indexWhere(_.snapshotId == snapshotId)
-    require(idx >= 0, s"unknown snapshot $snapshotId")
+    val byId = base.snapshots.map(s => s.snapshotId -> s).toMap
+    require(byId.contains(snapshotId), s"unknown snapshot $snapshotId")
     if (base.currentSnapshotId.contains(snapshotId)) return baseVersion
-    base.snapshots.drop(idx + 1).foreach { s =>
+    // Walk the PARENT chain from the head: the target must be an ancestor
+    // (list position lies once staged snapshots or earlier rollbacks
+    // exist), and every abandoned snapshot on the chain must be an append
+    // — a replace physically deleted the files it replaced, so a state
+    // behind one could dangle.
+    val headId = base.currentSnapshotId.getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot to roll back from"))
+    var cur = headId
+    while (cur != snapshotId) {
+      val s = byId.getOrElse(cur,
+        throw new IllegalArgumentException(s"snapshot $cur missing from metadata"))
       val op = s.summary.getOrElse("operation", "append")
       require(op == "append",
         s"rollback across snapshot ${s.snapshotId} ('$op') would reference physically deleted files")
+      cur = s.parentSnapshotId.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $snapshotId is not an ancestor of the current head $headId"))
     }
     val now = System.currentTimeMillis()
     val next = base.copy(

@@ -720,8 +720,12 @@ object EventTable {
     * aligned to the committed schema ([[alignToCommitted]]), written in
     * the standard sorted layout, and committed as ONE "append" snapshot;
     * summary watermarks only ADVANCE (a batch entirely below a
-    * partition's watermark carries that partition's key forward). */
-  def appendBatch(spark: SparkSession, tableRoot: String, batch: DataFrame): CommitResult = {
+    * partition's watermark carries that partition's key forward).
+    * `staged = true` routes to [[IcebergCommitter.commitStaged]] — the
+    * write half of write-audit-publish: the snapshot exists but readers
+    * keep the parent until `publish`. */
+  def appendBatch(spark: SparkSession, tableRoot: String, batch: DataFrame,
+                  staged: Boolean = false): CommitResult = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val wm = mergedWatermarks(committer, committer.activeDataFiles())
     val b = batch.select(
@@ -744,7 +748,7 @@ object EventTable {
     val paths = writeData(rows, tableRoot)
     val added = collectDataFiles(spark, tableRoot, paths)
     val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
-    committer.commitAppend(added, newWm)
+    if (staged) committer.commitStaged(added, newWm) else committer.commitAppend(added, newWm)
   }
 
   /** Decoded filesystem path of an `input_file_name()` URI. Spark returns

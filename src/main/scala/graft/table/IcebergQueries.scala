@@ -209,6 +209,22 @@ object IcebergQueries {
           count(lit(1)).as("n"),
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
+    },
+    // Write-audit-publish: a staged batch (5 tail rows per partition 0–1,
+    // k = 1000000 + original event id) is INVISIBLE until publish
+    // fast-forwards the pointer (the fixture asserts both phases). The
+    // read-back must equal the oracle's evlog + the same staged
+    // arithmetic — a stage that leaked early or a publish that dropped
+    // rows both break the sum.
+    "x7_wap" -> { (s, dir) =>
+      val root = StagedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
 
@@ -304,7 +320,28 @@ object IcebergQueries {
       """SELECT part_id, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(sequence) AS max_seq
-        |FROM evlog GROUP BY 1""".stripMargin)
+        |FROM evlog GROUP BY 1""".stripMargin),
+    // x7 twin: evlog + the staged-batch arithmetic — the first 5 rows (by
+    // sequence) of partitions 0–1 spawn tail rows at watermark + rank
+    // with k = 1000000 + the row's original event id (recovered from the
+    // idempotency key, the x5 trick).
+    "x7_wap" -> Oracle.sql(
+      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+        |st AS (
+        |  SELECT part_id, wm + rn AS sequence, 1000000 + evid AS k
+        |  FROM (
+        |    SELECT e.part_id, wm.wm,
+        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+        |    WHERE e.part_id < 2)
+        |  WHERE rn <= 5
+        |), merged AS (
+        |  SELECT part_id, sequence, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM evlog
+        |  UNION ALL SELECT part_id, sequence, k FROM st
+        |)
+        |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+        |FROM merged GROUP BY 1""".stripMargin)
   )
 }
 
@@ -420,6 +457,48 @@ object RolledBackTables {
         require(committer.load().get.currentSnapshotId.contains(base), "rollback must re-point current")
         require(EventTable.readCommitted(spark, root).count() == nRows,
           "the rolled-back read must no longer see the poison rows")
+        root
+      }
+    )
+  }
+}
+
+/** One write-audit-publish table per (JVM, sfDir): full ingest, then a
+  * STAGED append of 5 tail rows per partition 0–1 (k = 1000000 + the
+  * source row's original event id), audited invisible, then published.
+  * Both the invisibility window and the post-publish visibility are
+  * asserted here so the oracle genuinely gates the pointer mechanics. */
+object StagedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        import org.apache.spark.sql.expressions.Window
+        val root      = java.nio.file.Files.createTempDirectory("graft-wap-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val nRows     = EventTable.readCommitted(spark, root).count()
+        val committed = EventTable.readCommitted(spark, root)
+        val evid      = expr("cast(substring(idempotency_key, 2) as bigint)")
+        val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
+        val batch = committed.filter(col("partition").cast("int") < 2)
+          .join(wmDf, "partition")
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy("partition").orderBy("sequence")).cast("long"))
+          .filter(col("_rn") <= 5)
+          .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
+                  col("timestamp_ms"),
+                  concat(lit("{\"k\": "), (evid + 1000000L).cast("string"), lit("}"))
+                    .cast("binary").as("payload"),
+                  concat(lit("w"), evid.cast("string")).as("idempotency_key"))
+        val staged = EventTable.appendBatch(spark, root, batch, staged = true)
+        require(EventTable.readCommitted(spark, root).count() == nRows,
+          "a staged snapshot must be invisible to readers until publish")
+        require(committer.activeDataFilesAt(staged.snapshotId).nonEmpty,
+          "the staged snapshot must be fully formed for the audit read")
+        committer.publish(staged.snapshotId)
+        require(EventTable.readCommitted(spark, root).count() == nRows + 10,
+          "publish must fast-forward readers onto the staged rows")
         root
       }
     )

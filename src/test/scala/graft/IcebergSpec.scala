@@ -456,6 +456,40 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.load().get.currentSnapshotId.contains(r2.snapshotId), "failed rollback must not move the table")
   }
 
+  test("commitStaged/publish: staged snapshot invisible until the fast-forward; stale stage refuses") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val r0 = c.commitAppend(Seq(a), Map(0 -> 10L))
+    val st = c.commitStaged(Seq(b), Map(0 -> 20L))
+    // invisible to readers, absent from the log, watermark unchanged...
+    assert(c.load().get.currentSnapshotId.contains(r0.snapshotId))
+    assert(c.activeDataFiles().map(_.filePath) === Seq(a.filePath))
+    assert(c.load().get.snapshotLog.last.snapshotId === r0.snapshotId)
+    assert(c.summaryWatermarks()(0) === 10L)
+    // ...but fully formed for the audit read by id
+    assert(c.activeDataFilesAt(st.snapshotId).map(_.filePath).toSet ===
+      Set(a.filePath, b.filePath))
+    assert(c.load().get.snapshots.find(_.snapshotId == st.snapshotId)
+      .exists(_.summary.get("zombi.staged").contains("true")))
+
+    val won = c.publish(st.snapshotId)
+    assert(won === c.currentVersion())
+    assert(c.load().get.currentSnapshotId.contains(st.snapshotId))
+    assert(c.activeDataFiles().map(_.filePath).toSet === Set(a.filePath, b.filePath))
+    assert(c.summaryWatermarks()(0) === 20L)
+    assert(c.publish(st.snapshotId) === won, "publish at target is a no-op")
+    assertThrows[IllegalArgumentException](c.publish(424242L))
+
+    // a stage built on a superseded head refuses to publish (no cherry-pick)
+    val stale = c.commitStaged(Seq(df("data/partition=1/s.parquet", 5, 1, 5)), Map(1 -> 5L))
+    c.commitAppend(Seq(df("data/partition=2/f.parquet", 5, 2, 5)), Map(2 -> 5L))
+    assertThrows[CommitConflict](c.publish(stale.snapshotId))
+    // an unpublished staged snapshot never blocks a rollback on the live lineage
+    c.rollbackTo(st.snapshotId)
+    assert(c.load().get.currentSnapshotId.contains(st.snapshotId))
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
