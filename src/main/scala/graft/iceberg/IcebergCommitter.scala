@@ -524,20 +524,33 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * read. With the range verified append-only, head-active minus
     * base-active IS exactly the appended file set. */
   def appendsSince(fromSnapshotId: Long): Seq[DataFile] = {
-    // ONE metadata load: validation and the head diff must see the same
-    // table version (a replace committed between two loads would slip an
-    // unvalidated range past the guard).
-    val meta  = load().getOrElse(return Seq.empty)
-    val byId  = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
-    // Walk the PARENT chain from head to base — not snapshot-list order:
-    // a rollback re-points current without creating a snapshot, so a
-    // list-position range would validate abandoned appends as live and
-    // return a diff the consumer cannot apply. Unreachable base = the
-    // base was abandoned by a rollback → refuse.
+    val meta = load().getOrElse(return Seq.empty)
     val head = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot to diff against $fromSnapshotId"))
-    var cur = head
+    appendsBetween(meta, fromSnapshotId, head)
+  }
+
+  /** [[appendsSince]] between two PINNED snapshots — the micro-batch form
+    * a streaming tail plans with (start offset, end offset). */
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] = {
+    val meta = load().getOrElse(return Seq.empty)
+    appendsBetween(meta, fromSnapshotId, toSnapshotId)
+  }
+
+  // ONE metadata load feeds validation and both file resolutions: a
+  // replace committed between two loads must never slip an unvalidated
+  // range past the guard.
+  private def appendsBetween(meta: TableMetadata, fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] = {
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
+    require(byId.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
+    if (fromSnapshotId == toSnapshotId) return Seq.empty
+    // Walk the PARENT chain from `to` back to `from` — not snapshot-list
+    // order: a rollback re-points current without creating a snapshot, so
+    // a list-position range would validate abandoned appends as live and
+    // return a diff the consumer cannot apply. Unreachable base = the
+    // base was abandoned by a rollback → refuse.
+    var cur = toSnapshotId
     val range = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
     while (cur != fromSnapshotId) {
       val s = byId.getOrElse(cur,
@@ -545,7 +558,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       range += s
       cur = s.parentSnapshotId.getOrElse(
         throw new IllegalArgumentException(
-          s"snapshot $fromSnapshotId is not an ancestor of the current head $head " +
+          s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId " +
             "(abandoned by a rollback?) — fall back to a full read"))
     }
     range.foreach { s =>
@@ -554,7 +567,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
         s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'")
     }
     val baseSet = resolveActive(entriesOf(meta, fromSnapshotId)).map(_.filePath).toSet
-    resolveActive(entriesOf(meta, head)).filterNot(f => baseSet.contains(f.filePath))
+    resolveActive(entriesOf(meta, toSnapshotId)).filterNot(f => baseSet.contains(f.filePath))
   }
 
   /** Snapshot expiration + orphan GC (table maintenance the reference

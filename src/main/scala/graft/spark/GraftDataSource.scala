@@ -109,7 +109,7 @@ final class GraftTable(tableRoot: String, tableSchema: StructType,
     s"graft:$tableRoot" + snapshotId.map(s => s"@$s").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableRoot, tableSchema, snapshotId)
 }
@@ -161,6 +161,9 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
                       pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableRoot, required, pushed)
 
   /** One partition per data file that SURVIVES manifest-bound pruning;
     * `snapshotId` pins the file set to a historical snapshot (SQL
@@ -243,6 +246,71 @@ object GraftScan {
     case Or(l, r)  => mayMatch(f, l) || mayMatch(f, r)
     case _         => true
   }
+}
+
+/** Streaming offset = the SNAPSHOT ID the tail has consumed through
+  * (−1 = before the first snapshot). Snapshot ids are the natural
+  * exactly-once cursor for an Iceberg-style log: a micro-batch is the
+  * manifest-level file diff between two ids, resolved by
+  * [[IcebergCommitter.appendsBetween]] under the append-only guard. */
+final case class GraftOffset(snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** `spark.readStream.format("graft").load(root)` — the committed table AS
+  * a stream: each micro-batch reads exactly the data files appended
+  * between the last checkpointed snapshot and the current head (never a
+  * re-listing, never a re-read), so a downstream pipeline tails the table
+  * with exactly-once file-level semantics. A replace/overwrite in the
+  * range fails the batch loudly (file diff ≠ row diff — resume after
+  * compaction requires a fresh full read), matching Iceberg's streaming-
+  * read contract. Partition planning reuses the batch scan's manifest-
+  * bound pruning and reader. */
+final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  private def committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
+
+  private def headOffset(): GraftOffset =
+    GraftOffset(committer.load().flatMap(_.currentSnapshotId).getOrElse(-1L))
+
+  // Trigger.AvailableNow: pin the end offset ONCE at query start so every
+  // planned batch stops at that head even if writers keep committing.
+  @volatile private var availableNowEnd: Option[GraftOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = availableNowEnd = Some(headOffset())
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    availableNowEnd.getOrElse(headOffset())
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = headOffset()
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = GraftOffset(-1L)
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = headOffset()
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftOffset(json.trim.toLong)
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val to   = end.asInstanceOf[GraftOffset].snapshotId
+    if (to == -1L || from == to) return Array.empty[InputPartition]
+    val files =
+      if (from == -1L) committer.activeDataFilesAt(to)
+      else committer.appendsBetween(from, to)
+    files
+      .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+      .map(f => GraftInputPartition(tableRoot, f.filePath))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory(required)
 }
 
 final class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {

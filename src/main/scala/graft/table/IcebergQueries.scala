@@ -225,6 +225,20 @@ object IcebergQueries {
           count(lit(1)).as("n"),
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
+    },
+    // Streaming tail of the committed table: the parquet sink accumulated
+    // by two checkpointed AvailableNow runs (full table, then EXACTLY the
+    // appended files — snapshot-id offsets) must equal the oracle's
+    // evlog + tail arithmetic. A re-read doubles n; a missed tail drops
+    // the 555000-shifted k sum.
+    "v3_stream_tail" -> { (s, dir) =>
+      val sink = TailedTables.sinkDir(s, dir)
+      s.read.parquet(sink)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
 
@@ -329,6 +343,25 @@ object IcebergQueries {
       """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
         |st AS (
         |  SELECT part_id, wm + rn AS sequence, 1000000 + evid AS k
+        |  FROM (
+        |    SELECT e.part_id, wm.wm,
+        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+        |    WHERE e.part_id < 2)
+        |  WHERE rn <= 5
+        |), merged AS (
+        |  SELECT part_id, sequence, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM evlog
+        |  UNION ALL SELECT part_id, sequence, k FROM st
+        |)
+        |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+        |FROM merged GROUP BY 1""".stripMargin),
+    // v3 twin: x7's shape with the 555000 shift — the streamed sink must
+    // hold exactly one copy of the table plus the appended tail.
+    "v3_stream_tail" -> Oracle.sql(
+      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+        |st AS (
+        |  SELECT part_id, wm + rn AS sequence, 555000 + evid AS k
         |  FROM (
         |    SELECT e.part_id, wm.wm,
         |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
@@ -458,6 +491,67 @@ object RolledBackTables {
         require(EventTable.readCommitted(spark, root).count() == nRows,
           "the rolled-back read must no longer see the poison rows")
         root
+      }
+    )
+  }
+}
+
+/** One TAILED table per (JVM, sfDir): ingest, then the committed table is
+  * consumed AS A STREAM (`readStream.format("graft")` — the V2 source's
+  * MicroBatchStream, snapshot-id offsets) into a parquet sink; a batch of
+  * tail rows lands (5 per partition 0–1, k = 555000 + original event id);
+  * the SAME checkpointed stream runs again. The second run must read
+  * EXACTLY the appended files — a broken offset diff either re-reads the
+  * table (duplicates the sink) or misses the tail, and both the fixture
+  * require and the oracle sum catch it. */
+object TailedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def sinkDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        import org.apache.spark.sql.expressions.Window
+        val root = java.nio.file.Files.createTempDirectory("graft-tail-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val sink = java.nio.file.Files.createTempDirectory("graft-tailsink-").toString
+        val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+        spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          classOf[graft.streaming.NioCheckpointFileManager].getName)
+        try {
+          def run(): Unit = {
+            val q = spark.readStream.format("graft").load(root)
+              .writeStream.format("parquet")
+              .option("path", s"$sink/data")
+              .option("checkpointLocation", s"$sink/_cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          run()
+          val n1 = spark.read.parquet(s"$sink/data").count()
+          val committed = EventTable.readCommitted(spark, root)
+          val evid      = expr("cast(substring(idempotency_key, 2) as bigint)")
+          val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
+          val batch = committed.filter(col("partition").cast("int") < 2)
+            .join(wmDf, "partition")
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy("partition").orderBy("sequence")).cast("long"))
+            .filter(col("_rn") <= 5)
+            .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
+                    col("timestamp_ms"),
+                    concat(lit("{\"k\": "), (evid + 555000L).cast("string"), lit("}"))
+                      .cast("binary").as("payload"),
+                    concat(lit("v"), evid.cast("string")).as("idempotency_key"))
+          EventTable.appendBatch(spark, root, batch)
+          run()
+          val n2 = spark.read.parquet(s"$sink/data").count()
+          require(n2 == n1 + 10,
+            s"the resumed tail must read exactly the appended rows: $n1 -> $n2")
+          s"$sink/data"
+        } finally prevCfm match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+          case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+        }
       }
     )
   }

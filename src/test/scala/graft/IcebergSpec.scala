@@ -404,6 +404,11 @@ class IcebergSpec extends AnyFunSuite {
       Set(b.filePath, e.filePath))
     assert(c.appendsSince(r2.snapshotId).isEmpty)
     assertThrows[IllegalArgumentException](c.appendsSince(12345L)) // unknown id
+    // pinned-range form (the streaming tail's micro-batch planner): the
+    // diff stops at `to` even though the head may be further along
+    assert(c.appendsBetween(r0.snapshotId, r2.snapshotId).map(_.filePath).toSet ===
+      Set(b.filePath, e.filePath))
+    assert(c.appendsBetween(r0.snapshotId, r0.snapshotId).isEmpty)
     // a replace (compaction) inside the range: file diff ≠ row diff → refuse
     val merged = df("data/partition=0/m.parquet", 20, 0, 20)
     c.commitReplace(Seq(a, b), Seq(merged), expectedBase = r2.snapshotId)
