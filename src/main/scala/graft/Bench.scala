@@ -131,7 +131,9 @@ object Bench {
       (Set("t24_dsir_select"),
         () => llm.CorpusQueries.evictDsirLm(spark, sfDir)),
       (Set("e1_embedding_coherence", "e2_embedding_outliers"),
-        () => llm.LlmQueries.evictLabelCentroids(spark, sfDir))
+        () => llm.LlmQueries.evictLabelCentroids(spark, sfDir)),
+      (Set("r7_rocchio_prf"),
+        () => llm.LlmQueries.evictRocchioFirst(spark, sfDir))
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }

@@ -523,8 +523,16 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * change — the scan refuses and the consumer must fall back to a full
     * read. With the range verified append-only, head-active minus
     * base-active IS exactly the appended file set. */
+  // A caller holding a snapshot id PROVES the table existed — an absent/
+  // unreadable metadata here must fail loudly, never read as "no new
+  // files": a streaming tail that swallowed it would commit an empty
+  // batch (skipping appends forever) or reset and re-read the table.
+  private def loadForDiff(ref: Long): TableMetadata =
+    load().getOrElse(throw new IllegalStateException(
+      s"table metadata unreadable while holding snapshot $ref — refusing to diff"))
+
   def appendsSince(fromSnapshotId: Long): Seq[DataFile] = {
-    val meta = load().getOrElse(return Seq.empty)
+    val meta = loadForDiff(fromSnapshotId)
     val head = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot to diff against $fromSnapshotId"))
     appendsBetween(meta, fromSnapshotId, head)
@@ -532,10 +540,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
   /** [[appendsSince]] between two PINNED snapshots — the micro-batch form
     * a streaming tail plans with (start offset, end offset). */
-  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] = {
-    val meta = load().getOrElse(return Seq.empty)
-    appendsBetween(meta, fromSnapshotId, toSnapshotId)
-  }
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] =
+    appendsBetween(loadForDiff(fromSnapshotId), fromSnapshotId, toSnapshotId)
 
   // ONE metadata load feeds validation and both file resolutions: a
   // replace committed between two loads must never slip an unvalidated

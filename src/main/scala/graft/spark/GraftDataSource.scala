@@ -109,7 +109,11 @@ final class GraftTable(tableRoot: String, tableSchema: StructType,
     s"graft:$tableRoot" + snapshotId.map(s => s"@$s").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    // a time-travel-pinned table is a FROZEN state — only the live table
+    // can be tailed as a stream
+    if (snapshotId.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableRoot, tableSchema, snapshotId)
 }
@@ -162,8 +166,13 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // belt to the capabilities() suspender: a pinned scan must never
+    // silently tail the live head
+    snapshotId.foreach(v => throw new UnsupportedOperationException(
+      s"cannot stream a time-travel-pinned graft table (snapshot $v) — stream the live table"))
     new GraftMicroBatchStream(tableRoot, required, pushed)
+  }
 
   /** One partition per data file that SURVIVES manifest-bound pruning;
     * `snapshotId` pins the file set to a historical snapshot (SQL
@@ -300,6 +309,13 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
       end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].snapshotId
     val to   = end.asInstanceOf[GraftOffset].snapshotId
+    // end = -1 with a real checkpointed start means the metadata became
+    // unreadable mid-stream: planning "empty" would advance the
+    // checkpoint to -1 and the next healthy batch would re-read the whole
+    // table into the sink. Fail the batch; the stream retries.
+    if (to == -1L && from != -1L)
+      throw new IllegalStateException(
+        s"table $tableRoot metadata unreadable while the checkpoint holds snapshot $from")
     if (to == -1L || from == to) return Array.empty[InputPartition]
     val files =
       if (from == -1L) committer.activeDataFilesAt(to)

@@ -718,12 +718,17 @@ object EventTable {
   /** Plain append commit of a pre-sequenced batch — the building block a
     * backfill or fixture uses next to the streaming path. Rows are
     * aligned to the committed schema ([[alignToCommitted]]), written in
-    * the standard sorted layout, and committed as ONE "append" snapshot;
-    * summary watermarks only ADVANCE (a batch entirely below a
-    * partition's watermark carries that partition's key forward).
-    * `staged = true` routes to [[IcebergCommitter.commitStaged]] — the
-    * write half of write-audit-publish: the snapshot exists but readers
-    * keep the parent until `publish`. */
+    * the standard sorted layout, and committed as ONE "append" snapshot.
+    * Every batch key must land BEYOND its partition's watermark —
+    * (partition, sequence) is the event's identity, so an at-or-below
+    * key would silently duplicate (or resurrect) a committed one; the
+    * guard is the bounded per-partition aggregate (min, count, distinct),
+    * never a driver collect of the keys, and the batch is persisted so
+    * the validated rows ARE the written rows even for a
+    * nondeterministic input plan. `staged = true` routes to
+    * [[IcebergCommitter.commitStaged]] — the write half of
+    * write-audit-publish: the snapshot exists but readers keep the
+    * parent until `publish`. */
   def appendBatch(spark: SparkSession, tableRoot: String, batch: DataFrame,
                   staged: Boolean = false): CommitResult = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
@@ -734,21 +739,25 @@ object EventTable {
       col("timestamp_ms").cast("long").as("timestamp_ms"),
       col("payload").cast("binary").as("payload"),
       col("idempotency_key").cast("string").as("idempotency_key"))
-    // (partition, sequence) is the event's identity: a batch row at or
-    // below the watermark would silently duplicate (or resurrect) a
-    // committed key — the same guard the merge insert arm enforces.
-    val keys = b.select("partition", "sequence").collect().map(r => (r.getInt(0), r.getLong(1)))
-    require(keys.length == keys.toSet.size, "append batch carries duplicate (partition, sequence) keys")
-    keys.foreach { case (p, s) =>
-      require(s > wm.getOrElse(p, 0L),
-        s"append key ($p, $s) is at or below partition $p's watermark ${wm.getOrElse(p, 0L)}: " +
-          "committed sequences are taken or burned, never re-appendable")
-    }
-    val rows  = alignToCommitted(spark, tableRoot, b)
-    val paths = writeData(rows, tableRoot)
-    val added = collectDataFiles(spark, tableRoot, paths)
-    val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
-    if (staged) committer.commitStaged(added, newWm) else committer.commitAppend(added, newWm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = b.groupBy("partition")
+        .agg(min("sequence").as("mn"), count(lit(1)).as("n"),
+             countDistinct("sequence").as("nd"))
+        .collect() // one bounded row per partition
+      stats.foreach { r =>
+        val (p, mn, n, nd) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        require(n == nd, s"append batch carries duplicate sequences in partition $p")
+        require(mn > wm.getOrElse(p, 0L),
+          s"append key ($p, $mn) is at or below partition $p's watermark ${wm.getOrElse(p, 0L)}: " +
+            "committed sequences are taken or burned, never re-appendable")
+      }
+      val rows  = alignToCommitted(spark, tableRoot, b)
+      val paths = writeData(rows, tableRoot)
+      val added = collectDataFiles(spark, tableRoot, paths)
+      val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
+      if (staged) committer.commitStaged(added, newWm) else committer.commitAppend(added, newWm)
+    } finally b.unpersist()
   }
 
   /** Decoded filesystem path of an `input_file_name()` URI. Spark returns

@@ -339,42 +339,10 @@ object IcebergQueries {
     // sequence) of partitions 0–1 spawn tail rows at watermark + rank
     // with k = 1000000 + the row's original event id (recovered from the
     // idempotency key, the x5 trick).
-    "x7_wap" -> Oracle.sql(
-      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
-        |st AS (
-        |  SELECT part_id, wm + rn AS sequence, 1000000 + evid AS k
-        |  FROM (
-        |    SELECT e.part_id, wm.wm,
-        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
-        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
-        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
-        |    WHERE e.part_id < 2)
-        |  WHERE rn <= 5
-        |), merged AS (
-        |  SELECT part_id, sequence, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM evlog
-        |  UNION ALL SELECT part_id, sequence, k FROM st
-        |)
-        |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
-        |FROM merged GROUP BY 1""".stripMargin),
+    "x7_wap" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 1000000L)),
     // v3 twin: x7's shape with the 555000 shift — the streamed sink must
     // hold exactly one copy of the table plus the appended tail.
-    "v3_stream_tail" -> Oracle.sql(
-      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
-        |st AS (
-        |  SELECT part_id, wm + rn AS sequence, 555000 + evid AS k
-        |  FROM (
-        |    SELECT e.part_id, wm.wm,
-        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
-        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
-        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
-        |    WHERE e.part_id < 2)
-        |  WHERE rn <= 5
-        |), merged AS (
-        |  SELECT part_id, sequence, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM evlog
-        |  UNION ALL SELECT part_id, sequence, k FROM st
-        |)
-        |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
-        |FROM merged GROUP BY 1""".stripMargin)
+    "v3_stream_tail" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 555000L))
   )
 }
 
@@ -420,6 +388,51 @@ object DeletedTables {
   * spawns a tail insert at watermark + rank with k = -id and a fresh
   * 'm<id>' idempotency key. Both merge arms and the untouched-file
   * invariant are enforced here so the oracle genuinely gates them. */
+/** Shared tail-batch builder for the x6/x7/v3 fixtures: the first `n`
+  * rows (by sequence) of each partition below `maxPart` spawn rows at
+  * watermark + rank, payload `{"k": kShift + original event id}` (or the
+  * constant 999999 when `kShift` is None — x6's poison, whose arithmetic
+  * never reaches an oracle), idempotency key `<prefix><evid>`. ONE
+  * definition so a fix to the tail arithmetic (e.g. the evid recovery)
+  * can never apply to one fixture and not the others. */
+object TailBatch {
+  def of(committed: DataFrame, n: Int, maxPart: Int,
+         kShift: Option[Long], prefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evid = expr("cast(substring(idempotency_key, 2) as bigint)")
+    val kCol = kShift.map(sh => (evid + sh).cast("string")).getOrElse(lit("999999"))
+    committed.filter(col("partition").cast("int") < maxPart)
+      .join(committed.groupBy("partition").agg(max("sequence").as("_wm")), "partition")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("partition").orderBy("sequence")).cast("long"))
+      .filter(col("_rn") <= n)
+      .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
+              col("timestamp_ms"),
+              concat(lit("{\"k\": "), kCol, lit("}")).cast("binary").as("payload"),
+              concat(lit(prefix), evid.cast("string")).as("idempotency_key"))
+  }
+
+  /** DuckDB twin of [[of]] + the table union: evlog plus the tail rows,
+    * rolled up per partition — the shared x7/v3 oracle body. */
+  def oracleSql(n: Int, maxPart: Int, kShift: Long): String =
+    s""", wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+       |st AS (
+       |  SELECT part_id, wm + rn AS sequence, $kShift + evid AS k
+       |  FROM (
+       |    SELECT e.part_id, wm.wm,
+       |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+       |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+       |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+       |    WHERE e.part_id < $maxPart)
+       |  WHERE rn <= $n
+       |), merged AS (
+       |  SELECT part_id, sequence, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM evlog
+       |  UNION ALL SELECT part_id, sequence, k FROM st
+       |)
+       |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+       |FROM merged GROUP BY 1""".stripMargin
+}
+
 object MergedTables {
   private val cache = scala.collection.mutable.Map.empty[String, String]
 
@@ -468,21 +481,12 @@ object RolledBackTables {
   def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(
       sfDir, {
-        import org.apache.spark.sql.expressions.Window
         val root      = java.nio.file.Files.createTempDirectory("graft-rollback-").toString
         val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
         val base      = committer.load().get.currentSnapshotId.get
         val nRows     = EventTable.readCommitted(spark, root).count()
-        val committed = EventTable.readCommitted(spark, root)
-        val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
-        val junk = committed.join(wmDf, "partition")
-          .withColumn("_rn", row_number().over(
-            Window.partitionBy("partition").orderBy("sequence")).cast("long"))
-          .filter(col("_rn") <= 10)
-          .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
-                  col("timestamp_ms"),
-                  lit("""{"k": 999999}""").cast("binary").as("payload"),
-                  concat(lit("j"), col("partition"), lit("-"), col("_rn")).as("idempotency_key"))
+        val junk = TailBatch.of(EventTable.readCommitted(spark, root),
+                                n = 10, maxPart = 8, kShift = None, prefix = "j")
         EventTable.appendBatch(spark, root, junk)
         require(EventTable.readCommitted(spark, root).count() > nRows,
           "the poison append must be visible before the rollback")
@@ -529,19 +533,8 @@ object TailedTables {
           }
           run()
           val n1 = spark.read.parquet(s"$sink/data").count()
-          val committed = EventTable.readCommitted(spark, root)
-          val evid      = expr("cast(substring(idempotency_key, 2) as bigint)")
-          val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
-          val batch = committed.filter(col("partition").cast("int") < 2)
-            .join(wmDf, "partition")
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy("partition").orderBy("sequence")).cast("long"))
-            .filter(col("_rn") <= 5)
-            .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
-                    col("timestamp_ms"),
-                    concat(lit("{\"k\": "), (evid + 555000L).cast("string"), lit("}"))
-                      .cast("binary").as("payload"),
-                    concat(lit("v"), evid.cast("string")).as("idempotency_key"))
+          val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                   n = 5, maxPart = 2, kShift = Some(555000L), prefix = "v")
           EventTable.appendBatch(spark, root, batch)
           run()
           val n2 = spark.read.parquet(s"$sink/data").count()
@@ -568,23 +561,11 @@ object StagedTables {
   def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(
       sfDir, {
-        import org.apache.spark.sql.expressions.Window
         val root      = java.nio.file.Files.createTempDirectory("graft-wap-").toString
         val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
         val nRows     = EventTable.readCommitted(spark, root).count()
-        val committed = EventTable.readCommitted(spark, root)
-        val evid      = expr("cast(substring(idempotency_key, 2) as bigint)")
-        val wmDf      = committed.groupBy("partition").agg(max("sequence").as("_wm"))
-        val batch = committed.filter(col("partition").cast("int") < 2)
-          .join(wmDf, "partition")
-          .withColumn("_rn", row_number().over(
-            Window.partitionBy("partition").orderBy("sequence")).cast("long"))
-          .filter(col("_rn") <= 5)
-          .select(col("partition"), (col("_wm") + col("_rn")).as("sequence"),
-                  col("timestamp_ms"),
-                  concat(lit("{\"k\": "), (evid + 1000000L).cast("string"), lit("}"))
-                    .cast("binary").as("payload"),
-                  concat(lit("w"), evid.cast("string")).as("idempotency_key"))
+        val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                 n = 5, maxPart = 2, kShift = Some(1000000L), prefix = "w")
         val staged = EventTable.appendBatch(spark, root, batch, staged = true)
         require(EventTable.readCommitted(spark, root).count() == nRows,
           "a staged snapshot must be invisible to readers until publish")
