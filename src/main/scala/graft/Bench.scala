@@ -99,7 +99,8 @@ object Bench {
       (Set("d2_minhash_lsh", "d4_ngram_jaccard", "d6_dedup_clusters", "d7_curation_split",
            "d9_decontaminate", "d11_band_skew_audit", "d12_state_audit",
            "d16_incremental_dedup", "d18_bloom_decontaminate", "d19_containment",
-           "d20_cluster_canon", "d21_banding_loss", "t3_winnowing", "t15_filter_funnel",
+           "d20_cluster_canon", "d21_banding_loss", "d22_split_leakage",
+           "t3_winnowing", "t15_filter_funnel",
            "t15_funnel_ppl", "t26_source_overlap"),
         () => llm.LlmQueries.evictSignatures(spark, sfDir)),
       (Set("d10_simhash_neardup", "d11_band_skew_audit"),

@@ -77,7 +77,17 @@ object CorpusQueries {
 
   /** d5: multiplicative-hash bucket in [0, 1000) — all operations bounded
     * in Long, so the same expression is exact in Spark and DuckDB. */
-  private[llm] val splitBucket = "((doc_id % 1000003) * 2654435761 + 12345) % 1000"
+  /** d5's permille split bucket over an arbitrary id column — one
+    * definition for the split itself (d5/d7) and d22's leakage audit,
+    * which buckets BOTH endpoints of a dup pair. */
+  private[llm] def splitBucketOf(c: String): String =
+    s"(($c % 1000003) * 2654435761 + 12345) % 1000"
+  private[llm] val splitBucket = splitBucketOf("doc_id")
+  /** The split name for an id column — Spark and DuckDB share the text. */
+  private[llm] def splitCaseOf(c: String): String =
+    s"""CASE WHEN ${splitBucketOf(c)} < $TrainPermille THEN 'train'
+       |     WHEN ${splitBucketOf(c)} < $ValPermille THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   /** t9: epoch-seeded shuffle key (same hash family, epoch seed 777).
     * Collisions are possible (doc_id folds through 1000003), so every

@@ -1025,7 +1025,7 @@ object LlmQueries {
     * measured pressuring unrelated queries (round-10 tpch_q5/q7 warm
     * medians). Consumers per cache:
     *   - signatures (sigCache): d2, d4, d6, d7, d9, d11, d12_state_audit,
-    *     d16, d18, d19, d20, d21, t3, t15, t15_funnel_ppl, t26_source_overlap
+    *     d16, d18, d19, d20, d21, d22, t3, t15, t15_funnel_ppl, t26_source_overlap
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7, d20
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
@@ -1357,6 +1357,34 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_true_pairs"),
              sum(coalesce(col("_c"), lit(0L))).as("n_caught"),
              expr("cast((1000 * sum(coalesce(_c, 0L))) div count(1) as bigint)").as("caught_permille"))
+    },
+
+    // ---------- dedup QA: near-dup leakage across the train/val/test split ----------
+    "d22_split_leakage" -> { (s, dir) =>
+      // The eval-integrity audit run before any benchmark claim: a test
+      // doc whose near-duplicate sits in train measures memorization,
+      // not generalization (the leak class decontamination pipelines
+      // exist for — Lee et al. 2022 quantify it). d4's exact dup pairs
+      // are the truth and d5's deterministic bucket is the split — BOTH
+      // shared generators ([[ngramDupPairs]], [[CorpusQueries
+      // .splitCaseOf]]), so the audit can never drift from the split it
+      // audits. One row per ordered leaking split pair: pair count,
+      // distinct leaked docs on each side, mean Jaccard permille. The
+      // split is pure map-side arithmetic over the bounded pair frame —
+      // no extra scan, no shuffle beyond the rollup.
+      val cross = ngramDupPairs(s, dir)
+        .withColumn("split_a", expr(CorpusQueries.splitCaseOf("doc_a")))
+        .withColumn("split_b", expr(CorpusQueries.splitCaseOf("doc_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .withColumn("split_lo", least(col("split_a"), col("split_b")))
+        .withColumn("split_hi", greatest(col("split_a"), col("split_b")))
+        .withColumn("doc_lo", when(col("split_a") === col("split_lo"), col("doc_a")).otherwise(col("doc_b")))
+        .withColumn("doc_hi", when(col("split_a") === col("split_lo"), col("doc_b")).otherwise(col("doc_a")))
+      cross.groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("doc_lo")).as("n_docs_lo"),
+             countDistinct(col("doc_hi")).as("n_docs_hi"),
+             expr("cast((1000 * sum(inter_cnt)) div sum(union_cnt) as bigint)").as("mean_jaccard_permille"))
     },
 
     // ---------- near-dedup: SimHash banded hamming ----------
@@ -3207,6 +3235,26 @@ object LlmQueries {
            |  CAST((1000 * sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS caught_permille
            |FROM dup d LEFT JOIN pairs p ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b
            |GROUP BY 1""".stripMargin,
+      // d22 twin: d4's dup CTE, both endpoints bucketed by the SAME d5
+      // split arithmetic, ordered pair rollup.
+      "d22_split_leakage" ->
+        s"""WITH $ngramPairCtes,
+           |lab AS (
+           |  SELECT doc_a, doc_b, inter_cnt, union_cnt,
+           |         ${CorpusQueries.splitCaseOf("doc_a")} AS split_a,
+           |         ${CorpusQueries.splitCaseOf("doc_b")} AS split_b
+           |  FROM dup),
+           |x AS (
+           |  SELECT inter_cnt, union_cnt,
+           |         least(split_a, split_b) AS split_lo, greatest(split_a, split_b) AS split_hi,
+           |         CASE WHEN split_a = least(split_a, split_b) THEN doc_a ELSE doc_b END AS doc_lo,
+           |         CASE WHEN split_a = least(split_a, split_b) THEN doc_b ELSE doc_a END AS doc_hi
+           |  FROM lab WHERE split_a != split_b)
+           |SELECT split_lo, split_hi, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+           |  CAST(count(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi,
+           |  CAST((1000 * sum(inter_cnt)) // sum(union_cnt) AS BIGINT) AS mean_jaccard_permille
+           |FROM x GROUP BY 1, 2""".stripMargin,
       // t26 twin: d4's dup CTE joined to sources, ordered pair key,
       // identical integer permille rollup
       "t26_source_overlap" ->

@@ -444,7 +444,7 @@ class CorpusSpec extends AnyFunSuite {
           "e2_embedding_outliers", "d20_cluster_canon",
           "d21_banding_loss", "e3_quantization_error",
           "r7_rocchio_prf", "t27_fertility_hist", "m5_image_phash",
-          "d1_exact_dedup").foreach { q =>
+          "d1_exact_dedup", "d22_split_leakage").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
