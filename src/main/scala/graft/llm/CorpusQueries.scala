@@ -75,14 +75,13 @@ object CorpusQueries {
   val TrainPermille = 800L
   val ValPermille   = 900L
 
-  /** d5: multiplicative-hash bucket in [0, 1000) — all operations bounded
-    * in Long, so the same expression is exact in Spark and DuckDB. */
-  /** d5's permille split bucket over an arbitrary id column — one
-    * definition for the split itself (d5/d7) and d22's leakage audit,
-    * which buckets BOTH endpoints of a dup pair. */
+  /** d5's permille split bucket over an arbitrary id column — a
+    * multiplicative hash in [0, 1000), all operations bounded in Long so
+    * the same expression is exact in Spark and DuckDB. ONE definition for
+    * the split itself (d5/d7) and d22's leakage audit, which buckets BOTH
+    * endpoints of a dup pair. */
   private[llm] def splitBucketOf(c: String): String =
     s"(($c % 1000003) * 2654435761 + 12345) % 1000"
-  private[llm] val splitBucket = splitBucketOf("doc_id")
   /** The split name for an id column — Spark and DuckDB share the text. */
   private[llm] def splitCaseOf(c: String): String =
     s"""CASE WHEN ${splitBucketOf(c)} < $TrainPermille THEN 'train'
@@ -735,11 +734,7 @@ object CorpusQueries {
 
     "d5_train_split" -> { (s, dir) =>
       docs(s, dir)
-        .withColumn("b", expr(splitBucket))
-        .withColumn("split",
-          when(col("b") < TrainPermille, "train")
-            .when(col("b") < ValPermille, "val")
-            .otherwise("test"))
+        .withColumn("split", expr(splitCaseOf("doc_id")))
         .groupBy("source", "split")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1799,13 +1794,11 @@ object CorpusQueries {
         |GROUP BY 1, 2, 3, 4""".stripMargin,
     "d5_train_split" ->
       s"""SELECT source,
-         |  CASE WHEN b < $TrainPermille THEN 'train'
-         |       WHEN b < $ValPermille THEN 'val'
-         |       ELSE 'test' END AS split,
+         |  ${splitCaseOf("doc_id")} AS split,
          |  count(*) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM (SELECT source, doc_id, n_chars, $splitBucket AS b FROM documents)
+         |FROM documents
          |GROUP BY 1, 2""".stripMargin,
     "t5_context_pack" ->
       s"""WITH d AS (

@@ -1718,11 +1718,7 @@ object LlmQueries {
         .select("doc_id")
       docs(s, dir)
         .join(canon, "doc_id")
-        .withColumn("b", expr(CorpusQueries.splitBucket))
-        .withColumn("split",
-          when(col("b") < CorpusQueries.TrainPermille, "train")
-            .when(col("b") < CorpusQueries.ValPermille, "val")
-            .otherwise("test"))
+        .withColumn("split", expr(CorpusQueries.splitCaseOf("doc_id")))
         .groupBy("source", "split")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -3368,13 +3364,11 @@ object LlmQueries {
            |),
            |canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING min(m) = u)
            |SELECT source,
-           |  CASE WHEN b < ${CorpusQueries.TrainPermille} THEN 'train'
-           |       WHEN b < ${CorpusQueries.ValPermille} THEN 'val'
-           |       ELSE 'test' END AS split,
+           |  ${CorpusQueries.splitCaseOf("doc_id")} AS split,
            |  count(*) AS n_docs,
            |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-           |FROM (SELECT d.source, d.doc_id, d.n_chars, ${CorpusQueries.splitBucket} AS b
+           |FROM (SELECT d.source, d.doc_id, d.n_chars
            |      FROM documents d JOIN canon USING (doc_id))
            |GROUP BY 1, 2""".stripMargin,
       // d20 twin: d6's component CTEs + the shared t14 classifier score
