@@ -113,7 +113,7 @@ object Bench {
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
       (Set("ann_sq_topk", "ann_ivfsq_topk", "e3_quantization_error"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),
-      (Set("ann_ivfpq_topk", "ann_pq_topk"),
+      (Set("ann_ivfpq_topk", "ann_pq_topk", "e4_pq_error"),
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
       (Set("d3_embedding_neardup"),
         () => llm.LlmQueries.evictLshTables(spark, sfDir)),

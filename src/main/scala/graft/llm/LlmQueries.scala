@@ -1037,7 +1037,8 @@ object LlmQueries {
     *     the exact storage-pressure failure the eviction prevents)
     *   - SQ codes (sqCache): ann_sq_topk, ann_ivfsq_topk,
     *     e3_quantization_error
-    *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk
+    *   - PQ codebook+codes (pqCache): ann_pq_topk, ann_ivfpq_topk,
+    *     e4_pq_error
     *   - LSH tables (lshCache): d3_embedding_neardup (and the bench's
     *     bucket-recall probe)
     *   - BPE merge table (CorpusQueries.bpeMergeCache, driver-side Seq):
@@ -1915,6 +1916,30 @@ object LlmQueries {
             |  END)""".stripMargin))
         .withColumn("cos_fp", expr(
           s"cast(floor((${dot("v", "xhat")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("xhat", "xhat")}))) * 1048576) as bigint)"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             expr("sum(cos_fp) div count(1)").as("avg_cos_fp"),
+             min(struct(col("cos_fp"), col("vec_id"))).as("worst"))
+        .select(col("label"), col("n_vecs"), col("avg_cos_fp"),
+                col("worst.cos_fp").as("worst_cos_fp"),
+                col("worst.vec_id").as("worst_vec_id"))
+    },
+
+    // ---------- embedding audit: PQ reconstruction fidelity per label ----------
+    "e4_pq_error" -> { (s, dir) =>
+      // e3's audit for the PQ codes: each vector reconstructed from its
+      // own 5-bit-per-subspace codes via the broadcast packed codebook
+      // (the exact [[pqDecode]] expression ann_pq_topk scores with),
+      // cosine to its full-precision self as floor(cos·2^20). PQ's
+      // coarser codes are WHY its refine cut is 6× deeper than SQ's —
+      // e3/e4 side by side quantify the fidelity trade the recall
+      // ladders only imply. Same shape as e3: codes join back on
+      // vec_id, codebook broadcasts, one label rollup, integers out.
+      val e = emb(s, dir)
+      val (bkm, codes) = pqIndex(s, dir)
+      pqDecode(codes, bkm).join(e, "vec_id")
+        .withColumn("cos_fp", expr(
+          s"cast(floor((${dot("v", "xhat")} / (sqrt(${dot("v", "v")}) * sqrt(xn2))) * 1048576) as bigint)"))
         .groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n_vecs"),
              expr("sum(cos_fp) div count(1)").as("avg_cos_fp"),
@@ -3619,6 +3644,23 @@ object LlmQueries {
       "ann_ivf_probe2" -> ivfSql2,
       "ann_sq_topk"    -> sqSql,
       "ann_pq_topk"    -> pqSql,
+      // e4 twin: the shared pqIndexCtes reconstruction (`x` — per-vector
+      // xhat from the trained packed codebook), each vector scored
+      // against its own reconstruction, the e3-style floored mean and
+      // two-level argmin.
+      "e4_pq_error" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |$pqIndexCtes,
+           |sc AS (SELECT e.label, e.vec_id,
+           |              CAST(floor((list_inner_product(e.v, x.xhat) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(x.xhat, x.xhat)))) * 1048576) AS BIGINT) AS cos_fp
+           |       FROM e JOIN x ON x.vec_id = e.vec_id),
+           |w AS (SELECT label, min(cos_fp) AS worst_cos FROM sc GROUP BY 1)
+           |SELECT sc.label::BIGINT AS label, count(*) AS n_vecs,
+           |  CAST(sum(sc.cos_fp) // count(*) AS BIGINT) AS avg_cos_fp,
+           |  min(sc.cos_fp) AS worst_cos_fp,
+           |  CAST(min(CASE WHEN sc.cos_fp = w.worst_cos THEN sc.vec_id END) AS BIGINT) AS worst_vec_id
+           |FROM sc JOIN w ON w.label = sc.label
+           |GROUP BY 1""".stripMargin,
       "ann_ivfpq_topk" -> ivfPqSql,
       "ann_ivfsq_topk" -> ivfSqSql,
       "m1_multimodal"  -> Multimodal.oracleSql,

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "ann_pq_topk", "r2_hybrid_retrieve", "d18_bloom_decontaminate",
         "d19_containment", "t26_source_overlap", "e2_embedding_outliers",
         "d20_cluster_canon", "e3_quantization_error", "r7_rocchio_prf",
-        "d21_banding_loss", "m5_image_phash", "d22_split_leakage").foreach { q =>
+        "d21_banding_loss", "m5_image_phash", "d22_split_leakage",
+        "e4_pq_error").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
