@@ -14,42 +14,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulations they replace, so the DuckDB oracles are unchanged.
   */
 
-/** First 8 hex chars of a (md5) hex string as a long — replaces an
-  * 8-term `instr(substr(...))` chain in the MinHash shingle hash. */
-final case class HexPrefixToLong(child: Expression)
-    extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"hex prefix expects a string, got ${child.dataType}")
-
-  override def nullSafeEval(input: Any): Any =
-    HexPrefixToLong.parse(input.asInstanceOf[UTF8String].toString)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HexPrefixToLong.parse($c.toString());")
-
-  override protected def withNewChildInternal(newChild: Expression): HexPrefixToLong =
-    copy(child = newChild)
-}
-
-object HexPrefixToLong {
-  /** Shared by eval and generated code: identical arithmetic to the SQL
-    * `(instr('0123456789abcdef', substr(h, j, 1)) - 1) * 16^(8-j)` chain. */
-  def parse(s: String): Long = {
-    var v = 0L
-    var j = 0
-    val n = math.min(8, s.length)
-    while (j < n) {
-      v = (v << 4) | Character.digit(s.charAt(j), 16).toLong
-      j += 1
-    }
-    v
-  }
-}
-
 /** FNV-1a 32-bit over Unicode CODE POINTS — the MinHash shingle hash. One
   * multiply+xor per character instead of a full md5 round, ~10× cheaper on
   * the near-dedup hot kernel, and exactly reproducible in the DuckDB oracle
@@ -445,9 +409,6 @@ object BloomMightContain {
   * native expressions register at session build, no code change needed. */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_hex32"),
-      new ExpressionInfo("graft.functions", "graft_hex32"),
-      (exprs: Seq[Expression]) => HexPrefixToLong(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo("graft.functions", "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
@@ -473,7 +434,7 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
 }
 
 /** Session registration so the expressions are usable inside SQL lambdas
-  * (`transform(hashes, h -> graft_hex32(h))`) — same builders as
+  * (`transform(words, w -> graft_fnv32(w))`) — same builders as
   * [[GraftSparkExtensions]], applied to an already-built session. */
 object GraftFunctions {
   private def register(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
@@ -484,8 +445,7 @@ object GraftFunctions {
     )
 
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
-    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_hex32"))) {
-      register(spark, "graft_hex32", exprs => HexPrefixToLong(exprs.head))
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("graft_fnv32"))) {
       register(spark, "graft_dot", exprs => DotProduct(exprs.head, exprs(1)))
       register(spark, "graft_fnv32", exprs => Fnv32(exprs.head))
       register(spark, "graft_simhash16", exprs => SimHash16(exprs.head))

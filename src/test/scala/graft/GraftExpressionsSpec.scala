@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, HexPrefixToLong}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -9,20 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExpressionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-
-  test("graft_hex32 equals the instr/substr arithmetic chain") {
-    GraftFunctions.ensureRegistered(spark)
-    val chain = (1 to 8)
-      .map(j => s"cast(instr('0123456789abcdef', substr(h, $j, 1)) - 1 as bigint) * ${1L << (4 * (8 - j))}")
-      .mkString("(", " + ", ")")
-    val rows = Seq("a", "hello", "shingle one", "", "Zz").toDF("s")
-      .selectExpr("md5(s) AS h")
-      .selectExpr(s"graft_hex32(h) AS native", s"$chain AS sql")
-      .collect()
-    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
-    assert(HexPrefixToLong.parse("ffffffff") === 0xffffffffL)
-    assert(HexPrefixToLong.parse("00000001") === 1L)
-  }
 
   test("graft_fnv32 matches FNV-1a-32 reference vectors incl. multi-byte code points") {
     GraftFunctions.ensureRegistered(spark)

@@ -254,14 +254,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("t24_dsir_select: bucket LMs broadcast; only the distinct-importance-value rank windows") {
+  test("t24_dsir_select: bucket LMs broadcast; NO window — threshold is the two-phase prefix memo") {
     val p = plan("t24_dsir_select")
     assert(p.contains("BroadcastExchange"),
-      "the bucket-bounded LM weight table and the one-row W0/N/threshold frames must broadcast")
+      "the bucket-bounded LM weight table must broadcast onto the occurrence scan")
     assert(!p.contains("CartesianProduct"))
-    val windows = "Window \\[".r.findAllMatchIn(p).size
-    assert(windows <= 1,
-      s"only the nearest-rank cum-sum over DISTINCT importance values may window, got $windows")
+    assert(!p.contains("Window ["),
+      "the selection threshold comes from the memoized two-phase prefix sum — " +
+        "an unpartitioned cum-sum window here serializes the distinct-importance frame at scale")
   }
 
   test("t21_hll_cardinality: one register shuffle, no window, no cartesian") {
