@@ -85,6 +85,39 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+    // SELF-ADJUDICATING SWEEP (round-15 verdict #1): the IVF-probe family
+    // read elevated in two consecutive driver artifacts and both times the
+    // classification was hand-written host-noise prose. Record the evidence
+    // mechanically instead: (a) /proc/loadavg + CPU steal-time snapshots,
+    // so "external load" is a number in the artifact; (b) per-query warm-rep
+    // deltas of SessionMemo builds (an index evicted + re-pinned mid-sweep,
+    // the round-11 class), persisted-RDD disk bytes (storage pressure
+    // pushing MEMORY_AND_DISK blocks to disk — the suspected elevation
+    // mechanism), and cached-partition drops. All snapshots are synchronous
+    // reads of the status store; in local mode its listener lag between
+    // queries is negligible, and the counters are adjudication evidence,
+    // not accounting.
+    def hostLoad(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ")(0).toDouble finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def cpuStat(): (Long, Long) = // (steal jiffies, total jiffies)
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val vals = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          (if (vals.length > 7) vals(7) else 0L, vals.sum)
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    def storageSnap(): (Long, Long) = // (persisted disk bytes, cached partitions)
+      try {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        (infos.map(_.diskSize).sum, infos.map(_.numCachedPartitions.toLong).sum)
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    val loadStart = hostLoad()
+    val (steal0, jiffies0) = cpuStat()
+    val queryHealth = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // FAMILY-SCOPED CACHE EVICTION (adjudication of the round-10 tpch_q5/q7
     // warm-median regression): the ANN/dedup index frames are persisted
     // MEMORY_AND_DISK per (session, dir) and, without eviction, stay pinned
@@ -141,13 +174,24 @@ object Bench {
     val results = names.map { name =>
       val fn    = SparkEntry.queries(name)
       val first = timeOne(fn)
+      // warm-rep churn window: first touch legitimately builds fixtures, so
+      // the counters bracket ONLY the reps the medians come from
+      val b0       = core.SessionMemo.buildCount
+      val (d0, c0) = storageSnap()
       val warm  = Seq.fill(reps)(timeOne(fn))
+      val builds   = core.SessionMemo.buildCount - b0
+      val (d1, c1) = storageSnap()
+      val spill    = math.max(0L, d1 - d0)
+      val dropped  = math.max(0L, c0 - c1)
+      if (builds > 0 || spill > 0 || dropped > 0)
+        queryHealth(name) = (builds, spill, dropped)
       if (evictEnabled)
         cacheLastConsumer.foreach { case (last, hook) => if (last.contains(name)) hook() }
       // min AND max: the per-query rep spread lets the next round tell
       // noise from regression without rerunning this one
       (name, first, median(warm), warm.min, warm.max)
     }
+    val loadAfterSweep = hostLoad()
     def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total      = results.map(_._3).sum
@@ -183,6 +227,8 @@ object Bench {
         try {
           val root    = java.nio.file.Files.createTempDirectory("graft-stream10x-").toString
           val staging = java.nio.file.Files.createTempDirectory("graft-staging10x-").toString
+          val load10x = hostLoad() // external pressure at ingest start — the
+          // marginal-ev/s adjudication needs it alongside the rate itself
           val t0      = System.nanoTime()
           val schema  = streaming.StreamIngest.stageChunks(spark, sfDir, staging, nChunks = 40, replicate = 10)
           val t1      = System.nanoTime()
@@ -236,6 +282,7 @@ object Bench {
           val marginalCompact = slope.map(v => s""","marg":$v""").getOrElse("")
           (f"""{"events":$events,"chunks":40,"staging_sec":${(t1 - t0) / 1e9}%.3f,""" +
             f""""ingest_sec":$sec%.3f,"ev_per_sec":${(events / sec).toLong}$marginal,""" +
+            f""""load_at_start":$load10x%.2f,""" +
             f""""cold_read_sec":$coldSec%.3f,"cold_read_rows":$coldRows$cmpFull}""",
            f"""{"ev_s":${(events / sec).toLong}$marginalCompact,"cold_sec":$coldSec%.2f$cmpCompact}""")
         } catch {
@@ -586,6 +633,22 @@ object Bench {
     val gatewayFull = gateway(spark, enabled = only.isEmpty)
     val gatewayCompact = gatewayFull._2
 
+    // host + per-query churn evidence (see the SELF-ADJUDICATING SWEEP
+    // comment above): load at bench start / after the query sweep / at end,
+    // steal share over the whole run, and the nonzero warm-rep churn
+    // entries. An elevated median with zero churn and elevated load is the
+    // host; churn with flat load is the engine.
+    val loadEnd = hostLoad()
+    val (steal1, jiffies1) = cpuStat()
+    val stealPct =
+      if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0) else 0.0
+    val hostJson =
+      f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
+        f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f}"""
+    val healthJson = queryHealth.map { case (n, (b, sp, dr)) =>
+      s""""$n":{"memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr}"""
+    }.mkString("{", ",", "}")
+
     // TWO artifacts:
     //  - BENCH_FULL.json: everything at full precision (queries median/min/
     //    first-touch, ingest, 10x, gateway scenario detail, micro) — written
@@ -600,6 +663,7 @@ object Bench {
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
       s""""dedup_recall":$dedupRecall,"retrieval_quality":$retrievalQuality,""" +
       s""""query_scale":$qScale,""" +
+      s""""host":$hostJson,"query_health":$healthJson,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
     // the committed full-run artifact with a near-empty one — they write a
@@ -624,6 +688,9 @@ object Bench {
     // live at full precision in BENCH_FULL.json) until it fits, and say so.
     def assemble(micro: Boolean, gw: Boolean, ft: Boolean, qmap: Boolean = true): String =
       f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
+        // host load start/after-sweep/end + warm-rep churn count: enough to
+        // adjudicate an elevated median from the compact line alone
+        f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f","churn":${queryHealth.size},""" +
         (if (qmap) f""""queries":${q2(_._3)},"""
          // the per-query map is the line's dominant block (~25 chars/query);
          // past ~75 queries even a fully-shed line overflows the tail, so

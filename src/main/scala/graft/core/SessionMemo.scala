@@ -36,7 +36,7 @@ final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => 
       bySession.put(s, m)
       m
     }
-    inner.getOrElseUpdate(key, build)
+    inner.getOrElseUpdate(key, { SessionMemo.noteBuild(); build })
   }
 
   /** Drop everything memoized for `s`, running `onEvict` (unpersist) on
@@ -60,6 +60,15 @@ final class SessionMemo[V](maxSessions: Int = 8, onEvict: V => Unit = (_: V) => 
 }
 
 object SessionMemo {
+  /** Process-wide count of memo BUILDS (getOrElseUpdate misses) across all
+    * memos. The bench snapshots it around each query's warm reps: a nonzero
+    * delta there means a memoized index/frame was evicted and re-pinned
+    * mid-sweep (the round-11 bench-regression class) — mechanical evidence
+    * for adjudicating elevated medians instead of prose. */
+  private val buildCounter = new java.util.concurrent.atomic.AtomicLong()
+  def buildCount: Long = buildCounter.get
+  private def noteBuild(): Unit = { buildCounter.incrementAndGet(); () }
+
   /** Every live memo, weakly — so [[release]] can sweep all of them
     * without memos outliving their owners. */
   private val instances =

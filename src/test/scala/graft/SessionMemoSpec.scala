@@ -27,6 +27,19 @@ class SessionMemoSpec extends AnyFunSuite {
     assert(evicted.toSeq === Seq("a", "a2"))
   }
 
+  test("buildCount ticks on misses only — the bench's mid-sweep rebuild detector") {
+    val memo = new SessionMemo[String]()
+    val c0 = SessionMemo.buildCount
+    assert(memo.getOrElseUpdate(spark, "k")("v") === "v")
+    assert(SessionMemo.buildCount === c0 + 1, "a build must tick the counter")
+    assert(memo.getOrElseUpdate(spark, "k")(fail("must be memoized")) === "v")
+    assert(SessionMemo.buildCount === c0 + 1, "a hit must NOT tick the counter")
+    memo.remove(spark, "k")
+    assert(memo.getOrElseUpdate(spark, "k")("v2") === "v2")
+    assert(SessionMemo.buildCount === c0 + 2, "an evicted key's rebuild must tick — " +
+      "this is exactly the round-11 bench-regression signal")
+  }
+
   test("release(session) unpersists memoized cached frames across ALL memos") {
     // a DEDICATED session: release() sweeps every memo in the process for
     // the given session, so releasing the shared test session here would
