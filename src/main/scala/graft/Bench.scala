@@ -140,7 +140,8 @@ object Bench {
         () => llm.LlmQueries.evictSimSignatures(spark, sfDir)),
       (Set("d6_dedup_clusters", "d7_curation_split", "d20_cluster_canon"),
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
-      (Set("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "ann_ivfsq_topk",
+      (Set("ann_incremental_add", "ann_ivf_probe", "ann_ivf_probe2",
+           "ann_ivfpq_topk", "ann_ivfsq_topk",
            "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",
            "r5_bitext_mining"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
@@ -468,9 +469,25 @@ object Bench {
           c -> recallAgainst(rankedDf(llm.LlmQueries.pqTopkAt(spark, sfDir, c)), llm.LlmQueries.TopK)
         }
         val pqCurveJson = pqCurve.map { case (c, r) => f""""$c":$r%.3f""" }.mkString("{", ",", "}")
+        // incremental-admission recall: the probe-2 plan over the MERGED
+        // index (trained cells + batch added WITHOUT retrain) against the
+        // exact brute truth over the same merged vector set. Compared with
+        // ivf_probe2 (same plan, no batch), the delta is the recall cost
+        // of admission — the number that decides when drift warrants a
+        // re-train.
+        val incTruth = rankedDf(llm.LlmQueries.incrementalBrute(spark, sfDir))
+        val incGot   = rankedDf(llm.LlmQueries.incrementalProbe(spark, sfDir))
+        val incR = {
+          val per = incTruth.toSeq.map { case (q, nr) =>
+            val truth = nr.collect { case (n, r) if r <= 3 => n }.toSet
+            val g = incGot.getOrElse(q, Map.empty).collect { case (n, r) if r <= 3 => n }.toSet
+            if (truth.isEmpty) 1.0 else g.intersect(truth).size.toDouble / truth.size
+          }
+          per.sum / math.max(1, per.size)
+        }
         // probe1 vs probe2 is the recall/speed lever a deployment tunes —
         // record both so the tradeoff is visible round-over-round
-        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_probe_curve":$curveJson,"pq_refine_curve":$pqCurveJson}"""
+        f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_incremental":$incR%.3f,"ivf_probe_curve":$curveJson,"pq_refine_curve":$pqCurveJson}"""
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft-bench] ann recall failed: $e"); "null"

@@ -51,6 +51,11 @@ object LlmQueries {
   val IncrEvery = 5L
   val IncrSlot  = 0L
 
+  /** ann_incremental_add: id offset that makes the synthesized vector
+    * batch disjoint from every corpus vec_id at any SF (the qscale shift
+    * constant applied to the ANN admission path). */
+  val IncrIdShift = 1000000000L
+
   /** d16: the enforced batch-size bound of the incremental-admission
     * contract. Every batch-proportional frame in d16 rides a broadcast
     * (bands, shingle sets, candidates); 2^22 band rows ≈ a few hundred
@@ -772,6 +777,67 @@ object LlmQueries {
               col("payload").as("centroid_id"))
   }
 
+  /** ann_incremental_add's synthesized arriving batch: every
+    * [[IncrEvery]]-th corpus vector under a shared cyclic half-rotation of
+    * its coordinates, with ids shifted by [[IncrIdShift]]. A shared
+    * coordinate permutation preserves inner products AMONG batch vectors
+    * (the batch inherits the corpus's pair structure), while a rotated
+    * vector is cosine-unrelated to its own source — i.e. genuinely NEW
+    * vectors drawn from the corpus distribution, the qscale replica trick
+    * applied to admission. */
+  private def incrementalBatch(s: SparkSession, dir: String): DataFrame = {
+    val rot = EmbeddingDim / 2
+    emb(s, dir).filter(col("vec_id") % IncrEvery === IncrSlot)
+      .select((col("vec_id") + IncrIdShift).as("vec_id"),
+        expr(s"concat(slice(v, ${rot + 1}, ${EmbeddingDim - rot}), slice(v, 1, $rot))").as("v"))
+  }
+
+  /** The FAISS `add` path: assign the arriving batch to the nearest
+    * TRAINED cell — broadcast(k centroids) × batch, the identical
+    * max_by-argmax shape (and tie-break) as [[ivfIndex]]'s corpus
+    * assignment, with NO retraining. The batch never shuffles. */
+  private def incrementalAssigned(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = ivfIndex(s, dir)
+    incrementalBatch(s, dir).crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
+                  struct(col("c_sim").as("s"), (-col("c_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.centroid_id").as("centroid_id"))
+  }
+
+  /** Bench probe: the ann_ivf_probe2 plan run over the MERGED index
+    * (trained corpus assignment ∪ incrementally added batch). Its recall
+    * against [[incrementalBrute]] is the quality cost of admission without
+    * retrain — the number a production FAISS deployment watches to decide
+    * when the drifted index needs a re-train. */
+  private[graft] def incrementalProbe(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = ivfIndex(s, dir)
+    val merged = assigned.unionByName(incrementalAssigned(s, dir))
+    val probes = probeSelect(assigned, cents, IvfProbes)
+    val scored = merged.join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+    topkPerQuery(scored, 3, col("centroid_id").cast("long"))
+      .select(col("q_id"), col("rank"), col("neighbor_id"),
+              col("payload").as("centroid_id"))
+  }
+
+  /** Bench truth for [[incrementalProbe]]: exact brute-force top-3 over the
+    * same merged vector set (corpus ∪ batch). */
+  private[graft] def incrementalBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val merged = e.select(col("vec_id"), col("v"))
+      .unionByName(incrementalBatch(s, dir))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = merged.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+    topkPerQuery(scored, 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Parametric PQ search: the `ann_pq_topk` plan with a caller-chosen
     * refine cut (candidates kept per query before the exact re-rank).
     * `ann_pq_topk` delegates here with [[PqCandidates]]; Bench sweeps the
@@ -1029,8 +1095,8 @@ object LlmQueries {
     *   - simhash signatures (simSigCache): d10, d11
     *   - dedup clusters (clusterCache): d6, d7, d20
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
-    *     ann_ivfpq_topk, ann_ivfsq_topk, d13_semdedup, d15_cell_skew_audit,
-    *     r2_hybrid_retrieve, r5_bitext_mining
+    *     ann_ivfpq_topk, ann_ivfsq_topk, ann_incremental_add, d13_semdedup,
+    *     d15_cell_skew_audit, r2_hybrid_retrieve, r5_bitext_mining
     *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
@@ -2351,6 +2417,33 @@ object LlmQueries {
       ivfProbeAt(s, dir, IvfProbes)
     },
 
+    // ---------- ANN: incremental admission — add a batch to the TRAINED index ----------
+    "ann_incremental_add" -> { (s, dir) =>
+      // d16's admission discipline applied to the ANN family (the
+      // production FAISS `add` path): a NEW vector batch joins the index
+      // WITHOUT retraining — each arriving vector is assigned to its
+      // nearest TRAINED cell ([[incrementalAssigned]]: broadcast
+      // centroids, map-side argmax, the batch never shuffles) — and the
+      // audit reports per-cell occupancy drift, the signal a deployment
+      // watches to decide when accumulated drift warrants a re-train.
+      // Scale shape: the only exchanges are the two bounded (≤ cells)
+      // occupancy rollups; their join is cell-keyed over ≤ cells rows.
+      // Integer counts + permille end to end, so the row set hash-gates
+      // against the oracle's independently trained k-means chain.
+      val (_, assigned) = ivfIndex(s, dir)
+      val before = assigned.groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n_before"))
+      val added = incrementalAssigned(s, dir)
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n_added"))
+      before.join(added, Seq("centroid_id"), "full_outer")
+        .select(col("centroid_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"))
+        .withColumn("n_after", col("n_before") + col("n_added"))
+        .withColumn("drift_permille", expr("(1000 * n_added) div greatest(n_before, 1L)"))
+    },
+
     // ---------- ANN: int8 scalar quantization + exact re-rank ----------
     "ann_sq_topk" -> { (s, dir) =>
       // SQ8: each dimension is affinely mapped to an int8 code using the
@@ -2972,6 +3065,38 @@ object LlmQueries {
          |       COALESCE(SUM(CASE WHEN sz * (SELECT nc FROM kc) > 4 * (SELECT n FROM tot) THEN 1 ELSE 0 END), 0)::BIGINT AS n_hot_cells,
          |       COALESCE(SUM(CASE WHEN sz * (SELECT nc FROM kc) > 4 * (SELECT n FROM tot) THEN sz ELSE 0 END), 0)::BIGINT AS n_hot_rows
          |FROM sizes""".stripMargin
+
+    // Incremental-add twin: the same trained chain, the same cyclic
+    // half-rotation batch (list slicing copies components verbatim — no
+    // float arithmetic to disagree on), row_number argmax with the
+    // max_by tie-break, identical integer occupancy/permille rollup.
+    val rotAt = EmbeddingDim / 2
+    val incAddSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |batch AS (
+         |  SELECT vec_id + $IncrIdShift AS vec_id,
+         |         v[${rotAt + 1}:$EmbeddingDim] || v[1:$rotAt] AS v
+         |  FROM e WHERE vec_id % $IncrEvery = $IncrSlot),
+         |badd AS (
+         |  SELECT vec_id, c_id AS centroid_id FROM (
+         |    SELECT b.vec_id, c.c_id,
+         |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |             list_inner_product(b.v, c.cv) / (sqrt(list_inner_product(b.v, b.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+         |             c.c_id) AS rn
+         |    FROM batch b, c$KMeansIters c)
+         |  WHERE rn = 1),
+         |nb AS (SELECT centroid_id, count(*)::BIGINT AS n_before FROM assigned GROUP BY 1),
+         |na AS (SELECT centroid_id, count(*)::BIGINT AS n_added FROM badd GROUP BY 1)
+         |SELECT coalesce(nb.centroid_id, na.centroid_id)::BIGINT AS centroid_id,
+         |       coalesce(n_before, 0)::BIGINT AS n_before,
+         |       coalesce(n_added, 0)::BIGINT AS n_added,
+         |       (coalesce(n_before, 0) + coalesce(n_added, 0))::BIGINT AS n_after,
+         |       ((1000 * coalesce(n_added, 0)) // greatest(coalesce(n_before, 0), 1))::BIGINT AS drift_permille
+         |FROM nb FULL JOIN na ON nb.centroid_id = na.centroid_id""".stripMargin
 
     val ivfSql2 =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3642,6 +3767,7 @@ object LlmQueries {
       "r5_bitext_mining" -> bitextSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
+      "ann_incremental_add" -> incAddSql,
       "ann_sq_topk"    -> sqSql,
       "ann_pq_topk"    -> pqSql,
       // e4 twin: the shared pqIndexCtes reconstruction (`x` — per-vector

@@ -30,7 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
         "d19_containment", "t26_source_overlap", "e2_embedding_outliers",
         "d20_cluster_canon", "e3_quantization_error", "r7_rocchio_prf",
         "d21_banding_loss", "m5_image_phash", "d22_split_leakage",
-        "e4_pq_error").foreach { q =>
+        "e4_pq_error", "ann_incremental_add").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must stay bucket-local")
     }
@@ -43,7 +43,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // LocalTableScan in any trained-cell plan means a driver-side collect
     // of the centroids crept back in and silently re-capped k.
     Seq("ann_ivf_probe", "ann_ivf_probe2", "ann_ivfpq_topk", "d13_semdedup",
-        "d15_cell_skew_audit", "r2_hybrid_retrieve", "r5_bitext_mining")
+        "d15_cell_skew_audit", "r2_hybrid_retrieve", "r5_bitext_mining",
+        "ann_incremental_add")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("LocalTableScan"),
@@ -262,6 +263,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["),
       "the selection threshold comes from the memoized two-phase prefix sum — " +
         "an unpartitioned cum-sum window here serializes the distinct-importance frame at scale")
+  }
+
+  test("ann_incremental_add: centroids broadcast to the batch assign; no window, no retrain scan") {
+    // the FAISS add path's scale contract: the arriving batch is assigned
+    // map-side against BROADCAST trained centroids (never re-shuffled, no
+    // Lloyd update re-run), and the occupancy audit folds through plain
+    // bounded aggregates — no window anywhere
+    val p = plan("ann_incremental_add")
+    assert(p.contains("BroadcastExchange"),
+      "trained centroids must broadcast onto the batch scan")
+    assert(!p.contains("Window ["), "occupancy rollups are plain aggregates, never a window")
+    assert(p.contains("max_by"), "cell assignment must be the partial-aggregatable max_by argmax")
   }
 
   test("t21_hll_cardinality: one register shuffle, no window, no cartesian") {
