@@ -372,12 +372,20 @@ object Bench {
                 expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
             }
           })
+          // d17/t25 expected regime (the two slowest honest-cost queries):
+          // both explode gram volume linearly in corpus chars, fold through
+          // partial-aggregatable (doc, gram) counts, and join back on
+          // doc_id — so the 4x ratio should track t25's recorded ~1.3
+          // (sub-linear: fixed plan/codegen cost amortizes, gram work
+          // scales with data). A ratio approaching 4 means a gram-keyed
+          // stage stopped combining map-side.
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
                             "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn",
                             "t21_hll_cardinality", "t23_langid", "r5_bitext_mining",
-                            "t24_dsir_select", "t25_gopher_repetition")
+                            "t24_dsir_select", "t25_gopher_repetition",
+                            "d17_substring_dedup")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -398,7 +406,7 @@ object Bench {
                           "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh",
                           "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23",
                           "r5_bitext_mining" -> "r5", "t24_dsir_select" -> "t24",
-                          "t25_gopher_repetition" -> "t25")
+                          "t25_gopher_repetition" -> "t25", "d17_substring_dedup" -> "d17")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
