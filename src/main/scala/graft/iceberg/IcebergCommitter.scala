@@ -237,8 +237,20 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * forward from the parent summary). */
   def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long,
                     watermarks: Map[Int, Long] = Map.empty,
-                    operation: String = "replace"): CommitResult =
-    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks, Map.empty, None) }
+                    operation: String = "replace",
+                    removedDeletes: Seq[DataFile] = Nil): CommitResult =
+    synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks,
+                          Map.empty, None, removedDeletes = removedDeletes) }
+
+  /** Merge-on-read row-level DELETE commit: position-delete files (Iceberg
+    * v2 content=1) enter the table through their own delete manifest —
+    * data files are untouched, readers anti-join the positions at scan.
+    * CAS on `expectedBase`: the positions were derived from that snapshot's
+    * files, so any foreign commit in between (a compaction would renumber
+    * positions) must fail this commit instead of corrupting rows. */
+  def commitDeletes(deleteFiles: Seq[DataFile], expectedBase: Long): CommitResult =
+    synchronized { commit(Nil, Nil, expectedSnapshotId = Some(expectedBase), operation = "delete",
+                          Map.empty, Map.empty, None, addedDeletes = deleteFiles) }
 
   /** Write-audit-publish, stage half: commits the snapshot into the
     * metadata WITHOUT advancing the current pointer — readers keep seeing
@@ -286,7 +298,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       watermarks: Map[Int, Long],
       extraSummary: Map[String, String],
       expectedBaseVersion: Option[Int],
-      stageOnly: Boolean = false
+      stageOnly: Boolean = false,
+      addedDeletes: Seq[DataFile] = Nil,
+      removedDeletes: Seq[DataFile] = Nil
   ): CommitResult = {
     val (baseVersion, baseMeta) = resolveCurrent()
     val base = baseMeta.getOrElse(TableMetadata.create(s"table://$topic", schema))
@@ -307,48 +321,83 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val schemaJson = mapper.writeValueAsString(curSchema.toNode(mapper))
     val specJson   = base.partitionSpecs.head.fieldsJson(mapper)
 
-    // One new manifest holding this commit's added + deleted entries.
-    val entries =
+    // One new manifest holding this commit's added + deleted DATA entries
+    // (skipped when the commit touches only delete files), plus — for
+    // merge-on-read commits — a SECOND manifest (content=1, meta
+    // content="deletes") holding position-delete file entries. Data and
+    // delete files never share a manifest (the Iceberg v2 rule that lets
+    // readers route by the list entry's content int alone).
+    val writtenManifests = scala.collection.mutable.ArrayBuffer.empty[String]
+    def writeManifestOf(entries: Seq[ManifestEntry], content: Int): ManifestListEntry = {
+      val name  = s"$metaDir/${UUID.randomUUID()}-m${writtenManifests.size}.avro"
+      val bytes = ManifestIO.writeManifest(entries, schemaJson, specJson,
+                                           if (content == 1) "deletes" else "data")
+      io.put(name, bytes)
+      writtenManifests += name
+      val adds = entries.filter(_.status != 2).map(_.dataFile)
+      val dels = entries.filter(_.status == 2).map(_.dataFile)
+      ManifestListEntry(
+        manifestPath = name,
+        manifestLength = bytes.length.toLong,
+        partitionSpecId = 0,
+        content = content,
+        sequenceNumber = seqNum,
+        minSequenceNumber = seqNum,
+        addedSnapshotId = snapshotId,
+        addedFilesCount = adds.size,
+        existingFilesCount = 0,
+        deletedFilesCount = dels.size,
+        addedRowsCount = adds.map(_.recordCount).sum,
+        existingRowsCount = 0,
+        deletedRowsCount = dels.map(_.recordCount).sum
+      )
+    }
+    val dataEntries =
       added.map(f => ManifestEntry(1, snapshotId, f)) ++
         removed.map(f => ManifestEntry(2, snapshotId, f))
-    val manifestName  = s"$metaDir/${UUID.randomUUID()}-m0.avro"
-    val manifestBytes = ManifestIO.writeManifest(entries, schemaJson, specJson)
-    io.put(manifestName, manifestBytes)
+    val deleteEntries =
+      addedDeletes.map(f => ManifestEntry(1, snapshotId, f.copy(content = 1))) ++
+        removedDeletes.map(f => ManifestEntry(2, snapshotId, f.copy(content = 1)))
+    // the data manifest is written unconditionally for data-bearing commits
+    // (byte-compatible with every pre-MoR commit); a pure delete commit
+    // writes only its delete manifest
+    val newEntries =
+      (if (dataEntries.nonEmpty || deleteEntries.isEmpty) Seq(writeManifestOf(dataEntries, 0)) else Nil) ++
+        (if (deleteEntries.nonEmpty) Seq(writeManifestOf(deleteEntries, 1)) else Nil)
 
     // Carry forward the parent's manifest list (cumulative list semantics).
     val parentList: Seq[ManifestListEntry] = base.currentSnapshot match {
       case Some(s) => IcebergCommitter.cachedManifestList(io, s.manifestList)
       case None    => Nil
     }
-    val newEntry = ManifestListEntry(
-      manifestPath = manifestName,
-      manifestLength = manifestBytes.length.toLong,
-      partitionSpecId = 0,
-      content = 0,
-      sequenceNumber = seqNum,
-      minSequenceNumber = seqNum,
-      addedSnapshotId = snapshotId,
-      addedFilesCount = added.size,
-      existingFilesCount = 0,
-      deletedFilesCount = removed.size,
-      addedRowsCount = added.map(_.recordCount).sum,
-      existingRowsCount = 0,
-      deletedRowsCount = removed.map(_.recordCount).sum
-    )
-    val listEntries = parentList :+ newEntry
+    val listEntries = parentList ++ newEntries
     val listName    = s"$metaDir/snap-$snapshotId-1-${UUID.randomUUID()}.avro"
     io.put(listName, ManifestIO.writeManifestList(listEntries))
 
     // Cumulative totals over the whole manifest list (adds − deletes),
     // matching the reference's fold (`iceberg_storage.rs:973-983`).
-    val totalRows  = listEntries.map(e => e.addedRowsCount - e.deletedRowsCount).sum
-    val totalFiles = listEntries.map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    // DATA manifests only: position-delete files are tracked by their own
+    // keys below, never folded into record/file totals.
+    val totalRows  = listEntries.filter(_.content == 0).map(e => e.addedRowsCount - e.deletedRowsCount).sum
+    val totalFiles = listEntries.filter(_.content == 0).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    val totalDeleteFiles = listEntries.filter(_.content == 1).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    val totalPositionDeletes = listEntries.filter(_.content == 1).map(e => e.addedRowsCount - e.deletedRowsCount).sum
 
     val parentSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     val wmKeys = watermarks.map { case (p, wm) => s"zombi.watermark.$p" -> wm.toString } ++
       watermarks.map { case (p, wm) => s"zombi.high_watermark.$p" -> wm.toString }
     // Watermarks are monotonic: carry forward any partition not updated here.
     val carriedWm = parentSummary.filter { case (k, _) => k.startsWith("zombi.") && !wmKeys.contains(k) }
+    // delete-file accounting keys appear only once the table actually has
+    // (or had) a delete manifest — delete-free tables keep byte-identical
+    // summaries to the pre-MoR writer
+    val deleteKeys =
+      if (listEntries.exists(_.content == 1))
+        Map("added-delete-files"     -> addedDeletes.size.toString,
+            "removed-delete-files"   -> removedDeletes.size.toString,
+            "total-delete-files"     -> totalDeleteFiles.toString,
+            "total-position-deletes" -> totalPositionDeletes.toString)
+      else Map.empty[String, String]
     val summary = Map(
       "operation"          -> operation,
       "added-data-files"   -> added.size.toString,
@@ -358,7 +407,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       "deleted-records"    -> removed.map(_.recordCount).sum.toString,
       "total-records"      -> totalRows.toString,
       "total-data-files"   -> totalFiles.toString
-    ) ++ carriedWm ++ wmKeys ++ extraSummary
+    ) ++ deleteKeys ++ carriedWm ++ wmKeys ++ extraSummary
 
     val now = System.currentTimeMillis()
     val snapshot = Snapshot(snapshotId, base.currentSnapshotId, now, listName, summary, base.currentSchemaId)
@@ -375,7 +424,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     )
 
     val wonVersion = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
-      io.delete(manifestName); io.delete(listName)
+      writtenManifests.foreach(io.delete); io.delete(listName)
       throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)")
     }
     io.put(s"$metaDir/version-hint.text", wonVersion.toString.getBytes("UTF-8"))
@@ -421,12 +470,21 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * once), so parses are cached per absolute path — repeated metadata
     * queries never re-read the full chain (the reference caches the same
     * way, `/root/reference/src/storage/iceberg_storage.rs:50-53,763-898`). */
-  def currentEntries(): Seq[ManifestEntry] = load() match {
+  def currentEntries(): Seq[ManifestEntry] = currentEntriesOf(content = 0)
+
+  /** Current position-delete manifest entries (Iceberg v2 content=1). */
+  def currentDeleteEntries(): Seq[ManifestEntry] = currentEntriesOf(content = 1)
+
+  /** Entries of the current snapshot, routed by the manifest LIST entry's
+    * content int — data (0) and position-delete (1) manifests are disjoint
+    * by construction, so the filter is the complete routing rule. */
+  private def currentEntriesOf(content: Int): Seq[ManifestEntry] = load() match {
     case None => Nil
     case Some(meta) =>
       meta.currentSnapshot.toSeq.flatMap { s =>
         IcebergCommitter
           .cachedManifestList(io, s.manifestList)
+          .filter(_.content == content)
           .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
       }
   }
@@ -439,10 +497,11 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
   /** [[entriesAt]] against an ALREADY-LOADED metadata — for callers that
     * must resolve several snapshots of one consistent table version. */
-  private def entriesOf(meta: TableMetadata, snapshotId: Long): Seq[ManifestEntry] =
+  private def entriesOf(meta: TableMetadata, snapshotId: Long, content: Int = 0): Seq[ManifestEntry] =
     meta.snapshots.find(_.snapshotId == snapshotId).toSeq.flatMap { s =>
       IcebergCommitter
         .cachedManifestList(io, s.manifestList)
+        .filter(_.content == content)
         .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
     }
 
@@ -463,6 +522,11 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
   /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */
   def activeDataFiles(): Seq[DataFile] = resolveActive(currentEntries())
+
+  /** Active position-delete files — the merge-on-read read path anti-joins
+    * their (file_path, pos) rows at scan; compaction folds and removes
+    * them. Same add/remove-by-path resolution as data files. */
+  def activeDeleteFiles(): Seq[DataFile] = resolveActive(currentDeleteEntries())
 
   /** Active files as of a historical snapshot (time-travel read). */
   def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))

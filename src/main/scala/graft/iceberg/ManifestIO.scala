@@ -98,7 +98,12 @@ object ManifestIO {
   lazy val entrySchema: Schema = new Schema.Parser().parse(entrySchemaJson)
   lazy val listSchema: Schema  = new Schema.Parser().parse(listSchemaJson)
 
-  def writeManifest(entries: Seq[ManifestEntry], schemaJson: String, partitionSpecJson: String): Array[Byte] = {
+  /** `content`: "data" for data-file manifests, "deletes" for position-
+    * delete manifests (the Iceberg v2 file-metadata key — readers route
+    * manifests by the manifest LIST entry's content int; this key is the
+    * in-file mirror the spec requires). */
+  def writeManifest(entries: Seq[ManifestEntry], schemaJson: String, partitionSpecJson: String,
+                    content: String = "data"): Array[Byte] = {
     val out    = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("schema", schemaJson)
@@ -106,7 +111,7 @@ object ManifestIO {
     writer.setMeta("partition-spec", partitionSpecJson)
     writer.setMeta("partition-spec-id", "0")
     writer.setMeta("format-version", "2")
-    writer.setMeta("content", "data")
+    writer.setMeta("content", content)
     writer.create(entrySchema, out)
     val dfSchema = entrySchema.getField("data_file").schema()
     entries.foreach { e =>

@@ -179,6 +179,13 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * `VERSION AS OF` / `TIMESTAMP AS OF` time travel). */
   override def planInputPartitions(): Array[InputPartition] = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
+    // fail loud (the streaming-cursor rule applied to MoR): this scan does
+    // not fold position-delete files yet — silently returning masked rows
+    // would be wrong-data, not degraded-perf. EventTable.readCommitted is
+    // the MoR-correct read; or fold the deletes (compaction) first.
+    require(committer.activeDeleteFiles().isEmpty,
+      "graft V2 scan does not apply merge-on-read delete files: read via " +
+        "EventTable.readCommitted or compact to fold the deletes first")
     snapshotId.map(committer.activeDataFilesAt).getOrElse(committer.activeDataFiles())
       .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
       .map(f => GraftInputPartition(tableRoot, f.filePath))

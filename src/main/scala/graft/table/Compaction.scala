@@ -115,7 +115,45 @@ object Compaction {
     val candidates = selectCandidatesDistributed(spark, committer.activeDataFiles(), cfg)
     if (candidates.isEmpty) return None
 
-    val df = EventTable.readForRewrite(spark, tableRoot, candidates)
+    // Merge-on-read fold: the rewrite APPLIES active position deletes (a
+    // rewrite that ignored them would renumber positions and resurrect the
+    // masked rows in the new files), and delete files whose references are
+    // entirely within the rewritten set are REMOVED in the same commit —
+    // compaction is how MoR deletes get physically reclaimed. A delete
+    // file also referencing untouched files stays active: its entries for
+    // rewritten basenames point at now-inactive names and match nothing.
+    val activeDeletes = committer.activeDeleteFiles()
+    val df0 = EventTable.readForRewrite(spark, tableRoot, candidates)
+    val df =
+      if (activeDeletes.isEmpty) df0
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col, expr}
+        // identity = last two path segments + row_index (see
+        // EventTable.morKeyOf — bare basenames collide across partition
+        // dirs of one write job)
+        val keys = spark.read.parquet(activeDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(expr("substring_index(file_path, '/', -2)").as("_mor_fkey"),
+                  col("pos").as("_mor_pos"))
+        df0.withColumn("_mor_fkey", expr("substring_index(_metadata.file_path, '/', -2)"))
+          .withColumn("_mor_pos", col("_metadata.row_index"))
+          .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+          .drop("_mor_fkey", "_mor_pos")
+      }
+    val candidateKeys = candidates.map(f => EventTable.morKeyOf(f.filePath)).toSet
+    val activeKeys    = committer.activeDataFiles().map(f => EventTable.morKeyOf(f.filePath)).toSet
+    val foldedDeletes = activeDeletes.filter { d =>
+      // referenced file keys per delete file: distinct over a
+      // matched-rows-sized file, driver-bounded decision values. A
+      // reference blocks folding only while it is still LIVE outside this
+      // run's candidates — references to files an EARLIER rewrite already
+      // replaced are dead (that rewrite applied the deletes), so a
+      // partition-spanning delete file still folds once the runs have
+      // covered its last live reference.
+      spark.read.parquet(s"$tableRoot/${d.filePath}")
+        .select(org.apache.spark.sql.functions.expr("substring_index(file_path, '/', -2)"))
+        .distinct().collect().map(_.getString(0))
+        .forall(k => candidateKeys.contains(k) || !activeKeys.contains(k))
+    }
     // Same layout + sort invariant as the original segments; re-sliced
     // toward cfg.targetFileSize by the size-aware writer (C2). writeData
     // returns EXACTLY the files this job wrote — a concurrent flush's
@@ -126,11 +164,14 @@ object Compaction {
 
     try {
       beforeCommit() // test hook: interleave a concurrent commit
-      val res = committer.commitReplace(candidates, added, base)
+      val res = committer.commitReplace(candidates, added, base, removedDeletes = foldedDeletes)
       // Old files are invisible now; eager physical delete matches the
       // reference (see Config.deleteReplacedFiles for the time-travel
       // preserving alternative).
-      if (cfg.deleteReplacedFiles) candidates.foreach(f => committer.io.delete(f.filePath))
+      if (cfg.deleteReplacedFiles) {
+        candidates.foreach(f => committer.io.delete(f.filePath))
+        foldedDeletes.foreach(f => committer.io.delete(f.filePath))
+      }
       Some(res)
     } catch {
       case c: CommitConflict =>

@@ -517,6 +517,11 @@ object EventTable {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val meta      = committer.load().getOrElse(return DeleteResult(0, 0, 0L, None))
     val base      = meta.currentSnapshotId.getOrElse(return DeleteResult(0, 0, 0L, None))
+    // fail loud, never resurrect: a copy-on-write rewrite of a file whose
+    // rows are masked by position-delete files would renumber positions
+    // and bring the masked rows back — fold the deletes (compaction) first
+    require(committer.activeDeleteFiles().isEmpty,
+      "table has merge-on-read delete files: run compaction to fold them before copy-on-write DELETE")
     val active    = committer.activeDataFiles()
     if (active.isEmpty) return DeleteResult(0, 0, 0L, None)
 
@@ -563,6 +568,105 @@ object EventTable {
     }
   }
 
+  /** Outcome of a merge-on-read delete. */
+  final case class MorDeleteResult(deleteFiles: Int, deletedRows: Long, snapshotId: Option[Long])
+
+  /** Merge-on-read row-level DELETE — the scale-safe alternative to
+    * [[deleteWhere]] under scattered update keys: instead of rewriting
+    * every file containing a match (copy-on-write degrades toward a
+    * full-table rewrite when matches scatter at 100 TB), the matching rows'
+    * (file_path, position) pairs are written to Iceberg-v2-style
+    * POSITIONAL DELETE FILES and committed through a content=1 delete
+    * manifest ([[graft.iceberg.IcebergCommitter.commitDeletes]]). Data
+    * files are untouched; every committed read anti-joins the positions at
+    * scan ([[applyPositionDeletes]]); compaction folds deletes into
+    * rewrites and drops the delete files ([[Compaction.compact]]).
+    *
+    * Scale shape: ONE scan over the table (the position column is the
+    * parquet reader's `_metadata.row_index` — physical, no window, no
+    * shuffle); prior deletes are excluded via the same broadcast anti-join
+    * so `deletedRows` is exact and re-deletes never duplicate; the
+    * written delete set is matched-rows-sized. NULL predicates keep rows,
+    * like [[deleteWhere]] (SQL three-valued semantics). */
+  def deleteWhereMor(spark: SparkSession, tableRoot: String,
+                     predicate: org.apache.spark.sql.Column): MorDeleteResult = {
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val meta      = committer.load().getOrElse(return MorDeleteResult(0, 0L, None))
+    val base      = meta.currentSnapshotId.getOrElse(return MorDeleteResult(0, 0L, None))
+    val active    = committer.activeDataFiles()
+    if (active.isEmpty) return MorDeleteResult(0, 0L, None)
+
+    val pred  = coalesce(predicate, lit(false))
+    val prior = committer.activeDeleteFiles()
+    val raw = readCommittedProjected(spark, tableRoot, active)
+      .withColumn("_mor_fkey", expr(morFileKey))
+      .withColumn("_mor_pos", col("_metadata.row_index"))
+    val live =
+      if (prior.isEmpty) raw
+      else {
+        val pk = spark.read.parquet(prior.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
+        raw.join(broadcast(pk), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+      }
+    // scan key → spec-relative path, driver-known from the manifests (the
+    // stored file_path is the full relative path the Iceberg spec wants)
+    import spark.implicits._
+    val rel = active.map(f => morKeyOf(f.filePath) -> f.filePath)
+      .toDF("_mor_fkey", "file_path")
+    val delRows = live.filter(pred)
+      .join(broadcast(rel), "_mor_fkey")
+      .select(col("file_path"), col("_mor_pos").cast("long").as("pos"))
+    val written = writeDeleteFiles(spark, tableRoot, delRows)
+    if (written.isEmpty) return MorDeleteResult(0, 0L, None)
+    try {
+      val res = committer.commitDeletes(written, base)
+      MorDeleteResult(written.size, written.map(_.recordCount).sum, Some(res.snapshotId))
+    } catch {
+      case c: graft.iceberg.CommitConflict =>
+        written.foreach(f => committer.io.delete(f.filePath))
+        throw c
+    }
+  }
+
+  /** Write a position-delete parquet (file_path string, pos long — the
+    * Iceberg v2 positional-delete schema, spec-sorted) under
+    * `data/deletes/`, returning content=1 descriptors. Returns Nil when no
+    * rows matched (no file, no commit). One file per call: delete sets are
+    * batch-sized by contract (compaction folds them before they grow). */
+  private def writeDeleteFiles(spark: SparkSession, tableRoot: String,
+                               delRows: DataFrame): Seq[DataFile] = {
+    val stagingAbs = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(tableRoot), s".staging/${java.util.UUID.randomUUID()}")
+    delRows.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.option("compression", "zstd")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(stagingAbs.toString)
+    val conf  = spark.sessionState.newHadoopConf()
+    val fs    = stagingAbs.getFileSystem(conf)
+    val rootP = new org.apache.hadoop.fs.Path(tableRoot)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(rootP, "data/deletes"))
+    val moved = fs.listStatus(stagingAbs).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val relPath = s"data/deletes/${java.util.UUID.randomUUID()}.parquet"
+        require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(rootP, relPath)),
+          s"failed to move delete file into $relPath")
+        relPath
+      }
+    fs.delete(stagingAbs, true)
+    val files = moved.map { relPath =>
+      val abs   = new org.apache.hadoop.fs.Path(rootP, relPath)
+      val rows  = spark.read.parquet(abs.toString).count()
+      DataFile(content = 1, filePath = relPath, fileFormat = "PARQUET",
+               recordCount = rows, fileSizeInBytes = fs.getFileStatus(abs).getLen,
+               lowerBounds = Map.empty, upperBounds = Map.empty)
+    }
+    files.filter(_.recordCount > 0) match {
+      case Nil => moved.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(rootP, p), false)); Nil
+      case fs2 => fs2
+    }
+  }
+
   /** Outcome of a copy-on-write MERGE (upsert). */
   final case class MergeResult(rewrittenFiles: Int, untouchedFiles: Int,
                                updatedRows: Long, insertedRows: Long, snapshotId: Option[Long])
@@ -591,6 +695,9 @@ object EventTable {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val meta      = committer.load().getOrElse(return MergeResult(0, 0, 0L, 0L, None))
     val base      = meta.currentSnapshotId.getOrElse(return MergeResult(0, 0, 0L, 0L, None))
+    // same resurrection hazard as deleteWhere: fold MoR deletes first
+    require(committer.activeDeleteFiles().isEmpty,
+      "table has merge-on-read delete files: run compaction to fold them before MERGE")
     val active    = committer.activeDataFiles()
     if (active.isEmpty) return MergeResult(0, 0, 0L, 0L, None)
 
@@ -778,14 +885,61 @@ object EventTable {
     * `basePath` recovers the identity `partition` column from the Hive
     * paths. An empty file list (e.g. everything pruned) yields an empty
     * DataFrame with the committed schema rather than a read error. */
-  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame =
+  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame = {
     // The metadata schema drives the read (the projected path): schema
     // INFERENCE would open parquet footers just to rediscover what the
     // Iceberg metadata already states — measured ~0.2 s of the cold
     // first-touch on a 32-file table, and a listing-scale cost at 100 TB
     // — and a footer-inferred read of a schema-evolved table could
     // silently drop evolved columns from files that predate them.
-    readCommittedProjected(spark, tableRoot, files)
+    //
+    // Merge-on-read: when the table carries position-delete files (x8),
+    // the scan is anti-joined against them — EVERY committed reader is
+    // MoR-correct, including pruned reads (deletes of pruned-away files
+    // simply match nothing). Delete-free tables skip this entirely (one
+    // cached manifest-list filter, no plan change).
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val dels      = committer.activeDeleteFiles()
+    val scanned   = Option(files).getOrElse(committer.activeDataFiles())
+    val df        = readCommittedProjected(spark, tableRoot, scanned)
+    // empty scan = the typed-empty-frame branch (no file scan → no
+    // _metadata column, and nothing for deletes to apply to anyway)
+    if (dels.isEmpty || scanned.isEmpty) df
+    else applyPositionDeletes(spark, tableRoot, dels, df)
+  }
+
+  /** The scan-side file identity for position-delete matching: the LAST
+    * TWO path segments (`partition=P/<name>.parquet`). A bare basename is
+    * NOT unique — the dynamic-partition writer names every file of one
+    * task `part-<task>-<job uuid>`, so two partition dirs of the same job
+    * collide on basename (measured: 5 of 150 delete rows mis-matching at
+    * sf0.001). Two segments are unique within a table (all data files live
+    * in `data/partition=P/`), and avoid `input_file_name`-style full-path
+    * URI-encoding mismatches. */
+  private val morFileKey    = "substring_index(_metadata.file_path, '/', -2)"
+  private val morStoredKey  = "substring_index(file_path, '/', -2)"
+  private[table] def morKeyOf(relPath: String): String = {
+    val i = relPath.lastIndexOf('/')
+    val j = if (i <= 0) -1 else relPath.lastIndexOf('/', i - 1)
+    relPath.substring(j + 1)
+  }
+
+  /** Anti-join active position-delete files onto a committed scan.
+    * Identity is ([[morFileKey]], row position): `_metadata.row_index` is
+    * the physical row ordinal Spark exposes for exactly this purpose — no
+    * window, no shuffle of the corpus; the delete set rides a broadcast
+    * (MoR's contract: deletes stay small because compaction folds them —
+    * a delete set too big to broadcast is the signal to fold now). The
+    * stored `file_path` stays the spec's full relative path. */
+  private def applyPositionDeletes(spark: SparkSession, tableRoot: String,
+                                   dels: Seq[DataFile], df: DataFrame): DataFrame = {
+    val keys = spark.read.parquet(dels.map(f => s"$tableRoot/${f.filePath}"): _*)
+      .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
+    df.withColumn("_mor_fkey", expr(morFileKey))
+      .withColumn("_mor_pos", col("_metadata.row_index"))
+      .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+      .drop("_mor_fkey", "_mor_pos")
+  }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at
     * scale: skip entire files before Spark ever lists them). Files without

@@ -180,6 +180,23 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Merge-on-read DELETE: two successive positional-delete passes (k
+    // divisible by 9, then sequence % 500 = 3) mask rows WITHOUT rewriting
+    // any data file — the read path anti-joins the delete files' (file,
+    // pos) rows at scan. The oracle applies the same two predicates over
+    // the raw derivation; NULL-k rows (every 13th event, the x4 trick)
+    // must survive pass 1 (SQL three-valued DELETE semantics on the MoR
+    // path too), and a row matching both passes must vanish exactly once.
+    "x8_mor_delete" -> { (s, dir) =>
+      val root = MorDeletedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Copy-on-write MERGE (upsert): every 11th event in partitions 0–3 has
     // its payload k shifted +100000 (matched → update), every 101st event
     // spawns a NEW row at the partition tail with k = -event_id (insert). The
@@ -303,6 +320,21 @@ object IcebergQueries {
     "v2_source_read" -> Oracle.sql(
       """SELECT sequence, part_id, timestamp_ms, props FROM evlog
         |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin),
+    // x8 twin: the same two delete predicates over the raw derivation —
+    // NULL-k rows survive the k-predicate (coalesce), both passes compose
+    // with AND, a doubly-matched row disappears exactly once.
+    "x8_mor_delete" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM (
+        |  SELECT * REPLACE (CASE WHEN event_id % 13 = 0
+        |                         THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+        |                         ELSE props END AS props)
+        |  FROM evlog)
+        |WHERE NOT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT) % 9 = 0, false)
+        |  AND NOT (sequence % 500 = 3)
+        |GROUP BY 1""".stripMargin),
     // MERGE semantics twin. The fixture recovers each row's ORIGINAL event
     // id from the idempotency key ('k<id>' — retry rows carry the retried
     // event's id), so the oracle does the same: update k+100000 where
@@ -373,6 +405,45 @@ object DeletedTables {
         val res = EventTable.deleteWhere(spark, root,
           expr("cast(get_json_object(cast(payload as string), '$.k') as int) % 7 = 0"))
         require(res.deletedRows > 0, "delete fixture must remove rows")
+        root
+      }
+    )
+  }
+}
+
+/** One merge-on-read-deleted table per (JVM, sfDir): the x4 ingest shape
+  * (fragmented, every 13th event's payload k-less so NULL-predicate
+  * semantics are genuinely gated), then TWO positional-delete passes with
+  * NO data-file rewrite. The fixture asserts what the oracle cannot see:
+  * the data-file set is byte-identical before and after (merge-on-read's
+  * whole point), exactly two delete files are active, and the masked-row
+  * accounting is exact across the passes. */
+object MorDeletedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-mor-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16),
+          mapLog = _.withColumn("props",
+            when(expr("event_id % 13 = 0"),
+                 concat(lit("{\"nk\": "), expr("get_json_object(props, '$.k')"), lit("}")))
+              .otherwise(col("props"))))
+        val committer = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
+        val before    = EventTable.readCommitted(spark, root).count()
+        val filesBefore = committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet
+        val r1 = EventTable.deleteWhereMor(spark, root,
+          expr("cast(get_json_object(cast(payload as string), '$.k') as bigint) % 9 = 0"))
+        require(r1.deletedRows > 0, "MoR pass 1 must mask rows")
+        val r2 = EventTable.deleteWhereMor(spark, root, expr("sequence % 500 = 3"))
+        require(r2.deletedRows > 0, "MoR pass 2 must mask rows")
+        require(committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet == filesBefore,
+          "merge-on-read must leave every data file byte-identical")
+        require(committer.activeDeleteFiles().size == 2,
+          s"expected one delete file per pass, got ${committer.activeDeleteFiles().size}")
+        require(EventTable.readCommitted(spark, root).count() == before - r1.deletedRows - r2.deletedRows,
+          "the MoR read must mask exactly the delete files' rows")
         root
       }
     )

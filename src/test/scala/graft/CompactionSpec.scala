@@ -94,6 +94,52 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("merge-on-read delete masks rows without rewriting files; compaction folds the delete files in") {
+    val root = Files.createTempDirectory("graft-mor-spec-").toString
+    // 32 fragments → every partition dir qualifies as a compaction group
+    // (≥3 files), so the fold loop can eventually cover every live
+    // reference of the partition-spanning delete file
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val before     = committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+
+    // pass 1: everything in one log partition; pass 2: a scattered slice —
+    // two delete files, overlapping file coverage
+    val r1 = EventTable.deleteWhereMor(spark, root, col("partition") === 3)
+    val r2 = EventTable.deleteWhereMor(spark, root, col("sequence") % 10 === 7)
+    assert(r1.deletedRows > 0 && r2.deletedRows > 0)
+    assert(committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet === before,
+      "merge-on-read must leave every data file byte-identical")
+    assert(committer.activeDeleteFiles().size === 2)
+    val masked = rowsBefore - r1.deletedRows - r2.deletedRows
+    assert(EventTable.readCommitted(spark, root).count() === masked)
+    assert(EventTable.readCommitted(spark, root).filter(col("partition") === 3).count() === 0)
+    // a re-delete of already-masked rows is a no-op (no commit, no file)
+    val versionBefore = committer.currentVersion()
+    val noop = EventTable.deleteWhereMor(spark, root, col("partition") === 3)
+    assert(noop.deletedRows === 0 && noop.snapshotId.isEmpty)
+    assert(committer.currentVersion() === versionBefore)
+    // copy-on-write ops refuse to run over unfolded deletes (resurrection)
+    intercept[IllegalArgumentException] {
+      EventTable.deleteWhere(spark, root, col("partition") === 2)
+    }
+
+    // compaction FOLDS: deletes applied to the rewrite, delete files
+    // removed from the table and from disk, masked rows stay gone
+    while (Compaction.compact(spark, root).isDefined) ()
+    assert(committer.activeDeleteFiles().isEmpty,
+      "a full compaction must fold and remove every delete file")
+    assert(EventTable.readCommitted(spark, root).count() === masked,
+      "folding must not resurrect masked rows")
+    assert(EventTable.readCommitted(spark, root).filter(col("sequence") % 10 === 7).count() === 0)
+    // physical reconciliation: no delete parquet left on disk
+    assert(EventTable.listParquet(root).size === committer.activeDataFiles().size)
+    // and the folded table is CoW-operable again
+    val cow = EventTable.deleteWhere(spark, root, col("partition") === 2)
+    assert(cow.deletedRows > 0)
+  }
+
   test("copy-on-write merge updates matched payloads, appends inserts, leaves unmatched files alone") {
     import org.apache.spark.sql.functions.expr
     import spark.implicits._
