@@ -143,7 +143,7 @@ object Bench {
       (Set("ann_incremental_add", "ann_ivf_probe", "ann_ivf_probe2",
            "ann_ivfpq_topk", "ann_ivfsq_topk",
            "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",
-           "r5_bitext_mining"),
+           "r5_bitext_mining", "w6_stream_bitext", "w6_mining_audit"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
       (Set("ann_sq_topk", "ann_ivfsq_topk", "e3_quantization_error"),
         () => llm.LlmQueries.evictSqIndex(spark, sfDir)),

@@ -1080,6 +1080,7 @@ object LlmQueries {
           }
       drop(streamDupSinkCache)
       drop(streamStageCache)
+      drop(bitextSinkCache)
     }
   }
 
@@ -1096,7 +1097,10 @@ object LlmQueries {
     *   - dedup clusters (clusterCache): d6, d7, d20
     *   - IVF index (ivfCache): ann_ivf_probe, ann_ivf_probe2,
     *     ann_ivfpq_topk, ann_ivfsq_topk, ann_incremental_add, d13_semdedup,
-    *     d15_cell_skew_audit, r2_hybrid_retrieve, r5_bitext_mining
+    *     d15_cell_skew_audit, r2_hybrid_retrieve, r5_bitext_mining,
+    *     w6_stream_bitext + w6_mining_audit (via the sink BUILD — dir-keyed,
+    *     so only their first touch trains, but that first touch must come
+    *     before the eviction hook fires)
     *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
@@ -1208,6 +1212,103 @@ object LlmQueries {
     * fragment — the one formula every embedding operator shares. */
   private def cosSim(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+
+  /** r5's margin miner between a static `a` side (a_id, av, cell) and a
+    * `b` side (b_id, bv, cell) — ONE definition shared by the batch
+    * operator (r5) and the streaming per-refresh pass (w6), so the mining
+    * semantics cannot drift between them. Cell-local pair join, bounded
+    * graft_topk neighborhoods per endpoint, mutual-NN gate, all-integer
+    * ratio margin (see r5's scale/parity notes). */
+  private[llm] def bitextMine(a: DataFrame, b: DataFrame): DataFrame = {
+    val pairs = a.join(b, "cell")
+      .withColumn("s1", expr(
+        s"1L + cast(floor((1.0D + ${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))) * $BitextFp) as bigint)"))
+      .select(col("cell"), col("a_id"), col("b_id"), col("s1"))
+    def side(key: String, other: String): DataFrame = pairs
+      .groupBy(col(key), col("cell"))
+      .agg(graft.functions.TopKByScore.column(
+        col("s1").cast("double"), col(other), col("s1"), BitextK).as("top"))
+      .select(col(key), col("cell"),
+        expr("top[0].id").as(s"${other}1"),
+        expr("top[0].payload").as("top_s1"),
+        expr("aggregate(top, 0L, (acc, t) -> acc + t.payload)").as(s"d_$key"),
+        size(col("top")).cast("long").as(s"k_$key"))
+    val fwd = side("a_id", "b_id")
+    val bwd = side("b_id", "a_id")
+      .select(col("b_id"), col("a_id1"), col("d_b_id"), col("k_b_id"))
+    fwd.join(bwd, col("b_id1") === col("b_id") && col("a_id1") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("cell").cast("long").as("cell"),
+        expr("(2000L * top_s1 * k_a_id * k_b_id) div (d_a_id * k_b_id + d_b_id * k_a_id)")
+          .as("margin_permille"))
+  }
+
+  /** w6: streaming bitext mining — the incremental pass a production
+    * alignment pipeline runs per corpus refresh. The odd-label side
+    * ("today's translation shard") arrives as a 3-drop file stream
+    * (deterministic shards: vec_id % 3); each micro-batch is assigned to
+    * the TRAINED IVF cells via broadcast centroids (the FAISS add path —
+    * arriving vectors are NOT in the index) and mined r5-style against the
+    * static even side, batch-local mutual NN. Stateless per refresh: the
+    * trained index is the only carried structure, so there is no keyed
+    * streaming state to cap — the audit (w6_mining_audit) instead gates
+    * per-refresh COMPLETENESS (every staged shard mined, batch sizes
+    * reconciled) and the cell fan-out. Sink is parquet, keyed by dir (any
+    * session reads the same files). */
+  private val bitextSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def streamBitextSink(s: SparkSession, dir: String): String = synchronized {
+    bitextSinkCache.getOrElseUpdate(dir, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val (cents, assigned) = ivfIndex(s, dir)
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val aSide = assigned.join(lab, "vec_id").filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("v").as("av"), col("centroid_id").as("cell"))
+      // stage the arriving side as 3 mtime-ordered shard files; drop
+      // identity travels IN the data (vec_id % 3), never via batch ids, so
+      // the sink is correct under any file-source ordering
+      val src = emb(s, dir).filter(col("label") % 2 === 1).select("vec_id", "v")
+      val srcSchema = src.schema
+      val staging = java.nio.file.Files.createTempDirectory("graft-w6-stage-").toString
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w6-tmp-").toString
+        src.filter(col("vec_id") % 3 === i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+        graft.core.FsUtil.deleteRecursively(tmp)
+      }
+      val sink = java.nio.file.Files.createTempDirectory("graft-w6-sink-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-w6-ckpt-").toString
+      Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+      val q = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // map-side admission against the broadcast trained centroids —
+            // identical argmax + tie-break to the index's own assignment,
+            // so the oracle can derive the cells from its assigned CTE
+            val b = batch.crossJoin(broadcast(cents))
+              .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+              .groupBy(col("vec_id"))
+              .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
+                          struct(col("c_sim").as("s"), (-col("c_id")).as("neg_id"))).as("best"))
+              .select(col("vec_id").as("b_id"), col("best.v").as("bv"),
+                      col("best.centroid_id").as("cell"))
+            bitextMine(aSide, b)
+              .withColumn("drop_id", pmod(col("b_id"), lit(3L)))
+              .write.mode("append").parquet(s"$sink/data")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$sink/data"
+    })
+  }
 
   /** The SINGLE-TABLE hyperplane-LSH bucketed embedding frame —
     * ann_lsh_nn's generator. Its planes are [[lshTabled]]'s table 0
@@ -2208,26 +2309,37 @@ object LlmQueries {
         .select(col("vec_id").as("a_id"), col("v").as("av"), col("centroid_id").as("cell"))
       val b = sided.filter(col("label") % 2 === 1)
         .select(col("vec_id").as("b_id"), col("v").as("bv"), col("centroid_id").as("cell"))
-      val pairs = a.join(b, "cell")
-        .withColumn("s1", expr(
-          s"1L + cast(floor((1.0D + ${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))) * $BitextFp) as bigint)"))
-        .select(col("cell"), col("a_id"), col("b_id"), col("s1"))
-      def side(key: String, other: String): DataFrame = pairs
-        .groupBy(col(key), col("cell"))
-        .agg(graft.functions.TopKByScore.column(
-          col("s1").cast("double"), col(other), col("s1"), BitextK).as("top"))
-        .select(col(key), col("cell"),
-          expr("top[0].id").as(s"${other}1"),
-          expr("top[0].payload").as("top_s1"),
-          expr("aggregate(top, 0L, (acc, t) -> acc + t.payload)").as(s"d_$key"),
-          size(col("top")).cast("long").as(s"k_$key"))
-      val fwd = side("a_id", "b_id")
-      val bwd = side("b_id", "a_id")
-        .select(col("b_id"), col("a_id1"), col("d_b_id"), col("k_b_id"))
-      fwd.join(bwd, col("b_id1") === col("b_id") && col("a_id1") === col("a_id"))
-        .select(col("a_id"), col("b_id"), col("cell").cast("long").as("cell"),
-          expr("(2000L * top_s1 * k_a_id * k_b_id) div (d_a_id * k_b_id + d_b_id * k_a_id)")
-            .as("margin_permille"))
+      bitextMine(a, b)
+    },
+
+    // ---------- streaming bitext: per-refresh mining of arriving shards ----------
+    "w6_stream_bitext" -> { (s, dir) =>
+      // The sink accumulated by the 3-drop streaming pass (see
+      // [[streamBitextSink]]): each arriving shard was admitted to the
+      // trained cells map-side and mined r5-style against the static even
+      // side. The oracle rebuilds every per-shard mining pass from the
+      // same trained chain, so a dropped shard, a wrong cell assignment,
+      // or drifted margin arithmetic all hash-fail.
+      s.read.parquet(streamBitextSink(s, dir))
+        .select(col("drop_id"), col("a_id"), col("b_id"), col("cell"), col("margin_permille"))
+    },
+    "w6_mining_audit" -> { (s, dir) =>
+      // Per-refresh completeness audit (the d12-audit discipline for a
+      // STATELESS streaming pass: nothing keyed to cap, so the gate is
+      // that every staged shard was mined and its cell fan-out is sane):
+      // batch sizes derive from the corpus arithmetic, mined counts from
+      // the sink — a silently skipped refresh shows as n_mined=0 against
+      // a nonzero n_batch.
+      val mined = s.read.parquet(streamBitextSink(s, dir))
+        .groupBy("drop_id")
+        .agg(count(lit(1)).as("n_mined"), countDistinct(col("cell")).as("n_cells"))
+      emb(s, dir).filter(col("label") % 2 === 1)
+        .groupBy(pmod(col("vec_id"), lit(3L)).as("drop_id"))
+        .agg(count(lit(1)).as("n_batch"))
+        .join(mined, Seq("drop_id"), "left")
+        .select(col("drop_id"), col("n_batch"),
+          coalesce(col("n_mined"), lit(0L)).as("n_mined"),
+          coalesce(col("n_cells"), lit(0L)).as("n_cells"))
     },
 
     // ---------- retrieval: label-relevance evaluation of the top-k ----------
@@ -3320,7 +3432,32 @@ object LlmQueries {
     // are exactly representable as its ordering doubles — mutual-NN join,
     // and the all-integer ratio margin. s1 = 1 + floor((1+cos)·2^20):
     // strictly positive, so // here equals Spark's truncating div.
-    val bitextSql =
+    // the mining pass parameterized by a b-side predicate — the SAME block
+    // instantiates r5 (unrestricted) and w6's three per-shard refreshes,
+    // mirroring the Spark side's shared bitextMine
+    def bitextBlock(tag: String, bPred: String): String =
+      s"""sb$tag AS (SELECT b.vec_id AS b_id, b.v AS bv, b.centroid_id AS cell
+         |       FROM assigned b JOIN lab l ON l.vec_id = b.vec_id WHERE l.label % 2 = 1$bPred),
+         |p$tag AS (SELECT sa.cell, a_id, b_id,
+         |        1 + CAST(floor((1.0 + list_inner_product(av, bv) / (sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(bv, bv)))) * $BitextFp) AS BIGINT) AS s1
+         |      FROM sa JOIN sb$tag ON sa.cell = sb$tag.cell),
+         |fr$tag AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY s1 DESC, b_id) AS rn FROM p$tag),
+         |fwd$tag AS (SELECT a_id, any_value(cell) AS cell,
+         |               max(CASE WHEN rn = 1 THEN b_id END) AS b1,
+         |               max(CASE WHEN rn = 1 THEN s1 END) AS s1,
+         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS da,
+         |               count(*) FILTER (WHERE rn <= $BitextK) AS ka
+         |        FROM fr$tag GROUP BY a_id),
+         |br$tag AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY s1 DESC, a_id) AS rn FROM p$tag),
+         |bwd$tag AS (SELECT b_id,
+         |               max(CASE WHEN rn = 1 THEN a_id END) AS a1,
+         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS db,
+         |               count(*) FILTER (WHERE rn <= $BitextK) AS kb
+         |        FROM br$tag GROUP BY b_id),
+         |res$tag AS (SELECT f.a_id, f.b1 AS b_id, f.cell::BIGINT AS cell,
+         |       ((2000 * f.s1 * f.ka * w.kb) // (f.da * w.kb + w.db * f.ka))::BIGINT AS margin_permille
+         |FROM fwd$tag f JOIN bwd$tag w ON w.b_id = f.b1 AND w.a1 = f.a_id)""".stripMargin
+    val bitextPrefix =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
          |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
@@ -3328,28 +3465,33 @@ object LlmQueries {
          |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
          |lab AS (SELECT vec_id, label FROM embeddings),
          |sa AS (SELECT a.vec_id AS a_id, a.v AS av, a.centroid_id AS cell
-         |       FROM assigned a JOIN lab l ON l.vec_id = a.vec_id WHERE l.label % 2 = 0),
-         |sb AS (SELECT b.vec_id AS b_id, b.v AS bv, b.centroid_id AS cell
-         |       FROM assigned b JOIN lab l ON l.vec_id = b.vec_id WHERE l.label % 2 = 1),
-         |p AS (SELECT sa.cell, a_id, b_id,
-         |        1 + CAST(floor((1.0 + list_inner_product(av, bv) / (sqrt(list_inner_product(av, av)) * sqrt(list_inner_product(bv, bv)))) * $BitextFp) AS BIGINT) AS s1
-         |      FROM sa JOIN sb ON sa.cell = sb.cell),
-         |fr AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY s1 DESC, b_id) AS rn FROM p),
-         |fwd AS (SELECT a_id, any_value(cell) AS cell,
-         |               max(CASE WHEN rn = 1 THEN b_id END) AS b1,
-         |               max(CASE WHEN rn = 1 THEN s1 END) AS s1,
-         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS da,
-         |               count(*) FILTER (WHERE rn <= $BitextK) AS ka
-         |        FROM fr GROUP BY a_id),
-         |br AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY s1 DESC, a_id) AS rn FROM p),
-         |bwd AS (SELECT b_id,
-         |               max(CASE WHEN rn = 1 THEN a_id END) AS a1,
-         |               sum(s1) FILTER (WHERE rn <= $BitextK) AS db,
-         |               count(*) FILTER (WHERE rn <= $BitextK) AS kb
-         |        FROM br GROUP BY b_id)
-         |SELECT f.a_id, f.b1 AS b_id, f.cell::BIGINT AS cell,
-         |       ((2000 * f.s1 * f.ka * w.kb) // (f.da * w.kb + w.db * f.ka))::BIGINT AS margin_permille
-         |FROM fwd f JOIN bwd w ON w.b_id = f.b1 AND w.a1 = f.a_id""".stripMargin
+         |       FROM assigned a JOIN lab l ON l.vec_id = a.vec_id WHERE l.label % 2 = 0)""".stripMargin
+    val bitextSql =
+      s"""$bitextPrefix,
+         |${bitextBlock("", "")}
+         |SELECT a_id, b_id, cell, margin_permille FROM res""".stripMargin
+    val w6Blocks = (0 until 3).map(i => bitextBlock(i.toString, s" AND b.vec_id % 3 = $i")).mkString(",\n")
+    // w6 twin: every per-shard refresh rebuilt from the same trained
+    // chain; the streamed sink must equal the union exactly
+    val w6Sql =
+      s"""$bitextPrefix,
+         |$w6Blocks
+         |SELECT drop_id, a_id, b_id, cell, margin_permille FROM (
+         |  SELECT 0::BIGINT AS drop_id, * FROM res0
+         |  UNION ALL SELECT 1::BIGINT, * FROM res1
+         |  UNION ALL SELECT 2::BIGINT, * FROM res2)""".stripMargin
+    val w6AuditSql =
+      s"""$bitextPrefix,
+         |$w6Blocks,
+         |mined AS (
+         |  SELECT 0::BIGINT AS drop_id, count(*)::BIGINT AS n_mined, count(DISTINCT cell)::BIGINT AS n_cells FROM res0
+         |  UNION ALL SELECT 1::BIGINT, count(*)::BIGINT, count(DISTINCT cell)::BIGINT FROM res1
+         |  UNION ALL SELECT 2::BIGINT, count(*)::BIGINT, count(DISTINCT cell)::BIGINT FROM res2),
+         |batches AS (SELECT (vec_id % 3)::BIGINT AS drop_id, count(*)::BIGINT AS n_batch
+         |            FROM embeddings WHERE label % 2 = 1 GROUP BY 1)
+         |SELECT b.drop_id, b.n_batch, coalesce(m.n_mined, 0)::BIGINT AS n_mined,
+         |       coalesce(m.n_cells, 0)::BIGINT AS n_cells
+         |FROM batches b LEFT JOIN mined m ON m.drop_id = b.drop_id""".stripMargin
 
 
     Map(
@@ -3765,6 +3907,8 @@ object LlmQueries {
            |WHERE rank <= $TopK""".stripMargin,
       "ann_lsh_nn"     -> lshSql,
       "r5_bitext_mining" -> bitextSql,
+      "w6_stream_bitext" -> w6Sql,
+      "w6_mining_audit"  -> w6AuditSql,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
       "ann_incremental_add" -> incAddSql,
