@@ -242,15 +242,19 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks,
                           Map.empty, None, removedDeletes = removedDeletes) }
 
-  /** Merge-on-read row-level DELETE commit: position-delete files (Iceberg
-    * v2 content=1) enter the table through their own delete manifest —
-    * data files are untouched, readers anti-join the positions at scan.
-    * CAS on `expectedBase`: the positions were derived from that snapshot's
-    * files, so any foreign commit in between (a compaction would renumber
-    * positions) must fail this commit instead of corrupting rows. */
-  def commitDeletes(deleteFiles: Seq[DataFile], expectedBase: Long): CommitResult =
+  /** Merge-on-read row-level DELETE commit: delete files — positional
+    * (Iceberg v2 DataFile content=1) or equality (content=2) — enter the
+    * table through their own delete manifest; data files are untouched,
+    * readers anti-join the positions/keys at scan. CAS on `expectedBase`:
+    * positions were derived from that snapshot's files (a compaction would
+    * renumber them), and equality keys from its row set — any foreign
+    * commit in between must fail this commit instead of corrupting rows. */
+  def commitDeletes(deleteFiles: Seq[DataFile], expectedBase: Long): CommitResult = {
+    require(deleteFiles.nonEmpty && deleteFiles.forall(f => f.content == 1 || f.content == 2),
+      "commitDeletes takes position (content=1) or equality (content=2) delete files")
     synchronized { commit(Nil, Nil, expectedSnapshotId = Some(expectedBase), operation = "delete",
                           Map.empty, Map.empty, None, addedDeletes = deleteFiles) }
+  }
 
   /** Write-audit-publish, stage half: commits the snapshot into the
     * metadata WITHOUT advancing the current pointer — readers keep seeing
@@ -355,9 +359,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val dataEntries =
       added.map(f => ManifestEntry(1, snapshotId, f)) ++
         removed.map(f => ManifestEntry(2, snapshotId, f))
+    // delete files carry their kind in DataFile.content (1=position,
+    // 2=equality); the manifest LIST entry's content stays 1 for both —
+    // the Iceberg list enum is data(0)/deletes(1)
     val deleteEntries =
-      addedDeletes.map(f => ManifestEntry(1, snapshotId, f.copy(content = 1))) ++
-        removedDeletes.map(f => ManifestEntry(2, snapshotId, f.copy(content = 1)))
+      addedDeletes.map(f => ManifestEntry(1, snapshotId, f)) ++
+        removedDeletes.map(f => ManifestEntry(2, snapshotId, f))
     // the data manifest is written unconditionally for data-bearing commits
     // (byte-compatible with every pre-MoR commit); a pure delete commit
     // writes only its delete manifest
@@ -523,10 +530,34 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */
   def activeDataFiles(): Seq[DataFile] = resolveActive(currentEntries())
 
-  /** Active position-delete files — the merge-on-read read path anti-joins
-    * their (file_path, pos) rows at scan; compaction folds and removes
-    * them. Same add/remove-by-path resolution as data files. */
+  /** Active delete files (position content=1 AND equality content=2) —
+    * the merge-on-read read path anti-joins their rows at scan; compaction
+    * folds and removes them. Same add/remove-by-path resolution as data
+    * files. */
   def activeDeleteFiles(): Seq[DataFile] = resolveActive(currentDeleteEntries())
+
+  /** Active files of a content kind paired with their DATA SEQUENCE NUMBER
+    * (the commit sequence of the manifest that added them — the Iceberg
+    * ordering equality deletes are scoped by: an equality delete applies
+    * only to data files with a SMALLER sequence number, so compaction can
+    * fold one exactly when no live data file predates it). */
+  def activeFilesWithSeq(content: Int): Seq[(DataFile, Long)] = load() match {
+    case None => Nil
+    case Some(meta) =>
+      meta.currentSnapshot.toSeq.flatMap { s =>
+        val active = scala.collection.mutable.LinkedHashMap.empty[String, (DataFile, Long)]
+        IcebergCommitter.cachedManifestList(io, s.manifestList)
+          .filter(_.content == (if (content == 0) 0 else 1))
+          .foreach { mf =>
+            IcebergCommitter.cachedManifest(io, mf.manifestPath).foreach { e =>
+              if (e.status == 2) active.remove(e.dataFile.filePath)
+              else if (content == 0 || e.dataFile.content == content)
+                active.put(e.dataFile.filePath, (e.dataFile, mf.sequenceNumber))
+            }
+          }
+        active.values.toSeq
+      }
+  }
 
   /** Active files as of a historical snapshot (time-travel read). */
   def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))

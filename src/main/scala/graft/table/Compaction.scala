@@ -123,15 +123,17 @@ object Compaction {
     // file also referencing untouched files stays active: its entries for
     // rewritten basenames point at now-inactive names and match nothing.
     val activeDeletes = committer.activeDeleteFiles()
+    val posDeletes    = activeDeletes.filter(_.content == 1)
+    val eqDeletes     = activeDeletes.filter(_.content == 2)
     val df0 = EventTable.readForRewrite(spark, tableRoot, candidates)
-    val df =
-      if (activeDeletes.isEmpty) df0
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val df1 =
+      if (posDeletes.isEmpty) df0
       else {
-        import org.apache.spark.sql.functions.{broadcast, col, expr}
         // identity = last two path segments + row_index (see
         // EventTable.morKeyOf — bare basenames collide across partition
         // dirs of one write job)
-        val keys = spark.read.parquet(activeDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
+        val keys = spark.read.parquet(posDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
           .select(expr("substring_index(file_path, '/', -2)").as("_mor_fkey"),
                   col("pos").as("_mor_pos"))
         df0.withColumn("_mor_fkey", expr("substring_index(_metadata.file_path, '/', -2)"))
@@ -139,20 +141,42 @@ object Compaction {
           .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
           .drop("_mor_fkey", "_mor_pos")
       }
+    val df =
+      if (eqDeletes.isEmpty) df1
+      else {
+        val keys = spark.read.parquet(eqDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(col("partition").cast("int").as("partition"), col("sequence")).distinct()
+        df1.join(broadcast(keys), Seq("partition", "sequence"), "left_anti")
+      }
     val candidateKeys = candidates.map(f => EventTable.morKeyOf(f.filePath)).toSet
     val activeKeys    = committer.activeDataFiles().map(f => EventTable.morKeyOf(f.filePath)).toSet
+    // which delete files this run retires:
+    //  - a POSITION file's references block folding only while still LIVE
+    //    outside this run's candidates — references an EARLIER rewrite
+    //    already replaced are dead (that rewrite applied the deletes), so
+    //    a partition-spanning file still folds once the runs have covered
+    //    its last live reference
+    //  - an EQUALITY file is scoped by DATA SEQUENCE NUMBER (the Iceberg
+    //    rule: it applies only to data files that PREDATE it — rewrites
+    //    apply it, and later appends cannot resurrect its keys, which
+    //    deleteWhereEq pins below the watermark). It folds once no live
+    //    non-candidate data file has a smaller sequence number.
+    val dataSeqs = committer.activeFilesWithSeq(content = 0)
+      .map { case (f, sq) => EventTable.morKeyOf(f.filePath) -> sq }.toMap
+    val deleteSeqs = committer.activeFilesWithSeq(content = 2)
+      .map { case (f, sq) => f.filePath -> sq }.toMap
     val foldedDeletes = activeDeletes.filter { d =>
-      // referenced file keys per delete file: distinct over a
-      // matched-rows-sized file, driver-bounded decision values. A
-      // reference blocks folding only while it is still LIVE outside this
-      // run's candidates — references to files an EARLIER rewrite already
-      // replaced are dead (that rewrite applied the deletes), so a
-      // partition-spanning delete file still folds once the runs have
-      // covered its last live reference.
-      spark.read.parquet(s"$tableRoot/${d.filePath}")
-        .select(org.apache.spark.sql.functions.expr("substring_index(file_path, '/', -2)"))
-        .distinct().collect().map(_.getString(0))
-        .forall(k => candidateKeys.contains(k) || !activeKeys.contains(k))
+      if (d.content == 1)
+        // referenced file keys: distinct over a matched-rows-sized file,
+        // driver-bounded decision values
+        spark.read.parquet(s"$tableRoot/${d.filePath}")
+          .select(expr("substring_index(file_path, '/', -2)"))
+          .distinct().collect().map(_.getString(0))
+          .forall(k => candidateKeys.contains(k) || !activeKeys.contains(k))
+      else {
+        val dSeq = deleteSeqs.getOrElse(d.filePath, Long.MaxValue)
+        dataSeqs.forall { case (k, sq) => sq >= dSeq || candidateKeys.contains(k) }
+      }
     }
     // Same layout + sort invariant as the original segments; re-sliced
     // toward cfg.targetFileSize by the size-aware writer (C2). writeData

@@ -596,17 +596,28 @@ object EventTable {
     val active    = committer.activeDataFiles()
     if (active.isEmpty) return MorDeleteResult(0, 0L, None)
 
-    val pred  = coalesce(predicate, lit(false))
-    val prior = committer.activeDeleteFiles()
+    val pred    = coalesce(predicate, lit(false))
+    val prior   = committer.activeDeleteFiles()
+    val priorP  = prior.filter(_.content == 1)
+    val priorEq = prior.filter(_.content == 2)
     val raw = readCommittedProjected(spark, tableRoot, active)
       .withColumn("_mor_fkey", expr(morFileKey))
       .withColumn("_mor_pos", col("_metadata.row_index"))
-    val live =
-      if (prior.isEmpty) raw
+    // already-masked rows (both delete kinds) are excluded so deletedRows
+    // is exact and re-deletes never duplicate
+    val afterP =
+      if (priorP.isEmpty) raw
       else {
-        val pk = spark.read.parquet(prior.map(f => s"$tableRoot/${f.filePath}"): _*)
+        val pk = spark.read.parquet(priorP.map(f => s"$tableRoot/${f.filePath}"): _*)
           .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
         raw.join(broadcast(pk), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+      }
+    val live =
+      if (priorEq.isEmpty) afterP
+      else {
+        val ek = spark.read.parquet(priorEq.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(col("partition").cast("int").as("partition"), col("sequence")).distinct()
+        afterP.join(broadcast(ek), Seq("partition", "sequence"), "left_anti")
       }
     // scan key → spec-relative path, driver-known from the manifests (the
     // stored file_path is the full relative path the Iceberg spec wants)
@@ -628,16 +639,18 @@ object EventTable {
     }
   }
 
-  /** Write a position-delete parquet (file_path string, pos long — the
-    * Iceberg v2 positional-delete schema, spec-sorted) under
-    * `data/deletes/`, returning content=1 descriptors. Returns Nil when no
-    * rows matched (no file, no commit). One file per call: delete sets are
-    * batch-sized by contract (compaction folds them before they grow). */
+  /** Write a delete parquet under `data/deletes/`, returning descriptors
+    * of the given `content` kind (1 = positional: (file_path, pos)
+    * spec-sorted; 2 = equality: the (partition, sequence) key rows).
+    * Returns Nil when no rows matched (no file, no commit). One file per
+    * call: delete sets are batch-sized by contract (compaction folds them
+    * before they grow). */
   private def writeDeleteFiles(spark: SparkSession, tableRoot: String,
-                               delRows: DataFrame): Seq[DataFile] = {
+                               delRows: DataFrame, content: Int = 1,
+                               sortCols: Seq[String] = Seq("file_path", "pos")): Seq[DataFile] = {
     val stagingAbs = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(tableRoot), s".staging/${java.util.UUID.randomUUID()}")
-    delRows.coalesce(1).sortWithinPartitions("file_path", "pos")
+    delRows.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
       .write.option("compression", "zstd")
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
       .parquet(stagingAbs.toString)
@@ -657,13 +670,60 @@ object EventTable {
     val files = moved.map { relPath =>
       val abs   = new org.apache.hadoop.fs.Path(rootP, relPath)
       val rows  = spark.read.parquet(abs.toString).count()
-      DataFile(content = 1, filePath = relPath, fileFormat = "PARQUET",
+      DataFile(content = content, filePath = relPath, fileFormat = "PARQUET",
                recordCount = rows, fileSizeInBytes = fs.getFileStatus(abs).getLen,
                lowerBounds = Map.empty, upperBounds = Map.empty)
     }
     files.filter(_.recordCount > 0) match {
       case Nil => moved.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(rootP, p), false)); Nil
       case fs2 => fs2
+    }
+  }
+
+  /** Outcome of an equality (keyed) merge-on-read delete. */
+  final case class EqDeleteResult(deleteFiles: Int, keys: Long, snapshotId: Option[Long])
+
+  /** EQUALITY merge-on-read DELETE — the CDC-writer path (Iceberg v2
+    * content=2): delete a batch of rows BY KEY (partition, sequence) with
+    * NO table scan at all. The key batch is written as an equality-delete
+    * parquet and committed through the delete manifest; readers anti-join
+    * the keys at scan, compaction folds once every data file whose
+    * manifest bounds could contain a key has been rewritten. This is the
+    * O(batch) delete a streaming CDC pipeline commits per micro-batch —
+    * [[deleteWhereMor]] scans to resolve a PREDICATE to positions;
+    * this resolves nothing, which is the whole point at 100 TB.
+    *
+    * Keys are deduplicated; a key matching no row is a harmless tombstone
+    * (folded away with the file). `keys` must be batch-sized (it rides
+    * read-side broadcasts until folded). */
+  def deleteWhereEq(spark: SparkSession, tableRoot: String, keys: DataFrame): EqDeleteResult = {
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val meta      = committer.load().getOrElse(return EqDeleteResult(0, 0L, None))
+    val base      = meta.currentSnapshotId.getOrElse(return EqDeleteResult(0, 0L, None))
+    val keyRows = keys.select(col("partition").cast("int").as("partition"),
+                              col("sequence").cast("long").as("sequence"))
+      .distinct()
+    // keys must reference ALREADY-WRITTEN sequences: a tombstone beyond the
+    // watermark would match (and silently swallow) a FUTURE append — the
+    // sequence-number scoping of the fold rule relies on keys never
+    // resurrecting. Batch-sized by contract, so the check is a driver fold.
+    val wm = committer.summaryWatermarks()
+    val beyond = keyRows.collect().filter { r =>
+      r.getLong(1) > wm.getOrElse(r.getInt(0), 0L)
+    }
+    require(beyond.isEmpty,
+      s"equality-delete keys beyond the partition watermark (would tombstone future appends): " +
+        beyond.take(5).mkString(", "))
+    val written = writeDeleteFiles(spark, tableRoot, keyRows, content = 2,
+                                   sortCols = Seq("partition", "sequence"))
+    if (written.isEmpty) return EqDeleteResult(0, 0L, None)
+    try {
+      val res = committer.commitDeletes(written, base)
+      EqDeleteResult(written.size, written.map(_.recordCount).sum, Some(res.snapshotId))
+    } catch {
+      case c: graft.iceberg.CommitConflict =>
+        written.foreach(f => committer.io.delete(f.filePath))
+        throw c
     }
   }
 
@@ -893,11 +953,11 @@ object EventTable {
     // — and a footer-inferred read of a schema-evolved table could
     // silently drop evolved columns from files that predate them.
     //
-    // Merge-on-read: when the table carries position-delete files (x8),
-    // the scan is anti-joined against them — EVERY committed reader is
-    // MoR-correct, including pruned reads (deletes of pruned-away files
-    // simply match nothing). Delete-free tables skip this entirely (one
-    // cached manifest-list filter, no plan change).
+    // Merge-on-read: when the table carries delete files (x8 positional /
+    // x9 equality), the scan is anti-joined against them — EVERY committed
+    // reader is MoR-correct, including pruned reads (deletes of
+    // pruned-away files simply match nothing). Delete-free tables skip
+    // this entirely (one cached manifest-list filter, no plan change).
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val dels      = committer.activeDeleteFiles()
     val scanned   = Option(files).getOrElse(committer.activeDataFiles())
@@ -905,7 +965,7 @@ object EventTable {
     // empty scan = the typed-empty-frame branch (no file scan → no
     // _metadata column, and nothing for deletes to apply to anyway)
     if (dels.isEmpty || scanned.isEmpty) df
-    else applyPositionDeletes(spark, tableRoot, dels, df)
+    else applyDeletes(spark, tableRoot, dels, df)
   }
 
   /** The scan-side file identity for position-delete matching: the LAST
@@ -924,21 +984,41 @@ object EventTable {
     relPath.substring(j + 1)
   }
 
-  /** Anti-join active position-delete files onto a committed scan.
-    * Identity is ([[morFileKey]], row position): `_metadata.row_index` is
-    * the physical row ordinal Spark exposes for exactly this purpose — no
-    * window, no shuffle of the corpus; the delete set rides a broadcast
-    * (MoR's contract: deletes stay small because compaction folds them —
-    * a delete set too big to broadcast is the signal to fold now). The
-    * stored `file_path` stays the spec's full relative path. */
-  private def applyPositionDeletes(spark: SparkSession, tableRoot: String,
-                                   dels: Seq[DataFile], df: DataFrame): DataFrame = {
-    val keys = spark.read.parquet(dels.map(f => s"$tableRoot/${f.filePath}"): _*)
-      .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
-    df.withColumn("_mor_fkey", expr(morFileKey))
-      .withColumn("_mor_pos", col("_metadata.row_index"))
-      .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
-      .drop("_mor_fkey", "_mor_pos")
+  /** Anti-join active delete files onto a committed scan — BOTH kinds:
+    *
+    *  - POSITION deletes (DataFile content=1): identity is
+    *    ([[morFileKey]], row position) — `_metadata.row_index` is the
+    *    physical row ordinal Spark exposes for exactly this purpose. No
+    *    window, no shuffle of the corpus.
+    *  - EQUALITY deletes (content=2): identity is the event-log row key
+    *    (partition, sequence) — the file holds key rows, matched by value
+    *    regardless of which data file holds the row.
+    *
+    * Every delete set rides a broadcast (MoR's contract: deletes stay
+    * small because compaction folds them — a delete set too big to
+    * broadcast is the signal to fold now). The stored `file_path` stays
+    * the spec's full relative path. */
+  private def applyDeletes(spark: SparkSession, tableRoot: String,
+                           dels: Seq[DataFile], df: DataFrame): DataFrame = {
+    val pos = dels.filter(_.content == 1)
+    val eq  = dels.filter(_.content == 2)
+    val afterPos =
+      if (pos.isEmpty) df
+      else {
+        val keys = spark.read.parquet(pos.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
+        df.withColumn("_mor_fkey", expr(morFileKey))
+          .withColumn("_mor_pos", col("_metadata.row_index"))
+          .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+          .drop("_mor_fkey", "_mor_pos")
+      }
+    if (eq.isEmpty) afterPos
+    else {
+      val keys = spark.read.parquet(eq.map(f => s"$tableRoot/${f.filePath}"): _*)
+        .select(col("partition").cast("int").as("partition"), col("sequence"))
+        .distinct()
+      afterPos.join(broadcast(keys), Seq("partition", "sequence"), "left_anti")
+    }
   }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at

@@ -197,6 +197,22 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Equality merge-on-read DELETE composed over a positional one: pass 1
+    // masks k-divisible-by-9 rows positionally; pass 2 deletes every 17th
+    // ORIGINAL event (by its (partition, sequence) key, derived from the
+    // LIVE rows — the CDC path, no table scan in the engine). The read
+    // must apply BOTH kinds; the oracle is the raw derivation under the
+    // conjunction of the two predicates.
+    "x9_eq_delete" -> { (s, dir) =>
+      val root = EqDeletedTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Copy-on-write MERGE (upsert): every 11th event in partitions 0–3 has
     // its payload k shifted +100000 (matched → update), every 101st event
     // spawns a NEW row at the partition tail with k = -event_id (insert). The
@@ -320,6 +336,21 @@ object IcebergQueries {
     "v2_source_read" -> Oracle.sql(
       """SELECT sequence, part_id, timestamp_ms, props FROM evlog
         |WHERE part_id = 4 AND sequence >= 25 ORDER BY sequence LIMIT 250""".stripMargin),
+    // x9 twin: positional pass (k % 9, NULL-k rows survive) AND the
+    // equality pass (every 17th original event by id) — a read that
+    // missed either delete KIND breaks the conjunction.
+    "x9_eq_delete" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM (
+        |  SELECT * REPLACE (CASE WHEN event_id % 13 = 0
+        |                         THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+        |                         ELSE props END AS props)
+        |  FROM evlog)
+        |WHERE NOT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT) % 9 = 0, false)
+        |  AND NOT (CAST(substring(idempotency_key, 2) AS BIGINT) % 17 = 0)
+        |GROUP BY 1""".stripMargin),
     // x8 twin: the same two delete predicates over the raw derivation —
     // NULL-k rows survive the k-predicate (coalesce), both passes compose
     // with AND, a doubly-matched row disappears exactly once.
@@ -444,6 +475,47 @@ object MorDeletedTables {
           s"expected one delete file per pass, got ${committer.activeDeleteFiles().size}")
         require(EventTable.readCommitted(spark, root).count() == before - r1.deletedRows - r2.deletedRows,
           "the MoR read must mask exactly the delete files' rows")
+        root
+      }
+    )
+  }
+}
+
+/** One equality-deleted table per (JVM, sfDir): the x8 ingest shape, a
+  * positional pass (k % 9), then an EQUALITY pass deleting every 17th
+  * original event by its (partition, sequence) key — derived from the
+  * LIVE (post-pass-1) rows, so the two passes are disjoint and the row
+  * accounting is exact. Asserts both delete KINDS are active at once and
+  * no data file changed. */
+object EqDeletedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-eqdel-").toString
+        EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16),
+          mapLog = _.withColumn("props",
+            when(expr("event_id % 13 = 0"),
+                 concat(lit("{\"nk\": "), expr("get_json_object(props, '$.k')"), lit("}")))
+              .otherwise(col("props"))))
+        val committer = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
+        val before    = EventTable.readCommitted(spark, root).count()
+        val filesBefore = committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet
+        val r1 = EventTable.deleteWhereMor(spark, root,
+          expr("cast(get_json_object(cast(payload as string), '$.k') as bigint) % 9 = 0"))
+        require(r1.deletedRows > 0, "positional pass must mask rows")
+        val keys = EventTable.readCommitted(spark, root)
+          .filter(expr("cast(substring(idempotency_key, 2) as bigint) % 17 = 0"))
+          .select(col("partition"), col("sequence"))
+        val r2 = EventTable.deleteWhereEq(spark, root, keys)
+        require(r2.keys > 0, "equality pass must tombstone keys")
+        require(committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet == filesBefore,
+          "merge-on-read must leave every data file byte-identical")
+        require(committer.activeDeleteFiles().map(_.content).toSet == Set(1, 2),
+          "both delete kinds must be active at once")
+        require(EventTable.readCommitted(spark, root).count() == before - r1.deletedRows - r2.keys,
+          "the MoR read must apply both delete kinds exactly")
         root
       }
     )

@@ -140,6 +140,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(cow.deletedRows > 0)
   }
 
+  test("equality delete tombstones by key without scanning; compaction folds by sequence-number scope") {
+    import org.apache.spark.sql.functions.lit
+    val root = Files.createTempDirectory("graft-eqdel-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val before     = committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+
+    val keys = EventTable.readCommitted(spark, root)
+      .filter(col("sequence") % 7 === 2).select("partition", "sequence")
+    val r = EventTable.deleteWhereEq(spark, root, keys)
+    assert(r.keys > 0 && r.deleteFiles === 1)
+    assert(committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet === before,
+      "equality delete must not touch any data file")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore - r.keys)
+    assert(EventTable.readCommitted(spark, root).filter(col("sequence") % 7 === 2).count() === 0)
+    // a key above the partition watermark would tombstone a FUTURE append —
+    // refused loudly, never committed
+    intercept[IllegalArgumentException] {
+      EventTable.deleteWhereEq(spark, root,
+        spark.range(1).select(lit(0).as("partition"), lit(99999999L).as("sequence")))
+    }
+    assert(committer.activeDeleteFiles().size === 1)
+
+    // folding: rewrites apply the keys; the file is removed once no live
+    // data file predates it (the data-sequence-number scope)
+    while (Compaction.compact(spark, root).isDefined) ()
+    assert(committer.activeDeleteFiles().isEmpty,
+      "a full compaction must fold the equality-delete file")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore - r.keys,
+      "folding must not resurrect tombstoned rows")
+    assert(EventTable.listParquet(root).size === committer.activeDataFiles().size)
+  }
+
   test("copy-on-write merge updates matched payloads, appends inserts, leaves unmatched files alone") {
     import org.apache.spark.sql.functions.expr
     import spark.implicits._
