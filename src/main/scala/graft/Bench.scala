@@ -445,12 +445,16 @@ object Bench {
         def ranked(name: String): Map[Long, Map[Long, Long]] =
           rankedDf(SparkEntry.queries(name)(spark, sfDir))
         val brute = ranked("ann_topk_brute")
-        // recall@k: both sides cut to their top-k before intersecting
-        def recallAgainst(got: Map[Long, Map[Long, Long]], k: Int): Double = {
-          val per = brute.toSeq.map { case (q, nr) =>
-            val truth = nr.collect { case (n, r) if r <= k => n }.toSet
+        // recall@k: both sides cut to their top-k before intersecting;
+        // `truth` defaults to the corpus brute force — the incremental
+        // block passes the MERGED-set brute instead (one convention, one
+        // definition, so the numbers stay comparable)
+        def recallAgainst(got: Map[Long, Map[Long, Long]], k: Int,
+                          truth: Map[Long, Map[Long, Long]] = brute): Double = {
+          val per = truth.toSeq.map { case (q, nr) =>
+            val t = nr.collect { case (n, r) if r <= k => n }.toSet
             val g = got.getOrElse(q, Map.empty).collect { case (n, r) if r <= k => n }.toSet
-            if (truth.isEmpty) 1.0 else g.intersect(truth).size.toDouble / truth.size
+            if (t.isEmpty) 1.0 else g.intersect(t).size.toDouble / t.size
           }
           per.sum / math.max(1, per.size)
         }
@@ -483,16 +487,9 @@ object Bench {
         // ivf_probe2 (same plan, no batch), the delta is the recall cost
         // of admission — the number that decides when drift warrants a
         // re-train.
-        val incTruth = rankedDf(llm.LlmQueries.incrementalBrute(spark, sfDir))
-        val incGot   = rankedDf(llm.LlmQueries.incrementalProbe(spark, sfDir))
-        val incR = {
-          val per = incTruth.toSeq.map { case (q, nr) =>
-            val truth = nr.collect { case (n, r) if r <= 3 => n }.toSet
-            val g = incGot.getOrElse(q, Map.empty).collect { case (n, r) if r <= 3 => n }.toSet
-            if (truth.isEmpty) 1.0 else g.intersect(truth).size.toDouble / truth.size
-          }
-          per.sum / math.max(1, per.size)
-        }
+        val incR = recallAgainst(
+          rankedDf(llm.LlmQueries.incrementalProbe(spark, sfDir)), 3,
+          truth = rankedDf(llm.LlmQueries.incrementalBrute(spark, sfDir)))
         // probe1 vs probe2 is the recall/speed lever a deployment tunes —
         // record both so the tradeoff is visible round-over-round
         f"""{"ivf_probe1":$ivf%.3f,"ivf_probe2":$ivf2%.3f,"sq_topk":$sq%.3f,"pq_topk":$pq%.3f,"ivfpq_topk":$ivfpq%.3f,"ivfsq_topk":$ivfsq%.3f,"ivf_incremental":$incR%.3f,"ivf_probe_curve":$curveJson,"pq_refine_curve":$pqCurveJson}"""

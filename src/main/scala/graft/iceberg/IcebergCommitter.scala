@@ -387,8 +387,19 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     // keys below, never folded into record/file totals.
     val totalRows  = listEntries.filter(_.content == 0).map(e => e.addedRowsCount - e.deletedRowsCount).sum
     val totalFiles = listEntries.filter(_.content == 0).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    // per-KIND delete totals need per-file content (a delete manifest may
+    // mix position and equality files — a fold commit removes both kinds at
+    // once), which the list entries don't carry — walk the path-cached
+    // delete manifests; delete-free tables walk nothing
+    val allDeleteEntries =
+      parentList.filter(_.content == 1)
+        .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath)) ++ deleteEntries
+    def deleteRowTotal(kind: Int): Long = allDeleteEntries
+      .filter(_.dataFile.content == kind)
+      .map(e => if (e.status == 2) -e.dataFile.recordCount else e.dataFile.recordCount).sum
     val totalDeleteFiles = listEntries.filter(_.content == 1).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
-    val totalPositionDeletes = listEntries.filter(_.content == 1).map(e => e.addedRowsCount - e.deletedRowsCount).sum
+    val totalPositionDeletes = deleteRowTotal(1)
+    val totalEqualityDeletes = deleteRowTotal(2)
 
     val parentSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     val wmKeys = watermarks.map { case (p, wm) => s"zombi.watermark.$p" -> wm.toString } ++
@@ -403,7 +414,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
         Map("added-delete-files"     -> addedDeletes.size.toString,
             "removed-delete-files"   -> removedDeletes.size.toString,
             "total-delete-files"     -> totalDeleteFiles.toString,
-            "total-position-deletes" -> totalPositionDeletes.toString)
+            "total-position-deletes" -> totalPositionDeletes.toString,
+            "total-equality-deletes" -> totalEqualityDeletes.toString)
       else Map.empty[String, String]
     val summary = Map(
       "operation"          -> operation,
@@ -562,6 +574,13 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Active files as of a historical snapshot (time-travel read). */
   def activeDataFilesAt(snapshotId: Long): Seq[DataFile] = resolveActive(entriesAt(snapshotId))
 
+  /** Active delete files as of a historical snapshot — the MoR guard for
+    * time-travel reads must check deletes AT the read snapshot (a
+    * delete-era snapshot stays delete-bearing forever, even after a later
+    * compaction folds the files out of the CURRENT snapshot). */
+  def activeDeleteFilesAt(snapshotId: Long): Seq[DataFile] =
+    resolveActive(load().toSeq.flatMap(m => entriesOf(m, snapshotId, content = 1)))
+
   /** Roll the table back to a historical snapshot (Iceberg's
     * rollback-to-snapshot): a CAS metadata commit that re-points
     * current-snapshot-id at `snapshotId` and appends to the snapshot log.
@@ -714,7 +733,18 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
   /** The current schema (from the latest committed metadata), if any. */
   def currentSchema(): Option[IcebergSchema] =
-    load().map(m => m.schemas.find(_.schemaId == m.currentSchemaId).getOrElse(m.schemas.head))
+    load().map(currentSchemaOf)
+
+  /** [[currentSchema]] against an already-loaded metadata — lets a read
+    * derive schema, data files, and delete files from ONE consistent
+    * snapshot load instead of three. */
+  def currentSchemaOf(m: TableMetadata): IcebergSchema =
+    m.schemas.find(_.schemaId == m.currentSchemaId).getOrElse(m.schemas.head)
+
+  /** Active files of a content kind against an already-loaded metadata —
+    * the single-load companion of [[activeDataFiles]]/[[activeDeleteFiles]]. */
+  def activeFilesOf(meta: TableMetadata, content: Int): Seq[DataFile] =
+    resolveActive(meta.currentSnapshotId.toSeq.flatMap(id => entriesOf(meta, id, content)))
 
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     // CAS discipline as in commit(): everything below derives from the

@@ -1196,8 +1196,12 @@ object LlmQueries {
     * (name, length, mtime) tuples, name-sorted, folded to one md5: an
     * aggregated max(mtime)+total-length stamp would collide for a fixture
     * regenerated within the same millisecond at identical total size. */
-  private def docsStamp(dir: String): String = {
-    val p = new java.io.File(dir, "documents.parquet")
+  private def docsStamp(dir: String): String = fileStamp(dir, "documents.parquet")
+
+  /** [[docsStamp]] generalized to any input table — w6's sink cache stamps
+    * embeddings.parquet the same way. */
+  private def fileStamp(dir: String, name: String): String = {
+    val p = new java.io.File(dir, name)
     val files =
       if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty[java.io.File]).filter(_.isFile)
       else Array(p)
@@ -1256,8 +1260,18 @@ object LlmQueries {
     * session reads the same files). */
   private val bitextSinkCache = scala.collection.mutable.Map.empty[String, String]
 
-  private def streamBitextSink(s: SparkSession, dir: String): String = synchronized {
-    bitextSinkCache.getOrElseUpdate(dir, {
+  private def streamBitextSink(s: SparkSession, dir: String): String = streamDupSink.synchronized {
+    // keyed by dir@embeddings-stamp (the d12 discipline) and guarded by the
+    // SAME monitor evictDir's drop() takes, so build and evict can never
+    // race on the map; a regenerated embeddings.parquet recomputes instead
+    // of serving the stale mined set (stale-stamp keys dropped here)
+    val key = s"$dir@${fileStamp(dir, "embeddings.parquet")}"
+    bitextSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq.foreach { k =>
+      bitextSinkCache.remove(k).foreach(sink =>
+        try graft.core.FsUtil.deleteRecursively(sink)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    bitextSinkCache.getOrElseUpdate(key, {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val (cents, assigned) = ivfIndex(s, dir)
       val lab = emb(s, dir).select(col("vec_id"), col("label"))

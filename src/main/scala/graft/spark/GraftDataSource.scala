@@ -180,10 +180,14 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   override def planInputPartitions(): Array[InputPartition] = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     // fail loud (the streaming-cursor rule applied to MoR): this scan does
-    // not fold position-delete files yet — silently returning masked rows
-    // would be wrong-data, not degraded-perf. EventTable.readCommitted is
-    // the MoR-correct read; or fold the deletes (compaction) first.
-    require(committer.activeDeleteFiles().isEmpty,
+    // not fold merge-on-read delete files yet — silently returning masked
+    // rows would be wrong-data, not degraded-perf. The check is AT THE
+    // READ SNAPSHOT: a time-travel read of a delete-era snapshot must
+    // refuse even after a later compaction folded the files out of the
+    // current snapshot, and a pre-delete snapshot reads fine while deletes
+    // are live. EventTable.readCommitted is the MoR-correct read.
+    require(snapshotId.map(committer.activeDeleteFilesAt)
+              .getOrElse(committer.activeDeleteFiles()).isEmpty,
       "graft V2 scan does not apply merge-on-read delete files: read via " +
         "EventTable.readCommitted or compact to fold the deletes first")
     snapshotId.map(committer.activeDataFilesAt).getOrElse(committer.activeDataFiles())
@@ -324,6 +328,18 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
       throw new IllegalStateException(
         s"table $tableRoot metadata unreadable while the checkpoint holds snapshot $from")
     if (to == -1L || from == to) return Array.empty[InputPartition]
+    // same MoR fail-loud as the batch scan, but STRICTER: a stream commits
+    // its progress and can never retract, so emitting rows a delete file
+    // masks would be permanent wrong data in the sink. Bootstrap checks
+    // deletes at the batch's end snapshot; incremental batches read only
+    // appended files, whose rows postdate (and so cannot be masked by)
+    // earlier delete commits — but a delete commit INSIDE the batch range
+    // means masked rows may be in flight, so refuse until folded.
+    val delsAt = committer.activeDeleteFilesAt(to)
+    if (delsAt.nonEmpty)
+      throw new IllegalStateException(
+        s"table $tableRoot holds merge-on-read delete files at snapshot $to: " +
+          "the graft stream does not apply them — compact to fold the deletes first")
     val files =
       if (from == -1L) committer.activeDataFilesAt(to)
       else committer.appendsBetween(from, to)

@@ -123,31 +123,15 @@ object Compaction {
     // file also referencing untouched files stays active: its entries for
     // rewritten basenames point at now-inactive names and match nothing.
     val activeDeletes = committer.activeDeleteFiles()
-    val posDeletes    = activeDeletes.filter(_.content == 1)
-    val eqDeletes     = activeDeletes.filter(_.content == 2)
+    import org.apache.spark.sql.functions.{col, expr}
+    // the rewrite APPLIES active deletes — the ONE shared anti-join
+    // definition (EventTable.applyDeletes): a compaction that diverged
+    // from the read path's matching (identity keys, kind routing) would
+    // resurrect or over-delete rows
     val df0 = EventTable.readForRewrite(spark, tableRoot, candidates)
-    import org.apache.spark.sql.functions.{broadcast, col, expr}
-    val df1 =
-      if (posDeletes.isEmpty) df0
-      else {
-        // identity = last two path segments + row_index (see
-        // EventTable.morKeyOf — bare basenames collide across partition
-        // dirs of one write job)
-        val keys = spark.read.parquet(posDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(expr("substring_index(file_path, '/', -2)").as("_mor_fkey"),
-                  col("pos").as("_mor_pos"))
-        df0.withColumn("_mor_fkey", expr("substring_index(_metadata.file_path, '/', -2)"))
-          .withColumn("_mor_pos", col("_metadata.row_index"))
-          .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
-          .drop("_mor_fkey", "_mor_pos")
-      }
     val df =
-      if (eqDeletes.isEmpty) df1
-      else {
-        val keys = spark.read.parquet(eqDeletes.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(col("partition").cast("int").as("partition"), col("sequence")).distinct()
-        df1.join(broadcast(keys), Seq("partition", "sequence"), "left_anti")
-      }
+      if (activeDeletes.isEmpty) df0
+      else EventTable.applyDeletes(spark, tableRoot, activeDeletes, df0)
     val candidateKeys = candidates.map(f => EventTable.morKeyOf(f.filePath)).toSet
     val activeKeys    = committer.activeDataFiles().map(f => EventTable.morKeyOf(f.filePath)).toSet
     // which delete files this run retires:
@@ -170,7 +154,7 @@ object Compaction {
         // referenced file keys: distinct over a matched-rows-sized file,
         // driver-bounded decision values
         spark.read.parquet(s"$tableRoot/${d.filePath}")
-          .select(expr("substring_index(file_path, '/', -2)"))
+          .select(expr(EventTable.morStoredKey))
           .distinct().collect().map(_.getString(0))
           .forall(k => candidateKeys.contains(k) || !activeKeys.contains(k))
       else {

@@ -457,10 +457,22 @@ object EventTable {
     * schema also skips footer-merge inference entirely. */
   def readCommittedProjected(spark: SparkSession, tableRoot: String,
                              files: Seq[DataFile] = null): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType}
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
-    val fields    = committer.currentSchema().getOrElse(IcebergSchema.default).fields
-    val active    = Option(files).getOrElse(committer.activeDataFiles())
+    val meta      = committer.load()
+    val schema    = meta.map(committer.currentSchemaOf).getOrElse(IcebergSchema.default)
+    val active    = Option(files).getOrElse(
+      meta.map(m => committer.activeFilesOf(m, 0)).getOrElse(Nil))
+    readProjected(spark, tableRoot, schema, active)
+  }
+
+  /** The projected-read body against an ALREADY-RESOLVED schema and file
+    * list — so [[readCommitted]] pays exactly ONE metadata load for
+    * schema + data files + delete files (they also come from the same
+    * consistent snapshot, instead of three racing loads). */
+  private def readProjected(spark: SparkSession, tableRoot: String,
+                            schema: IcebergSchema, active: Seq[DataFile]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val fields = schema.fields
     // `partition` is a DIRECTORY key (data/partition=N/), not a column in
     // the files: it is omitted from the read schema so partition
     // discovery appends it LAST — the layout every committed read has
@@ -959,9 +971,12 @@ object EventTable {
     // pruned-away files simply match nothing). Delete-free tables skip
     // this entirely (one cached manifest-list filter, no plan change).
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
-    val dels      = committer.activeDeleteFiles()
-    val scanned   = Option(files).getOrElse(committer.activeDataFiles())
-    val df        = readCommittedProjected(spark, tableRoot, scanned)
+    val meta      = committer.load()
+    val schema    = meta.map(committer.currentSchemaOf).getOrElse(IcebergSchema.default)
+    val dels      = meta.map(m => committer.activeFilesOf(m, 1)).getOrElse(Nil)
+    val scanned   = Option(files).getOrElse(
+      meta.map(m => committer.activeFilesOf(m, 0)).getOrElse(Nil))
+    val df = readProjected(spark, tableRoot, schema, scanned)
     // empty scan = the typed-empty-frame branch (no file scan → no
     // _metadata column, and nothing for deletes to apply to anyway)
     if (dels.isEmpty || scanned.isEmpty) df
@@ -976,8 +991,8 @@ object EventTable {
     * sf0.001). Two segments are unique within a table (all data files live
     * in `data/partition=P/`), and avoid `input_file_name`-style full-path
     * URI-encoding mismatches. */
-  private val morFileKey    = "substring_index(_metadata.file_path, '/', -2)"
-  private val morStoredKey  = "substring_index(file_path, '/', -2)"
+  private[table] val morFileKey   = "substring_index(_metadata.file_path, '/', -2)"
+  private[table] val morStoredKey = "substring_index(file_path, '/', -2)"
   private[table] def morKeyOf(relPath: String): String = {
     val i = relPath.lastIndexOf('/')
     val j = if (i <= 0) -1 else relPath.lastIndexOf('/', i - 1)
@@ -998,8 +1013,8 @@ object EventTable {
     * small because compaction folds them — a delete set too big to
     * broadcast is the signal to fold now). The stored `file_path` stays
     * the spec's full relative path. */
-  private def applyDeletes(spark: SparkSession, tableRoot: String,
-                           dels: Seq[DataFile], df: DataFrame): DataFrame = {
+  private[table] def applyDeletes(spark: SparkSession, tableRoot: String,
+                                  dels: Seq[DataFile], df: DataFrame): DataFrame = {
     val pos = dels.filter(_.content == 1)
     val eq  = dels.filter(_.content == 2)
     val afterPos =

@@ -141,6 +141,54 @@ class GraftDataSourceSpec extends AnyFunSuite {
     r
   }
 
+  test("MoR guard: V2 scan and stream refuse delete-bearing snapshots, pass delete-free ones") {
+    import graft.table.EventTable
+    import org.apache.spark.sql.functions.col
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-morguard-").toString
+    val root      = s"$warehouse/mortable"
+    val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val preDelete = c.load().get.currentSnapshotId.get
+    val preRows   = EventTable.readCommitted(spark, root).count()
+    val r = EventTable.deleteWhereMor(spark, root, col("sequence") % 9 === 4)
+    assert(r.deletedRows > 0)
+    val deleteEra = c.load().get.currentSnapshotId.get
+    spark.conf.set("spark.sql.catalog.morcat", "graft.spark.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.morcat.warehouse", warehouse)
+    // live batch scan: refused while deletes are active
+    assert(intercept[Exception] {
+      spark.read.format("graft").load(root).count()
+    }.getMessage.contains("merge-on-read"))
+    // time travel to the PRE-delete snapshot is fine even while deletes
+    // are live — the guard checks the READ snapshot, not the head
+    assert(spark.sql(
+      s"SELECT count(*) FROM morcat.default.mortable VERSION AS OF $preDelete")
+      .head().getLong(0) === preRows)
+    // streaming: a fresh stream must fail its first batch, not emit
+    // masked rows into a sink it can never retract from
+    val sink = java.nio.file.Files.createTempDirectory("graft-morguard-sink-").toString
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.format("parquet")
+        .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(thrown).exists(_.contains("merge-on-read")))
+    // after compaction folds everything, the live scan works again —
+    // but the delete-ERA snapshot stays refused forever (its masked rows
+    // cannot be reconstructed without the folded delete files)
+    while (graft.table.Compaction.compact(spark, root).isDefined) ()
+    assert(c.activeDeleteFiles().isEmpty)
+    assert(spark.read.format("graft").load(root).count() ===
+      EventTable.readCommitted(spark, root).count())
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM morcat.default.mortable VERSION AS OF $deleteEra").collect()
+    }.getMessage.contains("merge-on-read"))
+  }
+
   test("format(graft) equals the manifest-driven parquet read") {
     val v2   = spark.read.format("graft").load(root).select("sequence", "partition", "timestamp_ms", "payload")
     val base = EventTable.readCommitted(spark, root).select("sequence", "partition", "timestamp_ms", "payload")
