@@ -427,6 +427,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_ivf_probe must not window at all (its cell id is carried by the aggregate payload)")
   }
 
+  test("x8/x9 MoR reads: delete sets broadcast — the corpus never shuffles for the anti-join") {
+    // merge-on-read's read-side contract at 100 TB: the masked-row
+    // anti-joins ride BroadcastExchanges (delete sets are bounded by the
+    // fold discipline); a sort-merge join here means the whole table
+    // shuffled onto delete keys at every read
+    Seq("x8_mor_delete", "x9_eq_delete").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$q: the delete files must broadcast into the scan")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: the anti-join must not re-shuffle the committed scan:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("tpch_q3: dimension joins broadcast") {
     val p = plan("tpch_q3_shipping")
     assert(p.contains("BroadcastHashJoin"), "small dimension sides must broadcast")
