@@ -2130,6 +2130,46 @@ object LlmQueries {
                 col("worst.vec_id").as("worst_vec_id"))
     },
 
+    // ---------- embedding audit: refresh-drift monitor ----------
+    "e5_embedding_drift" -> { (s, dir) =>
+      // Did the embedding distribution MOVE between two corpus slices
+      // (vec_id parity stands in for yesterday's index vs today's
+      // refresh)? The audit a production pipeline runs before swapping an
+      // index: per label, the cosine between the two slices' centroids
+      // (direction drift) and the floored per-slice mean vector norm
+      // (magnitude drift, which the cosine is blind to). Numerics are the
+      // e1 toolkit — order-independent fixed-point component sums give
+      // bit-identical binary64 centroids on both engines; norms enter as
+      // per-row floor(|v|·2^20) integers, so everything hash-gates.
+      // Scale shape: one (label, slice, dim) partial-aggregatable
+      // shuffle + a labels-bounded re-pack for the centroids; norms fold
+      // through one (label) rollup; the final joins are labels-bounded
+      // broadcasts.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val e = emb(s, dir).withColumn("slice", pmod(col("vec_id"), lit(2L)))
+      val cents = e.select(col("label"), col("slice"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "slice", "pos")
+        .agg(sum(expr("cast(floor(x * 1048576) as bigint)")).as("s"), count(lit(1)).as("n"))
+        .groupBy("label", "slice")
+        .agg(expr("array_sort(collect_list(named_struct('pos', pos, 's', s, 'n', n)))").as("pc"))
+        .select(col("label"), col("slice"),
+          expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
+      val ca = cents.filter(col("slice") === 0).select(col("label"), col("cv").as("ca"))
+      val cb = cents.filter(col("slice") === 1).select(col("label"), col("cv").as("cb"))
+      e.withColumn("norm_fp", expr(s"cast(floor(sqrt(${dot("v", "v")}) * 1048576) as bigint)"))
+        .groupBy("label")
+        .agg(
+          sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"),
+          expr("sum(CASE WHEN slice = 0 THEN norm_fp ELSE 0L END) div greatest(sum(CASE WHEN slice = 0 THEN 1L ELSE 0L END), 1L)").as("avg_norm_fp_a"),
+          expr("sum(CASE WHEN slice = 1 THEN norm_fp ELSE 0L END) div greatest(sum(CASE WHEN slice = 1 THEN 1L ELSE 0L END), 1L)").as("avg_norm_fp_b"))
+        .join(broadcast(ca), "label")
+        .join(broadcast(cb), "label")
+        .select(col("label").cast("long").as("label"), col("n_a"), col("n_b"),
+          expr(s"cast(floor((${cosSim("ca", "cb")}) * 1048576) as bigint)").as("drift_cos_fp"),
+          col("avg_norm_fp_a"), col("avg_norm_fp_b"))
+    },
+
     // ---------- hybrid retrieval: lexical + dense, RRF-fused ----------
     "r2_hybrid_retrieve" -> { (s, dir) =>
       // The production RAG retriever shape: a BM25-backbone lexical
@@ -3886,6 +3926,33 @@ object LlmQueries {
            |  CAST(min(CASE WHEN sq.cos_fp = w.worst_cos THEN sq.vec_id END) AS BIGINT) AS worst_vec_id
            |FROM sq JOIN w ON w.label = sq.label
            |GROUP BY 1""".stripMargin,
+      // e5 twin: per-(label, slice) fixed-point centroids (the e1 pattern
+      // with the parity slice key), centroid-pair cosine as floor·2^20,
+      // floored per-slice mean norms from per-row integer norms.
+      "e5_embedding_drift" ->
+        s"""WITH e AS (SELECT vec_id, label, vec_id % 2 AS slice, embedding::DOUBLE[] AS v FROM embeddings),
+           |c AS (
+           |  SELECT label, slice, list(s::DOUBLE / (n::DOUBLE * 1048576.0) ORDER BY d) AS cv FROM (
+           |    SELECT label, slice, dd.d AS d,
+           |           sum(CAST(floor(v[dd.d] * 1048576) AS BIGINT)) AS s, count(*) AS n
+           |    FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd
+           |    GROUP BY 1, 2, 3)
+           |  GROUP BY 1, 2),
+           |norms AS (
+           |  SELECT label,
+           |    sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           |    sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+           |    (sum(CASE WHEN slice = 0 THEN CAST(floor(sqrt(list_inner_product(v, v)) * 1048576) AS BIGINT) ELSE 0 END)
+           |       // greatest(sum(CASE WHEN slice = 0 THEN 1 ELSE 0 END), 1))::BIGINT AS avg_norm_fp_a,
+           |    (sum(CASE WHEN slice = 1 THEN CAST(floor(sqrt(list_inner_product(v, v)) * 1048576) AS BIGINT) ELSE 0 END)
+           |       // greatest(sum(CASE WHEN slice = 1 THEN 1 ELSE 0 END), 1))::BIGINT AS avg_norm_fp_b
+           |  FROM e GROUP BY 1)
+           |SELECT n.label::BIGINT AS label, n.n_a, n.n_b,
+           |  CAST(floor((list_inner_product(ca.cv, cb.cv) / (sqrt(list_inner_product(ca.cv, ca.cv)) * sqrt(list_inner_product(cb.cv, cb.cv)))) * 1048576) AS BIGINT) AS drift_cos_fp,
+           |  n.avg_norm_fp_a, n.avg_norm_fp_b
+           |FROM norms n
+           |JOIN c ca ON ca.label = n.label AND ca.slice = 0
+           |JOIN c cb ON cb.label = n.label AND cb.slice = 1""".stripMargin,
             // r2 twin: the lexical arm re-derives the integer idf-bits ranking,
       // the dense arm embeds the ivf probe-2 query whole (DuckDB allows a
       // nested WITH inside a CTE body), fusion is the same integer RRF.

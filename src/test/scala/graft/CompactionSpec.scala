@@ -305,6 +305,35 @@ class CompactionSpec extends AnyFunSuite {
     assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
   }
 
+  test("MoR CAS: a foreign commit between delete derivation and commit aborts and cleans up") {
+    // positions (and eq keys) derive from a snapshot; a foreign commit in
+    // between must fail the delete commit (a compaction would renumber
+    // positions) and leave NO delete parquet behind — the compaction
+    // rollback discipline applied to the delete path. The engine has no
+    // beforeCommit hook here, so race the CAS directly: derive the base,
+    // land a foreign commit, then commitDeletes against the stale base.
+    val root = Files.createTempDirectory("graft-mor-cas-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    val committer = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val staleBase = committer.load().get.currentSnapshotId.get
+    committer.commitAppend(Nil) // the foreign commit
+    val ghost = DataFile(1, "data/deletes/ghost.parquet", "PARQUET", 1L, 10L, Map.empty, Map.empty)
+    intercept[CommitConflict] { committer.commitDeletes(Seq(ghost), staleBase) }
+    assert(committer.activeDeleteFiles().isEmpty, "a conflicted delete must not land")
+    // and compaction racing a delete commit aborts + removes its rewrites
+    val r = EventTable.deleteWhereMor(spark, root, col("sequence") % 11 === 5)
+    assert(r.deletedRows > 0)
+    val rowsMasked = EventTable.readCommitted(spark, root).count()
+    val active     = committer.activeDataFiles().map(_.filePath).toSet
+    intercept[CommitConflict] {
+      Compaction.compact(spark, root, beforeCommit = () => { committer.commitAppend(Nil); () })
+    }
+    assert(committer.activeDataFiles().map(_.filePath).toSet === active)
+    assert(committer.activeDeleteFiles().nonEmpty, "the losing compaction must not fold the deletes")
+    assert(EventTable.readCommitted(spark, root).count() === rowsMasked,
+      "masked rows stay masked through the aborted fold")
+  }
+
   test("C4: an extracted-schema table compacts and keeps its typed columns") {
     val root = Files.createTempDirectory("graft-compact-extracted-").toString
     val cfg  = graft.extract.ExtractQueries.config

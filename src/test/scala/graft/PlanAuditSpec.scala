@@ -216,6 +216,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window "), "the outlier fold must stay a partial-aggregatable agg")
   }
 
+  test("e5_embedding_drift: labels-bounded sides broadcast; no window, no cartesian") {
+    val p = plan("e5_embedding_drift")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the per-slice centroid frames (labels-bounded) must broadcast onto the norm rollup")
+    assert(!p.contains("Window ["), "drift folds through plain aggregates, never a window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t12_mixture_resample: the weight table broadcasts; the corpus never shuffles for it") {
     val p = plan("t12_mixture_resample")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
