@@ -1081,6 +1081,7 @@ object LlmQueries {
       drop(streamDupSinkCache)
       drop(streamStageCache)
       drop(bitextSinkCache)
+      drop(qaSinkCache)
     }
   }
 
@@ -1216,6 +1217,65 @@ object LlmQueries {
     * fragment — the one formula every embedding operator shares. */
   private def cosSim(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
+
+  /** w7: streaming corpus quality gate — t14's classifier run per
+    * arriving shard, the admission QA a streaming ingestion pipeline
+    * keeps in front of the corpus (score each incoming doc map-side,
+    * roll up per (refresh, source), alert on a pass-rate drop). Stateless
+    * per refresh: the SHARED [[qualityScoreExpr]] scores (semantics
+    * cannot drift from t14/t15), one bounded (drop, source) rollup per
+    * micro-batch, nothing keyed to cap. Shard identity travels in the
+    * data (doc_id % 3). Sink is dir@stamp-keyed parquet like w6's. */
+  private val qaSinkCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def streamQualitySink(s: SparkSession, dir: String): String = streamDupSink.synchronized {
+    val key = s"$dir@${fileStamp(dir, "documents.parquet")}"
+    qaSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq.foreach { k =>
+      qaSinkCache.remove(k).foreach(sink =>
+        try graft.core.FsUtil.deleteRecursively(sink)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    qaSinkCache.getOrElseUpdate(key, {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val src       = docs(s, dir).select("doc_id", "source", "text")
+      val srcSchema = src.schema
+      val staging   = java.nio.file.Files.createTempDirectory("graft-w7-stage-").toString
+      (0 until 3).foreach { i =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w7-tmp-").toString
+        src.filter(col("doc_id") % 3 === i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst  = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+        graft.core.FsUtil.deleteRecursively(tmp)
+      }
+      val sink = java.nio.file.Files.createTempDirectory("graft-w7-sink-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-w7-ckpt-").toString
+      Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+      val q = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+            batch
+              .select(pmod(col("doc_id"), lit(3L)).as("drop_id"), col("source"),
+                      expr(qualityScoreExpr).as("score"))
+              .groupBy("drop_id", "source")
+              .agg(count(lit(1)).as("n_docs"),
+                   sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"),
+                   sum("score").as("sum_score"))
+              .write.mode("append").parquet(s"$sink/data")
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s"$sink/data"
+    })
+  }
 
   /** r5's margin miner between a static `a` side (a_id, av, cell) and a
     * `b` side (b_id, bv, cell) — ONE definition shared by the batch
@@ -2376,6 +2436,14 @@ object LlmQueries {
       // or drifted margin arithmetic all hash-fail.
       s.read.parquet(streamBitextSink(s, dir))
         .select(col("drop_id"), col("a_id"), col("b_id"), col("cell"), col("margin_permille"))
+    },
+    "w7_stream_quality_gate" -> { (s, dir) =>
+      // Per-(refresh, source) pass rates from the streamed QA sink — the
+      // oracle recomputes every shard's rollup from the raw corpus with
+      // the same shared scorer, so a skipped shard, a drifted score, or a
+      // lost rollup row all hash-fail.
+      s.read.parquet(streamQualitySink(s, dir))
+        .select(col("drop_id"), col("source"), col("n_docs"), col("n_keep"), col("sum_score"))
     },
     "w6_mining_audit" -> { (s, dir) =>
       // Per-refresh completeness audit (the d12-audit discipline for a
@@ -3990,6 +4058,18 @@ object LlmQueries {
       "r5_bitext_mining" -> bitextSql,
       "w6_stream_bitext" -> w6Sql,
       "w6_mining_audit"  -> w6AuditSql,
+      // w7 twin: the t14 rollup keyed by (shard, source) over the raw
+      // corpus — the same shared scorer arithmetic as t14's twin.
+      "w7_stream_quality_gate" ->
+        s"""WITH w AS (
+           |  SELECT doc_id % 3 AS drop_id, source,
+           |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS words
+           |  FROM documents)
+           |SELECT drop_id::BIGINT AS drop_id, source, count(*) AS n_docs,
+           |  sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+           |  CAST(sum(score) AS BIGINT) AS sum_score
+           |FROM (SELECT drop_id, source, ${duckQualityScore("words")} AS score FROM w)
+           |GROUP BY 1, 2""".stripMargin,
       "ann_ivf_probe"  -> ivfSql,
       "ann_ivf_probe2" -> ivfSql2,
       "ann_incremental_add" -> incAddSql,
