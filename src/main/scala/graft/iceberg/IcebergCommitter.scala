@@ -746,6 +746,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   def activeFilesOf(meta: TableMetadata, content: Int): Seq[DataFile] =
     resolveActive(meta.currentSnapshotId.toSeq.flatMap(id => entriesOf(meta, id, content)))
 
+  /** Active files of a content kind AT a snapshot, against an
+    * already-loaded metadata — so a scan's MoR guard and its file listing
+    * resolve against the SAME snapshot instead of two racing loads. */
+  def activeFilesAtOf(meta: TableMetadata, snapshotId: Long, content: Int): Seq[DataFile] =
+    resolveActive(entriesOf(meta, snapshotId, content))
+
   def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
     // CAS discipline as in commit(): everything below derives from the
     // metadata at baseVersion, and the putIfAbsent targets EXACTLY

@@ -1082,6 +1082,12 @@ object LlmQueries {
       drop(streamStageCache)
       drop(bitextSinkCache)
       drop(qaSinkCache)
+      // w6/w7 staging replicas + checkpoints ride a parallel aux map
+      sinkAuxCache.keys.filter(k => k.startsWith(dir + "@")).toSeq.foreach { k =>
+        sinkAuxCache.remove(k).foreach(_.foreach(p =>
+          try graft.core.FsUtil.deleteRecursively(p)
+          catch { case scala.util.control.NonFatal(_) => () }))
+      }
     }
   }
 
@@ -1218,6 +1224,48 @@ object LlmQueries {
   private def cosSim(x: String, y: String): String =
     s"${dot(x, y)} / (sqrt(${dot(x, x)}) * sqrt(${dot(y, y)}))"
 
+  /** Stage a frame as 3 mtime-ordered shard files (shard = `shardCol` % 3)
+    * in ONE pass over the input: coalesce(1) + partitionBy writes exactly
+    * one file per present shard, which is then moved into a flat staging
+    * dir the file-stream source replays in order. Shared by the w6/w7
+    * sink builders (the per-shard filter version paid one corpus scan per
+    * shard). Returns the staging dir. */
+  private def stageShards(df: DataFrame, shardCol: String, prefix: String): String = {
+    val tmpRoot = java.nio.file.Files.createTempDirectory(s"$prefix-tmp-").toString
+    df.withColumn("_shard", pmod(col(shardCol), lit(3L)))
+      .coalesce(1).write.partitionBy("_shard").mode("overwrite").parquet(tmpRoot)
+    val staging = java.nio.file.Files.createTempDirectory(s"$prefix-stage-").toString
+    (0 until 3).foreach { i =>
+      val dirF  = new java.io.File(s"$tmpRoot/_shard=$i")
+      val parts = Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1, s"expected one file for shard $i, got ${parts.length}")
+      val dst = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
+      java.nio.file.Files.move(parts.head.toPath, dst)
+      dst.toFile.setLastModified(1600000000000L + i * 60000L)
+      ()
+    }
+    graft.core.FsUtil.deleteRecursively(tmpRoot)
+    staging
+  }
+
+  /** Aux dirs (staging replica + checkpoint) per sink-cache key, for the
+    * w6/w7 stale-stamp sweeps: the d12 discipline — a superseded build's
+    * corpus replica must be deleted WITH its sink, not leak until JVM
+    * exit. */
+  private val sinkAuxCache = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  private def dropStaleSinkKeys(cache: scala.collection.mutable.Map[String, String],
+                                dir: String, liveKey: String): Boolean = {
+    val stale = cache.keys.filter(k => k.startsWith(dir + "@") && k != liveKey).toSeq
+    stale.foreach { k =>
+      (cache.remove(k).toSeq ++ sinkAuxCache.remove(k).getOrElse(Nil)).foreach(p =>
+        try graft.core.FsUtil.deleteRecursively(p)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    stale.nonEmpty
+  }
+
   /** w7: streaming corpus quality gate — t14's classifier run per
     * arriving shard, the admission QA a streaming ingestion pipeline
     * keeps in front of the corpus (score each incoming doc map-side,
@@ -1230,28 +1278,16 @@ object LlmQueries {
 
   private def streamQualitySink(s: SparkSession, dir: String): String = streamDupSink.synchronized {
     val key = s"$dir@${fileStamp(dir, "documents.parquet")}"
-    qaSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq.foreach { k =>
-      qaSinkCache.remove(k).foreach(sink =>
-        try graft.core.FsUtil.deleteRecursively(sink)
-        catch { case scala.util.control.NonFatal(_) => () })
-    }
+    dropStaleSinkKeys(qaSinkCache, dir, key)
     qaSinkCache.getOrElseUpdate(key, {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val src       = docs(s, dir).select("doc_id", "source", "text")
       val srcSchema = src.schema
-      val staging   = java.nio.file.Files.createTempDirectory("graft-w7-stage-").toString
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w7-tmp-").toString
-        src.filter(col("doc_id") % 3 === i).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst  = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1600000000000L + i * 60000L)
-        graft.core.FsUtil.deleteRecursively(tmp)
-      }
+      val staging   = stageShards(src, "doc_id", "graft-w7")
       val sink = java.nio.file.Files.createTempDirectory("graft-w7-sink-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-w7-ckpt-").toString
       Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+      sinkAuxCache(key) = Seq(staging, ckpt)
       val q = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
         .writeStream
@@ -1324,13 +1360,12 @@ object LlmQueries {
     // keyed by dir@embeddings-stamp (the d12 discipline) and guarded by the
     // SAME monitor evictDir's drop() takes, so build and evict can never
     // race on the map; a regenerated embeddings.parquet recomputes instead
-    // of serving the stale mined set (stale-stamp keys dropped here)
+    // of serving the stale mined set (stale-stamp keys dropped here).
+    // When a stale key IS dropped, the session's IVF memo is evicted too —
+    // a rebuild that reused the index trained on the vanished vectors
+    // would mine "fresh" margins against a stale geometry.
     val key = s"$dir@${fileStamp(dir, "embeddings.parquet")}"
-    bitextSinkCache.keys.filter(k => k.startsWith(dir + "@") && k != key).toSeq.foreach { k =>
-      bitextSinkCache.remove(k).foreach(sink =>
-        try graft.core.FsUtil.deleteRecursively(sink)
-        catch { case scala.util.control.NonFatal(_) => () })
-    }
+    if (dropStaleSinkKeys(bitextSinkCache, dir, key)) evictIvfIndex(s, dir)
     bitextSinkCache.getOrElseUpdate(key, {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val (cents, assigned) = ivfIndex(s, dir)
@@ -1342,19 +1377,11 @@ object LlmQueries {
       // the sink is correct under any file-source ordering
       val src = emb(s, dir).filter(col("label") % 2 === 1).select("vec_id", "v")
       val srcSchema = src.schema
-      val staging = java.nio.file.Files.createTempDirectory("graft-w6-stage-").toString
-      (0 until 3).foreach { i =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft-w6-tmp-").toString
-        src.filter(col("vec_id") % 3 === i).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(1600000000000L + i * 60000L)
-        graft.core.FsUtil.deleteRecursively(tmp)
-      }
+      val staging = stageShards(src, "vec_id", "graft-w6")
       val sink = java.nio.file.Files.createTempDirectory("graft-w6-sink-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-w6-ckpt-").toString
       Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
+      sinkAuxCache(key) = Seq(staging, ckpt)
       val q = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
         .writeStream

@@ -179,6 +179,12 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * `VERSION AS OF` / `TIMESTAMP AS OF` time travel). */
   override def planInputPartitions(): Array[InputPartition] = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
+    // ONE metadata load: the MoR guard and the file listing must resolve
+    // against the SAME snapshot — with separate loads a delete+append
+    // landing in between lets the guard pass on the pre-delete snapshot
+    // while the listing reads the post-delete one (silent masked rows).
+    val meta     = committer.load().getOrElse(return Array.empty[InputPartition])
+    val readSnap = snapshotId.orElse(meta.currentSnapshotId)
     // fail loud (the streaming-cursor rule applied to MoR): this scan does
     // not fold merge-on-read delete files yet — silently returning masked
     // rows would be wrong-data, not degraded-perf. The check is AT THE
@@ -186,11 +192,10 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     // refuse even after a later compaction folded the files out of the
     // current snapshot, and a pre-delete snapshot reads fine while deletes
     // are live. EventTable.readCommitted is the MoR-correct read.
-    require(snapshotId.map(committer.activeDeleteFilesAt)
-              .getOrElse(committer.activeDeleteFiles()).isEmpty,
+    require(readSnap.forall(id => committer.activeFilesAtOf(meta, id, content = 1).isEmpty),
       "graft V2 scan does not apply merge-on-read delete files: read via " +
         "EventTable.readCommitted or compact to fold the deletes first")
-    snapshotId.map(committer.activeDataFilesAt).getOrElse(committer.activeDataFiles())
+    readSnap.map(id => committer.activeFilesAtOf(meta, id, content = 0)).getOrElse(Nil)
       .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
       .map(f => GraftInputPartition(tableRoot, f.filePath))
       .toArray[InputPartition]
