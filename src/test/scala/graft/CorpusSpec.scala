@@ -444,7 +444,13 @@ class CorpusSpec extends AnyFunSuite {
           "e2_embedding_outliers", "d20_cluster_canon",
           "d21_banding_loss", "e3_quantization_error",
           "r7_rocchio_prf", "t27_fertility_hist", "m5_image_phash",
-          "d1_exact_dedup", "d22_split_leakage").foreach { q =>
+          "d1_exact_dedup", "d22_split_leakage",
+          // round-16 cohort: the two-phase DSIR threshold is already in
+          // (t24); the trained-index admission, the drift monitor, and
+          // the two streamed sinks are all deterministic by design —
+          // shard membership travels in the data, never in batch ids
+          "ann_incremental_add", "e5_embedding_drift",
+          "w6_stream_bitext", "w7_stream_quality_gate").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
