@@ -154,6 +154,13 @@ object CorpusQueries {
     * bucket-bounded however large the corpus) and the keep fraction in
     * permille (top 20% of raw docs by importance, ties inclusive). */
   val DsirBuckets      = 512
+
+  /** t28 RAG chunking: window size (words) and stride — overlap =
+    * [[ChunkWords]] − [[ChunkStride]] words, the context carried across
+    * chunk boundaries so a retrieval hit near an edge still sees its
+    * surroundings. */
+  val ChunkWords  = 24
+  val ChunkStride = 16
   val DsirKeepPermille = 200L
 
   /** t25: Gopher repetition thresholds — permille of a doc's word chars
@@ -786,6 +793,44 @@ object CorpusQueries {
         max(col("doc_id")).as("last_doc"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- RAG ingestion: sliding-window chunking with overlap ----------
+    "t28_chunk_overlap" -> { (s, dir) =>
+      // The chunking pass every RAG ingestion pipeline runs before
+      // embedding: fixed [[ChunkWords]]-word windows at [[ChunkStride]]
+      // stride (overlap carries boundary context), n_chunks =
+      // 1 + ceil((n − W)/S) for n > W, one chunk for short docs, none for
+      // empty ones. Audited per source as counts + an ORDER-INDEPENDENT
+      // XOR of per-chunk FNV fingerprints (content-addressed chunk ids —
+      // the dedup key a chunk store uses) + total chunk words (the
+      // overlap-inflation factor). Pure map-side explode; the only
+      // exchanges are two source-bounded rollups; integer end to end, so
+      // the rows hash-gate.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val (w, st) = (ChunkWords, ChunkStride)
+      val base = docs(s, dir).withColumn("words", expr(LlmQueries.wordsExpr))
+      val chunksExpr =
+        s"""CASE WHEN size(words) = 0 THEN array()
+           |ELSE transform(
+           |  sequence(0, CASE WHEN size(words) <= $w THEN 0
+           |                   ELSE ((size(words) - $w) + $st - 1) div $st END),
+           |  i -> named_struct(
+           |    'fp', graft_fnv32(array_join(
+           |            slice(words, i * $st + 1, least(i * $st + $w, size(words)) - i * $st), ' ')),
+           |    'nw', cast(least(i * $st + $w, size(words)) - i * $st as bigint)))
+           |END""".stripMargin
+      val stats = base.select(col("source"), explode(expr(chunksExpr)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+             expr("bit_xor(c.fp)").as("chunk_xor"),
+             sum(col("c.nw")).as("sum_chunk_words"))
+      base.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(stats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+          coalesce(col("chunk_xor"), lit(0L)).as("chunk_xor"),
+          coalesce(col("sum_chunk_words"), lit(0L)).as("sum_chunk_words"))
+    },
+
     "t4_corpus_profile" -> { (s, dir) =>
       val d = docs(s, dir)
       val totals = d.groupBy("source").agg(
@@ -1850,6 +1895,32 @@ object CorpusQueries {
         |  min(CASE WHEN cum.cum * 1000 >= 990 * t.n_docs THEN cum.n_chars END) AS p99_chars
         |FROM cum JOIN t USING (source)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // t28 twin: the same integer chunk-count arithmetic, 1-based DuckDB
+    // list slicing mirroring Spark's slice(start, len), the shared fnv32
+    // over the space-joined window, bit_xor both sides (order-free).
+    "t28_chunk_overlap" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${LlmQueries.duckWords} AS words FROM documents
+         |), idx AS (
+         |  SELECT source, words,
+         |         unnest(generate_series(0, CASE WHEN len(words) <= $ChunkWords THEN 0
+         |                                        ELSE ((len(words) - $ChunkWords) + $ChunkStride - 1) // $ChunkStride END)) AS i
+         |  FROM base WHERE len(words) > 0
+         |), ch AS (
+         |  SELECT source,
+         |         ${LlmQueries.fnv32Expr(s"array_to_string(words[i * $ChunkStride + 1 : least(i * $ChunkStride + $ChunkWords, len(words))], ' ')")} AS fp,
+         |         (least(i * $ChunkStride + $ChunkWords, len(words)) - i * $ChunkStride)::BIGINT AS nw
+         |  FROM idx
+         |), st AS (
+         |  SELECT source, count(*)::BIGINT AS n_chunks, bit_xor(fp)::BIGINT AS chunk_xor,
+         |         sum(nw)::BIGINT AS sum_chunk_words
+         |  FROM ch GROUP BY 1
+         |), nd AS (SELECT source, count(*)::BIGINT AS n_docs FROM base GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |  coalesce(st.n_chunks, 0)::BIGINT AS n_chunks,
+         |  coalesce(st.chunk_xor, 0)::BIGINT AS chunk_xor,
+         |  coalesce(st.sum_chunk_words, 0)::BIGINT AS sum_chunk_words
+         |FROM nd LEFT JOIN st ON st.source = nd.source""".stripMargin,
     "d5_train_split" ->
       s"""SELECT source,
          |  ${splitCaseOf("doc_id")} AS split,

@@ -450,7 +450,8 @@ class CorpusSpec extends AnyFunSuite {
           // the two streamed sinks are all deterministic by design —
           // shard membership travels in the data, never in batch ids
           "ann_incremental_add", "e5_embedding_drift",
-          "w6_stream_bitext", "w7_stream_quality_gate").foreach { q =>
+          "w6_stream_bitext", "w7_stream_quality_gate",
+          "t28_chunk_overlap").foreach { q =>
         assert(rows(s2, alt, q) === rows(spark, dir, q),
           s"$q must be independent of input file layout and shuffle width")
       }
