@@ -159,7 +159,16 @@ object GraftScanBuilder {
   }
 }
 
-final case class GraftInputPartition(tableRoot: String, relPath: String) extends InputPartition
+/** One committed file to read, plus its merge-on-read masks: `delPositions`
+  * = sorted physical row ordinals masked by position-delete files for THIS
+  * file; `eqSeqs` = sorted tombstoned sequences relevant to this file
+  * (equality deletes pruned to the file's sequence bounds at planning).
+  * Both are bounded — delete sets ride task binaries only under the
+  * planning cap ([[GraftScan.MorScanDeleteCap]]); beyond it the scan
+  * refuses and compaction must fold first. */
+final case class GraftInputPartition(tableRoot: String, relPath: String,
+                                     delPositions: Array[Long] = Array.empty,
+                                     eqSeqs: Array[Long] = Array.empty) extends InputPartition
 
 final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
                       pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch {
@@ -177,38 +186,112 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   /** One partition per data file that SURVIVES manifest-bound pruning;
     * `snapshotId` pins the file set to a historical snapshot (SQL
     * `VERSION AS OF` / `TIMESTAMP AS OF` time travel). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** ONE metadata load shared by the file listing, the delete masks, and
+    * the reader-factory's columnar decision: separate loads would let a
+    * delete+append race the listing (silent masked rows), and Spark
+    * requires a SCAN-UNIFORM columnar/row choice — the factory must know
+    * whether ANY planned file carries masks. A Scan plans once; lazy is
+    * the per-query memo. */
+  private lazy val planState: Option[(graft.iceberg.TableMetadata, Seq[DataFile], Seq[DataFile])] = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
-    // ONE metadata load: the MoR guard and the file listing must resolve
-    // against the SAME snapshot — with separate loads a delete+append
-    // landing in between lets the guard pass on the pre-delete snapshot
-    // while the listing reads the post-delete one (silent masked rows).
-    val meta     = committer.load().getOrElse(return Array.empty[InputPartition])
-    val readSnap = snapshotId.orElse(meta.currentSnapshotId)
-    // fail loud (the streaming-cursor rule applied to MoR): this scan does
-    // not fold merge-on-read delete files yet — silently returning masked
-    // rows would be wrong-data, not degraded-perf. The check is AT THE
-    // READ SNAPSHOT: a time-travel read of a delete-era snapshot must
-    // refuse even after a later compaction folded the files out of the
-    // current snapshot, and a pre-delete snapshot reads fine while deletes
-    // are live. EventTable.readCommitted is the MoR-correct read.
-    require(readSnap.forall(id => committer.activeFilesAtOf(meta, id, content = 1).isEmpty),
-      "graft V2 scan does not apply merge-on-read delete files: read via " +
-        "EventTable.readCommitted or compact to fold the deletes first")
-    readSnap.map(id => committer.activeFilesAtOf(meta, id, content = 0)).getOrElse(Nil)
+    committer.load().map { meta =>
+      val readSnap = snapshotId.orElse(meta.currentSnapshotId)
+      val dels  = readSnap.map(id => committer.activeFilesAtOf(meta, id, content = 1)).getOrElse(Nil)
+      val files = readSnap.map(id => committer.activeFilesAtOf(meta, id, content = 0)).getOrElse(Nil)
+      (meta, files, dels)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // merge-on-read: delete files AT THE READ SNAPSHOT become per-file
+    // masks the readers apply: positional rows by file identity + row
+    // ordinal, equality keys by (partition, sequence). Time travel
+    // composes: a delete-era snapshot reads masked while its delete files
+    // exist; after a fold physically deletes them, planning fails loud on
+    // the missing parquet (same contract as time travel across any
+    // replace). Delete sets beyond the planning cap also fail loud —
+    // fold first.
+    val (_, files, dels) = planState.getOrElse(return Array.empty[InputPartition])
+    val (posByFile, eqByPart) = GraftScan.deleteMasksFor(tableRoot, dels)
+    files
       .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-      .map(f => GraftInputPartition(tableRoot, f.filePath))
+      .map(f => GraftScan.maskedPartition(tableRoot, f, posByFile, eqByPart))
       .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    // columnar only when the read snapshot carries NO delete files: Spark
+    // refuses to mix row and columnar partitions in one scan, so the
+    // masked-file row path forces the whole scan row-based (delete-bearing
+    // tables are transient by the fold discipline)
+    new GraftReaderFactory(required,
+      allowColumnar = planState.forall(_._3.isEmpty))
 
   override def description(): String =
     s"GraftScan pruned on [${pushed.mkString(", ")}]"
 }
 
 object GraftScan {
+  /** Ceiling on total delete rows the scan will ship in task binaries —
+    * far above any fold-disciplined delete set; beyond it the scan fails
+    * loud ("compact first") instead of bloating every task. */
+  val MorScanDeleteCap: Long = 1L << 22
+
+  /** Driver-side delete masks: positional rows grouped by the target
+    * file's identity key (last two path segments — see
+    * [[graft.table.EventTable.morKeyOf]]) and equality keys grouped by
+    * log partition, both sorted. Loaded once per plan via the active
+    * session (delete files are batch-sized by the fold contract). */
+  def deleteMasksFor(tableRoot: String,
+                     dels: Seq[DataFile]): (Map[String, Array[Long]], Map[Int, Array[Long]]) = {
+    if (dels.isEmpty) return (Map.empty, Map.empty)
+    val totalRows = dels.map(_.recordCount).sum
+    require(totalRows <= MorScanDeleteCap,
+      s"table $tableRoot holds $totalRows merge-on-read delete rows (> $MorScanDeleteCap): " +
+        "compact to fold the deletes before scanning through the graft source")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pos = dels.filter(_.content == 1)
+    val eq  = dels.filter(_.content == 2)
+    val posByFile =
+      if (pos.isEmpty) Map.empty[String, Array[Long]]
+      else spark.read.parquet(pos.map(f => s"$tableRoot/${f.filePath}"): _*)
+        .select("file_path", "pos").collect()
+        .groupBy(r => graft.table.EventTable.morKeyOf(r.getString(0)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).distinct.sorted }
+    val eqByPart =
+      if (eq.isEmpty) Map.empty[Int, Array[Long]]
+      else spark.read.parquet(eq.map(f => s"$tableRoot/${f.filePath}"): _*)
+        .selectExpr("cast(partition as int) AS partition", "sequence").collect()
+        .groupBy(_.getInt(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).distinct.sorted }
+    (posByFile, eqByPart)
+  }
+
+  /** Build the input partition for one data file with its delete masks:
+    * positions by file identity; equality keys by the file's PATH
+    * partition (the same derivation the reader's constant `partition`
+    * column uses), pruned to the file's sequence bounds. */
+  def maskedPartition(tableRoot: String, f: DataFile,
+                      posByFile: Map[String, Array[Long]],
+                      eqByPart: Map[Int, Array[Long]]): GraftInputPartition = {
+    val dp = posByFile.getOrElse(graft.table.EventTable.morKeyOf(f.filePath), Array.empty[Long])
+    val eqs =
+      if (eqByPart.isEmpty) Array.empty[Long]
+      else {
+        val pid = f.filePath.split('/').collectFirst {
+          case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+        }.getOrElse(-1)
+        val all = eqByPart.getOrElse(pid, Array.empty[Long])
+        if (all.isEmpty) all
+        else {
+          val lo = f.lowerLong(FieldIds.Sequence).getOrElse(Long.MinValue)
+          val hi = f.upperLong(FieldIds.Sequence).getOrElse(Long.MaxValue)
+          all.filter(s => s >= lo && s <= hi)
+        }
+      }
+    GraftInputPartition(tableRoot, f.filePath, dp, eqs)
+  }
+
   private def longBounds(f: DataFile, fid: Int): (Long, Long) =
     (f.lowerLong(fid).getOrElse(Long.MinValue), f.upperLong(fid).getOrElse(Long.MaxValue))
   private def intBounds(f: DataFile, fid: Int): (Long, Long) =
@@ -333,42 +416,62 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
       throw new IllegalStateException(
         s"table $tableRoot metadata unreadable while the checkpoint holds snapshot $from")
     if (to == -1L || from == to) return Array.empty[InputPartition]
-    // same MoR fail-loud as the batch scan, but STRICTER: a stream commits
-    // its progress and can never retract, so emitting rows a delete file
-    // masks would be permanent wrong data in the sink. Bootstrap checks
-    // deletes at the batch's end snapshot; incremental batches read only
-    // appended files, whose rows postdate (and so cannot be masked by)
-    // earlier delete commits — but a delete commit INSIDE the batch range
-    // means masked rows may be in flight, so refuse until folded.
-    val delsAt = committer.activeDeleteFilesAt(to)
-    if (delsAt.nonEmpty)
-      throw new IllegalStateException(
-        s"table $tableRoot holds merge-on-read delete files at snapshot $to: " +
-          "the graft stream does not apply them — compact to fold the deletes first")
-    val files =
-      if (from == -1L) committer.activeDataFilesAt(to)
-      else committer.appendsBetween(from, to)
-    files
-      .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-      .map(f => GraftInputPartition(tableRoot, f.filePath))
-      .toArray[InputPartition]
+    // merge-on-read for the stream: the BOOTSTRAP batch (from == -1) masks
+    // delete files at its end snapshot exactly like the batch scan — a
+    // stream commits its progress and can never retract, so masked rows
+    // must never enter the sink. Incremental batches read only files
+    // appended inside an append-only range (appendsBetween REFUSES a
+    // range containing a delete/replace commit — the same loud stall a
+    // mid-stream compaction has always produced), and appended rows
+    // postdate every earlier delete (deleteWhereEq pins keys below the
+    // watermark), so they need no masks.
+    if (from == -1L) {
+      val delsAt = committer.activeDeleteFilesAt(to)
+      val (posByFile, eqByPart) = GraftScan.deleteMasksFor(tableRoot, delsAt)
+      committer.activeDataFilesAt(to)
+        .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+        .map(f => GraftScan.maskedPartition(tableRoot, f, posByFile, eqByPart))
+        .toArray[InputPartition]
+    } else {
+      committer.appendsBetween(from, to)
+        .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+        .map(f => GraftInputPartition(tableRoot, f.filePath))
+        .toArray[InputPartition]
+    }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory =
+    // row-based whenever the table currently carries delete files (the
+    // bootstrap batch's partitions may hold masks); the columnar reader
+    // additionally REQUIRES mask-free partitions, so any planning/factory
+    // race surfaces loudly instead of as silently unmasked rows
+    new GraftReaderFactory(required,
+      allowColumnar = committer.activeDeleteFiles().isEmpty)
 }
 
-final class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+final class GraftReaderFactory(required: StructType,
+                               allowColumnar: Boolean = true) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.tableRoot, p.relPath, required)
+    new GraftPartitionReader(p.tableRoot, p.relPath, required, p.delPositions, p.eqSeqs)
   }
 
   // Columnar path: every committed column type is vectorizable, so batches
   // are the default; the row reader above remains as the generic fallback.
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  // A scan over a delete-bearing snapshot runs row-based AS A WHOLE
+  // (`allowColumnar = false`): Spark refuses to mix row and columnar
+  // partitions in one scan, and masking inside a ColumnarBatch would mean
+  // compacting vectors per batch — the row skip loop is simpler, and
+  // delete-bearing tables are transient by the fold discipline.
+  override def supportColumnarReads(partition: InputPartition): Boolean = allowColumnar
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    // belt to allowColumnar's suspender: a masked partition must NEVER
+    // decode columnar (the vectorized path does not apply masks) — any
+    // factory/planning race fails here loudly instead of unmasking rows
+    require(p.delPositions.isEmpty && p.eqSeqs.isEmpty,
+      s"${p.relPath} carries merge-on-read masks — the columnar reader cannot apply them")
     new GraftColumnarReader(p.tableRoot, p.relPath, required)
   }
 }
@@ -435,8 +538,14 @@ final class GraftColumnarReader(tableRoot: String, relPath: String, required: St
 
 /** Reads one committed parquet file via parquet-mr's Group API and emits
   * only the required columns; the identity `partition` value comes from the
-  * Hive path (it is not materialized in the data pages). */
-final class GraftPartitionReader(tableRoot: String, relPath: String, required: StructType)
+  * Hive path (it is not materialized in the data pages). Merge-on-read
+  * masks: `delPositions` (sorted physical ordinals) skip by a running row
+  * counter — the exact `_metadata.row_index` semantics the delete writer
+  * recorded; `eqSeqs` (sorted tombstoned sequences for this file's
+  * partition) skip by binary search on the row's sequence. */
+final class GraftPartitionReader(tableRoot: String, relPath: String, required: StructType,
+                                 delPositions: Array[Long] = Array.empty,
+                                 eqSeqs: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val partValue: Int = relPath.split('/').collectFirst {
     case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
@@ -446,22 +555,39 @@ final class GraftPartitionReader(tableRoot: String, relPath: String, required: S
     new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO   = new ColumnIOFactory().getColumnIO(fileSchema)
+  require(eqSeqs.isEmpty || fileSchema.containsField("sequence"),
+    s"$relPath carries equality-delete masks but has no sequence column")
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var rowsLeftInGroup = 0L
   private var current: InternalRow = _
+  private var ordinal = -1L // physical row index within the file
+  private var delIdx  = 0   // cursor into the sorted delPositions
+
+  private def masked(g: Group): Boolean = {
+    if (delIdx < delPositions.length && delPositions(delIdx) == ordinal) {
+      delIdx += 1
+      return true
+    }
+    eqSeqs.nonEmpty &&
+      java.util.Arrays.binarySearch(eqSeqs, g.getLong("sequence", 0)) >= 0
+  }
 
   override def next(): Boolean = {
-    while (rowsLeftInGroup == 0) {
-      val pages = reader.readNextRowGroup()
-      if (pages == null) return false
-      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
-      rowsLeftInGroup = pages.getRowCount
+    while (true) {
+      while (rowsLeftInGroup == 0) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        rowsLeftInGroup = pages.getRowCount
+      }
+      val g = recordReader.read()
+      rowsLeftInGroup -= 1
+      ordinal += 1
+      if (delPositions.isEmpty && eqSeqs.isEmpty) { current = toRow(g); return true }
+      if (!masked(g)) { current = toRow(g); return true }
     }
-    val g = recordReader.read()
-    rowsLeftInGroup -= 1
-    current = toRow(g)
-    true
+    false // unreachable
   }
 
   private def toRow(g: Group): InternalRow = {

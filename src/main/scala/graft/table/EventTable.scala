@@ -993,7 +993,7 @@ object EventTable {
     * URI-encoding mismatches. */
   private[table] val morFileKey   = "substring_index(_metadata.file_path, '/', -2)"
   private[table] val morStoredKey = "substring_index(file_path, '/', -2)"
-  private[table] def morKeyOf(relPath: String): String = {
+  private[graft] def morKeyOf(relPath: String): String = {
     val i = relPath.lastIndexOf('/')
     val j = if (i <= 0) -1 else relPath.lastIndexOf('/', i - 1)
     relPath.substring(j + 1)

@@ -213,6 +213,24 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // The SQL surface over a delete-bearing table: the same x8 fixture read
+    // through the V2 TableCatalog — the scan itself folds both delete
+    // kinds (positional masks by row ordinal, equality keys by sequence),
+    // so plain SQL over a MoR table is row-for-row correct without
+    // EventTable in the loop. Hash-gated against the same raw derivation.
+    "x10_mor_sql_read" -> { (s, dir) =>
+      val root  = MorDeletedTables.tableRoot(s, dir)
+      val p     = java.nio.file.Paths.get(root)
+      val tname = p.getFileName.toString
+      s.conf.set("spark.sql.catalog.graftmor", "graft.spark.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmor.warehouse", p.getParent.toString)
+      s.sql(
+        s"""SELECT cast(partition as int) AS part_id, count(*) AS n,
+           |       sum(cast(get_json_object(cast(payload as string), '$$.k') as bigint)) AS sum_k,
+           |       max(sequence) AS max_seq
+           |FROM graftmor.default.`$tname`
+           |GROUP BY 1""".stripMargin)
+    },
     // Copy-on-write MERGE (upsert): every 11th event in partitions 0–3 has
     // its payload k shifted +100000 (matched → update), every 101st event
     // spawns a NEW row at the partition tail with k = -event_id (insert). The
@@ -350,6 +368,20 @@ object IcebergQueries {
         |  FROM evlog)
         |WHERE NOT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT) % 9 = 0, false)
         |  AND NOT (CAST(substring(idempotency_key, 2) AS BIGINT) % 17 = 0)
+        |GROUP BY 1""".stripMargin),
+    // x10 twin: identical to x8's — the SQL-catalog read must produce the
+    // exact rows the direct MoR read does.
+    "x10_mor_sql_read" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM (
+        |  SELECT * REPLACE (CASE WHEN event_id % 13 = 0
+        |                         THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+        |                         ELSE props END AS props)
+        |  FROM evlog)
+        |WHERE NOT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT) % 9 = 0, false)
+        |  AND NOT (sequence % 500 = 3)
         |GROUP BY 1""".stripMargin),
     // x8 twin: the same two delete predicates over the raw derivation —
     // NULL-k rows survive the k-predicate (coalesce), both passes compose

@@ -141,52 +141,60 @@ class GraftDataSourceSpec extends AnyFunSuite {
     r
   }
 
-  test("MoR guard: V2 scan and stream refuse delete-bearing snapshots, pass delete-free ones") {
+  test("MoR V2 scan: folds both delete kinds at read; streams, SQL, and time travel compose") {
     import graft.table.EventTable
     import org.apache.spark.sql.functions.col
-    val warehouse = java.nio.file.Files.createTempDirectory("graft-morguard-").toString
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-morscan-").toString
     val root      = s"$warehouse/mortable"
     val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
     val preDelete = c.load().get.currentSnapshotId.get
     val preRows   = EventTable.readCommitted(spark, root).count()
-    val r = EventTable.deleteWhereMor(spark, root, col("sequence") % 9 === 4)
-    assert(r.deletedRows > 0)
+    val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 9 === 4)
+    val eqKeys = EventTable.readCommitted(spark, root)
+      .filter(col("sequence") % 11 === 3).select("partition", "sequence")
+    val r2 = EventTable.deleteWhereEq(spark, root, eqKeys)
+    assert(r1.deletedRows > 0 && r2.keys > 0)
     val deleteEra = c.load().get.currentSnapshotId.get
+    val masked    = preRows - r1.deletedRows - r2.keys
     spark.conf.set("spark.sql.catalog.morcat", "graft.spark.GraftCatalog")
     spark.conf.set("spark.sql.catalog.morcat.warehouse", warehouse)
-    // live batch scan: refused while deletes are active
-    assert(intercept[Exception] {
-      spark.read.format("graft").load(root).count()
-    }.getMessage.contains("merge-on-read"))
-    // time travel to the PRE-delete snapshot is fine even while deletes
-    // are live — the guard checks the READ snapshot, not the head
+    // the live V2 scan applies BOTH kinds — row set equals the MoR read
+    assert(spark.read.format("graft").load(root).count() === masked)
+    assert(spark.read.format("graft").load(root)
+      .filter(col("sequence") % 9 === 4 || col("sequence") % 11 === 3).count() === 0)
+    val v2 = spark.read.format("graft").load(root)
+      .select("partition", "sequence").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val mor = EventTable.readCommitted(spark, root)
+      .selectExpr("cast(partition as int)", "sequence").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(v2 === mor, "V2 scan and readCommitted must agree row-for-row")
+    // SQL surface and time travel: pre-delete snapshot unmasked,
+    // delete-era masked (its delete files still exist)
+    assert(spark.sql("SELECT count(*) FROM morcat.default.mortable").head().getLong(0) === masked)
     assert(spark.sql(
       s"SELECT count(*) FROM morcat.default.mortable VERSION AS OF $preDelete")
       .head().getLong(0) === preRows)
-    // streaming: a fresh stream must fail its first batch, not emit
-    // masked rows into a sink it can never retract from
-    val sink = java.nio.file.Files.createTempDirectory("graft-morguard-sink-").toString
-    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = spark.readStream.format("graft").load(root)
-        .writeStream.format("parquet")
-        .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(thrown).exists(_.contains("merge-on-read")))
-    // after compaction folds everything, the live scan works again —
-    // but the delete-ERA snapshot stays refused forever (its masked rows
-    // cannot be reconstructed without the folded delete files)
+    assert(spark.sql(
+      s"SELECT count(*) FROM morcat.default.mortable VERSION AS OF $deleteEra")
+      .head().getLong(0) === masked)
+    // streaming bootstrap masks too — no masked row may enter the sink
+    val sink = java.nio.file.Files.createTempDirectory("graft-morscan-sink-").toString
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("parquet")
+      .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$sink/data").count() === masked)
+    // after compaction folds everything the live scan is unchanged; the
+    // delete-ERA snapshot is now unreadable (its delete parquet was
+    // physically reclaimed — the same contract as time travel across any
+    // replace), loudly, never silently unmasked
     while (graft.table.Compaction.compact(spark, root).isDefined) ()
     assert(c.activeDeleteFiles().isEmpty)
-    assert(spark.read.format("graft").load(root).count() ===
-      EventTable.readCommitted(spark, root).count())
-    assert(intercept[Exception] {
+    assert(spark.read.format("graft").load(root).count() === masked)
+    intercept[Exception] {
       spark.sql(s"SELECT count(*) FROM morcat.default.mortable VERSION AS OF $deleteEra").collect()
-    }.getMessage.contains("merge-on-read"))
+    }
   }
 
   test("format(graft) equals the manifest-driven parquet read") {
