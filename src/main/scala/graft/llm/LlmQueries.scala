@@ -1239,11 +1239,16 @@ object LlmQueries {
       val dirF  = new java.io.File(s"$tmpRoot/_shard=$i")
       val parts = Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".parquet"))
-      require(parts.length == 1, s"expected one file for shard $i, got ${parts.length}")
-      val dst = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
-      java.nio.file.Files.move(parts.head.toPath, dst)
-      dst.toFile.setLastModified(1600000000000L + i * 60000L)
-      ()
+      // an EMPTY shard writes no partition dir at all — a valid refresh
+      // with nothing in it (one fewer trigger; shard identity travels in
+      // the data, so nothing downstream miscounts)
+      require(parts.length <= 1, s"expected at most one file for shard $i, got ${parts.length}")
+      parts.headOption.foreach { part =>
+        val dst = java.nio.file.Paths.get(staging, s"shard-$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1600000000000L + i * 60000L)
+        ()
+      }
     }
     graft.core.FsUtil.deleteRecursively(tmpRoot)
     staging
@@ -1287,7 +1292,6 @@ object LlmQueries {
       val sink = java.nio.file.Files.createTempDirectory("graft-w7-sink-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-w7-ckpt-").toString
       Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
-      sinkAuxCache(key) = Seq(staging, ckpt)
       val q = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
         .writeStream
@@ -1308,7 +1312,18 @@ object LlmQueries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // aux dirs are registered only on SUCCESS (paired with the sink-cache
+      // entry); a failed build reclaims its dirs immediately instead of
+      // orphaning an aux entry no stale sweep can see
+      try q.awaitTermination()
+      catch {
+        case t: Throwable =>
+          Seq(staging, sink, ckpt).foreach(p =>
+            try graft.core.FsUtil.deleteRecursively(p)
+            catch { case scala.util.control.NonFatal(_) => () })
+          throw t
+      }
+      sinkAuxCache(key) = Seq(staging, ckpt)
       s"$sink/data"
     })
   }
@@ -1359,11 +1374,15 @@ object LlmQueries {
   private def streamBitextSink(s: SparkSession, dir: String): String = streamDupSink.synchronized {
     // keyed by dir@embeddings-stamp (the d12 discipline) and guarded by the
     // SAME monitor evictDir's drop() takes, so build and evict can never
-    // race on the map; a regenerated embeddings.parquet recomputes instead
-    // of serving the stale mined set (stale-stamp keys dropped here).
-    // When a stale key IS dropped, the session's IVF memo is evicted too —
-    // a rebuild that reused the index trained on the vanished vectors
-    // would mine "fresh" margins against a stale geometry.
+    // race on the map. The stamp protects the SESSION-INDEPENDENT file
+    // sink (a fresh JVM must not serve a sink mined from a replaced
+    // corpus); in-session invalidation after an in-place regeneration is
+    // [[evictDir]]'s job — the documented contract for every (session,
+    // dir) memo in this file, which also evicts the IVF memo this build
+    // trains against. A stale-stamp drop here additionally evicts the IVF
+    // memo (belt: the common regenerate-then-re-query flow stays
+    // consistent even without an evictDir call, whenever a prior build's
+    // key makes the regeneration detectable).
     val key = s"$dir@${fileStamp(dir, "embeddings.parquet")}"
     if (dropStaleSinkKeys(bitextSinkCache, dir, key)) evictIvfIndex(s, dir)
     bitextSinkCache.getOrElseUpdate(key, {
@@ -1381,7 +1400,6 @@ object LlmQueries {
       val sink = java.nio.file.Files.createTempDirectory("graft-w6-sink-").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft-w6-ckpt-").toString
       Seq(staging, sink, ckpt).foreach(graft.core.FsUtil.deleteOnExit)
-      sinkAuxCache(key) = Seq(staging, ckpt)
       val q = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1).parquet(staging)
         .writeStream
@@ -1406,7 +1424,16 @@ object LlmQueries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // success-only aux registration — see streamQualitySink
+      try q.awaitTermination()
+      catch {
+        case t: Throwable =>
+          Seq(staging, sink, ckpt).foreach(p =>
+            try graft.core.FsUtil.deleteRecursively(p)
+            catch { case scala.util.control.NonFatal(_) => () })
+          throw t
+      }
+      sinkAuxCache(key) = Seq(staging, ckpt)
       s"$sink/data"
     })
   }

@@ -427,6 +427,7 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     // watermark), so they need no masks.
     if (from == -1L) {
       val delsAt = committer.activeDeleteFilesAt(to)
+      if (delsAt.nonEmpty) plannedMasks = true
       val (posByFile, eqByPart) = GraftScan.deleteMasksFor(tableRoot, delsAt)
       committer.activeDataFilesAt(to)
         .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
@@ -440,13 +441,20 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     }
   }
 
+  // sticky: set by planInputPartitions whenever a batch planned masked
+  // partitions, so the factory decision derives from the SAME planning
+  // state (a fold landing between planning and factory creation must not
+  // flip an already-masked batch back to columnar — the batch-scan
+  // single-load discipline carried to the stream)
+  @volatile private var plannedMasks = false
+
   override def createReaderFactory(): PartitionReaderFactory =
-    // row-based whenever the table currently carries delete files (the
-    // bootstrap batch's partitions may hold masks); the columnar reader
-    // additionally REQUIRES mask-free partitions, so any planning/factory
-    // race surfaces loudly instead of as silently unmasked rows
+    // row-based whenever masks were planned OR the table currently
+    // carries delete files; the columnar reader additionally REQUIRES
+    // mask-free partitions, so any residual race surfaces loudly instead
+    // of as silently unmasked rows
     new GraftReaderFactory(required,
-      allowColumnar = committer.activeDeleteFiles().isEmpty)
+      allowColumnar = !plannedMasks && committer.activeDeleteFiles().isEmpty)
 }
 
 final class GraftReaderFactory(required: StructType,

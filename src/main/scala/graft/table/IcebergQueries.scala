@@ -222,13 +222,18 @@ object IcebergQueries {
       val root  = MorDeletedTables.tableRoot(s, dir)
       val p     = java.nio.file.Paths.get(root)
       val tname = p.getFileName.toString
-      s.conf.set("spark.sql.catalog.graftmor", "graft.spark.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftmor.warehouse", p.getParent.toString)
+      // catalog name is DIR-UNIQUE: Spark's CatalogManager caches the
+      // catalog instance on first use, so reusing one name across sfDirs
+      // in a session would silently keep the first dir's warehouse
+      val cat = "graftmor_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", p.getParent.toString)
       s.sql(
         s"""SELECT cast(partition as int) AS part_id, count(*) AS n,
            |       sum(cast(get_json_object(cast(payload as string), '$$.k') as bigint)) AS sum_k,
            |       max(sequence) AS max_seq
-           |FROM graftmor.default.`$tname`
+           |FROM $cat.default.`$tname`
            |GROUP BY 1""".stripMargin)
     },
     // Copy-on-write MERGE (upsert): every 11th event in partitions 0–3 has

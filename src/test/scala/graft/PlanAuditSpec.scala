@@ -435,6 +435,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_ivf_probe must not window at all (its cell id is carried by the aggregate payload)")
   }
 
+  test("t28_chunk_overlap: map-side chunking — no window, no cartesian, source-bounded joins only") {
+    val p = plan("t28_chunk_overlap")
+    assert(!p.contains("Window ["),
+      "chunk fingerprints fold through plain aggregates (xor is order-free) — never a window")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("fnv32("), "chunk ids must come from the codegen'd hash")
+  }
+
+  test("x10_mor_sql_read: the SQL catalog plans the graft batch scan; no window, no cartesian") {
+    val p = plan("x10_mor_sql_read")
+    assert(p.contains("BatchScan") || p.contains("GraftScan"),
+      "the catalog read must plan through the V2 graft scan (which folds the delete masks)")
+    assert(!p.contains("Window ["))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x8/x9 MoR reads: delete sets broadcast — the corpus never shuffles for the anti-join") {
     // merge-on-read's read-side contract at 100 TB: the masked-row
     // anti-joins ride BroadcastExchanges (delete sets are bounded by the
