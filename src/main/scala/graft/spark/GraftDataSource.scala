@@ -449,12 +449,13 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
   @volatile private var plannedMasks = false
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // row-based whenever masks were planned OR the table currently
-    // carries delete files; the columnar reader additionally REQUIRES
-    // mask-free partitions, so any residual race surfaces loudly instead
-    // of as silently unmasked rows
-    new GraftReaderFactory(required,
-      allowColumnar = !plannedMasks && committer.activeDeleteFiles().isEmpty)
+    // row-based exactly when a batch planned masks: the bootstrap is the
+    // only batch that can carry them (incremental batches are append-only
+    // by appendsBetween's guard, appended rows postdate every equality
+    // tombstone via the watermark pin, and positional deletes reference
+    // only pre-existing files), so no per-trigger metadata walk is needed;
+    // the columnar reader's mask-free require keeps any residual race loud
+    new GraftReaderFactory(required, allowColumnar = !plannedMasks)
 }
 
 final class GraftReaderFactory(required: StructType,

@@ -273,8 +273,11 @@ object StreamQueries {
       val first = c.load().get.snapshots
         .find(_.summary.get("graft.batch-id-max").contains("1"))
         .getOrElse(throw new IllegalStateException("missing first streamed snapshot"))
+      // files AND deletes both resolve AT the read snapshot (a delete-era
+      // snapshot must read masked even after a later fold; a pre-delete
+      // one must never see later tombstones)
       EventTable
-        .readCommitted(s, root, c.activeDataFilesAt(first.snapshotId))
+        .readCommitted(s, root, atSnapshot = Some(first.snapshotId))
         .groupBy(col("partition").cast("int").as("part_id"))
         .agg(count(lit(1)).as("n_events"), max("sequence").as("max_seq"))
     },
@@ -286,11 +289,16 @@ object StreamQueries {
       val root = StreamedTables.tableRoot(s, dir)
       val c = new graft.iceberg.IcebergCommitter(
         graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
-      val first = c.load().get.snapshots
+      val meta = c.load().get
+      val first = meta.snapshots
         .find(_.summary.get("graft.batch-id-max").contains("1"))
         .getOrElse(throw new IllegalStateException("missing first streamed snapshot"))
+      // the diff and its MoR resolution are both PINNED at the head the
+      // diff was computed against, not whatever the table advances to
+      val head = meta.currentSnapshotId.get
       EventTable
-        .readCommitted(s, root, c.appendsSince(first.snapshotId))
+        .readCommitted(s, root, c.appendsBetween(first.snapshotId, head),
+                       atSnapshot = Some(head))
         .groupBy(col("partition").cast("int").as("part_id"))
         .agg(count(lit(1)).as("n_events"),
              min("sequence").as("min_seq"), max("sequence").as("max_seq"))

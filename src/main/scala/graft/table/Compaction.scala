@@ -149,13 +149,26 @@ object Compaction {
       .map { case (f, sq) => EventTable.morKeyOf(f.filePath) -> sq }.toMap
     val deleteSeqs = committer.activeFilesWithSeq(content = 2)
       .map { case (f, sq) => f.filePath -> sq }.toMap
+    // referenced data-file keys per position-delete file, from ONE read of
+    // all position-delete parquets (grouped by `_metadata.file_path`, the
+    // source delete file) — never a driver job per delete file. Distinct
+    // (delete file, referenced key) pairs are matched-rows-sized, so the
+    // collect is bounded decision values.
+    val posFiles = activeDeletes.filter(_.content == 1)
+    val posRefs: Map[String, Seq[String]] =
+      if (posFiles.isEmpty) Map.empty
+      else {
+        val pathByKey = posFiles.map(f => EventTable.morKeyOf(f.filePath) -> f.filePath).toMap
+        spark.read.parquet(posFiles.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(expr(EventTable.morStoredKey).as("ref"),
+                  expr("substring_index(_metadata.file_path, '/', -2)").as("src"))
+          .distinct().collect()
+          .groupBy(r => pathByKey(r.getString(1)))
+          .map { case (p, rs) => p -> rs.map(_.getString(0)).toSeq }
+      }
     val foldedDeletes = activeDeletes.filter { d =>
       if (d.content == 1)
-        // referenced file keys: distinct over a matched-rows-sized file,
-        // driver-bounded decision values
-        spark.read.parquet(s"$tableRoot/${d.filePath}")
-          .select(expr(EventTable.morStoredKey))
-          .distinct().collect().map(_.getString(0))
+        posRefs.getOrElse(d.filePath, Nil)
           .forall(k => candidateKeys.contains(k) || !activeKeys.contains(k))
       else {
         val dSeq = deleteSeqs.getOrElse(d.filePath, Long.MaxValue)

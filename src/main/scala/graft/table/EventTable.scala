@@ -680,8 +680,15 @@ object EventTable {
       }
     fs.delete(stagingAbs, true)
     val files = moved.map { relPath =>
-      val abs   = new org.apache.hadoop.fs.Path(rootP, relPath)
-      val rows  = spark.read.parquet(abs.toString).count()
+      val abs = new org.apache.hadoop.fs.Path(rootP, relPath)
+      // recordCount straight from the footer (a driver-local metadata read)
+      // — not a Spark count job per delete file
+      val in: org.apache.parquet.io.InputFile =
+        if (Option(abs.toUri.getScheme).forall(_ == "file"))
+          new org.apache.parquet.io.LocalInputFile(java.nio.file.Paths.get(abs.toUri.getPath))
+        else HadoopInputFile.fromPath(abs, conf)
+      val r    = ParquetFileReader.open(in)
+      val rows = try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
       DataFile(content = content, filePath = relPath, fileFormat = "PARQUET",
                recordCount = rows, fileSizeInBytes = fs.getFileStatus(abs).getLen,
                lowerBounds = Map.empty, upperBounds = Map.empty)
@@ -957,7 +964,8 @@ object EventTable {
     * `basePath` recovers the identity `partition` column from the Hive
     * paths. An empty file list (e.g. everything pruned) yields an empty
     * DataFrame with the committed schema rather than a read error. */
-  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null): DataFrame = {
+  def readCommitted(spark: SparkSession, tableRoot: String, files: Seq[DataFile] = null,
+                    atSnapshot: Option[Long] = None): DataFrame = {
     // The metadata schema drives the read (the projected path): schema
     // INFERENCE would open parquet footers just to rediscover what the
     // Iceberg metadata already states — measured ~0.2 s of the cold
@@ -970,12 +978,23 @@ object EventTable {
     // reader is MoR-correct, including pruned reads (deletes of
     // pruned-away files simply match nothing). Delete-free tables skip
     // this entirely (one cached manifest-list filter, no plan change).
+    // `atSnapshot` pins the MoR resolution (and, when `files` is null, the
+    // file listing) to a HISTORICAL snapshot: a time-travel or diff read
+    // must apply the deletes active AT that snapshot — resolving at the
+    // current head would wrongly mask a pre-delete read with later
+    // tombstones, and wrongly skip masks after a fold (the V2 scan's
+    // activeFilesAtOf discipline, carried to the batch reader).
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val meta      = committer.load()
     val schema    = meta.map(committer.currentSchemaOf).getOrElse(IcebergSchema.default)
-    val dels      = meta.map(m => committer.activeFilesOf(m, 1)).getOrElse(Nil)
-    val scanned   = Option(files).getOrElse(
-      meta.map(m => committer.activeFilesOf(m, 0)).getOrElse(Nil))
+    def filesOf(content: Int): Seq[DataFile] = meta.map { m =>
+      atSnapshot match {
+        case Some(id) => committer.activeFilesAtOf(m, id, content)
+        case None     => committer.activeFilesOf(m, content)
+      }
+    }.getOrElse(Nil)
+    val dels    = filesOf(1)
+    val scanned = Option(files).getOrElse(filesOf(0))
     val df = readProjected(spark, tableRoot, schema, scanned)
     // empty scan = the typed-empty-frame branch (no file scan → no
     // _metadata column, and nothing for deletes to apply to anyway)
