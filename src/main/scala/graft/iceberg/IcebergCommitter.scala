@@ -515,14 +515,19 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     load().toSeq.flatMap(m => entriesOf(m, snapshotId))
 
   /** [[entriesAt]] against an ALREADY-LOADED metadata — for callers that
-    * must resolve several snapshots of one consistent table version. */
-  private def entriesOf(meta: TableMetadata, snapshotId: Long, content: Int = 0): Seq[ManifestEntry] =
-    meta.snapshots.find(_.snapshotId == snapshotId).toSeq.flatMap { s =>
-      IcebergCommitter
-        .cachedManifestList(io, s.manifestList)
-        .filter(_.content == content)
-        .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
-    }
+    * must resolve several snapshots of one consistent table version.
+    * An UNKNOWN snapshot id fails loud: after [[expireSnapshots]] removes a
+    * snapshot, a time-travel read of it must error ("expired"), never
+    * silently return an empty table. */
+  private def entriesOf(meta: TableMetadata, snapshotId: Long, content: Int = 0): Seq[ManifestEntry] = {
+    val s = meta.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown snapshot $snapshotId — not in the table metadata (expired or never committed)"))
+    IcebergCommitter
+      .cachedManifestList(io, s.manifestList)
+      .filter(_.content == content)
+      .flatMap(mf => IcebergCommitter.cachedManifest(io, mf.manifestPath))
+  }
 
   private def resolveActive(entries: Seq[ManifestEntry]): Seq[DataFile] = {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, DataFile]
@@ -690,13 +695,6 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     resolveActive(entriesOf(meta, toSnapshotId)).filterNot(f => baseSet.contains(f.filePath))
   }
 
-  /** Snapshot expiration + orphan GC (table maintenance the reference
-    * delegates to external engines): keep the most recent `keepLast`
-    * snapshots, rewrite metadata without the expired ones, delete manifest
-    * LISTS owned by expired snapshots, and physically delete data files
-    * that no retained snapshot's active set references. Manifests are
-    * shared by carry-forward lists, so a manifest is deleted only when no
-    * retained snapshot references it. Returns the expired snapshot ids. */
   /** ADDITIVE Iceberg schema evolution, CAS-committed like any snapshot:
     * appends `next` to the metadata's schema list under a fresh schema-id
     * and makes it current. Compatibility is Iceberg's: every existing field
@@ -752,7 +750,31 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   def activeFilesAtOf(meta: TableMetadata, snapshotId: Long, content: Int): Seq[DataFile] =
     resolveActive(entriesOf(meta, snapshotId, content))
 
-  def expireSnapshots(keepLast: Int): Seq[Long] = synchronized {
+  /** Snapshot expiration + metadata GC — the maintenance op that keeps a
+    * per-trigger-committing table's metadata BOUNDED (a 100 TB table at a
+    * 5 s trigger accretes ~17k snapshots/day; every one carries a manifest
+    * list and parses on every metadata load forever without this).
+    *
+    * Retention = the union of three guards, so a careless call can never
+    * corrupt the live table:
+    *  - the most recent `keepLast` snapshots (by commit timestamp);
+    *  - every snapshot at or after `olderThanMs` (absolute epoch ms —
+    *    Iceberg's `expire_snapshots(older_than)` knob; the default
+    *    retains nothing extra);
+    *  - the CURRENT snapshot, unconditionally — after a rollback the
+    *    current snapshot is OLD, and a timestamp cut alone would expire
+    *    the very state readers see.
+    * Unpublished write-audit-publish stages are protected, not silently
+    * GC'd: expiring a LIVE stage (parent == current head) or the PARENT of
+    * any retained unpublished stage refuses loudly — publish or re-stage
+    * first. (A dead stage — parent no longer current — is unpublishable
+    * anyway and expires like any snapshot.)
+    *
+    * Physical GC: manifest lists of expired snapshots, manifests referenced
+    * by no retained snapshot, and data AND delete files referenced by no
+    * retained snapshot's active set are deleted. Time travel to an expired
+    * id fails loud afterwards ("unknown snapshot"), never empty. */
+  def expireSnapshots(keepLast: Int, olderThanMs: Long = Long.MaxValue): Seq[Long] = synchronized {
     // CAS discipline as in commit(): everything below derives from the
     // metadata at baseVersion, and the putIfAbsent targets EXACTLY
     // baseVersion + 1 — a commit landing in between makes this throw
@@ -760,22 +782,48 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val (baseVersion, baseMeta) = resolveCurrent()
     if (baseVersion == 0) return Nil
     val meta = baseMeta.get
-    val keep = meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast))
-    val expired = meta.snapshots.filterNot(s => keep.exists(_.snapshotId == s.snapshotId))
+    val keepIds: Set[Long] =
+      meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast)).map(_.snapshotId).toSet ++
+        meta.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId) ++
+        meta.currentSnapshotId
+    val keep    = meta.snapshots.filter(s => keepIds(s.snapshotId))
+    val expired = meta.snapshots.filterNot(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return Nil
+
+    // WAP guard: a staged snapshot is one the metadata carries but the
+    // snapshot log never saw (publish appends the log entry).
+    val expiredIds = expired.map(_.snapshotId).toSet
+    meta.snapshots
+      .filter(s => s.summary.get("zombi.staged").contains("true") &&
+        !meta.snapshotLog.exists(_.snapshotId == s.snapshotId))
+      .foreach { st =>
+        if (expiredIds(st.snapshotId) && st.parentSnapshotId == meta.currentSnapshotId)
+          throw new IllegalStateException(
+            s"snapshot ${st.snapshotId} is a LIVE unpublished write-audit-publish stage — " +
+              "publish or abandon it before expiring")
+        if (!expiredIds(st.snapshotId) && st.parentSnapshotId.exists(expiredIds))
+          throw new IllegalStateException(
+            s"snapshot ${st.parentSnapshotId.get} is the base of unpublished stage " +
+              s"${st.snapshotId} — publish the stage (or expire it too) first")
+      }
 
     val keptManifests = keep.flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
       .map(_.manifestPath).toSet
-    val keptFiles = keep.flatMap(s => activeDataFilesAt(s.snapshotId)).map(_.filePath).toSet
+    // files (BOTH contents — a delete-era retained snapshot still needs its
+    // delete files to read masked) referenced by any retained active set
+    def filesOf(s: Snapshot, content: Int): Seq[String] =
+      resolveActive(entriesOf(meta, s.snapshotId, content)).map(_.filePath)
+    val keptFiles = keep.flatMap(s => filesOf(s, 0) ++ filesOf(s, 1)).toSet
     val allFiles = meta.snapshots
-      .flatMap(s => entriesAt(s.snapshotId)).map(_.dataFile.filePath).toSet
+      .flatMap(s => entriesOf(meta, s.snapshotId, 0) ++ entriesOf(meta, s.snapshotId, 1))
+      .map(_.dataFile.filePath).toSet
     val expiredManifests = expired.flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
       .map(_.manifestPath).toSet -- keptManifests
 
     val next = meta.copy(
       lastUpdatedMs = System.currentTimeMillis(),
       snapshots = keep,
-      snapshotLog = meta.snapshotLog.filter(e => keep.exists(_.snapshotId == e.snapshotId))
+      snapshotLog = meta.snapshotLog.filter(e => keepIds(e.snapshotId))
     )
     val wonVersion = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse(
       throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
@@ -828,8 +876,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * belongs to `expireSnapshots`, not to this sweep. */
   def removeOrphans(olderThanMs: Long = 24L * 60 * 60 * 1000): Seq[String] = synchronized {
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // BOTH contents: live position/equality delete files sit under
+    // `data/deletes/` — a content=0-only walk would sweep them as orphans
+    // once past the horizon and silently unmask their rows
     val referenced: Set[String] =
-      load().toSeq.flatMap(_.snapshots).flatMap(s => entriesAt(s.snapshotId))
+      load().toSeq.flatMap(m => m.snapshots.flatMap(s =>
+        entriesOf(m, s.snapshotId, 0) ++ entriesOf(m, s.snapshotId, 1)))
         .map(_.dataFile.filePath).toSet
     val staged: Set[String] = io.list("staged")
       .filter(_.endsWith(".marker"))

@@ -282,6 +282,22 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Snapshot expiration + metadata GC: a three-snapshot table (ingest,
+    // tail A, tail B) expires its oldest snapshot, then TIME TRAVELS to the
+    // retained middle one — evlog + tail A, no trace of tail B. The fixture
+    // asserts what the oracle cannot: the expiry actually removed snap1
+    // (time travel to it fails LOUD, not empty) while every file a retained
+    // snapshot references survived the physical GC.
+    "x11_expire" -> { (s, dir) =>
+      val (root, mid) = ExpiredTables.tableRootAndMid(s, dir)
+      EventTable
+        .readCommitted(s, root, atSnapshot = Some(mid))
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Streaming tail of the committed table: the parquet sink accumulated
     // by two checkpointed AvailableNow runs (full table, then EXACTLY the
     // appended files — snapshot-id offsets) must equal the oracle's
@@ -435,6 +451,10 @@ object IcebergQueries {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       max(sequence) AS max_seq
         |FROM evlog GROUP BY 1""".stripMargin),
+    // x11 twin: the read AT the retained middle snapshot — evlog + tail A
+    // (777000 shift) only; tail B (committed after, still current) and the
+    // expired ingest-only snapshot are both invisible to this read.
+    "x11_expire" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 777000L)),
     // x7 twin: evlog + the staged-batch arithmetic — the first 5 rows (by
     // sequence) of partitions 0–1 spawn tail rows at watermark + rank
     // with k = 1000000 + the row's original event id (recovered from the
@@ -675,6 +695,45 @@ object RolledBackTables {
         require(EventTable.readCommitted(spark, root).count() == nRows,
           "the rolled-back read must no longer see the poison rows")
         root
+      }
+    )
+  }
+}
+
+/** One expired-history table per (JVM, sfDir): ingest (snap1), tail append
+  * A (snap2, k = 777000 + original event id), tail append B (snap3,
+  * k = 778000 + evid), then `expireSnapshots(keepLast = 2)` — exactly the
+  * ingest-only snap1 expires. The fixture asserts the mechanics the oracle
+  * cannot see: the expired id is snap1 alone, time travel to it now FAILS
+  * LOUD ("unknown snapshot", never an empty frame), the current read keeps
+  * both tails, and the retained middle snapshot still reads — i.e. the
+  * physical GC deleted nothing a retained snapshot references. x11 then
+  * time-travels to snap2, which the oracle derives as evlog + tail A. */
+object ExpiredTables {
+  private val cache = scala.collection.mutable.Map.empty[String, (String, Long)]
+
+  def tableRootAndMid(spark: SparkSession, sfDir: String): (String, Long) = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root      = java.nio.file.Files.createTempDirectory("graft-expire-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val snap1     = committer.load().get.currentSnapshotId.get
+        val a = TailBatch.of(EventTable.readCommitted(spark, root),
+                             n = 5, maxPart = 2, kShift = Some(777000L), prefix = "e")
+        val mid = EventTable.appendBatch(spark, root, a).snapshotId
+        val b = TailBatch.of(EventTable.readCommitted(spark, root),
+                             n = 5, maxPart = 2, kShift = Some(778000L), prefix = "f")
+        EventTable.appendBatch(spark, root, b)
+        val nAll = EventTable.readCommitted(spark, root).count()
+        val expired = committer.expireSnapshots(keepLast = 2)
+        require(expired == Seq(snap1), s"expected exactly snap1 to expire, got $expired")
+        val loud =
+          try { EventTable.readCommitted(spark, root, atSnapshot = Some(snap1)).count(); false }
+          catch { case _: IllegalArgumentException => true }
+        require(loud, "time travel to an expired snapshot must fail loud, not read empty")
+        require(EventTable.readCommitted(spark, root).count() == nAll,
+          "expiry must not change the current read")
+        (root, mid)
       }
     )
   }

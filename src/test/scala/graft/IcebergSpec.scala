@@ -171,6 +171,83 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.expireSnapshots(keepLast = 1) === Nil)
   }
 
+  test("expiration retains the CURRENT snapshot even when a rollback made it old") {
+    val c = freshCommitter()
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b = df("data/partition=0/b.parquet", 10, 0, 20)
+    val e = df("data/partition=0/e.parquet", 10, 0, 30)
+    Seq(a, b, e).foreach(f => c.io.put(f.filePath, Array[Byte](1)))
+    val r1 = c.commitAppend(Seq(a))
+    val r2 = c.commitAppend(Seq(b))
+    val r3 = c.commitAppend(Seq(e))
+    c.rollbackTo(r1.snapshotId)
+    // a timestamp cut alone would keep only r3 and expire the CURRENT r1
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired === Seq(r2.snapshotId))
+    assert(c.load().get.currentSnapshotId === Some(r1.snapshotId))
+    assert(c.activeDataFiles().map(_.filePath) === Seq("data/partition=0/a.parquet"))
+    // expired id fails loud, never empty
+    intercept[IllegalArgumentException] { c.activeDataFilesAt(r2.snapshotId) }
+    // r3 (retained by keepLast) and r1 (current) still time travel
+    assert(c.activeDataFilesAt(r3.snapshotId).size === 3)
+    assert(c.io.exists("data/partition=0/b.parquet")) // referenced by retained r3
+  }
+
+  test("expiration refuses to GC a live unpublished stage or a retained stage's base") {
+    // live stage expired -> refuse
+    val c1 = freshCommitter()
+    val r1 = c1.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    val s1 = c1.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 15)))
+    Thread.sleep(2) // distinct timestamps so takeRight ordering is stable
+    c1.commitStaged(Seq(df("data/partition=0/s2.parquet", 5, 0, 15)))
+    val ex1 = intercept[IllegalStateException] { c1.expireSnapshots(keepLast = 1) }
+    assert(ex1.getMessage.contains(s1.snapshotId.toString))
+    // base of a RETAINED (dead) stage expired -> refuse
+    val c2 = freshCommitter()
+    val b1 = c2.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    Thread.sleep(2)
+    c2.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 15)))
+    Thread.sleep(2)
+    c2.commitAppend(Seq(df("data/partition=0/b.parquet", 10, 0, 20)))
+    Thread.sleep(2)
+    c2.commitAppend(Seq(df("data/partition=0/e.parquet", 10, 0, 30)))
+    val ex2 = intercept[IllegalStateException] { c2.expireSnapshots(keepLast = 3) }
+    assert(ex2.getMessage.contains(b1.snapshotId.toString))
+    // expiring the dead stage TOGETHER with its base is allowed
+    assert(c2.expireSnapshots(keepLast = 2).size === 2)
+  }
+
+  test("expiration GCs delete files with their snapshots; orphan sweep keeps live ones") {
+    val c = freshCommitter()
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val m = df("data/partition=0/m.parquet", 8, 0, 10)
+    val d = DataFile(content = 1, filePath = "data/deletes/d.parquet", fileFormat = "PARQUET",
+      recordCount = 2, fileSizeInBytes = 100, lowerBounds = Map.empty, upperBounds = Map.empty)
+    Seq(a.filePath, d.filePath).foreach(p => c.io.put(p, Array[Byte](1)))
+    val r1 = c.commitAppend(Seq(a))
+    c.commitDeletes(Seq(d), r1.snapshotId)
+    // the LIVE delete file is referenced metadata, never an orphan
+    assert(c.removeOrphans(olderThanMs = -1) === Nil)
+    assert(c.io.exists(d.filePath))
+    // fold: rewrite a -> m, retiring the delete file in the same commit
+    c.io.put(m.filePath, Array[Byte](1))
+    val r2 = c.load().get.currentSnapshotId.get
+    c.commitReplace(Seq(a), Seq(m), r2, removedDeletes = Seq(d))
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired.size === 2)
+    // no retained snapshot references a or d -> physically gone; m kept
+    assert(!c.io.exists(a.filePath))
+    assert(!c.io.exists(d.filePath))
+    assert(c.io.exists(m.filePath))
+  }
+
+  test("time-travel resolvers fail loud on an id the metadata does not carry") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    intercept[IllegalArgumentException] { c.activeDataFilesAt(12345L) }
+    intercept[IllegalArgumentException] { c.activeDeleteFilesAt(12345L) }
+  }
+
   test("orphan GC removes exactly the unreferenced-and-old data files") {
     val c = freshCommitter()
     val committed = df("data/partition=0/kept.parquet", 10, 0, 10)
