@@ -647,6 +647,45 @@ object Bench {
           System.err.println(s"[graft-bench] retrieval quality failed: $e"); "null"
       }
     }
+    // SCAN-UNDER-DELETES probe: the delete-ratio trigger's payoff number.
+    // The x8/x10 fixture table carries two unfolded delete files — time the
+    // committed read pre-fold, fold via compaction (ratio trigger + size
+    // rules), re-time, and put the clean table's same-shape read alongside:
+    // post_fold_s should approach clean_s. Runs AFTER the sweep and the
+    // recall blocks (it mutates the shared MoR fixture root, which is legal
+    // only once every consumer has run).
+    val morCompact = {
+      if (only.nonEmpty) "null"
+      else try {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val root  = table.MorDeletedTables.tableRoot(spark, sfDir)
+        val clean = table.CommittedTables.tableRoot(spark, sfDir)
+        def scan(r: String): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val row = table.EventTable.readCommitted(spark, r)
+            .agg(sum(col("sequence")).as("s"), count(lit(1)).as("n")).head()
+          (row.getLong(1), (System.nanoTime() - t0) / 1e9)
+        }
+        scan(root) // warm: plan compile + footer caches
+        val pres = Seq.fill(3)(scan(root))
+        val preN = pres.head._1
+        val pre  = median(pres.map(_._2))
+        var folds = 0
+        while (table.Compaction.compact(spark, root,
+          table.Compaction.Config(maxFilesPerRun = 10000)).isDefined) folds += 1
+        scan(root)
+        val posts = Seq.fill(3)(scan(root))
+        if (posts.head._1 != preN)
+          System.err.println(s"[graft-bench] mor fold probe changed rows: $preN -> ${posts.head._1}")
+        scan(clean)
+        val cleanT = median(Seq.fill(3)(scan(clean)._2))
+        f"""{"pre_fold_s":$pre%.3f,"post_fold_s":${median(posts.map(_._2))}%.3f,""" +
+          f""""clean_s":$cleanT%.3f,"compactions":$folds,"rows":$preN}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] mor fold probe failed: $e"); "null"
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -684,7 +723,7 @@ object Bench {
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
       s""""dedup_recall":$dedupRecall,"retrieval_quality":$retrievalQuality,""" +
-      s""""query_scale":$qScale,""" +
+      s""""query_scale":$qScale,"mor_compact":$morCompact,""" +
       s""""host":$hostJson,"query_health":$healthJson,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber

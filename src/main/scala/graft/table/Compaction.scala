@@ -31,12 +31,18 @@ object Compaction {
     * Set false to defer physical deletion to
     * [[graft.iceberg.IcebergCommitter.expireSnapshots]] (the Iceberg-native
     * GC point) and keep full history readable. */
+  /** `deleteRatioTrigger`: a data file whose ACTIVE merge-on-read tombstone
+    * rows reach this fraction of its recordCount is a candidate regardless
+    * of size or group — the relief valve for the V2 scan's mask cap: a
+    * large file that is mostly tombstones would otherwise never be
+    * selected, and its delete files would ride every read forever. */
   final case class Config(
       maxCandidateSize: Long = 64L * 1024 * 1024,
       minFilesPerGroup: Int = 3,
       maxFilesPerRun: Int = 10,
       targetFileSize: Long = 512L * 1024 * 1024,
-      deleteReplacedFiles: Boolean = true
+      deleteReplacedFiles: Boolean = true,
+      deleteRatioTrigger: Double = 0.3
   )
 
   private def dirOf(f: DataFile): String = {
@@ -112,7 +118,84 @@ object Compaction {
     val meta      = committer.load().getOrElse(return None)
     val base      = meta.currentSnapshotId.getOrElse(return None)
 
-    val candidates = selectCandidatesDistributed(spark, committer.activeDataFiles(), cfg)
+    val active        = committer.activeDataFiles()
+    val activeDeletes = committer.activeDeleteFiles()
+    import org.apache.spark.sql.functions.expr
+
+    // ONE read of all position-delete files feeds BOTH decisions below:
+    // (delete file -> referenced data keys) for the fold, and
+    // (data key -> masked row count) for the ratio trigger. Distinct
+    // (delete file, data file) groups are file-count-sized; the collect is
+    // bounded decision values.
+    val posFiles = activeDeletes.filter(_.content == 1)
+    val posStats: Seq[(String, String, Long)] = // (delete path, data key, rows)
+      if (posFiles.isEmpty) Nil
+      else {
+        val pathByKey = posFiles.map(f => EventTable.morKeyOf(f.filePath) -> f.filePath).toMap
+        spark.read.parquet(posFiles.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .select(expr(EventTable.morStoredKey).as("ref"),
+                  expr("substring_index(_metadata.file_path, '/', -2)").as("src"))
+          .groupBy("src", "ref").count().collect()
+          .map(r => (pathByKey(r.getString(0)), r.getString(1), r.getLong(2))).toSeq
+      }
+    val posRefs: Map[String, Seq[String]] =
+      posStats.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val posMasked: Map[String, Long] =
+      posStats.groupMapReduce(_._2)(_._3)(_ + _)
+
+    // Equality keys grouped (partition, delete-file data sequence) — the
+    // trigger counts only keys that APPLY to a file (smaller data sequence,
+    // inside its sequence bounds); keys are batch-sized by the MoR
+    // contract, so this is a driver fold plus binary searches per file.
+    val dataSeqs = committer.activeFilesWithSeq(content = 0)
+      .map { case (f, sq) => EventTable.morKeyOf(f.filePath) -> sq }.toMap
+    val deleteSeqs = committer.activeFilesWithSeq(content = 2)
+      .map { case (f, sq) => f.filePath -> sq }.toMap
+    val eqFiles = activeDeletes.filter(_.content == 2)
+    val eqByPart: Map[Int, Seq[(Long, Array[Long])]] = // part -> (delSeq, sorted seqs)
+      if (eqFiles.isEmpty) Map.empty
+      else {
+        val pathByKey = eqFiles.map(f => EventTable.morKeyOf(f.filePath) -> f.filePath).toMap
+        spark.read.parquet(eqFiles.map(f => s"$tableRoot/${f.filePath}"): _*)
+          .selectExpr("cast(partition as int) AS p", "sequence",
+                      "substring_index(_metadata.file_path, '/', -2) AS src")
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (p, rows) =>
+            p -> rows.groupBy(r => deleteSeqs.getOrElse(pathByKey(r.getString(2)), Long.MaxValue))
+              .map { case (ds, rs) => (ds, rs.map(_.getLong(1)).distinct.sorted) }.toSeq
+          }
+      }
+    def eqMaskedOf(f: DataFile): Long = {
+      if (eqByPart.isEmpty) return 0L
+      val p = f.lowerInt(graft.iceberg.FieldIds.Partition).getOrElse(return 0L)
+      val lo = f.lowerLong(graft.iceberg.FieldIds.Sequence).getOrElse(Long.MinValue)
+      val hi = f.upperLong(graft.iceberg.FieldIds.Sequence).getOrElse(Long.MaxValue)
+      val fSeq = dataSeqs.getOrElse(EventTable.morKeyOf(f.filePath), Long.MaxValue)
+      eqByPart.getOrElse(p, Nil).collect { case (dSeq, seqs) if fSeq < dSeq =>
+        val i = java.util.Arrays.binarySearch(seqs, lo)
+        val j = java.util.Arrays.binarySearch(seqs, hi)
+        val from = if (i >= 0) i else -i - 1
+        val to   = if (j >= 0) j + 1 else -j - 1
+        (to - from).toLong
+      }.sum
+    }
+
+    // Delete-ratio trigger: files whose active tombstones reach the
+    // threshold are candidates REGARDLESS of size or group — they ride on
+    // top of the size budget, because folding them is what relieves the
+    // read-side mask weight. (The positional count may overlap the
+    // equality count on doubly-deleted rows — an eager trigger, never a
+    // missed one.)
+    val deleteHeavy = active.filter { f =>
+      f.recordCount > 0 && {
+        val masked = posMasked.getOrElse(EventTable.morKeyOf(f.filePath), 0L) + eqMaskedOf(f)
+        masked >= cfg.deleteRatioTrigger * f.recordCount
+      }
+    }
+    val heavyPaths = deleteHeavy.map(_.filePath).toSet
+    val candidates = deleteHeavy ++
+      selectCandidatesDistributed(spark, active, cfg).filterNot(f => heavyPaths(f.filePath))
     if (candidates.isEmpty) return None
 
     // Merge-on-read fold: the rewrite APPLIES active position deletes (a
@@ -122,8 +205,6 @@ object Compaction {
     // compaction is how MoR deletes get physically reclaimed. A delete
     // file also referencing untouched files stays active: its entries for
     // rewritten basenames point at now-inactive names and match nothing.
-    val activeDeletes = committer.activeDeleteFiles()
-    import org.apache.spark.sql.functions.{col, expr}
     // the rewrite APPLIES active deletes — the ONE shared anti-join
     // definition (EventTable.applyDeletes): a compaction that diverged
     // from the read path's matching (identity keys, kind routing) would
@@ -133,7 +214,7 @@ object Compaction {
       if (activeDeletes.isEmpty) df0
       else EventTable.applyDeletes(spark, tableRoot, activeDeletes, df0)
     val candidateKeys = candidates.map(f => EventTable.morKeyOf(f.filePath)).toSet
-    val activeKeys    = committer.activeDataFiles().map(f => EventTable.morKeyOf(f.filePath)).toSet
+    val activeKeys    = active.map(f => EventTable.morKeyOf(f.filePath)).toSet
     // which delete files this run retires:
     //  - a POSITION file's references block folding only while still LIVE
     //    outside this run's candidates — references an EARLIER rewrite
@@ -145,27 +226,6 @@ object Compaction {
     //    apply it, and later appends cannot resurrect its keys, which
     //    deleteWhereEq pins below the watermark). It folds once no live
     //    non-candidate data file has a smaller sequence number.
-    val dataSeqs = committer.activeFilesWithSeq(content = 0)
-      .map { case (f, sq) => EventTable.morKeyOf(f.filePath) -> sq }.toMap
-    val deleteSeqs = committer.activeFilesWithSeq(content = 2)
-      .map { case (f, sq) => f.filePath -> sq }.toMap
-    // referenced data-file keys per position-delete file, from ONE read of
-    // all position-delete parquets (grouped by `_metadata.file_path`, the
-    // source delete file) — never a driver job per delete file. Distinct
-    // (delete file, referenced key) pairs are matched-rows-sized, so the
-    // collect is bounded decision values.
-    val posFiles = activeDeletes.filter(_.content == 1)
-    val posRefs: Map[String, Seq[String]] =
-      if (posFiles.isEmpty) Map.empty
-      else {
-        val pathByKey = posFiles.map(f => EventTable.morKeyOf(f.filePath) -> f.filePath).toMap
-        spark.read.parquet(posFiles.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(expr(EventTable.morStoredKey).as("ref"),
-                  expr("substring_index(_metadata.file_path, '/', -2)").as("src"))
-          .distinct().collect()
-          .groupBy(r => pathByKey(r.getString(1)))
-          .map { case (p, rs) => p -> rs.map(_.getString(0)).toSeq }
-      }
     val foldedDeletes = activeDeletes.filter { d =>
       if (d.content == 1)
         posRefs.getOrElse(d.filePath, Nil)

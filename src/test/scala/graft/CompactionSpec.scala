@@ -94,6 +94,37 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("delete-ratio trigger selects a delete-heavy file the size rules never would") {
+    val root = Files.createTempDirectory("graft-ratio-spec-").toString
+    // NO fragmentation: one file per partition dir — below minFilesPerGroup,
+    // so the size-based rules can never pick anything
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+    // tombstone ~half of partition 3's rows — far past the 30% trigger
+    val r = EventTable.deleteWhereMor(spark, root,
+      col("partition") === 3 && col("sequence") % 2 === 0)
+    assert(r.deletedRows > 0)
+    assert(committer.activeDeleteFiles().size === 1)
+    // a size-only config finds nothing (candidates under min group size);
+    // the ratio trigger must still select the delete-heavy partition-3 file
+    val res = Compaction.compact(spark, root)
+    assert(res.isDefined, "the delete-ratio trigger must fire for a mostly-tombstoned file")
+    assert(committer.activeDeleteFiles().isEmpty,
+      "folding the single delete-heavy file must retire its delete file")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore - r.deletedRows)
+    assert(EventTable.readCommitted(spark, root)
+      .filter(col("partition") === 3 && col("sequence") % 2 === 0).count() === 0)
+    // untouched partitions kept their identity (only partition 3 rewritten)
+    assert(Compaction.compact(spark, root).isEmpty, "nothing left to trigger")
+    // an under-threshold table does NOT fire: mask a sliver of partition 2
+    val r2 = EventTable.deleteWhereMor(spark, root,
+      col("partition") === 2 && col("sequence") % 50 === 1)
+    assert(r2.deletedRows > 0)
+    assert(Compaction.compact(spark, root).isEmpty,
+      "a 2% tombstone ratio must not trigger a rewrite")
+  }
+
   test("merge-on-read delete masks rows without rewriting files; compaction folds the delete files in") {
     val root = Files.createTempDirectory("graft-mor-spec-").toString
     // 32 fragments → every partition dir qualifies as a compaction group
