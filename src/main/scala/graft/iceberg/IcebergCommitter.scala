@@ -381,12 +381,17 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val listName    = s"$metaDir/snap-$snapshotId-1-${UUID.randomUUID()}.avro"
     io.put(listName, ManifestIO.writeManifestList(listEntries))
 
-    // Cumulative totals over the whole manifest list (adds − deletes),
-    // matching the reference's fold (`iceberg_storage.rs:973-983`).
-    // DATA manifests only: position-delete files are tracked by their own
-    // keys below, never folded into record/file totals.
-    val totalRows  = listEntries.filter(_.content == 0).map(e => e.addedRowsCount - e.deletedRowsCount).sum
-    val totalFiles = listEntries.filter(_.content == 0).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    // Cumulative totals over the whole manifest list (adds + existing −
+    // deletes), matching the reference's fold (`iceberg_storage.rs:973-983`).
+    // `existing` counts are nonzero only for manifests written by
+    // [[rewriteManifests]] (coalesced carries); ordinary commits keep them
+    // zero, so pre-rewrite arithmetic is byte-identical. DATA manifests
+    // only: position-delete files are tracked by their own keys below,
+    // never folded into record/file totals.
+    val totalRows = listEntries.filter(_.content == 0)
+      .map(e => e.addedRowsCount + e.existingRowsCount - e.deletedRowsCount).sum
+    val totalFiles = listEntries.filter(_.content == 0)
+      .map(e => (e.addedFilesCount + e.existingFilesCount - e.deletedFilesCount).toLong).sum
     // per-KIND delete totals need per-file content (a delete manifest may
     // mix position and equality files — a fold commit removes both kinds at
     // once), which the list entries don't carry — walk the path-cached
@@ -397,7 +402,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     def deleteRowTotal(kind: Int): Long = allDeleteEntries
       .filter(_.dataFile.content == kind)
       .map(e => if (e.status == 2) -e.dataFile.recordCount else e.dataFile.recordCount).sum
-    val totalDeleteFiles = listEntries.filter(_.content == 1).map(e => (e.addedFilesCount - e.deletedFilesCount).toLong).sum
+    val totalDeleteFiles = listEntries.filter(_.content == 1)
+      .map(e => (e.addedFilesCount + e.existingFilesCount - e.deletedFilesCount).toLong).sum
     val totalPositionDeletes = deleteRowTotal(1)
     val totalEqualityDeletes = deleteRowTotal(2)
 
@@ -557,7 +563,10 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * (the commit sequence of the manifest that added them — the Iceberg
     * ordering equality deletes are scoped by: an equality delete applies
     * only to data files with a SMALLER sequence number, so compaction can
-    * fold one exactly when no live data file predates it). */
+    * fold one exactly when no live data file predates it). Sequence
+    * resolution follows the v2 inheritance rule: an entry's explicit
+    * `dataSequenceNumber` (written by [[rewriteManifests]]) wins; absent,
+    * the manifest-list entry's sequence number is inherited. */
   def activeFilesWithSeq(content: Int): Seq[(DataFile, Long)] = load() match {
     case None => Nil
     case Some(meta) =>
@@ -569,7 +578,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
             IcebergCommitter.cachedManifest(io, mf.manifestPath).foreach { e =>
               if (e.status == 2) active.remove(e.dataFile.filePath)
               else if (content == 0 || e.dataFile.content == content)
-                active.put(e.dataFile.filePath, (e.dataFile, mf.sequenceNumber))
+                active.put(e.dataFile.filePath,
+                  (e.dataFile, e.dataSequenceNumber.getOrElse(mf.sequenceNumber)))
             }
           }
         active.values.toSeq
@@ -615,7 +625,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       val s = byId.getOrElse(cur,
         throw new IllegalArgumentException(s"snapshot $cur missing from metadata"))
       val op = s.summary.getOrElse("operation", "append")
-      require(op == "append",
+      // manifest rewrites delete nothing physical — safe to roll across
+      require(op == "append" || s.summary.get("zombi.rewrite-manifests").contains("true"),
         s"rollback across snapshot ${s.snapshotId} ('$op') would reference physically deleted files")
       cur = s.parentSnapshotId.getOrElse(
         throw new IllegalArgumentException(
@@ -688,7 +699,9 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     }
     range.foreach { s =>
       val op = s.summary.getOrElse("operation", "append")
-      require(op == "append",
+      // a manifest REWRITE changes no file identity (active sets equal on
+      // both sides), so a file-level diff across it is still row-exact
+      require(op == "append" || s.summary.get("zombi.rewrite-manifests").contains("true"),
         s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'")
     }
     val baseSet = resolveActive(entriesOf(meta, fromSnapshotId)).map(_.filePath).toSet
@@ -833,6 +846,122 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     expiredManifests.foreach { m => io.delete(m); IcebergCommitter.invalidateManifest(io, m) }
     (allFiles -- keptFiles).foreach(io.delete)
     expired.map(_.snapshotId)
+  }
+
+  /** Manifest rewrite (`rewrite_manifests`) — the other half of metadata
+    * health next to [[expireSnapshots]]: the carry-forward list accretes
+    * one manifest per commit, so file planning walks N_commits Avro objects
+    * forever on a per-trigger-committing table. This coalesces the CURRENT
+    * snapshot's ACTIVE entries into ONE data manifest (plus one delete
+    * manifest when delete files are live) under the usual CAS commit.
+    *
+    * Invariants: the active file sets are IDENTICAL before and after (file
+    * identity untouched — nothing physical moves or deletes); every
+    * coalesced entry carries its ORIGINAL data sequence number explicitly
+    * (the v2 per-entry field), so equality-delete scoping survives the
+    * coalesce; old manifests stay on disk for retained historical
+    * snapshots and are GC'd by [[expireSnapshots]] with them. The snapshot
+    * is stamped `zombi.rewrite-manifests` so incremental append scans and
+    * rollback may CROSS it — unlike a data replace, a row-level diff across
+    * it is still exact. Returns None when already coalesced. */
+  def rewriteManifests(): Option[CommitResult] = synchronized {
+    val (baseVersion, baseMeta) = resolveCurrent()
+    if (baseVersion == 0) return None
+    val meta = baseMeta.get
+    val cur  = meta.currentSnapshot.getOrElse(return None)
+    val parentList = IcebergCommitter.cachedManifestList(io, cur.manifestList)
+    if (parentList.count(_.content == 0) <= 1 && parentList.count(_.content == 1) <= 1)
+      return None
+
+    // active entries with resolved per-file sequence numbers, in list order
+    def activeOf(content: Int): Seq[(ManifestEntry, Long)] = {
+      val active = scala.collection.mutable.LinkedHashMap.empty[String, (ManifestEntry, Long)]
+      parentList.filter(_.content == content).foreach { mf =>
+        IcebergCommitter.cachedManifest(io, mf.manifestPath).foreach { e =>
+          if (e.status == 2) active.remove(e.dataFile.filePath)
+          else active.put(e.dataFile.filePath,
+            (e, e.dataSequenceNumber.getOrElse(mf.sequenceNumber)))
+        }
+      }
+      active.values.toSeq
+    }
+    val dataActive = activeOf(0)
+    val delActive  = activeOf(1)
+
+    val snapshotId = newSnapshotId()
+    val seqNum     = meta.lastSequenceNumber + 1
+    val mapper     = TableMetadata.mapper
+    val curSchema  = meta.schemas.find(_.schemaId == meta.currentSchemaId).getOrElse(meta.schemas.head)
+    val schemaJson = mapper.writeValueAsString(curSchema.toNode(mapper))
+    val specJson   = meta.partitionSpecs.head.fieldsJson(mapper)
+    val written    = scala.collection.mutable.ArrayBuffer.empty[String]
+    def coalesced(entries: Seq[(ManifestEntry, Long)], content: Int): Option[ManifestListEntry] = {
+      if (entries.isEmpty) return None
+      // status 0 (existing) + original adding snapshot id + explicit seq:
+      // the spec's shape for carried entries — list-entry counts go under
+      // the existing columns, which the totals fold includes
+      val rewritten = entries.map { case (e, sq) =>
+        ManifestEntry(0, e.snapshotId, e.dataFile, dataSequenceNumber = Some(sq))
+      }
+      val name  = s"$metaDir/${UUID.randomUUID()}-m${written.size}.avro"
+      val bytes = ManifestIO.writeManifest(rewritten, schemaJson, specJson,
+                                           if (content == 1) "deletes" else "data")
+      io.put(name, bytes)
+      written += name
+      Some(ManifestListEntry(
+        manifestPath = name, manifestLength = bytes.length.toLong,
+        partitionSpecId = 0, content = content,
+        sequenceNumber = seqNum, minSequenceNumber = entries.map(_._2).min,
+        addedSnapshotId = snapshotId,
+        addedFilesCount = 0, existingFilesCount = rewritten.size, deletedFilesCount = 0,
+        addedRowsCount = 0, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum,
+        deletedRowsCount = 0))
+    }
+    val listEntries = coalesced(dataActive, 0).toSeq ++ coalesced(delActive, 1).toSeq
+    val listName    = s"$metaDir/snap-$snapshotId-1-${UUID.randomUUID()}.avro"
+    io.put(listName, ManifestIO.writeManifestList(listEntries))
+
+    // same summary keys as commit(), recomputed from the active sets (the
+    // fold over one existing-only manifest); watermarks carry forward
+    val carried = cur.summary.filter { case (k, _) =>
+      k.startsWith("zombi.") && k != "zombi.staged"
+    }
+    val deleteKeys =
+      if (parentList.exists(_.content == 1))
+        Map("added-delete-files"     -> "0",
+            "removed-delete-files"   -> "0",
+            "total-delete-files"     -> delActive.size.toString,
+            "total-position-deletes" ->
+              delActive.filter(_._1.dataFile.content == 1).map(_._1.dataFile.recordCount).sum.toString,
+            "total-equality-deletes" ->
+              delActive.filter(_._1.dataFile.content == 2).map(_._1.dataFile.recordCount).sum.toString)
+      else Map.empty[String, String]
+    val summary = Map(
+      "operation"               -> "replace",
+      "zombi.rewrite-manifests" -> "true",
+      "added-data-files"        -> "0",
+      "added-records"           -> "0",
+      "added-files-size"        -> "0",
+      "deleted-data-files"      -> "0",
+      "deleted-records"         -> "0",
+      "total-records"           -> dataActive.map(_._1.dataFile.recordCount).sum.toString,
+      "total-data-files"        -> dataActive.size.toString
+    ) ++ deleteKeys ++ carried
+
+    val now      = System.currentTimeMillis()
+    val snapshot = Snapshot(snapshotId, meta.currentSnapshotId, now, listName, summary, meta.currentSchemaId)
+    val next = meta.copy(
+      lastSequenceNumber = seqNum,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snapshot,
+      snapshotLog = meta.snapshotLog :+ SnapshotLogEntry(snapshotId, now))
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse {
+      written.foreach(io.delete); io.delete(listName)
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)")
+    }
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    Some(CommitResult(snapshotId, won, next))
   }
 
   /** Startup watermark reconciliation (F9): per-partition max committed

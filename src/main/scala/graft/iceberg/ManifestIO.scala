@@ -25,8 +25,15 @@ final case class DataFile(
   def upperInt(fieldId: Int): Option[Int]   = upperBounds.get(fieldId).map(Bounds.decodeInt)
 }
 
-/** status: 0=existing, 1=added, 2=deleted (Iceberg v2 manifest entry). */
-final case class ManifestEntry(status: Int, snapshotId: Long, dataFile: DataFile)
+/** status: 0=existing, 1=added, 2=deleted (Iceberg v2 manifest entry).
+  * `dataSequenceNumber`: the spec's explicit per-entry data sequence — None
+  * inherits the manifest-list entry's sequence number (the v2 inheritance
+  * rule every ordinary commit uses); a manifest REWRITE carries each file's
+  * ORIGINAL sequence explicitly, because equality-delete scoping ("applies
+  * only to files with a smaller data sequence") must survive coalescing
+  * manifests under a new list entry. */
+final case class ManifestEntry(status: Int, snapshotId: Long, dataFile: DataFile,
+                               dataSequenceNumber: Option[Long] = None)
 
 final case class ManifestListEntry(
     manifestPath: String,
@@ -118,7 +125,7 @@ object ManifestIO {
       val rec = new GenericData.Record(entrySchema)
       rec.put("status", e.status)
       rec.put("snapshot_id", java.lang.Long.valueOf(e.snapshotId))
-      rec.put("sequence_number", null)
+      rec.put("sequence_number", e.dataSequenceNumber.map(java.lang.Long.valueOf).orNull)
       rec.put("file_sequence_number", null)
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.dataFile.content)
@@ -151,7 +158,8 @@ object ManifestIO {
       entries += ManifestEntry(
         rec.get("status").asInstanceOf[Int],
         Option(rec.get("snapshot_id")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        DataFile(
+        dataSequenceNumber = Option(rec.get("sequence_number")).map(_.asInstanceOf[Long]),
+        dataFile = DataFile(
           df.get("content").asInstanceOf[Int],
           df.get("file_path").toString,
           df.get("file_format").toString,

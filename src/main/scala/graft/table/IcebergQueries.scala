@@ -298,6 +298,22 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Manifest rewrite: a two-commit table (ingest + tail) coalesces its
+    // carry-forward manifest list into ONE data manifest, then reads back
+    // through the normal committed path. The fixture asserts the metadata
+    // mechanics (manifest count dropped to 1, active file set and summary
+    // totals byte-identical, per-file data sequence numbers preserved);
+    // the oracle gates that the rows themselves are untouched.
+    "x13_manifest_rewrite" -> { (s, dir) =>
+      val root = RewrittenTables.tableRoot(s, dir)
+      EventTable
+        .readCommitted(s, root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Streaming tail of the committed table: the parquet sink accumulated
     // by two checkpointed AvailableNow runs (full table, then EXACTLY the
     // appended files — snapshot-id offsets) must equal the oracle's
@@ -455,6 +471,9 @@ object IcebergQueries {
     // (777000 shift) only; tail B (committed after, still current) and the
     // expired ingest-only snapshot are both invisible to this read.
     "x11_expire" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 777000L)),
+    // x13 twin: evlog + the tail (888000 shift) — the coalesced-manifest
+    // read must produce exactly the pre-rewrite rows.
+    "x13_manifest_rewrite" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 888000L)),
     // x7 twin: evlog + the staged-batch arithmetic — the first 5 rows (by
     // sequence) of partitions 0–1 spawn tail rows at watermark + rank
     // with k = 1000000 + the row's original event id (recovered from the
@@ -734,6 +753,52 @@ object ExpiredTables {
         require(EventTable.readCommitted(spark, root).count() == nAll,
           "expiry must not change the current read")
         (root, mid)
+      }
+    )
+  }
+}
+
+/** One manifest-rewritten table per (JVM, sfDir): ingest (snap1), tail
+  * append (snap2, k = 888000 + original event id) — two manifests in the
+  * carry-forward list — then `rewriteManifests()` coalesces them. The
+  * fixture asserts everything the row-level oracle cannot: the list shrank
+  * to ONE data manifest, the active file set (paths + sizes) and summary
+  * totals are identical, per-file DATA SEQUENCE NUMBERS survived the
+  * coalesce (ingest files 1, tail files 2 — the equality-delete scoping
+  * input), a pre-rewrite snapshot still time-travels, and an incremental
+  * append scan may cross the rewrite. */
+object RewrittenTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root      = java.nio.file.Files.createTempDirectory("graft-rewrite-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val snap1     = committer.load().get.currentSnapshotId.get
+        val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                 n = 5, maxPart = 2, kShift = Some(888000L), prefix = "g")
+        EventTable.appendBatch(spark, root, batch)
+        val filesBefore = committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet
+        val seqsBefore  = committer.activeFilesWithSeq(0).map { case (f, sq) => f.filePath -> sq }.toMap
+        val totalsBefore = committer.load().get.currentSnapshot.get.summary
+          .view.filterKeys(Set("total-records", "total-data-files")).toMap
+        require(committer.currentManifests().size == 2, "fixture expects two pre-rewrite manifests")
+        val res = committer.rewriteManifests()
+        require(res.isDefined, "the two-manifest list must coalesce")
+        require(committer.currentManifests().size == 1, "rewrite must produce ONE data manifest")
+        require(committer.activeDataFiles().map(f => f.filePath -> f.fileSizeInBytes).toSet == filesBefore,
+          "a manifest rewrite must not change file identity")
+        require(committer.activeFilesWithSeq(0).map { case (f, sq) => f.filePath -> sq }.toMap == seqsBefore,
+          "per-file data sequence numbers must survive the coalesce")
+        val totalsAfter = committer.load().get.currentSnapshot.get.summary
+          .view.filterKeys(Set("total-records", "total-data-files")).toMap
+        require(totalsAfter == totalsBefore, s"totals drifted: $totalsBefore -> $totalsAfter")
+        require(committer.activeDataFilesAt(snap1).nonEmpty,
+          "pre-rewrite snapshots must still time-travel")
+        require(committer.appendsSince(snap1).nonEmpty,
+          "an incremental append scan must cross a manifest rewrite")
+        root
       }
     )
   }

@@ -171,6 +171,63 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.expireSnapshots(keepLast = 1) === Nil)
   }
 
+  test("manifest entry Avro round-trips the explicit data sequence number") {
+    val entries = Seq(
+      ManifestEntry(0, 42L, df("data/partition=0/a.parquet", 10, 0, 10), dataSequenceNumber = Some(7L)),
+      ManifestEntry(1, 43L, df("data/partition=1/b.parquet", 5, 1, 5)) // inherited (null)
+    )
+    val back = ManifestIO.readManifest(ManifestIO.writeManifest(entries, "{}", "[]"))
+    assert(back.map(_.dataSequenceNumber) === Seq(Some(7L), None))
+    assert(back.map(_.status) === Seq(0, 1))
+  }
+
+  test("rewriteManifests coalesces the list, preserving files, sequences, and history") {
+    val c = freshCommitter()
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b = df("data/partition=0/b.parquet", 10, 0, 20)
+    val e = df("data/partition=1/e.parquet", 10, 1, 10)
+    val d = DataFile(content = 2, filePath = "data/deletes/d.parquet", fileFormat = "PARQUET",
+      recordCount = 3, fileSizeInBytes = 100, lowerBounds = Map.empty, upperBounds = Map.empty)
+    val r1 = c.commitAppend(Seq(a))                     // data seq 1
+    val r2 = c.commitAppend(Seq(b))                     // data seq 2
+    c.commitDeletes(Seq(d), r2.snapshotId)              // delete seq 3
+    c.commitAppend(Seq(e))                              // data seq 4
+    val seqsBefore    = c.activeFilesWithSeq(0).map { case (f, sq) => f.filePath -> sq }.toMap
+    val delSeqsBefore = c.activeFilesWithSeq(2).map { case (f, sq) => f.filePath -> sq }.toMap
+    assert(seqsBefore === Map(a.filePath -> 1L, b.filePath -> 2L, e.filePath -> 4L))
+    assert(delSeqsBefore === Map(d.filePath -> 3L))
+    assert(c.currentManifests().size === 4)
+
+    val res = c.rewriteManifests()
+    assert(res.isDefined)
+    // one data manifest + one delete manifest; active sets and SEQUENCE
+    // NUMBERS identical — the equality-delete scoping input survives
+    assert(c.currentManifests().size === 2)
+    assert(c.currentManifests().map(_.content).sorted === Seq(0, 1))
+    assert(c.activeFilesWithSeq(0).map { case (f, sq) => f.filePath -> sq }.toMap === seqsBefore)
+    assert(c.activeFilesWithSeq(2).map { case (f, sq) => f.filePath -> sq }.toMap === delSeqsBefore)
+    // summary totals recomputed correctly from existing-only manifests
+    val sum = c.load().get.currentSnapshot.get.summary
+    assert(sum("total-records") === "30")
+    assert(sum("total-data-files") === "3")
+    assert(sum("total-equality-deletes") === "3")
+    // pre-rewrite snapshots still resolve; a second rewrite is a no-op
+    assert(c.activeDataFilesAt(r1.snapshotId).map(_.filePath) === Seq(a.filePath))
+    assert(c.rewriteManifests() === None)
+    // incremental scan and rollback may CROSS the rewrite... and a
+    // subsequent append carries the coalesced list forward
+    val r5 = c.commitAppend(Seq(df("data/partition=1/f.parquet", 10, 1, 20)))
+    assert(c.appendsBetween(res.get.snapshotId, r5.snapshotId).map(_.filePath) ===
+      Seq("data/partition=1/f.parquet"))
+    assert(c.currentManifests().size === 3)
+    val sum2 = c.load().get.currentSnapshot.get.summary
+    assert(sum2("total-records") === "40")
+    assert(sum2("total-data-files") === "4")
+    // the totals fold still counts the coalesced (existing) rows
+    c.rollbackTo(res.get.snapshotId) // crosses only the append — fine
+    assert(c.activeDataFiles().size === 3)
+  }
+
   test("expiration retains the CURRENT snapshot even when a rollback made it old") {
     val c = freshCommitter()
     val a = df("data/partition=0/a.parquet", 10, 0, 10)
