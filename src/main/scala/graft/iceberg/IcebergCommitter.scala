@@ -520,6 +520,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   def entriesAt(snapshotId: Long): Seq[ManifestEntry] =
     load().toSeq.flatMap(m => entriesOf(m, snapshotId))
 
+  /** Manifest entries of a snapshot's DELETE manifests (content=1) — for
+    * changefeed readers that need the delete files a SPECIFIC commit
+    * added (entry snapshot id + status identify them). */
+  def deleteEntriesAt(snapshotId: Long): Seq[ManifestEntry] =
+    load().toSeq.flatMap(m => entriesOf(m, snapshotId, content = 1))
+
   /** [[entriesAt]] against an ALREADY-LOADED metadata — for callers that
     * must resolve several snapshots of one consistent table version.
     * An UNKNOWN snapshot id fails loud: after [[expireSnapshots]] removes a

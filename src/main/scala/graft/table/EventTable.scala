@@ -619,18 +619,12 @@ object EventTable {
     // is exact and re-deletes never duplicate
     val afterP =
       if (priorP.isEmpty) raw
-      else {
-        val pk = spark.read.parquet(priorP.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
-        raw.join(broadcast(pk), Seq("_mor_fkey", "_mor_pos"), "left_anti")
-      }
+      else raw.join(broadcast(posKeysOf(spark, tableRoot, priorP)),
+                    Seq("_mor_fkey", "_mor_pos"), "left_anti")
     val live =
       if (priorEq.isEmpty) afterP
-      else {
-        val ek = spark.read.parquet(priorEq.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(col("partition").cast("int").as("partition"), col("sequence")).distinct()
-        afterP.join(broadcast(ek), Seq("partition", "sequence"), "left_anti")
-      }
+      else afterP.join(broadcast(eqKeysOf(spark, tableRoot, priorEq)),
+                       Seq("partition", "sequence"), "left_anti")
     // scan key → spec-relative path, driver-known from the manifests (the
     // stored file_path is the full relative path the Iceberg spec wants)
     import spark.implicits._
@@ -1032,27 +1026,142 @@ object EventTable {
     * small because compaction folds them — a delete set too big to
     * broadcast is the signal to fold now). The stored `file_path` stays
     * the spec's full relative path. */
+  /** The (file key, position) rows of a set of POSITION delete files —
+    * the ONE definition every anti/semi join against them uses. */
+  private[table] def posKeysOf(spark: SparkSession, tableRoot: String,
+                               files: Seq[DataFile]): DataFrame =
+    spark.read.parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
+      .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
+
+  /** The distinct (partition, sequence) keys of a set of EQUALITY delete
+    * files — ditto. */
+  private[table] def eqKeysOf(spark: SparkSession, tableRoot: String,
+                              files: Seq[DataFile]): DataFrame =
+    spark.read.parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
+      .select(col("partition").cast("int").as("partition"), col("sequence"))
+      .distinct()
+
   private[table] def applyDeletes(spark: SparkSession, tableRoot: String,
                                   dels: Seq[DataFile], df: DataFrame): DataFrame = {
     val pos = dels.filter(_.content == 1)
     val eq  = dels.filter(_.content == 2)
     val afterPos =
       if (pos.isEmpty) df
-      else {
-        val keys = spark.read.parquet(pos.map(f => s"$tableRoot/${f.filePath}"): _*)
-          .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
-        df.withColumn("_mor_fkey", expr(morFileKey))
-          .withColumn("_mor_pos", col("_metadata.row_index"))
-          .join(broadcast(keys), Seq("_mor_fkey", "_mor_pos"), "left_anti")
-          .drop("_mor_fkey", "_mor_pos")
-      }
+      else df.withColumn("_mor_fkey", expr(morFileKey))
+        .withColumn("_mor_pos", col("_metadata.row_index"))
+        .join(broadcast(posKeysOf(spark, tableRoot, pos)), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+        .drop("_mor_fkey", "_mor_pos")
     if (eq.isEmpty) afterPos
-    else {
-      val keys = spark.read.parquet(eq.map(f => s"$tableRoot/${f.filePath}"): _*)
-        .select(col("partition").cast("int").as("partition"), col("sequence"))
-        .distinct()
-      afterPos.join(broadcast(keys), Seq("partition", "sequence"), "left_anti")
+    else afterPos.join(broadcast(eqKeysOf(spark, tableRoot, eq)), Seq("partition", "sequence"), "left_anti")
+  }
+
+  /** CDC changefeed between two snapshots (tt3): one row per ROW-LEVEL
+    * change committed in the parent-chain range (from, to], stamped
+    * `_change_type` ∈ {insert, delete} — the feed a downstream sync
+    * consumer applies instead of re-scanning the table.
+    *
+    *  - an APPEND snapshot emits the rows of exactly the files it added
+    *    as inserts (manifest entries with its own snapshot id);
+    *  - a merge-on-read DELETE snapshot emits the rows its new delete
+    *    files masked, resolved against the PARENT snapshot's LIVE set —
+    *    earlier masks never re-emit, and a row matched by both of the
+    *    commit's delete kinds emits once;
+    *  - a manifest REWRITE contributes nothing (no row changed);
+    *  - any other operation (replace/overwrite rewrites rows — a file
+    *    diff cannot represent it) REFUSES loudly, as does a range
+    *    crossing an expired snapshot.
+    *
+    * Scale shape: each delete snapshot costs one scan of its parent's
+    * files with broadcast semi-joins (delete sets are batch-sized by the
+    * fold contract) — consumers read SMALL ranges incrementally, per
+    * refresh, never a year of history in one call. */
+  def changesBetween(spark: SparkSession, tableRoot: String,
+                     fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val meta = committer.load().getOrElse(
+      throw new IllegalStateException(s"table $tableRoot has no committed metadata"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId (expired?)")
+    require(byId.contains(toSnapshotId), s"unknown snapshot $toSnapshotId (expired?)")
+    var cur = toSnapshotId
+    val rangeBuf = scala.collection.mutable.ArrayBuffer.empty[graft.iceberg.Snapshot]
+    while (cur != fromSnapshotId) {
+      val s = byId.getOrElse(cur, throw new IllegalArgumentException(
+        s"snapshot $cur missing from metadata (expired?) — cannot derive changes"))
+      rangeBuf += s
+      cur = s.parentSnapshotId.getOrElse(throw new IllegalArgumentException(
+        s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))
     }
+    val schema  = committer.currentSchemaOf(meta)
+    val ordered = rangeBuf.reverse.toSeq
+    // validate the WHOLE range before building any scan: a replace in the
+    // range physically deleted files, so a lazily-discovered refusal would
+    // surface as a missing-path read error instead of the real reason
+    ordered.foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      require(op == "append" || op == "delete" ||
+          s.summary.get("zombi.rewrite-manifests").contains("true"),
+        s"changefeed range contains snapshot ${s.snapshotId} with operation '$op' — " +
+          "a row-level diff cannot represent a rewrite; fall back to a full read")
+    }
+    val parts: Seq[DataFrame] = ordered.flatMap { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      if (s.summary.get("zombi.rewrite-manifests").contains("true")) None
+      else op match {
+        case "append" =>
+          val added = committer.entriesAt(s.snapshotId)
+            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
+          if (added.isEmpty) None
+          else Some(readProjected(spark, tableRoot, schema, added)
+            .withColumn("_change_type", lit("insert")))
+        case "delete" =>
+          val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
+            s"delete snapshot ${s.snapshotId} has no parent"))
+          val newDels = committer.deleteEntriesAt(s.snapshotId)
+            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
+          val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
+          if (newDels.isEmpty || parentFiles.isEmpty) None
+          else {
+            val raw = readProjected(spark, tableRoot, schema, parentFiles)
+              .withColumn("_mor_fkey", expr(morFileKey))
+              .withColumn("_mor_pos", col("_metadata.row_index"))
+            // live at the parent: strip masks that predate this commit
+            val priorDels = committer.activeFilesAtOf(meta, parentId, 1)
+            val priorP    = priorDels.filter(_.content == 1)
+            val priorEq   = priorDels.filter(_.content == 2)
+            val afterP =
+              if (priorP.isEmpty) raw
+              else raw.join(broadcast(posKeysOf(spark, tableRoot, priorP)),
+                            Seq("_mor_fkey", "_mor_pos"), "left_anti")
+            val live =
+              if (priorEq.isEmpty) afterP
+              else afterP.join(broadcast(eqKeysOf(spark, tableRoot, priorEq)),
+                               Seq("partition", "sequence"), "left_anti")
+            // the rows THIS commit masked; a doubly-matched row emits once
+            val newP  = newDels.filter(_.content == 1)
+            val newEq = newDels.filter(_.content == 2)
+            val hitP =
+              if (newP.isEmpty) None
+              else Some(live.join(broadcast(posKeysOf(spark, tableRoot, newP)),
+                                  Seq("_mor_fkey", "_mor_pos"), "left_semi"))
+            val restForEq =
+              if (newP.isEmpty) live
+              else live.join(broadcast(posKeysOf(spark, tableRoot, newP)),
+                             Seq("_mor_fkey", "_mor_pos"), "left_anti")
+            val hitEq =
+              if (newEq.isEmpty) None
+              else Some(restForEq.join(broadcast(eqKeysOf(spark, tableRoot, newEq)),
+                                       Seq("partition", "sequence"), "left_semi"))
+            (hitP.toSeq ++ hitEq.toSeq).reduceOption(_ unionByName _)
+              .map(_.drop("_mor_fkey", "_mor_pos").withColumn("_change_type", lit("delete")))
+          }
+        case other => throw new IllegalStateException( // unreachable: validated above
+          s"changefeed range snapshot ${s.snapshotId} has unvalidated operation '$other'")
+      }
+    }
+    val empty = readProjected(spark, tableRoot, schema, Nil)
+      .withColumn("_change_type", lit(null: String).cast("string"))
+    parts.foldLeft(empty)(_ unionByName _)
   }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at

@@ -298,6 +298,26 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // CDC changefeed WITH deletes: a four-snapshot table (ingest, tail
+    // append, positional MoR delete, equality MoR delete) read as change
+    // rows between the base snapshot and the head — inserts reconstructed
+    // from appended files, deletes from the delete files each commit
+    // added, resolved against the parent snapshot's live rows. The rollup
+    // by (partition, change type) gates both kinds: a feed that re-read
+    // the base inflates nothing here but breaks n; a missed delete kind
+    // breaks that kind's row; a double-matched row must emit once.
+    "tt3_changefeed" -> { (s, dir) =>
+      val (root, base) = ChangefeedTables.rootAndBase(s, dir)
+      val head = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
+        .load().get.currentSnapshotId.get
+      EventTable.changesBetween(s, root, base, head)
+        .groupBy(col("partition").cast("int").as("part_id"),
+                 col("_change_type").as("change_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Manifest rewrite: a two-commit table (ingest + tail) coalesces its
     // carry-forward manifest list into ONE data manifest, then reads back
     // through the normal committed path. The fixture asserts the metadata
@@ -471,6 +491,43 @@ object IcebergQueries {
     // (777000 shift) only; tail B (committed after, still current) and the
     // expired ingest-only snapshot are both invisible to this read.
     "x11_expire" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 777000L)),
+    // tt3 twin: the change rows rebuilt from the same arithmetic — tail
+    // rows (444000 shift over the first 5 per partition 0–1) are the
+    // inserts; delete pass 1 is k % 9 = 0 over base ∪ tail (NULL-k rows
+    // survive); pass 2 is every 17th original event among the pass-1
+    // SURVIVORS (the fixture derives keys from live rows). Note 13th-event
+    // payloads lack $.k exactly as in the x8 fixture.
+    "tt3_changefeed" -> Oracle.sql(
+      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+        |tail AS (
+        |  SELECT part_id, wm + rn AS sequence, 444000 + evid AS k, evid
+        |  FROM (
+        |    SELECT e.part_id, wm.wm,
+        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+        |    WHERE e.part_id < 2)
+        |  WHERE rn <= 5
+        |), allr AS (
+        |  SELECT part_id, sequence,
+        |         CAST(json_extract_string(
+        |           CASE WHEN event_id % 13 = 0
+        |                THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+        |                ELSE props END, '$.k') AS BIGINT) AS k,
+        |         CAST(substring(idempotency_key, 2) AS BIGINT) AS evid
+        |  FROM evlog
+        |  UNION ALL SELECT part_id, sequence, k, evid FROM tail
+        |), del1 AS (SELECT * FROM allr WHERE coalesce(k % 9 = 0, false)
+        |), live1 AS (SELECT * FROM allr WHERE NOT coalesce(k % 9 = 0, false)
+        |), del2 AS (SELECT * FROM live1 WHERE evid % 17 = 0
+        |), changes AS (
+        |  SELECT part_id, sequence, k, 'insert' AS change_type FROM tail
+        |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del1
+        |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del2
+        |)
+        |SELECT part_id, change_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+        |FROM changes GROUP BY 1, 2""".stripMargin),
     // x13 twin: evlog + the tail (888000 shift) — the coalesced-manifest
     // read must produce exactly the pre-rewrite rows.
     "x13_manifest_rewrite" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 888000L)),
@@ -753,6 +810,53 @@ object ExpiredTables {
         require(EventTable.readCommitted(spark, root).count() == nAll,
           "expiry must not change the current read")
         (root, mid)
+      }
+    )
+  }
+}
+
+/** One changefeed fixture per (JVM, sfDir): the x8 ingest shape (every
+  * 13th event's payload k-less — NULL-predicate rows must survive the
+  * delete pass in the FEED too), then a tail append (5 rows per partition
+  * 0–1, k = 444000 + evid), a positional MoR delete (k % 9 = 0 over base ∪
+  * tail), and an equality MoR delete (every 17th original event among the
+  * LIVE rows). tt3 reads the changefeed base → head. The fixture asserts
+  * the feed's internal accounting (insert count = 10, delete count = both
+  * passes' masked totals) so the oracle's rollup genuinely gates the
+  * reconstruction, not just the fixture arithmetic. */
+object ChangefeedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, (String, Long)]
+
+  def rootAndBase(spark: SparkSession, sfDir: String): (String, Long) = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-feed-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16),
+          mapLog = _.withColumn("props",
+            when(expr("event_id % 13 = 0"),
+                 concat(lit("{\"nk\": "), expr("get_json_object(props, '$.k')"), lit("}")))
+              .otherwise(col("props"))))
+        val base = committer.load().get.currentSnapshotId.get
+        val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                 n = 5, maxPart = 2, kShift = Some(444000L), prefix = "c")
+        EventTable.appendBatch(spark, root, batch)
+        val r1 = EventTable.deleteWhereMor(spark, root,
+          expr("cast(get_json_object(cast(payload as string), '$.k') as bigint) % 9 = 0"))
+        require(r1.deletedRows > 0, "positional pass must mask rows")
+        val keys = EventTable.readCommitted(spark, root)
+          .filter(expr("cast(substring(idempotency_key, 2) as bigint) % 17 = 0"))
+          .select(col("partition"), col("sequence"))
+        val r2 = EventTable.deleteWhereEq(spark, root, keys)
+        require(r2.keys > 0, "equality pass must tombstone keys")
+        val head = committer.load().get.currentSnapshotId.get
+        val feed = EventTable.changesBetween(spark, root, base, head)
+          .groupBy("_change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(feed.getOrElse("insert", 0L) == 10L,
+          s"feed must reconstruct exactly the 10 appended rows: $feed")
+        require(feed.getOrElse("delete", 0L) == r1.deletedRows + r2.keys,
+          s"feed must reconstruct both delete passes exactly: $feed vs ${r1.deletedRows} + ${r2.keys}")
+        (root, base)
       }
     )
   }

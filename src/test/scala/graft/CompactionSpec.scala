@@ -94,6 +94,32 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("changefeed refuses rewrites in range and expired endpoints") {
+    val root = Files.createTempDirectory("graft-feed-spec-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val base = committer.load().get.currentSnapshotId.get
+    val r = EventTable.deleteWhereMor(spark, root, col("partition") === 3)
+    assert(r.deletedRows > 0)
+    // feed across the delete commit works and reconstructs the masked rows
+    val head1 = committer.load().get.currentSnapshotId.get
+    val feed = EventTable.changesBetween(spark, root, base, head1)
+    assert(feed.filter(col("_change_type") === "delete").count() === r.deletedRows)
+    assert(feed.filter(col("_change_type") === "insert").count() === 0)
+    // a compaction (replace) in the range must refuse — file diff ≠ row diff
+    while (Compaction.compact(spark, root).isDefined) ()
+    val head2 = committer.load().get.currentSnapshotId.get
+    assert(head2 !== head1)
+    intercept[IllegalArgumentException] {
+      EventTable.changesBetween(spark, root, base, head2)
+    }
+    // an expired endpoint must refuse, composing with expireSnapshots
+    committer.expireSnapshots(keepLast = 1)
+    intercept[IllegalArgumentException] {
+      EventTable.changesBetween(spark, root, base, head2)
+    }
+  }
+
   test("delete-ratio trigger selects a delete-heavy file the size rules never would") {
     val root = Files.createTempDirectory("graft-ratio-spec-").toString
     // NO fragmentation: one file per partition dir — below minFilesPerGroup,
