@@ -163,12 +163,16 @@ object GraftScanBuilder {
   * = sorted physical row ordinals masked by position-delete files for THIS
   * file; `eqSeqs` = sorted tombstoned sequences relevant to this file
   * (equality deletes pruned to the file's sequence bounds at planning).
-  * Both are bounded — delete sets ride task binaries only under the
-  * planning cap ([[GraftScan.MorScanDeleteCap]]); beyond it the scan
-  * refuses and compaction must fold first. */
+  * Masks ship INLINE (task binaries) only under
+  * [[GraftScan.inlineMaskCap]]; past it `broadcastMasks` is set and the
+  * reader factory resolves this file's masks from a shared Spark broadcast
+  * instead — one driver copy, torrent-distributed, so the scan degrades
+  * gracefully rather than bloating every task. Past the absolute
+  * [[GraftScan.maxMaskCap]] the scan refuses — compact first. */
 final case class GraftInputPartition(tableRoot: String, relPath: String,
                                      delPositions: Array[Long] = Array.empty,
-                                     eqSeqs: Array[Long] = Array.empty) extends InputPartition
+                                     eqSeqs: Array[Long] = Array.empty,
+                                     broadcastMasks: Boolean = false) extends InputPartition
 
 final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
                       pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch {
@@ -202,53 +206,92 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // merge-on-read: delete files AT THE READ SNAPSHOT become per-file
-    // masks the readers apply: positional rows by file identity + row
-    // ordinal, equality keys by (partition, sequence). Time travel
-    // composes: a delete-era snapshot reads masked while its delete files
-    // exist; after a fold physically deletes them, planning fails loud on
-    // the missing parquet (same contract as time travel across any
-    // replace). Delete sets beyond the planning cap also fail loud —
-    // fold first.
-    val (_, files, dels) = planState.getOrElse(return Array.empty[InputPartition])
-    val (posByFile, eqByPart) = GraftScan.deleteMasksFor(tableRoot, dels)
-    files
-      .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-      .map(f => GraftScan.maskedPartition(tableRoot, f, posByFile, eqByPart))
-      .toArray[InputPartition]
-  }
+  // merge-on-read: delete files AT THE READ SNAPSHOT become per-file masks
+  // the readers apply: positional rows by file identity + row ordinal,
+  // equality keys by (partition, sequence). Time travel composes: a
+  // delete-era snapshot reads masked while its delete files exist; after a
+  // fold physically deletes them, planning fails loud on the missing
+  // parquet (same contract as time travel across any replace). Mask
+  // transport escalates inline → broadcast → refuse (see
+  // [[GraftScan.planMasks]]). ONE lazy so the partitions and the factory's
+  // broadcast/columnar decisions derive from the same planning state.
+  private lazy val planned: (Array[InputPartition], GraftScan.MaskBroadcast, Boolean) =
+    planState match {
+      case None => (Array.empty[InputPartition], None, false)
+      case Some((_, files, dels)) =>
+        val (mkPartition, bc) = GraftScan.planMasks(tableRoot, dels)
+        val parts = files
+          .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+          .map(mkPartition)
+          .toArray[InputPartition]
+        (parts, bc, dels.nonEmpty)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._1
 
   override def createReaderFactory(): PartitionReaderFactory =
     // columnar only when the read snapshot carries NO delete files: Spark
     // refuses to mix row and columnar partitions in one scan, so the
     // masked-file row path forces the whole scan row-based (delete-bearing
     // tables are transient by the fold discipline)
-    new GraftReaderFactory(required,
-      allowColumnar = planState.forall(_._3.isEmpty))
+    new GraftReaderFactory(required, allowColumnar = !planned._3, masks = planned._2)
 
   override def description(): String =
     s"GraftScan pruned on [${pushed.mkString(", ")}]"
 }
 
 object GraftScan {
-  /** Ceiling on total delete rows the scan will ship in task binaries —
-    * far above any fold-disciplined delete set; beyond it the scan fails
-    * loud ("compact first") instead of bloating every task. */
-  val MorScanDeleteCap: Long = 1L << 22
+  /** All-files delete masks as one value, broadcast-shippable:
+    * (positions by target-file key, tombstoned sequences by partition). */
+  type Masks = (Map[String, Array[Long]], Map[Int, Array[Long]])
+  type MaskBroadcast = Option[org.apache.spark.broadcast.Broadcast[Masks]]
+
+  /** Ceiling on total delete rows shipped INLINE in task binaries — past
+    * it masks ride one Spark broadcast instead (every task would
+    * otherwise carry a copy). Conf: `spark.graft.mor.inlineMaskRows`. */
+  val DefaultInlineMaskRows: Long = 1L << 22
+
+  /** Absolute ceiling on delete rows the scan will plan at all — a bound
+    * on DRIVER memory (the masks are collected once to build them); past
+    * it the scan refuses loudly ("compact first").
+    * Conf: `spark.graft.mor.maxMaskRows`. */
+  val DefaultMaxMaskRows: Long = 1L << 25
+
+  def inlineMaskCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.mor.inlineMaskRows", DefaultInlineMaskRows.toString).toLong
+  def maxMaskCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.mor.maxMaskRows", DefaultMaxMaskRows.toString).toLong
+
+  /** Mask planning with graceful degradation: returns the partition
+    * builder plus (when escalated) the broadcast the reader factory must
+    * carry. ≤ inline cap → per-file masks inside the partitions (zero
+    * extra machinery, the common fold-disciplined case); ≤ max cap → ONE
+    * broadcast of the full mask maps, partitions carry only a flag; past
+    * that → refuse, compaction is overdue. */
+  def planMasks(tableRoot: String,
+                dels: Seq[DataFile]): (DataFile => GraftInputPartition, MaskBroadcast) = {
+    if (dels.isEmpty) return (f => GraftInputPartition(tableRoot, f.filePath), None)
+    val spark     = org.apache.spark.sql.SparkSession.active
+    val totalRows = dels.map(_.recordCount).sum
+    require(totalRows <= maxMaskCap(spark),
+      s"table $tableRoot holds $totalRows merge-on-read delete rows (> ${maxMaskCap(spark)}): " +
+        "compact to fold the deletes before scanning through the graft source")
+    val masks = deleteMasksFor(tableRoot, dels)
+    if (totalRows <= inlineMaskCap(spark))
+      (f => maskedPartition(tableRoot, f, masks._1, masks._2), None)
+    else {
+      val bc = spark.sparkContext.broadcast(masks)
+      (f => GraftInputPartition(tableRoot, f.filePath, broadcastMasks = true), Some(bc))
+    }
+  }
 
   /** Driver-side delete masks: positional rows grouped by the target
     * file's identity key (last two path segments — see
     * [[graft.table.EventTable.morKeyOf]]) and equality keys grouped by
     * log partition, both sorted. Loaded once per plan via the active
     * session (delete files are batch-sized by the fold contract). */
-  def deleteMasksFor(tableRoot: String,
-                     dels: Seq[DataFile]): (Map[String, Array[Long]], Map[Int, Array[Long]]) = {
+  def deleteMasksFor(tableRoot: String, dels: Seq[DataFile]): Masks = {
     if (dels.isEmpty) return (Map.empty, Map.empty)
-    val totalRows = dels.map(_.recordCount).sum
-    require(totalRows <= MorScanDeleteCap,
-      s"table $tableRoot holds $totalRows merge-on-read delete rows (> $MorScanDeleteCap): " +
-        "compact to fold the deletes before scanning through the graft source")
     val spark = org.apache.spark.sql.SparkSession.active
     val pos = dels.filter(_.content == 1)
     val eq  = dels.filter(_.content == 2)
@@ -428,10 +471,11 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     if (from == -1L) {
       val delsAt = committer.activeDeleteFilesAt(to)
       if (delsAt.nonEmpty) plannedMasks = true
-      val (posByFile, eqByPart) = GraftScan.deleteMasksFor(tableRoot, delsAt)
+      val (mkPartition, bc) = GraftScan.planMasks(tableRoot, delsAt)
+      bootstrapMasks = bc
       committer.activeDataFilesAt(to)
         .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-        .map(f => GraftScan.maskedPartition(tableRoot, f, posByFile, eqByPart))
+        .map(mkPartition)
         .toArray[InputPartition]
     } else {
       committer.appendsBetween(from, to)
@@ -447,6 +491,8 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
   // flip an already-masked batch back to columnar — the batch-scan
   // single-load discipline carried to the stream)
   @volatile private var plannedMasks = false
+  // the bootstrap's over-cap mask broadcast, when planning escalated
+  @volatile private var bootstrapMasks: GraftScan.MaskBroadcast = None
 
   override def createReaderFactory(): PartitionReaderFactory =
     // row-based exactly when a batch planned masks: the bootstrap is the
@@ -455,14 +501,30 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     // tombstone via the watermark pin, and positional deletes reference
     // only pre-existing files), so no per-trigger metadata walk is needed;
     // the columnar reader's mask-free require keeps any residual race loud
-    new GraftReaderFactory(required, allowColumnar = !plannedMasks)
+    new GraftReaderFactory(required, allowColumnar = !plannedMasks, masks = bootstrapMasks)
 }
 
 final class GraftReaderFactory(required: StructType,
-                               allowColumnar: Boolean = true) extends PartitionReaderFactory {
+                               allowColumnar: Boolean = true,
+                               masks: GraftScan.MaskBroadcast = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.tableRoot, p.relPath, required, p.delPositions, p.eqSeqs)
+    // broadcast-shipped masks resolve to THIS file's slices executor-side
+    // (same keying as the inline path: file identity + path partition);
+    // bounds pruning of the equality slice is a task-binary optimization
+    // the broadcast path doesn't need — the reader binary-searches anyway
+    val (dp, eqs) =
+      if (!p.broadcastMasks) (p.delPositions, p.eqSeqs)
+      else {
+        val (posByFile, eqByPart) = masks.getOrElse(throw new IllegalStateException(
+          s"${p.relPath} planned broadcast masks but the factory carries none")).value
+        val part = p.relPath.split('/').collectFirst {
+          case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+        }.getOrElse(-1)
+        (posByFile.getOrElse(graft.table.EventTable.morKeyOf(p.relPath), Array.empty[Long]),
+         eqByPart.getOrElse(part, Array.empty[Long]))
+      }
+    new GraftPartitionReader(p.tableRoot, p.relPath, required, dp, eqs)
   }
 
   // Columnar path: every committed column type is vectorizable, so batches
@@ -479,7 +541,7 @@ final class GraftReaderFactory(required: StructType,
     // belt to allowColumnar's suspender: a masked partition must NEVER
     // decode columnar (the vectorized path does not apply masks) — any
     // factory/planning race fails here loudly instead of unmasking rows
-    require(p.delPositions.isEmpty && p.eqSeqs.isEmpty,
+    require(p.delPositions.isEmpty && p.eqSeqs.isEmpty && !p.broadcastMasks,
       s"${p.relPath} carries merge-on-read masks — the columnar reader cannot apply them")
     new GraftColumnarReader(p.tableRoot, p.relPath, required)
   }

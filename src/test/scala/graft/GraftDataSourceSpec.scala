@@ -197,6 +197,47 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("over-cap MoR masks escalate to a broadcast, never shuffle, and refuse past the max") {
+    import graft.table.EventTable
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-morbc-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    val preRows = EventTable.readCommitted(spark, root).count()
+    val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 7 === 2)
+    val eqKeys = EventTable.readCommitted(spark, root)
+      .filter(col("sequence") % 13 === 5).select("partition", "sequence")
+    val r2 = EventTable.deleteWhereEq(spark, root, eqKeys)
+    assert(r1.deletedRows > 0 && r2.keys > 0)
+    val masked = preRows - r1.deletedRows - r2.keys
+    val inline = spark.read.format("graft").load(root)
+      .selectExpr("cast(partition as int)", "sequence").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(inline.size.toLong === masked)
+    try {
+      // force the broadcast path: every delete set is now "over-cap"
+      spark.conf.set("spark.graft.mor.inlineMaskRows", "1")
+      val viaBc = spark.read.format("graft").load(root)
+        .selectExpr("cast(partition as int)", "sequence")
+      // plan pin: masks ride a broadcast VARIABLE inside the readers — the
+      // plan itself must contain no join/exchange below the scan at all
+      val plan = viaBc.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"broadcast-mask scan must not plan a join:\n$plan")
+      assert(viaBc.collect().map(r => (r.getInt(0), r.getLong(1))).toSet === inline,
+        "broadcast-shipped masks must produce row-identical results")
+      // the columnar reader refuses broadcast-masked partitions too
+      // (allowColumnar is already false; this is the belt)
+      // absolute ceiling: refuse loudly, compaction is overdue
+      spark.conf.set("spark.graft.mor.maxMaskRows", "1")
+      val err = intercept[Exception] {
+        spark.read.format("graft").load(root).count()
+      }
+      assert(err.getMessage.contains("compact"), s"unexpected: ${err.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.mor.inlineMaskRows")
+      spark.conf.unset("spark.graft.mor.maxMaskRows")
+    }
+  }
+
   test("format(graft) equals the manifest-driven parquet read") {
     val v2   = spark.read.format("graft").load(root).select("sequence", "partition", "timestamp_ms", "payload")
     val base = EventTable.readCommitted(spark, root).select("sequence", "partition", "timestamp_ms", "payload")
