@@ -316,7 +316,8 @@ object Bench {
           // absolute targets: a relative SPARK_GRAFT_SF_DIR would otherwise
           // produce symlinks that resolve against /tmp and dangle
           val src = java.nio.file.Paths.get(sfDir).toAbsolutePath
-          val replicated = Set("lineitem.parquet", "orders.parquet", "documents.parquet")
+          val replicated = Set("lineitem.parquet", "orders.parquet", "documents.parquet",
+                               "events.parquet")
           val it  = java.nio.file.Files.list(src)
           try it.forEach { p =>
             if (!replicated.contains(p.getFileName.toString))
@@ -342,6 +343,15 @@ object Bench {
           }
           rep("lineitem", (d, i) => d.withColumn("l_orderkey", org.apache.spark.sql.functions.col("l_orderkey") + (i * shift)))
           rep("orders",   (d, i) => d.withColumn("o_orderkey", org.apache.spark.sql.functions.col("o_orderkey") + (i * shift)))
+          //  - events replicate with shifted event_ids and UNCHANGED
+          //    user_ids/timestamps: partition distribution and per-partition
+          //    ordering stay representative while the row count (and so the
+          //    Iceberg-surface fixtures the x-family probes build — streamed
+          //    commits for tt2's diff, MoR delete files for x10's masked
+          //    scan) grow 4x. Derivations (retry keys, dedup, sequences) are
+          //    recomputed from the replica by both fixture and read, so the
+          //    probe measures the METADATA/scan path, not a semantic change.
+          rep("events", (d, i) => d.withColumn("event_id", org.apache.spark.sql.functions.col("event_id") + (i * shift)))
           rep("documents", (d, i) => {
             import org.apache.spark.sql.functions._
             val salted = d.withColumn("doc_id", col("doc_id") + (i * shift))
@@ -379,13 +389,20 @@ object Bench {
           // (sub-linear: fixed plan/codegen cost amortizes, gram work
           // scales with data). A ratio approaching 4 means a gram-keyed
           // stage stopped combining map-side.
+          // x-family expected regime: x10 (masked V2 scan) is scan-bound —
+          // 4x rows behind 4x-bigger broadcast masks, ratio should sit in
+          // the scan band (≲2); tt2 (snapshot diff) is METADATA-bound — the
+          // diff itself reads only the appended tail, so its warm ratio
+          // should stay ~flat (the fixture build cost lands in first-touch,
+          // which the median excludes).
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
                             "d3_embedding_neardup", "d13_semdedup", "ann_lsh_nn",
                             "t21_hll_cardinality", "t23_langid", "r5_bitext_mining",
                             "t24_dsir_select", "t25_gopher_repetition",
-                            "d17_substring_dedup")
+                            "d17_substring_dedup",
+                            "x10_mor_sql_read", "tt2_snapshot_diff")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -406,7 +423,8 @@ object Bench {
                           "d13_semdedup" -> "d13", "ann_lsh_nn" -> "lsh",
                           "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23",
                           "r5_bitext_mining" -> "r5", "t24_dsir_select" -> "t24",
-                          "t25_gopher_repetition" -> "t25", "d17_substring_dedup" -> "d17")
+                          "t25_gopher_repetition" -> "t25", "d17_substring_dedup" -> "d17",
+                          "x10_mor_sql_read" -> "x10", "tt2_snapshot_diff" -> "tt2")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
