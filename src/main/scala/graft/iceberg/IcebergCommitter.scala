@@ -323,7 +323,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val mapper     = TableMetadata.mapper
     val curSchema  = base.schemas.find(_.schemaId == base.currentSchemaId).getOrElse(base.schemas.head)
     val schemaJson = mapper.writeValueAsString(curSchema.toNode(mapper))
-    val specJson   = base.partitionSpecs.head.fieldsJson(mapper)
+    // new manifests are written (and their list entries stamped) under the
+    // table's DEFAULT spec — after a partition-spec evolution, old
+    // manifests keep their spec id and readers route per manifest
+    val curSpec  = base.partitionSpecs.find(_.specId == base.defaultSpecId)
+      .getOrElse(base.partitionSpecs.head)
+    val specJson = curSpec.fieldsJson(mapper)
 
     // One new manifest holding this commit's added + deleted DATA entries
     // (skipped when the commit touches only delete files), plus — for
@@ -335,7 +340,8 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     def writeManifestOf(entries: Seq[ManifestEntry], content: Int): ManifestListEntry = {
       val name  = s"$metaDir/${UUID.randomUUID()}-m${writtenManifests.size}.avro"
       val bytes = ManifestIO.writeManifest(entries, schemaJson, specJson,
-                                           if (content == 1) "deletes" else "data")
+                                           if (content == 1) "deletes" else "data",
+                                           specId = curSpec.specId)
       io.put(name, bytes)
       writtenManifests += name
       val adds = entries.filter(_.status != 2).map(_.dataFile)
@@ -343,7 +349,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       ManifestListEntry(
         manifestPath = name,
         manifestLength = bytes.length.toLong,
-        partitionSpecId = 0,
+        partitionSpecId = curSpec.specId,
         content = content,
         sequenceNumber = seqNum,
         minSequenceNumber = seqNum,
@@ -748,6 +754,35 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     true
   }
 
+  /** Partition-spec evolution, CAS-committed like [[evolveSchema]]: append
+    * `fields` as a NEW spec under a fresh spec id and make it the default.
+    * The aging-table move (e.g. add `identity(event_date)` once volume
+    * justifies date dirs): files already written keep their original spec —
+    * manifests are routed per spec id, so readers project each file under
+    * the layout it was written with — while every subsequent commit stamps
+    * the new spec. No-op (false) when `fields` already equals the default
+    * spec. Rejects removing the identity log-partition field: sequences,
+    * watermarks, and the MoR keys are all scoped by it. */
+  def evolvePartitionSpec(fields: Seq[PartitionField]): Boolean = synchronized {
+    val (baseVersion, baseMeta) = resolveCurrent()
+    require(baseVersion > 0, "cannot evolve the partition spec of a table with no committed metadata")
+    val meta = baseMeta.get
+    val cur  = meta.partitionSpecs.find(_.specId == meta.defaultSpecId).getOrElse(meta.partitionSpecs.head)
+    if (cur.fields == fields) return false
+    require(fields.exists(f => f.sourceId == FieldIds.Partition && f.transform == "identity"),
+      "every spec must keep identity(partition) — sequences, watermarks, and MoR keys are scoped by it")
+    val newId = meta.partitionSpecs.map(_.specId).max + 1
+    val next = meta.copy(
+      partitionSpecs = meta.partitionSpecs :+ PartitionSpec(newId, fields),
+      defaultSpecId = newId,
+      lastPartitionId = math.max(meta.lastPartitionId, fields.map(_.fieldId).max),
+      lastUpdatedMs = System.currentTimeMillis())
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse(
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    true
+  }
+
   /** The current schema (from the latest committed metadata), if any. */
   def currentSchema(): Option[IcebergSchema] =
     load().map(currentSchemaOf)
@@ -879,14 +914,17 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     if (parentList.count(_.content == 0) <= 1 && parentList.count(_.content == 1) <= 1)
       return None
 
-    // active entries with resolved per-file sequence numbers, in list order
-    def activeOf(content: Int): Seq[(ManifestEntry, Long)] = {
-      val active = scala.collection.mutable.LinkedHashMap.empty[String, (ManifestEntry, Long)]
+    // active entries with resolved per-file sequence numbers AND the owning
+    // manifest's partition-spec id, in list order — a coalesced manifest
+    // may hold ONE spec only (readers route specs per manifest), so a
+    // spec-evolved table coalesces into one manifest per live spec
+    def activeOf(content: Int): Seq[(ManifestEntry, Long, Int)] = {
+      val active = scala.collection.mutable.LinkedHashMap.empty[String, (ManifestEntry, Long, Int)]
       parentList.filter(_.content == content).foreach { mf =>
         IcebergCommitter.cachedManifest(io, mf.manifestPath).foreach { e =>
           if (e.status == 2) active.remove(e.dataFile.filePath)
           else active.put(e.dataFile.filePath,
-            (e, e.dataSequenceNumber.getOrElse(mf.sequenceNumber)))
+            (e, e.dataSequenceNumber.getOrElse(mf.sequenceNumber), mf.partitionSpecId))
         }
       }
       active.values.toSeq
@@ -899,31 +937,32 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val mapper     = TableMetadata.mapper
     val curSchema  = meta.schemas.find(_.schemaId == meta.currentSchemaId).getOrElse(meta.schemas.head)
     val schemaJson = mapper.writeValueAsString(curSchema.toNode(mapper))
-    val specJson   = meta.partitionSpecs.head.fieldsJson(mapper)
-    val written    = scala.collection.mutable.ArrayBuffer.empty[String]
-    def coalesced(entries: Seq[(ManifestEntry, Long)], content: Int): Option[ManifestListEntry] = {
-      if (entries.isEmpty) return None
-      // status 0 (existing) + original adding snapshot id + explicit seq:
-      // the spec's shape for carried entries — list-entry counts go under
-      // the existing columns, which the totals fold includes
-      val rewritten = entries.map { case (e, sq) =>
-        ManifestEntry(0, e.snapshotId, e.dataFile, dataSequenceNumber = Some(sq))
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    def coalesced(entries: Seq[(ManifestEntry, Long, Int)], content: Int): Seq[ManifestListEntry] =
+      entries.groupBy(_._3).toSeq.sortBy(_._1).map { case (specId, group) =>
+        // status 0 (existing) + original adding snapshot id + explicit seq:
+        // the spec's shape for carried entries — list-entry counts go under
+        // the existing columns, which the totals fold includes
+        val rewritten = group.map { case (e, sq, _) =>
+          ManifestEntry(0, e.snapshotId, e.dataFile, dataSequenceNumber = Some(sq))
+        }
+        val spec = meta.partitionSpecs.find(_.specId == specId).getOrElse(meta.partitionSpecs.head)
+        val name  = s"$metaDir/${UUID.randomUUID()}-m${written.size}.avro"
+        val bytes = ManifestIO.writeManifest(rewritten, schemaJson, spec.fieldsJson(mapper),
+                                             if (content == 1) "deletes" else "data",
+                                             specId = specId)
+        io.put(name, bytes)
+        written += name
+        ManifestListEntry(
+          manifestPath = name, manifestLength = bytes.length.toLong,
+          partitionSpecId = specId, content = content,
+          sequenceNumber = seqNum, minSequenceNumber = group.map(_._2).min,
+          addedSnapshotId = snapshotId,
+          addedFilesCount = 0, existingFilesCount = rewritten.size, deletedFilesCount = 0,
+          addedRowsCount = 0, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum,
+          deletedRowsCount = 0)
       }
-      val name  = s"$metaDir/${UUID.randomUUID()}-m${written.size}.avro"
-      val bytes = ManifestIO.writeManifest(rewritten, schemaJson, specJson,
-                                           if (content == 1) "deletes" else "data")
-      io.put(name, bytes)
-      written += name
-      Some(ManifestListEntry(
-        manifestPath = name, manifestLength = bytes.length.toLong,
-        partitionSpecId = 0, content = content,
-        sequenceNumber = seqNum, minSequenceNumber = entries.map(_._2).min,
-        addedSnapshotId = snapshotId,
-        addedFilesCount = 0, existingFilesCount = rewritten.size, deletedFilesCount = 0,
-        addedRowsCount = 0, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum,
-        deletedRowsCount = 0))
-    }
-    val listEntries = coalesced(dataActive, 0).toSeq ++ coalesced(delActive, 1).toSeq
+    val listEntries = coalesced(dataActive, 0) ++ coalesced(delActive, 1)
     val listName    = s"$metaDir/snap-$snapshotId-1-${UUID.randomUUID()}.avro"
     io.put(listName, ManifestIO.writeManifestList(listEntries))
 

@@ -141,6 +141,15 @@ object PartitionSpec {
       PartitionField(FieldIds.Partition, 1000, "partition", "identity")
     )
   )
+
+  /** The aging-table evolution target (x12): keep identity(partition), add
+    * identity(event_date) — as volume grows, date dirs bound what a
+    * time-ranged scan must even list. Spec ids are assigned by
+    * [[IcebergCommitter.evolvePartitionSpec]]; these are the FIELDS. */
+  val dateFields: Seq[PartitionField] = Seq(
+    PartitionField(FieldIds.Partition, 1000, "partition", "identity"),
+    PartitionField(FieldIds.EventDate, 1001, "event_date", "identity")
+  )
 }
 
 final case class SortField(sourceId: Int, transform: String, direction: String, nullOrder: String)

@@ -110,13 +110,13 @@ object ManifestIO {
     * manifests by the manifest LIST entry's content int; this key is the
     * in-file mirror the spec requires). */
   def writeManifest(entries: Seq[ManifestEntry], schemaJson: String, partitionSpecJson: String,
-                    content: String = "data"): Array[Byte] = {
+                    content: String = "data", specId: Int = 0): Array[Byte] = {
     val out    = new ByteArrayOutputStream()
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](entrySchema))
     writer.setMeta("schema", schemaJson)
     writer.setMeta("schema-id", "0")
     writer.setMeta("partition-spec", partitionSpecJson)
-    writer.setMeta("partition-spec-id", "0")
+    writer.setMeta("partition-spec-id", specId.toString)
     writer.setMeta("format-version", "2")
     writer.setMeta("content", content)
     writer.create(entrySchema, out)

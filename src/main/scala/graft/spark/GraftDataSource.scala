@@ -556,27 +556,21 @@ final class GraftReaderFactory(required: StructType,
   * a constant partition column via initBatch. */
 final class GraftColumnarReader(tableRoot: String, relPath: String, required: StructType)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  private val partValue: Int = relPath.split('/').collectFirst {
-    case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-  }.getOrElse(0)
-
-  private val fileFields = required.fields.filterNot(_.name == "partition")
-  private val partFields = required.fields.filter(_.name == "partition")
-
-  // Schema-evolution support: columns requested but ABSENT from this file
-  // (written before an additive evolution) cannot be projected by the
-  // vectorized decoder — they ride in as constant-NULL vectors through the
-  // same initBatch mechanism the identity `partition` constant uses.
+  // Schema-evolution + partition-spec support: columns requested but ABSENT
+  // from this file's pages cannot be projected by the vectorized decoder —
+  // they ride in as CONSTANT vectors through initBatch: directory keys
+  // (`partition` always; `event_date` under the evolved date spec) decode
+  // from the Hive path, columns added by schema evolution as null.
   private val footerFields: Set[String] = {
     val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
     try fr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
     finally fr.close()
   }
-  private val present = fileFields.filter(f => footerFields.contains(f.name))
-  private val missing = fileFields.filterNot(f => footerFields.contains(f.name))
-  private val constFields = missing ++ partFields
-  private val constValues: Array[Any] = missing.map(_ => null: Any) ++ partFields.map(_ => partValue: Any)
+  private val present     = required.fields.filter(f => footerFields.contains(f.name))
+  private val constFields = required.fields.filterNot(f => footerFields.contains(f.name))
+  private val constValues: Array[Any] =
+    constFields.map(f => GraftPathValues.constOf(relPath, f): Any)
 
   private val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
     /* useOffHeap = */ false, /* capacity = */ 4096)
@@ -607,6 +601,29 @@ final class GraftColumnarReader(tableRoot: String, relPath: String, required: St
   override def close(): Unit = reader.close()
 }
 
+/** Typed constants recovered from a file's Hive path segments — the one
+  * decode both V2 readers share for directory-key columns. */
+object GraftPathValues {
+  def constOf(relPath: String, f: org.apache.spark.sql.types.StructField): AnyRef = {
+    val raw = relPath.split('/').collectFirst {
+      case seg if seg.startsWith(f.name + "=") => seg.substring(f.name.length + 1)
+    }
+    raw match {
+      case None => null // schema-evolved column absent from pre-evolution files
+      case Some(v) => f.dataType match {
+        case IntegerType => Integer.valueOf(v.toInt)
+        case LongType    => java.lang.Long.valueOf(v.toLong)
+        // DateType vectors/rows carry epoch DAYS ints; the dir value is the
+        // ISO string Spark's dynamic-partition writer emitted
+        case DateType    => Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+        case StringType  => UTF8String.fromString(v)
+        case other => throw new IllegalArgumentException(
+          s"unsupported directory-key type $other for ${f.name}")
+      }
+    }
+  }
+}
+
 /** Reads one committed parquet file via parquet-mr's Group API and emits
   * only the required columns; the identity `partition` value comes from the
   * Hive path (it is not materialized in the data pages). Merge-on-read
@@ -618,10 +635,6 @@ final class GraftPartitionReader(tableRoot: String, relPath: String, required: S
                                  delPositions: Array[Long] = Array.empty,
                                  eqSeqs: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
-  private val partValue: Int = relPath.split('/').collectFirst {
-    case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-  }.getOrElse(0)
-
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
     new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
@@ -663,8 +676,11 @@ final class GraftPartitionReader(tableRoot: String, relPath: String, required: S
 
   private def toRow(g: Group): InternalRow = {
     val vals = required.fields.map { f =>
-      if (f.name == "partition") partValue
-      else if (g.getType.containsField(f.name) && g.getFieldRepetitionCount(f.name) > 0) {
+      if (!g.getType.containsField(f.name))
+        // not in the pages: a directory key (partition; event_date under
+        // the evolved spec) decodes from the path, evolved columns null
+        GraftPathValues.constOf(relPath, f)
+      else if (g.getFieldRepetitionCount(f.name) > 0) {
         f.dataType match {
           case LongType    => g.getLong(f.name, 0)
           case IntegerType => g.getInteger(f.name, 0)

@@ -240,7 +240,8 @@ object Compaction {
     // returns EXACTLY the files this job wrote — a concurrent flush's
     // files can neither be adopted into this commit nor deleted by the
     // rollback below.
-    val newPaths = EventTable.writeData(df, tableRoot, targetFileSize = cfg.targetFileSize)
+    val newPaths = EventTable.writeData(df, tableRoot, targetFileSize = cfg.targetFileSize,
+                                        dateLayout = EventTable.dateLayoutOf(committer))
     val added    = EventTable.collectDataFiles(spark, tableRoot, newPaths)
 
     try {

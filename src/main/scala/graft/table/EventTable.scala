@@ -101,7 +101,8 @@ object EventTable {
                 fragmentInto: Option[Int] = None,
                 precomputedStats: Option[Seq[(Int, Long, Long)]] = None,
                 clustered: Boolean = false,
-                seqBase: Map[Int, Long] = Map.empty): Seq[String] = {
+                seqBase: Map[Int, Long] = Map.empty,
+                dateLayout: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     // reference's estimate: payload + 64B/row; extracted tables have no
@@ -188,7 +189,13 @@ object EventTable {
       // staging dir is private and the snapshot references files by NAME —
       // nothing ever lists this directory for correctness
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .partitionBy("partition", "bucket")
+      // `dateLayout` = the evolved spec (identity partition + event_date):
+      // event_date becomes a directory key — within a (partition, bucket)
+      // task the rows arrive timestamp-sorted, so each date dir receives a
+      // contiguous sorted run and per-file sort order is preserved
+      .partitionBy(
+        (if (dateLayout) Seq("partition", "event_date", "bucket")
+         else Seq("partition", "bucket")): _*)
       .parquet(stagingAbs.toString)
     if (sys.env.contains("GRAFT_TIMING"))
       println(f"[graft-timing]   writeData.parquet ${(System.nanoTime() - tW0) / 1e6}%.0f ms")
@@ -223,10 +230,17 @@ object EventTable {
     val walk       = NF.walk(stagingDir)
     try {
       walk.iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { src =>
-        val bucket  = src.getParent.getFileName.toString.stripPrefix("bucket=")
-        val partDir = src.getParent.getParent.getFileName.toString // partition=P
-        val relDest = s"data/$partDir/b$bucket-${src.getFileName}"
-        val dest    = rootDir.resolve(relDest)
+        val bucket = src.getParent.getFileName.toString.stripPrefix("bucket=")
+        val p2     = src.getParent.getParent.getFileName.toString // partition=P | event_date=D
+        // evolved date layout nests one level deeper; the basename gains a
+        // `p<P>-` prefix so the LAST TWO path segments (the MoR identity,
+        // morKeyOf) stay unique across partition dirs of one job
+        val relDest =
+          if (p2.startsWith("event_date=")) {
+            val partDir = src.getParent.getParent.getParent.getFileName.toString // partition=P
+            s"data/$partDir/$p2/p${partDir.stripPrefix("partition=")}-b$bucket-${src.getFileName}"
+          } else s"data/$p2/b$bucket-${src.getFileName}"
+        val dest = rootDir.resolve(relDest)
         NF.createDirectories(dest.getParent)
         NF.move(src, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         moved += relDest
@@ -249,9 +263,13 @@ object EventTable {
     while (it.hasNext) {
       val src = it.next().getPath
       if (src.getName.endsWith(".parquet")) {
-        val bucket  = src.getParent.getName.stripPrefix("bucket=")
-        val partDir = src.getParent.getParent.getName // partition=P
-        val relDest = s"data/$partDir/b$bucket-${src.getName}"
+        val bucket = src.getParent.getName.stripPrefix("bucket=")
+        val p2     = src.getParent.getParent.getName // partition=P | event_date=D
+        val relDest =
+          if (p2.startsWith("event_date=")) {
+            val partDir = src.getParent.getParent.getParent.getName // partition=P
+            s"data/$partDir/$p2/p${partDir.stripPrefix("partition=")}-b$bucket-${src.getName}"
+          } else s"data/$p2/b$bucket-${src.getName}"
         pairs += ((src, new org.apache.hadoop.fs.Path(rootP, relDest), relDest))
       }
     }
@@ -355,12 +373,15 @@ object EventTable {
     val dataDir = new org.apache.hadoop.fs.Path(rootP, "data")
     if (!fs.exists(dataDir)) Nil
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val it  = fs.listFiles(dataDir, true)
+      val out    = scala.collection.mutable.ArrayBuffer.empty[String]
+      val prefix = fs.makeQualified(dataDir).toString
+      val it     = fs.listFiles(dataDir, true)
       while (it.hasNext) {
         val p = it.next().getPath
+        // root-relative path at ANY nesting depth (the evolved date spec
+        // nests event_date= under partition=)
         if (p.getName.endsWith(".parquet"))
-          out += s"data/${p.getParent.getName}/${p.getName}"
+          out += "data" + p.toString.stripPrefix(prefix)
       }
       out.toSeq.sorted
     }
@@ -478,7 +499,10 @@ object EventTable {
     // discovery appends it LAST — the layout every committed read has
     // always produced — while the data columns come from the metadata
     // schema (no footer-inference wave, evolved columns of older files
-    // read as null).
+    // read as null). Under the evolved date spec `event_date` is a
+    // directory key too — and a MIXED-SPEC table cannot load in one
+    // spark.read (Hive discovery refuses conflicting directory depths),
+    // so files split by spec layout into two loads unioned by name.
     val dataFields = fields.filterNot(_.name == "partition")
     if (active.isEmpty) {
       // typed empty frame in the same layout. Nullability is nullable=true
@@ -492,10 +516,18 @@ object EventTable {
           part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     } else {
-      val st = StructType(
-        dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
-      spark.read.schema(st).option("basePath", s"$tableRoot/data")
-        .parquet(active.map(f => s"$tableRoot/${f.filePath}"): _*)
+      def load(files: Seq[DataFile], dirKeys: Set[String]): DataFrame = {
+        val st = StructType(
+          dataFields.filterNot(f => dirKeys(f.name))
+            .map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
+        spark.read.schema(st).option("basePath", s"$tableRoot/data")
+          .parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
+      }
+      val (dated, legacy) = active.partition(_.filePath.contains("/event_date="))
+      val loads =
+        legacy.headOption.map(_ => load(legacy, Set.empty)).toSeq ++
+          dated.headOption.map(_ => load(dated, Set("event_date"))).toSeq
+      loads.reduce(_ unionByName _)
     }
   }
 
@@ -565,7 +597,7 @@ object EventTable {
     if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
 
     val survivors = readForRewrite(spark, tableRoot, affected).filter(not(pred))
-    val newPaths  = writeData(survivors, tableRoot)
+    val newPaths  = writeData(survivors, tableRoot, dateLayout = dateLayoutOf(committer))
     val added     = collectDataFiles(spark, tableRoot, newPaths)
     try {
       val res = committer.commitReplace(affected, added, base)
@@ -847,7 +879,8 @@ object EventTable {
     val inserts = alignToCommitted(spark, tableRoot,
       up.join(broadcast(matchedDf), Seq("partition", "sequence"), "left_anti"))
 
-    val newPaths = writeData(rewritten.unionByName(inserts), tableRoot)
+    val newPaths = writeData(rewritten.unionByName(inserts), tableRoot,
+                             dateLayout = dateLayoutOf(committer))
     val added    = collectDataFiles(spark, tableRoot, newPaths)
     // Watermarks only ADVANCE (a rewrite of early files must not regress one).
     val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
@@ -933,7 +966,7 @@ object EventTable {
             "committed sequences are taken or burned, never re-appendable")
       }
       val rows  = alignToCommitted(spark, tableRoot, b)
-      val paths = writeData(rows, tableRoot)
+      val paths = writeData(rows, tableRoot, dateLayout = dateLayoutOf(committer))
       val added = collectDataFiles(spark, tableRoot, paths)
       val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
       if (staged) committer.commitStaged(added, newWm) else committer.commitAppend(added, newWm)
@@ -946,6 +979,17 @@ object EventTable {
   private def decodeFileUri(s: String): String =
     try Option(new java.net.URI(s).getPath).getOrElse(s)
     catch { case _: java.net.URISyntaxException => s }
+
+  /** Whether the table's DEFAULT partition spec carries the evolved
+    * event_date directory key — the writer-layout switch every rewrite
+    * path consults, so post-evolution writes (appends, compactions,
+    * delete/merge rewrites) land in the new layout while old files keep
+    * theirs. */
+  private[table] def dateLayoutOf(committer: IcebergCommitter): Boolean =
+    committer.load().exists { m =>
+      m.partitionSpecs.find(_.specId == m.defaultSpecId)
+        .exists(_.fields.exists(_.name == "event_date"))
+    }
 
   /** Per-partition high watermark from file bounds — exact because files are
     * single-partition (`partition=P/` dirs). */
@@ -1241,6 +1285,14 @@ object FileStats extends Serializable {
     val part = relPath.split('/').collectFirst {
       case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
     }
+    // Evolved date spec: event_date is a DIRECTORY key, not a page column —
+    // its identity bounds come from the path (files are single-date), so
+    // date/time pruning stays manifest-stat-driven on both specs.
+    val pathDate = relPath.split('/').collectFirst {
+      case seg if seg.startsWith("event_date=") =>
+        java.time.LocalDate.parse(seg.stripPrefix("event_date=")).toEpochDay.toInt
+    }
+    pathDate.foreach { d => dateMin = d; dateMax = d }
 
     def longBounds(fid: Int, mn: Long, mx: Long): Seq[(Int, Array[Byte], Array[Byte])] =
       if (mn == Long.MaxValue && mx == Long.MinValue) Nil

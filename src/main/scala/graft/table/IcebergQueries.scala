@@ -298,6 +298,31 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Partition-spec evolution: old files carry spec-0 (identity partition
+    // dirs), files appended after evolvePartitionSpec carry spec-1
+    // (partition + event_date dirs, event_date now a DIRECTORY key instead
+    // of a page column). The read is manifest-pruned by TIMESTAMP bounds
+    // (footer stats on both specs), then rolls up per partition INCLUDING
+    // the event_date days — so a path-recovered date that disagreed with
+    // the page-stored one would break the hash. The fixture asserts the
+    // layout mechanics (new files nested under event_date=, old flat,
+    // spec ids 0 and 1 both live in the manifest list).
+    "x12_spec_evolution" -> { (s, dir) =>
+      val root      = SpecEvolvedTables.tableRoot(s, dir)
+      val committer = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
+      val files     = EventTable.pruneByTimeRange(
+        committer, graft.core.HotQueries.RangeLo, graft.core.HotQueries.RangeHi)
+      EventTable.readCommitted(s, root, files)
+        .filter(col("timestamp_ms") >= graft.core.HotQueries.RangeLo &&
+                col("timestamp_ms") < graft.core.HotQueries.RangeHi)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"),
+          min(datediff(col("event_date"), to_date(lit("1970-01-01")))).as("min_date_days"),
+          max(datediff(col("event_date"), to_date(lit("1970-01-01")))).as("max_date_days"))
+    },
     // CDC changefeed WITH deletes: a four-snapshot table (ingest, tail
     // append, positional MoR delete, equality MoR delete) read as change
     // rows between the base snapshot and the head — inserts reconstructed
@@ -491,6 +516,40 @@ object IcebergQueries {
     // (777000 shift) only; tail B (committed after, still current) and the
     // expired ingest-only snapshot are both invisible to this read.
     "x11_expire" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 777000L)),
+    // x12 twin: evlog + the tail (999000 shift, keeping source timestamps
+    // so tail dates equal their source rows'), filtered to the probe's
+    // timestamp range, rolled up with the event-date day bounds — a
+    // mixed-spec read whose path-recovered dates drift from the page-
+    // stored derivation breaks min/max_date_days.
+    "x12_spec_evolution" -> Oracle.sql(
+      s""", wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+         |tail AS (
+         |  SELECT part_id, wm + rn AS sequence, timestamp_ms, 999000 + evid AS k
+         |  FROM (
+         |    SELECT e.part_id, wm.wm, e.timestamp_ms,
+         |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+         |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+         |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+         |    WHERE e.part_id < 2)
+         |  WHERE rn <= 5
+         |), allr AS (
+         |  SELECT part_id, sequence, timestamp_ms,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+         |         event_date_days
+         |  FROM evlog
+         |  UNION ALL
+         |  SELECT part_id, sequence, timestamp_ms, k,
+         |         CAST(timestamp_ms // 86400000 AS INT)
+         |  FROM tail
+         |)
+         |SELECT part_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+         |       max(sequence) AS max_seq,
+         |       min(event_date_days) AS min_date_days,
+         |       max(event_date_days) AS max_date_days
+         |FROM allr
+         |WHERE timestamp_ms >= ${graft.core.HotQueries.RangeLo}
+         |  AND timestamp_ms < ${graft.core.HotQueries.RangeHi}
+         |GROUP BY 1""".stripMargin),
     // tt3 twin: the change rows rebuilt from the same arithmetic — tail
     // rows (444000 shift over the first 5 per partition 0–1) are the
     // inserts; delete pass 1 is k % 9 = 0 over base ∪ tail (NULL-k rows
@@ -810,6 +869,48 @@ object ExpiredTables {
         require(EventTable.readCommitted(spark, root).count() == nAll,
           "expiry must not change the current read")
         (root, mid)
+      }
+    )
+  }
+}
+
+/** One spec-evolved table per (JVM, sfDir): ingest under spec-0 (identity
+  * partition dirs), `evolvePartitionSpec` to spec-1 (partition +
+  * event_date), then a tail append (5 rows per partition 0–1,
+  * k = 999000 + evid, source timestamps kept) written under the NEW
+  * layout. The fixture asserts the mechanics the oracle cannot see: every
+  * post-evolution file nests under `event_date=`, every pre-evolution file
+  * stays flat, BOTH spec ids live in the manifest list, and the evolved
+  * files carry path-derived event_date identity bounds (single-date
+  * files). x12 then hash-gates a manifest-pruned mixed-spec read. */
+object SpecEvolvedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root      = java.nio.file.Files.createTempDirectory("graft-spec-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val oldFiles  = committer.activeDataFiles().map(_.filePath).toSet
+        require(committer.evolvePartitionSpec(graft.iceberg.PartitionSpec.dateFields),
+          "the evolution must commit a new default spec")
+        val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                 n = 5, maxPart = 2, kShift = Some(999000L), prefix = "s")
+        EventTable.appendBatch(spark, root, batch)
+        val newFiles = committer.activeDataFiles().map(_.filePath).toSet -- oldFiles
+        require(newFiles.nonEmpty && newFiles.forall(_.contains("/event_date=")),
+          s"post-evolution files must carry event_date dirs: $newFiles")
+        require(oldFiles.forall(p => !p.contains("/event_date=")),
+          "pre-evolution files must keep their spec-0 layout")
+        require(committer.currentManifests().map(_.partitionSpecId).toSet == Set(0, 1),
+          "both specs must be live in the manifest list")
+        // evolved files are single-date with path-derived identity bounds
+        val dated = committer.activeDataFiles().filter(f => newFiles(f.filePath))
+        require(dated.forall(f =>
+          f.lowerInt(FieldIds.EventDate).isDefined &&
+            f.lowerInt(FieldIds.EventDate) == f.upperInt(FieldIds.EventDate)),
+          "evolved files must carry single-date identity bounds for pruning")
+        root
       }
     )
   }

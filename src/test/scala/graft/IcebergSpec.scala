@@ -228,6 +228,29 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.activeDataFiles().size === 3)
   }
 
+  test("partition-spec evolution: ids, defaults, guards, and rewrite routing") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    assert(c.evolvePartitionSpec(PartitionSpec.dateFields))
+    val meta = c.load().get
+    assert(meta.partitionSpecs.map(_.specId) === Seq(0, 1))
+    assert(meta.defaultSpecId === 1)
+    assert(meta.lastPartitionId === 1001)
+    // no-op on identical fields; refusal on dropping identity(partition)
+    assert(!c.evolvePartitionSpec(PartitionSpec.dateFields))
+    intercept[IllegalArgumentException] {
+      c.evolvePartitionSpec(Seq(PartitionField(FieldIds.EventDate, 1001, "event_date", "identity")))
+    }
+    // new commits stamp the new spec id in the manifest list; old keep 0
+    c.commitAppend(Seq(df("data/partition=0/event_date=2024-01-01/b.parquet", 10, 0, 20)))
+    assert(c.currentManifests().map(_.partitionSpecId) === Seq(0, 1))
+    // a manifest rewrite may NOT merge specs: one coalesced manifest each
+    c.commitAppend(Seq(df("data/partition=1/event_date=2024-01-02/e.parquet", 10, 1, 10)))
+    assert(c.rewriteManifests().isDefined)
+    assert(c.currentManifests().map(_.partitionSpecId).sorted === Seq(0, 1))
+    assert(c.activeDataFiles().size === 3)
+  }
+
   test("expiration retains the CURRENT snapshot even when a rollback made it old") {
     val c = freshCommitter()
     val a = df("data/partition=0/a.parquet", 10, 0, 10)
