@@ -416,8 +416,15 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val parentSummary = base.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     val wmKeys = watermarks.map { case (p, wm) => s"zombi.watermark.$p" -> wm.toString } ++
       watermarks.map { case (p, wm) => s"zombi.high_watermark.$p" -> wm.toString }
-    // Watermarks are monotonic: carry forward any partition not updated here.
-    val carriedWm = parentSummary.filter { case (k, _) => k.startsWith("zombi.") && !wmKeys.contains(k) }
+    // Watermarks are monotonic: carry forward any partition not updated
+    // here — and ONLY watermarks. A blanket zombi.* carry would leak
+    // per-snapshot MARKERS to every descendant: zombi.rewrite-manifests on
+    // a child would let rollback/diff guards cross a real replace, and
+    // zombi.staged would make published-stage descendants look staged.
+    val carriedWm = parentSummary.filter { case (k, _) =>
+      (k.startsWith("zombi.watermark.") || k.startsWith("zombi.high_watermark.")) &&
+        !wmKeys.contains(k)
+    }
     // delete-file accounting keys appear only once the table actually has
     // (or had) a delete manifest — delete-free tables keep byte-identical
     // summaries to the pre-MoR writer
@@ -526,11 +533,11 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   def entriesAt(snapshotId: Long): Seq[ManifestEntry] =
     load().toSeq.flatMap(m => entriesOf(m, snapshotId))
 
-  /** Manifest entries of a snapshot's DELETE manifests (content=1) — for
-    * changefeed readers that need the delete files a SPECIFIC commit
-    * added (entry snapshot id + status identify them). */
-  def deleteEntriesAt(snapshotId: Long): Seq[ManifestEntry] =
-    load().toSeq.flatMap(m => entriesOf(m, snapshotId, content = 1))
+  /** [[entriesAt]] against an ALREADY-LOADED metadata — so a multi-snapshot
+    * reader (the changefeed) resolves every snapshot of its validated range
+    * from ONE consistent metadata instead of N racing re-loads. */
+  def entriesAtOf(meta: TableMetadata, snapshotId: Long, content: Int = 0): Seq[ManifestEntry] =
+    entriesOf(meta, snapshotId, content)
 
   /** [[entriesAt]] against an ALREADY-LOADED metadata — for callers that
     * must resolve several snapshots of one consistent table version.
@@ -967,9 +974,10 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     io.put(listName, ManifestIO.writeManifestList(listEntries))
 
     // same summary keys as commit(), recomputed from the active sets (the
-    // fold over one existing-only manifest); watermarks carry forward
+    // fold over one existing-only manifest); ONLY watermarks carry forward
+    // (per-snapshot markers like zombi.staged must never leak downstream)
     val carried = cur.summary.filter { case (k, _) =>
-      k.startsWith("zombi.") && k != "zombi.staged"
+      k.startsWith("zombi.watermark.") || k.startsWith("zombi.high_watermark.")
     }
     val deleteKeys =
       if (parentList.exists(_.content == 1))

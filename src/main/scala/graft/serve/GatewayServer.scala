@@ -727,7 +727,8 @@ final class GatewayServer(
                       Seq(col("_payload_overflow"), col("partition")): _*)
         }
 
-        val newFiles  = EventTable.writeData(df, root) // exact file list, no dir diff
+        val newFiles  = EventTable.writeData(df, root, // exact file list, no dir diff
+                                             dateLayout = EventTable.dateLayoutOf(c))
         val dataFiles = EventTable.collectDataFiles(spark, root, newFiles)
         val wm        = EventTable.watermarksOf(dataFiles)
         val res       = c.commitAppend(dataFiles, wm)

@@ -639,6 +639,12 @@ final class GraftPartitionReader(tableRoot: String, relPath: String, required: S
     new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
   private val columnIO   = new ColumnIOFactory().getColumnIO(fileSchema)
+  // per-READER constants for page-absent columns (directory keys, evolved
+  // nulls) — the path is parsed once here, never per row
+  private val inPages: Array[Boolean] =
+    required.fields.map(f => fileSchema.containsField(f.name))
+  private val pathConsts: Array[AnyRef] =
+    required.fields.map(f => GraftPathValues.constOf(relPath, f))
   require(eqSeqs.isEmpty || fileSchema.containsField("sequence"),
     s"$relPath carries equality-delete masks but has no sequence column")
 
@@ -675,11 +681,11 @@ final class GraftPartitionReader(tableRoot: String, relPath: String, required: S
   }
 
   private def toRow(g: Group): InternalRow = {
-    val vals = required.fields.map { f =>
-      if (!g.getType.containsField(f.name))
+    val vals = required.fields.zipWithIndex.map { case (f, i) =>
+      if (!inPages(i))
         // not in the pages: a directory key (partition; event_date under
         // the evolved spec) decodes from the path, evolved columns null
-        GraftPathValues.constOf(relPath, f)
+        pathConsts(i)
       else if (g.getFieldRepetitionCount(f.name) > 0) {
         f.dataType match {
           case LongType    => g.getLong(f.name, 0)

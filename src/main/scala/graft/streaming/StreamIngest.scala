@@ -276,7 +276,8 @@ final class StreamIngest(
             EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                                  precomputedStats = Some(lastStats.getOrElse(Map.empty).toSeq
                                    .map { case (p, (r, b)) => (p, r, b) }),
-                                 clustered = true, seqBase = wm)
+                                 clustered = true, seqBase = wm,
+                                 dateLayout = EventTable.dateLayoutOf(committer))
           }
           // the next batch's bucketing profile now comes from the written
           // files' own footers (exact rows + uncompressed bytes), read in
@@ -299,7 +300,8 @@ final class StreamIngest(
             timed("write", batchId) {
               EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                                    precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }),
-                                   seqBase = wm)
+                                   seqBase = wm,
+                                   dateLayout = EventTable.dateLayoutOf(committer))
             }
           } finally cached.unpersist()
         }

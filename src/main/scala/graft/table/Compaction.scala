@@ -209,7 +209,8 @@ object Compaction {
     // definition (EventTable.applyDeletes): a compaction that diverged
     // from the read path's matching (identity keys, kind routing) would
     // resurrect or over-delete rows
-    val df0 = EventTable.readForRewrite(spark, tableRoot, candidates)
+    val df0 = EventTable.readForRewrite(spark, tableRoot, candidates,
+      morCols = activeDeletes.exists(_.content == 1))
     val df =
       if (activeDeletes.isEmpty) df0
       else EventTable.applyDeletes(spark, tableRoot, activeDeletes, df0)

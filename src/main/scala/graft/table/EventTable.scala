@@ -401,9 +401,10 @@ object EventTable {
     // key) after sequencing — it must not change row count or partitioning,
     // or the precomputed size stats below would be wrong.
     val log = mapLog(EventLog.deriveDateHour(seq))
-    val newPaths = writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
-              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }))
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
+    val newPaths = writeData(committedSchema(log), tableRoot, targetFileSize, fragmentInto,
+              precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }),
+              dateLayout = dateLayoutOf(committer))
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
@@ -452,7 +453,8 @@ object EventTable {
         .exists(_.fields.exists(_.id == graft.iceberg.FieldIds.Payload))
       committer.evolveSchema(IcebergSchema.withExtraction(names, keepPayload = keep))
     }
-    val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto)
+    val newPaths  = writeData(df, tableRoot, fragmentInto = fragmentInto,
+                              dateLayout = dateLayoutOf(committer))
     val dataFiles = collectDataFiles(spark, tableRoot, newPaths)
     committer.commitAppend(dataFiles, watermarksOf(dataFiles))
     committer
@@ -477,21 +479,29 @@ object EventTable {
     * evolution read as null in files written before it. The explicit
     * schema also skips footer-merge inference entirely. */
   def readCommittedProjected(spark: SparkSession, tableRoot: String,
-                             files: Seq[DataFile] = null): DataFrame = {
+                             files: Seq[DataFile] = null,
+                             morCols: Boolean = false): DataFrame = {
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), Topic)
     val meta      = committer.load()
     val schema    = meta.map(committer.currentSchemaOf).getOrElse(IcebergSchema.default)
     val active    = Option(files).getOrElse(
       meta.map(m => committer.activeFilesOf(m, 0)).getOrElse(Nil))
-    readProjected(spark, tableRoot, schema, active)
+    readProjected(spark, tableRoot, schema, active, morCols)
   }
 
   /** The projected-read body against an ALREADY-RESOLVED schema and file
     * list — so [[readCommitted]] pays exactly ONE metadata load for
     * schema + data files + delete files (they also come from the same
     * consistent snapshot, instead of three racing loads). */
+  /** `morCols = true` appends the MoR identity columns (`_mor_fkey`,
+    * `_mor_pos`) AT SCAN LEVEL, inside each per-layout load — required by
+    * every position-delete consumer because `_metadata` is a hidden
+    * per-scan column that does NOT propagate through the mixed-spec Union
+    * below (Union.metadataOutput is empty); resolving it on the unioned
+    * frame throws on any spec-evolved table. */
   private def readProjected(spark: SparkSession, tableRoot: String,
-                            schema: IcebergSchema, active: Seq[DataFile]): DataFrame = {
+                            schema: IcebergSchema, active: Seq[DataFile],
+                            morCols: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val fields = schema.fields
     // `partition` is a DIRECTORY key (data/partition=N/), not a column in
@@ -513,15 +523,20 @@ object EventTable {
       val part = fields.find(_.name == "partition")
       val st = StructType(
         dataFields.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)) ++
-          part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
+          part.map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)) ++
+          (if (morCols) Seq(StructField("_mor_fkey", org.apache.spark.sql.types.StringType),
+                            StructField("_mor_pos", LongType)) else Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
     } else {
       def load(files: Seq[DataFile], dirKeys: Set[String]): DataFrame = {
         val st = StructType(
           dataFields.filterNot(f => dirKeys(f.name))
             .map(f => StructField(f.name, sparkTypeOf(f.fieldType), nullable = true)))
-        spark.read.schema(st).option("basePath", s"$tableRoot/data")
+        val df = spark.read.schema(st).option("basePath", s"$tableRoot/data")
           .parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
+        if (!morCols) df
+        else df.withColumn("_mor_fkey", expr(morFileKey))
+          .withColumn("_mor_pos", col("_metadata.row_index"))
       }
       val (dated, legacy) = active.partition(_.filePath.contains("/event_date="))
       val loads =
@@ -538,8 +553,9 @@ object EventTable {
     * is preserved because the projection is by name over the same columns
     * the writer emits. */
   private[table] def readForRewrite(spark: SparkSession, tableRoot: String,
-                                    files: Seq[DataFile]): DataFrame =
-    readCommittedProjected(spark, tableRoot, files)
+                                    files: Seq[DataFile],
+                                    morCols: Boolean = false): DataFrame =
+    readCommittedProjected(spark, tableRoot, files, morCols)
 
   /** Outcome of a copy-on-write delete. */
   final case class DeleteResult(rewrittenFiles: Int, untouchedFiles: Int,
@@ -644,9 +660,7 @@ object EventTable {
     val prior   = committer.activeDeleteFiles()
     val priorP  = prior.filter(_.content == 1)
     val priorEq = prior.filter(_.content == 2)
-    val raw = readCommittedProjected(spark, tableRoot, active)
-      .withColumn("_mor_fkey", expr(morFileKey))
-      .withColumn("_mor_pos", col("_metadata.row_index"))
+    val raw = readCommittedProjected(spark, tableRoot, active, morCols = true)
     // already-masked rows (both delete kinds) are excluded so deletedRows
     // is exact and re-deletes never duplicate
     val afterP =
@@ -985,7 +999,7 @@ object EventTable {
     * path consults, so post-evolution writes (appends, compactions,
     * delete/merge rewrites) land in the new layout while old files keep
     * theirs. */
-  private[table] def dateLayoutOf(committer: IcebergCommitter): Boolean =
+  private[graft] def dateLayoutOf(committer: IcebergCommitter): Boolean =
     committer.load().exists { m =>
       m.partitionSpecs.find(_.specId == m.defaultSpecId)
         .exists(_.fields.exists(_.name == "event_date"))
@@ -1033,7 +1047,11 @@ object EventTable {
     }.getOrElse(Nil)
     val dels    = filesOf(1)
     val scanned = Option(files).getOrElse(filesOf(0))
-    val df = readProjected(spark, tableRoot, schema, scanned)
+    // annotate only when applyDeletes will actually consume (and then
+    // drop) the identity columns — the empty-scan early return below must
+    // keep the standard committed layout
+    val df = readProjected(spark, tableRoot, schema, scanned,
+                           morCols = scanned.nonEmpty && dels.exists(_.content == 1))
     // empty scan = the typed-empty-frame branch (no file scan → no
     // _metadata column, and nothing for deletes to apply to anyway)
     if (dels.isEmpty || scanned.isEmpty) df
@@ -1091,12 +1109,18 @@ object EventTable {
     val eq  = dels.filter(_.content == 2)
     val afterPos =
       if (pos.isEmpty) df
-      else df.withColumn("_mor_fkey", expr(morFileKey))
-        .withColumn("_mor_pos", col("_metadata.row_index"))
-        .join(broadcast(posKeysOf(spark, tableRoot, pos)), Seq("_mor_fkey", "_mor_pos"), "left_anti")
-        .drop("_mor_fkey", "_mor_pos")
-    if (eq.isEmpty) afterPos
-    else afterPos.join(broadcast(eqKeysOf(spark, tableRoot, eq)), Seq("partition", "sequence"), "left_anti")
+      else {
+        // the identity columns must come annotated FROM THE SCAN (read
+        // with morCols = true): _metadata does not survive the mixed-spec
+        // union, so adding them here would throw on a spec-evolved table
+        require(df.columns.contains("_mor_fkey") && df.columns.contains("_mor_pos"),
+          "applyDeletes with position deletes requires a morCols-annotated read")
+        df.join(broadcast(posKeysOf(spark, tableRoot, pos)), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+      }
+    val out =
+      if (eq.isEmpty) afterPos
+      else afterPos.join(broadcast(eqKeysOf(spark, tableRoot, eq)), Seq("partition", "sequence"), "left_anti")
+    if (out.columns.contains("_mor_fkey")) out.drop("_mor_fkey", "_mor_pos") else out
   }
 
   /** CDC changefeed between two snapshots (tt3): one row per ROW-LEVEL
@@ -1153,7 +1177,7 @@ object EventTable {
       if (s.summary.get("zombi.rewrite-manifests").contains("true")) None
       else op match {
         case "append" =>
-          val added = committer.entriesAt(s.snapshotId)
+          val added = committer.entriesAtOf(meta, s.snapshotId)
             .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
           if (added.isEmpty) None
           else Some(readProjected(spark, tableRoot, schema, added)
@@ -1161,14 +1185,12 @@ object EventTable {
         case "delete" =>
           val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
             s"delete snapshot ${s.snapshotId} has no parent"))
-          val newDels = committer.deleteEntriesAt(s.snapshotId)
+          val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
             .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
           val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
           if (newDels.isEmpty || parentFiles.isEmpty) None
           else {
-            val raw = readProjected(spark, tableRoot, schema, parentFiles)
-              .withColumn("_mor_fkey", expr(morFileKey))
-              .withColumn("_mor_pos", col("_metadata.row_index"))
+            val raw = readProjected(spark, tableRoot, schema, parentFiles, morCols = true)
             // live at the parent: strip masks that predate this commit
             val priorDels = committer.activeFilesAtOf(meta, parentId, 1)
             val priorP    = priorDels.filter(_.content == 1)

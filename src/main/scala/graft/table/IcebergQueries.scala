@@ -301,20 +301,16 @@ object IcebergQueries {
     // Partition-spec evolution: old files carry spec-0 (identity partition
     // dirs), files appended after evolvePartitionSpec carry spec-1
     // (partition + event_date dirs, event_date now a DIRECTORY key instead
-    // of a page column). The read is manifest-pruned by TIMESTAMP bounds
-    // (footer stats on both specs), then rolls up per partition INCLUDING
-    // the event_date days — so a path-recovered date that disagreed with
-    // the page-stored one would break the hash. The fixture asserts the
-    // layout mechanics (new files nested under event_date=, old flat,
-    // spec ids 0 and 1 both live in the manifest list).
+    // of a page column). The FULL mixed-spec read (a union of one scan per
+    // layout) rolls up per partition INCLUDING the event_date days — so a
+    // path-recovered date that disagreed with the page-stored derivation
+    // breaks the hash. The fixture asserts the layout mechanics (new files
+    // nested under event_date= with single-date identity bounds, old files
+    // flat, both spec ids live in the manifest list); date-dir PRUNING is
+    // pinned by the V2 pushdown test in GraftDataSourceSpec.
     "x12_spec_evolution" -> { (s, dir) =>
-      val root      = SpecEvolvedTables.tableRoot(s, dir)
-      val committer = new IcebergCommitter(TableIO.forRoot(root), EventTable.Topic)
-      val files     = EventTable.pruneByTimeRange(
-        committer, graft.core.HotQueries.RangeLo, graft.core.HotQueries.RangeHi)
-      EventTable.readCommitted(s, root, files)
-        .filter(col("timestamp_ms") >= graft.core.HotQueries.RangeLo &&
-                col("timestamp_ms") < graft.core.HotQueries.RangeHi)
+      val root = SpecEvolvedTables.tableRoot(s, dir)
+      EventTable.readCommitted(s, root)
         .groupBy(col("partition").cast("int").as("part_id"))
         .agg(
           count(lit(1)).as("n"),
@@ -517,10 +513,9 @@ object IcebergQueries {
     // expired ingest-only snapshot are both invisible to this read.
     "x11_expire" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 777000L)),
     // x12 twin: evlog + the tail (999000 shift, keeping source timestamps
-    // so tail dates equal their source rows'), filtered to the probe's
-    // timestamp range, rolled up with the event-date day bounds — a
-    // mixed-spec read whose path-recovered dates drift from the page-
-    // stored derivation breaks min/max_date_days.
+    // so tail dates equal their source rows'), rolled up with the
+    // event-date day bounds — a mixed-spec read whose path-recovered dates
+    // drift from the page-stored derivation breaks min/max_date_days.
     "x12_spec_evolution" -> Oracle.sql(
       s""", wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
          |tail AS (
@@ -547,8 +542,6 @@ object IcebergQueries {
          |       min(event_date_days) AS min_date_days,
          |       max(event_date_days) AS max_date_days
          |FROM allr
-         |WHERE timestamp_ms >= ${graft.core.HotQueries.RangeLo}
-         |  AND timestamp_ms < ${graft.core.HotQueries.RangeHi}
          |GROUP BY 1""".stripMargin),
     // tt3 twin: the change rows rebuilt from the same arithmetic — tail
     // rows (444000 shift over the first 5 per partition 0–1) are the

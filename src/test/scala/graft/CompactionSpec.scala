@@ -94,6 +94,40 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.currentVersion() === versionBefore)
   }
 
+  test("MoR deletes, the changefeed, and folding all work on a spec-evolved mixed-layout table") {
+    val root = Files.createTempDirectory("graft-specmor-").toString
+    val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(8))
+    assert(c.evolvePartitionSpec(graft.iceberg.PartitionSpec.dateFields))
+    val batch = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                         n = 5, maxPart = 2, kShift = Some(222000L), prefix = "y")
+    EventTable.appendBatch(spark, root, batch)
+    val base   = c.load().get.currentSnapshotId.get
+    val before = EventTable.readCommitted(spark, root).count()
+    // positional masks hit BOTH layouts (flat spec-0 files and dated
+    // spec-1 files) — the read is a union of scans, so _metadata-based
+    // identity must be annotated per scan, not on the union
+    val r = EventTable.deleteWhereMor(spark, root, col("sequence") % 5 === 1)
+    assert(r.deletedRows > 0)
+    assert(EventTable.readCommitted(spark, root).count() === before - r.deletedRows)
+    assert(spark.read.format("graft").load(root).count() === before - r.deletedRows,
+      "the V2 scan must fold masks over both layouts")
+    // the changefeed resolves the masked rows against the mixed parent
+    val head = c.load().get.currentSnapshotId.get
+    val feed = EventTable.changesBetween(spark, root, base, head)
+    assert(feed.filter(col("_change_type") === "delete").count() === r.deletedRows)
+    // compaction folds across specs (rewrite lands in the evolved layout).
+    // The dated tail files sit alone in their dirs (below minFilesPerGroup)
+    // and under the default 30% tombstone ratio, so the size rules alone
+    // would CORRECTLY never finish the fold — drive it with a lowered
+    // ratio trigger, which is exactly the knob an operator would turn.
+    while (Compaction.compact(spark, root,
+      Compaction.Config(deleteRatioTrigger = 0.01, maxFilesPerRun = 10000)).isDefined) ()
+    assert(c.activeDeleteFiles().isEmpty)
+    assert(EventTable.readCommitted(spark, root).count() === before - r.deletedRows)
+    assert(c.activeDataFiles().exists(_.filePath.contains("/event_date=")),
+      "compaction rewrites must land in the current (evolved) layout")
+  }
+
   test("changefeed refuses rewrites in range and expired endpoints") {
     val root = Files.createTempDirectory("graft-feed-spec-").toString
     EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))

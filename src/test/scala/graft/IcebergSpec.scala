@@ -251,6 +251,25 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.activeDataFiles().size === 3)
   }
 
+  test("the rewrite-manifests marker never leaks to descendant snapshots") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
+    c.commitAppend(Seq(df("data/partition=0/b.parquet", 10, 0, 20)), Map(0 -> 20L))
+    val rw = c.rewriteManifests().get
+    // a plain append after the rewrite: crossable-marker ABSENT, watermarks
+    // still carried (the carry-forward is watermark-keys-only now)
+    val s3 = c.commitAppend(Seq(df("data/partition=0/e.parquet", 10, 0, 30)))
+    val s3snap = c.load().get.snapshots.find(_.snapshotId == s3.snapshotId).get
+    assert(!s3snap.summary.contains("zombi.rewrite-manifests"),
+      "a leaked marker would let rollback/diff guards cross real replaces")
+    assert(s3snap.summary("zombi.watermark.0") === "20")
+    // a REAL replace after the rewrite must still be uncrossable
+    val m = df("data/partition=0/m.parquet", 30, 0, 30)
+    c.commitReplace(c.activeDataFiles(), Seq(m), s3.snapshotId)
+    intercept[IllegalArgumentException] { c.appendsBetween(rw.snapshotId, c.load().get.currentSnapshotId.get) }
+    intercept[IllegalArgumentException] { c.rollbackTo(rw.snapshotId) }
+  }
+
   test("expiration retains the CURRENT snapshot even when a rollback made it old") {
     val c = freshCommitter()
     val a = df("data/partition=0/a.parquet", 10, 0, 10)

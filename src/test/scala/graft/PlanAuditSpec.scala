@@ -466,6 +466,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x11/x13: maintenance-fixture reads stay plain scan+agg — no join, no window") {
+    // snapshot expiry and manifest rewrite change METADATA only; their
+    // oracle reads must plan like any committed read (a join or window
+    // appearing here means the read path grew a hidden correction pass)
+    Seq("x11_expire", "x13_manifest_rewrite").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: metadata maintenance must not add a join:\n${p.take(800)}")
+      assert(!p.contains("Window ["))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("x12_spec_evolution: a mixed-spec read is a UNION of scans — no join, no window") {
+    val p = plan("x12_spec_evolution")
+    assert(p.contains("Union"), "old-spec and evolved-spec files load as two unioned scans")
+    assert(!p.contains("Join"), s"spec routing must never become a join:\n${p.take(800)}")
+    assert(!p.contains("Window ["))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tt3_changefeed: every per-snapshot resolution join broadcasts; corpus never shuffles") {
+    // the feed stacks semi/anti joins per delete snapshot — all against
+    // batch-sized delete-key frames, so every one must ride a broadcast;
+    // a sort-merge join here means the parent snapshot's whole row set
+    // shuffled per commit in the range
+    val p = plan("tt3_changefeed")
+    assert(p.contains("BroadcastExchange"), "delete keys must broadcast into the parent scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"tt3: resolution joins must not shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("Window ["))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch_q3: dimension joins broadcast") {
     val p = plan("tpch_q3_shipping")
     assert(p.contains("BroadcastHashJoin"), "small dimension sides must broadcast")
