@@ -390,11 +390,12 @@ object Bench {
           // scales with data). A ratio approaching 4 means a gram-keyed
           // stage stopped combining map-side.
           // x-family expected regime: x10 (masked V2 scan) is scan-bound —
-          // 4x rows behind 4x-bigger broadcast masks, ratio should sit in
-          // the scan band (≲2); tt2 (snapshot diff) is METADATA-bound — the
-          // diff itself reads only the appended tail, so its warm ratio
-          // should stay ~flat (the fixture build cost lands in first-touch,
-          // which the median excludes).
+          // 4x rows behind 4x-bigger masks, ratio in the scan band (≲2);
+          // tt2 (snapshot diff): the metadata WALK is flat but the diff
+          // READ scans the appended tail, which grows 4x too — so the
+          // ratio sits in the same sub-linear scan band, NOT at 1.0
+          // (fixture builds land in first-touch, which medians exclude).
+          // r17 recorded: x10 1.54, tt2 1.71.
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
