@@ -696,9 +696,19 @@ object Bench {
         val posts = Seq.fill(3)(scan(root))
         if (posts.head._1 != preN)
           System.err.println(s"[graft-bench] mor fold probe changed rows: $preN -> ${posts.head._1}")
+        // the rest of the maintenance composite: coalesce manifests +
+        // expire history — post_vacuum_s isolates how much of the
+        // post-fold residual is metadata-chain weight vs scan cost
+        val vr = table.Maintenance.vacuum(spark, root, keepSnapshots = 1)
+        scan(root)
+        val vacs = Seq.fill(3)(scan(root))
+        if (vacs.head._1 != preN)
+          System.err.println(s"[graft-bench] vacuum probe changed rows: $preN -> ${vacs.head._1}")
         scan(clean)
         val cleanT = median(Seq.fill(3)(scan(clean)._2))
         f"""{"pre_fold_s":$pre%.3f,"post_fold_s":${median(posts.map(_._2))}%.3f,""" +
+          f""""post_vacuum_s":${median(vacs.map(_._2))}%.3f,""" +
+          f""""expired":${vr.expiredSnapshots},"coalesced":${vr.manifestsCoalesced},""" +
           f""""clean_s":$cleanT%.3f,"compactions":$folds,"rows":$preN}"""
       } catch {
         case scala.util.control.NonFatal(e) =>

@@ -3,7 +3,7 @@ package graft.serve
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.iceberg.{CommitConflict, IcebergCommitter, TableIO}
-import graft.table.{Compaction, EventTable}
+import graft.table.{Compaction, EventTable, Maintenance}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -318,6 +318,35 @@ final class GatewayServer(
             catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during compaction") }
           metrics.inc("zombi_compactions_total")
           sendJson(ex, 200, s"""{"table":"${escape(t)}","compacted":${res.isDefined}}""")
+        } finally guard.set(false)
+
+      // the nightly maintenance composite (Maintenance.vacuum): compact
+      // until dry (folding MoR deletes), coalesce manifests, expire
+      // snapshots, orphan-GC — one admin call that keeps a per-trigger-
+      // committing table's metadata bounded. Same exclusivity as compact
+      // (it IS a compaction plus metadata rewrites).
+      case ("POST", List("tables", t, "vacuum")) =>
+        validated(t)
+        val guard = compacting.computeIfAbsent(t, _ => new AtomicBoolean(false))
+        if (!guard.compareAndSet(false, true))
+          throw ApiError(409, "COMPACTION_IN_PROGRESS", s"compaction already running for $t")
+        try {
+          val q    = query(ex)
+          val keep = q.get("keep").flatMap(_.toIntOption).getOrElse(2)
+          val horizon = math.max(
+            q.get("older_than_ms").flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000),
+            minGcHorizonMs) // same in-flight-write floor as /gc
+          val r =
+            try tableLock(t).synchronized {
+              Maintenance.vacuum(spark, s"$baseDir/$t",
+                keepSnapshots = keep, gcHorizonMs = horizon)
+            }
+            catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during vacuum") }
+          metrics.inc("zombi_vacuums_total")
+          sendJson(ex, 200,
+            s"""{"table":"${escape(t)}","staging_swept":${r.stagingSwept},""" +
+              s""""compactions":${r.compactions},"manifests_coalesced":${r.manifestsCoalesced},""" +
+              s""""expired_snapshots":${r.expiredSnapshots},"orphans_removed":${r.orphansRemoved}}""")
         } finally guard.set(false)
 
       // ---- deprecated consumer-offset surface (Q9 API parity,

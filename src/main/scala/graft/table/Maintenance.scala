@@ -1,0 +1,54 @@
+package graft.table
+
+import graft.iceberg.{IcebergCommitter, TableIO}
+import org.apache.spark.sql.SparkSession
+
+/** The nightly maintenance composite a long-lived table needs — ONE call
+  * that restores every bounded-metadata invariant the write path erodes:
+  *
+  *  1. sweep crashed-write staging dirs ([[EventTable.sweepStaging]]);
+  *  2. compact until no candidate remains — the size rules AND the
+  *     delete-ratio trigger under `compactionCfg`, so merge-on-read
+  *     delete files FOLD and the V2 scan's mask weight returns to zero;
+  *  3. `rewrite_manifests` — coalesce the carry-forward manifest list
+  *     (one manifest per live (content, spec)) so planning stops walking
+  *     one Avro object per historical commit;
+  *  4. expire snapshots under the given retention — bounds the snapshots
+  *     array in `v{N}.metadata.json` and physically GCs files (data AND
+  *     delete) no retained snapshot references;
+  *  5. distributed orphan GC for crash leftovers past `gcHorizonMs`.
+  *
+  * Each step is individually CAS-safe; a concurrent commit aborts the run
+  * with [[graft.iceberg.CommitConflict]] (the next vacuum picks up), and
+  * an unpublished WAP stage makes the expiry step refuse loudly rather
+  * than GC staged work. A 100 TB table at a 5 s trigger accretes ~17k
+  * snapshots/day — this is the call that keeps its metadata parse cost
+  * flat (the reference never faced this: 300 s flushes, short-lived
+  * tables; our engine added time travel and rollback, so it must also
+  * bound their retention). */
+object Maintenance {
+  final case class VacuumReport(
+      stagingSwept: Int,
+      compactions: Int,
+      manifestsCoalesced: Boolean,
+      expiredSnapshots: Int,
+      orphansRemoved: Int)
+
+  def vacuum(spark: SparkSession, tableRoot: String,
+             compactionCfg: Compaction.Config = Compaction.Config(),
+             keepSnapshots: Int = 2,
+             olderThanMs: Long = Long.MaxValue,
+             gcHorizonMs: Long = 24L * 60 * 60 * 1000): VacuumReport = {
+    val swept = EventTable.sweepStaging(tableRoot)
+    var compactions = 0
+    while (Compaction.compact(spark, tableRoot, compactionCfg).isDefined) compactions += 1
+    val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
+    // rewrite BEFORE expiry: the coalesced snapshot becomes current, and
+    // the expiry that follows GCs the superseded per-commit manifests with
+    // the historical snapshots that referenced them
+    val coalesced = committer.rewriteManifests().isDefined
+    val expired   = committer.expireSnapshots(keepSnapshots, olderThanMs).size
+    val orphans   = graft.iceberg.OrphanGc.remove(spark, tableRoot, gcHorizonMs).size
+    VacuumReport(swept, compactions, coalesced, expired, orphans)
+  }
+}

@@ -128,6 +128,38 @@ class CompactionSpec extends AnyFunSuite {
       "compaction rewrites must land in the current (evolved) layout")
   }
 
+  test("vacuum restores every bounded-metadata invariant in one call") {
+    val root = Files.createTempDirectory("graft-vacuum-").toString
+    val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    // grow history: a tail append, two MoR delete passes
+    val batch = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                         n = 5, maxPart = 2, kShift = Some(333000L), prefix = "u")
+    EventTable.appendBatch(spark, root, batch)
+    val r1 = EventTable.deleteWhereMor(spark, root, col("partition") === 3)
+    val r2 = EventTable.deleteWhereMor(spark, root, col("sequence") % 10 === 7)
+    assert(r1.deletedRows > 0 && r2.deletedRows > 0)
+    val expect = EventTable.readCommitted(spark, root).count()
+    assert(c.load().get.snapshots.size >= 4)
+
+    val r = graft.table.Maintenance.vacuum(spark, root,
+      Compaction.Config(deleteRatioTrigger = 0.01, maxFilesPerRun = 10000),
+      keepSnapshots = 1)
+    assert(r.compactions > 0, "vacuum must drive the fold")
+    assert(c.activeDeleteFiles().isEmpty, "vacuum must fold every delete file")
+    assert(r.manifestsCoalesced || c.currentManifests().size <= 2,
+      "vacuum must leave a coalesced manifest list")
+    // retention: only the vacuum-era current snapshot (+ its rewrite) remain
+    assert(c.load().get.snapshots.size <= 2, s"history must be bounded: ${c.load().get.snapshots.size}")
+    assert(r.expiredSnapshots > 0)
+    // the data is untouched and still reads through every surface
+    assert(EventTable.readCommitted(spark, root).count() === expect)
+    assert(spark.read.format("graft").load(root).count() === expect)
+    // idempotent: a second vacuum finds nothing to do
+    val r2nd = graft.table.Maintenance.vacuum(spark, root, keepSnapshots = 1)
+    assert(r2nd.compactions === 0 && !r2nd.manifestsCoalesced && r2nd.expiredSnapshots <= 1)
+    assert(EventTable.readCommitted(spark, root).count() === expect)
+  }
+
   test("changefeed refuses rewrites in range and expired endpoints") {
     val root = Files.createTempDirectory("graft-feed-spec-").toString
     EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))

@@ -248,6 +248,23 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EventTable.listParquet(root).size < before)
   }
 
+  test("vacuum endpoint runs the whole maintenance composite through HTTP") {
+    val root = s"$baseDir/gwvacuum"
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    EventTable.deleteWhereMor(spark, root, org.apache.spark.sql.functions.col("partition") === 3)
+    val expect = EventTable.readCommitted(spark, root).count()
+    val r = post("/tables/gwvacuum/vacuum?keep=1", "")
+    assert(r.statusCode() === 200, r.body())
+    val n = mapper.readTree(r.body())
+    assert(n.get("compactions").asInt >= 1)
+    assert(n.get("expired_snapshots").asInt >= 1)
+    assert(EventTable.readCommitted(spark, root).count() === expect)
+    val c = new graft.iceberg.IcebergCommitter(
+      graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    assert(c.activeDeleteFiles().isEmpty, "the vacuum must fold the delete file")
+    assert(c.load().get.snapshots.size <= 2, "history must be bounded after the vacuum")
+  }
+
   test("X2: the Iceberg REST catalog serves config, namespaces, and table metadata") {
     assert(mapper.readTree(get("/v1/config").body()).get("overrides").get("warehouse").asText === baseDir)
     assert(get("/v1/namespaces").body().contains("zombi"))
