@@ -329,6 +329,22 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val curSpec  = base.partitionSpecs.find(_.specId == base.defaultSpecId)
       .getOrElse(base.partitionSpecs.head)
     val specJson = curSpec.fieldsJson(mapper)
+    // layout/spec consistency: writers derive their directory layout from
+    // the default spec BEFORE writing, but the manifest's spec id resolves
+    // HERE, at commit time — an evolution landing in between would
+    // otherwise stamp flat files into an event_date-partitioned manifest
+    // (a spec violation external readers mis-project). Fail as a CAS
+    // conflict instead: the caller's conflict path already cleans up and
+    // the batch is rewritten under the new layout.
+    locally {
+      val wantsDate = curSpec.fields.exists(_.name == "event_date")
+      added.filter(_.content == 0).foreach { f =>
+        if (f.filePath.contains("/event_date=") != wantsDate)
+          throw CommitConflict(
+            s"${f.filePath} was written under a different partition layout than the " +
+              "current default spec (the spec evolved between write and commit) — rewrite the batch")
+      }
+    }
 
     // One new manifest holding this commit's added + deleted DATA entries
     // (skipped when the commit touches only delete files), plus — for
@@ -918,7 +934,11 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val meta = baseMeta.get
     val cur  = meta.currentSnapshot.getOrElse(return None)
     val parentList = IcebergCommitter.cachedManifestList(io, cur.manifestList)
-    if (parentList.count(_.content == 0) <= 1 && parentList.count(_.content == 1) <= 1)
+    // already coalesced = no (content, spec) GROUP holds more than one
+    // manifest — a spec-evolved table legitimately keeps one manifest per
+    // live spec, and a content-only count would make every nightly vacuum
+    // commit a spurious full rewrite forever
+    if (parentList.groupBy(mf => (mf.content, mf.partitionSpecId)).values.forall(_.size <= 1))
       return None
 
     // active entries with resolved per-file sequence numbers AND the owning

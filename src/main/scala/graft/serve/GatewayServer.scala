@@ -333,14 +333,22 @@ final class GatewayServer(
         try {
           val q    = query(ex)
           val keep = q.get("keep").flatMap(_.toIntOption).getOrElse(2)
+          // two DISTINCT horizons, named apart on purpose: the Iceberg
+          // expire_snapshots(older_than) retention knob vs the orphan-GC
+          // in-flight-write floor — a shared older_than_ms would silently
+          // change the wrong one
+          val expireOlder = q.get("expire_older_than_ms").flatMap(_.toLongOption)
+            .getOrElse(Long.MaxValue)
           val horizon = math.max(
-            q.get("older_than_ms").flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000),
+            q.get("gc_horizon_ms").flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000),
             minGcHorizonMs) // same in-flight-write floor as /gc
           val r =
-            try tableLock(t).synchronized {
-              Maintenance.vacuum(spark, s"$baseDir/$t",
-                keepSnapshots = keep, gcHorizonMs = horizon)
-            }
+            // the flush lock is taken PER STEP inside vacuum, so ingestion
+            // flushes interleave between compaction passes instead of
+            // stalling for the whole composite
+            try Maintenance.vacuum(spark, s"$baseDir/$t",
+              keepSnapshots = keep, olderThanMs = expireOlder,
+              gcHorizonMs = horizon, stepLock = tableLock(t))
             catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during vacuum") }
           metrics.inc("zombi_vacuums_total")
           sendJson(ex, 200,

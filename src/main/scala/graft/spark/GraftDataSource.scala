@@ -610,6 +610,7 @@ object GraftPathValues {
     }
     raw match {
       case None => null // schema-evolved column absent from pre-evolution files
+      case Some("__HIVE_DEFAULT_PARTITION__") => null // a null directory-key value
       case Some(v) => f.dataType match {
         case IntegerType => Integer.valueOf(v.toInt)
         case LongType    => java.lang.Long.valueOf(v.toLong)

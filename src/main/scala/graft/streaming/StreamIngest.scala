@@ -149,6 +149,13 @@ final class StreamIngest(
   /** Files written by THIS instance (kept after commits clear `pending`). */
   private val sinceStartFiles = scala.collection.mutable.ArrayBuffer.empty[DataFile]
 
+  /** The write layout, resolved ONCE per instance (not per trigger — two
+    * metadata round-trips on the hot path for a value that changes only on
+    * an explicit admin evolution). A mid-stream evolution is caught LOUDLY
+    * by the commit-time layout/spec consistency check; restart the stream
+    * to pick up the new layout. */
+  private val dateLayout: Boolean = EventTable.dateLayoutOf(committer)
+
   /** Previous batch's post-dedup row count — the sequencing-shuffle width
     * hint for the next batch (saves a dedicated count job per trigger);
     * updated exactly from the written files' footers. */
@@ -277,7 +284,7 @@ final class StreamIngest(
                                  precomputedStats = Some(lastStats.getOrElse(Map.empty).toSeq
                                    .map { case (p, (r, b)) => (p, r, b) }),
                                  clustered = true, seqBase = wm,
-                                 dateLayout = EventTable.dateLayoutOf(committer))
+                                 dateLayout = dateLayout)
           }
           // the next batch's bucketing profile now comes from the written
           // files' own footers (exact rows + uncompressed bytes), read in
@@ -301,7 +308,7 @@ final class StreamIngest(
               EventTable.writeData(EventTable.committedSchema(sequenced), tableRoot, targetFileSize,
                                    precomputedStats = Some(stats.toSeq.map { case (p, (r, b)) => (p, r, b) }),
                                    seqBase = wm,
-                                   dateLayout = EventTable.dateLayoutOf(committer))
+                                   dateLayout = dateLayout)
             }
           } finally cached.unpersist()
         }

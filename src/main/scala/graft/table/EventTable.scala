@@ -1310,8 +1310,12 @@ object FileStats extends Serializable {
     // Evolved date spec: event_date is a DIRECTORY key, not a page column —
     // its identity bounds come from the path (files are single-date), so
     // date/time pruning stays manifest-stat-driven on both specs.
+    // a null-date row lands under Hive's default-partition sentinel dir —
+    // no bounds for it (consumers already treat absent bounds as
+    // conservative), never a parse crash after the files moved into data/
     val pathDate = relPath.split('/').collectFirst {
-      case seg if seg.startsWith("event_date=") =>
+      case seg if seg.startsWith("event_date=") &&
+          !seg.endsWith("__HIVE_DEFAULT_PARTITION__") =>
         java.time.LocalDate.parse(seg.stripPrefix("event_date=")).toEpochDay.toInt
     }
     pathDate.foreach { d => dateMin = d; dateMax = d }

@@ -34,21 +34,28 @@ object Maintenance {
       expiredSnapshots: Int,
       orphansRemoved: Int)
 
+  /** `stepLock`: each STEP synchronizes on it separately (never the whole
+    * composite) — a caller serializing vacuum against its own writers (the
+    * gateway's per-table flush lock) lets flushes interleave between
+    * compaction passes instead of stalling ingestion for the full run;
+    * every step is individually CAS-safe, so interleaving is correct. */
   def vacuum(spark: SparkSession, tableRoot: String,
              compactionCfg: Compaction.Config = Compaction.Config(),
              keepSnapshots: Int = 2,
              olderThanMs: Long = Long.MaxValue,
-             gcHorizonMs: Long = 24L * 60 * 60 * 1000): VacuumReport = {
-    val swept = EventTable.sweepStaging(tableRoot)
+             gcHorizonMs: Long = 24L * 60 * 60 * 1000,
+             stepLock: AnyRef = new AnyRef): VacuumReport = {
+    def step[A](f: => A): A = stepLock.synchronized(f)
+    val swept = step { EventTable.sweepStaging(tableRoot) }
     var compactions = 0
-    while (Compaction.compact(spark, tableRoot, compactionCfg).isDefined) compactions += 1
+    while (step { Compaction.compact(spark, tableRoot, compactionCfg) }.isDefined) compactions += 1
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     // rewrite BEFORE expiry: the coalesced snapshot becomes current, and
     // the expiry that follows GCs the superseded per-commit manifests with
     // the historical snapshots that referenced them
-    val coalesced = committer.rewriteManifests().isDefined
-    val expired   = committer.expireSnapshots(keepSnapshots, olderThanMs).size
-    val orphans   = graft.iceberg.OrphanGc.remove(spark, tableRoot, gcHorizonMs).size
+    val coalesced = step { committer.rewriteManifests().isDefined }
+    val expired   = step { committer.expireSnapshots(keepSnapshots, olderThanMs).size }
+    val orphans   = step { graft.iceberg.OrphanGc.remove(spark, tableRoot, gcHorizonMs).size }
     VacuumReport(swept, compactions, coalesced, expired, orphans)
   }
 }

@@ -249,6 +249,17 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.rewriteManifests().isDefined)
     assert(c.currentManifests().map(_.partitionSpecId).sorted === Seq(0, 1))
     assert(c.activeDataFiles().size === 3)
+    // IDEMPOTENT even with both specs live: one manifest per (content,
+    // spec) group IS coalesced — a content-only count would make every
+    // nightly vacuum churn a spurious rewrite forever
+    assert(c.rewriteManifests() === None)
+    // layout/spec consistency: the spec evolved, so a FLAT file (written
+    // under the old layout) must be refused at commit time as a conflict
+    intercept[CommitConflict] {
+      c.commitAppend(Seq(df("data/partition=1/f.parquet", 10, 1, 20)))
+    }
+    c.commitAppend(Seq(df("data/partition=1/event_date=2024-01-03/f.parquet", 10, 1, 20)))
+    assert(c.activeDataFiles().size === 4)
   }
 
   test("the rewrite-manifests marker never leaks to descendant snapshots") {
