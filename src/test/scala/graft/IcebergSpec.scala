@@ -303,6 +303,23 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.io.exists("data/partition=0/b.parquet")) // referenced by retained r3
   }
 
+  test("expiration retention is the UNION of keepLast and the olderThanMs cut") {
+    val c = freshCommitter()
+    val r1 = c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    Thread.sleep(3)
+    val r2 = c.commitAppend(Seq(df("data/partition=0/b.parquet", 10, 0, 20)))
+    Thread.sleep(3)
+    val r3 = c.commitAppend(Seq(df("data/partition=0/e.parquet", 10, 0, 30)))
+    val t2 = c.load().get.snapshots.find(_.snapshotId == r2.snapshotId).get.timestampMs
+    // keepLast=1 would retain only r3 — the olderThanMs cut (Iceberg's
+    // expire_snapshots(older_than)) must ALSO retain everything at or
+    // after r2's commit time
+    val expired = c.expireSnapshots(keepLast = 1, olderThanMs = t2)
+    assert(expired === Seq(r1.snapshotId))
+    assert(c.load().get.snapshots.map(_.snapshotId).toSet === Set(r2.snapshotId, r3.snapshotId))
+    assert(c.activeDataFilesAt(r2.snapshotId).size === 2)
+  }
+
   test("expiration refuses to GC a live unpublished stage or a retained stage's base") {
     // live stage expired -> refuse
     val c1 = freshCommitter()
