@@ -834,10 +834,16 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     *
     * Retention = the union of three guards, so a careless call can never
     * corrupt the live table:
-    *  - the most recent `keepLast` snapshots (by commit timestamp);
-    *  - every snapshot at or after `olderThanMs` (absolute epoch ms —
-    *    Iceberg's `expire_snapshots(older_than)` knob; the default
-    *    retains nothing extra);
+    *  - the most recent `keepLast` PUBLISHED snapshots (by commit
+    *    timestamp, ranked over snapshotLog-present snapshots only — an
+    *    unpublished WAP stage must not consume a retention slot and
+    *    silently shrink the published history below `keepLast`);
+    *  - every snapshot at or after `keepNewerThanTsMs` (an ABSOLUTE epoch
+    *    timestamp, Iceberg's `expire_snapshots(older_than)` knob; the
+    *    default retains nothing extra). The name says timestamp on
+    *    purpose: a caller passing an AGE (e.g. 7 days ≈ epoch 1970) would
+    *    silently expire everything but `keepLast` — values that cannot be
+    *    a plausible epoch are rejected loudly instead;
     *  - the CURRENT snapshot, unconditionally — after a rollback the
     *    current snapshot is OLD, and a timestamp cut alone would expire
     *    the very state readers see.
@@ -851,7 +857,13 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * by no retained snapshot, and data AND delete files referenced by no
     * retained snapshot's active set are deleted. Time travel to an expired
     * id fails loud afterwards ("unknown snapshot"), never empty. */
-  def expireSnapshots(keepLast: Int, olderThanMs: Long = Long.MaxValue): Seq[Long] = synchronized {
+  def expireSnapshots(keepLast: Int, keepNewerThanTsMs: Long = Long.MaxValue): Seq[Long] = synchronized {
+    // age-vs-epoch guard: an AGE passed where the epoch cutoff belongs
+    // (e.g. 604800000 for "7 days") reads as 1970 and expires everything
+    // but keepLast — no real table predates 2001 (epoch 1e12), so reject
+    require(keepNewerThanTsMs >= 1_000_000_000_000L,
+      s"keepNewerThanTsMs=$keepNewerThanTsMs is not a plausible epoch timestamp — " +
+        "it looks like a relative age; pass an absolute cutoff (now - age)")
     // CAS discipline as in commit(): everything below derives from the
     // metadata at baseVersion, and the putIfAbsent targets EXACTLY
     // baseVersion + 1 — a commit landing in between makes this throw
@@ -859,10 +871,23 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val (baseVersion, baseMeta) = resolveCurrent()
     if (baseVersion == 0) return Nil
     val meta = baseMeta.get
+    // keepLast ranks PUBLISHED snapshots only: an unpublished stage in the
+    // ranking would consume a slot and retain fewer published snapshots
+    // than asked. LIVE stages (parent == current head — still publishable)
+    // are retained separately: GCing in-flight audit work from a nightly
+    // vacuum would be destruction, and refusing would wedge maintenance
+    // for as long as the audit runs. DEAD stages (parent moved on —
+    // unpublishable) expire like any snapshot.
+    val published = meta.snapshots.filter(s => meta.snapshotLog.exists(_.snapshotId == s.snapshotId))
+    val ranked    = if (published.nonEmpty) published else meta.snapshots
+    val liveStages = meta.snapshots.filter(s =>
+      s.summary.get("zombi.staged").contains("true") &&
+        !meta.snapshotLog.exists(_.snapshotId == s.snapshotId) &&
+        s.parentSnapshotId == meta.currentSnapshotId).map(_.snapshotId)
     val keepIds: Set[Long] =
-      meta.snapshots.sortBy(_.timestampMs).takeRight(math.max(1, keepLast)).map(_.snapshotId).toSet ++
-        meta.snapshots.filter(_.timestampMs >= olderThanMs).map(_.snapshotId) ++
-        meta.currentSnapshotId
+      ranked.sortBy(_.timestampMs).takeRight(math.max(1, keepLast)).map(_.snapshotId).toSet ++
+        meta.snapshots.filter(_.timestampMs >= keepNewerThanTsMs).map(_.snapshotId) ++
+        meta.currentSnapshotId ++ liveStages
     val keep    = meta.snapshots.filter(s => keepIds(s.snapshotId))
     val expired = meta.snapshots.filterNot(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return Nil

@@ -336,9 +336,23 @@ final class GatewayServer(
           // two DISTINCT horizons, named apart on purpose: the Iceberg
           // expire_snapshots(older_than) retention knob vs the orphan-GC
           // in-flight-write floor — a shared older_than_ms would silently
-          // change the wrong one
-          val expireOlder = q.get("expire_older_than_ms").flatMap(_.toLongOption)
-            .getOrElse(Long.MaxValue)
+          // change the wrong one. The expire knob comes in two spellings:
+          //  - expire_older_than_ms: ABSOLUTE epoch cutoff. An age passed
+          //    here (e.g. 604800000 for 7 days ≈ epoch 1970) would make
+          //    every snapshot "newer" and silently retain all history —
+          //    rejected as a 400 (no table predates epoch 1e12).
+          //  - expire_max_age_ms: relative AGE, converted to now - age
+          //    server-side (the operator-friendly spelling).
+          val expireOlder = (q.get("expire_older_than_ms").flatMap(_.toLongOption),
+                             q.get("expire_max_age_ms").flatMap(_.toLongOption)) match {
+            case (Some(abs), _) if abs < 1_000_000_000_000L =>
+              throw ApiError(400, "INVALID_INPUT",
+                s"expire_older_than_ms=$abs is not an epoch timestamp (looks like an age) — " +
+                  "pass expire_max_age_ms for a relative age")
+            case (Some(abs), _)  => abs
+            case (None, Some(a)) => System.currentTimeMillis() - math.max(0L, a)
+            case (None, None)    => Long.MaxValue
+          }
           val horizon = math.max(
             q.get("gc_horizon_ms").flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000),
             minGcHorizonMs) // same in-flight-write floor as /gc
@@ -347,14 +361,15 @@ final class GatewayServer(
             // flushes interleave between compaction passes instead of
             // stalling for the whole composite
             try Maintenance.vacuum(spark, s"$baseDir/$t",
-              keepSnapshots = keep, olderThanMs = expireOlder,
+              keepSnapshots = keep, keepNewerThanTsMs = expireOlder,
               gcHorizonMs = horizon, stepLock = tableLock(t))
             catch { case _: CommitConflict => throw ApiError(409, "COMPACTION_CONFLICT", "table advanced during vacuum") }
           metrics.inc("zombi_vacuums_total")
           sendJson(ex, 200,
             s"""{"table":"${escape(t)}","staging_swept":${r.stagingSwept},""" +
               s""""compactions":${r.compactions},"manifests_coalesced":${r.manifestsCoalesced},""" +
-              s""""expired_snapshots":${r.expiredSnapshots},"orphans_removed":${r.orphansRemoved}}""")
+              s""""expired_snapshots":${r.expiredSnapshots},"orphans_removed":${r.orphansRemoved},""" +
+              s""""compaction_truncated":${r.compactionTruncated}}""")
         } finally guard.set(false)
 
       // ---- deprecated consumer-offset surface (Q9 API parity,

@@ -32,30 +32,46 @@ object Maintenance {
       compactions: Int,
       manifestsCoalesced: Boolean,
       expiredSnapshots: Int,
-      orphansRemoved: Int)
+      orphansRemoved: Int,
+      compactionTruncated: Boolean = false)
 
   /** `stepLock`: each STEP synchronizes on it separately (never the whole
     * composite) — a caller serializing vacuum against its own writers (the
     * gateway's per-table flush lock) lets flushes interleave between
     * compaction passes instead of stalling ingestion for the full run;
-    * every step is individually CAS-safe, so interleaving is correct. */
+    * every step is individually CAS-safe, so interleaving is correct.
+    *
+    * `keepNewerThanTsMs` is an ABSOLUTE epoch cutoff (Iceberg's
+    * expire_snapshots(older_than)); a relative age is rejected loudly —
+    * see [[IcebergCommitter.expireSnapshots]].
+    *
+    * The compact-until-dry loop is BOUNDED by `maxCompactionPasses`:
+    * because flushes interleave between passes, sustained ingestion can
+    * mint fresh candidates forever (3 small files per partition dir
+    * re-qualify a group) — an uncapped loop would hold the caller's
+    * compacting guard indefinitely. A truncated run reports
+    * `compactionTruncated = true`; the next vacuum continues the work. */
   def vacuum(spark: SparkSession, tableRoot: String,
              compactionCfg: Compaction.Config = Compaction.Config(),
              keepSnapshots: Int = 2,
-             olderThanMs: Long = Long.MaxValue,
+             keepNewerThanTsMs: Long = Long.MaxValue,
              gcHorizonMs: Long = 24L * 60 * 60 * 1000,
-             stepLock: AnyRef = new AnyRef): VacuumReport = {
+             stepLock: AnyRef = new AnyRef,
+             maxCompactionPasses: Int = 32): VacuumReport = {
     def step[A](f: => A): A = stepLock.synchronized(f)
     val swept = step { EventTable.sweepStaging(tableRoot) }
     var compactions = 0
-    while (step { Compaction.compact(spark, tableRoot, compactionCfg) }.isDefined) compactions += 1
+    while (compactions < maxCompactionPasses &&
+           step { Compaction.compact(spark, tableRoot, compactionCfg) }.isDefined)
+      compactions += 1
+    val truncated = compactions >= maxCompactionPasses
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     // rewrite BEFORE expiry: the coalesced snapshot becomes current, and
     // the expiry that follows GCs the superseded per-commit manifests with
     // the historical snapshots that referenced them
     val coalesced = step { committer.rewriteManifests().isDefined }
-    val expired   = step { committer.expireSnapshots(keepSnapshots, olderThanMs).size }
+    val expired   = step { committer.expireSnapshots(keepSnapshots, keepNewerThanTsMs).size }
     val orphans   = step { graft.iceberg.OrphanGc.remove(spark, tableRoot, gcHorizonMs).size }
-    VacuumReport(swept, compactions, coalesced, expired, orphans)
+    VacuumReport(swept, compactions, coalesced, expired, orphans, truncated)
   }
 }

@@ -303,7 +303,7 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.io.exists("data/partition=0/b.parquet")) // referenced by retained r3
   }
 
-  test("expiration retention is the UNION of keepLast and the olderThanMs cut") {
+  test("expiration retention is the UNION of keepLast and the timestamp cut") {
     val c = freshCommitter()
     val r1 = c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
     Thread.sleep(3)
@@ -311,34 +311,71 @@ class IcebergSpec extends AnyFunSuite {
     Thread.sleep(3)
     val r3 = c.commitAppend(Seq(df("data/partition=0/e.parquet", 10, 0, 30)))
     val t2 = c.load().get.snapshots.find(_.snapshotId == r2.snapshotId).get.timestampMs
-    // keepLast=1 would retain only r3 — the olderThanMs cut (Iceberg's
-    // expire_snapshots(older_than)) must ALSO retain everything at or
-    // after r2's commit time
-    val expired = c.expireSnapshots(keepLast = 1, olderThanMs = t2)
+    // keepLast=1 would retain only r3 — the keepNewerThanTsMs cut
+    // (Iceberg's expire_snapshots(older_than)) must ALSO retain everything
+    // at or after r2's commit time
+    val expired = c.expireSnapshots(keepLast = 1, keepNewerThanTsMs = t2)
     assert(expired === Seq(r1.snapshotId))
     assert(c.load().get.snapshots.map(_.snapshotId).toSet === Set(r2.snapshotId, r3.snapshotId))
     assert(c.activeDataFilesAt(r2.snapshotId).size === 2)
   }
 
-  test("expiration refuses to GC a live unpublished stage or a retained stage's base") {
-    // live stage expired -> refuse
+  test("the timestamp cut rejects a relative age loudly (the epoch-1970 foot-gun)") {
+    val c = freshCommitter()
+    c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    // 7 days in ms passed where an epoch belongs would read as 1970 and
+    // expire everything but keepLast — refused, never silently applied
+    val ex = intercept[IllegalArgumentException] {
+      c.expireSnapshots(keepLast = 1, keepNewerThanTsMs = 7L * 24 * 60 * 60 * 1000)
+    }
+    assert(ex.getMessage.contains("age"))
+    assert(c.load().get.snapshots.size === 1, "the refused call must not touch metadata")
+  }
+
+  test("keepLast ranks PUBLISHED snapshots — a fresh stage consumes no retention slot") {
+    val c = freshCommitter()
+    val r1 = c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
+    Thread.sleep(2)
+    val r2 = c.commitAppend(Seq(df("data/partition=0/b.parquet", 10, 0, 20)))
+    Thread.sleep(2)
+    c.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 25)))
+    // keepLast=2 must retain BOTH published snapshots: under an all-snapshot
+    // ranking the fresh stage would eat a slot and r1 would expire
+    assert(c.expireSnapshots(keepLast = 2) === Nil)
+    assert(c.load().get.snapshots.map(_.snapshotId).toSet.contains(r1.snapshotId))
+    assert(c.load().get.snapshots.map(_.snapshotId).toSet.contains(r2.snapshotId))
+  }
+
+  test("expiration retains live unpublished stages; a retained dead stage's base refuses") {
+    // LIVE stages (parent == current head) are retained, never GC'd — a
+    // nightly vacuum must not destroy (or be wedged by) in-flight audit work
     val c1 = freshCommitter()
     val r1 = c1.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
     val s1 = c1.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 15)))
     Thread.sleep(2) // distinct timestamps so takeRight ordering is stable
-    c1.commitStaged(Seq(df("data/partition=0/s2.parquet", 5, 0, 15)))
-    val ex1 = intercept[IllegalStateException] { c1.expireSnapshots(keepLast = 1) }
-    assert(ex1.getMessage.contains(s1.snapshotId.toString))
-    // base of a RETAINED (dead) stage expired -> refuse
+    val s2 = c1.commitStaged(Seq(df("data/partition=0/s2.parquet", 5, 0, 15)))
+    assert(c1.expireSnapshots(keepLast = 1) === Nil)
+    val ids1 = c1.load().get.snapshots.map(_.snapshotId).toSet
+    assert(ids1 === Set(r1.snapshotId, s1.snapshotId, s2.snapshotId),
+      "live stages and their (current) base must all survive")
+    // both stages remain publishable after the expire
+    c1.publish(s1.snapshotId)
+    assert(c1.load().get.currentSnapshotId === Some(s1.snapshotId))
+    // base of a RETAINED (dead) stage expired -> refuse. Stages never rank
+    // in keepLast, so the stage is retained here via the timestamp cut
+    // while its (older) base falls outside both guards.
     val c2 = freshCommitter()
     val b1 = c2.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)))
     Thread.sleep(2)
-    c2.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 15)))
+    val st = c2.commitStaged(Seq(df("data/partition=0/s1.parquet", 5, 0, 15)))
     Thread.sleep(2)
     c2.commitAppend(Seq(df("data/partition=0/b.parquet", 10, 0, 20)))
     Thread.sleep(2)
     c2.commitAppend(Seq(df("data/partition=0/e.parquet", 10, 0, 30)))
-    val ex2 = intercept[IllegalStateException] { c2.expireSnapshots(keepLast = 3) }
+    val tSt = c2.load().get.snapshots.find(_.snapshotId == st.snapshotId).get.timestampMs
+    val ex2 = intercept[IllegalStateException] {
+      c2.expireSnapshots(keepLast = 1, keepNewerThanTsMs = tSt)
+    }
     assert(ex2.getMessage.contains(b1.snapshotId.toString))
     // expiring the dead stage TOGETHER with its base is allowed
     assert(c2.expireSnapshots(keepLast = 2).size === 2)
