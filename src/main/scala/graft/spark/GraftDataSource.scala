@@ -213,28 +213,29 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   // fold physically deletes them, planning fails loud on the missing
   // parquet (same contract as time travel across any replace). Mask
   // transport escalates inline → broadcast → refuse (see
-  // [[GraftScan.planMasks]]). ONE lazy so the partitions and the factory's
-  // broadcast/columnar decisions derive from the same planning state.
-  private lazy val planned: (Array[InputPartition], GraftScan.MaskBroadcast, Boolean) =
+  // [[GraftScan.planMasks]]). Tombstone-read pruning FIRST: the pushed
+  // bounds prune the file list, and only deletes whose manifest bounds can
+  // touch a SURVIVING file are ever opened — a one-hour time-pruned scan
+  // of a year-long table must not read a year of tombstones. ONE lazy so
+  // the partitions and the factory's broadcast decision derive from the
+  // same planning state.
+  private lazy val planned: (Array[InputPartition], GraftScan.MaskBroadcast) =
     planState match {
-      case None => (Array.empty[InputPartition], None, false)
+      case None => (Array.empty[InputPartition], None)
       case Some((_, files, dels)) =>
-        val (mkPartition, bc) = GraftScan.planMasks(tableRoot, dels)
-        val parts = files
-          .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-          .map(mkPartition)
-          .toArray[InputPartition]
-        (parts, bc, dels.nonEmpty)
+        val surviving = files.filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+        val relevant  = EventTable.pruneDeleteFiles(surviving, dels)
+        val (mkPartition, bc) = GraftScan.planMasks(tableRoot, relevant)
+        (surviving.map(mkPartition).toArray[InputPartition], bc)
     }
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // columnar only when the read snapshot carries NO delete files: Spark
-    // refuses to mix row and columnar partitions in one scan, so the
-    // masked-file row path forces the whole scan row-based (delete-bearing
-    // tables are transient by the fold discipline)
-    new GraftReaderFactory(required, allowColumnar = !planned._3, masks = planned._2)
+    // ALWAYS columnar-capable: masked partitions decode through the same
+    // vectorized reader and apply their masks batch-side (selection-copy),
+    // so one delete file no longer de-vectorizes the whole scan
+    new GraftReaderFactory(required, masks = planned._2)
 
   override def description(): String =
     s"GraftScan pruned on [${pushed.mkString(", ")}]"
@@ -254,8 +255,18 @@ object GraftScan {
   /** Absolute ceiling on delete rows the scan will plan at all — a bound
     * on DRIVER memory (the masks are collected once to build them); past
     * it the scan refuses loudly ("compact first").
-    * Conf: `spark.graft.mor.maxMaskRows`. */
+    * Conf: `spark.graft.mor.maxMaskRows`.
+    *
+    * Over-cap broadcasts have no batch-scan lifecycle hook to destroy
+    * them; they are released by Spark's ContextCleaner when the scan's
+    * broadcast reference is GC'd (streams destroy theirs eagerly in
+    * `stop()`). */
   val DefaultMaxMaskRows: Long = 1L << 25
+
+  /** Delete parquet files opened by [[deleteMasksFor]] since JVM start —
+    * observability for the tombstone-read pruning (tests pin that a
+    * bounds-pruned scan opens ZERO delete files). */
+  val deleteFilesOpened = new java.util.concurrent.atomic.AtomicLong(0)
 
   def inlineMaskCap(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get("spark.graft.mor.inlineMaskRows", DefaultInlineMaskRows.toString).toLong
@@ -292,6 +303,7 @@ object GraftScan {
     * session (delete files are batch-sized by the fold contract). */
   def deleteMasksFor(tableRoot: String, dels: Seq[DataFile]): Masks = {
     if (dels.isEmpty) return (Map.empty, Map.empty)
+    deleteFilesOpened.addAndGet(dels.size.toLong)
     val spark = org.apache.spark.sql.SparkSession.active
     val pos = dels.filter(_.content == 1)
     val eq  = dels.filter(_.content == 2)
@@ -444,7 +456,12 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
   override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
     GraftOffset(json.trim.toLong)
   override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = {
+    // an over-cap bootstrap broadcast would otherwise pin its mask rows in
+    // block storage until ContextCleaner happens to GC the reference
+    bootstrapMasks.foreach(b => try b.destroy() catch { case _: Exception => () })
+    bootstrapMasks = None
+  }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -469,14 +486,12 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     // postdate every earlier delete (deleteWhereEq pins keys below the
     // watermark), so they need no masks.
     if (from == -1L) {
-      val delsAt = committer.activeDeleteFilesAt(to)
-      if (delsAt.nonEmpty) plannedMasks = true
+      val surviving = committer.activeDataFilesAt(to)
+        .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+      val delsAt = EventTable.pruneDeleteFiles(surviving, committer.activeDeleteFilesAt(to))
       val (mkPartition, bc) = GraftScan.planMasks(tableRoot, delsAt)
       bootstrapMasks = bc
-      committer.activeDataFilesAt(to)
-        .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
-        .map(mkPartition)
-        .toArray[InputPartition]
+      surviving.map(mkPartition).toArray[InputPartition]
     } else {
       committer.appendsBetween(from, to)
         .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
@@ -485,65 +500,56 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     }
   }
 
-  // sticky: set by planInputPartitions whenever a batch planned masked
-  // partitions, so the factory decision derives from the SAME planning
-  // state (a fold landing between planning and factory creation must not
-  // flip an already-masked batch back to columnar — the batch-scan
-  // single-load discipline carried to the stream)
-  @volatile private var plannedMasks = false
-  // the bootstrap's over-cap mask broadcast, when planning escalated
+  // the bootstrap's over-cap mask broadcast, when planning escalated —
+  // destroyed in stop() (the stream, unlike a batch scan, has a lifecycle)
   @volatile private var bootstrapMasks: GraftScan.MaskBroadcast = None
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // row-based exactly when a batch planned masks: the bootstrap is the
-    // only batch that can carry them (incremental batches are append-only
-    // by appendsBetween's guard, appended rows postdate every equality
-    // tombstone via the watermark pin, and positional deletes reference
-    // only pre-existing files), so no per-trigger metadata walk is needed;
-    // the columnar reader's mask-free require keeps any residual race loud
-    new GraftReaderFactory(required, allowColumnar = !plannedMasks, masks = bootstrapMasks)
+    // the bootstrap is the only batch that can carry masks (incremental
+    // batches are append-only by appendsBetween's guard, appended rows
+    // postdate every equality tombstone via the watermark pin, and
+    // positional deletes reference only pre-existing files); masked
+    // partitions stay columnar — the masked reader applies them batch-side
+    new GraftReaderFactory(required, masks = bootstrapMasks)
 }
 
 final class GraftReaderFactory(required: StructType,
-                               allowColumnar: Boolean = true,
                                masks: GraftScan.MaskBroadcast = None) extends PartitionReaderFactory {
+  /** This partition's mask slices: inline from the task binary, or
+    * resolved executor-side from the shared broadcast (same keying as the
+    * inline path: file identity + path partition; bounds pruning of the
+    * equality slice is a task-binary optimization the broadcast path
+    * doesn't need — the readers binary-search anyway). */
+  private def masksOf(p: GraftInputPartition): (Array[Long], Array[Long]) =
+    if (!p.broadcastMasks) (p.delPositions, p.eqSeqs)
+    else {
+      val (posByFile, eqByPart) = masks.getOrElse(throw new IllegalStateException(
+        s"${p.relPath} planned broadcast masks but the factory carries none")).value
+      val part = p.relPath.split('/').collectFirst {
+        case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+      }.getOrElse(-1)
+      (posByFile.getOrElse(graft.table.EventTable.morKeyOf(p.relPath), Array.empty[Long]),
+       eqByPart.getOrElse(part, Array.empty[Long]))
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    // broadcast-shipped masks resolve to THIS file's slices executor-side
-    // (same keying as the inline path: file identity + path partition);
-    // bounds pruning of the equality slice is a task-binary optimization
-    // the broadcast path doesn't need — the reader binary-searches anyway
-    val (dp, eqs) =
-      if (!p.broadcastMasks) (p.delPositions, p.eqSeqs)
-      else {
-        val (posByFile, eqByPart) = masks.getOrElse(throw new IllegalStateException(
-          s"${p.relPath} planned broadcast masks but the factory carries none")).value
-        val part = p.relPath.split('/').collectFirst {
-          case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-        }.getOrElse(-1)
-        (posByFile.getOrElse(graft.table.EventTable.morKeyOf(p.relPath), Array.empty[Long]),
-         eqByPart.getOrElse(part, Array.empty[Long]))
-      }
+    val (dp, eqs) = masksOf(p)
     new GraftPartitionReader(p.tableRoot, p.relPath, required, dp, eqs)
   }
 
-  // Columnar path: every committed column type is vectorizable, so batches
-  // are the default; the row reader above remains as the generic fallback.
-  // A scan over a delete-bearing snapshot runs row-based AS A WHOLE
-  // (`allowColumnar = false`): Spark refuses to mix row and columnar
-  // partitions in one scan, and masking inside a ColumnarBatch would mean
-  // compacting vectors per batch — the row skip loop is simpler, and
-  // delete-bearing tables are transient by the fold discipline.
-  override def supportColumnarReads(partition: InputPartition): Boolean = allowColumnar
+  // Columnar ALWAYS: every committed column type is vectorizable, and a
+  // masked partition decodes through the same vectorized reader with its
+  // masks applied batch-side (GraftMaskedColumnarReader's selection-copy)
+  // — one delete file must not de-vectorize a 100 TB scan. The row reader
+  // above remains as the generic fallback.
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    // belt to allowColumnar's suspender: a masked partition must NEVER
-    // decode columnar (the vectorized path does not apply masks) — any
-    // factory/planning race fails here loudly instead of unmasking rows
-    require(p.delPositions.isEmpty && p.eqSeqs.isEmpty && !p.broadcastMasks,
-      s"${p.relPath} carries merge-on-read masks — the columnar reader cannot apply them")
-    new GraftColumnarReader(p.tableRoot, p.relPath, required)
+    val (dp, eqs) = masksOf(p)
+    if (dp.isEmpty && eqs.isEmpty) new GraftColumnarReader(p.tableRoot, p.relPath, required)
+    else new GraftMaskedColumnarReader(p.tableRoot, p.relPath, required, dp, eqs)
   }
 }
 
@@ -599,6 +605,135 @@ final class GraftColumnarReader(tableRoot: String, relPath: String, required: St
     }
   }
   override def close(): Unit = reader.close()
+}
+
+/** Vectorized read of one MASKED committed file: the same
+  * VectorizedParquetRecordReader decode as [[GraftColumnarReader]], with
+  * the merge-on-read masks applied BATCH-SIDE — masked physical ordinals
+  * (position deletes) and tombstoned sequences (equality deletes) are
+  * dropped by a selection-copy into on-heap output vectors, so a
+  * delete-bearing snapshot keeps vectorized parquet decode (the expensive
+  * part) instead of degrading the whole scan to the row reader. A batch
+  * with nothing masked ships as a zero-copy view. When equality masks are
+  * present but the projection doesn't include `sequence`, the column is
+  * read as a HIDDEN extra for the mask check and excluded from the output
+  * order. */
+final class GraftMaskedColumnarReader(tableRoot: String, relPath: String, required: StructType,
+                                      delPositions: Array[Long], eqSeqs: Array[Long])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val footerFields: Set[String] = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$tableRoot/$relPath"), new org.apache.hadoop.conf.Configuration()))
+    try fr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+    finally fr.close()
+  }
+  require(eqSeqs.isEmpty || footerFields.contains("sequence"),
+    s"$relPath carries equality-delete masks but has no sequence column")
+  private val present     = required.fields.filter(f => footerFields.contains(f.name))
+  private val constFields = required.fields.filterNot(f => footerFields.contains(f.name))
+  private val constValues: Array[Any] = constFields.map(f => GraftPathValues.constOf(relPath, f): Any)
+  private val hiddenSeq   = eqSeqs.nonEmpty && !present.exists(_.name == "sequence")
+  private val readCols    = present.map(_.name).toSeq ++ (if (hiddenSeq) Seq("sequence") else Nil)
+
+  private val reader = new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+  reader.initialize(s"$tableRoot/$relPath", readCols.asJava)
+  reader.initBatch(StructType(constFields.toIndexedSeq), new GenericInternalRow(constValues))
+  reader.enableReturningBatches()
+
+  // source batch column order: [present..., hidden seq?, const...]
+  private val batchOrder =
+    present.map(_.name) ++ (if (hiddenSeq) Seq("sequence") else Nil) ++ constFields.map(_.name)
+  private val srcIdx = required.fields.map(f => batchOrder.indexOf(f.name))
+  private val seqIdx = batchOrder.indexOf("sequence")
+  // all-kept fast path: a zero-copy wrapper of the source vectors in the
+  // required order (vectors are stable across batches — built once)
+  private var view: ColumnarBatch = _
+  // masked path: selection-copy targets, reset per batch
+  private val out: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(4096, f.dataType))
+  private val outBatch = new ColumnarBatch(out.map(v => v: ColumnVector))
+  private val keep = new Array[Boolean](4096)
+
+  private var ordinalBase = 0L // physical row index of the current batch's first row
+  private var delIdx      = 0  // cursor into the sorted delPositions
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      val b = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = b.numRows()
+      java.util.Arrays.fill(keep, 0, n, true)
+      var kept = n
+      // positional masks: sorted ordinals falling in [base, base + n)
+      while (delIdx < delPositions.length && delPositions(delIdx) < ordinalBase + n) {
+        val off = delPositions(delIdx) - ordinalBase
+        if (off >= 0 && keep(off.toInt)) { keep(off.toInt) = false; kept -= 1 }
+        delIdx += 1
+      }
+      // equality masks: tombstoned sequences by value (binary search)
+      if (eqSeqs.nonEmpty) {
+        val seqVec = b.column(seqIdx)
+        var r = 0
+        while (r < n) {
+          if (keep(r) && java.util.Arrays.binarySearch(eqSeqs, seqVec.getLong(r)) >= 0) {
+            keep(r) = false; kept -= 1
+          }
+          r += 1
+        }
+      }
+      ordinalBase += n
+      if (kept == n) { current = viewOf(b); return true }
+      if (kept > 0)  { current = compact(b, n, kept); return true }
+      // fully-masked batch: decode the next one
+    }
+    false
+  }
+
+  private def viewOf(b: ColumnarBatch): ColumnarBatch = {
+    // the raw batch is only safe when it IS the required projection (no
+    // hidden column, no permutation)
+    if (!hiddenSeq && srcIdx.zipWithIndex.forall { case (s, i) => s == i }) return b
+    if (view == null) view = new ColumnarBatch(srcIdx.map(b.column(_)))
+    view.setNumRows(b.numRows())
+    view
+  }
+
+  private def compact(b: ColumnarBatch, n: Int, kept: Int): ColumnarBatch = {
+    var i = 0
+    while (i < required.fields.length) {
+      val dst = out(i); dst.reset()
+      val src = b.column(srcIdx(i))
+      val dt  = required.fields(i).dataType
+      var r = 0; var o = 0
+      while (r < n) {
+        if (keep(r)) {
+          if (src.isNullAt(r)) dst.putNull(o)
+          else dt match {
+            case LongType               => dst.putLong(o, src.getLong(r))
+            case IntegerType | DateType => dst.putInt(o, src.getInt(r))
+            case StringType =>
+              val u = src.getUTF8String(r); dst.putByteArray(o, u.getBytes)
+            case BinaryType             => dst.putByteArray(o, src.getBinary(r))
+            case DoubleType             => dst.putDouble(o, src.getDouble(r))
+            case BooleanType            => dst.putBoolean(o, src.getBoolean(r))
+            case other => throw new IllegalArgumentException(s"unsupported type $other")
+          }
+          o += 1
+        }
+        r += 1
+      }
+      i += 1
+    }
+    outBatch.setNumRows(kept)
+    outBatch
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = { reader.close(); outBatch.close() }
 }
 
 /** Typed constants recovered from a file's Hive path segments — the one

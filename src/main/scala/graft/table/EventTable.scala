@@ -727,11 +727,52 @@ object EventTable {
         if (Option(abs.toUri.getScheme).forall(_ == "file"))
           new org.apache.parquet.io.LocalInputFile(java.nio.file.Paths.get(abs.toUri.getPath))
         else HadoopInputFile.fromPath(abs, conf)
-      val r    = ParquetFileReader.open(in)
-      val rows = try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+      val r = ParquetFileReader.open(in)
+      // Manifest bounds for SCAN-SIDE delete-file pruning (a pruned scan
+      // must not pay the tombstone read for deletes that cannot touch its
+      // surviving files — pruneDeleteFiles):
+      //  - equality files carry their (partition, sequence) KEY bounds
+      //    straight from the footer stats;
+      //  - positional files carry the TARGET partition range, parsed from
+      //    the stored file_path values (footer string min/max is
+      //    lexicographic — partition=10 < partition=2 — so one tiny Spark
+      //    job over the batch-sized file parses instead).
+      // Absent bounds stay conservative: every reader keeps the file.
+      var rows = 0L
+      var pMin = Int.MaxValue; var pMax = Int.MinValue
+      var sMin = Long.MaxValue; var sMax = Long.MinValue
+      try r.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        if (content == 2) b.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) c.getPath.toDotString match {
+            case "partition" =>
+              pMin = math.min(pMin, st.genericGetMin.asInstanceOf[java.lang.Integer])
+              pMax = math.max(pMax, st.genericGetMax.asInstanceOf[java.lang.Integer])
+            case "sequence" =>
+              sMin = math.min(sMin, st.genericGetMin.asInstanceOf[java.lang.Long])
+              sMax = math.max(sMax, st.genericGetMax.asInstanceOf[java.lang.Long])
+            case _ => ()
+          }
+        }
+      } finally r.close()
+      if (content == 1 && rows > 0) {
+        val pr = spark.read.parquet(abs.toString)
+          .selectExpr("cast(regexp_extract(file_path, 'partition=([0-9]+)', 1) as int) AS p")
+          .agg(min(col("p")), max(col("p"))).head()
+        if (!pr.isNullAt(0)) { pMin = pr.getInt(0); pMax = pr.getInt(1) }
+      }
+      val bounds: Seq[(Int, Array[Byte], Array[Byte])] =
+        (if (pMin <= pMax)
+           Seq((FieldIds.Partition, graft.iceberg.Bounds.encodeInt(pMin), graft.iceberg.Bounds.encodeInt(pMax)))
+         else Nil) ++
+          (if (sMin <= sMax)
+             Seq((FieldIds.Sequence, graft.iceberg.Bounds.encodeLong(sMin), graft.iceberg.Bounds.encodeLong(sMax)))
+           else Nil)
       DataFile(content = content, filePath = relPath, fileFormat = "PARQUET",
                recordCount = rows, fileSizeInBytes = fs.getFileStatus(abs).getLen,
-               lowerBounds = Map.empty, upperBounds = Map.empty)
+               lowerBounds = bounds.map(b => b._1 -> b._2).toMap,
+               upperBounds = bounds.map(b => b._1 -> b._3).toMap)
     }
     files.filter(_.recordCount > 0) match {
       case Nil => moved.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(rootP, p), false)); Nil
@@ -1045,8 +1086,10 @@ object EventTable {
         case None     => committer.activeFilesOf(m, content)
       }
     }.getOrElse(Nil)
-    val dels    = filesOf(1)
     val scanned = Option(files).getOrElse(filesOf(0))
+    // tombstone-read pruning: deletes that cannot touch the scanned files
+    // (by manifest bounds) are never even opened — the pruned-scan payoff
+    val dels    = pruneDeleteFiles(scanned, filesOf(1))
     // annotate only when applyDeletes will actually consume (and then
     // drop) the identity columns — the empty-scan early return below must
     // keep the standard committed layout
@@ -1102,6 +1145,48 @@ object EventTable {
     spark.read.parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
       .select(col("partition").cast("int").as("partition"), col("sequence"))
       .distinct()
+
+  /** Delete files that can affect ANY of the given data files, decided on
+    * MANIFEST BOUNDS ONLY — the tombstone-read pruning every masked reader
+    * runs before touching a delete parquet. A time- or partition-pruned
+    * scan of a year-long table must not pay the full delete-file read for
+    * tombstones that cannot touch its surviving files:
+    *
+    *  - EQUALITY deletes prune on (partition range, sequence range)
+    *    overlap with the surviving set — their bounds are the key bounds
+    *    the delete writer recorded from the file footer;
+    *  - POSITIONAL deletes prune on target-partition overlap (their
+    *    bounds are the parsed `partition=` range of the stored paths) —
+    *    positions don't map to sequences, so partition is the tightest
+    *    manifest-level key; per-file identity pruning happens after the
+    *    read, when masks attach to partitions.
+    *
+    * A delete file WITHOUT bounds (pre-round-18 tables) is conservatively
+    * kept — correctness never depends on this pruning. */
+  private[graft] def pruneDeleteFiles(scanned: Seq[DataFile], dels: Seq[DataFile]): Seq[DataFile] = {
+    if (dels.isEmpty) return Nil
+    if (scanned.isEmpty) return Nil
+    // per-partition sequence envelopes of the scan (files single-partition;
+    // a file without bounds widens its envelope to everything)
+    final case class Env(pLo: Long, pHi: Long, sLo: Long, sHi: Long)
+    val envs = scanned.map { f =>
+      Env(
+        f.lowerInt(FieldIds.Partition).map(_.toLong).getOrElse(Long.MinValue),
+        f.upperInt(FieldIds.Partition).map(_.toLong).getOrElse(Long.MaxValue),
+        f.lowerLong(FieldIds.Sequence).getOrElse(Long.MinValue),
+        f.upperLong(FieldIds.Sequence).getOrElse(Long.MaxValue))
+    }
+    dels.filter { d =>
+      val pLo = d.lowerInt(FieldIds.Partition).map(_.toLong).getOrElse(Long.MinValue)
+      val pHi = d.upperInt(FieldIds.Partition).map(_.toLong).getOrElse(Long.MaxValue)
+      val sLo = d.lowerLong(FieldIds.Sequence).getOrElse(Long.MinValue)
+      val sHi = d.upperLong(FieldIds.Sequence).getOrElse(Long.MaxValue)
+      envs.exists { e =>
+        e.pLo <= pHi && pLo <= e.pHi &&
+          (d.content != 2 || (e.sLo <= sHi && sLo <= e.sHi))
+      }
+    }
+  }
 
   private[table] def applyDeletes(spark: SparkSession, tableRoot: String,
                                   dels: Seq[DataFile], df: DataFrame): DataFrame = {

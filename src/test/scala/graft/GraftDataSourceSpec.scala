@@ -224,8 +224,6 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(!plan.contains("Join"), s"broadcast-mask scan must not plan a join:\n$plan")
       assert(viaBc.collect().map(r => (r.getInt(0), r.getLong(1))).toSet === inline,
         "broadcast-shipped masks must produce row-identical results")
-      // the columnar reader refuses broadcast-masked partitions too
-      // (allowColumnar is already false; this is the belt)
       // absolute ceiling: refuse loudly, compaction is overdue
       spark.conf.set("spark.graft.mor.maxMaskRows", "1")
       val err = intercept[Exception] {
@@ -236,6 +234,60 @@ class GraftDataSourceSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.mor.inlineMaskRows")
       spark.conf.unset("spark.graft.mor.maxMaskRows")
     }
+  }
+
+  test("a masked V2 scan stays COLUMNAR and a bounds-pruned scan opens zero delete files") {
+    import graft.table.EventTable
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-morcol-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    // confine BOTH delete kinds to partition 0, so a partition-pruned scan
+    // of any other partition provably needs no tombstones at all
+    val r1 = EventTable.deleteWhereMor(spark, root,
+      col("partition") === 0 && col("sequence") % 5 === 2)
+    val eqKeys = EventTable.readCommitted(spark, root)
+      .filter(col("partition") === 0 && col("sequence") % 7 === 3)
+      .select("partition", "sequence")
+    val r2 = EventTable.deleteWhereEq(spark, root, eqKeys)
+    assert(r1.deletedRows > 0 && r2.keys > 0)
+
+    // 1) the masked scan plans COLUMNAR (verdict r17 #2: one delete file
+    //    must not de-vectorize the whole scan)
+    val df = spark.read.format("graft").load(root)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.supportsColumnar,
+      "a delete-bearing V2 scan must stay columnar")
+    // and the masked columnar rows equal the reference MoR read
+    val v2 = df.selectExpr("cast(partition as int)", "sequence")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val mor = EventTable.readCommitted(spark, root)
+      .selectExpr("cast(partition as int)", "sequence")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(v2 === mor, "masked columnar scan must agree row-for-row with readCommitted")
+    // equality masks apply even when the projection excludes `sequence`
+    // (the hidden-column path)
+    val perPart = df.groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expPart = EventTable.readCommitted(spark, root).groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perPart === expPart)
+
+    // 2) tombstone-read pruning (verdict r17 #3): a scan pruned to a
+    //    partition the deletes cannot touch opens ZERO delete parquets
+    val c0 = graft.spark.GraftScan.deleteFilesOpened.get()
+    val pruned = spark.read.format("graft").load(root).filter(col("partition") === 3)
+    val nPruned = pruned.count()
+    assert(graft.spark.GraftScan.deleteFilesOpened.get() === c0,
+      "a partition-pruned scan must not read delete files for other partitions")
+    assert(nPruned === EventTable.readCommitted(spark, root)
+      .filter(col("partition") === 3).count())
+    // ... while a scan touching the deleted partition DOES read them
+    val touched = spark.read.format("graft").load(root).filter(col("partition") === 0)
+    assert(touched.count() === EventTable.readCommitted(spark, root)
+      .filter(col("partition") === 0).count())
+    assert(graft.spark.GraftScan.deleteFilesOpened.get() > c0)
   }
 
   test("V2 scan reads a spec-evolved table, recovering event_date from the path") {
