@@ -404,6 +404,112 @@ object BloomMightContain {
       BloomMightContain(bloom, org.apache.spark.sql.graft.SqlBridge.expression(col)))
 }
 
+/** Executor-side index over driver-collected merge-on-read delete masks —
+  * broadcast ONCE per delete-file set and probed by the codegen'd
+  * [[PosMasked]]/[[EqMasked]] predicates, so a masked committed read is a
+  * map-side FILTER inside whole-stage codegen (scan → filter → agg in one
+  * span), never a broadcast anti-join: no delete-parquet re-read per
+  * query, no hash-relation build, no join node. The lazy indexes convert
+  * once per executor (broadcast values are process-cached). */
+final class MorMaskIndex(posByFile: Map[String, Array[Long]],
+                         eqByPart: Map[Int, Array[Long]]) extends Serializable {
+  @transient private lazy val posIdx: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]](math.max(4, posByFile.size * 2))
+    posByFile.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  @transient private lazy val eqIdx: java.util.HashMap[Integer, Array[Long]] = {
+    val m = new java.util.HashMap[Integer, Array[Long]](math.max(4, eqByPart.size * 2))
+    eqByPart.foreach { case (k, v) => m.put(Integer.valueOf(k), v) }
+    m
+  }
+  def posHit(key: UTF8String, pos: Long): Boolean = {
+    val a = posIdx.get(key)
+    a != null && java.util.Arrays.binarySearch(a, pos) >= 0
+  }
+  def eqHit(partition: Int, sequence: Long): Boolean = {
+    val a = eqIdx.get(partition)
+    a != null && java.util.Arrays.binarySearch(a, sequence) >= 0
+  }
+}
+
+/** TRUE when (file key, physical row ordinal) is position-deleted in the
+  * broadcast mask index — the codegen'd replacement for the posKeys
+  * anti-join on every masked committed read. */
+final case class PosMasked(
+    idx: org.apache.spark.broadcast.Broadcast[MorMaskIndex],
+    left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pos_masked expects (string, long), got (${left.dataType}, ${right.dataType})")
+
+  override def prettyName: String = "pos_masked"
+
+  override def nullSafeEval(k: Any, p: Any): Any =
+    idx.value.posHit(k.asInstanceOf[UTF8String], p.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftPosMaskBc", idx,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val ix = ctx.addMutableState("graft.functions.MorMaskIndex", "graftPosMaskIdx",
+      v => s"$v = (graft.functions.MorMaskIndex) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (k, p) => s"${ev.value} = $ix.posHit($k, $p);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PosMasked =
+    copy(left = newLeft, right = newRight)
+}
+
+object PosMasked {
+  def apply(idx: org.apache.spark.broadcast.Broadcast[MorMaskIndex],
+            fkey: org.apache.spark.sql.Column,
+            pos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.SqlBridge.column(PosMasked(idx,
+      org.apache.spark.sql.graft.SqlBridge.expression(fkey),
+      org.apache.spark.sql.graft.SqlBridge.expression(pos)))
+}
+
+/** TRUE when (partition, sequence) is equality-deleted in the broadcast
+  * mask index — ditto for the eqKeys anti-join. */
+final case class EqMasked(
+    idx: org.apache.spark.broadcast.Broadcast[MorMaskIndex],
+    left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"eq_masked expects (int, long), got (${left.dataType}, ${right.dataType})")
+
+  override def prettyName: String = "eq_masked"
+
+  override def nullSafeEval(p: Any, s: Any): Any =
+    idx.value.eqHit(p.asInstanceOf[Int], s.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftEqMaskBc", idx,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val ix = ctx.addMutableState("graft.functions.MorMaskIndex", "graftEqMaskIdx",
+      v => s"$v = (graft.functions.MorMaskIndex) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (p, s) => s"${ev.value} = $ix.eqHit($p, $s);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): EqMasked =
+    copy(left = newLeft, right = newRight)
+}
+
+object EqMasked {
+  def apply(idx: org.apache.spark.broadcast.Broadcast[MorMaskIndex],
+            partition: org.apache.spark.sql.Column,
+            sequence: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.SqlBridge.column(EqMasked(idx,
+      org.apache.spark.sql.graft.SqlBridge.expression(partition),
+      org.apache.spark.sql.graft.SqlBridge.expression(sequence)))
+}
+
 /** The packaged-deploy injection point: set
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and both
   * native expressions register at session build, no code change needed. */

@@ -296,13 +296,46 @@ object GraftScan {
     }
   }
 
+  /** Driver-side mask cache keyed by (table root, delete-file path set):
+    * delete files are IMMUTABLE (UUID paths, never rewritten in place), so
+    * the key fully determines the masks — repeated scans of a
+    * delete-bearing snapshot collect the tombstones once, not per query.
+    * Bounded by total cached mask rows; eldest entries fall off (their
+    * broadcasts, if any, are released by ContextCleaner once unreferenced). */
+  private val maskCache =
+    new java.util.LinkedHashMap[String, (Masks, Long)](32, 0.75f, /* accessOrder = */ true)
+  private val MaxCachedMaskRows: Long = 1L << 23
+
+  private def maskCacheKey(tableRoot: String, dels: Seq[DataFile]): String =
+    tableRoot + "|" + dels.map(_.filePath).sorted.mkString(",")
+
   /** Driver-side delete masks: positional rows grouped by the target
     * file's identity key (last two path segments — see
     * [[graft.table.EventTable.morKeyOf]]) and equality keys grouped by
-    * log partition, both sorted. Loaded once per plan via the active
-    * session (delete files are batch-sized by the fold contract). */
+    * log partition, both sorted. Loaded once per DELETE-FILE SET via the
+    * active session (delete files are batch-sized by the fold contract)
+    * and memoized in [[maskCache]]. */
   def deleteMasksFor(tableRoot: String, dels: Seq[DataFile]): Masks = {
     if (dels.isEmpty) return (Map.empty, Map.empty)
+    val key = maskCacheKey(tableRoot, dels)
+    maskCache.synchronized(Option(maskCache.get(key))).foreach { case (m, _) => return m }
+    val masks = readMasks(tableRoot, dels)
+    val rows  = dels.map(_.recordCount).sum
+    maskCache.synchronized {
+      maskCache.put(key, (masks, rows))
+      var total = 0L
+      val it = maskCache.values().iterator()
+      while (it.hasNext) total += it.next()._2
+      val evict = maskCache.entrySet().iterator()
+      while (total > MaxCachedMaskRows && maskCache.size() > 1 && evict.hasNext) {
+        val e = evict.next()
+        if (e.getKey != key) { total -= e.getValue._2; evict.remove() }
+      }
+    }
+    masks
+  }
+
+  private def readMasks(tableRoot: String, dels: Seq[DataFile]): Masks = {
     deleteFilesOpened.addAndGet(dels.size.toLong)
     val spark = org.apache.spark.sql.SparkSession.active
     val pos = dels.filter(_.content == 1)

@@ -665,12 +665,10 @@ object EventTable {
     // is exact and re-deletes never duplicate
     val afterP =
       if (priorP.isEmpty) raw
-      else raw.join(broadcast(posKeysOf(spark, tableRoot, priorP)),
-                    Seq("_mor_fkey", "_mor_pos"), "left_anti")
+      else raw.filter(!posMaskedCol(spark, tableRoot, priorP))
     val live =
       if (priorEq.isEmpty) afterP
-      else afterP.join(broadcast(eqKeysOf(spark, tableRoot, priorEq)),
-                       Seq("partition", "sequence"), "left_anti")
+      else afterP.filter(!eqMaskedCol(spark, tableRoot, priorEq))
     // scan key → spec-relative path, driver-known from the manifests (the
     // stored file_path is the full relative path the Iceberg spec wants)
     import spark.implicits._
@@ -1117,35 +1115,6 @@ object EventTable {
     relPath.substring(j + 1)
   }
 
-  /** Anti-join active delete files onto a committed scan — BOTH kinds:
-    *
-    *  - POSITION deletes (DataFile content=1): identity is
-    *    ([[morFileKey]], row position) — `_metadata.row_index` is the
-    *    physical row ordinal Spark exposes for exactly this purpose. No
-    *    window, no shuffle of the corpus.
-    *  - EQUALITY deletes (content=2): identity is the event-log row key
-    *    (partition, sequence) — the file holds key rows, matched by value
-    *    regardless of which data file holds the row.
-    *
-    * Every delete set rides a broadcast (MoR's contract: deletes stay
-    * small because compaction folds them — a delete set too big to
-    * broadcast is the signal to fold now). The stored `file_path` stays
-    * the spec's full relative path. */
-  /** The (file key, position) rows of a set of POSITION delete files —
-    * the ONE definition every anti/semi join against them uses. */
-  private[table] def posKeysOf(spark: SparkSession, tableRoot: String,
-                               files: Seq[DataFile]): DataFrame =
-    spark.read.parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
-      .select(expr(morStoredKey).as("_mor_fkey"), col("pos").as("_mor_pos"))
-
-  /** The distinct (partition, sequence) keys of a set of EQUALITY delete
-    * files — ditto. */
-  private[table] def eqKeysOf(spark: SparkSession, tableRoot: String,
-                              files: Seq[DataFile]): DataFrame =
-    spark.read.parquet(files.map(f => s"$tableRoot/${f.filePath}"): _*)
-      .select(col("partition").cast("int").as("partition"), col("sequence"))
-      .distinct()
-
   /** Delete files that can affect ANY of the given data files, decided on
     * MANIFEST BOUNDS ONLY — the tombstone-read pruning every masked reader
     * runs before touching a delete parquet. A time- or partition-pruned
@@ -1188,6 +1157,54 @@ object EventTable {
     }
   }
 
+  /** One broadcast [[graft.functions.MorMaskIndex]] per delete-file set,
+    * cached — delete files are IMMUTABLE (UUID paths), so the set fully
+    * determines the masks; repeated masked reads share one driver collect
+    * and one broadcast. Dropped entries are released by ContextCleaner
+    * once unreferenced. */
+  private val morBcCache =
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[graft.functions.MorMaskIndex]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.broadcast.Broadcast[graft.functions.MorMaskIndex]]): Boolean =
+        size > 16
+    }
+  private[table] def morMaskBroadcast(spark: SparkSession, tableRoot: String,
+                                      files: Seq[DataFile]):
+      org.apache.spark.broadcast.Broadcast[graft.functions.MorMaskIndex] =
+    morBcCache.synchronized {
+      val key = tableRoot + "|" + files.map(_.filePath).sorted.mkString(",")
+      Option(morBcCache.get(key)).getOrElse {
+        val (p, e) = graft.spark.GraftScan.deleteMasksFor(tableRoot, files)
+        val bc = spark.sparkContext.broadcast(new graft.functions.MorMaskIndex(p, e))
+        morBcCache.put(key, bc)
+        bc
+      }
+    }
+
+  /** The position-mask predicate over a morCols-annotated scan. */
+  private[table] def posMaskedCol(spark: SparkSession, tableRoot: String,
+                                  files: Seq[DataFile]): org.apache.spark.sql.Column =
+    graft.functions.PosMasked(morMaskBroadcast(spark, tableRoot, files),
+      col("_mor_fkey"), col("_mor_pos").cast("long"))
+
+  /** The equality-mask predicate over the row key columns. */
+  private[table] def eqMaskedCol(spark: SparkSession, tableRoot: String,
+                                 files: Seq[DataFile]): org.apache.spark.sql.Column =
+    graft.functions.EqMasked(morMaskBroadcast(spark, tableRoot, files),
+      col("partition").cast("int"), col("sequence").cast("long"))
+
+  /** Apply active delete files to a committed scan — BOTH kinds: POSITION
+    * deletes by ([[morFileKey]], `_metadata.row_index`), EQUALITY deletes
+    * by the (partition, sequence) row key. The masks ride one cached
+    * broadcast and are probed by the codegen'd
+    * [[graft.functions.PosMasked]]/[[graft.functions.EqMasked]]
+    * predicates: the masked read is a map-side FILTER fused into
+    * whole-stage codegen — no per-query delete-parquet re-read, no hash
+    * relation build, no join node, no shuffle of the corpus. MoR's size
+    * contract is unchanged: deletes stay small because compaction folds
+    * them; a mask set too big to broadcast is the signal to fold now. */
   private[table] def applyDeletes(spark: SparkSession, tableRoot: String,
                                   dels: Seq[DataFile], df: DataFrame): DataFrame = {
     val pos = dels.filter(_.content == 1)
@@ -1200,11 +1217,11 @@ object EventTable {
         // union, so adding them here would throw on a spec-evolved table
         require(df.columns.contains("_mor_fkey") && df.columns.contains("_mor_pos"),
           "applyDeletes with position deletes requires a morCols-annotated read")
-        df.join(broadcast(posKeysOf(spark, tableRoot, pos)), Seq("_mor_fkey", "_mor_pos"), "left_anti")
+        df.filter(!posMaskedCol(spark, tableRoot, pos))
       }
     val out =
       if (eq.isEmpty) afterPos
-      else afterPos.join(broadcast(eqKeysOf(spark, tableRoot, eq)), Seq("partition", "sequence"), "left_anti")
+      else afterPos.filter(!eqMaskedCol(spark, tableRoot, eq))
     if (out.columns.contains("_mor_fkey")) out.drop("_mor_fkey", "_mor_pos") else out
   }
 
@@ -1282,29 +1299,20 @@ object EventTable {
             val priorEq   = priorDels.filter(_.content == 2)
             val afterP =
               if (priorP.isEmpty) raw
-              else raw.join(broadcast(posKeysOf(spark, tableRoot, priorP)),
-                            Seq("_mor_fkey", "_mor_pos"), "left_anti")
+              else raw.filter(!posMaskedCol(spark, tableRoot, priorP))
             val live =
               if (priorEq.isEmpty) afterP
-              else afterP.join(broadcast(eqKeysOf(spark, tableRoot, priorEq)),
-                               Seq("partition", "sequence"), "left_anti")
-            // the rows THIS commit masked; a doubly-matched row emits once
+              else afterP.filter(!eqMaskedCol(spark, tableRoot, priorEq))
+            // the rows THIS commit masked, as ONE disjunctive filter pass —
+            // a row matched by both delete kinds emits once by construction
             val newP  = newDels.filter(_.content == 1)
             val newEq = newDels.filter(_.content == 2)
-            val hitP =
-              if (newP.isEmpty) None
-              else Some(live.join(broadcast(posKeysOf(spark, tableRoot, newP)),
-                                  Seq("_mor_fkey", "_mor_pos"), "left_semi"))
-            val restForEq =
-              if (newP.isEmpty) live
-              else live.join(broadcast(posKeysOf(spark, tableRoot, newP)),
-                             Seq("_mor_fkey", "_mor_pos"), "left_anti")
-            val hitEq =
-              if (newEq.isEmpty) None
-              else Some(restForEq.join(broadcast(eqKeysOf(spark, tableRoot, newEq)),
-                                       Seq("partition", "sequence"), "left_semi"))
-            (hitP.toSeq ++ hitEq.toSeq).reduceOption(_ unionByName _)
-              .map(_.drop("_mor_fkey", "_mor_pos").withColumn("_change_type", lit("delete")))
+            val hit: Option[org.apache.spark.sql.Column] = Seq(
+              if (newP.isEmpty) None else Some(posMaskedCol(spark, tableRoot, newP)),
+              if (newEq.isEmpty) None else Some(eqMaskedCol(spark, tableRoot, newEq))
+            ).flatten.reduceOption(_ || _)
+            hit.map(c => live.filter(c)
+              .drop("_mor_fkey", "_mor_pos").withColumn("_change_type", lit("delete")))
           }
         case other => throw new IllegalStateException( // unreachable: validated above
           s"changefeed range snapshot ${s.snapshotId} has unvalidated operation '$other'")

@@ -275,19 +275,41 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(perPart === expPart)
 
     // 2) tombstone-read pruning (verdict r17 #3): a scan pruned to a
-    //    partition the deletes cannot touch opens ZERO delete parquets
+    //    partition the deletes cannot touch opens ZERO delete parquets and
+    //    plans ZERO masks (the partition check also guards against a stale
+    //    mask-cache hit masquerading as pruning)
     val c0 = graft.spark.GraftScan.deleteFilesOpened.get()
-    val pruned = spark.read.format("graft").load(root).filter(col("partition") === 3)
+    val pruned  = spark.read.format("graft").load(root).filter(col("partition") === 3)
     val nPruned = pruned.count()
     assert(graft.spark.GraftScan.deleteFilesOpened.get() === c0,
       "a partition-pruned scan must not read delete files for other partitions")
+    val prunedParts = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.map(_.asInstanceOf[GraftInputPartition])
+    assert(prunedParts.nonEmpty && prunedParts.forall(p =>
+      p.delPositions.isEmpty && p.eqSeqs.isEmpty && !p.broadcastMasks),
+      "pruned-away deletes must leave no masks on the surviving partitions")
     assert(nPruned === EventTable.readCommitted(spark, root)
       .filter(col("partition") === 3).count())
-    // ... while a scan touching the deleted partition DOES read them
+    // ... while a scan touching the deleted partition carries its masks
     val touched = spark.read.format("graft").load(root).filter(col("partition") === 0)
     assert(touched.count() === EventTable.readCommitted(spark, root)
       .filter(col("partition") === 0).count())
-    assert(graft.spark.GraftScan.deleteFilesOpened.get() > c0)
+    val touchedParts = touched.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.map(_.asInstanceOf[GraftInputPartition])
+    assert(touchedParts.exists(p => p.delPositions.nonEmpty || p.eqSeqs.nonEmpty),
+      "the deleted partition's scan must carry masks")
+    // and the exact-bounds helper is pinned directly (cache-independent)
+    val c = new graft.iceberg.IcebergCommitter(
+      graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    val dels = c.activeDeleteFiles()
+    val p3   = c.activeDataFiles().filter(_.filePath.contains("partition=3"))
+    val p0   = c.activeDataFiles().filter(_.filePath.contains("partition=0"))
+    assert(EventTable.pruneDeleteFiles(p3, dels).isEmpty,
+      "partition-3 files overlap no delete bounds")
+    assert(EventTable.pruneDeleteFiles(p0, dels).size === dels.size,
+      "partition-0 files overlap every delete file")
   }
 
   test("V2 scan reads a spec-evolved table, recovering event_date from the path") {

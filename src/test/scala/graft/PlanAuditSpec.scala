@@ -451,17 +451,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("x8/x9 MoR reads: delete sets broadcast — the corpus never shuffles for the anti-join") {
-    // merge-on-read's read-side contract at 100 TB: the masked-row
-    // anti-joins ride BroadcastExchanges (delete sets are bounded by the
-    // fold discipline); a sort-merge join here means the whole table
-    // shuffled onto delete keys at every read
+  test("x8/x9 MoR reads: masks are a codegen'd filter — NO join node at all") {
+    // merge-on-read's read-side contract at 100 TB, tightened in r18: the
+    // masks ride one cached broadcast MorMaskIndex probed by the codegen'd
+    // PosMasked/EqMasked predicates, so the masked read is scan → filter →
+    // agg in ONE whole-stage-codegen span. Any join node here means the
+    // anti-join machinery crept back (per-query delete re-reads + hash
+    // relation builds at every masked read).
     Seq("x8_mor_delete", "x9_eq_delete").foreach { q =>
       val p = plan(q)
-      assert(p.contains("BroadcastExchange"),
-        s"$q: the delete files must broadcast into the scan")
-      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-        s"$q: the anti-join must not re-shuffle the committed scan:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q: masks must be a filter, never a join:\n${p.take(1500)}")
+      assert(p.contains("pos_masked") || p.contains("eq_masked") || p.contains("Masked"),
+        s"$q: the mask predicates must appear in the filter:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"))
     }
   }
@@ -486,15 +487,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("tt3_changefeed: every per-snapshot resolution join broadcasts; corpus never shuffles") {
-    // the feed stacks semi/anti joins per delete snapshot — all against
-    // batch-sized delete-key frames, so every one must ride a broadcast;
-    // a sort-merge join here means the parent snapshot's whole row set
-    // shuffled per commit in the range
+  test("tt3_changefeed: per-snapshot resolution is codegen'd mask filters — no join, no shuffle") {
+    // the feed resolves each delete snapshot with the SAME broadcast-index
+    // predicates as the committed read (prior-mask exclusion + this
+    // commit's hits as one disjunctive filter) — a join node here means
+    // the parent snapshot's row set started paying per-commit hash builds
     val p = plan("tt3_changefeed")
-    assert(p.contains("BroadcastExchange"), "delete keys must broadcast into the parent scan")
+    assert(!p.contains("Join"), s"tt3: resolution must be mask filters, not joins:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"tt3: resolution joins must not shuffle the corpus:\n${p.take(1500)}")
+      s"tt3: resolution must not shuffle the corpus:\n${p.take(1500)}")
     assert(!p.contains("Window ["))
     assert(!p.contains("CartesianProduct"))
   }
