@@ -1,0 +1,314 @@
+package graft.spark
+
+import graft.iceberg.{FieldIds, IcebergCommitter, TableIO}
+import graft.table.EventTable
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING CDC source: `spark.readStream.format("graft")
+  * .option("changefeed", "true").load(root)` — the committed table as a
+  * continuous feed of `_change_type` ∈ {insert, delete} rows, one
+  * micro-batch per snapshot range, with the exact per-snapshot resolution
+  * of the batch changefeed ([[EventTable.changesBetween]] / tt3):
+  *
+  *  - offsets are SNAPSHOT IDS (the same exactly-once cursor as the
+  *    append-tail stream): each batch covers the parent-chain range
+  *    (from, to], checkpointed like any structured stream;
+  *  - an APPEND snapshot contributes its added files' rows as inserts;
+  *  - a merge-on-read DELETE snapshot contributes the rows its new delete
+  *    files masked, resolved against the parent's LIVE set (prior masks
+  *    excluded; a row matched by both of the commit's delete kinds emits
+  *    once);
+  *  - a manifest REWRITE contributes nothing; any REPLACE (compaction /
+  *    CoW rewrite) fails the batch LOUDLY — a file diff cannot represent
+  *    a rewrite — as does a range crossing expire-truncated history (the
+  *    parent-chain walk hits an unknown snapshot), so the stream never
+  *    silently skips or duplicates changes.
+  *
+  * `option("fromSnapshot", id)` starts the feed AFTER snapshot `id`
+  * (exclusive); without it the feed starts at the head observed at query
+  * start (changes since stream start). An empty table starts at −1 and
+  * the first committed snapshot's chain emits from table creation.
+  *
+  * Scale shape: a batch reads only the files the range's commits added
+  * (inserts) plus the parent-live files of each delete commit, with
+  * masks resolved from the cached driver mask index — consumers tail
+  * SMALL ranges per trigger, never a re-scan of the table. */
+final class GraftChangefeedTable(tableRoot: String, tableSchema: StructType,
+                                 fromSnapshot: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"graft-changefeed:$tableRoot"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftChangefeedScanBuilder(tableRoot, tableSchema, fromSnapshot)
+}
+
+final class GraftChangefeedScanBuilder(tableRoot: String, tableSchema: StructType,
+                                       fromSnapshot: Option[Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftChangefeedScan(tableRoot, required, fromSnapshot)
+}
+
+final class GraftChangefeedScan(tableRoot: String, required: StructType,
+                                fromSnapshot: Option[Long]) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = s"GraftChangefeedScan $tableRoot"
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangefeedStream(tableRoot, required, fromSnapshot)
+}
+
+/** One changefeed file read: `changeType` is the constant `_change_type`
+  * value; delete partitions carry the resolution masks — a row emits iff
+  * it survives every `drop*` mask (live at the parent) AND hits a `keep*`
+  * mask (this commit deleted it). Insert partitions carry no masks. */
+final case class ChangefeedPartition(tableRoot: String, relPath: String,
+                                     changeType: String,
+                                     dropPos: Array[Long] = Array.empty,
+                                     dropEq: Array[Long] = Array.empty,
+                                     keepPos: Array[Long] = Array.empty,
+                                     keepEq: Array[Long] = Array.empty) extends InputPartition
+
+final class GraftChangefeedStream(tableRoot: String, required: StructType,
+                                  fromSnapshot: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  private def committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
+
+  private def headId(): Long =
+    committer.load().flatMap(_.currentSnapshotId).getOrElse(-1L)
+
+  @volatile private var availableNowEnd: Option[GraftOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = availableNowEnd = Some(GraftOffset(headId()))
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    availableNowEnd.getOrElse(GraftOffset(headId()))
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftOffset(headId())
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = fromSnapshot.getOrElse(headId())
+    // a named base must exist NOW — failing at first plan would bury the
+    // refusal behind a checkpointed −1
+    fromSnapshot.foreach { id =>
+      val meta = committer.load().getOrElse(
+        throw new IllegalArgumentException(s"changefeed fromSnapshot=$id but $tableRoot has no metadata"))
+      require(meta.snapshots.exists(_.snapshotId == id),
+        s"changefeed fromSnapshot=$id is not a known snapshot of $tableRoot (expired?)")
+    }
+    GraftOffset(from)
+  }
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftOffset(headId())
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    GraftOffset(json.trim.toLong)
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val to   = end.asInstanceOf[GraftOffset].snapshotId
+    // metadata unreadable mid-stream: planning "empty" would advance the
+    // checkpoint silently — fail the batch, the stream retries
+    if (to == -1L && from != -1L)
+      throw new IllegalStateException(
+        s"table $tableRoot metadata unreadable while the checkpoint holds snapshot $from")
+    if (to == -1L || from == to) return Array.empty[InputPartition]
+
+    val meta = committer.load().getOrElse(throw new IllegalStateException(
+      s"table $tableRoot metadata unreadable while planning changefeed $from -> $to"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // walk the parent chain to the base (or to table creation for -1);
+    // an expired snapshot in the range fails LOUD here
+    var cur = to
+    val rangeBuf = scala.collection.mutable.ArrayBuffer.empty[graft.iceberg.Snapshot]
+    while (cur != from && cur != -1L) {
+      val s = byId.getOrElse(cur, throw new IllegalArgumentException(
+        s"changefeed range $from -> $to crosses snapshot $cur missing from metadata (expired?)"))
+      rangeBuf += s
+      cur = s.parentSnapshotId.getOrElse(
+        if (from == -1L) -1L
+        else throw new IllegalArgumentException(
+          s"changefeed checkpoint snapshot $from is not an ancestor of $to"))
+    }
+    val ordered = rangeBuf.reverse.toSeq
+    // validate the WHOLE range before building any partition (the
+    // changesBetween discipline: a replace's physically-deleted files must
+    // surface as the refusal, not a missing-path read error)
+    ordered.foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      require(op == "append" || op == "delete" ||
+          s.summary.get("zombi.rewrite-manifests").contains("true"),
+        s"changefeed range contains snapshot ${s.snapshotId} with operation '$op' — " +
+          "a row-level diff cannot represent a rewrite; restart the feed from a full read")
+    }
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    ordered.foreach { s =>
+      val op = s.summary.getOrElse("operation", "append")
+      if (s.summary.get("zombi.rewrite-manifests").contains("true")) ()
+      else op match {
+        case "append" =>
+          committer.entriesAtOf(meta, s.snapshotId)
+            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId)
+            .foreach(e => parts += ChangefeedPartition(tableRoot, e.dataFile.filePath, "insert"))
+        case "delete" =>
+          val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
+            s"delete snapshot ${s.snapshotId} has no parent"))
+          val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
+            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
+          val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
+          if (newDels.nonEmpty && parentFiles.nonEmpty) {
+            val priorDels = EventTable.pruneDeleteFiles(
+              parentFiles, committer.activeFilesAtOf(meta, parentId, 1))
+            val totalRows = (newDels ++ priorDels).map(_.recordCount).sum
+            require(totalRows <= GraftScan.maxMaskCap(spark),
+              s"changefeed delete snapshot ${s.snapshotId} resolves $totalRows mask rows " +
+                s"(> ${GraftScan.maxMaskCap(spark)}): the delete commit predates a fold — " +
+                "replay from a full read instead")
+            // both mask sets ride the cached driver index reads
+            val (dropPosBy, dropEqBy) = GraftScan.deleteMasksFor(tableRoot, priorDels)
+            val (keepPosBy, keepEqBy) = GraftScan.deleteMasksFor(tableRoot, newDels)
+            parentFiles.foreach { f =>
+              val key = EventTable.morKeyOf(f.filePath)
+              val pid = f.filePath.split('/').collectFirst {
+                case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+              }.getOrElse(-1)
+              def seqSlice(m: Map[Int, Array[Long]]): Array[Long] = {
+                val all = m.getOrElse(pid, Array.empty[Long])
+                if (all.isEmpty) all
+                else {
+                  val lo = f.lowerLong(FieldIds.Sequence).getOrElse(Long.MinValue)
+                  val hi = f.upperLong(FieldIds.Sequence).getOrElse(Long.MaxValue)
+                  all.filter(x => x >= lo && x <= hi)
+                }
+              }
+              val keepPos = keepPosBy.getOrElse(key, Array.empty[Long])
+              val keepEq  = seqSlice(keepEqBy)
+              // a parent file none of this commit's masks touch emits nothing
+              if (keepPos.nonEmpty || keepEq.nonEmpty)
+                parts += ChangefeedPartition(tableRoot, f.filePath, "delete",
+                  dropPos = dropPosBy.getOrElse(key, Array.empty[Long]),
+                  dropEq  = seqSlice(dropEqBy),
+                  keepPos = keepPos, keepEq = keepEq)
+            }
+          }
+        case other => throw new IllegalStateException( // unreachable: validated above
+          s"changefeed snapshot ${s.snapshotId} has unvalidated operation '$other'")
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangefeedReaderFactory(required)
+}
+
+final class ChangefeedReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChangefeedPartitionReader(partition.asInstanceOf[ChangefeedPartition], required)
+}
+
+/** Row reader for one changefeed file: inserts emit every row; deletes
+  * emit exactly the rows live at the parent (survive `drop*`) that this
+  * commit masked (hit `keep*`). `_change_type` and directory-key columns
+  * ride as per-reader constants. */
+final class ChangefeedPartitionReader(p: ChangefeedPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+    new org.apache.hadoop.fs.Path(s"${p.tableRoot}/${p.relPath}"),
+    new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+  private val columnIO   = new ColumnIOFactory().getColumnIO(fileSchema)
+  private val inPages: Array[Boolean] =
+    required.fields.map(f => f.name != "_change_type" && fileSchema.containsField(f.name))
+  private val consts: Array[AnyRef] =
+    required.fields.map { f =>
+      if (f.name == "_change_type") UTF8String.fromString(p.changeType)
+      else GraftPathValues.constOf(p.relPath, f)
+    }
+  private val isDelete = p.changeType == "delete"
+  require(!isDelete || (p.keepEq.isEmpty && p.dropEq.isEmpty) || fileSchema.containsField("sequence"),
+    s"${p.relPath} carries equality masks but has no sequence column")
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeftInGroup = 0L
+  private var current: InternalRow = _
+  private var ordinal  = -1L
+  private var dropIdx  = 0
+  private var keepIdx  = 0
+
+  /** emit = survives EVERY drop mask (live at the parent) AND — for
+    * deletes — hits a keep mask. Both positional cursors advance before
+    * any verdict so ordinals stay aligned across early returns. */
+  private def emits(g: Group): Boolean = {
+    var droppedPos = false
+    if (dropIdx < p.dropPos.length && p.dropPos(dropIdx) == ordinal) { dropIdx += 1; droppedPos = true }
+    var keptPos = false
+    if (keepIdx < p.keepPos.length && p.keepPos(keepIdx) == ordinal) { keepIdx += 1; keptPos = true }
+    if (droppedPos) return false
+    if (!isDelete) return true
+    if (p.dropEq.isEmpty && p.keepEq.isEmpty) return keptPos
+    val seq = g.getLong("sequence", 0)
+    if (p.dropEq.nonEmpty && java.util.Arrays.binarySearch(p.dropEq, seq) >= 0) return false
+    keptPos || (p.keepEq.nonEmpty && java.util.Arrays.binarySearch(p.keepEq, seq) >= 0)
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      while (rowsLeftInGroup == 0) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) return false
+        recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(fileSchema))
+        rowsLeftInGroup = pages.getRowCount
+      }
+      val g = recordReader.read()
+      rowsLeftInGroup -= 1
+      ordinal += 1
+      if (emits(g)) { current = toRow(g); return true }
+    }
+    false // unreachable
+  }
+
+  private def toRow(g: Group): InternalRow = {
+    val vals = required.fields.zipWithIndex.map { case (f, i) =>
+      if (!inPages(i)) consts(i)
+      else if (g.getFieldRepetitionCount(f.name) > 0) {
+        f.dataType match {
+          case LongType    => g.getLong(f.name, 0)
+          case IntegerType => g.getInteger(f.name, 0)
+          case DateType    => g.getInteger(f.name, 0)
+          case StringType  => UTF8String.fromString(g.getString(f.name, 0))
+          case BinaryType  => g.getBinary(f.name, 0).getBytes
+          case DoubleType  => g.getDouble(f.name, 0)
+          case BooleanType => g.getBoolean(f.name, 0)
+          case other       => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      } else null
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -39,11 +39,21 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft source requires a path (the table root)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.sparkSchema(root(options))
+  private def isChangefeed(options: java.util.Map[String, String]): Boolean =
+    Option(options.get("changefeed")).exists(_.equalsIgnoreCase("true"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = GraftDataSource.sparkSchema(root(options))
+    if (isChangefeed(options))
+      StructType(base.fields :+ StructField("_change_type", StringType, nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform], props: JMap[String, String]): Table =
-    new GraftTable(props.get("path"), schema)
+    if (isChangefeed(props))
+      new GraftChangefeedTable(props.get("path"), schema,
+        Option(props.get("fromSnapshot")).orElse(Option(props.get("fromsnapshot"))).map(_.trim.toLong))
+    else new GraftTable(props.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = true
 

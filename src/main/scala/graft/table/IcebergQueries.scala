@@ -368,8 +368,63 @@ object IcebergQueries {
           count(lit(1)).as("n"),
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
+    },
+    // STREAMING CDC changefeed: the tt3 fixture shape consumed through
+    // `readStream.format("graft").option("changefeed", "true")` in two
+    // checkpointed AvailableNow runs — run 1 tails the append + positional
+    // delete commits, run 2 resumes the SAME checkpoint and must emit
+    // exactly the equality pass's delete rows (snapshot-id offsets). The
+    // accumulated sink must equal the batch feed's rollup — the oracle IS
+    // tt3's (identical fixture arithmetic), so the streamed reconstruction
+    // is gated row-for-row against the same derivation.
+    "w8_stream_changefeed" -> { (s, dir) =>
+      val sink = StreamedChangefeedTables.sinkDir(s, dir)
+      s.read.parquet(sink)
+        .groupBy(col("partition").cast("int").as("part_id"),
+                 col("_change_type").as("change_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
     }
   )
+
+  /** The shared tt3/w8 oracle body: the change rows rebuilt from the
+    * fixture arithmetic (tail inserts, k%9 positional pass over base ∪
+    * tail with NULL-k survivors, every-17th equality pass among the
+    * pass-1 survivors) — one derivation, consumed by the batch feed and
+    * the streamed feed alike. */
+  private val ChangefeedOracleSql: String =
+    """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
+      |tail AS (
+      |  SELECT part_id, wm + rn AS sequence, 444000 + evid AS k, evid
+      |  FROM (
+      |    SELECT e.part_id, wm.wm,
+      |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
+      |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
+      |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
+      |    WHERE e.part_id < 2)
+      |  WHERE rn <= 5
+      |), allr AS (
+      |  SELECT part_id, sequence,
+      |         CAST(json_extract_string(
+      |           CASE WHEN event_id % 13 = 0
+      |                THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
+      |                ELSE props END, '$.k') AS BIGINT) AS k,
+      |         CAST(substring(idempotency_key, 2) AS BIGINT) AS evid
+      |  FROM evlog
+      |  UNION ALL SELECT part_id, sequence, k, evid FROM tail
+      |), del1 AS (SELECT * FROM allr WHERE coalesce(k % 9 = 0, false)
+      |), live1 AS (SELECT * FROM allr WHERE NOT coalesce(k % 9 = 0, false)
+      |), del2 AS (SELECT * FROM live1 WHERE evid % 17 = 0
+      |), changes AS (
+      |  SELECT part_id, sequence, k, 'insert' AS change_type FROM tail
+      |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del1
+      |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del2
+      |)
+      |SELECT part_id, change_type, count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
+      |FROM changes GROUP BY 1, 2""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "ingest_committed_read" -> Oracle.sql(
@@ -549,37 +604,10 @@ object IcebergQueries {
     // survive); pass 2 is every 17th original event among the pass-1
     // SURVIVORS (the fixture derives keys from live rows). Note 13th-event
     // payloads lack $.k exactly as in the x8 fixture.
-    "tt3_changefeed" -> Oracle.sql(
-      """, wm AS (SELECT part_id, max(sequence) AS wm FROM evlog GROUP BY 1),
-        |tail AS (
-        |  SELECT part_id, wm + rn AS sequence, 444000 + evid AS k, evid
-        |  FROM (
-        |    SELECT e.part_id, wm.wm,
-        |           CAST(substring(e.idempotency_key, 2) AS BIGINT) AS evid,
-        |           row_number() OVER (PARTITION BY e.part_id ORDER BY e.sequence) AS rn
-        |    FROM evlog e JOIN wm ON wm.part_id = e.part_id
-        |    WHERE e.part_id < 2)
-        |  WHERE rn <= 5
-        |), allr AS (
-        |  SELECT part_id, sequence,
-        |         CAST(json_extract_string(
-        |           CASE WHEN event_id % 13 = 0
-        |                THEN '{"nk": ' || json_extract_string(props, '$.k') || '}'
-        |                ELSE props END, '$.k') AS BIGINT) AS k,
-        |         CAST(substring(idempotency_key, 2) AS BIGINT) AS evid
-        |  FROM evlog
-        |  UNION ALL SELECT part_id, sequence, k, evid FROM tail
-        |), del1 AS (SELECT * FROM allr WHERE coalesce(k % 9 = 0, false)
-        |), live1 AS (SELECT * FROM allr WHERE NOT coalesce(k % 9 = 0, false)
-        |), del2 AS (SELECT * FROM live1 WHERE evid % 17 = 0
-        |), changes AS (
-        |  SELECT part_id, sequence, k, 'insert' AS change_type FROM tail
-        |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del1
-        |  UNION ALL SELECT part_id, sequence, k, 'delete' FROM del2
-        |)
-        |SELECT part_id, change_type, count(*) AS n,
-        |       CAST(sum(k) AS BIGINT) AS sum_k, max(sequence) AS max_seq
-        |FROM changes GROUP BY 1, 2""".stripMargin),
+    "tt3_changefeed" -> Oracle.sql(ChangefeedOracleSql),
+    // w8 twin: the STREAMED feed accumulates the identical fixture's
+    // changes across two checkpointed runs — same derivation, same rollup
+    "w8_stream_changefeed" -> Oracle.sql(ChangefeedOracleSql),
     // x13 twin: evlog + the tail (888000 shift) — the coalesced-manifest
     // read must produce exactly the pre-rewrite rows.
     "x13_manifest_rewrite" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 888000L)),
@@ -1042,6 +1070,82 @@ object TailedTables {
           val n2 = spark.read.parquet(s"$sink/data").count()
           require(n2 == n1 + 10,
             s"the resumed tail must read exactly the appended rows: $n1 -> $n2")
+          s"$sink/data"
+        } finally prevCfm match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+          case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+        }
+      }
+    )
+  }
+}
+
+/** One STREAMED-changefeed sink per (JVM, sfDir): the ChangefeedTables
+  * fixture shape (x8 ingest with k-less 13th events, 444000-shifted tail,
+  * positional k%9 pass, every-17th equality pass) consumed through the
+  * streaming CDC source in TWO checkpointed AvailableNow runs:
+  *
+  *  - run 1 starts from the ingest snapshot (`fromSnapshot`) and covers
+  *    the tail append + positional delete commits;
+  *  - run 2 resumes the SAME checkpoint after the equality pass and must
+  *    emit exactly that pass's delete rows — a broken snapshot-id offset
+  *    either re-emits run 1's changes (duplicates) or misses the new
+  *    commit, and the fixture's per-run counts pin both.
+  *
+  * The accumulated sink is then hash-gated against the SAME oracle as the
+  * batch feed (tt3) — streamed and batch reconstruction must agree. */
+object StreamedChangefeedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def sinkDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-w8-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(16),
+          mapLog = _.withColumn("props",
+            when(expr("event_id % 13 = 0"),
+                 concat(lit("{\"nk\": "), expr("get_json_object(props, '$.k')"), lit("}")))
+              .otherwise(col("props"))))
+        val base = committer.load().get.currentSnapshotId.get
+        val sink = java.nio.file.Files.createTempDirectory("graft-w8sink-").toString
+        val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+        spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          classOf[graft.streaming.NioCheckpointFileManager].getName)
+        try {
+          def run(): Unit = {
+            val q = spark.readStream.format("graft")
+              .option("changefeed", "true")
+              .option("fromSnapshot", base.toString)
+              .load(root)
+              .writeStream.format("parquet")
+              .option("path", s"$sink/data")
+              .option("checkpointLocation", s"$sink/_cp")
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+          }
+          val batch = TailBatch.of(EventTable.readCommitted(spark, root),
+                                   n = 5, maxPart = 2, kShift = Some(444000L), prefix = "c")
+          EventTable.appendBatch(spark, root, batch)
+          val r1 = EventTable.deleteWhereMor(spark, root,
+            expr("cast(get_json_object(cast(payload as string), '$.k') as bigint) % 9 = 0"))
+          require(r1.deletedRows > 0, "positional pass must mask rows")
+          run()
+          val after1 = spark.read.parquet(s"$sink/data")
+          val n1     = after1.count()
+          require(after1.filter(col("_change_type") === "insert").count() == 10L,
+            "run 1 must reconstruct exactly the 10 appended rows as inserts")
+          require(after1.filter(col("_change_type") === "delete").count() == r1.deletedRows,
+            "run 1 must reconstruct exactly the positional pass's deletes")
+          val keys = EventTable.readCommitted(spark, root)
+            .filter(expr("cast(substring(idempotency_key, 2) as bigint) % 17 = 0"))
+            .select(col("partition"), col("sequence"))
+          val r2 = EventTable.deleteWhereEq(spark, root, keys)
+          require(r2.keys > 0, "equality pass must tombstone keys")
+          run()
+          val n2 = spark.read.parquet(s"$sink/data").count()
+          require(n2 == n1 + r2.keys,
+            s"the resumed feed must emit exactly the equality pass's deletes: $n1 -> $n2 (+${r2.keys})")
           s"$sink/data"
         } finally prevCfm match {
           case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)

@@ -14,6 +14,66 @@ class StreamIngestSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("changefeed stream: checkpoint replay never duplicates; a replace in range fails loud") {
+    val root = Files.createTempDirectory("graft-cfstream-").toString
+    val c    = EventTable.ingestAndCommit(spark, sf, root, fragmentInto = Some(8))
+    val base = c.load().get.currentSnapshotId.get
+    val sink = Files.createTempDirectory("graft-cfsink-").toString
+    val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("changefeed", "true").option("fromSnapshot", base.toString)
+          .load(root)
+          .writeStream.format("parquet")
+          .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def sinkDf() = spark.read.parquet(s"$sink/data")
+      // batch 1: an append → 10 inserts
+      val batch = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                           n = 5, maxPart = 2, kShift = Some(123000L), prefix = "q")
+      EventTable.appendBatch(spark, root, batch)
+      run()
+      assert(sinkDf().count() === 10L)
+      assert(sinkDf().filter(col("_change_type") === "insert").count() === 10L)
+      // replay with NO new commits → zero new change rows
+      run()
+      assert(sinkDf().count() === 10L, "an idle replay must emit nothing")
+      // batch 2: a MoR delete → exactly its masked rows, change type delete
+      val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 11 === 4)
+      assert(r1.deletedRows > 0)
+      run()
+      assert(sinkDf().count() === 10L + r1.deletedRows)
+      assert(sinkDf().filter(col("_change_type") === "insert").count() === 10L,
+        "the resumed feed must not re-emit earlier inserts")
+      assert(sinkDf().filter(col("_change_type") === "delete").count() === r1.deletedRows)
+      // the streamed feed equals the batch feed over the same range
+      val head = c.load().get.currentSnapshotId.get
+      val batchFeed = EventTable.changesBetween(spark, root, base, head)
+        .selectExpr("cast(partition as int)", "sequence", "_change_type")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      val streamed = sinkDf()
+        .selectExpr("cast(partition as int)", "sequence", "_change_type")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed === batchFeed, "streamed and batch changefeeds must agree row-for-row")
+      // a replace (compaction) in the range fails the batch LOUDLY
+      var compacted = false
+      while (graft.table.Compaction.compact(spark, root).isDefined) compacted = true
+      assert(compacted, "fixture expects the fragmented table to compact")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
+      assert(ex.getMessage.contains("changefeed") || ex.getMessage.contains("rewrite"),
+        s"unexpected failure: ${ex.getMessage.take(400)}")
+    } finally prevCfm match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+    }
+  }
+
   private def batchCounts() =
     EventLog
       .log(spark, sf)
