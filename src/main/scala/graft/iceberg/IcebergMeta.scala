@@ -191,6 +191,10 @@ final case class Snapshot(
 
 final case class SnapshotLogEntry(snapshotId: Long, timestampMs: Long)
 
+/** A named snapshot reference (the Iceberg spec's `refs` map value):
+  * `branch` refs move with commits, `tag` refs pin a snapshot. */
+final case class SnapshotRef(snapshotId: Long, refType: String)
+
 final case class TableMetadata(
     formatVersion: Int,
     tableUuid: String,
@@ -212,6 +216,27 @@ final case class TableMetadata(
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  /** The Iceberg `refs` map, DERIVED from pointer + stage state rather than
+    * stored: `main` (branch) tracks the current snapshot — so every commit,
+    * publish, and rollback moves it by construction — and each unpublished
+    * write-audit-publish stage (`zombi.staged` summary, never in the
+    * snapshot log) surfaces as a `stage-<id>` tag, so external engines can
+    * see and read in-flight staged work by name instead of scraping our
+    * summary markers. Publishing a stage logs it (tag retires, `main`
+    * advances); expiring a dead stage removes its snapshot (tag retires
+    * with it). Ref retention follows the engine's stage rules — live
+    * stages and the current snapshot are protected by
+    * [[IcebergCommitter.expireSnapshots]], dead stages are expirable — so
+    * a ref can never name a snapshot the metadata no longer carries. */
+  def refs: Map[String, SnapshotRef] = {
+    val stageTags = snapshots.collect {
+      case s if s.summary.get("zombi.staged").contains("true") &&
+                !snapshotLog.exists(_.snapshotId == s.snapshotId) =>
+        s"stage-${s.snapshotId}" -> SnapshotRef(s.snapshotId, "tag")
+    }
+    (currentSnapshotId.map(id => "main" -> SnapshotRef(id, "branch")).toSeq ++ stageTags).toMap
+  }
 
   def toJson: String = {
     val m = TableMetadata.mapper
@@ -251,6 +276,15 @@ final case class TableMetadata(
     }
     val so = n.putArray("sort-orders"); sortOrders.foreach(s => so.add(s.toNode(m)))
     n.put("default-sort-order-id", defaultSortOrderId)
+    // refs are re-derived on every serialization (see [[refs]]) — the JSON
+    // carries them for EXTERNAL readers (REST catalog loads, engines
+    // reading v{N}.metadata.json directly); fromJson deliberately does not
+    // parse them back, the derivation is the single source of truth
+    val rf = n.putObject("refs")
+    refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
+      val rn = rf.putObject(name)
+      rn.put("snapshot-id", r.snapshotId); rn.put("type", r.refType)
+    }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 }

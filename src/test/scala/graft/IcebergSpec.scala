@@ -736,6 +736,45 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.load().get.currentSnapshotId.contains(st.snapshotId))
   }
 
+  test("refs: main tracks the pointer through publish/rollback; stage tags retire with their snapshots") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    val r0 = c.commitAppend(Seq(a), Map(0 -> 10L))
+    assert(c.load().get.refs === Map("main" -> SnapshotRef(r0.snapshotId, "branch")))
+
+    // an unpublished stage surfaces as a tag; main stays on the audit base
+    val st = c.commitStaged(Seq(b), Map(0 -> 20L))
+    val staged = c.load().get.refs
+    assert(staged("main") === SnapshotRef(r0.snapshotId, "branch"))
+    assert(staged(s"stage-${st.snapshotId}") === SnapshotRef(st.snapshotId, "tag"))
+
+    // the refs an EXTERNAL engine sees: parse the committed JSON raw
+    val json = new String(c.io.get(c.versionFile(c.resolvedVersion())), "UTF-8")
+    val rf = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json).get("refs")
+    assert(rf.get("main").get("snapshot-id").asLong === r0.snapshotId)
+    assert(rf.get("main").get("type").asText === "branch")
+    assert(rf.get(s"stage-${st.snapshotId}").get("type").asText === "tag")
+
+    // publish retires the tag and fast-forwards main
+    c.publish(st.snapshotId)
+    assert(c.load().get.refs === Map("main" -> SnapshotRef(st.snapshotId, "branch")))
+
+    // rollback moves main back (the branch IS the pointer)
+    c.rollbackTo(r0.snapshotId)
+    assert(c.load().get.refs("main") === SnapshotRef(r0.snapshotId, "branch"))
+
+    // a DEAD stage (head moved past its parent) keeps its tag until
+    // expiration removes the snapshot — then the tag retires with it,
+    // while main's target is protected by the unconditional current-keep
+    val dead = c.commitStaged(Seq(df("data/partition=1/d.parquet", 5, 1, 5)), Map(1 -> 5L))
+    val r2   = c.commitAppend(Seq(df("data/partition=2/e.parquet", 5, 2, 5)), Map(2 -> 5L))
+    assert(c.load().get.refs.contains(s"stage-${dead.snapshotId}"))
+    c.expireSnapshots(keepLast = 1)
+    assert(c.load().get.refs === Map("main" -> SnapshotRef(r2.snapshotId, "branch")),
+      "expire keeps every ref target it retains and retires tags of expired stages")
+  }
+
   test("schema evolution: additive commit, compatibility guards, version bump") {
     val c = freshCommitter()
     c.commitAppend(Seq(df("data/partition=0/a.parquet", 10, 0, 10)), Map(0 -> 10L))
