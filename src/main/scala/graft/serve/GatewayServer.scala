@@ -801,6 +801,57 @@ final class GatewayServer(
     last
   }
 
+  // ----------------------------------------------------- auto-maintenance
+
+  /** Clock-driven maintenance — the reference runs every eroding invariant
+    * on the flusher's timer loop (`/root/reference/src/flusher/mod.rs:514-
+    * 650`); this engine's eroding invariants are METADATA ones (per-trigger
+    * commits accrete snapshots and manifests; MoR deletes accrete scan
+    * masks), so the same clock drives [[graft.table.Maintenance.vacuum]]
+    * when a threshold is crossed:
+    *  - snapshot count past `maxSnapshots` (metadata parse cost grows with
+    *    every retained snapshot),
+    *  - current manifest-list length past `maxManifests` (file planning
+    *    walks one Avro object per list entry),
+    *  - live delete rows at or past `deleteRowRatio` of table rows (every
+    *    masked read pays the tombstone fold until compaction).
+    * All three checks are summary/metadata reads — no data scan, so an
+    * every-tick probe over all topics is safe at any table size.
+    *
+    * Runs under the same `compacting` guard as the admin routes (an
+    * in-flight admin compact/vacuum skips this tick — returns None, the
+    * next tick retries) and hands the per-table flush lock to vacuum as
+    * its step lock, so ingestion flushes interleave between passes. A
+    * CommitConflict from a racing writer also just yields the tick. */
+  def maintainIfNeeded(topic: String,
+                       policy: GatewayServer.MaintenancePolicy = GatewayServer.MaintenancePolicy()
+                      ): Option[Maintenance.VacuumReport] = {
+    validated(topic)
+    val c    = committer(topic)
+    val meta = c.load().getOrElse(return None) // nothing committed yet
+    val summary = meta.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+    def sl(k: String) = summary.get(k).flatMap(_.toLongOption).getOrElse(0L)
+    val delRows = sl("total-position-deletes") + sl("total-equality-deletes")
+    val needed =
+      meta.snapshots.size > policy.maxSnapshots ||
+        c.currentManifests().size > policy.maxManifests ||
+        (delRows > 0 && delRows.toDouble / math.max(1L, sl("total-records")) >= policy.deleteRowRatio)
+    if (!needed) return None
+    val guard = compacting.computeIfAbsent(topic, _ => new AtomicBoolean(false))
+    if (!guard.compareAndSet(false, true)) return None // admin call in flight
+    try {
+      val r =
+        // vacuum's default 24 h orphan-GC horizon on purpose: an unattended
+        // job should never run closer to the in-flight-write window than an
+        // operator would by default
+        try Maintenance.vacuum(spark, s"$baseDir/$topic",
+          keepSnapshots = policy.keepSnapshots, stepLock = tableLock(topic))
+        catch { case _: CommitConflict => return None } // next tick retries
+      metrics.inc("zombi_auto_vacuums_total")
+      Some(r)
+    } finally guard.set(false)
+  }
+
   // ----------------------------------------------------------------- misc
 
   private def committedTopics(): Seq[String] = {
@@ -851,6 +902,17 @@ final class GatewayServer(
 }
 
 object GatewayServer {
+  /** Thresholds for [[GatewayServer#maintainIfNeeded]] — sized so a
+    * 5-minute-flush table vacuums a few times a day, and ANY lingering MoR
+    * delete weight (5% of rows) triggers a fold rather than taxing every
+    * scan until an operator notices. `keepSnapshots` is the retention the
+    * triggered vacuum applies (2 = current + one rollback target). */
+  final case class MaintenancePolicy(
+      maxSnapshots: Int = 64,
+      maxManifests: Int = 32,
+      deleteRowRatio: Double = 0.05,
+      keepSnapshots: Int = 2)
+
   /** The Iceberg REST multi-level namespace separator (information unit
     * separator, advertised percent-encoded as `%1F` in `/v1/config`). */
   val NamespaceSeparator: Char = '\u001F'

@@ -19,7 +19,8 @@ object Serve {
       maxInflight: Int,
       maxInflightBytes: Long,
       catalog: Option[CatalogClient],
-      namespace: String
+      namespace: String,
+      autoMaintenance: Boolean
   )
 
   /** Reference-parity env parsing (`main.rs:280-360`, `flusher/mod.rs:53-98`). */
@@ -33,7 +34,10 @@ object Serve {
     maxInflightBytes =
       env.get("ZOMBI_MAX_INFLIGHT_BYTES_MB").flatMap(_.toLongOption).getOrElse(64L) * 1024 * 1024,
     catalog = env.get("ZOMBI_CATALOG_URL").map(url => new CatalogClient(url)),
-    namespace = env.getOrElse("ZOMBI_CATALOG_NAMESPACE", "zombi")
+    namespace = env.getOrElse("ZOMBI_CATALOG_NAMESPACE", "zombi"),
+    // our addition (the reference has no snapshot history to bound): the
+    // flush clock also drives threshold-gated vacuums; opt out with 0
+    autoMaintenance = !env.get("ZOMBI_AUTO_MAINTENANCE").contains("0")
   )
 
   def gateway(spark: SparkSession, cfg: Config): GatewayServer =
@@ -48,14 +52,24 @@ object Serve {
       catalog = cfg.catalog
     )
 
-  /** F1: the flusher timer thread — wake on interval, flush what arrived. */
-  def flushDaemon(gw: GatewayServer, intervalMs: Long): Thread = {
+  /** F1: the flusher timer thread — wake on interval, flush what arrived;
+    * with `maintain` on, the SAME clock then probes each topic's metadata
+    * thresholds and vacuums the ones that crossed one
+    * ([[GatewayServer#maintainIfNeeded]] — the reference's timer loop runs
+    * every eroding invariant, `flusher/mod.rs:514-650`, and snapshot/
+    * manifest/delete-mask accretion is this engine's). The probe is
+    * summary-reads only, so per-tick over all topics is cheap; a triggered
+    * vacuum interleaves with flushes via the per-table step lock. */
+  def flushDaemon(gw: GatewayServer, intervalMs: Long, maintain: Boolean = true): Thread = {
     val t = new Thread(() => {
       try while (!Thread.currentThread().isInterrupted) {
         Thread.sleep(intervalMs)
         gw.hot.topics.foreach { topic =>
           try gw.flushNow(topic)
           catch { case _: Exception => () } // next tick retries (F10)
+          if (maintain)
+            try gw.maintainIfNeeded(topic)
+            catch { case _: Exception => () } // same contract: next tick
         }
       } catch { case _: InterruptedException => () }
     }, "graft-flush-daemon")
@@ -76,7 +90,7 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val gw   = gateway(spark, cfg)
     val port = gw.start()
-    val daemon = flushDaemon(gw, cfg.flushIntervalSecs * 1000L)
+    val daemon = flushDaemon(gw, cfg.flushIntervalSecs * 1000L, maintain = cfg.autoMaintenance)
     daemon.start()
     sys.addShutdownHook {
       daemon.interrupt()

@@ -265,6 +265,39 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.load().get.snapshots.size <= 2, "history must be bounded after the vacuum")
   }
 
+  test("auto-maintenance clock: an ingesting table stays bounded and mask-free with zero admin calls") {
+    val t = "gwauto"
+    val root = s"$baseDir/$t"
+    // tight thresholds so eight flush ticks cross them several times — the
+    // production defaults only change WHEN the same path fires
+    val policy = GatewayServer.MaintenancePolicy(
+      maxSnapshots = 3, maxManifests = 3, deleteRowRatio = 0.01, keepSnapshots = 2)
+    def snapCount(): Int = new graft.iceberg.IcebergCommitter(
+      graft.iceberg.TableIO.forRoot(root), EventTable.Topic).load().get.snapshots.size
+    var vacuums = 0
+    (1 to 8).foreach { i =>
+      // one daemon tick = flush what arrived, then the threshold probe
+      post(s"/tables/$t", s"""{"payload":"{\\"v\\":$i}","partition":${i % 2},"timestamp_ms":${1000L * i}}""")
+      server.flushNow(t)
+      if (server.maintainIfNeeded(t, policy).isDefined) vacuums += 1
+      assert(snapCount() <= policy.maxSnapshots + 1,
+        s"tick $i: snapshot history must stay bounded by the clock, no admin call")
+    }
+    assert(vacuums >= 1, "the threshold probe must have triggered at least one vacuum")
+    assert(EventTable.readCommitted(spark, root).count() === 8L)
+
+    // MoR delete weight: the ratio trigger folds the masks on the next tick
+    EventTable.deleteWhereMor(spark, root, col("partition") === 1)
+    val expect = EventTable.readCommitted(spark, root).count()
+    assert(server.maintainIfNeeded(t, policy).isDefined, "delete weight must trigger the tick's vacuum")
+    val c = new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    assert(c.activeDeleteFiles().isEmpty, "the tick must leave the table mask-free")
+    assert(EventTable.readCommitted(spark, root).count() === expect)
+
+    // below every threshold: the probe is a no-op tick, not a vacuum loop
+    assert(server.maintainIfNeeded(t, policy).isEmpty)
+  }
+
   test("X2: the Iceberg REST catalog serves config, namespaces, and table metadata") {
     assert(mapper.readTree(get("/v1/config").body()).get("overrides").get("warehouse").asText === baseDir)
     assert(get("/v1/namespaces").body().contains("zombi"))
@@ -281,6 +314,11 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val load = mapper.readTree(get("/v1/namespaces/zombi/tables/gwflush").body())
     assert(load.get("metadata-location").asText.endsWith(".metadata.json"))
     assert(load.get("metadata").get("format-version").asInt === 2)
+    // refs travel through the catalog load: an external engine resolves
+    // `main` to the current snapshot without knowing our summary markers
+    assert(load.get("metadata").get("refs").get("main").get("snapshot-id").asLong ===
+      load.get("metadata").get("current-snapshot-id").asLong)
+    assert(load.get("metadata").get("refs").get("main").get("type").asText === "branch")
     assert(get("/v1/namespaces/zombi/tables/neverwritten").statusCode() === 404)
 
     // config advertises the multi-level separator + endpoint list
