@@ -115,7 +115,36 @@ object Bench {
         val infos = spark.sparkContext.getRDDStorageInfo
         (infos.map(_.diskSize).sum, infos.map(_.numCachedPartitions.toLong).sum)
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
-    val loadStart = hostLoad()
+    // LOAD GATE (round-17 verdict #1): three consecutive official artifacts
+    // (r15-r17) needed hand-written host-vs-code adjudication because the
+    // driver's run landed in an externally-loaded window (r17: 44.9k
+    // marginal at load 5.1-7.3, below the engine's own 53-67k identical-
+    // code band). Gate mechanically instead: sample /proc/loadavg BEFORE
+    // the sweep; above the threshold, back off once and re-sample. The
+    // artifact then stamps "regime":"noisy-host" whenever ANY phase-
+    // boundary sample exceeded the threshold — a below-band number
+    // self-classifies, no prose adjudication.
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").flatMap(_.toDoubleOption).getOrElse(4.0)
+    val gateBackoffS = sys.env.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S").flatMap(_.toIntOption).getOrElse(90)
+    var gateWaitedS = 0
+    locally {
+      val l0 = hostLoad()
+      if (l0 > maxLoad) {
+        System.err.println(f"[graft-bench] host load $l0%.1f above gate $maxLoad%.1f — " +
+          s"backing off ${gateBackoffS}s before the sweep")
+        Thread.sleep(gateBackoffS * 1000L)
+        gateWaitedS = gateBackoffS
+        val l1 = hostLoad()
+        if (l1 > maxLoad)
+          System.err.println(f"[graft-bench] host load still $l1%.1f after backoff — " +
+            "proceeding; artifact will carry regime=noisy-host")
+      }
+    }
+    // every phase-boundary load sample feeds the regime stamp (negative =
+    // /proc unavailable, excluded)
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleLoad(): Double = { val l = hostLoad(); if (l >= 0) loadSamples += l; l }
+    val loadStart = sampleLoad()
     val (steal0, jiffies0) = cpuStat()
     val queryHealth = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // FAMILY-SCOPED CACHE EVICTION (adjudication of the round-10 tpch_q5/q7
@@ -192,7 +221,7 @@ object Bench {
       // noise from regression without rerunning this one
       (name, first, median(warm), warm.min, warm.max)
     }
-    val loadAfterSweep = hostLoad()
+    val loadAfterSweep = sampleLoad()
     def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total      = results.map(_._3).sum
@@ -228,7 +257,7 @@ object Bench {
         try {
           val root    = java.nio.file.Files.createTempDirectory("graft-stream10x-").toString
           val staging = java.nio.file.Files.createTempDirectory("graft-staging10x-").toString
-          val load10x = hostLoad() // external pressure at ingest start — the
+          val load10x = sampleLoad() // external pressure at ingest start — the
           // marginal-ev/s adjudication needs it alongside the rate itself
           val t0      = System.nanoTime()
           val schema  = streaming.StreamIngest.stageChunks(spark, sfDir, staging, nChunks = 40, replicate = 10)
@@ -396,6 +425,12 @@ object Bench {
           // ratio sits in the same sub-linear scan band, NOT at 1.0
           // (fixture builds land in first-touch, which medians exclude).
           // r17 recorded: x10 1.54, tt2 1.71.
+          // x11 (post-expire time travel) / x13 (post-rewrite read): the
+          // maintenance ops themselves run in the fixture build (first
+          // touch); the MEDIAN is the read-back through expired/coalesced
+          // metadata over 4x rows — scan band again. The maintenance-op
+          // cost curve over a LONG snapshot chain is tracked separately by
+          // the maint_scale block below (32- vs 128-commit chains).
           val targets = Seq("tpch_q1_pricing", "tpch_q3_shipping", "tpch_q6_revenue",
                             "tpch_q18_large_orders", "d2_minhash_lsh", "d14_span_dedup",
                             "d16_incremental_dedup", "t16_perplexity_filter",
@@ -403,7 +438,8 @@ object Bench {
                             "t21_hll_cardinality", "t23_langid", "r5_bitext_mining",
                             "t24_dsir_select", "t25_gopher_repetition",
                             "d17_substring_dedup",
-                            "x10_mor_sql_read", "tt2_snapshot_diff")
+                            "x10_mor_sql_read", "tt2_snapshot_diff",
+                            "x11_expire", "x13_manifest_rewrite")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
@@ -425,7 +461,8 @@ object Bench {
                           "t21_hll_cardinality" -> "t21", "t23_langid" -> "t23",
                           "r5_bitext_mining" -> "r5", "t24_dsir_select" -> "t24",
                           "t25_gopher_repetition" -> "t25", "d17_substring_dedup" -> "d17",
-                          "x10_mor_sql_read" -> "x10", "tt2_snapshot_diff" -> "tt2")
+                          "x10_mor_sql_read" -> "x10", "tt2_snapshot_diff" -> "tt2",
+                          "x11_expire" -> "x11", "x13_manifest_rewrite" -> "x13")
           val ratios = probes.flatMap { case (n, m) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
@@ -715,6 +752,57 @@ object Bench {
           System.err.println(s"[graft-bench] mor fold probe failed: $e"); "null"
       }
     }
+    // MAINTENANCE-AT-CHAIN-SCALE probe (round-17 verdict #8): x11/x13's
+    // oracle fixtures exercise expire/rewrite on 2-3-snapshot tables; the
+    // cost that matters at 100 TB is the METADATA WALK over a per-trigger-
+    // committing table's chain (~17k snapshots/day at a 5 s trigger).
+    // Build two synthetic chains — pure metadata, DataFile descriptors
+    // only, no row data, so this measures exactly the committer walk the
+    // nightly vacuum pays — and time rewrite_manifests + expire at 32 vs
+    // 128 commits. The 4x-chain ratios land next to the query-scale
+    // ratios: expire resolves every snapshot's active set for physical GC,
+    // so its walk is quadratic in RETAINED chain length by construction —
+    // the probe tracks that the constant stays milliseconds-per-snapshot
+    // and that the post-maintenance chain resets the cost.
+    val maintScale = {
+      if (only.nonEmpty) "null"
+      else try {
+        def chain(n: Int): (Double, Double) = {
+          val root = java.nio.file.Files.createTempDirectory("graft-maintscale-")
+          try {
+            val c = new iceberg.IcebergCommitter(iceberg.TableIO.forRoot(root.toString), "events")
+            (1 to n).foreach { i =>
+              val f = iceberg.DataFile(content = 0,
+                filePath = s"data/partition=0/f$i.parquet", fileFormat = "PARQUET",
+                recordCount = 100, fileSizeInBytes = 10000,
+                lowerBounds = Map(iceberg.FieldIds.Partition -> iceberg.Bounds.encodeInt(0),
+                                  iceberg.FieldIds.Sequence  -> iceberg.Bounds.encodeLong(i * 100L - 99)),
+                upperBounds = Map(iceberg.FieldIds.Partition -> iceberg.Bounds.encodeInt(0),
+                                  iceberg.FieldIds.Sequence  -> iceberg.Bounds.encodeLong(i * 100L)))
+              c.commitAppend(Seq(f), Map(0 -> i * 100L))
+            }
+            val t0 = System.nanoTime(); c.rewriteManifests()
+            val rw = (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime(); val expired = c.expireSnapshots(2).size
+            val ex = (System.nanoTime() - t1) / 1e9
+            if (expired != n - 1) // n appends + 1 rewrite − keepLast(2)
+              System.err.println(s"[graft-bench] maint_scale chain($n) expired $expired, expected ${n - 1}")
+            (rw, ex)
+          } finally {
+            try core.FsUtil.deleteRecursively(root)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+        chain(8) // warm: avro codec + jackson init out of the measured pair
+        val (rwS, exS) = chain(32)
+        val (rwL, exL) = chain(128)
+        f"""{"snaps":[32,128],"rewrite_s":[$rwS%.3f,$rwL%.3f],"expire_s":[$exS%.3f,$exL%.3f],""" +
+          f""""rewrite_ratio":${rwL / math.max(1e-9, rwS)}%.2f,"expire_ratio":${exL / math.max(1e-9, exS)}%.2f}"""
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-bench] maint scale probe failed: $e"); "null"
+      }
+    }
     val microJson = micro()
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
@@ -728,13 +816,17 @@ object Bench {
     // steal share over the whole run, and the nonzero warm-rep churn
     // entries. An elevated median with zero churn and elevated load is the
     // host; churn with flat load is the engine.
-    val loadEnd = hostLoad()
+    val loadEnd = sampleLoad()
     val (steal1, jiffies1) = cpuStat()
     val stealPct =
       if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0) else 0.0
+    // the mechanical verdict the gate exists for: quiet = every sampled
+    // phase boundary was at or under the threshold
+    val regime = if (loadSamples.forall(_ <= maxLoad)) "quiet" else "noisy-host"
     val hostJson =
       f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
-        f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f}"""
+        f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f,""" +
+        f""""regime":"$regime","load_gate":$maxLoad%.1f,"gate_waited_s":$gateWaitedS}"""
     val healthJson = queryHealth.map { case (n, (b, sp, dr)) =>
       s""""$n":{"memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr}"""
     }.mkString("{", ",", "}")
@@ -752,7 +844,7 @@ object Bench {
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
       s""""dedup_recall":$dedupRecall,"retrieval_quality":$retrievalQuality,""" +
-      s""""query_scale":$qScale,"mor_compact":$morCompact,""" +
+      s""""query_scale":$qScale,"mor_compact":$morCompact,"maint_scale":$maintScale,""" +
       s""""host":$hostJson,"query_health":$healthJson,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
@@ -778,9 +870,11 @@ object Bench {
     // live at full precision in BENCH_FULL.json) until it fits, and say so.
     def assemble(micro: Boolean, gw: Boolean, ft: Boolean, qmap: Boolean = true): String =
       f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
-        // host load start/after-sweep/end + warm-rep churn count: enough to
-        // adjudicate an elevated median from the compact line alone
-        f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f","churn":${queryHealth.size},""" +
+        // host load start/after-sweep/end + the gate's mechanical verdict +
+        // warm-rep churn count: enough to adjudicate an elevated median
+        // from the compact line alone
+        f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f","regime":"$regime",""" +
+        f""""churn":${queryHealth.size},""" +
         (if (qmap) f""""queries":${q2(_._3)},"""
          // the per-query map is the line's dominant block (~25 chars/query);
          // past ~75 queries even a fully-shed line overflows the tail, so
