@@ -916,11 +916,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     def filesOf(s: Snapshot, content: Int): Seq[String] =
       resolveActive(entriesOf(meta, s.snapshotId, content)).map(_.filePath)
     val keptFiles = keep.flatMap(s => filesOf(s, 0) ++ filesOf(s, 1)).toSet
-    val allFiles = meta.snapshots
-      .flatMap(s => entriesOf(meta, s.snapshotId, 0) ++ entriesOf(meta, s.snapshotId, 1))
-      .map(_.dataFile.filePath).toSet
-    val expiredManifests = expired.flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
-      .map(_.manifestPath).toSet -- keptManifests
+    val allManifests = allManifestPaths(meta)
+    val allFiles = filePathsIn(allManifests)
+    // (all ∖ kept) == (expired-referenced ∖ kept): a manifest referenced
+    // only by kept snapshots is subtracted either way — reusing the union
+    // avoids a second per-expired-snapshot list walk
+    val expiredManifests = allManifests -- keptManifests
 
     val next = meta.copy(
       lastUpdatedMs = System.currentTimeMillis(),
@@ -1062,6 +1063,30 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     Some(CommitResult(snapshotId, won, next))
   }
 
+  /** Every file path named by ANY snapshot's manifests (both contents, all
+    * statuses) — the "is it referenced at all" set expire's physical GC and
+    * orphan GC subtract from. Computed over the UNION of unique manifests,
+    * not per snapshot: the carry-forward list makes snapshot i reference
+    * O(i) manifests, so a per-snapshot entry walk is QUADRATIC in chain
+    * length (the shape a per-trigger-committing table's nightly vacuum
+    * pays at ~17k snapshots/day) while the union parses and walks each
+    * manifest exactly once. Status-2 entries still count as references on
+    * purpose: a file named only by history belongs to expire's
+    * keep-set arithmetic, and orphan GC must never sweep it. */
+  private def allReferencedFilePaths(meta: TableMetadata): Set[String] =
+    filePathsIn(allManifestPaths(meta))
+
+  /** Union of every manifest path any snapshot's list carries. */
+  private def allManifestPaths(meta: TableMetadata): Set[String] =
+    meta.snapshots.iterator
+      .flatMap(s => IcebergCommitter.cachedManifestList(io, s.manifestList))
+      .map(_.manifestPath).toSet
+
+  private def filePathsIn(manifestPaths: Set[String]): Set[String] =
+    manifestPaths.iterator
+      .flatMap(p => IcebergCommitter.cachedManifest(io, p))
+      .map(_.dataFile.filePath).toSet
+
   /** Startup watermark reconciliation (F9): per-partition max committed
     * sequence recovered purely from manifest upper bounds — no data read
     * (`/root/reference/src/flusher/mod.rs:244-329`). Partition comes from
@@ -1107,9 +1132,7 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     // `data/deletes/` — a content=0-only walk would sweep them as orphans
     // once past the horizon and silently unmask their rows
     val referenced: Set[String] =
-      load().toSeq.flatMap(m => m.snapshots.flatMap(s =>
-        entriesOf(m, s.snapshotId, 0) ++ entriesOf(m, s.snapshotId, 1)))
-        .map(_.dataFile.filePath).toSet
+      load().map(allReferencedFilePaths).getOrElse(Set.empty)
     val staged: Set[String] = io.list("staged")
       .filter(_.endsWith(".marker"))
       .flatMap(m => new String(io.get(m), "UTF-8").split('\n').filter(_.nonEmpty))
