@@ -823,6 +823,14 @@ final class GatewayServer(
     * next tick retries) and hands the per-table flush lock to vacuum as
     * its step lock, so ingestion flushes interleave between passes. A
     * CommitConflict from a racing writer also just yields the tick. */
+  /** What the maintenance clock probes: every COMMITTED table under the
+    * warehouse, plus hot-only topics that have not flushed yet. Broader
+    * than the flush loop's `hot.topics` on purpose — a table written only
+    * through the library path (`df.write.format("graft")`, MERGE/DELETE
+    * jobs) accretes snapshots and delete masks without ever holding hot
+    * events, and it is exactly the CDC-heavy table that needs the clock. */
+  def maintainableTopics(): Seq[String] = (hot.topics ++ committedTopics()).distinct.sorted
+
   def maintainIfNeeded(topic: String,
                        policy: GatewayServer.MaintenancePolicy = GatewayServer.MaintenancePolicy()
                       ): Option[Maintenance.VacuumReport] = {

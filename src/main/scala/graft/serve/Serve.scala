@@ -67,9 +67,12 @@ object Serve {
         gw.hot.topics.foreach { topic =>
           try gw.flushNow(topic)
           catch { case _: Exception => () } // next tick retries (F10)
-          if (maintain)
-            try gw.maintainIfNeeded(topic)
-            catch { case _: Exception => () } // same contract: next tick
+        }
+        // the maintenance probe covers COMMITTED tables too (library-path
+        // writers accrete snapshots/masks without ever holding hot events)
+        if (maintain) gw.maintainableTopics().foreach { topic =>
+          try gw.maintainIfNeeded(topic)
+          catch { case _: Exception => () } // same contract: next tick
         }
       } catch { case _: InterruptedException => () }
     }, "graft-flush-daemon")
