@@ -582,7 +582,13 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Manifest-list entries of the current snapshot (for the `$manifests`
     * metadata relation). */
   def currentManifests(): Seq[ManifestListEntry] =
-    load().toSeq.flatMap(_.currentSnapshot).flatMap(s =>
+    load().toSeq.flatMap(m => currentManifestsOf(m))
+
+  /** [[currentManifests]] against an already-loaded metadata — for probes
+    * that must read several metadata facets without re-parsing the (large,
+    * snapshot-count-proportional) JSON per facet. */
+  def currentManifestsOf(meta: TableMetadata): Seq[ManifestListEntry] =
+    meta.currentSnapshot.toSeq.flatMap(s =>
       IcebergCommitter.cachedManifestList(io, s.manifestList))
 
   /** Active files: adds (status 0/1) minus later deletes (status 2), by path. */

@@ -345,13 +345,25 @@ final class GatewayServer(
           //    server-side (the operator-friendly spelling).
           val expireOlder = (q.get("expire_older_than_ms").flatMap(_.toLongOption),
                              q.get("expire_max_age_ms").flatMap(_.toLongOption)) match {
+            case (Some(_), Some(_)) =>
+              // never pick one silently — the two spellings disagree on
+              // what the number MEANS, so a combined request is ambiguous
+              throw ApiError(400, "INVALID_INPUT",
+                "pass expire_older_than_ms OR expire_max_age_ms, not both")
             case (Some(abs), _) if abs < 1_000_000_000_000L =>
               throw ApiError(400, "INVALID_INPUT",
                 s"expire_older_than_ms=$abs is not an epoch timestamp (looks like an age) — " +
                   "pass expire_max_age_ms for a relative age")
-            case (Some(abs), _)  => abs
-            case (None, Some(a)) => System.currentTimeMillis() - math.max(0L, a)
-            case (None, None)    => Long.MaxValue
+            case (Some(abs), _) => abs
+            case (None, Some(a)) =>
+              val cut = System.currentTimeMillis() - math.max(0L, a)
+              // an age reaching past ~2001 would fail expireSnapshots'
+              // epoch guard as a 500 — surface it as client input instead
+              if (cut < 1_000_000_000_000L)
+                throw ApiError(400, "INVALID_INPUT",
+                  s"expire_max_age_ms=$a reaches before the epoch-guard floor; use a smaller age")
+              cut
+            case (None, None) => Long.MaxValue
           }
           val horizon = math.max(
             q.get("gc_horizon_ms").flatMap(_.toLongOption).getOrElse(24L * 60 * 60 * 1000),
@@ -842,7 +854,7 @@ final class GatewayServer(
     val delRows = sl("total-position-deletes") + sl("total-equality-deletes")
     val needed =
       meta.snapshots.size > policy.maxSnapshots ||
-        c.currentManifests().size > policy.maxManifests ||
+        c.currentManifestsOf(meta).size > policy.maxManifests ||
         (delRows > 0 && delRows.toDouble / math.max(1L, sl("total-records")) >= policy.deleteRowRatio)
     if (!needed) return None
     val guard = compacting.computeIfAbsent(topic, _ => new AtomicBoolean(false))
@@ -851,9 +863,14 @@ final class GatewayServer(
       val r =
         // vacuum's default 24 h orphan-GC horizon on purpose: an unattended
         // job should never run closer to the in-flight-write window than an
-        // operator would by default
+        // operator would by default. keepNewerThanTsMs honors the policy's
+        // lag headroom for checkpointed consumers (see MaintenancePolicy).
         try Maintenance.vacuum(spark, s"$baseDir/$topic",
-          keepSnapshots = policy.keepSnapshots, stepLock = tableLock(topic))
+          keepSnapshots = policy.keepSnapshots,
+          keepNewerThanTsMs =
+            if (policy.keepAgeMs <= 0) Long.MaxValue
+            else System.currentTimeMillis() - policy.keepAgeMs,
+          stepLock = tableLock(topic))
         catch { case _: CommitConflict => return None } // next tick retries
       metrics.inc("zombi_auto_vacuums_total")
       Some(r)
@@ -914,12 +931,24 @@ object GatewayServer {
     * 5-minute-flush table vacuums a few times a day, and ANY lingering MoR
     * delete weight (5% of rows) triggers a fold rather than taxing every
     * scan until an operator notices. `keepSnapshots` is the retention the
-    * triggered vacuum applies (2 = current + one rollback target). */
+    * triggered vacuum applies (2 = current + one rollback target).
+    *
+    * `keepAgeMs` is the lag headroom for streaming checkpoints and
+    * time-travel readers: the triggered vacuum retains EVERY snapshot
+    * younger than this (union semantics — keepLast ∪ age ∪ current), so a
+    * consumer paused less than the window resumes cleanly instead of
+    * hitting "unknown snapshot" on an auto-expired id. The default hour
+    * bounds a 300 s-flush table at ~12 retained snapshots; raise it for
+    * long-pausing consumers, lower it (or 0) only when nothing tails the
+    * table. (A lagging consumer can still hit the vacuum's COMPACTION as
+    * a loud append-only refusal — retention cannot make a replace
+    * diffable.) */
   final case class MaintenancePolicy(
       maxSnapshots: Int = 64,
       maxManifests: Int = 32,
       deleteRowRatio: Double = 0.05,
-      keepSnapshots: Int = 2)
+      keepSnapshots: Int = 2,
+      keepAgeMs: Long = 60L * 60 * 1000)
 
   /** The Iceberg REST multi-level namespace separator (information unit
     * separator, advertised percent-encoded as `%1F` in `/v1/config`). */

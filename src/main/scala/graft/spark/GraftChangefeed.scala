@@ -181,19 +181,25 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
           if (newDels.nonEmpty && parentFiles.nonEmpty) {
             val priorDels = EventTable.pruneDeleteFiles(
               parentFiles, committer.activeFilesAtOf(meta, parentId, 1))
+            // INLINE-TIER ONLY, on purpose: the batch scan escalates
+            // inline -> broadcast at inlineMaskRows, but a streaming batch
+            // has no clean broadcast lifecycle per trigger (one leak per
+            // delete commit otherwise), and planInputPartitions holds every
+            // per-file slice at once — so past the inline tier the right
+            // answer is a fold (the auto-maintenance clock's job) + a full
+            // re-read, refused loudly here rather than shipped as
+            // hundreds of MB of task binaries.
             val totalRows = (newDels ++ priorDels).map(_.recordCount).sum
-            require(totalRows <= GraftScan.maxMaskCap(spark),
+            require(totalRows <= GraftScan.inlineMaskCap(spark),
               s"changefeed delete snapshot ${s.snapshotId} resolves $totalRows mask rows " +
-                s"(> ${GraftScan.maxMaskCap(spark)}): the delete commit predates a fold — " +
-                "replay from a full read instead")
+                s"(> inline cap ${GraftScan.inlineMaskCap(spark)}): the delete commit " +
+                "predates a fold — vacuum the table and replay from a full read instead")
             // both mask sets ride the cached driver index reads
             val (dropPosBy, dropEqBy) = GraftScan.deleteMasksFor(tableRoot, priorDels)
             val (keepPosBy, keepEqBy) = GraftScan.deleteMasksFor(tableRoot, newDels)
             parentFiles.foreach { f =>
               val key = EventTable.morKeyOf(f.filePath)
-              val pid = f.filePath.split('/').collectFirst {
-                case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-              }.getOrElse(-1)
+              val pid = EventTable.pathPartitionOf(f.filePath)
               def seqSlice(m: Map[Int, Array[Long]]): Array[Long] = {
                 val all = m.getOrElse(pid, Array.empty[Long])
                 if (all.isEmpty) all

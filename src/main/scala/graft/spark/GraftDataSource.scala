@@ -49,11 +49,17 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     else base
   }
 
-  override def getTable(schema: StructType, partitioning: Array[Transform], props: JMap[String, String]): Table =
-    if (isChangefeed(props))
-      new GraftChangefeedTable(props.get("path"), schema,
-        Option(props.get("fromSnapshot")).orElse(Option(props.get("fromsnapshot"))).map(_.trim.toLong))
-    else new GraftTable(props.get("path"), schema)
+  override def getTable(schema: StructType, partitioning: Array[Transform], props: JMap[String, String]): Table = {
+    // getTable receives the ORIGINAL-case property map while inferSchema got
+    // a CaseInsensitiveStringMap — decide through the same wrapper, or a
+    // miscased option("changeFeed") would add _change_type to the schema yet
+    // build the plain append-tail stream (deletes silently never emitted)
+    val opts = new CaseInsensitiveStringMap(props)
+    if (isChangefeed(opts))
+      new GraftChangefeedTable(opts.get("path"), schema,
+        Option(opts.get("fromsnapshot")).map(_.trim.toLong))
+    else new GraftTable(opts.get("path"), schema)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -376,9 +382,7 @@ object GraftScan {
     val eqs =
       if (eqByPart.isEmpty) Array.empty[Long]
       else {
-        val pid = f.filePath.split('/').collectFirst {
-          case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-        }.getOrElse(-1)
+        val pid = graft.table.EventTable.pathPartitionOf(f.filePath)
         val all = eqByPart.getOrElse(pid, Array.empty[Long])
         if (all.isEmpty) all
         else {
@@ -568,9 +572,7 @@ final class GraftReaderFactory(required: StructType,
     else {
       val (posByFile, eqByPart) = masks.getOrElse(throw new IllegalStateException(
         s"${p.relPath} planned broadcast masks but the factory carries none")).value
-      val part = p.relPath.split('/').collectFirst {
-        case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-      }.getOrElse(-1)
+      val part = graft.table.EventTable.pathPartitionOf(p.relPath)
       (posByFile.getOrElse(graft.table.EventTable.morKeyOf(p.relPath), Array.empty[Long]),
        eqByPart.getOrElse(part, Array.empty[Long]))
     }

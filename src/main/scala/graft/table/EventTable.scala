@@ -1115,6 +1115,22 @@ object EventTable {
     relPath.substring(j + 1)
   }
 
+  /** The OTHER path-derived MoR identity next to [[morKeyOf]]: the
+    * identity log partition recovered from the Hive `partition=P` path
+    * segment. ONE definition shared by the V2 scan's mask keying (inline
+    * and broadcast), the changefeed resolution, and footer-stat recovery —
+    * divergent copies of path-identity parsing are exactly the round-16
+    * basename-collision class. */
+  private[graft] def pathPartitionOpt(relPath: String): Option[Int] =
+    relPath.split('/').collectFirst {
+      case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
+    }
+
+  /** [[pathPartitionOpt]] with the mask-keying default: −1 (a key no
+    * equality mask is ever stored under) when the segment is absent. */
+  private[graft] def pathPartitionOf(relPath: String): Int =
+    pathPartitionOpt(relPath).getOrElse(-1)
+
   /** Delete files that can affect ANY of the given data files, decided on
     * MANIFEST BOUNDS ONLY — the tombstone-read pruning every masked reader
     * runs before touching a delete parquet. A time- or partition-pruned
@@ -1174,7 +1190,12 @@ object EventTable {
                                       files: Seq[DataFile]):
       org.apache.spark.broadcast.Broadcast[graft.functions.MorMaskIndex] =
     morBcCache.synchronized {
-      val key = tableRoot + "|" + files.map(_.filePath).sorted.mkString(",")
+      // the CONTEXT is part of the key: a JVM that restarts its
+      // SparkSession would otherwise be served a broadcast whose context
+      // is stopped, and every masked read of that snapshot would throw
+      // "Attempted to use Broadcast after destroy/stop" until eviction
+      val key = spark.sparkContext.applicationId + "|" + tableRoot + "|" +
+        files.map(_.filePath).sorted.mkString(",")
       Option(morBcCache.get(key)).getOrElse {
         val (p, e) = graft.spark.GraftScan.deleteMasksFor(tableRoot, files)
         val bc = spark.sparkContext.broadcast(new graft.functions.MorMaskIndex(p, e))
@@ -1397,9 +1418,7 @@ object FileStats extends Serializable {
     } finally reader.close()
 
     // Identity partition value from the Hive path: .../partition=P/file
-    val part = relPath.split('/').collectFirst {
-      case seg if seg.startsWith("partition=") => seg.stripPrefix("partition=").toInt
-    }
+    val part = EventTable.pathPartitionOpt(relPath)
     // Evolved date spec: event_date is a DIRECTORY key, not a page column —
     // its identity bounds come from the path (files are single-date), so
     // date/time pruning stays manifest-stat-driven on both specs.

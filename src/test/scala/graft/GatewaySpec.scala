@@ -270,8 +270,12 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val root = s"$baseDir/$t"
     // tight thresholds so eight flush ticks cross them several times — the
     // production defaults only change WHEN the same path fires
+    // keepAgeMs = 0: the fixture's snapshots are all seconds old, so the
+    // production lag-headroom floor would retain everything and the test
+    // would measure nothing
     val policy = GatewayServer.MaintenancePolicy(
-      maxSnapshots = 3, maxManifests = 3, deleteRowRatio = 0.01, keepSnapshots = 2)
+      maxSnapshots = 3, maxManifests = 3, deleteRowRatio = 0.01, keepSnapshots = 2,
+      keepAgeMs = 0L)
     def snapCount(): Int = new graft.iceberg.IcebergCommitter(
       graft.iceberg.TableIO.forRoot(root), EventTable.Topic).load().get.snapshots.size
     var vacuums = 0
