@@ -821,8 +821,16 @@ object Bench {
     val stealPct =
       if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0) else 0.0
     // the mechanical verdict the gate exists for: quiet = every sampled
-    // phase boundary was at or under the threshold
-    val regime = if (loadSamples.forall(_ <= maxLoad)) "quiet" else "noisy-host"
+    // phase-boundary loadavg at or under the threshold AND whole-run CPU
+    // steal under its own threshold. The steal term is from round 18's
+    // first closing run: loadavg 1.2-3.5 (quiet by the load gate) yet
+    // warm sums ~20% over the band and marginal ingest below it — with
+    // steal_pct 4.0%. Hypervisor steal never shows in loadavg (runnable
+    // threads, not unscheduled time), so it needs its own term; quiet
+    // recorded runs measure 0.006-0.06%.
+    val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
+    val regime =
+      if (loadSamples.forall(_ <= maxLoad) && stealPct <= maxSteal) "quiet" else "noisy-host"
     val hostJson =
       f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
         f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f,""" +
