@@ -191,8 +191,46 @@ final case class GraftInputPartition(tableRoot: String, relPath: String,
                                      broadcastMasks: Boolean = false) extends InputPartition
 
 final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
-                      pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch {
+                      pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** Runtime (dynamic-partition-pruning) filters: Spark derives them from
+    * a join's build side AFTER planning starts and pushes them here BEFORE
+    * `planInputPartitions` — they compose with the build-time pushed
+    * filters in the same manifest-bound pruning pass, so a fact-scan joined
+    * to a filtered dim plans only the files the join keys can touch. All
+    * bound-backed columns are offered; Spark sends only join-key filters. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("partition", "event_date", "event_hour", "sequence", "timestamp_ms")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(GraftScanBuilder.prunable)
+
+  private def pruneSurvivors(files: Seq[DataFile]): Seq[DataFile] =
+    files.filter(f => (pushed ++ runtimeFilters).forall(flt => GraftScan.mayMatch(f, flt)))
+
+  /** Manifest-exact statistics for the PRUNED scan: Catalyst's join
+    * planning (auto-broadcast under `autoBroadcastJoinThreshold`, join
+    * reorder) sees the filtered table's real bytes/rows instead of a
+    * directory-size guess — a dim-sized graft table in a join broadcasts
+    * without a hint, which at 100 TB is the difference between a hash
+    * shuffle of the fact table and none. Bytes are on-disk parquet sizes
+    * (the V2 FileScan convention); rows ignore unfolded MoR masks (an
+    * estimate may overstate, never understate a mask fold). */
+  override def estimateStatistics(): Statistics = {
+    val (bytes, rows) = planState match {
+      case None => (0L, 0L)
+      case Some((_, files, _)) =>
+        val s = pruneSurvivors(files)
+        (s.map(_.fileSizeInBytes).sum, s.map(_.recordCount).sum)
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong    = java.util.OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -239,7 +277,7 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     planState match {
       case None => (Array.empty[InputPartition], None)
       case Some((_, files, dels)) =>
-        val surviving = files.filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
+        val surviving = pruneSurvivors(files) // build-time AND runtime filters
         val relevant  = EventTable.pruneDeleteFiles(surviving, dels)
         val (mkPartition, bc) = GraftScan.planMasks(tableRoot, relevant)
         (surviving.map(mkPartition).toArray[InputPartition], bc)

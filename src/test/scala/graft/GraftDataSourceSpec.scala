@@ -141,6 +141,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
     r
   }
 
+  test("V2 scan reports manifest-exact statistics and prunes files on runtime filters") {
+    import org.apache.spark.sql.functions.col
+    val c = new graft.iceberg.IcebergCommitter(
+      graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    val files = c.activeDataFiles()
+
+    // statistics: the optimized scan relation's size/rows are the manifest
+    // totals — what Catalyst's auto-broadcast decision reads for a join
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.get
+    val full = scanStats(spark.read.format("graft").load(root))
+    assert(full.sizeInBytes === BigInt(files.map(_.fileSizeInBytes).sum))
+    assert(full.rowCount.contains(BigInt(files.map(_.recordCount).sum)))
+    // a pushed filter shrinks the estimate to the surviving files
+    val p3files = files.filter(_.lowerInt(graft.iceberg.FieldIds.Partition).contains(3))
+    val pruned = scanStats(spark.read.format("graft").load(root).filter(col("partition") === 3))
+    assert(pruned.sizeInBytes === BigInt(p3files.map(_.fileSizeInBytes).sum))
+    assert(pruned.sizeInBytes < full.sizeInBytes)
+
+    // end to end: the stats make a dim-sized graft table AUTO-broadcast in
+    // a join (the other side, 2M range rows = 16 MB estimated, is over the
+    // 10 MB default threshold — only the graft side qualifies). Without
+    // reported stats the relation defaults to "huge" and this would be a
+    // sort-merge join shuffling both sides.
+    val big  = spark.range(0, 2000000).selectExpr("id AS seq2")
+    val join = spark.read.format("graft").load(root)
+      .join(big, col("sequence") === col("seq2"))
+    assert(join.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "a manifest-small graft table must broadcast without a hint")
+
+    // runtime (DPP) filters: delivered AFTER build, BEFORE planning — the
+    // scan must re-prune its file list, not just ask Spark to re-filter rows
+    val schema = graft.spark.GraftDataSource.sparkSchema(root)
+    val baseline = new graft.spark.GraftScanBuilder(root, schema).build().toBatch.planInputPartitions().length
+    val scan = new graft.spark.GraftScanBuilder(root, schema).build()
+    val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(rf.filterAttributes().map(_.describe()).contains("partition"))
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("partition", Array(3))))
+    val planned = scan.toBatch.planInputPartitions()
+    assert(planned.nonEmpty && planned.length < baseline,
+      s"runtime IN(partition=3) must prune files: $baseline -> ${planned.length}")
+    assert(planned.forall(_.asInstanceOf[graft.spark.GraftInputPartition].relPath.contains("partition=3")))
+  }
+
   test("MoR V2 scan: folds both delete kinds at read; streams, SQL, and time travel compose") {
     import graft.table.EventTable
     import org.apache.spark.sql.functions.col
