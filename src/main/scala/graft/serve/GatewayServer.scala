@@ -852,8 +852,19 @@ final class GatewayServer(
     val summary = meta.currentSnapshot.map(_.summary).getOrElse(Map.empty)
     def sl(k: String) = summary.get(k).flatMap(_.toLongOption).getOrElse(0L)
     val delRows = sl("total-position-deletes") + sl("total-equality-deletes")
+    // the snapshot-count term counts only snapshots the triggered vacuum
+    // COULD expire (older than the keepAgeMs retention floor): a table
+    // committing more than maxSnapshots inside the floor would otherwise
+    // sit above the threshold forever and run a futile full vacuum
+    // (orphan listing included) on every tick. The manifest and
+    // delete-ratio terms stay total — rewrite and compaction act
+    // regardless of retention, so each trigger clears itself.
+    val ageFloor =
+      if (policy.keepAgeMs <= 0) Long.MaxValue
+      else System.currentTimeMillis() - policy.keepAgeMs
+    val expirable = meta.snapshots.count(_.timestampMs < ageFloor)
     val needed =
-      meta.snapshots.size > policy.maxSnapshots ||
+      expirable > policy.maxSnapshots ||
         c.currentManifestsOf(meta).size > policy.maxManifests ||
         (delRows > 0 && delRows.toDouble / math.max(1L, sl("total-records")) >= policy.deleteRowRatio)
     if (!needed) return None

@@ -208,8 +208,10 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters.filter(GraftScanBuilder.prunable)
 
-  private def pruneSurvivors(files: Seq[DataFile]): Seq[DataFile] =
-    files.filter(f => (pushed ++ runtimeFilters).forall(flt => GraftScan.mayMatch(f, flt)))
+  private def pruneSurvivors(files: Seq[DataFile]): Seq[DataFile] = {
+    val all = pushed ++ runtimeFilters // hoisted: never rebuilt per file
+    files.filter(f => all.forall(flt => GraftScan.mayMatch(f, flt)))
+  }
 
   /** Manifest-exact statistics for the PRUNED scan: Catalyst's join
     * planning (auto-broadcast under `autoBroadcastJoinThreshold`, join
@@ -270,18 +272,35 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
   // [[GraftScan.planMasks]]). Tombstone-read pruning FIRST: the pushed
   // bounds prune the file list, and only deletes whose manifest bounds can
   // touch a SURVIVING file are ever opened — a one-hour time-pruned scan
-  // of a year-long table must not read a year of tombstones. ONE lazy so
+  // of a year-long table must not read a year of tombstones. ONE memo so
   // the partitions and the factory's broadcast decision derive from the
   // same planning state.
-  private lazy val planned: (Array[InputPartition], GraftScan.MaskBroadcast) =
-    planState match {
-      case None => (Array.empty[InputPartition], None)
-      case Some((_, files, dels)) =>
-        val surviving = pruneSurvivors(files) // build-time AND runtime filters
-        val relevant  = EventTable.pruneDeleteFiles(surviving, dels)
-        val (mkPartition, bc) = GraftScan.planMasks(tableRoot, relevant)
-        (surviving.map(mkPartition).toArray[InputPartition], bc)
+  // Memoized PER runtime-filter delivery, not once: Spark forces a plan
+  // during executed-plan PREPARATION (the columnar-support rules call
+  // planInputPartitions before any runtime filter exists) and re-plans at
+  // EXECUTION after BatchScanExec delivers the DPP filters — a plain lazy
+  // val would hand the second call the memo of the first and the runtime
+  // pruning would silently never prune. filter() swaps the runtimeFilters
+  // array instance, so a reference check is exactly "filters changed".
+  // (A pre-filter plan that escalated masks to a broadcast leaves that
+  // broadcast to ContextCleaner, like any superseded batch-scan plan.)
+  private var plannedFor: AnyRef = null
+  private var plannedVal: (Array[InputPartition], GraftScan.MaskBroadcast) = _
+  private def planned: (Array[InputPartition], GraftScan.MaskBroadcast) = synchronized {
+    val cur = runtimeFilters
+    if (plannedVal == null || !(plannedFor eq cur)) {
+      plannedVal = planState match {
+        case None => (Array.empty[InputPartition], None)
+        case Some((_, files, dels)) =>
+          val surviving = pruneSurvivors(files) // build-time AND runtime filters
+          val relevant  = EventTable.pruneDeleteFiles(surviving, dels)
+          val (mkPartition, bc) = GraftScan.planMasks(tableRoot, relevant)
+          (surviving.map(mkPartition).toArray[InputPartition], bc)
+      }
+      plannedFor = cur
     }
+    plannedVal
+  }
 
   override def planInputPartitions(): Array[InputPartition] = planned._1
 

@@ -300,6 +300,16 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // below every threshold: the probe is a no-op tick, not a vacuum loop
     assert(server.maintainIfNeeded(t, policy).isEmpty)
+
+    // snapshots the keepAgeMs retention floor protects must not TRIGGER
+    // either: a fast committer above maxSnapshots would otherwise run a
+    // futile full vacuum (expiry can never bring the count down) on every
+    // tick — the thrash class
+    val young = GatewayServer.MaintenancePolicy(maxSnapshots = 1, maxManifests = 1000,
+      deleteRowRatio = 1.0, keepSnapshots = 2, keepAgeMs = 60L * 60 * 1000)
+    assert(snapCount() > young.maxSnapshots, "fixture must sit above the count threshold")
+    assert(server.maintainIfNeeded(t, young).isEmpty,
+      "only expirable (past-the-floor) snapshots may trigger the clock")
   }
 
   test("X2: the Iceberg REST catalog serves config, namespaces, and table metadata") {

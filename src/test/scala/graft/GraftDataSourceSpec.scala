@@ -173,13 +173,16 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(join.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
       "a manifest-small graft table must broadcast without a hint")
 
-    // runtime (DPP) filters: delivered AFTER build, BEFORE planning — the
-    // scan must re-prune its file list, not just ask Spark to re-filter rows
+    // runtime (DPP) filters, in Spark's REAL call order: the columnar
+    // rules force a plan during executed-plan preparation BEFORE any
+    // runtime filter exists, then BatchScanExec delivers filter() and
+    // re-plans at execution — the re-plan must be the pruned one, never
+    // the first plan's memo (the silent-no-op class)
     val schema = graft.spark.GraftDataSource.sparkSchema(root)
-    val baseline = new graft.spark.GraftScanBuilder(root, schema).build().toBatch.planInputPartitions().length
     val scan = new graft.spark.GraftScanBuilder(root, schema).build()
     val rf = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
     assert(rf.filterAttributes().map(_.describe()).contains("partition"))
+    val baseline = scan.toBatch.planInputPartitions().length // pre-filter forcing
     rf.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("partition", Array(3))))
     val planned = scan.toBatch.planInputPartitions()
