@@ -816,7 +816,14 @@ object Bench {
     // steal share over the whole run, and the nonzero warm-rep churn
     // entries. An elevated median with zero churn and elevated load is the
     // host; churn with flat load is the engine.
-    val loadEnd = sampleLoad()
+    // loadEnd is recorded but EXCLUDED from the regime samples: it is
+    // taken right after the gateway load-harness phase, whose 8-thread
+    // closed-loop HTTP load plus Spark probes ARE the 1-min loadavg it
+    // reads — self-load, not external contention (run-5 adjudication:
+    // steal 0.106%, sweep loads 1.3/2.85, loadEnd 5.26 from the bench's
+    // own tail phases). External contention during the tail phases is
+    // what the steal term measures.
+    val loadEnd = hostLoad()
     val (steal1, jiffies1) = cpuStat()
     val stealPct =
       if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0) else 0.0
