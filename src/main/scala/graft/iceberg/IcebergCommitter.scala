@@ -234,13 +234,36 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     * replace that also adds rows) and the post-insert `watermarks` so a
     * merge's appended tail advances F7/F9 like any other append; plain
     * compaction/delete rewrites keep the defaults (watermarks carry
-    * forward from the parent summary). */
+    * forward from the parent summary).
+    *
+    * `dataPreserving = true` stamps `zombi.data-preserving` in the summary:
+    * the CALLER asserts the commit's LIVE ROW SET is identical to its
+    * parent's (a compaction/MoR-fold rewrite — never a CoW delete or
+    * merge). Streaming consumers ([[appendsBetween]], the changefeed) may
+    * CROSS a stamped replace emitting nothing, which is what lets a
+    * checkpointed tail survive the auto-maintenance clock's vacuums.
+    * Rollback/time-travel guards deliberately do NOT honor the stamp —
+    * the replace still physically deletes the files it replaced. The
+    * commit enforces the cheap half of the claim itself (a fold can only
+    * shrink the physical row count: added ≤ removed, and only a pure
+    * replace qualifies); the caller holds the mask arithmetic for the
+    * exact conservation bracket (see Compaction's commit-site assert). */
   def commitReplace(removed: Seq[DataFile], added: Seq[DataFile], expectedBase: Long,
                     watermarks: Map[Int, Long] = Map.empty,
                     operation: String = "replace",
-                    removedDeletes: Seq[DataFile] = Nil): CommitResult =
+                    removedDeletes: Seq[DataFile] = Nil,
+                    dataPreserving: Boolean = false): CommitResult = {
+    if (dataPreserving) {
+      require(operation == "replace",
+        s"dataPreserving applies only to operation=replace, not '$operation' (a merge/CoW delete changes rows)")
+      require(added.map(_.recordCount).sum <= removed.map(_.recordCount).sum,
+        "a data-preserving replace can only fold rows away: added " +
+          s"${added.map(_.recordCount).sum} > removed ${removed.map(_.recordCount).sum}")
+    }
+    val extra = if (dataPreserving) Map("zombi.data-preserving" -> "true") else Map.empty[String, String]
     synchronized { commit(added, removed, expectedSnapshotId = Some(expectedBase), operation, watermarks,
-                          Map.empty, None, removedDeletes = removedDeletes) }
+                          extra, None, removedDeletes = removedDeletes) }
+  }
 
   /** Merge-on-read row-level DELETE commit: delete files — positional
     * (Iceberg v2 DataFile content=1) or equality (content=2) — enter the
@@ -688,12 +711,19 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   /** Incremental append scan (Iceberg `appendsBetween` semantics): the data
     * files added AFTER `fromSnapshotId` up to the current head — the CDC
     * feed a downstream consumer reads instead of re-scanning the table.
-    * Requires an append-only range: an overwrite/replace/delete snapshot in
-    * between rewrites existing rows (and this table physically deletes
-    * replaced files), so a file-level diff cannot represent the row-level
-    * change — the scan refuses and the consumer must fall back to a full
-    * read. With the range verified append-only, head-active minus
-    * base-active IS exactly the appended file set. */
+    *
+    * The range may contain, besides appends: manifest rewrites (file
+    * identity unchanged) and DATA-PRESERVING replaces (`zombi.data-
+    * preserving` — compaction/MoR folds, live row set identical), which
+    * both contribute nothing — what Iceberg's own incremental scans do,
+    * and what lets a checkpointed tail survive the maintenance clock's
+    * vacuums instead of dying at every compaction. A data-preserving
+    * replace is crossable ONLY while it merged files the consumer has
+    * already read: if it removed a file an in-range append added (the
+    * replaced file is physically deleted — its rows are unreadable as a
+    * distinct unit), the scan refuses and the consumer must re-read.
+    * Any other operation (overwrite/CoW delete/MoR delete rewrites rows —
+    * a file-level diff cannot represent it) refuses loudly as before. */
   // A caller holding a snapshot id PROVES the table existed — an absent/
   // unreadable metadata here must fail loudly, never read as "no new
   // files": a streaming tail that swallowed it would commit an empty
@@ -706,18 +736,24 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     val meta = loadForDiff(fromSnapshotId)
     val head = meta.currentSnapshotId.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot to diff against $fromSnapshotId"))
-    appendsBetween(meta, fromSnapshotId, head)
+    appendsBetween(meta, fromSnapshotId, head, skipDeleteSnapshots = false)
   }
 
   /** [[appendsSince]] between two PINNED snapshots — the micro-batch form
-    * a streaming tail plans with (start offset, end offset). */
-  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] =
-    appendsBetween(loadForDiff(fromSnapshotId), fromSnapshotId, toSnapshotId)
+    * a streaming tail plans with (start offset, end offset).
+    * `skipDeleteSnapshots` (Iceberg's streaming-skip-delete-snapshots
+    * knob): OPT-IN to cross MoR delete commits emitting nothing — an
+    * append-only consumer that knowingly forgoes retractions; without it
+    * a delete in range refuses loudly. */
+  def appendsBetween(fromSnapshotId: Long, toSnapshotId: Long,
+                     skipDeleteSnapshots: Boolean = false): Seq[DataFile] =
+    appendsBetween(loadForDiff(fromSnapshotId), fromSnapshotId, toSnapshotId, skipDeleteSnapshots)
 
   // ONE metadata load feeds validation and both file resolutions: a
   // replace committed between two loads must never slip an unvalidated
   // range past the guard.
-  private def appendsBetween(meta: TableMetadata, fromSnapshotId: Long, toSnapshotId: Long): Seq[DataFile] = {
+  private def appendsBetween(meta: TableMetadata, fromSnapshotId: Long, toSnapshotId: Long,
+                             skipDeleteSnapshots: Boolean): Seq[DataFile] = {
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
     require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
     require(byId.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
@@ -738,15 +774,44 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
           s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId " +
             "(abandoned by a rollback?) — fall back to a full read"))
     }
-    range.foreach { s =>
+    // Forward walk: emit the files each APPEND added; a manifest REWRITE
+    // changes no file identity and a DATA-PRESERVING replace changes no
+    // live row — both contribute nothing. (For an append-only range this
+    // equals the head-active ∖ base-active set diff; with a replace in
+    // range the diff would wrongly emit the compaction's merged outputs.)
+    val emitted      = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    val emittedPaths = scala.collection.mutable.Set.empty[String]
+    range.reverseIterator.foreach { s =>
       val op = s.summary.getOrElse("operation", "append")
-      // a manifest REWRITE changes no file identity (active sets equal on
-      // both sides), so a file-level diff across it is still row-exact
-      require(op == "append" || s.summary.get("zombi.rewrite-manifests").contains("true"),
-        s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'")
+      if (s.summary.get("zombi.rewrite-manifests").contains("true")) ()
+      else if (op == "append") {
+        val added = entriesOf(meta, s.snapshotId)
+          .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
+        emitted ++= added
+        emittedPaths ++= added.map(_.filePath)
+      } else if (op == "replace" && s.summary.get("zombi.data-preserving").contains("true")) {
+        // crossable only while it merged files the consumer already read:
+        // an unread in-range append it folded away is physically gone
+        val removed = entriesOf(meta, s.snapshotId)
+          .filter(e => e.status == 2 && e.snapshotId == s.snapshotId).map(_.dataFile)
+        removed.find(f => emittedPaths.contains(f.filePath)).foreach { f =>
+          throw new IllegalStateException(
+            s"snapshot ${s.snapshotId} compacted away ${f.filePath}, appended inside the " +
+              s"unconsumed range ($fromSnapshotId, $toSnapshotId] — the file is physically " +
+              "deleted; fall back to a full read")
+        }
+      } else if (op == "delete" && skipDeleteSnapshots) {
+        // MoR delete: adds no data file — crossed emitting nothing under
+        // the explicit opt-in (the tail forgoes retractions); in-range
+        // appended rows it masked still emit, by append-tail semantics
+        ()
+      } else
+        throw new IllegalArgumentException(
+          s"incremental append scan requires an append-only range; snapshot ${s.snapshotId} is '$op'" +
+            (if (op == "delete") " (set skipDeleteSnapshots=true to cross MoR deletes without retractions)"
+             else ""))
     }
-    val baseSet = resolveActive(entriesOf(meta, fromSnapshotId)).map(_.filePath).toSet
-    resolveActive(entriesOf(meta, toSnapshotId)).filterNot(f => baseSet.contains(f.filePath))
+    emitted.toSeq
   }
 
   /** ADDITIVE Iceberg schema evolution, CAS-committed like any snapshot:

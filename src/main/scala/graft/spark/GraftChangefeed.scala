@@ -29,11 +29,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    files masked, resolved against the parent's LIVE set (prior masks
   *    excluded; a row matched by both of the commit's delete kinds emits
   *    once);
-  *  - a manifest REWRITE contributes nothing; any REPLACE (compaction /
-  *    CoW rewrite) fails the batch LOUDLY — a file diff cannot represent
-  *    a rewrite — as does a range crossing expire-truncated history (the
-  *    parent-chain walk hits an unknown snapshot), so the stream never
-  *    silently skips or duplicates changes.
+  *  - a manifest REWRITE contributes nothing, and so does a
+  *    DATA-PRESERVING replace (`zombi.data-preserving`: compaction / MoR
+  *    fold — live row set identical), provided it only merged files whose
+  *    changes precede the range ([[EventTable.validateFeedRange]]) — so a
+  *    checkpointed feed SURVIVES the maintenance clock's vacuums;
+  *  - any other REPLACE (CoW rewrite changes rows) fails the batch
+  *    LOUDLY — a file diff cannot represent it — as does a range crossing
+  *    expire-truncated history (the parent-chain walk hits an unknown
+  *    snapshot), so the stream never silently skips or duplicates changes.
   *
   * `option("fromSnapshot", id)` starts the feed AFTER snapshot `id`
   * (exclusive); without it the feed starts at the head observed at query
@@ -153,20 +157,18 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     val ordered = rangeBuf.reverse.toSeq
     // validate the WHOLE range before building any partition (the
     // changesBetween discipline: a replace's physically-deleted files must
-    // surface as the refusal, not a missing-path read error)
-    ordered.foreach { s =>
-      val op = s.summary.getOrElse("operation", "append")
-      require(op == "append" || op == "delete" ||
-          s.summary.get("zombi.rewrite-manifests").contains("true"),
-        s"changefeed range contains snapshot ${s.snapshotId} with operation '$op' — " +
-          "a row-level diff cannot represent a rewrite; restart the feed from a full read")
-    }
+    // surface as the refusal, not a missing-path read error). The shared
+    // rule also admits DATA-PRESERVING replaces (compaction/MoR folds),
+    // which contribute nothing below — a checkpointed feed survives the
+    // maintenance clock's vacuums instead of dying at every compaction.
+    EventTable.validateFeedRange(committer, meta, ordered, from, to)
 
     val spark = org.apache.spark.sql.SparkSession.active
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     ordered.foreach { s =>
       val op = s.summary.getOrElse("operation", "append")
-      if (s.summary.get("zombi.rewrite-manifests").contains("true")) ()
+      if (s.summary.get("zombi.rewrite-manifests").contains("true") ||
+          s.summary.get("zombi.data-preserving").contains("true")) ()
       else op match {
         case "append" =>
           committer.entriesAtOf(meta, s.snapshotId)

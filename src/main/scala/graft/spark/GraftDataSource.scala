@@ -131,11 +131,17 @@ final class GraftTable(tableRoot: String, tableSchema: StructType,
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableRoot, tableSchema, snapshotId)
+    // `skipDeleteSnapshots` (Iceberg's streaming-skip-delete-snapshots):
+    // OPT-IN for the append tail to cross MoR delete commits emitting
+    // nothing — an append-only consumer knowingly forgoes retractions.
+    // Default stays the loud refusal.
+    new GraftScanBuilder(tableRoot, tableSchema, snapshotId,
+      options.getBoolean("skipDeleteSnapshots", false))
 }
 
 final class GraftScanBuilder(tableRoot: String, tableSchema: StructType,
-                             snapshotId: Option[Long] = None)
+                             snapshotId: Option[Long] = None,
+                             skipDeleteSnapshots: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType   = tableSchema
   private var pushed: Array[Filter]  = Array.empty
@@ -157,7 +163,8 @@ final class GraftScanBuilder(tableRoot: String, tableSchema: StructType,
       requiredSchema.fields.filterNot(_.name == "partition") ++
         requiredSchema.fields.filter(_.name == "partition"))
 
-  override def build(): Scan = new GraftScan(tableRoot, tableSchema, required, pushed, snapshotId)
+  override def build(): Scan =
+    new GraftScan(tableRoot, tableSchema, required, pushed, snapshotId, skipDeleteSnapshots)
 }
 
 object GraftScanBuilder {
@@ -191,7 +198,8 @@ final case class GraftInputPartition(tableRoot: String, relPath: String,
                                      broadcastMasks: Boolean = false) extends InputPartition
 
 final class GraftScan(tableRoot: String, tableSchema: StructType, required: StructType,
-                      pushed: Array[Filter], snapshotId: Option[Long] = None) extends Scan with Batch
+                      pushed: Array[Filter], snapshotId: Option[Long] = None,
+                      skipDeleteSnapshots: Boolean = false) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
 
@@ -240,7 +248,7 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     // silently tail the live head
     snapshotId.foreach(v => throw new UnsupportedOperationException(
       s"cannot stream a time-travel-pinned graft table (snapshot $v) — stream the live table"))
-    new GraftMicroBatchStream(tableRoot, required, pushed)
+    new GraftMicroBatchStream(tableRoot, required, pushed, skipDeleteSnapshots)
   }
 
   /** One partition per data file that SURVIVES manifest-bound pruning;
@@ -529,12 +537,16 @@ final case class GraftOffset(snapshotId: Long)
   * a stream: each micro-batch reads exactly the data files appended
   * between the last checkpointed snapshot and the current head (never a
   * re-listing, never a re-read), so a downstream pipeline tails the table
-  * with exactly-once file-level semantics. A replace/overwrite in the
-  * range fails the batch loudly (file diff ≠ row diff — resume after
-  * compaction requires a fresh full read), matching Iceberg's streaming-
-  * read contract. Partition planning reuses the batch scan's manifest-
-  * bound pruning and reader. */
-final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushed: Array[Filter])
+  * with exactly-once file-level semantics. A DATA-PRESERVING replace
+  * (compaction / MoR fold) in the range is crossed emitting nothing —
+  * matching Iceberg's incremental scans, and letting a checkpointed tail
+  * survive the maintenance clock — unless it merged away appends the
+  * consumer hasn't read (physically deleted → loud refusal). A
+  * row-changing replace/overwrite fails the batch loudly (file diff ≠
+  * row diff — resume requires a fresh full read). Partition planning
+  * reuses the batch scan's manifest-bound pruning and reader. */
+final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushed: Array[Filter],
+                                  skipDeleteSnapshots: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private def committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
@@ -584,9 +596,9 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
     // delete files at its end snapshot exactly like the batch scan — a
     // stream commits its progress and can never retract, so masked rows
     // must never enter the sink. Incremental batches read only files
-    // appended inside an append-only range (appendsBetween REFUSES a
-    // range containing a delete/replace commit — the same loud stall a
-    // mid-stream compaction has always produced), and appended rows
+    // appended by the range's append commits (appendsBetween CROSSES
+    // data-preserving replaces — compaction/MoR folds — emitting nothing,
+    // and REFUSES row-changing delete/overwrite commits), and appended rows
     // postdate every earlier delete (deleteWhereEq pins keys below the
     // watermark), so they need no masks.
     if (from == -1L) {
@@ -597,7 +609,7 @@ final class GraftMicroBatchStream(tableRoot: String, required: StructType, pushe
       bootstrapMasks = bc
       surviving.map(mkPartition).toArray[InputPartition]
     } else {
-      committer.appendsBetween(from, to)
+      committer.appendsBetween(from, to, skipDeleteSnapshots)
         .filter(f => pushed.forall(flt => GraftScan.mayMatch(f, flt)))
         .map(f => GraftInputPartition(tableRoot, f.filePath))
         .toArray[InputPartition]

@@ -245,9 +245,29 @@ object Compaction {
                                         dateLayout = EventTable.dateLayoutOf(committer))
     val added    = EventTable.collectDataFiles(spark, tableRoot, newPaths)
 
+    // Commit-site conservation bracket for the data-preserving stamp: the
+    // rewrite applied the active masks, so the written rows must land in
+    // [candidateRows − posMasked − eqMasked, candidateRows − max(pos, eq)]…
+    // except the mask counts may OVERLAP on doubly-deleted rows and
+    // positional counts may double-count across delete files, so only the
+    // sound two-sided form is asserted: no row invented (added ≤ removed)
+    // and no row lost beyond what the masks can explain (added ≥ removed −
+    // posMasked − eqMasked). A violation means the rewrite diverged from
+    // the read path's mask semantics — refuse to stamp (and to commit) a
+    // replace streams would then silently cross.
     try {
+      val candidateRows = candidates.map(_.recordCount).sum
+      val addedRows     = added.map(_.recordCount).sum
+      val maskedRows    = candidates.map { f =>
+        posMasked.getOrElse(EventTable.morKeyOf(f.filePath), 0L) + eqMaskedOf(f)
+      }.sum
+      require(addedRows <= candidateRows && addedRows >= candidateRows - maskedRows,
+        s"compaction rewrite of ${candidates.size} files is not row-conserving: " +
+          s"$candidateRows rows in, $addedRows out, masks explain at most $maskedRows — " +
+          "refusing the data-preserving replace commit")
       beforeCommit() // test hook: interleave a concurrent commit
-      val res = committer.commitReplace(candidates, added, base, removedDeletes = foldedDeletes)
+      val res = committer.commitReplace(candidates, added, base, removedDeletes = foldedDeletes,
+                                        dataPreserving = true)
       // Old files are invisible now; eager physical delete matches the
       // reference (see Config.deleteReplacedFiles for the time-travel
       // preserving alternative).
@@ -257,11 +277,15 @@ object Compaction {
       }
       Some(res)
     } catch {
+      // Roll back: delete ONLY the files this compaction wrote — they are
+      // uncommitted orphans — and rethrow. Covers the CAS conflict AND the
+      // conservation-bracket refusal above.
       case c: CommitConflict =>
-        // Roll back: delete ONLY the files this compaction wrote — they
-        // are uncommitted orphans — and rethrow.
         newPaths.foreach(committer.io.delete)
         throw c
+      case e: IllegalArgumentException =>
+        newPaths.foreach(committer.io.delete)
+        throw e
     }
   }
 }

@@ -1258,7 +1258,14 @@ object EventTable {
     *    earlier masks never re-emit, and a row matched by both of the
     *    commit's delete kinds emits once;
     *  - a manifest REWRITE contributes nothing (no row changed);
-    *  - any other operation (replace/overwrite rewrites rows — a file
+    *  - a DATA-PRESERVING replace (`zombi.data-preserving` — compaction /
+    *    MoR fold, live row set identical) contributes nothing, PROVIDED it
+    *    only merged files whose changes precede the range — if it removed
+    *    a file an in-range append/delete resolution still needs, the files
+    *    are physically deleted and the feed refuses (re-read instead).
+    *    This is what lets an incremental consumer survive the maintenance
+    *    clock's vacuums;
+    *  - any other operation (overwrite/CoW delete rewrites rows — a file
     *    diff cannot represent it) REFUSES loudly, as does a range
     *    crossing an expired snapshot.
     *
@@ -1288,16 +1295,11 @@ object EventTable {
     // validate the WHOLE range before building any scan: a replace in the
     // range physically deleted files, so a lazily-discovered refusal would
     // surface as a missing-path read error instead of the real reason
-    ordered.foreach { s =>
-      val op = s.summary.getOrElse("operation", "append")
-      require(op == "append" || op == "delete" ||
-          s.summary.get("zombi.rewrite-manifests").contains("true"),
-        s"changefeed range contains snapshot ${s.snapshotId} with operation '$op' — " +
-          "a row-level diff cannot represent a rewrite; fall back to a full read")
-    }
+    validateFeedRange(committer, meta, ordered, fromSnapshotId, toSnapshotId)
     val parts: Seq[DataFrame] = ordered.flatMap { s =>
       val op = s.summary.getOrElse("operation", "append")
-      if (s.summary.get("zombi.rewrite-manifests").contains("true")) None
+      if (s.summary.get("zombi.rewrite-manifests").contains("true") ||
+          s.summary.get("zombi.data-preserving").contains("true")) None
       else op match {
         case "append" =>
           val added = committer.entriesAtOf(meta, s.snapshotId)
@@ -1342,6 +1344,60 @@ object EventTable {
     val empty = readProjected(spark, tableRoot, schema, Nil)
       .withColumn("_change_type", lit(null: String).cast("string"))
     parts.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** ONE range-validation rule for BOTH changefeed forms (batch
+    * [[changesBetween]] and the streaming [[graft.spark.GraftChangefeedStream]]):
+    * every snapshot in the forward-ordered range must be an append, a MoR
+    * delete, a manifest rewrite, or a DATA-PRESERVING replace — and a
+    * data-preserving replace is crossable only while every file it removed
+    * predates the range's reads. `readPaths` accumulates what the feed
+    * will physically open (append-added files; the parent-live files a
+    * delete commit resolves against): a replace that removed one of them
+    * physically deleted it, so the refusal must carry the real reason
+    * instead of surfacing later as a missing-path read error. */
+  private[graft] def validateFeedRange(committer: IcebergCommitter,
+                                       meta: graft.iceberg.TableMetadata,
+                                       ordered: Seq[graft.iceberg.Snapshot],
+                                       fromSnapshotId: Long, toSnapshotId: Long): Unit = {
+    val readPaths = scala.collection.mutable.Set.empty[String]
+    ordered.foreach { s =>
+      val op        = s.summary.getOrElse("operation", "append")
+      val isRewrite = s.summary.get("zombi.rewrite-manifests").contains("true")
+      val isDp      = op == "replace" && s.summary.get("zombi.data-preserving").contains("true")
+      require(op == "append" || op == "delete" || isRewrite || isDp,
+        s"changefeed range contains snapshot ${s.snapshotId} with operation '$op' — " +
+          "a row-level diff cannot represent a rewrite; fall back to a full read")
+      if (isRewrite) ()
+      else if (isDp) {
+        // removed DATA files (the merge) and removed DELETE files (the
+        // fold) are both physically deleted — either kind still needed by
+        // an earlier in-range read makes the range uncrossable
+        val removed = (committer.entriesAtOf(meta, s.snapshotId) ++
+            committer.entriesAtOf(meta, s.snapshotId, content = 1))
+          .filter(e => e.status == 2 && e.snapshotId == s.snapshotId)
+        removed.find(e => readPaths.contains(e.dataFile.filePath)).foreach { e =>
+          throw new IllegalStateException(
+            s"snapshot ${s.snapshotId} compacted away ${e.dataFile.filePath}, which the " +
+              s"unconsumed changefeed range ($fromSnapshotId, $toSnapshotId] still needs — " +
+              "the file is physically deleted; fall back to a full read")
+        }
+      } else if (op == "append") {
+        readPaths ++= committer.entriesAtOf(meta, s.snapshotId)
+          .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile.filePath)
+      } else { // MoR delete: resolution reads the parent's live data files,
+               // its own new delete parquet, and the parent's prior masks
+        val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
+          .filter(e => e.status == 1 && e.snapshotId == s.snapshotId)
+        if (newDels.nonEmpty) {
+          readPaths ++= newDels.map(_.dataFile.filePath)
+          s.parentSnapshotId.foreach { parentId =>
+            readPaths ++= committer.activeFilesAtOf(meta, parentId, 0).map(_.filePath)
+            readPaths ++= committer.activeFilesAtOf(meta, parentId, 1).map(_.filePath)
+          }
+        }
+      }
+    }
   }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at

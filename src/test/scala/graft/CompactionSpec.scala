@@ -172,13 +172,20 @@ class CompactionSpec extends AnyFunSuite {
     val feed = EventTable.changesBetween(spark, root, base, head1)
     assert(feed.filter(col("_change_type") === "delete").count() === r.deletedRows)
     assert(feed.filter(col("_change_type") === "insert").count() === 0)
-    // a compaction (replace) in the range must refuse — file diff ≠ row diff
+    // a compaction is DATA-PRESERVING: a feed whose range holds only the
+    // replace (its merged changes all precede the range) crosses it
+    // emitting nothing...
     while (Compaction.compact(spark, root).isDefined) ()
     val head2 = committer.load().get.currentSnapshotId.get
     assert(head2 !== head1)
-    intercept[IllegalArgumentException] {
+    assert(EventTable.changesBetween(spark, root, head1, head2).count() === 0L,
+      "a consumed-range compaction must cross emitting nothing")
+    // ...but a range still NEEDING the files the compaction physically
+    // deleted (the delete commit's parent-live resolution) refuses loudly
+    val ex = intercept[IllegalStateException] {
       EventTable.changesBetween(spark, root, base, head2)
     }
+    assert(ex.getMessage.contains("compacted away"), ex.getMessage.take(300))
     // an expired endpoint must refuse, composing with expireSnapshots
     committer.expireSnapshots(keepLast = 1)
     intercept[IllegalArgumentException] {

@@ -659,6 +659,50 @@ class IcebergSpec extends AnyFunSuite {
     assert(c.appendsSince(head).isEmpty)
   }
 
+  test("appendsBetween crosses data-preserving replaces; refuses ones that merged unread appends") {
+    val c  = freshCommitter()
+    val a  = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b  = df("data/partition=0/b.parquet", 10, 0, 20)
+    c.commitAppend(Seq(a), Map(0 -> 10L))
+    val r1 = c.commitAppend(Seq(b), Map(0 -> 20L))
+    // compaction-style replace of files that PRECEDE the range: crossable
+    val m  = df("data/partition=0/m.parquet", 20, 0, 20)
+    val r2 = c.commitReplace(Seq(a, b), Seq(m), r1.snapshotId, dataPreserving = true)
+    assert(c.load().get.snapshots.find(_.snapshotId == r2.snapshotId).get
+      .summary.get("zombi.data-preserving").contains("true"))
+    assert(c.appendsSince(r1.snapshotId).isEmpty,
+      "a data-preserving replace contributes nothing — and must not refuse")
+    // appends around it flow through; the replace's outputs never emit
+    val e  = df("data/partition=1/e.parquet", 5, 1, 5)
+    val r3 = c.commitAppend(Seq(e), Map(1 -> 5L))
+    assert(c.appendsBetween(r1.snapshotId, r3.snapshotId).map(_.filePath) === Seq(e.filePath))
+    // a DP replace that merged an IN-RANGE append: the file is physically
+    // deleted — refuse loudly, never silently skip or duplicate
+    val m2 = df("data/partition=1/m2.parquet", 5, 1, 5)
+    c.commitReplace(Seq(e), Seq(m2), r3.snapshotId, dataPreserving = true)
+    val ex = intercept[IllegalStateException](c.appendsSince(r1.snapshotId))
+    assert(ex.getMessage.contains("compacted away"))
+    assert(c.appendsSince(r3.snapshotId).isEmpty, "from PAST the merged append it crosses again")
+    // the stamp does NOT loosen rollback (replaced files are physically gone)
+    assertThrows[IllegalArgumentException](c.rollbackTo(r1.snapshotId))
+    // stamp guards: only a pure shrink-only replace may claim preservation
+    val big = df("data/partition=0/big.parquet", 999, 0, 20)
+    assertThrows[IllegalArgumentException](
+      c.commitReplace(Seq(m), Seq(big), c.load().get.currentSnapshotId.get, dataPreserving = true))
+    assertThrows[IllegalArgumentException](
+      c.commitReplace(Seq(m), Seq(m2), c.load().get.currentSnapshotId.get,
+        operation = "overwrite", dataPreserving = true))
+    // skipDeleteSnapshots: a MoR delete in range refuses by default,
+    // crosses (emitting nothing) under the explicit opt-in
+    val del = df("deletes/partition=1/d.parquet", 2, 1, 5).copy(content = 1)
+    c.commitDeletes(Seq(del), c.load().get.currentSnapshotId.get)
+    val f2   = df("data/partition=1/f2.parquet", 4, 1, 9)
+    val head = c.commitAppend(Seq(f2), Map(1 -> 9L))
+    assertThrows[IllegalArgumentException](c.appendsBetween(r3.snapshotId, head.snapshotId))
+    assert(c.appendsBetween(r3.snapshotId, head.snapshotId, skipDeleteSnapshots = true)
+      .map(_.filePath) === Seq(f2.filePath))
+  }
+
   test("rollbackTo: repoints current, keeps abandoned snapshots, refuses rewrites in range") {
     val c  = freshCommitter()
     val a  = df("data/partition=0/a.parquet", 10, 0, 10)

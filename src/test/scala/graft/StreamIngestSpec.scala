@@ -61,13 +61,108 @@ class StreamIngestSpec extends AnyFunSuite {
         .selectExpr("cast(partition as int)", "sequence", "_change_type")
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
       assert(streamed === batchFeed, "streamed and batch changefeeds must agree row-for-row")
-      // a replace (compaction) in the range fails the batch LOUDLY
+      // a compaction whose merged changes were all CONSUMED is data-
+      // preserving: the resumed feed crosses it emitting nothing (the
+      // lowered ratio trigger drives the FULL fold so the CoW delete
+      // below is admissible)
       var compacted = false
-      while (graft.table.Compaction.compact(spark, root).isDefined) compacted = true
+      while (graft.table.Compaction.compact(spark, root,
+        graft.table.Compaction.Config(deleteRatioTrigger = 0.01, maxFilesPerRun = 10000)).isDefined)
+        compacted = true
       assert(compacted, "fixture expects the fragmented table to compact")
+      run()
+      assert(sinkDf().count() === 10L + r1.deletedRows,
+        "a consumed-range compaction must be crossed emitting nothing")
+      // but a row-changing replace (CoW delete) still fails the batch LOUDLY
+      val r2 = EventTable.deleteWhere(spark, root, col("sequence") % 13 === 5)
+      assert(r2.deletedRows > 0, "fixture expects the CoW delete to match rows")
       val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { run() }
       assert(ex.getMessage.contains("changefeed") || ex.getMessage.contains("rewrite"),
         s"unexpected failure: ${ex.getMessage.take(400)}")
+    } finally prevCfm match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+    }
+  }
+
+  test("checkpointed changefeed AND append-tail streams survive Maintenance.vacuum between triggers") {
+    val root = Files.createTempDirectory("graft-vacsurv-").toString
+    val c    = EventTable.ingestAndCommit(spark, sf, root, fragmentInto = Some(8))
+    val base = c.load().get.currentSnapshotId.get
+    val n0   = EventTable.readCommitted(spark, root).count()
+    val cfSink   = Files.createTempDirectory("graft-vacsurv-cf-").toString
+    val tailSink = Files.createTempDirectory("graft-vacsurv-tail-").toString
+    val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    try {
+      def runCf(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("changefeed", "true").option("fromSnapshot", base.toString).load(root)
+          .writeStream.format("parquet")
+          .option("path", s"$cfSink/data").option("checkpointLocation", s"$cfSink/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def runTail(): Unit = {
+        // the fixture commits a MoR delete mid-stream; the append tail
+        // opts in to cross it (Iceberg's streaming-skip-delete-snapshots)
+        val q = spark.readStream.format("graft")
+          .option("skipDeleteSnapshots", "true").load(root)
+          .writeStream.format("parquet")
+          .option("path", s"$tailSink/data").option("checkpointLocation", s"$tailSink/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def cfDf()   = spark.read.parquet(s"$cfSink/data")
+      def tailDf() = spark.read.parquet(s"$tailSink/data")
+      // consume the bootstrap state, then an append + a MoR delete
+      runTail()
+      assert(tailDf().count() === n0)
+      val b1 = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                        n = 5, maxPart = 2, kShift = Some(321000L), prefix = "v")
+      EventTable.appendBatch(spark, root, b1)
+      val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 17 === 3)
+      assert(r1.deletedRows > 0)
+      runCf(); runTail()
+      val cfN   = 10L + r1.deletedRows
+      assert(cfDf().count() === cfN)
+      assert(tailDf().count() === n0 + 10L)
+      // THE VACUUM between triggers: compaction (fold) + manifest rewrite +
+      // expire + orphan GC — retention wide enough to keep the checkpoints
+      val report = graft.table.Maintenance.vacuum(spark, root,
+        compactionCfg = graft.table.Compaction.Config(deleteRatioTrigger = 0.01, maxFilesPerRun = 10000),
+        keepSnapshots = 64)
+      assert(report.compactions > 0, "fixture expects the vacuum to compact (replace commits)")
+      assert(report.manifestsCoalesced, "fixture expects a manifest rewrite")
+      assert(c.activeDeleteFiles().isEmpty, "fixture expects the vacuum to FOLD the MoR deletes")
+      // both consumers cross the maintenance commits emitting NOTHING
+      runCf(); runTail()
+      assert(cfDf().count() === cfN, "the changefeed must cross a vacuum emitting nothing")
+      assert(tailDf().count() === n0 + 10L, "the tail must cross a vacuum emitting nothing")
+      // and keep consuming exactly-once afterwards: no duplicate, no loss
+      val b2 = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                        n = 5, maxPart = 2, kShift = Some(654000L), prefix = "w")
+      EventTable.appendBatch(spark, root, b2)
+      runCf(); runTail()
+      assert(cfDf().filter(col("_change_type") === "insert").count() === 20L)
+      assert(cfDf().count() === cfN + 10L)
+      assert(tailDf().count() === n0 + 20L)
+      val dupKeys = tailDf().groupBy("partition", "sequence").count().filter(col("count") > 1).count()
+      assert(dupKeys === 0L, "the tail must never duplicate a (partition, sequence) row")
+      // an append left UNCONSUMED across a vacuum whose compaction merges it
+      // away refuses LOUDLY (the file is physically deleted), never silently
+      val b3 = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                        n = 9, maxPart = 2, kShift = Some(987000L), prefix = "x")
+      EventTable.appendBatch(spark, root, b3)
+      graft.table.Maintenance.vacuum(spark, root, keepSnapshots = 64,
+        compactionCfg = graft.table.Compaction.Config(minFilesPerGroup = 1))
+      val exCf = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runCf() }
+      assert(exCf.getMessage.contains("compacted away"),
+        s"unexpected changefeed failure: ${exCf.getMessage.take(400)}")
+      val exTail = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runTail() }
+      assert(exTail.getMessage.contains("compacted away"),
+        s"unexpected tail failure: ${exTail.getMessage.take(400)}")
     } finally prevCfm match {
       case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
       case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
