@@ -227,14 +227,26 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * directory-size guess — a dim-sized graft table in a join broadcasts
     * without a hint, which at 100 TB is the difference between a hash
     * shuffle of the fact table and none. Bytes are on-disk parquet sizes
-    * (the V2 FileScan convention); rows ignore unfolded MoR masks (an
-    * estimate may overstate, never understate a mask fold). */
+    * (the V2 FileScan convention). Rows SUBTRACT unfolded MoR mask rows
+    * (the delete-file recordCounts whose manifest bounds can touch a
+    * surviving file — exact for positional masks of surviving files,
+    * conservative for equality keys), and bytes scale by the live-row
+    * fraction: a delete-heavy dim table must not miss auto-broadcast on
+    * rows a codegen'd mask filter drops at the scan. Manifest-only — no
+    * delete parquet is opened for an estimate. */
   override def estimateStatistics(): Statistics = {
     val (bytes, rows) = planState match {
       case None => (0L, 0L)
-      case Some((_, files, _)) =>
+      case Some((_, files, dels)) =>
         val s = pruneSurvivors(files)
-        (s.map(_.fileSizeInBytes).sum, s.map(_.recordCount).sum)
+        val rawRows  = s.map(_.recordCount).sum
+        val rawBytes = s.map(_.fileSizeInBytes).sum
+        val maskRows = EventTable.pruneDeleteFiles(s, dels).map(_.recordCount).sum
+        val liveRows = math.max(0L, rawRows - maskRows)
+        val liveBytes =
+          if (rawRows <= 0L || maskRows <= 0L) rawBytes
+          else math.max(1L, (rawBytes.toDouble * liveRows / rawRows).toLong)
+        (liveBytes, liveRows)
     }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -419,20 +431,29 @@ object GraftScan {
   private def readMasks(tableRoot: String, dels: Seq[DataFile]): Masks = {
     deleteFilesOpened.addAndGet(dels.size.toLong)
     val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions._
     val pos = dels.filter(_.content == 1)
     val eq  = dels.filter(_.content == 2)
+    // dedup + sort run EXECUTOR-side (one map-combined aggregation per
+    // key), so the driver collects only the compact per-key arrays —
+    // O(keys + mask rows once, in packed arrays) instead of up to
+    // maxMaskRows raw (path-string, long) Rows (several GB transient at
+    // the 2^25 cap). The key expression is the shared morStoredKey twin
+    // of [[graft.table.EventTable.morKeyOf]] — ONE identity definition.
     val posByFile =
       if (pos.isEmpty) Map.empty[String, Array[Long]]
       else spark.read.parquet(pos.map(f => s"$tableRoot/${f.filePath}"): _*)
-        .select("file_path", "pos").collect()
-        .groupBy(r => graft.table.EventTable.morKeyOf(r.getString(0)))
-        .map { case (k, rs) => k -> rs.map(_.getLong(1)).distinct.sorted }
+        .select(expr(graft.table.EventTable.morStoredKey).as("k"), col("pos"))
+        .groupBy("k").agg(sort_array(collect_set(col("pos"))).as("ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
     val eqByPart =
       if (eq.isEmpty) Map.empty[Int, Array[Long]]
       else spark.read.parquet(eq.map(f => s"$tableRoot/${f.filePath}"): _*)
-        .selectExpr("cast(partition as int) AS partition", "sequence").collect()
-        .groupBy(_.getInt(0))
-        .map { case (p, rs) => p -> rs.map(_.getLong(1)).distinct.sorted }
+        .select(col("partition").cast("int").as("p"), col("sequence"))
+        .groupBy("p").agg(sort_array(collect_set(col("sequence"))).as("ss"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
     (posByFile, eqByPart)
   }
 

@@ -1108,7 +1108,7 @@ object EventTable {
     * in `data/partition=P/`), and avoid `input_file_name`-style full-path
     * URI-encoding mismatches. */
   private[table] val morFileKey   = "substring_index(_metadata.file_path, '/', -2)"
-  private[table] val morStoredKey = "substring_index(file_path, '/', -2)"
+  private[graft] val morStoredKey = "substring_index(file_path, '/', -2)"
   private[graft] def morKeyOf(relPath: String): String = {
     val i = relPath.lastIndexOf('/')
     val j = if (i <= 0) -1 else relPath.lastIndexOf('/', i - 1)

@@ -286,6 +286,52 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("statistics subtract unfolded MoR mask rows; a masked dim auto-broadcasts on live size") {
+    import graft.table.EventTable
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-morstats-").toString
+    val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(16))
+    val preRows = EventTable.readCommitted(spark, root).count()
+    val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 7 === 2)
+    val eqKeys = EventTable.readCommitted(spark, root)
+      .filter(col("sequence") % 13 === 5).select("partition", "sequence")
+    val r2 = EventTable.deleteWhereEq(spark, root, eqKeys)
+    assert(r1.deletedRows > 0 && r2.keys > 0)
+    val live  = preRows - r1.deletedRows - r2.keys
+    val files = c.activeDataFiles()
+    val rawRows  = files.map(_.recordCount).sum
+    val rawBytes = files.map(_.fileSizeInBytes).sum
+    assert(rawRows === preRows)
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.get
+    val st = scanStats(spark.read.format("graft").load(root))
+    assert(st.rowCount.contains(BigInt(live)),
+      s"row estimate must subtract unfolded mask rows: got ${st.rowCount}, want $live")
+    val liveBytes = math.max(1L, (rawBytes.toDouble * live / rawRows).toLong)
+    assert(st.sizeInBytes === BigInt(liveBytes))
+    // auto-broadcast decides on the LIVE size: a threshold between the
+    // live and raw sizes still broadcasts the masked dim
+    val thr  = (liveBytes + rawBytes) / 2
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      val big  = spark.range(0, 2000000).selectExpr("id AS seq2")
+      val join = spark.read.format("graft").load(root).join(big, col("sequence") === col("seq2"))
+      assert(join.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "the masked dim's LIVE size is under the threshold — it must broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the driver receives masks already aggregated (executor-side dedup +
+    // sort): per-key arrays sorted and distinct, totals exact
+    val (posBy, eqBy) = graft.spark.GraftScan.deleteMasksFor(root, c.activeDeleteFiles())
+    assert(posBy.nonEmpty && eqBy.nonEmpty)
+    posBy.values.foreach(a => assert(a.toSeq === a.toSeq.distinct.sorted))
+    eqBy.values.foreach(a => assert(a.toSeq === a.toSeq.distinct.sorted))
+    assert(posBy.values.map(_.length.toLong).sum === r1.deletedRows)
+    assert(eqBy.values.map(_.length.toLong).sum === r2.keys)
+  }
+
   test("a masked V2 scan stays COLUMNAR and a bounds-pruned scan opens zero delete files") {
     import graft.table.EventTable
     import org.apache.spark.sql.functions.col
