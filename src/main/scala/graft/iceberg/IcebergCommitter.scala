@@ -848,6 +848,63 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     true
   }
 
+  /** Create a named TAG pinning `snapshotId` (a user entry in the Iceberg
+    * `refs` map): time travel by NAME (`VERSION AS OF 'name'` through the
+    * catalog and the V2 source), plus expire protection — a tagged
+    * snapshot is retained by [[expireSnapshots]] until the tag is dropped.
+    * CAS-committed like every metadata change. Derived names (`main`,
+    * `stage-*`) and existing names are refused. TAGS ONLY by design:
+    * `main` is the single branch — this engine has one write lineage, and
+    * in-flight audit work already surfaces as derived stage tags. */
+  def createTag(name: String, snapshotId: Long): Int = synchronized {
+    require(name.matches("[a-zA-Z][a-zA-Z0-9._-]{0,127}"), s"invalid ref name: '$name'")
+    require(name != "main" && !name.startsWith("stage-"),
+      s"ref name '$name' collides with a derived ref (main / stage-*)")
+    val (baseVersion, baseMeta) = resolveCurrent()
+    val base = baseMeta.getOrElse(
+      throw new IllegalArgumentException(s"cannot tag a table with no committed metadata"))
+    require(base.snapshots.exists(_.snapshotId == snapshotId),
+      s"unknown snapshot $snapshotId — not in the table metadata (expired or never committed)")
+    require(!base.storedRefs.contains(name), s"ref '$name' already exists — drop it first")
+    val next = base.copy(lastUpdatedMs = System.currentTimeMillis(),
+      storedRefs = base.storedRefs + (name -> SnapshotRef(snapshotId, "tag")))
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse(
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    won
+  }
+
+  /** Drop a user tag — the snapshot becomes expirable again. Unknown names
+    * refuse loudly (a silent no-op would hide a typo from a retention
+    * runbook that believes it released the snapshot). */
+  def dropTag(name: String): Int = synchronized {
+    val (baseVersion, baseMeta) = resolveCurrent()
+    val base = baseMeta.getOrElse(throw new IllegalArgumentException(s"no committed metadata"))
+    require(base.storedRefs.contains(name),
+      s"unknown ref '$name' (have: ${base.storedRefs.keys.toSeq.sorted.mkString(", ")})")
+    val next = base.copy(lastUpdatedMs = System.currentTimeMillis(),
+      storedRefs = base.storedRefs - name)
+    val won = publishNext(baseVersion, next.toJson.getBytes("UTF-8")).getOrElse(
+      throw CommitConflict(s"a competitor committed past version $baseVersion (lost the race)"))
+    io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
+    won
+  }
+
+  /** Resolve a `VERSION AS OF` value against an already-loaded metadata:
+    * a numeric snapshot id, or a ref NAME from the refs map (user tags +
+    * derived `main`/`stage-*`). Unknown values fail loud, listing what
+    * exists — never an empty read. */
+  def resolveVersionOf(meta: TableMetadata, version: String): Long =
+    version.toLongOption match {
+      case Some(sid) =>
+        require(meta.snapshots.exists(_.snapshotId == sid),
+          s"no snapshot $sid (have: ${meta.snapshots.map(_.snapshotId).mkString(",")})")
+        sid
+      case None =>
+        meta.refs.get(version).map(_.snapshotId).getOrElse(throw new IllegalArgumentException(
+          s"no ref '$version' (have: ${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    }
+
   /** Partition-spec evolution, CAS-committed like [[evolveSchema]]: append
     * `fields` as a NEW spec under a fresh spec id and make it the default.
     * The aging-table move (e.g. add `identity(event_date)` once volume
@@ -955,10 +1012,14 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
       s.summary.get("zombi.staged").contains("true") &&
         !meta.snapshotLog.exists(_.snapshotId == s.snapshotId) &&
         s.parentSnapshotId == meta.currentSnapshotId).map(_.snapshotId)
+    // user-TAGGED snapshots are retained unconditionally: a tag is the
+    // operator's explicit "keep this readable" — expire refuses to drop it
+    // (drop the tag first); a refusal-by-exception here would instead
+    // wedge every nightly vacuum for as long as the tag lives
     val keepIds: Set[Long] =
       ranked.sortBy(_.timestampMs).takeRight(math.max(1, keepLast)).map(_.snapshotId).toSet ++
         meta.snapshots.filter(_.timestampMs >= keepNewerThanTsMs).map(_.snapshotId) ++
-        meta.currentSnapshotId ++ liveStages
+        meta.currentSnapshotId ++ liveStages ++ meta.storedRefs.values.map(_.snapshotId)
     val keep    = meta.snapshots.filter(s => keepIds(s.snapshotId))
     val expired = meta.snapshots.filterNot(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return Nil

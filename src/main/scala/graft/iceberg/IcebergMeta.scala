@@ -212,7 +212,13 @@ final case class TableMetadata(
     snapshots: Seq[Snapshot],
     snapshotLog: Seq[SnapshotLogEntry],
     sortOrders: Seq[SortOrder],
-    defaultSortOrderId: Int
+    defaultSortOrderId: Int,
+    /** USER-created named refs (tags), stored in metadata and CAS-committed
+      * like any change ([[IcebergCommitter.createTag]]/[[dropTag]]) — unlike
+      * the DERIVED refs (`main`, `stage-*`), which are recomputed from
+      * pointer + stage state on every serialization. Tagged snapshots are
+      * protected from [[IcebergCommitter.expireSnapshots]]. */
+    storedRefs: Map[String, SnapshotRef] = Map.empty
 ) {
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
@@ -235,7 +241,10 @@ final case class TableMetadata(
                 !snapshotLog.exists(_.snapshotId == s.snapshotId) =>
         s"stage-${s.snapshotId}" -> SnapshotRef(s.snapshotId, "tag")
     }
-    (currentSnapshotId.map(id => "main" -> SnapshotRef(id, "branch")).toSeq ++ stageTags).toMap
+    // user tags first; the derived names win on (disallowed-at-create)
+    // collisions, so `main` always means the current pointer
+    storedRefs ++
+      (currentSnapshotId.map(id => "main" -> SnapshotRef(id, "branch")).toSeq ++ stageTags).toMap
   }
 
   def toJson: String = {
@@ -276,10 +285,10 @@ final case class TableMetadata(
     }
     val so = n.putArray("sort-orders"); sortOrders.foreach(s => so.add(s.toNode(m)))
     n.put("default-sort-order-id", defaultSortOrderId)
-    // refs are re-derived on every serialization (see [[refs]]) — the JSON
-    // carries them for EXTERNAL readers (REST catalog loads, engines
-    // reading v{N}.metadata.json directly); fromJson deliberately does not
-    // parse them back, the derivation is the single source of truth
+    // derived refs (main, stage-*) are recomputed on every serialization
+    // (see [[refs]]); USER tags ride along and round-trip through fromJson.
+    // External readers (REST catalog loads, engines reading
+    // v{N}.metadata.json directly) see the merged map, per the Iceberg spec
     val rf = n.putObject("refs")
     refs.toSeq.sortBy(_._1).foreach { case (name, r) =>
       val rn = rf.putObject(name)
@@ -356,6 +365,15 @@ object TableMetadata {
     val slog = Option(n.get("snapshot-log")).toSeq.flatMap(_.elements().asScala).map { en =>
       SnapshotLogEntry(en.get("snapshot-id").asLong, en.get("timestamp-ms").asLong)
     }
+    // user refs round-trip; the DERIVED names are dropped here and
+    // recomputed from pointer/stage state — the derivation stays the
+    // single source of truth for them
+    val storedRefs = Option(n.get("refs")).map { rn =>
+      rn.properties().asScala.collect {
+        case e if e.getKey != "main" && !e.getKey.startsWith("stage-") =>
+          e.getKey -> SnapshotRef(e.getValue.get("snapshot-id").asLong, e.getValue.get("type").asText)
+      }.toMap
+    }.getOrElse(Map.empty[String, SnapshotRef])
     TableMetadata(
       n.get("format-version").asInt,
       n.get("table-uuid").asText,
@@ -373,7 +391,8 @@ object TableMetadata {
       snapshots,
       slog,
       sortOrders,
-      Option(n.get("default-sort-order-id")).map(_.asInt).getOrElse(0)
+      Option(n.get("default-sort-order-id")).map(_.asInt).getOrElse(0),
+      storedRefs
     )
   }
 }

@@ -82,15 +82,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (root, new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), ident.name()))
   }
 
-  /** SQL `VERSION AS OF <snapshotId>` — any retained snapshot is readable. */
+  /** SQL `VERSION AS OF <snapshotId | 'ref-name'>` — any retained snapshot
+    * is readable by id, and any ref (user tag, `main`, `stage-*`) by name. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val (root, c) = committerOf(ident)
-    val sid = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(s"VERSION AS OF expects a snapshot id, got '$version'"))
-    val known = c.load().toSeq.flatMap(_.snapshots).map(_.snapshotId)
-    if (!known.contains(sid))
-      throw new IllegalArgumentException(s"no snapshot $sid in table ${ident.name()} (have: ${known.mkString(",")})")
-    new GraftTable(root, GraftDataSource.sparkSchema(root), Some(sid))
+    val meta = c.load().getOrElse(
+      throw new IllegalArgumentException(s"table ${ident.name()} has no committed metadata"))
+    new GraftTable(root, GraftDataSource.sparkSchema(root),
+      Some(c.resolveVersionOf(meta, version)))
   }
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros) — latest snapshot committed at or

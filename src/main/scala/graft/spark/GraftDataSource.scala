@@ -58,7 +58,18 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     if (isChangefeed(opts))
       new GraftChangefeedTable(opts.get("path"), schema,
         Option(opts.get("fromsnapshot")).map(_.trim.toLong))
-    else new GraftTable(opts.get("path"), schema)
+    else {
+      // option("versionAsOf", <snapshot id | ref name>): the DataFrame-API
+      // twin of SQL time travel — ids and refs (user tags, main, stage-*)
+      // resolve through the same committer rule as the catalog path
+      val pinned = Option(opts.get("versionasof")).map { v =>
+        val committer = new IcebergCommitter(TableIO.forRoot(opts.get("path")), EventTable.Topic)
+        val meta = committer.load().getOrElse(throw new IllegalArgumentException(
+          s"versionAsOf=$v but ${opts.get("path")} has no committed metadata"))
+        committer.resolveVersionOf(meta, v.trim)
+      }
+      new GraftTable(opts.get("path"), schema, pinned)
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = true

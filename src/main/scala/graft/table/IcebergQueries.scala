@@ -355,6 +355,21 @@ object IcebergQueries {
           sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
           max("sequence").as("max_seq"))
     },
+    // Named-ref time travel: a user tag ('pre-tail', pinned at the ingest
+    // snapshot) read BY NAME through the V2 source after two tail appends
+    // AND an expiry that removed the untagged middle snapshot. The rollup
+    // must equal the plain ingest derivation — a ref resolving to the
+    // wrong snapshot inflates n/sum_k with tail rows; a tag damaged by
+    // the expiry's physical GC fails the read outright.
+    "x14_tag_travel" -> { (s, dir) =>
+      val root = TaggedTables.tableRoot(s, dir)
+      s.read.format("graft").option("versionAsOf", "pre-tail").load(root)
+        .groupBy(col("partition").cast("int").as("part_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(get_json_object(cast(payload as string), '$.k') as bigint)")).as("sum_k"),
+          max("sequence").as("max_seq"))
+    },
     // Streaming tail of the committed table: the parquet sink accumulated
     // by two checkpointed AvailableNow runs (full table, then EXACTLY the
     // appended files — snapshot-id offsets) must equal the oracle's
@@ -618,7 +633,14 @@ object IcebergQueries {
     "x7_wap" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 1000000L)),
     // v3 twin: x7's shape with the 555000 shift — the streamed sink must
     // hold exactly one copy of the table plus the appended tail.
-    "v3_stream_tail" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 555000L))
+    "v3_stream_tail" -> Oracle.sql(TailBatch.oracleSql(n = 5, maxPart = 2, kShift = 555000L)),
+    // x14 twin: the tag pins the PRE-TAIL snapshot, so the read by ref
+    // name equals the plain ingest derivation — no trace of either tail.
+    "x14_tag_travel" -> Oracle.sql(
+      """SELECT part_id, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(sequence) AS max_seq
+        |FROM evlog GROUP BY 1""".stripMargin)
   )
 }
 
@@ -1024,6 +1046,55 @@ object RewrittenTables {
           "pre-rewrite snapshots must still time-travel")
         require(committer.appendsSince(snap1).nonEmpty,
           "an incremental append scan must cross a manifest rewrite")
+        root
+      }
+    )
+  }
+}
+
+/** One TAGGED table per (JVM, sfDir): ingest (base), `createTag("pre-tail",
+  * base)`, two tail appends, then `expireSnapshots(keepLast = 1)` — which
+  * expires the untagged MIDDLE snapshot while the TAGGED base is retained
+  * unconditionally (the expire-protection contract). The fixture asserts
+  * the metadata mechanics the row oracle cannot: the refs map carries the
+  * user tag next to the derived `main`, derived/duplicate names refuse,
+  * the middle snapshot really expired, and the tag's target still
+  * time-travels. x14 then reads `versionAsOf = 'pre-tail'` through the V2
+  * source — the oracle is the PLAIN ingest derivation, so a tag resolving
+  * to the wrong snapshot (or a tagged state damaged by the expiry's
+  * physical GC) breaks the hash. */
+object TaggedTables {
+  private val cache = scala.collection.mutable.Map.empty[String, String]
+
+  def tableRoot(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(
+      sfDir, {
+        val root      = java.nio.file.Files.createTempDirectory("graft-tagged-").toString
+        val committer = EventTable.ingestAndCommit(spark, sfDir, root, fragmentInto = Some(8))
+        val base      = committer.load().get.currentSnapshotId.get
+        committer.createTag("pre-tail", base)
+        val b1 = TailBatch.of(EventTable.readCommitted(spark, root),
+                              n = 5, maxPart = 2, kShift = Some(666000L), prefix = "t1")
+        EventTable.appendBatch(spark, root, b1)
+        val mid = committer.load().get.currentSnapshotId.get
+        val b2 = TailBatch.of(EventTable.readCommitted(spark, root),
+                              n = 5, maxPart = 2, kShift = Some(667000L), prefix = "t2")
+        EventTable.appendBatch(spark, root, b2)
+        val meta = committer.load().get
+        require(meta.refs.get("pre-tail").exists(r => r.snapshotId == base && r.refType == "tag"),
+          s"the user tag must ride the refs map: ${meta.refs}")
+        require(meta.refs.get("main").exists(_.snapshotId == meta.currentSnapshotId.get),
+          "derived main must keep tracking the head")
+        require(committer.resolveVersionOf(meta, "main") == meta.currentSnapshotId.get)
+        require(scala.util.Try(committer.createTag("main", base)).isFailure,
+          "derived names must refuse")
+        require(scala.util.Try(committer.createTag("pre-tail", mid)).isFailure,
+          "duplicate names must refuse")
+        // expire: the untagged middle snapshot goes; the tagged base stays
+        val expired = committer.expireSnapshots(keepLast = 1)
+        require(expired == Seq(mid), s"only the untagged middle snapshot may expire: $expired")
+        require(committer.activeDataFilesAt(base).nonEmpty,
+          "the tagged snapshot must survive expiry and still time-travel")
         root
       }
     )

@@ -121,6 +121,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     val badVersion = intercept[Exception](
       spark.sql("SELECT * FROM ttcat.default.ttable VERSION AS OF 123456").collect())
     assert(badVersion.getMessage.contains("no snapshot"))
+
+    // ref-NAME time travel: a user tag resolves by name through SQL and
+    // the DataFrame option; 'main' tracks the head; unknown names refuse
+    // naming what exists
+    c.createTag("before-extra", snap1)
+    val viaTag = spark.sql(
+      "SELECT count(*) FROM ttcat.default.ttable VERSION AS OF 'before-extra'").head().getLong(0)
+    assert(viaTag === rows1, "VERSION AS OF '<tag>' must read the tagged snapshot")
+    assert(spark.sql("SELECT count(*) FROM ttcat.default.ttable VERSION AS OF 'main'")
+      .head().getLong(0) === rows1 + 50)
+    assert(spark.read.format("graft").option("versionAsOf", "before-extra").load(root)
+      .count() === rows1)
+    val badRef = intercept[Exception](
+      spark.sql("SELECT * FROM ttcat.default.ttable VERSION AS OF 'no-such-tag'").collect())
+    assert(badRef.getMessage.contains("no ref") && badRef.getMessage.contains("before-extra"))
+    // drop: the name is gone; unknown drops refuse
+    c.dropTag("before-extra")
+    intercept[Exception](
+      spark.sql("SELECT * FROM ttcat.default.ttable VERSION AS OF 'before-extra'").collect())
+    intercept[Exception](c.dropTag("before-extra"))
   }
 }
 

@@ -281,6 +281,40 @@ class IcebergSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { c.rollbackTo(rw.snapshotId) }
   }
 
+  test("user tags: stored-ref round-trip, expire protection, derived-name guards") {
+    val c = freshCommitter()
+    val a = df("data/partition=0/a.parquet", 10, 0, 10)
+    val b = df("data/partition=0/b.parquet", 10, 0, 20)
+    val e = df("data/partition=0/e.parquet", 10, 0, 30)
+    Seq(a, b, e).foreach(f => c.io.put(f.filePath, Array[Byte](1)))
+    val r1 = c.commitAppend(Seq(a))
+    val r2 = c.commitAppend(Seq(b))
+    val r3 = c.commitAppend(Seq(e))
+    c.createTag("keep-r1", r1.snapshotId)
+    // stored next to the derived refs, and JSON round-trips
+    val meta = c.load().get
+    assert(meta.storedRefs("keep-r1") === SnapshotRef(r1.snapshotId, "tag"))
+    assert(meta.refs("keep-r1").snapshotId === r1.snapshotId)
+    assert(meta.refs("main") === SnapshotRef(r3.snapshotId, "branch"))
+    assert(TableMetadata.fromJson(meta.toJson).storedRefs === meta.storedRefs)
+    // name guards: derived, duplicate, malformed, unknown target
+    assertThrows[IllegalArgumentException](c.createTag("main", r1.snapshotId))
+    assertThrows[IllegalArgumentException](c.createTag("stage-1", r1.snapshotId))
+    assertThrows[IllegalArgumentException](c.createTag("keep-r1", r2.snapshotId))
+    assertThrows[IllegalArgumentException](c.createTag("bad name!", r1.snapshotId))
+    assertThrows[IllegalArgumentException](c.createTag("ghost", 424242L))
+    // expire keepLast=1 would drop r1 and r2 — the tag protects exactly r1
+    assert(c.expireSnapshots(keepLast = 1) === Seq(r2.snapshotId))
+    assert(c.activeDataFilesAt(r1.snapshotId).map(_.filePath) === Seq(a.filePath))
+    assert(c.resolveVersionOf(c.load().get, "keep-r1") === r1.snapshotId)
+    assertThrows[IllegalArgumentException](c.resolveVersionOf(c.load().get, "nope"))
+    // dropping the tag releases the snapshot to the next expiry
+    c.dropTag("keep-r1")
+    assertThrows[IllegalArgumentException](c.dropTag("keep-r1"))
+    assert(c.expireSnapshots(keepLast = 1) === Seq(r1.snapshotId))
+    assertThrows[IllegalArgumentException](c.activeDataFilesAt(r1.snapshotId))
+  }
+
   test("expiration retains the CURRENT snapshot even when a rollback made it old") {
     val c = freshCommitter()
     val a = df("data/partition=0/a.parquet", 10, 0, 10)
