@@ -890,6 +890,19 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     won
   }
 
+  /** The OLDEST ancestor of `headId` still resolvable in `meta` — the
+    * RECOVERY POINT a lagging incremental consumer can restart from once
+    * expiry has truncated the history it needed. Walks the parent chain
+    * until it leaves the metadata (or reaches table creation). */
+  def oldestRetainedAncestorOf(meta: TableMetadata, headId: Long): Snapshot = {
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = byId.getOrElse(headId, throw new IllegalArgumentException(
+      s"unknown snapshot $headId — not in the table metadata"))
+    var parent = cur.parentSnapshotId.flatMap(byId.get)
+    while (parent.isDefined) { cur = parent.get; parent = cur.parentSnapshotId.flatMap(byId.get) }
+    cur
+  }
+
   /** Resolve a `VERSION AS OF` value against an already-loaded metadata:
     * a numeric snapshot id, or a ref NAME from the refs map (user tags +
     * derived `main`/`stage-*`). Unknown values fail loud, listing what

@@ -40,39 +40,51 @@ import org.apache.spark.unsafe.types.UTF8String
   *    snapshot), so the stream never silently skips or duplicates changes.
   *
   * `option("fromSnapshot", id)` starts the feed AFTER snapshot `id`
-  * (exclusive); without it the feed starts at the head observed at query
-  * start (changes since stream start). An empty table starts at −1 and
-  * the first committed snapshot's chain emits from table creation.
+  * (exclusive); `option("fromTimestamp", epochMs)` resolves the newest
+  * HEAD ANCESTOR committed strictly before the timestamp (so every commit
+  * at or after it is delivered) — if expiry already truncated history
+  * past the timestamp, the feed refuses naming the oldest retained
+  * snapshot as the recovery point, never silently starts late. Without
+  * either option the feed starts at the head observed at query start
+  * (changes since stream start). An empty table starts at −1 and the
+  * first committed snapshot's chain emits from table creation. A range
+  * walk that hits expired history mid-stream (a consumer lagging past
+  * the maintenance clock's retention) fails the same loud way, naming
+  * the restart point.
   *
   * Scale shape: a batch reads only the files the range's commits added
   * (inserts) plus the parent-live files of each delete commit, with
   * masks resolved from the cached driver mask index — consumers tail
   * SMALL ranges per trigger, never a re-scan of the table. */
 final class GraftChangefeedTable(tableRoot: String, tableSchema: StructType,
-                                 fromSnapshot: Option[Long]) extends Table with SupportsRead {
+                                 fromSnapshot: Option[Long],
+                                 fromTimestampMs: Option[Long] = None) extends Table with SupportsRead {
   override def name(): String = s"graft-changefeed:$tableRoot"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftChangefeedScanBuilder(tableRoot, tableSchema, fromSnapshot)
+    new GraftChangefeedScanBuilder(tableRoot, tableSchema, fromSnapshot, fromTimestampMs)
 }
 
 final class GraftChangefeedScanBuilder(tableRoot: String, tableSchema: StructType,
-                                       fromSnapshot: Option[Long])
+                                       fromSnapshot: Option[Long],
+                                       fromTimestampMs: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftChangefeedScan(tableRoot, required, fromSnapshot)
+  override def build(): Scan =
+    new GraftChangefeedScan(tableRoot, required, fromSnapshot, fromTimestampMs)
 }
 
 final class GraftChangefeedScan(tableRoot: String, required: StructType,
-                                fromSnapshot: Option[Long]) extends Scan {
+                                fromSnapshot: Option[Long],
+                                fromTimestampMs: Option[Long]) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"GraftChangefeedScan $tableRoot"
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangefeedStream(tableRoot, required, fromSnapshot)
+    new GraftChangefeedStream(tableRoot, required, fromSnapshot, fromTimestampMs)
 }
 
 /** One changefeed file read: `changeType` is the constant `_change_type`
@@ -87,7 +99,8 @@ final case class ChangefeedPartition(tableRoot: String, relPath: String,
                                      keepEq: Array[Long] = Array.empty) extends InputPartition
 
 final class GraftChangefeedStream(tableRoot: String, required: StructType,
-                                  fromSnapshot: Option[Long])
+                                  fromSnapshot: Option[Long],
+                                  fromTimestampMs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private def committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
@@ -108,7 +121,8 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     GraftOffset(headId())
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
-    val from = fromSnapshot.getOrElse(headId())
+    require(fromSnapshot.isEmpty || fromTimestampMs.isEmpty,
+      "changefeed options fromSnapshot and fromTimestamp are mutually exclusive")
     // a named base must exist NOW — failing at first plan would bury the
     // refusal behind a checkpointed −1
     fromSnapshot.foreach { id =>
@@ -117,7 +131,36 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
       require(meta.snapshots.exists(_.snapshotId == id),
         s"changefeed fromSnapshot=$id is not a known snapshot of $tableRoot (expired?)")
     }
+    val from = fromSnapshot
+      .orElse(fromTimestampMs.map(resolveFromTimestamp))
+      .getOrElse(headId())
     GraftOffset(from)
+  }
+
+  /** The newest HEAD ANCESTOR committed strictly before `ts` — so the feed
+    * delivers every commit at or after the timestamp. Ancestry (not the
+    * snapshot list) guarantees the (from, head] walk resolves even across
+    * rollback-abandoned branches. When expiry already truncated history
+    * past `ts`, refuse naming the recovery point — a feed that silently
+    * started late would be missing changes its consumer believes it has. */
+  private def resolveFromTimestamp(ts: Long): Long = {
+    val meta = committer.load().getOrElse(throw new IllegalArgumentException(
+      s"changefeed fromTimestamp=$ts but $tableRoot has no metadata"))
+    val head = meta.currentSnapshotId.getOrElse(return -1L)
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = head
+    while (cur != -1L) {
+      byId.get(cur) match {
+        case Some(s) if s.timestampMs < ts => return s.snapshotId
+        case Some(s)                       => cur = s.parentSnapshotId.getOrElse(-1L)
+        case None =>
+          val oldest = committer.oldestRetainedAncestorOf(meta, head)
+          throw new IllegalStateException(
+            s"changefeed history before ${oldest.timestampMs} is expired — cannot start from " +
+              s"fromTimestamp=$ts; restart from snapshot ${oldest.snapshotId} (or a full read)")
+      }
+    }
+    -1L // every retained ancestor is at or after ts: from table creation
   }
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     GraftOffset(headId())
@@ -146,8 +189,16 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     var cur = to
     val rangeBuf = scala.collection.mutable.ArrayBuffer.empty[graft.iceberg.Snapshot]
     while (cur != from && cur != -1L) {
-      val s = byId.getOrElse(cur, throw new IllegalArgumentException(
-        s"changefeed range $from -> $to crosses snapshot $cur missing from metadata (expired?)"))
+      // LAG GUARD: a consumer lagging past the maintenance clock's
+      // retention hits expired history here — name the restart point, not
+      // a generic unknown-snapshot error
+      val s = byId.getOrElse(cur, {
+        val oldest = committer.oldestRetainedAncestorOf(meta, to)
+        throw new IllegalStateException(
+          s"changefeed history expired at ${oldest.timestampMs}: snapshot $cur in range " +
+            s"($from, $to] is no longer in metadata — restart from snapshot " +
+            s"${oldest.snapshotId} (or a full read)")
+      })
       rangeBuf += s
       cur = s.parentSnapshotId.getOrElse(
         if (from == -1L) -1L

@@ -57,7 +57,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val opts = new CaseInsensitiveStringMap(props)
     if (isChangefeed(opts))
       new GraftChangefeedTable(opts.get("path"), schema,
-        Option(opts.get("fromsnapshot")).map(_.trim.toLong))
+        Option(opts.get("fromsnapshot")).map(_.trim.toLong),
+        Option(opts.get("fromtimestamp")).map(_.trim.toLong))
     else {
       // option("versionAsOf", <snapshot id | ref name>): the DataFrame-API
       // twin of SQL time travel — ids and refs (user tags, main, stage-*)

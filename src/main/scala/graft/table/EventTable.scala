@@ -1279,13 +1279,27 @@ object EventTable {
     val meta = committer.load().getOrElse(
       throw new IllegalStateException(s"table $tableRoot has no committed metadata"))
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId (expired?)")
     require(byId.contains(toSnapshotId), s"unknown snapshot $toSnapshotId (expired?)")
+    if (!byId.contains(fromSnapshotId)) {
+      // the typical lagging-consumer case: the base expired — name the
+      // recovery point, not a generic unknown-snapshot error
+      val oldest = committer.oldestRetainedAncestorOf(meta, toSnapshotId)
+      throw new IllegalStateException(
+        s"changefeed history expired at ${oldest.timestampMs}: base snapshot $fromSnapshotId " +
+          s"is no longer in metadata — restart from snapshot ${oldest.snapshotId} (or a full read)")
+    }
     var cur = toSnapshotId
     val rangeBuf = scala.collection.mutable.ArrayBuffer.empty[graft.iceberg.Snapshot]
     while (cur != fromSnapshotId) {
-      val s = byId.getOrElse(cur, throw new IllegalArgumentException(
-        s"snapshot $cur missing from metadata (expired?) — cannot derive changes"))
+      // lag guard (same contract as the streaming feed): expired history
+      // names the restart point instead of a generic unknown-snapshot error
+      val s = byId.getOrElse(cur, {
+        val oldest = committer.oldestRetainedAncestorOf(meta, toSnapshotId)
+        throw new IllegalStateException(
+          s"changefeed history expired at ${oldest.timestampMs}: snapshot $cur in range " +
+            s"($fromSnapshotId, $toSnapshotId] is no longer in metadata — restart from " +
+            s"snapshot ${oldest.snapshotId} (or a full read)")
+      })
       rangeBuf += s
       cur = s.parentSnapshotId.getOrElse(throw new IllegalArgumentException(
         s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId"))

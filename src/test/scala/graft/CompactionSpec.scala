@@ -186,11 +186,14 @@ class CompactionSpec extends AnyFunSuite {
       EventTable.changesBetween(spark, root, base, head2)
     }
     assert(ex.getMessage.contains("compacted away"), ex.getMessage.take(300))
-    // an expired endpoint must refuse, composing with expireSnapshots
+    // an expired base refuses NAMING THE RECOVERY POINT (the lag guard):
+    // a consumer that outlived retention must learn where to restart
     committer.expireSnapshots(keepLast = 1)
-    intercept[IllegalArgumentException] {
+    val lag = intercept[IllegalStateException] {
       EventTable.changesBetween(spark, root, base, head2)
     }
+    assert(lag.getMessage.contains("history expired") &&
+           lag.getMessage.contains("restart from snapshot"), lag.getMessage.take(300))
   }
 
   test("delete-ratio trigger selects a delete-heavy file the size rules never would") {

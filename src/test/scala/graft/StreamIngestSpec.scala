@@ -169,6 +169,59 @@ class StreamIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("changefeed fromTimestamp resolves head ancestry; expired history names the restart point") {
+    val root = Files.createTempDirectory("graft-cfts-").toString
+    val c    = EventTable.ingestAndCommit(spark, sf, root, fragmentInto = Some(4))
+    Thread.sleep(10)
+    val cut = System.currentTimeMillis() // after ingest, before the tail
+    Thread.sleep(10)
+    val batch = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                         n = 5, maxPart = 2, kShift = Some(135000L), prefix = "s")
+    EventTable.appendBatch(spark, root, batch)
+    val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    def runFeed(sink: String, opts: Map[String, String]): Unit = {
+      val r = spark.readStream.format("graft").option("changefeed", "true")
+      val q = opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(root)
+        .writeStream.format("parquet")
+        .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+    // from the cut: exactly the tail's 10 inserts (the ingest predates it)
+    val s1 = Files.createTempDirectory("graft-cfts-s1-").toString
+    runFeed(s1, Map("fromTimestamp" -> cut.toString))
+    assert(spark.read.parquet(s"$s1/data").count() === 10L)
+    // from before ALL history: the whole chain replays from table creation
+    val n0 = EventTable.readCommitted(spark, root).count()
+    val s2 = Files.createTempDirectory("graft-cfts-s2-").toString
+    runFeed(s2, Map("fromTimestamp" -> "1000000000000"))
+    assert(spark.read.parquet(s"$s2/data").count() === n0)
+    // the two start options are mutually exclusive
+    val s3 = Files.createTempDirectory("graft-cfts-s3-").toString
+    val exBoth = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runFeed(s3, Map("fromTimestamp" -> cut.toString, "fromSnapshot" -> "1"))
+    }
+    assert(exBoth.getMessage.contains("mutually exclusive"))
+    // lag guard: once expiry truncates history past the timestamp, the
+    // feed refuses NAMING the restart point, never silently starts late
+    val expired = new graft.iceberg.IcebergCommitter(
+      graft.iceberg.TableIO.forRoot(root), EventTable.Topic).expireSnapshots(keepLast = 1)
+    assert(expired.nonEmpty)
+    val s4 = Files.createTempDirectory("graft-cfts-s4-").toString
+    val exLag = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runFeed(s4, Map("fromTimestamp" -> "1000000000000"))
+    }
+    assert(exLag.getMessage.contains("expired") &&
+           exLag.getMessage.contains("restart from snapshot"), exLag.getMessage.take(400))
+    } finally prevCfm match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+    }
+  }
+
   private def batchCounts() =
     EventLog
       .log(spark, sf)
