@@ -843,6 +843,17 @@ final class GatewayServer(
     * events, and it is exactly the CDC-heavy table that needs the clock. */
   def maintainableTopics(): Seq[String] = (hot.topics ++ committedTopics()).distinct.sorted
 
+  /** Delete-row counts at which a RATIO-triggered vacuum compacted nothing
+    * (deletes spread thinly: every file below Compaction's per-file fold
+    * ratio and too big for the size rules). While a topic's live delete
+    * count sits exactly at its recorded futile value, the ratio term is
+    * DISARMED — otherwise it re-fires on every flush tick and each tick
+    * pays a full vacuum including the orphan-GC filesystem listing (the
+    * futile-vacuum thrash class the snapshot-count term already guards
+    * against). Any new delete or a fold by another trigger moves the
+    * count and re-arms the term. */
+  private val futileDeleteVacuums = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def maintainIfNeeded(topic: String,
                        policy: GatewayServer.MaintenancePolicy = GatewayServer.MaintenancePolicy()
                       ): Option[Maintenance.VacuumReport] = {
@@ -863,11 +874,13 @@ final class GatewayServer(
       if (policy.keepAgeMs <= 0) Long.MaxValue
       else System.currentTimeMillis() - policy.keepAgeMs
     val expirable = meta.snapshots.count(_.timestampMs < ageFloor)
-    val needed =
-      expirable > policy.maxSnapshots ||
-        c.currentManifestsOf(meta).size > policy.maxManifests ||
-        (delRows > 0 && delRows.toDouble / math.max(1L, sl("total-records")) >= policy.deleteRowRatio)
-    if (!needed) return None
+    val ratioFires =
+      delRows > 0 &&
+        delRows.toDouble / math.max(1L, sl("total-records")) >= policy.deleteRowRatio &&
+        !Option(futileDeleteVacuums.get(topic)).exists(_.longValue == delRows)
+    val otherFires =
+      expirable > policy.maxSnapshots || c.currentManifestsOf(meta).size > policy.maxManifests
+    if (!ratioFires && !otherFires) return None
     val guard = compacting.computeIfAbsent(topic, _ => new AtomicBoolean(false))
     if (!guard.compareAndSet(false, true)) return None // admin call in flight
     try {
@@ -884,6 +897,17 @@ final class GatewayServer(
           stepLock = tableLock(topic))
         catch { case _: CommitConflict => return None } // next tick retries
       metrics.inc("zombi_auto_vacuums_total")
+      // futile-ratio back-off: a ratio-triggered run that compacted NOTHING
+      // and left the delete count unchanged disarms the term at this count;
+      // any run that moved the count re-arms it
+      if (ratioFires) {
+        val after = c.load().flatMap(_.currentSnapshot).map(_.summary).getOrElse(Map.empty)
+        def al(k: String) = after.get(k).flatMap(_.toLongOption).getOrElse(0L)
+        val delAfter = al("total-position-deletes") + al("total-equality-deletes")
+        if (r.compactions == 0 && delAfter == delRows)
+          futileDeleteVacuums.put(topic, java.lang.Long.valueOf(delRows))
+        else futileDeleteVacuums.remove(topic)
+      }
       Some(r)
     } finally guard.set(false)
   }

@@ -66,13 +66,23 @@ object Serve {
         Thread.sleep(intervalMs)
         gw.hot.topics.foreach { topic =>
           try gw.flushNow(topic)
-          catch { case _: Exception => () } // next tick retries (F10)
+          catch {
+            // a long-running flush/vacuum surfaces the shutdown hook's
+            // interrupt as an exception from inside Spark — swallowing it
+            // would consume the interrupt and keep the daemon walking the
+            // remaining topics until some later sleep happens to be hit
+            case ie: InterruptedException => throw ie
+            case _: Exception             => () // next tick retries (F10)
+          }
         }
         // the maintenance probe covers COMMITTED tables too (library-path
         // writers accrete snapshots/masks without ever holding hot events)
         if (maintain) gw.maintainableTopics().foreach { topic =>
           try gw.maintainIfNeeded(topic)
-          catch { case _: Exception => () } // same contract: next tick
+          catch {
+            case ie: InterruptedException => throw ie // prompt shutdown
+            case _: Exception             => () // same contract: next tick
+          }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-flush-daemon")

@@ -312,6 +312,32 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only expirable (past-the-floor) snapshots may trigger the clock")
   }
 
+  test("futile ratio-triggered vacuums back off until the delete weight moves") {
+    val t    = "gwfutile"
+    val root = s"$baseDir/$t"
+    // one file per partition dir (below minFilesPerGroup) and a THIN delete
+    // slice (far below Compaction's 0.3 per-file fold ratio): the ratio
+    // term fires but the vacuum it triggers can clear nothing
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 50 === 1)
+    assert(r1.deletedRows > 0)
+    val policy = GatewayServer.MaintenancePolicy(maxSnapshots = 1000, maxManifests = 1000,
+      deleteRowRatio = 1e-9, keepSnapshots = 2, keepAgeMs = 0L)
+    val first = server.maintainIfNeeded(t, policy)
+    assert(first.exists(_.compactions == 0), s"fixture expects a futile ratio vacuum: $first")
+    val c = new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    assert(c.activeDeleteFiles().nonEmpty, "fixture expects the thin deletes to be unfoldable")
+    // disarmed: the unchanged weight no longer pays a full vacuum per tick
+    assert(server.maintainIfNeeded(t, policy).isEmpty,
+      "a futile ratio-triggered vacuum must disarm the term at this weight")
+    assert(server.maintainIfNeeded(t, policy).isEmpty)
+    // any movement of the delete count re-arms the term
+    val r2 = EventTable.deleteWhereMor(spark, root, col("sequence") % 50 === 2)
+    assert(r2.deletedRows > 0)
+    assert(server.maintainIfNeeded(t, policy).isDefined,
+      "a moved delete count must re-arm the ratio trigger")
+  }
+
   test("X2: the Iceberg REST catalog serves config, namespaces, and table metadata") {
     assert(mapper.readTree(get("/v1/config").body()).get("overrides").get("warehouse").asText === baseDir)
     assert(get("/v1/namespaces").body().contains("zombi"))
