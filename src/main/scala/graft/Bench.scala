@@ -1,5 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** PER-PHASE regime bracketing (round-18 verdict #2): the r18 official
+  * artifact self-stamped "quiet" while its qscale tail ran 62× degraded —
+  * the old gate sampled loadavg only around the sweep and steal only
+  * whole-run, so a degradation RAMPING through the tail phases passed
+  * both terms. Each phase now brackets itself (loadavg at entry/exit +
+  * its own steal delta), and the top-level regime is noisy-host if ANY
+  * gating phase breached either term. The gateway phase records its
+  * bracket but never gates: its 8-thread closed-loop HTTP harness IS the
+  * loadavg it reads (self-load — the run-5 adjudication). Pulled out of
+  * the main sweep so the adjudication rule itself is unit-testable. */
+object BenchRegime {
+  final case class PhaseBracket(name: String, loadIn: Double, loadOut: Double,
+                                stealPct: Double, gates: Boolean)
+
+  /** Negative load samples mean /proc was unavailable — excluded, same as
+    * the old loadSamples convention. Mid-phase loadavg is partly the
+    * bench's own work; on this class of box the bench's self-load stays
+    * well under the 4.0 gate (quiet closings record 1.1–2.9), so the gate
+    * catches external contention without false-noisy stamps. Hosts where
+    * the sweep itself exceeds the gate raise SPARK_GRAFT_BENCH_MAX_LOAD —
+    * the conservative direction (false noisy forces a re-run; false QUIET
+    * is the adjudication hole this exists to close). */
+  def phaseQuiet(p: PhaseBracket, maxLoad: Double, maxSteal: Double): Boolean =
+    p.stealPct <= maxSteal &&
+      (p.loadIn < 0 || p.loadIn <= maxLoad) &&
+      (p.loadOut < 0 || p.loadOut <= maxLoad)
+
+  def stamp(phases: Seq[PhaseBracket], wholeRunStealPct: Double,
+            maxLoad: Double, maxSteal: Double): String =
+    if (wholeRunStealPct <= maxSteal &&
+        phases.filter(_.gates).forall(phaseQuiet(_, maxLoad, maxSteal))) "quiet"
+    else "noisy-host"
+
+  def phasesJson(phases: Seq[PhaseBracket], maxLoad: Double, maxSteal: Double): String =
+    phases.map { p =>
+      f"""{"name":"${p.name}","load_in":${p.loadIn}%.2f,"load_out":${p.loadOut}%.2f,""" +
+        f""""steal_pct":${p.stealPct}%.3f,"gates":${p.gates},""" +
+        s""""quiet":${phaseQuiet(p, maxLoad, maxSteal)}}"""
+    }.mkString("[", ",", "]")
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,11 +181,19 @@ object Bench {
             "proceeding; artifact will carry regime=noisy-host")
       }
     }
-    // every phase-boundary load sample feeds the regime stamp (negative =
-    // /proc unavailable, excluded)
-    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sampleLoad(): Double = { val l = hostLoad(); if (l >= 0) loadSamples += l; l }
-    val loadStart = sampleLoad()
+    // PER-PHASE brackets feed the regime stamp (see [[BenchRegime]]): each
+    // phase records loadavg in/out + its own steal delta and stamps itself
+    val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
+    val phaseBrackets = scala.collection.mutable.ArrayBuffer.empty[BenchRegime.PhaseBracket]
+    def bracket[A](name: String, gates: Boolean = true)(body: => A): A = {
+      val lin = hostLoad(); val (s0, j0) = cpuStat()
+      val out = body
+      val lout = hostLoad(); val (s1, j1) = cpuStat()
+      val st = if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else 0.0
+      phaseBrackets += BenchRegime.PhaseBracket(name, lin, lout, st, gates)
+      out
+    }
+    val loadStart = hostLoad()
     val (steal0, jiffies0) = cpuStat()
     val queryHealth = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     // FAMILY-SCOPED CACHE EVICTION (adjudication of the round-10 tpch_q5/q7
@@ -201,7 +250,7 @@ object Bench {
     ).flatMap { case (consumers, hook) =>
       names.filter(consumers.contains).lastOption.map(last => (Set(last), hook))
     }
-    val results = names.map { name =>
+    val results = bracket("sweep") { names.map { name =>
       val fn    = SparkEntry.queries(name)
       val first = timeOne(fn)
       // warm-rep churn window: first touch legitimately builds fixtures, so
@@ -220,8 +269,8 @@ object Bench {
       // min AND max: the per-query rep spread lets the next round tell
       // noise from regression without rerunning this one
       (name, first, median(warm), warm.min, warm.max)
-    }
-    val loadAfterSweep = sampleLoad()
+    } }
+    val loadAfterSweep = hostLoad()
     def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total      = results.map(_._3).sum
@@ -253,11 +302,11 @@ object Bench {
         case None      => only.isEmpty
       }
       if (!enabled) ("null", "null")
-      else
+      else bracket("ingest10x") {
         try {
           val root    = java.nio.file.Files.createTempDirectory("graft-stream10x-").toString
           val staging = java.nio.file.Files.createTempDirectory("graft-staging10x-").toString
-          val load10x = sampleLoad() // external pressure at ingest start — the
+          val load10x = hostLoad() // external pressure at ingest start — the
           // marginal-ev/s adjudication needs it alongside the rate itself
           val t0      = System.nanoTime()
           val schema  = streaming.StreamIngest.stageChunks(spark, sfDir, staging, nChunks = 40, replicate = 10)
@@ -322,6 +371,7 @@ object Bench {
             System.err.println(s"[graft-bench] stream_ingest_10x failed: $e")
             ("null", "null")
         }
+      }
     }
     // QUERY-SIDE SCALE PROBE: the same SparkEntry tpch code paths against a
     // 4x-replicated lineitem (other tables symlinked), run AFTER the sweep
@@ -330,14 +380,14 @@ object Bench {
     // amortizes and the plan's shuffles grow sub-linearly in wall-clock on
     // this box — the local proxy for "survives a scale-up". Disabled for
     // filtered runs unless forced; SPARK_GRAFT_BENCH_QSCALE=0 disables.
-    val (qScale, qScaleCompact) = {
+    val (qScale0, qScaleCompact0) = {
       val enabled = sys.env.get("SPARK_GRAFT_BENCH_QSCALE") match {
         case Some("0") => false
         case Some(_)   => true
         case None      => only.isEmpty
       }
       if (!enabled) ("null", "null")
-      else {
+      else bracket("qscale") {
         var dir: java.nio.file.Path = null
         try {
           val factor = 4
@@ -411,6 +461,19 @@ object Bench {
                 expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"))
             }
           })
+          // d13 expected regime (r18 verdict #4 — the drifting probe):
+          // its pair volume is N·P·occupancy with occupancy = N/cells, and
+          // the corpus-scaled derivation steps cells ~2x at 4x vectors —
+          // so the HONEST candidate work grows ~8x (4x vectors × 2x
+          // occupancy), not 4x. The wall ratio sits well under that
+          // because the 1x run leaves most of local[32] idle (the 4x run
+          // absorbs into idle cores) and plan/codegen fixed cost
+          // amortizes: recorded quiet-window readings 0.96–2.34 across
+          // r17/r18. Expected band ≤ 3.5; a quiet-stamped reading past 4
+          // means occupancy stopped being bounded by the cell-count step
+          // (k-means collapsed cells, or the probe fan-out grew) — cap
+          // per-cell pair work (SemDeDupProbes budget) before trusting
+          // new numbers.
           // d17/t25 expected regime (the two slowest honest-cost queries):
           // both explode gram volume linearly in corpus chars, fold through
           // partial-aggregatable (doc, gram) counts, and join back on
@@ -487,11 +550,21 @@ object Bench {
         }
       }
     }
+    // the qscale section carries its OWN regime stamp: the r18 artifact's
+    // 62x x11 reading was a degraded TAIL the whole-run stamp missed —
+    // a probe ratio is only evidence under its own phase's regime
+    val (qScale, qScaleCompact) = phaseBrackets.find(_.name == "qscale") match {
+      case Some(p) if qScale0 != "null" =>
+        val quiet = BenchRegime.phaseQuiet(p, maxLoad, maxSteal)
+        (qScale0.dropRight(1) + s""","regime":"${if (quiet) "quiet" else "noisy-host"}"}""",
+         qScaleCompact0.dropRight(1) + s""","rg":"${if (quiet) "q" else "n"}"}""")
+      case _ => (qScale0, qScaleCompact0)
+    }
     // ANN RECALL at the bench SF: fraction of the brute-force neighbors
     // each index path reproduces — the quality axis of the ANN speed
     // numbers (a fast index with collapsed recall is not an index). The
     // result sets are NumQueries x k rows — driver-side sets are fine.
-    val annRecall = {
+    val annRecall = bracket("ann_recall") {
       if (only.nonEmpty) "null"
       else try {
         def rankedDf(df: org.apache.spark.sql.DataFrame): Map[Long, Map[Long, Long]] = // q -> neighbor -> rank
@@ -575,7 +648,7 @@ object Bench {
     // truth exists, measured against the exact brute-force dup-vector set
     // at that tau — isolating the recall cost of cell/bucket LOCALITY,
     // which is the only approximation these operators make.
-    val dedupRecall = {
+    val dedupRecall = bracket("dedup_recall") {
       if (only.nonEmpty) "null"
       else try {
         def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -636,7 +709,7 @@ object Bench {
     // "hard" negatives that aren't actually near-misses, should be
     // visible here, not invisible). All sets are queries × K — driver-
     // side decision values.
-    val retrievalQuality = {
+    val retrievalQuality = bracket("retrieval_quality") {
       if (only.nonEmpty) "null"
       else try {
         // ONE candidate-generation execution: the collected rel/sims feed
@@ -710,7 +783,7 @@ object Bench {
     // post_fold_s should approach clean_s. Runs AFTER the sweep and the
     // recall blocks (it mutates the shared MoR fixture root, which is legal
     // only once every consumer has run).
-    val morCompact = {
+    val morCompact = bracket("mor_fold") {
       if (only.nonEmpty) "null"
       else try {
         import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -764,7 +837,7 @@ object Bench {
     // so its walk is quadratic in RETAINED chain length by construction —
     // the probe tracks that the constant stays milliseconds-per-snapshot
     // and that the post-maintenance chain resets the cost.
-    val maintScale = {
+    val maintScale = bracket("maint_scale") {
       if (only.nonEmpty) "null"
       else try {
         def chain(n: Int): (Double, Double) = {
@@ -803,12 +876,12 @@ object Bench {
           System.err.println(s"[graft-bench] maint scale probe failed: $e"); "null"
       }
     }
-    val microJson = micro()
+    val microJson = bracket("micro") { micro() }
     // L5 gateway scenarios (HTTP tier) folded into the bench artifact so
     // gateway throughput is tracked round-over-round like query medians.
     // Runs LAST: closed-loop HTTP load must not perturb the query sweep or
     // the ingest measurements above it.
-    val gatewayFull = gateway(spark, enabled = only.isEmpty)
+    val gatewayFull = bracket("gateway", gates = false) { gateway(spark, enabled = only.isEmpty) }
     val gatewayCompact = gatewayFull._2
 
     // host + per-query churn evidence (see the SELF-ADJUDICATING SWEEP
@@ -827,21 +900,24 @@ object Bench {
     val (steal1, jiffies1) = cpuStat()
     val stealPct =
       if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0) else 0.0
-    // the mechanical verdict the gate exists for: quiet = every sampled
-    // phase-boundary loadavg at or under the threshold AND whole-run CPU
-    // steal under its own threshold. The steal term is from round 18's
-    // first closing run: loadavg 1.2-3.5 (quiet by the load gate) yet
-    // warm sums ~20% over the band and marginal ingest below it — with
-    // steal_pct 4.0%. Hypervisor steal never shows in loadavg (runnable
-    // threads, not unscheduled time), so it needs its own term; quiet
-    // recorded runs measure 0.006-0.06%.
-    val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
-    val regime =
-      if (loadSamples.forall(_ <= maxLoad) && stealPct <= maxSteal) "quiet" else "noisy-host"
+    // the mechanical verdict the gate exists for: quiet = whole-run CPU
+    // steal under its threshold AND every GATING phase bracket quiet
+    // (loadavg in/out at or under the gate, the phase's own steal delta
+    // under the steal gate — [[BenchRegime]]). The steal term is from
+    // round 18's first closing run: loadavg 1.2-3.5 (quiet by the load
+    // gate) yet warm sums ~20% over the band — with steal_pct 4.0%.
+    // Hypervisor steal never shows in loadavg (runnable threads, not
+    // unscheduled time), so it needs its own term; quiet recorded runs
+    // measure 0.006-0.06%. The per-phase form closes the r18 hole: a
+    // degradation RAMPING through the tail phases breaches ITS phase's
+    // bracket even when the sweep-era samples read quiet.
+    val regime = BenchRegime.stamp(phaseBrackets.toSeq, stealPct, maxLoad, maxSteal)
     val hostJson =
       f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
         f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f,""" +
-        f""""regime":"$regime","load_gate":$maxLoad%.1f,"gate_waited_s":$gateWaitedS}"""
+        f""""regime":"$regime","load_gate":$maxLoad%.1f,"steal_gate":$maxSteal%.1f,""" +
+        f""""gate_waited_s":$gateWaitedS,""" +
+        s""""phases":${BenchRegime.phasesJson(phaseBrackets.toSeq, maxLoad, maxSteal)}}"""
     val healthJson = queryHealth.map { case (n, (b, sp, dr)) =>
       s""""$n":{"memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr}"""
     }.mkString("{", ",", "}")
@@ -889,6 +965,10 @@ object Bench {
         // warm-rep churn count: enough to adjudicate an elevated median
         // from the compact line alone
         f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f","regime":"$regime",""" +
+        // one char per phase (q/n, gateway lowercased-but-non-gating last):
+        // the compact line's per-phase adjudication trail
+        s""""ph":"${phaseBrackets.map(p =>
+          if (BenchRegime.phaseQuiet(p, maxLoad, maxSteal)) "q" else "n").mkString}",""" +
         f""""churn":${queryHealth.size},""" +
         (if (qmap) f""""queries":${q2(_._3)},"""
          // the per-query map is the line's dominant block (~25 chars/query);
