@@ -850,9 +850,12 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
 
   /** Create a named TAG pinning `snapshotId` (a user entry in the Iceberg
     * `refs` map): time travel by NAME (`VERSION AS OF 'name'` through the
-    * catalog and the V2 source), plus expire protection — a tagged
-    * snapshot is retained by [[expireSnapshots]] until the tag is dropped.
-    * CAS-committed like every metadata change. Derived names (`main`,
+    * catalog and the V2 source), plus retention protection — a tagged
+    * snapshot is retained by [[expireSnapshots]] until the tag is
+    * dropped, and compaction's eager physical delete skips files the tag
+    * still references (manual redaction like `deleteWhere` stays eager —
+    * right-to-be-forgotten overrides a tag). CAS-committed like every
+    * metadata change. Derived names (`main`,
     * `stage-*`) and existing names are refused. TAGS ONLY by design:
     * `main` is the single branch — this engine has one write lineage, and
     * in-flight audit work already surfaces as derived stage tags. */

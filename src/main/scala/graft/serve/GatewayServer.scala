@@ -384,6 +384,29 @@ final class GatewayServer(
               s""""compaction_truncated":${r.compactionTruncated}}""")
         } finally guard.set(false)
 
+      // named tags: the retention-protection surface an operator drives
+      // next to /expire and /vacuum — tag a snapshot to pin it readable
+      // (expire retains it; compaction's eager delete skips its files),
+      // drop the tag to release it. Committer refusals (derived/duplicate/
+      // unknown names, unknown snapshots) are CLIENT input → 400.
+      case ("POST", List("tables", t, "tag")) =>
+        validated(t)
+        val q    = query(ex)
+        val name = q.getOrElse("name", throw ApiError(400, "INVALID_INPUT", "tag requires ?name="))
+        val snap = q.get("snapshot").flatMap(_.toLongOption)
+          .orElse(committer(t).load().flatMap(_.currentSnapshotId))
+          .getOrElse(throw ApiError(400, "INVALID_INPUT", "no snapshot to tag (empty table)"))
+        try committer(t).createTag(name, snap)
+        catch { case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage) }
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","tag":"${escape(name)}","snapshot_id":$snap}""")
+      case ("DELETE", List("tables", t, "tag")) =>
+        validated(t)
+        val name = query(ex).getOrElse("name",
+          throw ApiError(400, "INVALID_INPUT", "tag requires ?name="))
+        try committer(t).dropTag(name)
+        catch { case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage) }
+        sendJson(ex, 200, s"""{"table":"${escape(t)}","dropped":"${escape(name)}"}""")
+
       // ---- deprecated consumer-offset surface (Q9 API parity,
       // `/root/reference/src/api/handlers.rs:1144-1188`) ----
       case ("POST", List("consumers", g, "commit")) =>

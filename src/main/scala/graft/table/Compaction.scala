@@ -270,10 +270,20 @@ object Compaction {
                                         dataPreserving = true)
       // Old files are invisible now; eager physical delete matches the
       // reference (see Config.deleteReplacedFiles for the time-travel
-      // preserving alternative).
+      // preserving alternative) — EXCEPT files a user TAG still references:
+      // expireSnapshots retains tagged snapshots as readable state, so the
+      // eager delete must not break them out from under the retention
+      // guard. Protected files stay on disk until the tag drops and expire
+      // GCs them (manual redaction paths like deleteWhere stay eager on
+      // purpose — right-to-be-forgotten overrides a tag).
       if (cfg.deleteReplacedFiles) {
-        candidates.foreach(f => committer.io.delete(f.filePath))
-        foldedDeletes.foreach(f => committer.io.delete(f.filePath))
+        val taggedIds = res.metadata.storedRefs.values.map(_.snapshotId).toSet
+        val protectedPaths: Set[String] = taggedIds.flatMap { sid =>
+          (committer.activeFilesAtOf(res.metadata, sid, 0) ++
+            committer.activeFilesAtOf(res.metadata, sid, 1)).map(_.filePath)
+        }
+        (candidates ++ foldedDeletes).filterNot(f => protectedPaths.contains(f.filePath))
+          .foreach(f => committer.io.delete(f.filePath))
       }
       Some(res)
     } catch {

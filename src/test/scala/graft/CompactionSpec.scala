@@ -196,6 +196,29 @@ class CompactionSpec extends AnyFunSuite {
            lag.getMessage.contains("restart from snapshot"), lag.getMessage.take(300))
   }
 
+  test("a user tag keeps its snapshot readable across compaction's eager delete") {
+    val root = Files.createTempDirectory("graft-tagcomp-").toString
+    val c = EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(8))
+    val base     = c.load().get.currentSnapshotId.get
+    val baseRows = EventTable.readCommitted(spark, root).count()
+    c.createTag("audit", base)
+    val batch = graft.table.TailBatch.of(EventTable.readCommitted(spark, root),
+                                         n = 5, maxPart = 2, kShift = Some(246000L), prefix = "k")
+    EventTable.appendBatch(spark, root, batch)
+    while (Compaction.compact(spark, root).isDefined) ()
+    // eager delete skipped the tagged snapshot's files: it reads IN FULL
+    assert(EventTable.readCommitted(spark, root, atSnapshot = Some(base)).count() === baseRows,
+      "a tagged snapshot must survive compaction's eager physical delete")
+    assert(EventTable.readCommitted(spark, root).count() === baseRows + 10)
+    // dropping the tag lapses the protection; expire GCs the files
+    c.dropTag("audit")
+    val expired = c.expireSnapshots(keepLast = 1)
+    assert(expired.contains(base))
+    intercept[Exception] {
+      EventTable.readCommitted(spark, root, atSnapshot = Some(base)).count()
+    }
+  }
+
   test("delete-ratio trigger selects a delete-heavy file the size rules never would") {
     val root = Files.createTempDirectory("graft-ratio-spec-").toString
     // NO fragmentation: one file per partition dir — below minFilesPerGroup,

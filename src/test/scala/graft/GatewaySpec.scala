@@ -312,6 +312,38 @@ class GatewaySpec extends AnyFunSuite with BeforeAndAfterAll {
       "only expirable (past-the-floor) snapshots may trigger the clock")
   }
 
+  test("tag admin routes: create pins a snapshot through expire, drop releases it") {
+    def delete(path: String): java.net.http.HttpResponse[String] =
+      http.send(HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+    val t    = "gwtags"
+    val root = s"$baseDir/$t"
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root)
+    val c = new graft.iceberg.IcebergCommitter(graft.iceberg.TableIO.forRoot(root), EventTable.Topic)
+    val base0 = c.load().get.currentSnapshotId.get
+    // tag defaults to the current snapshot
+    val r1 = post(s"/tables/$t/tag?name=release-1", "")
+    assert(r1.statusCode() === 200, r1.body())
+    assert(mapper.readTree(r1.body()).get("snapshot_id").asLong === base0)
+    // committer refusals surface as 400 INVALID_INPUT, not 500
+    assert(post(s"/tables/$t/tag?name=main", "").statusCode() === 400)
+    assert(post(s"/tables/$t/tag?name=release-1", "").statusCode() === 400)
+    assert(post(s"/tables/$t/tag?name=ghost&snapshot=424242", "").statusCode() === 400)
+    assert(post(s"/tables/$t/tag", "").statusCode() === 400) // no name
+    // the tag pins its snapshot through an expire that would drop it
+    post(s"/tables/$t", s"""{"payload":"x","partition":0,"timestamp_ms":1}""")
+    assert(post(s"/tables/$t/flush", "").statusCode() === 200)
+    val e1 = post(s"/tables/$t/expire?keep=1", "")
+    assert(e1.statusCode() === 200, e1.body())
+    assert(c.load().get.snapshots.exists(_.snapshotId == base0),
+      "an expire must retain the tagged snapshot")
+    // drop releases it; the next expire removes it; unknown drops are 400
+    assert(delete(s"/tables/$t/tag?name=release-1").statusCode() === 200)
+    assert(delete(s"/tables/$t/tag?name=release-1").statusCode() === 400)
+    assert(post(s"/tables/$t/expire?keep=1", "").statusCode() === 200)
+    assert(!c.load().get.snapshots.exists(_.snapshotId == base0))
+  }
+
   test("futile ratio-triggered vacuums back off until the delete weight moves") {
     val t    = "gwfutile"
     val root = s"$baseDir/$t"
