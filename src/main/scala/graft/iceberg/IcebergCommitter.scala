@@ -755,8 +755,17 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
   private def appendsBetween(meta: TableMetadata, fromSnapshotId: Long, toSnapshotId: Long,
                              skipDeleteSnapshots: Boolean): Seq[DataFile] = {
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    require(byId.contains(fromSnapshotId), s"unknown snapshot $fromSnapshotId")
     require(byId.contains(toSnapshotId), s"unknown snapshot $toSnapshotId")
+    if (!byId.contains(fromSnapshotId)) {
+      // a tail lagging past retention: name the restart point (same lag-
+      // guard contract as the changefeed), same exception type as any
+      // unknown id so existing callers' handling is unchanged
+      val oldest = oldestRetainedAncestorOf(meta, toSnapshotId)
+      throw new IllegalArgumentException(
+        s"unknown snapshot $fromSnapshotId — not in the table metadata (expired or never " +
+          s"committed); history before ${oldest.timestampMs} is expired — restart the tail " +
+          s"from snapshot ${oldest.snapshotId} or a full read")
+    }
     if (fromSnapshotId == toSnapshotId) return Seq.empty
     // Walk the PARENT chain from `to` back to `from` — not snapshot-list
     // order: a rollback re-points current without creating a snapshot, so
@@ -892,6 +901,17 @@ final class IcebergCommitter(val io: TableIO, val topic: String = "events",
     io.put(s"$metaDir/version-hint.text", won.toString.getBytes("UTF-8"))
     won
   }
+
+  /** Every file path a stored user TAG's snapshot still references — the
+    * set a replace's EAGER physical delete must skip (expire retains
+    * tagged snapshots as readable state, so deleting their files out from
+    * under the retention guard would break the tag's contract). ONE
+    * definition shared by compaction and merge; manual redaction
+    * (`deleteWhere`) stays eager on purpose. */
+  def tagProtectedPaths(meta: TableMetadata): Set[String] =
+    meta.storedRefs.values.map(_.snapshotId).toSet.flatMap { sid: Long =>
+      (activeFilesAtOf(meta, sid, 0) ++ activeFilesAtOf(meta, sid, 1)).map(_.filePath)
+    }
 
   /** The OLDEST ancestor of `headId` still resolvable in `meta` — the
     * RECOVERY POINT a lagging incremental consumer can restart from once

@@ -393,9 +393,14 @@ final class GatewayServer(
         validated(t)
         val q    = query(ex)
         val name = q.getOrElse("name", throw ApiError(400, "INVALID_INPUT", "tag requires ?name="))
-        val snap = q.get("snapshot").flatMap(_.toLongOption)
-          .orElse(committer(t).load().flatMap(_.currentSnapshotId))
-          .getOrElse(throw ApiError(400, "INVALID_INPUT", "no snapshot to tag (empty table)"))
+        // a PRESENT but unparseable snapshot id must refuse — falling back
+        // to the current head would 200 while pinning the WRONG snapshot
+        val snap = q.get("snapshot") match {
+          case Some(v) => v.trim.toLongOption.getOrElse(
+            throw ApiError(400, "INVALID_INPUT", s"snapshot '$v' is not a snapshot id"))
+          case None => committer(t).load().flatMap(_.currentSnapshotId)
+            .getOrElse(throw ApiError(400, "INVALID_INPUT", "no snapshot to tag (empty table)"))
+        }
         try committer(t).createTag(name, snap)
         catch { case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage) }
         sendJson(ex, 200, s"""{"table":"${escape(t)}","tag":"${escape(name)}","snapshot_id":$snap}""")

@@ -184,6 +184,18 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     val meta = committer.load().getOrElse(throw new IllegalStateException(
       s"table $tableRoot metadata unreadable while planning changefeed $from -> $to"))
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // the checkpointed END of a replayed batch can itself have expired
+    // while the stream was down — validate it BEFORE the walk, or the
+    // lag guard's own recovery-point resolution would crash on it
+    if (!byId.contains(to)) {
+      val recovery = meta.currentSnapshotId
+        .map(h => committer.oldestRetainedAncestorOf(meta, h))
+        .map(r => s"snapshot ${r.snapshotId} (history before ${r.timestampMs} is expired) or ")
+        .getOrElse("")
+      throw new IllegalStateException(
+        s"changefeed history expired: end snapshot $to of range ($from, $to] is no longer " +
+          s"in metadata — restart from ${recovery}a full read")
+    }
     // walk the parent chain to the base (or to table creation for -1);
     // an expired snapshot in the range fails LOUD here
     var cur = to
@@ -212,7 +224,9 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     // rule also admits DATA-PRESERVING replaces (compaction/MoR folds),
     // which contribute nothing below — a checkpointed feed survives the
     // maintenance clock's vacuums instead of dying at every compaction.
-    EventTable.validateFeedRange(committer, meta, ordered, from, to)
+    // Validation returns each delete commit's resolved inputs, reused
+    // below instead of a second manifest walk.
+    val deleteInputs = EventTable.validateFeedRange(committer, meta, ordered, from, to)
 
     val spark = org.apache.spark.sql.SparkSession.active
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
@@ -226,14 +240,11 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
             .filter(e => e.status == 1 && e.snapshotId == s.snapshotId)
             .foreach(e => parts += ChangefeedPartition(tableRoot, e.dataFile.filePath, "insert"))
         case "delete" =>
-          val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
-            s"delete snapshot ${s.snapshotId} has no parent"))
-          val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
-            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
-          val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
+          val inputs = deleteInputs(s.snapshotId) // resolved once, in validation
+          val newDels     = inputs.newDels
+          val parentFiles = inputs.parentFiles
           if (newDels.nonEmpty && parentFiles.nonEmpty) {
-            val priorDels = EventTable.pruneDeleteFiles(
-              parentFiles, committer.activeFilesAtOf(meta, parentId, 1))
+            val priorDels = EventTable.pruneDeleteFiles(parentFiles, inputs.parentDeletes)
             // INLINE-TIER ONLY, on purpose: the batch scan escalates
             // inline -> broadcast at inlineMaskRows, but a streaming batch
             // has no clean broadcast lifecycle per trigger (one leak per

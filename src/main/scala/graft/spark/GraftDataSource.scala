@@ -239,13 +239,17 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * directory-size guess — a dim-sized graft table in a join broadcasts
     * without a hint, which at 100 TB is the difference between a hash
     * shuffle of the fact table and none. Bytes are on-disk parquet sizes
-    * (the V2 FileScan convention). Rows SUBTRACT unfolded MoR mask rows
-    * (the delete-file recordCounts whose manifest bounds can touch a
-    * surviving file — exact for positional masks of surviving files,
-    * conservative for equality keys), and bytes scale by the live-row
-    * fraction: a delete-heavy dim table must not miss auto-broadcast on
-    * rows a codegen'd mask filter drops at the scan. Manifest-only — no
-    * delete parquet is opened for an estimate. */
+    * (the V2 FileScan convention). On an UNPRUNED scan, rows SUBTRACT the
+    * unfolded MoR mask rows (every active delete row masks a row of the
+    * full table, so the table-wide counts apply exactly) and bytes scale
+    * by the live-row fraction — a delete-heavy dim table must not miss
+    * auto-broadcast on rows the codegen'd mask filter drops at the scan.
+    * A PRUNED scan keeps the raw survivor numbers: a delete file's
+    * recordCount may reference files the filters pruned away, so
+    * subtracting it could UNDERSTATE (down to zero rows — the estimate
+    * that wrongly broadcasts a big fact side); overstate is the only safe
+    * error direction there. Manifest-only — no delete parquet is opened
+    * for an estimate. */
   override def estimateStatistics(): Statistics = {
     val (bytes, rows) = planState match {
       case None => (0L, 0L)
@@ -253,7 +257,9 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
         val s = pruneSurvivors(files)
         val rawRows  = s.map(_.recordCount).sum
         val rawBytes = s.map(_.fileSizeInBytes).sum
-        val maskRows = EventTable.pruneDeleteFiles(s, dels).map(_.recordCount).sum
+        val maskRows =
+          if (s.size == files.size) EventTable.pruneDeleteFiles(s, dels).map(_.recordCount).sum
+          else 0L
         val liveRows = math.max(0L, rawRows - maskRows)
         val liveBytes =
           if (rawRows <= 0L || maskRows <= 0L) rawBytes

@@ -277,11 +277,7 @@ object Compaction {
       // GCs them (manual redaction paths like deleteWhere stay eager on
       // purpose — right-to-be-forgotten overrides a tag).
       if (cfg.deleteReplacedFiles) {
-        val taggedIds = res.metadata.storedRefs.values.map(_.snapshotId).toSet
-        val protectedPaths: Set[String] = taggedIds.flatMap { sid =>
-          (committer.activeFilesAtOf(res.metadata, sid, 0) ++
-            committer.activeFilesAtOf(res.metadata, sid, 1)).map(_.filePath)
-        }
+        val protectedPaths = committer.tagProtectedPaths(res.metadata)
         (candidates ++ foldedDeletes).filterNot(f => protectedPaths.contains(f.filePath))
           .foreach(f => committer.io.delete(f.filePath))
       }

@@ -939,7 +939,12 @@ object EventTable {
     val newWm = watermarksOf(added).filter { case (p, s) => s > wm.getOrElse(p, 0L) }
     try {
       val res = committer.commitReplace(affected, added, base, watermarks = newWm, operation = "overwrite")
-      affected.foreach(f => committer.io.delete(f.filePath))
+      // a routine upsert must not break a tag out from under the retention
+      // guard — same eager-delete skip as compaction (ONE definition);
+      // deleteWhere stays eager on purpose (redaction overrides a tag)
+      val protectedPaths = committer.tagProtectedPaths(res.metadata)
+      affected.filterNot(f => protectedPaths.contains(f.filePath))
+        .foreach(f => committer.io.delete(f.filePath))
       MergeResult(affected.size, active.size - affected.size,
                   matchedKeys.size.toLong, insertKeys.length.toLong, Some(res.snapshotId))
     } catch {
@@ -1308,8 +1313,10 @@ object EventTable {
     val ordered = rangeBuf.reverse.toSeq
     // validate the WHOLE range before building any scan: a replace in the
     // range physically deleted files, so a lazily-discovered refusal would
-    // surface as a missing-path read error instead of the real reason
-    validateFeedRange(committer, meta, ordered, fromSnapshotId, toSnapshotId)
+    // surface as a missing-path read error instead of the real reason.
+    // Validation returns each delete commit's resolved inputs — reused
+    // below instead of a second manifest walk.
+    val deleteInputs = validateFeedRange(committer, meta, ordered, fromSnapshotId, toSnapshotId)
     val parts: Seq[DataFrame] = ordered.flatMap { s =>
       val op = s.summary.getOrElse("operation", "append")
       if (s.summary.get("zombi.rewrite-manifests").contains("true") ||
@@ -1322,16 +1329,12 @@ object EventTable {
           else Some(readProjected(spark, tableRoot, schema, added)
             .withColumn("_change_type", lit("insert")))
         case "delete" =>
-          val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
-            s"delete snapshot ${s.snapshotId} has no parent"))
-          val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
-            .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
-          val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
+          val FeedDeleteInputs(newDels, parentFiles, priorDels) =
+            deleteInputs(s.snapshotId) // resolved once, in validation
           if (newDels.isEmpty || parentFiles.isEmpty) None
           else {
             val raw = readProjected(spark, tableRoot, schema, parentFiles, morCols = true)
             // live at the parent: strip masks that predate this commit
-            val priorDels = committer.activeFilesAtOf(meta, parentId, 1)
             val priorP    = priorDels.filter(_.content == 1)
             val priorEq   = priorDels.filter(_.content == 2)
             val afterP =
@@ -1360,6 +1363,13 @@ object EventTable {
     parts.foldLeft(empty)(_ unionByName _)
   }
 
+  /** What a changefeed builder needs to resolve one MoR delete snapshot:
+    * the commit's own delete files, the parent's live data files, and the
+    * parent's active delete files (prior masks). */
+  private[graft] final case class FeedDeleteInputs(newDels: Seq[DataFile],
+                                                   parentFiles: Seq[DataFile],
+                                                   parentDeletes: Seq[DataFile])
+
   /** ONE range-validation rule for BOTH changefeed forms (batch
     * [[changesBetween]] and the streaming [[graft.spark.GraftChangefeedStream]]):
     * every snapshot in the forward-ordered range must be an append, a MoR
@@ -1369,12 +1379,19 @@ object EventTable {
     * will physically open (append-added files; the parent-live files a
     * delete commit resolves against): a replace that removed one of them
     * physically deleted it, so the refusal must carry the real reason
-    * instead of surfacing later as a missing-path read error. */
+    * instead of surfacing later as a missing-path read error.
+    *
+    * Returns the per-delete-snapshot resolution inputs so the build pass
+    * reuses what validation already resolved instead of re-walking the
+    * parent manifests (two extra active-set folds per delete commit per
+    * trigger on a delete-heavy feed otherwise). */
   private[graft] def validateFeedRange(committer: IcebergCommitter,
                                        meta: graft.iceberg.TableMetadata,
                                        ordered: Seq[graft.iceberg.Snapshot],
-                                       fromSnapshotId: Long, toSnapshotId: Long): Unit = {
+                                       fromSnapshotId: Long,
+                                       toSnapshotId: Long): Map[Long, FeedDeleteInputs] = {
     val readPaths = scala.collection.mutable.Set.empty[String]
+    val resolved  = scala.collection.mutable.Map.empty[Long, FeedDeleteInputs]
     ordered.foreach { s =>
       val op        = s.summary.getOrElse("operation", "append")
       val isRewrite = s.summary.get("zombi.rewrite-manifests").contains("true")
@@ -1402,16 +1419,20 @@ object EventTable {
       } else { // MoR delete: resolution reads the parent's live data files,
                // its own new delete parquet, and the parent's prior masks
         val newDels = committer.entriesAtOf(meta, s.snapshotId, content = 1)
-          .filter(e => e.status == 1 && e.snapshotId == s.snapshotId)
+          .filter(e => e.status == 1 && e.snapshotId == s.snapshotId).map(_.dataFile)
         if (newDels.nonEmpty) {
-          readPaths ++= newDels.map(_.dataFile.filePath)
-          s.parentSnapshotId.foreach { parentId =>
-            readPaths ++= committer.activeFilesAtOf(meta, parentId, 0).map(_.filePath)
-            readPaths ++= committer.activeFilesAtOf(meta, parentId, 1).map(_.filePath)
-          }
-        }
+          val parentId = s.parentSnapshotId.getOrElse(throw new IllegalStateException(
+            s"delete snapshot ${s.snapshotId} has no parent"))
+          val parentFiles = committer.activeFilesAtOf(meta, parentId, 0)
+          val parentDels  = committer.activeFilesAtOf(meta, parentId, 1)
+          readPaths ++= newDels.map(_.filePath)
+          readPaths ++= parentFiles.map(_.filePath)
+          readPaths ++= parentDels.map(_.filePath)
+          resolved(s.snapshotId) = FeedDeleteInputs(newDels, parentFiles, parentDels)
+        } else resolved(s.snapshotId) = FeedDeleteInputs(Nil, Nil, Nil)
       }
     }
+    resolved.toMap
   }
 
   /** Manifest-level file pruning for a timestamp range (Q3's payoff at

@@ -479,6 +479,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x14_tag_travel: a ref-name-pinned read stays plain scan+agg — no join, no window") {
+    // ref resolution is DRIVER-side metadata (name -> snapshot id before
+    // the scan plans); a join/window here means the tag-pinned read path
+    // grew a hidden correction pass
+    val p = plan("x14_tag_travel")
+    assert(!p.contains("Join"), s"x14: tag travel must not add a join:\n${p.take(800)}")
+    assert(!p.contains("Window ["))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x12_spec_evolution: a mixed-spec read is a UNION of scans — no join, no window") {
     val p = plan("x12_spec_evolution")
     assert(p.contains("Union"), "old-spec and evolved-spec files load as two unioned scans")
