@@ -1108,7 +1108,10 @@ object TaggedTables {
   * the SAME checkpointed stream runs again. The second run must read
   * EXACTLY the appended files — a broken offset diff either re-reads the
   * table (duplicates the sink) or misses the tail, and both the fixture
-  * require and the oracle sum catch it. */
+  * require and the oracle sum catch it. A third run resumes after a full
+  * `Maintenance.vacuum` and must emit NOTHING (the tail crosses the
+  * compaction's data-preserving replaces), so v3's oracle row also gates
+  * tail survival across the maintenance clock. */
 object TailedTables {
   private val cache = scala.collection.mutable.Map.empty[String, String]
 
@@ -1141,6 +1144,15 @@ object TailedTables {
           val n2 = spark.read.parquet(s"$sink/data").count()
           require(n2 == n1 + 10,
             s"the resumed tail must read exactly the appended rows: $n1 -> $n2")
+          // run 3, AFTER a full vacuum: the compaction's data-preserving
+          // replaces (every merged file already consumed) must be crossed
+          // emitting NOTHING — v3's oracle row now also gates tail
+          // survival across the maintenance clock
+          val vr = Maintenance.vacuum(spark, root, keepSnapshots = 64)
+          require(vr.compactions > 0, "the vacuum must compact (replace commits in range)")
+          run()
+          val n3 = spark.read.parquet(s"$sink/data").count()
+          require(n3 == n2, s"a checkpointed tail must cross a vacuum emitting nothing: $n2 -> $n3")
           s"$sink/data"
         } finally prevCfm match {
           case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
@@ -1161,7 +1173,12 @@ object TailedTables {
   *  - run 2 resumes the SAME checkpoint after the equality pass and must
   *    emit exactly that pass's delete rows — a broken snapshot-id offset
   *    either re-emits run 1's changes (duplicates) or misses the new
-  *    commit, and the fixture's per-run counts pin both.
+  *    commit, and the fixture's per-run counts pin both;
+  *  - run 3 resumes after a FULL `Maintenance.vacuum` (compaction folding
+  *    both delete passes + manifest rewrite + expire) and must emit
+  *    NOTHING — the feed crosses the data-preserving replaces, so the
+  *    oracle row also gates consumer survival across the maintenance
+  *    clock.
   *
   * The accumulated sink is then hash-gated against the SAME oracle as the
   * batch feed (tt3) — streamed and batch reconstruction must agree. */
@@ -1217,6 +1234,20 @@ object StreamedChangefeedTables {
           val n2 = spark.read.parquet(s"$sink/data").count()
           require(n2 == n1 + r2.keys,
             s"the resumed feed must emit exactly the equality pass's deletes: $n1 -> $n2 (+${r2.keys})")
+          // run 3, AFTER a full vacuum (compaction folding both delete
+          // passes + manifest rewrite + expire): the data-preserving
+          // replaces must be crossed emitting NOTHING — the oracle row
+          // that gates this sink now also gates consumer survival across
+          // the maintenance clock. Retention stays wide so the
+          // checkpointed range never crosses expired history.
+          val vr = Maintenance.vacuum(spark, root,
+            Compaction.Config(deleteRatioTrigger = 0.01, maxFilesPerRun = 10000),
+            keepSnapshots = 64)
+          require(vr.compactions > 0, "the vacuum must fold (replace commits in range)")
+          run()
+          val n3 = spark.read.parquet(s"$sink/data").count()
+          require(n3 == n2,
+            s"a checkpointed feed must cross a vacuum emitting nothing: $n2 -> $n3")
           s"$sink/data"
         } finally prevCfm match {
           case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
