@@ -181,6 +181,36 @@ object Bench {
             "proceeding; artifact will carry regime=noisy-host")
       }
     }
+    // STEAL pre-gate (round-19, next to the r17 load gate): hypervisor
+    // steal on this host class comes in MINUTES-long waves — three r19
+    // runs entered mid-wave and burned 12 minutes each to a noisy-host
+    // stamp a 20 s probe would have predicted. Probe steal over a short
+    // window; above the per-phase gate, back off and re-probe (bounded —
+    // a driver run must not stall forever). The waits land in
+    // gate_waited_s like the load gate's.
+    locally {
+      val probeS   = sys.env.get("SPARK_GRAFT_BENCH_STEAL_PROBE_S").flatMap(_.toIntOption).getOrElse(20)
+      val maxTries = sys.env.get("SPARK_GRAFT_BENCH_STEAL_BACKOFFS").flatMap(_.toIntOption).getOrElse(4)
+      val gate     = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
+      def probe(): Double = {
+        val (s0, j0) = cpuStat(); Thread.sleep(probeS * 1000L); val (s1, j1) = cpuStat()
+        gateWaitedS += probeS
+        if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else 0.0
+      }
+      var tries = 0
+      var st    = probe()
+      while (st > gate && tries < maxTries) {
+        tries += 1
+        System.err.println(f"[graft-bench] CPU steal $st%.2f%% above gate $gate%.1f%% — " +
+          s"backing off ${gateBackoffS}s (${tries}/$maxTries) before the sweep")
+        Thread.sleep(gateBackoffS * 1000L)
+        gateWaitedS += gateBackoffS
+        st = probe()
+      }
+      if (st > gate)
+        System.err.println(f"[graft-bench] CPU steal still $st%.2f%% after $tries backoffs — " +
+          "proceeding; artifact will carry regime=noisy-host")
+    }
     // PER-PHASE brackets feed the regime stamp (see [[BenchRegime]]): each
     // phase records loadavg in/out + its own steal delta and stamps itself
     val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
