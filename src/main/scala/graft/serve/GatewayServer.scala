@@ -388,7 +388,10 @@ final class GatewayServer(
       // next to /expire and /vacuum — tag a snapshot to pin it readable
       // (expire retains it; compaction's eager delete skips its files),
       // drop the tag to release it. Committer refusals (derived/duplicate/
-      // unknown names, unknown snapshots) are CLIENT input → 400.
+      // unknown names, unknown snapshots) are CLIENT input → 400. The
+      // default (no ?snapshot=) form pins the head OBSERVED AT REQUEST
+      // TIME: a commit racing the request tags that observed head, not
+      // the newer one — callers that need a specific snapshot name it.
       case ("POST", List("tables", t, "tag")) =>
         validated(t)
         val q    = query(ex)
@@ -402,14 +405,22 @@ final class GatewayServer(
             .getOrElse(throw ApiError(400, "INVALID_INPUT", "no snapshot to tag (empty table)"))
         }
         try committer(t).createTag(name, snap)
-        catch { case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage) }
+        catch {
+          case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage)
+          // a writer racing the tag CAS is contention, not client error —
+          // same contract as /compact and /vacuum
+          case _: CommitConflict => throw ApiError(409, "TAG_CONFLICT", "table advanced during tag; retry")
+        }
         sendJson(ex, 200, s"""{"table":"${escape(t)}","tag":"${escape(name)}","snapshot_id":$snap}""")
       case ("DELETE", List("tables", t, "tag")) =>
         validated(t)
         val name = query(ex).getOrElse("name",
           throw ApiError(400, "INVALID_INPUT", "tag requires ?name="))
         try committer(t).dropTag(name)
-        catch { case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage) }
+        catch {
+          case e: IllegalArgumentException => throw ApiError(400, "INVALID_INPUT", e.getMessage)
+          case _: CommitConflict => throw ApiError(409, "TAG_CONFLICT", "table advanced during tag drop; retry")
+        }
         sendJson(ex, 200, s"""{"table":"${escape(t)}","dropped":"${escape(name)}"}""")
 
       // ---- deprecated consumer-offset surface (Q9 API parity,

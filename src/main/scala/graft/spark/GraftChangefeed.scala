@@ -103,6 +103,12 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
                                   fromTimestampMs: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  // validated at CONSTRUCTION, not in initialOffset: Spark only calls
+  // initialOffset when no checkpoint exists, so a resumed query carrying
+  // conflicting start options would otherwise silently ignore them — the
+  // loud-refusal contract applies regardless of checkpoint state
+  require(fromSnapshot.isEmpty || fromTimestampMs.isEmpty,
+    "changefeed options fromSnapshot and fromTimestamp are mutually exclusive")
   private def committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
 
   private def headId(): Long =
@@ -121,8 +127,6 @@ final class GraftChangefeedStream(tableRoot: String, required: StructType,
     GraftOffset(headId())
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
-    require(fromSnapshot.isEmpty || fromTimestampMs.isEmpty,
-      "changefeed options fromSnapshot and fromTimestamp are mutually exclusive")
     // a named base must exist NOW — failing at first plan would bury the
     // refusal behind a checkpointed −1
     fromSnapshot.foreach { id =>

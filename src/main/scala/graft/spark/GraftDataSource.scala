@@ -248,8 +248,17 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
     * recordCount may reference files the filters pruned away, so
     * subtracting it could UNDERSTATE (down to zero rows — the estimate
     * that wrongly broadcasts a big fact side); overstate is the only safe
-    * error direction there. Manifest-only — no delete parquet is opened
-    * for an estimate. */
+    * error direction there. The SAME safety rule governs mixed delete
+    * kinds: positional counts are exact (positions resolve against live
+    * rows at write, disjoint across commits), and a lone equality batch
+    * is exact by the CDC contract (deduped, real tombstones) — but when
+    * BOTH kinds are active an eq key may reference a row a position mask
+    * already covers (deleteWhereEq never scans, so it cannot know), and
+    * summing the two kinds would double-subtract that row. Subtract
+    * max(pos, eq) instead — a lower bound on the union of the masks, so
+    * the mixed-kind estimate can only OVERSTATE live rows, never
+    * understate into a wrong broadcast. Manifest-only — no delete
+    * parquet is opened for an estimate. */
   override def estimateStatistics(): Statistics = {
     val (bytes, rows) = planState match {
       case None => (0L, 0L)
@@ -258,8 +267,13 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
         val rawRows  = s.map(_.recordCount).sum
         val rawBytes = s.map(_.fileSizeInBytes).sum
         val maskRows =
-          if (s.size == files.size) EventTable.pruneDeleteFiles(s, dels).map(_.recordCount).sum
-          else 0L
+          if (s.size == files.size) {
+            val relevant = EventTable.pruneDeleteFiles(s, dels)
+            val posRows  = relevant.filter(_.content == 1).map(_.recordCount).sum
+            val eqRows   = relevant.filter(_.content == 2).map(_.recordCount).sum
+            if (posRows > 0L && eqRows > 0L) math.max(posRows, eqRows)
+            else posRows + eqRows
+          } else 0L
         val liveRows = math.max(0L, rawRows - maskRows)
         val liveBytes =
           if (rawRows <= 0L || maskRows <= 0L) rawBytes

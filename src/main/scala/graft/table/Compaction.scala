@@ -112,7 +112,8 @@ object Compaction {
     * snapshot. Throws [[CommitConflict]] if the table advanced past
     * `expectedBase` between selection and commit. */
   def compact(spark: SparkSession, tableRoot: String, cfg: Config = Config(),
-              beforeCommit: () => Unit = () => ()): Option[CommitResult] = {
+              beforeCommit: () => Unit = () => (),
+              afterCommit: () => Unit = () => ()): Option[CommitResult] = {
     EventTable.sweepStaging(tableRoot) // GC dirs left by crashed writes
     val committer = new IcebergCommitter(TableIO.forRoot(tableRoot), EventTable.Topic)
     val meta      = committer.load().getOrElse(return None)
@@ -255,6 +256,12 @@ object Compaction {
     // posMasked − eqMasked). A violation means the rewrite diverged from
     // the read path's mask semantics — refuse to stamp (and to commit) a
     // replace streams would then silently cross.
+    // committed flips IMMEDIATELY after the CAS lands: from that point
+    // newPaths are data files of a COMMITTED snapshot, and the orphan
+    // rollback below must never touch them — an exception out of the
+    // post-commit tail (tag resolution inside tagProtectedPaths, an eager
+    // delete refusal) would otherwise delete live table data.
+    var committed = false
     try {
       val candidateRows = candidates.map(_.recordCount).sum
       val addedRows     = added.map(_.recordCount).sum
@@ -268,6 +275,8 @@ object Compaction {
       beforeCommit() // test hook: interleave a concurrent commit
       val res = committer.commitReplace(candidates, added, base, removedDeletes = foldedDeletes,
                                         dataPreserving = true)
+      committed = true
+      afterCommit() // test hook: fail in the post-commit tail
       // Old files are invisible now; eager physical delete matches the
       // reference (see Config.deleteReplacedFiles for the time-travel
       // preserving alternative) — EXCEPT files a user TAG still references:
@@ -285,12 +294,13 @@ object Compaction {
     } catch {
       // Roll back: delete ONLY the files this compaction wrote — they are
       // uncommitted orphans — and rethrow. Covers the CAS conflict AND the
-      // conservation-bracket refusal above.
+      // conservation-bracket refusal above; once `committed` is set the
+      // files belong to the table and only the exception propagates.
       case c: CommitConflict =>
-        newPaths.foreach(committer.io.delete)
+        if (!committed) newPaths.foreach(committer.io.delete)
         throw c
       case e: IllegalArgumentException =>
-        newPaths.foreach(committer.io.delete)
+        if (!committed) newPaths.foreach(committer.io.delete)
         throw e
     }
   }

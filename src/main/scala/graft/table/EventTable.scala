@@ -609,7 +609,12 @@ object EventTable {
       if (graft.iceberg.TableIO.hasScheme(tableRoot))
         Option(new org.apache.hadoop.fs.Path(tableRoot).toUri.getPath).getOrElse(tableRoot)
       else Paths.get(tableRoot).toAbsolutePath.normalize.toString
-    val affected = active.filter(f => matchedPaths.exists(_._1 == s"$rootPath/${f.filePath}"))
+    // Set membership, not a linear scan per active file: at the 800k-file
+    // scale the README's audit contemplates, files × matched `exists`
+    // probes are ~10^10 driver-side string compares — O(files + matched)
+    // here keeps the driver out of the delete's critical path.
+    val matchedSet = matchedPaths.iterator.map(_._1).toSet
+    val affected   = active.filter(f => matchedSet.contains(s"$rootPath/${f.filePath}"))
     if (affected.isEmpty) return DeleteResult(0, active.size, 0L, None)
 
     val survivors = readForRewrite(spark, tableRoot, affected).filter(not(pred))
@@ -804,11 +809,17 @@ object EventTable {
     // keys must reference ALREADY-WRITTEN sequences: a tombstone beyond the
     // watermark would match (and silently swallow) a FUTURE append — the
     // sequence-number scoping of the fold rule relies on keys never
-    // resurrecting. Batch-sized by contract, so the check is a driver fold.
-    val wm = committer.summaryWatermarks()
-    val beyond = keyRows.collect().filter { r =>
-      r.getLong(1) > wm.getOrElse(r.getInt(0), 0L)
-    }
+    // resurrecting. The check is DISTRIBUTED (watermarks are a partitions-
+    // sized broadcast; violations fold executor-side) so a fat CDC
+    // tombstone batch never transits the driver — only a limit(5)
+    // offender sample does, to keep the refusal loud AND named.
+    import spark.implicits._
+    val wmDf = committer.summaryWatermarks().toSeq.toDF("partition", "wm")
+    val beyond = keyRows
+      .join(broadcast(wmDf), Seq("partition"), "left")
+      .filter(col("sequence") > coalesce(col("wm"), lit(0L)))
+      .select(col("partition"), col("sequence"))
+      .limit(5).collect()
     require(beyond.isEmpty,
       s"equality-delete keys beyond the partition watermark (would tombstone future appends): " +
         beyond.take(5).mkString(", "))

@@ -313,11 +313,15 @@ class CompactionSpec extends AnyFunSuite {
     assert(EventTable.readCommitted(spark, root).count() === rowsBefore - r.keys)
     assert(EventTable.readCommitted(spark, root).filter(col("sequence") % 7 === 2).count() === 0)
     // a key above the partition watermark would tombstone a FUTURE append —
-    // refused loudly, never committed
-    intercept[IllegalArgumentException] {
+    // refused loudly, never committed. The check folds executor-side (a
+    // fat CDC batch never transits the driver) but the refusal still
+    // NAMES offenders from the limit(5) sample.
+    val exWm = intercept[IllegalArgumentException] {
       EventTable.deleteWhereEq(spark, root,
         spark.range(1).select(lit(0).as("partition"), lit(99999999L).as("sequence")))
     }
+    assert(exWm.getMessage.contains("watermark") && exWm.getMessage.contains("99999999"),
+      s"the refusal must name the offending key: ${exWm.getMessage.take(200)}")
     assert(committer.activeDeleteFiles().size === 1)
 
     // folding: rewrites apply the keys; the file is removed once no live
@@ -459,6 +463,29 @@ class CompactionSpec extends AnyFunSuite {
     assert(committer.activeDataFiles().map(_.filePath).toSet === active)
     assert(EventTable.listParquet(root).toSet === active)
     assert(EventTable.readCommitted(spark, root).count() === rowsBefore)
+  }
+
+  test("C3 rollback never fires past the commit: a post-commit failure keeps the new files") {
+    // the r19-advice hazard: an IllegalArgumentException surfacing AFTER
+    // commitReplace (tag resolution, an eager-delete refusal) must NOT
+    // trigger the orphan rollback — at that point the rewritten files are
+    // data files of a COMMITTED snapshot and deleting them corrupts the
+    // table. The exception still propagates.
+    val root = Files.createTempDirectory("graft-compact-postfail-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(32))
+    val committer  = new IcebergCommitter(new LocalTableIO(root), EventTable.Topic)
+    val rowsBefore = EventTable.readCommitted(spark, root).count()
+    val baseBefore = committer.load().get.currentSnapshotId.get
+    val err = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, root,
+        afterCommit = () => throw new IllegalArgumentException("post-commit tail failure"))
+    }
+    assert(err.getMessage.contains("post-commit tail failure"))
+    // the replace snapshot LANDED and every row survives — nothing deleted
+    assert(committer.load().get.currentSnapshotId.get !== baseBefore,
+      "the replace snapshot must stay committed")
+    assert(EventTable.readCommitted(spark, root).count() === rowsBefore,
+      "a post-commit failure must not delete committed data files")
   }
 
   test("MoR CAS: a foreign commit between delete derivation and commit aborts and cleans up") {

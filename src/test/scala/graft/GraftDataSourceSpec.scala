@@ -317,7 +317,12 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .filter(col("sequence") % 13 === 5).select("partition", "sequence")
     val r2 = EventTable.deleteWhereEq(spark, root, eqKeys)
     assert(r1.deletedRows > 0 && r2.keys > 0)
-    val live  = preRows - r1.deletedRows - r2.keys
+    // with BOTH delete kinds active the estimate subtracts max(pos, eq) —
+    // eq keys may already be pos-masked (deleteWhereEq never scans), so
+    // summing could double-subtract; max can only OVERSTATE live rows
+    val trueLive = preRows - r1.deletedRows - r2.keys
+    val live     = preRows - math.max(r1.deletedRows, r2.keys)
+    assert(live >= trueLive, "the mixed-kind bound must never understate")
     val files = c.activeDataFiles()
     val rawRows  = files.map(_.recordCount).sum
     val rawBytes = files.map(_.fileSizeInBytes).sum
@@ -328,7 +333,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
       }.get
     val st = scanStats(spark.read.format("graft").load(root))
     assert(st.rowCount.contains(BigInt(live)),
-      s"row estimate must subtract unfolded mask rows: got ${st.rowCount}, want $live")
+      s"row estimate must subtract the safe mixed-kind mask bound: got ${st.rowCount}, want $live")
     val liveBytes = math.max(1L, (rawBytes.toDouble * live / rawRows).toLong)
     assert(st.sizeInBytes === BigInt(liveBytes))
     // auto-broadcast decides on the LIVE size: a threshold between the
@@ -350,6 +355,39 @@ class GraftDataSourceSpec extends AnyFunSuite {
     eqBy.values.foreach(a => assert(a.toSeq === a.toSeq.distinct.sorted))
     assert(posBy.values.map(_.length.toLong).sum === r1.deletedRows)
     assert(eqBy.values.map(_.length.toLong).sum === r2.keys)
+  }
+
+  test("eq keys covering already-pos-masked rows never understate the row estimate") {
+    // the r19-advice scenario: a CDC writer tombstones keys a position
+    // mask already covers (deleteWhereEq never scans, so it cannot know).
+    // Summing the two kinds would double-subtract every such row and the
+    // shrunken estimate could wrongly broadcast a big fact side; the
+    // max(pos, eq) bound keeps the estimate at or above the true count.
+    import graft.table.EventTable
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-morstats2-").toString
+    EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", root, fragmentInto = Some(8))
+    val preRows = EventTable.readCommitted(spark, root).count()
+    // capture the keys FIRST (collected — the lazy frame would re-read
+    // post-delete and see nothing), pos-delete them, then eq-delete the
+    // same keys
+    val keys = EventTable.readCommitted(spark, root)
+      .filter(col("sequence") % 7 === 2).select("partition", "sequence")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val r1 = EventTable.deleteWhereMor(spark, root, col("sequence") % 7 === 2)
+    import spark.implicits._
+    val r2 = EventTable.deleteWhereEq(spark, root,
+      keys.toSeq.toDF("partition", "sequence"))
+    assert(r1.deletedRows === keys.length.toLong && r2.keys === keys.length.toLong)
+    val trueLive = EventTable.readCommitted(spark, root).count()
+    assert(trueLive === preRows - r1.deletedRows, "eq keys mask rows already pos-masked")
+    val st = spark.read.format("graft").load(root)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.stats
+      }.get
+    assert(st.rowCount.contains(BigInt(trueLive)),
+      s"fully-overlapping masks: max(pos, eq) is exact here, got ${st.rowCount} want $trueLive")
+    assert(st.rowCount.get >= BigInt(trueLive), "the estimate must never understate live rows")
   }
 
   test("a masked V2 scan stays COLUMNAR and a bounds-pruned scan opens zero delete files") {

@@ -205,6 +205,14 @@ class StreamIngestSpec extends AnyFunSuite {
       runFeed(s3, Map("fromTimestamp" -> cut.toString, "fromSnapshot" -> "1"))
     }
     assert(exBoth.getMessage.contains("mutually exclusive"))
+    // RESUME shape (r19 advice): Spark skips initialOffset when a
+    // checkpoint exists, so the pair must refuse at stream CONSTRUCTION —
+    // a resumed query with conflicting options never silently drops them
+    val exResume = intercept[IllegalArgumentException] {
+      new graft.spark.GraftChangefeedStream(root,
+        org.apache.spark.sql.types.StructType(Nil), Some(1L), Some(cut))
+    }
+    assert(exResume.getMessage.contains("mutually exclusive"))
     // lag guard: once expiry truncates history past the timestamp, the
     // feed refuses NAMING the restart point, never silently starts late
     val expired = new graft.iceberg.IcebergCommitter(
