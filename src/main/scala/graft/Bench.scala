@@ -1,43 +1,57 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** PER-PHASE regime bracketing (round-18 verdict #2): the r18 official
-  * artifact self-stamped "quiet" while its qscale tail ran 62× degraded —
-  * the old gate sampled loadavg only around the sweep and steal only
-  * whole-run, so a degradation RAMPING through the tail phases passed
-  * both terms. Each phase now brackets itself (loadavg at entry/exit +
-  * its own steal delta), and the top-level regime is noisy-host if ANY
-  * gating phase breached either term. The gateway phase records its
-  * bracket but never gates: its 8-thread closed-loop HTTP harness IS the
-  * loadavg it reads (self-load — the run-5 adjudication). Pulled out of
-  * the main sweep so the adjudication rule itself is unit-testable. */
+/** PER-PHASE regime bracketing (round-18 verdict #2, reworked round 20):
+  * the r18 official artifact self-stamped "quiet" while its qscale tail
+  * ran 62× degraded — the old gate sampled loadavg only around the sweep
+  * and steal only whole-run, so a degradation RAMPING through the tail
+  * phases passed both terms. Each phase brackets itself, and the
+  * top-level regime is noisy-host if ANY gating phase breached.
+  *
+  * Round 20 changed WHAT a phase bracket gates on. The r19 driver
+  * artifact flipped its qscale phase noisy on loadavg 6.54 at steal
+  * 0.039% — load that was mostly the bench's OWN 4× fixture build — and
+  * the resulting d3 = 11.4× reading needed a manual quiet reproduction
+  * (2.19×) to refute; the artifact produced zero usable qscale numbers.
+  * Mid-phase loadavg cannot distinguish self-load from contention, so a
+  * phase now classifies on the two signals the bench CANNOT generate
+  * itself: its CPU-steal delta (hypervisor pressure) and its EXTERNAL
+  * busy-CPU share — host busy jiffies minus this JVM's own utime+stime
+  * over the same window, as a percent of host capacity (`run` is forked
+  * and Spark is local-mode, so one /proc/self/stat read covers every
+  * bench thread). Loadavg stays RECORDED at phase entry/exit as
+  * adjudication evidence — and still gates the PRE-sweep sample, taken
+  * while the bench is idle (see the load gate in [[Bench.main]]) — it
+  * just no longer flips a phase the bench itself kept busy. The gateway
+  * phase records its bracket but never gates: its closed-loop HTTP
+  * harness IS the load it reads. Pulled out of the main sweep so the
+  * adjudication rule itself is unit-testable. */
 object BenchRegime {
   final case class PhaseBracket(name: String, loadIn: Double, loadOut: Double,
-                                stealPct: Double, gates: Boolean)
+                                stealPct: Double, gates: Boolean,
+                                extBusyPct: Double = -1.0)
 
-  /** Negative load samples mean /proc was unavailable — excluded, same as
-    * the old loadSamples convention. Mid-phase loadavg is partly the
-    * bench's own work; on this class of box the bench's self-load stays
-    * well under the 4.0 gate (quiet closings record 1.1–2.9), so the gate
-    * catches external contention without false-noisy stamps. Hosts where
-    * the sweep itself exceeds the gate raise SPARK_GRAFT_BENCH_MAX_LOAD —
-    * the conservative direction (false noisy forces a re-run; false QUIET
-    * is the adjudication hole this exists to close). */
-  def phaseQuiet(p: PhaseBracket, maxLoad: Double, maxSteal: Double): Boolean =
+  /** Negative samples mean /proc was unavailable — excluded, same as the
+    * old loadSamples convention. `maxExtBusy` is the external-CPU gate as
+    * a percent of host capacity (the old 4.0-loadavg gate expressed
+    * capacity-relative: 100·maxLoad/cpus); false-noisy forces a re-run,
+    * false QUIET is the adjudication hole this exists to close — but
+    * self-load can no longer produce the false-noisy arm. */
+  def phaseQuiet(p: PhaseBracket, maxExtBusy: Double, maxSteal: Double): Boolean =
     p.stealPct <= maxSteal &&
-      (p.loadIn < 0 || p.loadIn <= maxLoad) &&
-      (p.loadOut < 0 || p.loadOut <= maxLoad)
+      (p.extBusyPct < 0 || p.extBusyPct <= maxExtBusy)
 
   def stamp(phases: Seq[PhaseBracket], wholeRunStealPct: Double,
-            maxLoad: Double, maxSteal: Double): String =
+            maxExtBusy: Double, maxSteal: Double): String =
     if (wholeRunStealPct <= maxSteal &&
-        phases.filter(_.gates).forall(phaseQuiet(_, maxLoad, maxSteal))) "quiet"
+        phases.filter(_.gates).forall(phaseQuiet(_, maxExtBusy, maxSteal))) "quiet"
     else "noisy-host"
 
-  def phasesJson(phases: Seq[PhaseBracket], maxLoad: Double, maxSteal: Double): String =
+  def phasesJson(phases: Seq[PhaseBracket], maxExtBusy: Double, maxSteal: Double): String =
     phases.map { p =>
       f"""{"name":"${p.name}","load_in":${p.loadIn}%.2f,"load_out":${p.loadOut}%.2f,""" +
-        f""""steal_pct":${p.stealPct}%.3f,"gates":${p.gates},""" +
-        s""""quiet":${phaseQuiet(p, maxLoad, maxSteal)}}"""
+        f""""steal_pct":${p.stealPct}%.3f,"ext_busy_pct":${p.extBusyPct}%.2f,""" +
+        f""""gates":${p.gates},""" +
+        s""""quiet":${phaseQuiet(p, maxExtBusy, maxSteal)}}"""
     }.mkString("[", ",", "]")
 }
 
@@ -151,6 +165,28 @@ object Bench {
           (if (vals.length > 7) vals(7) else 0L, vals.sum)
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    // (steal, idle+iowait, total) host jiffies — the bracket's raw terms
+    def cpuSnap(): (Long, Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val vals = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          val idle = (if (vals.length > 3) vals(3) else 0L) + (if (vals.length > 4) vals(4) else 0L)
+          (if (vals.length > 7) vals(7) else 0L, idle, vals.sum)
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L, -1L) }
+    // this JVM's own CPU jiffies (utime+stime, same USER_HZ unit as
+    // /proc/stat): `run` is forked and Spark is local-mode, so one read
+    // covers driver + every executor thread of the bench
+    def selfJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/stat")
+        try {
+          val line = src.getLines().next()
+          val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+          rest(11).toLong + rest(12).toLong // utime, stime
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     def storageSnap(): (Long, Long) = // (persisted disk bytes, cached partitions)
       try {
         val infos = spark.sparkContext.getRDDStorageInfo
@@ -212,15 +248,34 @@ object Bench {
           "proceeding; artifact will carry regime=noisy-host")
     }
     // PER-PHASE brackets feed the regime stamp (see [[BenchRegime]]): each
-    // phase records loadavg in/out + its own steal delta and stamps itself
+    // phase records loadavg in/out (evidence) + its own steal delta and
+    // EXTERNAL busy-CPU share (host busy minus this JVM's own jiffies —
+    // the two signals the bench cannot generate itself) and stamps itself
     val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL").flatMap(_.toDoubleOption).getOrElse(1.0)
+    // the old loadavg gate expressed capacity-relative: 4.0 runnable on a
+    // 32-cpu host = 12.5% of capacity demanded by OTHER processes
+    val maxExtBusy = sys.env.get("SPARK_GRAFT_BENCH_MAX_EXT_BUSY").flatMap(_.toDoubleOption)
+      .getOrElse(100.0 * maxLoad / Runtime.getRuntime.availableProcessors())
     val phaseBrackets = scala.collection.mutable.ArrayBuffer.empty[BenchRegime.PhaseBracket]
-    def bracket[A](name: String, gates: Boolean = true)(body: => A): A = {
-      val lin = hostLoad(); val (s0, j0) = cpuStat()
+    // one measured bracket around `body`, NOT recorded — bracket() records
+    // phases; the qscale per-probe stamps reuse the same measurement
+    def measure[A](name: String, gates: Boolean = true)(body: => A): (A, BenchRegime.PhaseBracket) = {
+      val lin = hostLoad(); val (s0, i0, j0) = cpuSnap(); val self0 = selfJiffies()
       val out = body
-      val lout = hostLoad(); val (s1, j1) = cpuStat()
-      val st = if (j1 > j0) 100.0 * (s1 - s0) / (j1 - j0) else 0.0
-      phaseBrackets += BenchRegime.PhaseBracket(name, lin, lout, st, gates)
+      val lout = hostLoad(); val (s1, i1, j1) = cpuSnap(); val self1 = selfJiffies()
+      val dj = j1 - j0
+      val st = if (j0 >= 0 && j1 >= 0 && dj > 0) 100.0 * (s1 - s0) / dj else 0.0
+      val ext =
+        if (j0 < 0 || j1 < 0 || dj <= 0 || self0 < 0 || self1 < 0) -1.0
+        else {
+          val busy = dj - (i1 - i0)
+          100.0 * math.max(0L, busy - (self1 - self0)) / dj
+        }
+      (out, BenchRegime.PhaseBracket(name, lin, lout, st, gates, ext))
+    }
+    def bracket[A](name: String, gates: Boolean = true)(body: => A): A = {
+      val (out, pb) = measure(name, gates)(body)
+      phaseBrackets += pb
       out
     }
     val loadStart = hostLoad()
@@ -250,6 +305,9 @@ object Bench {
         () => llm.LlmQueries.evictClusters(spark, sfDir)),
       (Set("ann_incremental_add", "ann_ivf_probe", "ann_ivf_probe2",
            "ann_ivfpq_topk", "ann_ivfsq_topk",
+           // residual-PQ consumers: codes decode through the coarse
+           // centroids, so every pqCache consumer consumes ivfCache too
+           "ann_pq_topk", "e4_pq_error",
            "d13_semdedup", "d15_cell_skew_audit", "r2_hybrid_retrieve",
            "r5_bitext_mining", "w6_stream_bitext", "w6_mining_audit"),
         () => llm.LlmQueries.evictIvfIndex(spark, sfDir)),
@@ -504,6 +562,27 @@ object Bench {
           // (k-means collapsed cells, or the probe fan-out grew) — cap
           // per-cell pair work (SemDeDupProbes budget) before trusting
           // new numbers.
+          // d3 expected regime (r19 verdict #2 — documented like d13's):
+          // candidate volume is N·L·occupancy with L = LshTables = 16
+          // constant and occupancy = N/2^planes per table; hyperplanesFor
+          // steps the plane count with corpus size (smallest H keeping
+          // occupancy ≤ LshTargetOccupancy), and at 4x vectors it steps
+          // 6 -> 8, so
+          // 2^planes grows ~4x and per-table occupancy stays ~FLAT —
+          // honest candidate work grows ~4x (4x vectors × flat
+          // occupancy), the xor/dot verify per candidate is constant,
+          // and the wall ratio sits well under 4 for the same reasons as
+          // d13 (the 1x run leaves most of local[32] idle; plan/codegen
+          // fixed cost — the memoize-persisted bands sidecar dominates
+          // first-touch — amortizes). Recorded quiet readings: 2.12
+          // (r19 closing run 7), 2.19 (r19 judge repro). Expected band
+          // ≤ 3.5; a quiet-stamped reading past 4 means occupancy
+          // stopped tracking the plane-count step (hyperplanesFor's
+          // derivation broke, or hot buckets grew past the star-link
+          // cap) — check d11's bucket-skew audit before trusting new
+          // numbers. The r19 driver artifact's 11.4x was a breached-
+          // bracket reading (self-load loadavg, steal 0.039%) — exactly
+          // what the per-probe stamps below now classify mechanically.
           // d17/t25 expected regime (the two slowest honest-cost queries):
           // both explode gram volume linearly in corpus chars, fold through
           // partial-aggregatable (doc, gram) counts, and join back on
@@ -534,17 +613,43 @@ object Bench {
                             "x10_mor_sql_read", "tt2_snapshot_diff",
                             "x11_expire", "x13_manifest_rewrite")
           val med1x   = results.collect { case (n, _, med, _, _) if targets.contains(n) => n -> med }.toMap
+          // PER-PROBE brackets (r19 verdict #1): the r19 driver window
+          // produced ZERO usable qscale numbers — its phase-level bracket
+          // breached on the fixture build's own loadavg, condemning all 21
+          // probe readings at once. Each probe's warm reps now carry their
+          // own steal/external-CPU bracket (the fixture build and first
+          // touch land OUTSIDE it), a breached probe retries once after a
+          // short backoff (bounded budget — a driver run must not stall),
+          // and each reading ships with its own q/n stamp.
+          val probeRetryBudget = sys.env.get("SPARK_GRAFT_BENCH_PROBE_RETRIES")
+            .flatMap(_.toIntOption).getOrElse(4)
+          val probeBackoffS = sys.env.get("SPARK_GRAFT_BENCH_PROBE_BACKOFF_S")
+            .flatMap(_.toIntOption).getOrElse(30)
+          var probeRetriesLeft = probeRetryBudget
           val probes = targets.map { n =>
             val fn = SparkEntry.queries(n)
             def t(): Double = {
               val t0 = System.nanoTime(); consume(fn(spark, dir.toString)); (System.nanoTime() - t0) / 1e9
             }
             t() // first touch pays plan compile + cold scan of the replica
-            (n, median(Seq.fill(3)(t())))
+            def reps() = measure(s"qscale:$n")(median(Seq.fill(3)(t())))
+            var (m, pb) = reps()
+            if (!BenchRegime.phaseQuiet(pb, maxExtBusy, maxSteal) && probeRetriesLeft > 0) {
+              probeRetriesLeft -= 1
+              System.err.println(f"[graft-bench] qscale probe $n bracket breached " +
+                f"(steal ${pb.stealPct}%.2f%%, ext ${pb.extBusyPct}%.1f%%) — " +
+                s"backing off ${probeBackoffS}s and re-running")
+              Thread.sleep(probeBackoffS * 1000L)
+              val (m2, pb2) = reps()
+              // a quiet re-run replaces the breached reading; two breached
+              // readings keep the FASTER one (contention only inflates)
+              if (BenchRegime.phaseQuiet(pb2, maxExtBusy, maxSteal) || m2 < m) { m = m2; pb = pb2 }
+            }
+            (n, m, BenchRegime.phaseQuiet(pb, maxExtBusy, maxSteal))
           }
-          val full = probes.map { case (n, m) =>
+          val full = probes.map { case (n, m, quiet) =>
             val ratio = med1x.get(n).filter(_ > 0).map(b => f""","${n}_ratio":${m / b}%.2f""").getOrElse("")
-            f""""${n}_sec":$m%.3f$ratio"""
+            f""""${n}_sec":$m%.3f$ratio,"${n}_rg":"${if (quiet) "q" else "n"}""""
           }.mkString(s"""{"factor":$factor,""", ",", "}")
           val short = Map("tpch_q1_pricing" -> "q1", "tpch_q3_shipping" -> "q3", "tpch_q6_revenue" -> "q6",
                           "tpch_q18_large_orders" -> "q18", "d2_minhash_lsh" -> "d2",
@@ -556,12 +661,18 @@ object Bench {
                           "t25_gopher_repetition" -> "t25", "d17_substring_dedup" -> "d17",
                           "x10_mor_sql_read" -> "x10", "tt2_snapshot_diff" -> "tt2",
                           "x11_expire" -> "x11", "x13_manifest_rewrite" -> "x13")
-          val ratios = probes.flatMap { case (n, m) =>
+          val ratios = probes.flatMap { case (n, m, _) =>
             med1x.get(n).filter(_ > 0).map(b => f""""${short(n)}":${m / b}%.2f""")
           }
+          // the compact line carries only the EXCEPTIONS: probes whose own
+          // bracket stayed breached after the retry (full per-probe stamps
+          // live in BENCH_FULL.json) — absent nq means every reading is
+          // quiet-stamped and usable
+          val nonQuiet = probes.collect { case (n, _, false) => short(n) }
+          val nq = if (nonQuiet.isEmpty) Nil else Seq(s""""nq":"${nonQuiet.mkString(",")}"""")
           // prefix carries no trailing comma: an empty ratio list (filtered
           // sweep → no 1x medians) must still be valid JSON
-          val compact = (s""""f":$factor""" +: ratios).mkString("{", ",", "}")
+          val compact = (s""""f":$factor""" +: (ratios ++ nq)).mkString("{", ",", "}")
           (full, compact)
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -585,7 +696,7 @@ object Bench {
     // a probe ratio is only evidence under its own phase's regime
     val (qScale, qScaleCompact) = phaseBrackets.find(_.name == "qscale") match {
       case Some(p) if qScale0 != "null" =>
-        val quiet = BenchRegime.phaseQuiet(p, maxLoad, maxSteal)
+        val quiet = BenchRegime.phaseQuiet(p, maxExtBusy, maxSteal)
         (qScale0.dropRight(1) + s""","regime":"${if (quiet) "quiet" else "noisy-host"}"}""",
          qScaleCompact0.dropRight(1) + s""","rg":"${if (quiet) "q" else "n"}"}""")
       case _ => (qScale0, qScaleCompact0)
@@ -941,13 +1052,13 @@ object Bench {
     // measure 0.006-0.06%. The per-phase form closes the r18 hole: a
     // degradation RAMPING through the tail phases breaches ITS phase's
     // bracket even when the sweep-era samples read quiet.
-    val regime = BenchRegime.stamp(phaseBrackets.toSeq, stealPct, maxLoad, maxSteal)
+    val regime = BenchRegime.stamp(phaseBrackets.toSeq, stealPct, maxExtBusy, maxSteal)
     val hostJson =
       f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
         f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f,""" +
         f""""regime":"$regime","load_gate":$maxLoad%.1f,"steal_gate":$maxSteal%.1f,""" +
-        f""""gate_waited_s":$gateWaitedS,""" +
-        s""""phases":${BenchRegime.phasesJson(phaseBrackets.toSeq, maxLoad, maxSteal)}}"""
+        f""""ext_busy_gate":$maxExtBusy%.1f,"gate_waited_s":$gateWaitedS,""" +
+        s""""phases":${BenchRegime.phasesJson(phaseBrackets.toSeq, maxExtBusy, maxSteal)}}"""
     val healthJson = queryHealth.map { case (n, (b, sp, dr)) =>
       s""""$n":{"memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr}"""
     }.mkString("{", ",", "}")
@@ -998,7 +1109,7 @@ object Bench {
         // one char per phase (q/n, gateway lowercased-but-non-gating last):
         // the compact line's per-phase adjudication trail
         s""""ph":"${phaseBrackets.map(p =>
-          if (BenchRegime.phaseQuiet(p, maxLoad, maxSteal)) "q" else "n").mkString}",""" +
+          if (BenchRegime.phaseQuiet(p, maxExtBusy, maxSteal)) "q" else "n").mkString}",""" +
         f""""churn":${queryHealth.size},""" +
         (if (qmap) f""""queries":${q2(_._3)},"""
          // the per-query map is the line's dominant block (~25 chars/query);
@@ -1057,8 +1168,33 @@ object Bench {
         // 5 s halves: the soak gates (60% rate hold, 5x p99) need halves
         // long enough that one GC pause can't flip the boolean
         val so  = serve.LoadHarness.soak(base, "bench_gwsoak", seconds = 10, concurrency = 8)
+        // maintenance racing ingest, MEASURED (r19 verdict #7): the soak
+        // topic is seeded with a committed fragmented table carrying MoR
+        // delete weight past the ratio trigger; mid-soak, the EXACT
+        // flush-daemon path (flushNow + maintainIfNeeded) folds and
+        // compacts it while the writers keep posting — the p99/rate bands
+        // must hold through the vacuum, and the scenario row records the
+        // vacuum's own counts and duration
+        val msTable = "bench_gwms"
+        val msRoot  = s"$dir/$msTable"
+        table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", msRoot, fragmentInto = Some(32))
+        val msDel = table.EventTable.deleteWhereMor(spark, msRoot,
+          org.apache.spark.sql.functions.expr("sequence % 5 = 2"))
+        val msPolicy = serve.GatewayServer.MaintenancePolicy(
+          deleteRowRatio = 0.01, keepSnapshots = 2, keepAgeMs = 0L)
+        val ms = serve.LoadHarness.maintenanceSoak(base, msTable, seconds = 10, concurrency = 8,
+          midSoak = () => {
+            gw.flushNow(msTable) // hot -> committed, step-locked against the vacuum
+            val rep = gw.maintainIfNeeded(msTable, msPolicy)
+              .getOrElse(throw new IllegalStateException(
+                s"ratio trigger did not fire mid-soak (seeded ${msDel.deletedRows} delete rows)"))
+            if (rep.compactions < 1)
+              throw new IllegalStateException(s"mid-soak vacuum compacted nothing: $rep")
+            s"vacuum=mid-window compactions=${rep.compactions} " +
+              s"expired=${rep.expiredSnapshots} orphans=${rep.orphansRemoved}"
+          })
         val bpr = serve.LoadHarness.backpressure(bpBase, "bench_gwbp", seconds = 2, concurrency = 8)
-        val all = Seq(w, b, r, m, lag, bu, sk, so, bpr)
+        val all = Seq(w, b, r, m, lag, bu, sk, so, ms, bpr)
         val full = all.map(_.json).mkString("[", ",", "]")
         def rps(x: serve.LoadHarness.Result): Long =
           if (x.seconds <= 0) 0 else (x.requests / x.seconds).toLong
@@ -1067,7 +1203,8 @@ object Bench {
           f""""bulk_ev_s":${b.evPerSec},"bulk_p99":${b.p99Ms}%.2f,""" +
           f""""r_rps":${rps(r)},"r_p50":${r.p50Ms}%.2f,"mix_rps":${rps(m)},""" +
           f""""burst_p99":${bu.p99Ms}%.2f,"skew_ev_s":${sk.evPerSec},""" +
-          f""""soak_ok":${so.ok},"bp_ok":${bpr.ok},"n":${all.size}}"""
+          f""""soak_ok":${so.ok},"ms_ok":${ms.ok},"ms_p99":${ms.p99Ms}%.2f,""" +
+          f""""bp_ok":${bpr.ok},"n":${all.size}}"""
         (full, compact)
       } finally { try gw.stop() finally if (bp != null) bp.stop() }
     } catch {

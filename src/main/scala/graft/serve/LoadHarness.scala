@@ -285,6 +285,48 @@ object LoadHarness {
            minMs = math.min(h1.minMs, h2.minMs))
   }
 
+  /** Sustained soak with the MAINTENANCE CLOCK racing ingest: half 1 is
+    * load-only baseline; at the start of half 2 `midSoak` runs on its own
+    * thread (the caller wires it to the gateway's real flush +
+    * `maintainIfNeeded` path against a table carrying committed fragments
+    * and MoR delete weight) while the writers keep hammering. The soak
+    * bands (≥60% rate hold, p99 within 5×) must hold THROUGH the vacuum —
+    * the measured form of the step-lock interleave and futile-backoff
+    * claims the unit specs assert. `midSoak` returns a note recorded in
+    * the result (vacuum report counts); a midSoak failure fails the
+    * scenario. */
+  def maintenanceSoak(base: String, table: String, seconds: Int, concurrency: Int,
+                      midSoak: () => String): Result = {
+    val c = client(concurrency)
+    def half(tag: String, sec: Int): Result = loop("maintenance-soak", sec, concurrency) { (tid, i) =>
+      val r = post(c, s"$base/tables/$table", singleBody((i % 8).toInt, s"ms-$tag-$tid-$i"))
+      (1L, r.statusCode() != 202, r.statusCode() == 503)
+    }
+    val h1 = half("a", seconds / 2)
+    @volatile var maintNote: String = null
+    @volatile var maintErr: String  = null
+    val t0 = System.nanoTime()
+    @volatile var maintMs = 0L
+    val m = new Thread(() => {
+      try { maintNote = midSoak(); maintMs = (System.nanoTime() - t0) / 1000000L }
+      catch { case e: Throwable => maintErr = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
+    })
+    m.setDaemon(true); m.start()
+    val h2 = half("b", seconds - seconds / 2)
+    m.join(120000)
+    val maintOk  = maintNote != null && maintErr == null && !m.isAlive
+    val holdRate = h1.evPerSec == 0 || h2.evPerSec >= h1.evPerSec * 0.6
+    val holdP99  = h1.p99Ms <= 0 || h2.p99Ms <= h1.p99Ms * 5
+    val note = (if (maintOk) s"${maintNote} maint_ms=$maintMs"
+                else s"maint_failed=${Option(maintErr).getOrElse("timeout")}") +
+      s" ev_s_half1=${h1.evPerSec} ev_s_half2=${h2.evPerSec} hold=$holdRate p99_hold=$holdP99"
+    Result("maintenance-soak", h1.seconds + h2.seconds, h1.requests + h2.requests,
+           h1.events + h2.events, h1.errors + h2.errors, h1.rejected503 + h2.rejected503,
+           h2.p50Ms, h2.p99Ms,
+           ok = h1.errors + h2.errors == 0 && holdRate && holdP99 && maintOk,
+           note = note, minMs = math.min(h1.minMs, h2.minMs))
+  }
+
   /** Hot-partition write skew: every worker hammers partition 0 — the
     * write-side twin of a skewed shuffle key. Sequence assignment is
     * serial PER PARTITION, so this measures the single-partition ceiling

@@ -248,6 +248,42 @@ class StreamIngestSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
 
+  test("changefeed refuses a delete commit past the inline mask cap, naming the operator action") {
+    // the r18 migration contract, asserted as a message shape: a delete
+    // snapshot resolving more mask rows than the INLINE tier
+    // (spark.graft.mor.inlineMaskRows) fails its micro-batch loudly —
+    // streams have no per-trigger broadcast lifecycle — and the error
+    // tells the operator what to do (fold via vacuum, replay fresh).
+    val root = Files.createTempDirectory("graft-cfcap-").toString
+    val c    = EventTable.ingestAndCommit(spark, sf, root, fragmentInto = Some(4))
+    val base = c.load().get.currentSnapshotId.get
+    val r = EventTable.deleteWhereMor(spark, root, col("sequence") % 3 === 1)
+    assert(r.deletedRows > 4, "need more masked rows than the lowered cap")
+    val prevCfm = spark.conf.getOption("spark.sql.streaming.checkpointFileManagerClass")
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      classOf[graft.streaming.NioCheckpointFileManager].getName)
+    spark.conf.set("spark.graft.mor.inlineMaskRows", "4")
+    try {
+      val sink = Files.createTempDirectory("graft-cfcap-sink-").toString
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = spark.readStream.format("graft").option("changefeed", "true")
+          .option("fromSnapshot", base.toString).load(root)
+          .writeStream.format("parquet")
+          .option("path", s"$sink/data").option("checkpointLocation", s"$sink/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      assert(ex.getMessage.contains("inline cap") && ex.getMessage.contains("vacuum"),
+        s"the refusal must name the cap and the operator action: ${ex.getMessage.take(400)}")
+    } finally {
+      spark.conf.unset("spark.graft.mor.inlineMaskRows")
+      prevCfm match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
+      }
+    }
+  }
+
   test("streamed ingest converges to the batch-derived table; listener feeds metrics") {
     val root    = Files.createTempDirectory("graft-stream-spec-").toString
     val staging = Files.createTempDirectory("graft-stream-stage-").toString
