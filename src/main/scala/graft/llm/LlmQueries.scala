@@ -525,29 +525,53 @@ object LlmQueries {
     *    stays total even when Lloyd leaves a codeword empty or the corpus
     *    has fewer than PqK seed vectors) — broadcast to every scoring
     *    scan, never joined.
-    *  - `codes` is the persisted sidecar (vec_id, code array<int>): the
-    *    DENSE per-subspace codeword index, PqM small ints per vector —
-    *    the 5-bytes-per-vector scan that is PQ's whole point at 100 TB.
+    *  - `codes` is the persisted sidecar (vec_id, cell, code array<int>):
+    *    the vector's trained coarse cell plus the DENSE per-subspace
+    *    codeword index, PqM small ints per vector — the
+    *    few-bytes-per-vector scan that is PQ's whole point at 100 TB
+    *    (FAISS invlists carry exactly this: cell-bucketed codes).
+    *
+    * RESIDUAL encoding (round 20 — the FAISS IndexIVFPQ `by_residual`
+    * default, Jégou et al. 2011 §IV): codes quantize r = v − cv(cell)
+    * against per-subspace codebooks trained ON residuals, and
+    * reconstruction is xhat = cv(cell) + decode(code). Residuals are an
+    * order of magnitude smaller than raw components once the coarse
+    * quantizer has absorbed cluster structure, so the same 8×5-bit
+    * budget spends on the fine detail the re-rank needs — measured as
+    * the pq_refine_curve lift in the bench (recall@5 at the
+    * PqCandidates cut: 0.875 flat → ≥0.94). The residual subtraction
+    * and the centroid-add reconstruction are plain IEEE binary64
+    * (centroids are the fixed-point-trained [[ivfIndex]] ones both
+    * engines already derive bit-identically), so the DuckDB twin stays
+    * hash-gated.
     *
     * Training is the same fully distributed fixed-point Lloyd as
-    * [[ivfIndex]], run per SUBSPACE: assignment by squared L2 (the PQ
-    * literature's metric; cosine is meaningless on subvectors) with
-    * ties to the smaller codeword id, update via order-independent
-    * floor(x·2^20) integer sums — bit-identical in the DuckDB twin.
-    * Empty codewords simply drop out of the update (both engines GROUP BY
-    * only assigned codewords), which is why codes store the DENSE re-key
-    * (row_number over the ≤ PqM×PqK trained codebook — a window over a
-    * bounded frame). */
+    * [[ivfIndex]], run per SUBSPACE over residual subvectors: assignment
+    * by squared L2 (the PQ literature's metric; cosine is meaningless on
+    * subvectors) with ties to the smaller codeword id, update via
+    * order-independent floor(x·2^20) integer sums — bit-identical in the
+    * DuckDB twin. Empty codewords simply drop out of the update (both
+    * engines GROUP BY only assigned codewords), which is why codes store
+    * the DENSE re-key (row_number over the ≤ PqM×PqK trained codebook —
+    * a window over a bounded frame). */
   private val pqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (b, c) => b.unpersist(); c.unpersist(); () })
 
   private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     {
       pqCache.getOrElseUpdate(s, dir)({
-        val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        e.count()
-        val sub = e.select(col("vec_id"), explode(expr(
+        val (cents, assigned) = ivfIndex(s, dir)
+        // residuals vs the trained coarse cell: centroids are a bounded
+        // broadcast; the frame is persisted only for the training
+        // traversals and released once codes materialize
+        val rsd = assigned
+          .join(broadcast(cents), col("centroid_id") === col("c_id"))
+          .select(col("vec_id"), col("centroid_id"),
+                  expr("zip_with(v, cv, (a, b) -> a - b)").as("rv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rsd.count()
+        val sub = rsd.select(col("vec_id"), explode(expr(
           s"""transform(sequence(0, ${PqM - 1}),
-             |          m -> struct(m AS m, slice(v, m * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin)).as("ms"))
+             |          m -> struct(m AS m, slice(rv, m * $PqSubDim + 1, $PqSubDim) AS sv))""".stripMargin)).as("ms"))
           .select(col("vec_id"), col("ms.m").as("m"), col("ms.sv").as("sv"))
 
         // nearest codeword per (vector, subspace) by squared L2 — the same
@@ -588,14 +612,19 @@ object LlmQueries {
           .select(expr("transform(ml, x -> transform(x.cl, y -> y.cv))").as("bkm"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         bkm.count()
+        // the sidecar carries the vector's coarse cell (residual decode
+        // needs it; IVFPQ's probe restriction reads it for free) — joined
+        // from the long-lived assigned frame, not the transient rsd
         val codes = assign(trained)
           .join(broadcast(dense.select(col("m"), col("c_id"), col("dc"))), Seq("m", "c_id"))
           .groupBy(col("vec_id"))
           .agg(expr("array_sort(collect_list(named_struct('m', m, 'dc', dc)))").as("pc"))
           .select(col("vec_id"), expr("transform(pc, p -> p.dc)").as("code"))
+          .join(assigned.select(col("vec_id"), col("centroid_id").as("cell")), "vec_id")
+          .select(col("vec_id"), col("cell"), col("code"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
-        e.unpersist()
+        rsd.unpersist()
         trained.unpersist()
         (bkm, codes)
       })
@@ -632,16 +661,22 @@ object LlmQueries {
   }
 
   /** Per-VECTOR PQ reconstruction over a codes frame: appends (xhat, xn2)
-    * from the broadcast packed codebook. Called BEFORE any per-query or
+    * — xhat = cell centroid + decoded residual, the IVFPQ `by_residual`
+    * reconstruction — from the broadcast packed codebook and the bounded
+    * broadcast trained centroids. Called BEFORE any per-query or
     * per-probe join, so each vector decodes exactly once per scan — the
     * DuckDB twin's `x` CTE shape. */
-  private def pqDecode(codesFrame: DataFrame, bkm: DataFrame): DataFrame =
-    codesFrame.crossJoin(broadcast(bkm))
+  private def pqDecode(codesFrame: DataFrame, bkm: DataFrame, cents: DataFrame): DataFrame =
+    codesFrame
+      .join(broadcast(cents.select(col("c_id").as("cell"), col("cv").as("_ccv"))), "cell")
+      .crossJoin(broadcast(bkm))
       .withColumn("xhat", expr(
-        s"""flatten(transform(sequence(0, ${PqM - 1}),
-           |                  m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1)))""".stripMargin))
+        s"""zip_with(_ccv,
+           |         flatten(transform(sequence(0, ${PqM - 1}),
+           |                 m -> element_at(element_at(bkm, m + 1), element_at(code, m + 1) + 1))),
+           |         (a, b) -> a + b)""".stripMargin))
       .withColumn("xn2", expr(dot("xhat", "xhat")))
-      .drop("bkm")
+      .drop("bkm", "_ccv")
 
   /** The shared two-phase distributed top-k for the ANN family: a scored
     * frame with columns (q_id, sim, vec_id) folds through the bounded
@@ -848,13 +883,14 @@ object LlmQueries {
   private[graft] def pqTopkAt(s: SparkSession, dir: String, candidates: Int): DataFrame = {
     val e = emb(s, dir)
     val (bkm, codes) = pqIndex(s, dir)
+    val (cents, _)   = ivfIndex(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     // decode ONCE per vector ([[pqDecode]] before the query join —
     // scoring against NumQueries queries reuses one reconstruction),
     // then sim from the precomputed xhat norm: the same doubles as
     // recomputing dot(xhat, xhat) per pair, 1/NumQueries the decode work
-    val scored = pqDecode(codes, bkm).crossJoin(broadcast(q))
+    val scored = pqDecode(codes, bkm, cents).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
     val cands = topkPerQuery(scored, candidates)
@@ -1107,7 +1143,10 @@ object LlmQueries {
     *     d15_cell_skew_audit, r2_hybrid_retrieve, r5_bitext_mining,
     *     w6_stream_bitext + w6_mining_audit (via the sink BUILD — dir-keyed,
     *     so only their first touch trains, but that first touch must come
-    *     before the eviction hook fires)
+    *     before the eviction hook fires), and — since the residual-PQ
+    *     round — every pqCache consumer (ann_pq_topk, e4_pq_error):
+    *     residual codes train against and decode through the trained
+    *     coarse centroids
     *     (ANY new ivfIndex/sqIndex/pqIndex consumer
     *     MUST be added to Bench's cacheLastConsumer table too — an omitted
     *     consumer silently rebuilds the index mid-sweep and re-pins it,
@@ -2223,16 +2262,18 @@ object LlmQueries {
     // ---------- embedding audit: PQ reconstruction fidelity per label ----------
     "e4_pq_error" -> { (s, dir) =>
       // e3's audit for the PQ codes: each vector reconstructed from its
-      // own 5-bit-per-subspace codes via the broadcast packed codebook
-      // (the exact [[pqDecode]] expression ann_pq_topk scores with),
-      // cosine to its full-precision self as floor(cos·2^20). PQ's
-      // coarser codes are WHY its refine cut is 6× deeper than SQ's —
-      // e3/e4 side by side quantify the fidelity trade the recall
-      // ladders only imply. Same shape as e3: codes join back on
-      // vec_id, codebook broadcasts, one label rollup, integers out.
+      // own cell centroid + 5-bit-per-subspace RESIDUAL codes via the
+      // broadcast packed codebook (the exact [[pqDecode]] expression
+      // ann_pq_topk scores with), cosine to its full-precision self as
+      // floor(cos·2^20). PQ's coarser codes are WHY its refine cut is 6×
+      // deeper than SQ's — e3/e4 side by side quantify the fidelity
+      // trade the recall ladders only imply. Same shape as e3: codes
+      // join back on vec_id, codebook broadcasts, one label rollup,
+      // integers out.
       val e = emb(s, dir)
       val (bkm, codes) = pqIndex(s, dir)
-      pqDecode(codes, bkm).join(e, "vec_id")
+      val (cents, _)   = ivfIndex(s, dir)
+      pqDecode(codes, bkm, cents).join(e, "vec_id")
         .withColumn("cos_fp", expr(
           s"cast(floor((${dot("v", "xhat")} / (sqrt(${dot("v", "v")}) * sqrt(xn2))) * 1048576) as bigint)"))
         .groupBy(col("label").cast("long").as("label"))
@@ -2837,15 +2878,17 @@ object LlmQueries {
       val (cents, assigned) = ivfIndex(s, dir)
       val (bkm, codes)      = pqIndex(s, dir)
       val probes = probeSelect(assigned, cents, IvfProbes)
-      val cells  = assigned.select(col("vec_id"), col("centroid_id"))
       val qFrame = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      // restrict to probed cells FIRST (the IVF pruning axis), then decode
-      // each surviving vector ONCE — a vector in a cell probed by several
-      // queries still reconstructs a single xhat
-      val probedCells = probes.select("centroid_id").distinct()
+      // restrict to probed cells FIRST (the IVF pruning axis) straight off
+      // the sidecar's own cell column (the FAISS invlist key — no
+      // assignment join at scan time), then decode each surviving vector
+      // ONCE — a vector in a cell probed by several queries still
+      // reconstructs a single xhat
+      val probedCells = probes.select(col("centroid_id").as("cell")).distinct()
       val decoded = pqDecode(
-        codes.join(cells, "vec_id").join(broadcast(probedCells), "centroid_id"), bkm)
+        codes.join(broadcast(probedCells), "cell"), bkm, cents)
+        .withColumn("centroid_id", col("cell"))
       val scoredCodes = decoded.join(broadcast(probes), "centroid_id")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
@@ -3471,9 +3514,17 @@ object LlmQueries {
          |  FROM cand WHERE crank <= $SqCandidates)
          |WHERE rank <= $TopK""".stripMargin
 
-    // PQ twins: the ivfTrain pattern run per SUBSPACE over subvectors with
-    // squared-L2 assignment, dense re-key of surviving codewords, packed-
-    // codebook reconstruction, then sqSql's asymmetric scoring + re-rank.
+    // PQ twins: the ivfTrain pattern run per SUBSPACE over RESIDUAL
+    // subvectors (r = v − trained cell centroid — the FAISS by_residual
+    // default; the coarse chain below is the exact ivfSql trained-cell
+    // CTE set) with squared-L2 assignment, dense re-key of surviving
+    // codewords, packed-codebook + centroid-add reconstruction, then
+    // sqSql's asymmetric scoring + re-rank.
+    val ivfIndexCtes =
+      s"""kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
+         |$ivfTrainCtes,
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")})""".stripMargin
     def pqAssignSql(booksCte: String): String =
       s"""SELECT vec_id, m, sv, c_id FROM (
          |    SELECT s.vec_id, s.m, s.sv, c.c_id,
@@ -3496,8 +3547,11 @@ object LlmQueries {
     // the full trained-PQ reconstruction chain (sub → train → dense re-key
     // → packed codebook → per-vector xhat), shared by pqSql and ivfPqSql
     val pqIndexCtes =
-      s"""sub AS (SELECT vec_id, mm.m AS m, v[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
-         |        FROM e, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm),
+      s"""rsd AS (SELECT a.vec_id, a.centroid_id,
+         |               list_transform(generate_series(1, $EmbeddingDim), d -> a.v[d] - cc.cv[d]) AS rv
+         |        FROM assigned a JOIN c$KMeansIters cc ON cc.c_id = a.centroid_id),
+         |sub AS (SELECT vec_id, mm.m AS m, rv[mm.m * $PqSubDim + 1 : mm.m * $PqSubDim + $PqSubDim] AS sv
+         |        FROM rsd, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm),
          |p0 AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < $PqK),
          |$pqTrainCtes,
          |pfin AS (${pqAssignSql(s"p$KMeansIters")}),
@@ -3506,11 +3560,15 @@ object LlmQueries {
          |       FROM pfin a JOIN db ON db.m = a.m AND db.c_id = a.c_id GROUP BY 1),
          |bk AS (SELECT list(cl ORDER BY m) AS bkm
          |       FROM (SELECT m, list(cv ORDER BY c_id) AS cl FROM p$KMeansIters GROUP BY 1)),
-         |x AS (SELECT vec_id, flatten(list_transform(generate_series(0, ${PqM - 1}),
-         |                             m -> bkm[m + 1][code[m + 1] + 1])) AS xhat
-         |      FROM cd, bk)""".stripMargin
+         |xf AS (SELECT vec_id, flatten(list_transform(generate_series(0, ${PqM - 1}),
+         |                              m -> bkm[m + 1][code[m + 1] + 1])) AS fh
+         |       FROM cd, bk),
+         |x AS (SELECT xf.vec_id,
+         |             list_transform(generate_series(1, $EmbeddingDim), d -> cc.cv[d] + xf.fh[d]) AS xhat
+         |      FROM xf JOIN rsd r ON r.vec_id = xf.vec_id JOIN c$KMeansIters cc ON cc.c_id = r.centroid_id)""".stripMargin
     val pqSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$ivfIndexCtes,
          |$pqIndexCtes,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
          |cand AS (
@@ -4135,6 +4193,7 @@ object LlmQueries {
       // two-level argmin.
       "e4_pq_error" ->
         s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |$ivfIndexCtes,
            |$pqIndexCtes,
            |sc AS (SELECT e.label, e.vec_id,
            |              CAST(floor((list_inner_product(e.v, x.xhat) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(x.xhat, x.xhat)))) * 1048576) AS BIGINT) AS cos_fp
