@@ -1178,10 +1178,17 @@ object Bench {
         val msTable = "bench_gwms"
         val msRoot  = s"$dir/$msTable"
         table.EventTable.ingestAndCommit(spark, "/root/testdata/sf0.001", msRoot, fragmentInto = Some(32))
+        // the trigger must survive DILUTION: half 1 appends tens of
+        // thousands of soak rows before the mid-soak flush, so the seeded
+        // delete weight shrinks relative to total-records — the first run
+        // of this scenario seeded 199 rows against a 1% ratio and the
+        // flush diluted it to 0.99% (trigger missed by one part in a
+        // thousand). A third of the fixture deleted + a 0.1% threshold
+        // keeps ~7× headroom at the fastest observed soak rates.
         val msDel = table.EventTable.deleteWhereMor(spark, msRoot,
-          org.apache.spark.sql.functions.expr("sequence % 5 = 2"))
+          org.apache.spark.sql.functions.expr("sequence % 3 = 2"))
         val msPolicy = serve.GatewayServer.MaintenancePolicy(
-          deleteRowRatio = 0.01, keepSnapshots = 2, keepAgeMs = 0L)
+          deleteRowRatio = 0.001, keepSnapshots = 2, keepAgeMs = 0L)
         val ms = serve.LoadHarness.maintenanceSoak(base, msTable, seconds = 10, concurrency = 8,
           midSoak = () => {
             gw.flushNow(msTable) // hot -> committed, step-locked against the vacuum

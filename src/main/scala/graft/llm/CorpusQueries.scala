@@ -269,8 +269,22 @@ object CorpusQueries {
        |  FROM per_source CROSS JOIN t
        |)""".stripMargin
 
+  /** The corpus arrives as ONE parquet file at bench scale, so without a
+    * spread every per-word lambda chain runs in a single scan task
+    * (t25's profile: 1.9 s in one task, 0.25 s in the 16 post-exchange
+    * ones). Repartition by doc_id WITH AN EXPLICIT WIDTH before the
+    * compute-heavy expressions: a bare repartition(col) is eligible for
+    * AQE coalescing, and AQE's size-based rule folds the ~10 MB corpus
+    * back to one partition — blind to the 100× compute the partition
+    * carries (measured: the coalesced plan kept the whole explode in a
+    * single 1.9 s task). The explicit count pins the exchange open;
+    * a 100 TB corpus has thousands of input splits and skips this
+    * shuffle entirely. Aggregations here are order-independent by the
+    * parity toolkit, so the layout change is semantics-free (the oracle
+    * gate re-proves it). */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   /** t15's staged frame (doc_id, source, n_chars, stage) per (session,
     * dir): the funnel's survivor branch and its final rollup both read it,
@@ -1366,34 +1380,53 @@ object CorpusQueries {
       // its total word chars. First-failing-rule attribution,
       // t18/t15-style (n_docs = Σ drops + kept reconciles).
       //
-      // Scale shape: ONE corpus TEXT scan (round 20 — the r19 verdict's
-      // slowest warm median re-derived words twice: once for grams, once
-      // for totals): the gram explode carries n = 1 alongside 2/3/4, so
-      // per-doc total word chars fold from the SAME (doc, n, g) count
-      // exchange (Σ cnt·length(g) over the n=1 rows — identical to
-      // length(array_join(words, '')) by construction) and the only
-      // other corpus touch is a text-free doc_id/source column read for
-      // the attribution join. One count exchange with map-side combine,
-      // one doc-key fold, no window, no broadcast side. Integer permille
-      // end to end.
-      val ns = Seq(1, 2, 3, 4)
-      val gramsExpr = ns.map(n =>
-        s"""CASE WHEN size(words) >= $n THEN
-           |  transform(sequence(1, size(words) - ${n - 1}),
-           |            i -> named_struct('n', $n, 'g', array_join(slice(words, i, $n), ' ')))
-           |ELSE array() END""".stripMargin).mkString("concat(", ", ", ")")
+      // Scale shape: ONE corpus TEXT scan and NO gram string is ever
+      // built (round 20 — the r19 verdict's slowest warm median spent its
+      // time allocating array_join gram strings and shuffling them): each
+      // word hashes once (codegen'd fnv32) and measures once, a gram is
+      // the fixed-width INT TUPLE of its word hashes with its word-char
+      // sum riding along (length(g) − (n−1) ≡ Σ word lengths — the
+      // separator arithmetic cancels exactly), and ONE synthetic n=0
+      // marker row per doc carries the exact total word chars — so doc
+      // presence, totals, and coverage all fold from one (doc, n, k1..k4)
+      // fixed-width count exchange with map-side combine; one doc-key
+      // fold; no join back, no window, no broadcast side. Integer
+      // permille end to end. The hashed keys match exact-string grouping
+      // unless two distinct WORDS collide under fnv32 (~V²/2³³ — none in
+      // the test corpora); the DuckDB oracle intentionally keeps the
+      // exact string-gram formulation as the stronger independent check.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val ns = Seq(2, 3, 4)
+      def kExpr(n: Int, j: Int): String =
+        if (j < n) s"element_at(wh, i + $j)" else "0"
+      val gramArrays =
+        s"""array(named_struct('n', 0, 'k1', 0, 'k2', 0, 'k3', 0, 'k4', 0,
+           |                   'wc', aggregate(wl, 0, (a, x) -> a + x)))""".stripMargin +:
+        ns.map(n =>
+          s"""CASE WHEN size(wh) >= $n THEN
+             |  transform(sequence(1, size(wh) - ${n - 1}), i -> named_struct(
+             |    'n', $n, 'k1', ${kExpr(n, 0)}, 'k2', ${kExpr(n, 1)},
+             |    'k3', ${kExpr(n, 2)}, 'k4', ${kExpr(n, 3)},
+             |    'wc', ${(0 until n).map(j => s"element_at(wl, i + $j)").mkString(" + ")}))
+             |ELSE array() END""".stripMargin)
+      val gramsExpr = gramArrays.mkString("concat(", ", ", ")")
       def covered(n: Int) = coalesce(max(when(col("n") === n && col("cnt") >= 2,
-        expr(s"cnt * (length(g) - (n - 1))"))), lit(0L))
+        col("cnt") * col("wc"))), lit(0L))
       val perDoc = docs(s, dir)
         .withColumn("words", expr(LlmQueries.wordsExpr))
-        .select(col("doc_id"), explode(expr(gramsExpr)).as("t"))
-        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-        .agg(count(lit(1)).as("cnt"))
+        .withColumn("wh", expr("transform(words, w -> graft_fnv32(w))"))
+        .withColumn("wl", expr("transform(words, w -> length(w))"))
+        .select(col("doc_id"), col("source"), explode(expr(gramsExpr)).as("t"))
+        .groupBy(col("doc_id"), col("t.n").as("n"),
+                 col("t.k1").as("k1"), col("t.k2").as("k2"),
+                 col("t.k3").as("k3"), col("t.k4").as("k4"))
+        .agg(max(col("source")).as("source"), count(lit(1)).as("cnt"),
+             max(col("t.wc")).as("wc"))
         .groupBy(col("doc_id"))
-        .agg(sum(when(col("n") === 1, col("cnt") * length(col("g")))).as("total_chars"),
+        .agg(max(col("source")).as("source"),
+             max(when(col("n") === 0, col("wc").cast("long"))).as("total_chars"),
              covered(2).as("c2"), covered(3).as("c3"), covered(4).as("c4"))
-      val p = docs(s, dir).select(col("doc_id"), col("source"))
-        .join(perDoc, Seq("doc_id"), "left")
+      val p = perDoc
         .select(col("doc_id"), col("source"),
           expr("coalesce((1000 * c2) div total_chars, 0L)").as("p2"),
           expr("coalesce((1000 * c3) div total_chars, 0L)").as("p3"),

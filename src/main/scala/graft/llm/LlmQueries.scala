@@ -195,17 +195,23 @@ object LlmQueries {
 
   /** The corpus arrives as a single parquet file at bench scale — spread it
     * across the cluster before the compute-heavy lambdas (a 100 TB corpus
-    * has thousands of input splits and skips this shuffle). */
+    * has thousands of input splits and skips this shuffle). The width is
+    * EXPLICIT: a bare repartition(col) is eligible for AQE coalescing,
+    * whose size-based rule folds the ~10 MB corpus back to one partition —
+    * blind to the 100× compute each partition carries (round 20's t25
+    * adjudication: the coalesced plan kept a whole explode chain in one
+    * 1.9 s task; pinning the width cut the warm median 3×). */
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
   }
 
   /** Corpus size backing the derived index knobs ([[centroidsFor]],
