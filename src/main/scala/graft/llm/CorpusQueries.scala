@@ -269,22 +269,16 @@ object CorpusQueries {
        |  FROM per_source CROSS JOIN t
        |)""".stripMargin
 
-  /** The corpus arrives as ONE parquet file at bench scale, so without a
-    * spread every per-word lambda chain runs in a single scan task
-    * (t25's profile: 1.9 s in one task, 0.25 s in the 16 post-exchange
-    * ones). Repartition by doc_id WITH AN EXPLICIT WIDTH before the
-    * compute-heavy expressions: a bare repartition(col) is eligible for
-    * AQE coalescing, and AQE's size-based rule folds the ~10 MB corpus
-    * back to one partition — blind to the 100× compute the partition
-    * carries (measured: the coalesced plan kept the whole explode in a
-    * single 1.9 s task). The explicit count pins the exchange open;
-    * a 100 TB corpus has thousands of input splits and skips this
-    * shuffle entirely. Aggregations here are order-independent by the
-    * parity toolkit, so the layout change is semantics-free (the oracle
-    * gate re-proves it). */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+
+  /** [[LlmQueries.spread]] applied to the corpus: opt-in for the queries
+    * whose per-rep compute is single-task-dominated (t25, t23 — measured
+    * 3×/2× warm wins); everything else keeps the un-spread read (the
+    * universal spread taxed every mid-tier query ~0.5 s of task overhead
+    * at bench scale — see spread()'s doc for both bounds). */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    LlmQueries.spread(s, docs(s, dir), "doc_id", s"$dir/documents.parquet")
 
   /** t15's staged frame (doc_id, source, n_chars, stage) per (session,
     * dir): the funnel's survivor branch and its final rollup both read it,
@@ -1412,7 +1406,7 @@ object CorpusQueries {
       val gramsExpr = gramArrays.mkString("concat(", ", ", ")")
       def covered(n: Int) = coalesce(max(when(col("n") === n && col("cnt") >= 2,
         col("cnt") * col("wc"))), lit(0L))
-      val perDoc = docs(s, dir)
+      val perDoc = docsSpread(s, dir)
         .withColumn("words", expr(LlmQueries.wordsExpr))
         .withColumn("wh", expr("transform(words, w -> graft_fnv32(w))"))
         .withColumn("wl", expr("transform(words, w -> length(w))"))
@@ -1587,7 +1581,7 @@ object CorpusQueries {
       // window. After the gram-count exchange every frame shrinks:
       // docs×top, docs×|langs|, |langs|².
       graft.functions.GraftFunctions.ensureRegistered(s)
-      val base = docs(s, dir)
+      val base = docsSpread(s, dir)
         .select(col("doc_id"), col("lang").as("actual_lang"),
                 lower(col("text")).as("t"))
         .filter(length(col("t")) >= 3)

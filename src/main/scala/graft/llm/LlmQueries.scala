@@ -193,25 +193,42 @@ object LlmQueries {
 
   val EmbeddingDim = 64 // embeddings.parquet: list<float>[64]
 
+  /** Spread an under-split source before a SINGLE-TASK-DOMINATED compute
+    * chain — and only there. Two measured bounds shape this (round 20):
+    * a bare repartition(col) is eligible for AQE coalescing, whose
+    * size-based rule folds the ~10 MB bench corpus back to one partition
+    * — blind to the 100× compute the partition carries (t25's whole
+    * explode chain ran in a single 1.9 s task; pinning the width cut the
+    * warm median 3×) — but pinning the width UNIVERSALLY taxed every
+    * mid-tier warm query ~0.5 s of task-scheduling overhead on tiny
+    * local data (widened memoized frames, 32 tasks per stage). So the
+    * explicit spread is opt-in per query: only chains whose single-task
+    * compute clearly exceeds the overhead (t25, t23) call it. A real
+    * multi-split corpus passes through untouched — at 100 TB this
+    * shuffle would move the whole corpus, and the input splits already
+    * provide the parallelism. The split count is memoized per (session,
+    * path) so query CONSTRUCTION stays job- and plan-compile-free. */
+  private val splitCache = new graft.core.SessionMemo[Int]()
+  private[llm] def spread(s: SparkSession, df: DataFrame, key: String, memoPath: String): DataFrame = {
+    val target = s.sessionState.conf.numShufflePartitions
+    val splits = splitCache.getOrElseUpdate(s, memoPath)(df.rdd.getNumPartitions)
+    if (splits >= math.max(2, target / 2)) df
+    else df.repartition(target, col(key))
+  }
+
   /** The corpus arrives as a single parquet file at bench scale — spread it
     * across the cluster before the compute-heavy lambdas (a 100 TB corpus
-    * has thousands of input splits and skips this shuffle). The width is
-    * EXPLICIT: a bare repartition(col) is eligible for AQE coalescing,
-    * whose size-based rule folds the ~10 MB corpus back to one partition —
-    * blind to the 100× compute each partition carries (round 20's t25
-    * adjudication: the coalesced plan kept a whole explode chain in one
-    * 1.9 s task; pinning the width cut the warm median 3×). */
+    * has thousands of input splits and skips this shuffle). */
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .repartition(s.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .repartition(col("vec_id"))
   }
 
   /** Corpus size backing the derived index knobs ([[centroidsFor]],
@@ -560,9 +577,20 @@ object LlmQueries {
     * engines GROUP BY only assigned codewords), which is why codes store
     * the DENSE re-key (row_number over the ≤ PqM×PqK trained codebook —
     * a window over a bounded frame). */
-  private val pqCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (b, c) => b.unpersist(); c.unpersist(); () })
+  private val pqCache = new graft.core.SessionMemo[(DataFrame, DataFrame, String)](onEvict = {
+    case (b, c, side) =>
+      b.unpersist(); c.unpersist()
+      try graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(side))
+      catch { case scala.util.control.NonFatal(_) => () }
+      ()
+  })
 
-  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (bkm, codes, _) = pqIndexFull(s, dir)
+    (bkm, codes)
+  }
+
+  private def pqIndexFull(s: SparkSession, dir: String): (DataFrame, DataFrame, String) =
     {
       pqCache.getOrElseUpdate(s, dir)({
         val (cents, assigned) = ivfIndex(s, dir)
@@ -610,29 +638,41 @@ object LlmQueries {
         // (window over the ≤ PqM×PqK-row codebook — bounded by knobs)
         val wDense = Window.partitionBy(col("m")).orderBy(col("c_id"))
         val dense  = trained.withColumn("dc", row_number().over(wDense) - 1)
-        // persisted: every scoring scan re-broadcasts this one row, and
-        // without the persist each broadcast would replay the training
-        val bkm = dense
+        val bkm0 = dense
           .groupBy("m").agg(expr("array_sort(collect_list(named_struct('c', dc, 'cv', cv)))").as("cl"))
           .agg(expr("array_sort(collect_list(named_struct('m', m, 'cl', cl)))").as("ml"))
           .select(expr("transform(ml, x -> transform(x.cl, y -> y.cv))").as("bkm"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        bkm.count()
         // the sidecar carries the vector's coarse cell (residual decode
         // needs it; IVFPQ's probe restriction reads it for free) — joined
         // from the long-lived assigned frame, not the transient rsd
-        val codes = assign(trained)
+        val codes0 = assign(trained)
           .join(broadcast(dense.select(col("m"), col("c_id"), col("dc"))), Seq("m", "c_id"))
           .groupBy(col("vec_id"))
           .agg(expr("array_sort(collect_list(named_struct('m', m, 'dc', dc)))").as("pc"))
           .select(col("vec_id"), expr("transform(pc, p -> p.dc)").as("code"))
           .join(assigned.select(col("vec_id"), col("centroid_id").as("cell")), "vec_id")
           .select(col("vec_id"), col("cell"), col("code"))
+        // MATERIALIZED SIDECAR: the residual chain's logical tree inlines
+        // the coarse Lloyd chain under the per-subspace one, and every
+        // warm consumer paid ~2 s of DRIVER re-analysis over it per
+        // execution (persist caches data, not the plan — the sigCache
+        // lesson one level up). Writing codes + codebook to parquet and
+        // reading them back re-roots every consumer plan at a file scan —
+        // which IS the deployment shape: FAISS materializes exactly these
+        // invlists (cell, code) next to the vectors. Parquet round-trips
+        // ints and binary64 exactly, so oracle parity is untouched.
+        val side = java.nio.file.Files.createTempDirectory("graft-pq-sidecar-").toString
+        bkm0.write.mode("overwrite").parquet(s"$side/bkm")
+        codes0.write.mode("overwrite").parquet(s"$side/codes")
+        val bkm = s.read.parquet(s"$side/bkm")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        bkm.count()
+        val codes = s.read.parquet(s"$side/codes")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
         rsd.unpersist()
         trained.unpersist()
-        (bkm, codes)
+        (bkm, codes, side)
       })
     }
 
