@@ -157,15 +157,9 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split(" ")(0).toDouble finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
-    def cpuStat(): (Long, Long) = // (steal jiffies, total jiffies)
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val vals = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          (if (vals.length > 7) vals(7) else 0L, vals.sum)
-        } finally src.close()
-      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
-    // (steal, idle+iowait, total) host jiffies — the bracket's raw terms
+    // (steal, idle+iowait, total) host jiffies — ONE /proc/stat parser
+    // feeds both the whole-run steal term and the per-phase brackets, so
+    // the two can never disagree on the same data
     def cpuSnap(): (Long, Long, Long) =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
@@ -175,6 +169,9 @@ object Bench {
           (if (vals.length > 7) vals(7) else 0L, idle, vals.sum)
         } finally src.close()
       } catch { case scala.util.control.NonFatal(_) => (0L, 0L, -1L) }
+    def cpuStat(): (Long, Long) = { // (steal jiffies, total jiffies)
+      val (s, _, j) = cpuSnap(); (s, math.max(0L, j))
+    }
     // this JVM's own CPU jiffies (utime+stime, same USER_HZ unit as
     // /proc/stat): `run` is forked and Spark is local-mode, so one read
     // covers driver + every executor thread of the bench
@@ -204,6 +201,13 @@ object Bench {
     val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD").flatMap(_.toDoubleOption).getOrElse(4.0)
     val gateBackoffS = sys.env.get("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S").flatMap(_.toIntOption).getOrElse(90)
     var gateWaitedS = 0
+    // a PRE-sweep loadavg breach is a trustworthy external signal — the
+    // bench is idle when it samples — and it is the one place loadavg
+    // still GATES: mid-run loadavg can be self-load, but runnable/D-state
+    // pressure before the first job must be someone else's, including the
+    // IO-bound contention the steal/ext-CPU terms are blind to. A breach
+    // that survives the backoff pins the whole-run stamp noisy-host.
+    var preGateBreached = false
     locally {
       val l0 = hostLoad()
       if (l0 > maxLoad) {
@@ -212,9 +216,11 @@ object Bench {
         Thread.sleep(gateBackoffS * 1000L)
         gateWaitedS = gateBackoffS
         val l1 = hostLoad()
-        if (l1 > maxLoad)
+        if (l1 > maxLoad) {
+          preGateBreached = true
           System.err.println(f"[graft-bench] host load still $l1%.1f after backoff — " +
             "proceeding; artifact will carry regime=noisy-host")
+        }
       }
     }
     // STEAL pre-gate (round-19, next to the r17 load gate): hypervisor
@@ -268,7 +274,10 @@ object Bench {
       val ext =
         if (j0 < 0 || j1 < 0 || dj <= 0 || self0 < 0 || self1 < 0) -1.0
         else {
-          val busy = dj - (i1 - i0)
+          // busy excludes idle, iowait AND steal — steal has its own gate,
+          // and counting it here would let sub-gate steal consume the
+          // external-CPU budget (the two signals must stay independent)
+          val busy = dj - (i1 - i0) - (s1 - s0)
           100.0 * math.max(0L, busy - (self1 - self0)) / dj
         }
       (out, BenchRegime.PhaseBracket(name, lin, lout, st, gates, ext))
@@ -1052,7 +1061,9 @@ object Bench {
     // measure 0.006-0.06%. The per-phase form closes the r18 hole: a
     // degradation RAMPING through the tail phases breaches ITS phase's
     // bracket even when the sweep-era samples read quiet.
-    val regime = BenchRegime.stamp(phaseBrackets.toSeq, stealPct, maxExtBusy, maxSteal)
+    val regime =
+      if (preGateBreached) "noisy-host" // idle-time loadavg breach survived the backoff
+      else BenchRegime.stamp(phaseBrackets.toSeq, stealPct, maxExtBusy, maxSteal)
     val hostJson =
       f"""{"load_start":$loadStart%.2f,"load_after_sweep":$loadAfterSweep%.2f,""" +
         f""""load_end":$loadEnd%.2f,"steal_pct":$stealPct%.3f,""" +

@@ -207,7 +207,9 @@ object LlmQueries {
     * multi-split corpus passes through untouched — at 100 TB this
     * shuffle would move the whole corpus, and the input splits already
     * provide the parallelism. The split count is memoized per (session,
-    * path) so query CONSTRUCTION stays job- and plan-compile-free. */
+    * path): no JOB ever runs at construction, and only the FIRST call per
+    * session pays the physical-planning pass `df.rdd` implies — repeat
+    * constructions (the sweep's reps, plan audits) hit the memo. */
   private val splitCache = new graft.core.SessionMemo[Int]()
   private[llm] def spread(s: SparkSession, df: DataFrame, key: String, memoPath: String): DataFrame = {
     val target = s.sessionState.conf.numShufflePartitions
@@ -3376,12 +3378,18 @@ object LlmQueries {
     val ivfTrainCtes = (1 to KMeansIters).map { i =>
       s"a${i - 1} AS (${ivfAssignSql(s"c${i - 1}")}),\nc$i AS (${ivfUpdateSql(s"a${i - 1}")})"
     }.mkString(",\n")
-    val ivfSql =
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
+    // ONE definition of the trained-coarse-quantizer CTE chain
+    // (kc -> c0 -> Lloyd iterations -> assigned), shared verbatim by every
+    // IVF-composed twin AND the residual-PQ chain — a seeding or
+    // iteration tweak lands in exactly one place.
+    val ivfIndexCtes =
+      s"""kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
          |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
          |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |assigned AS (${ivfAssignSql(s"c$KMeansIters")})""".stripMargin
+    val ivfSql =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$ivfIndexCtes,
          |q AS (SELECT vec_id AS q_id, v AS qv, centroid_id FROM assigned WHERE vec_id < $NumQueries)
          |SELECT q_id, rank, neighbor_id, centroid_id FROM (
          |  SELECT q.q_id, a.vec_id AS neighbor_id, a.centroid_id::BIGINT AS centroid_id,
@@ -3399,10 +3407,7 @@ object LlmQueries {
     // integer/id-only output hash-matches.
     val semdedupSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |p2 AS (
          |  SELECT vec_id, v, c_id AS pcell FROM (
          |    SELECT a.vec_id, a.v, c.c_id,
@@ -3430,10 +3435,7 @@ object LlmQueries {
     // engines gate on the identical derived cell count.
     val cellAuditSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |tot AS (SELECT count(*) AS n FROM e),
          |sizes AS (SELECT centroid_id, count(*) AS sz FROM assigned GROUP BY 1)
          |SELECT count(*)::BIGINT AS n_cells,
@@ -3450,10 +3452,7 @@ object LlmQueries {
     val rotAt = EmbeddingDim / 2
     val incAddSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |batch AS (
          |  SELECT vec_id + $IncrIdShift AS vec_id,
          |         v[${rotAt + 1}:$EmbeddingDim] || v[1:$rotAt] AS v
@@ -3477,10 +3476,7 @@ object LlmQueries {
 
     val ivfSql2 =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |qp AS (
          |  SELECT q_id, qv, c_id AS centroid_id FROM (
          |    SELECT q.q_id, q.qv, c.c_id,
@@ -3562,15 +3558,10 @@ object LlmQueries {
 
     // PQ twins: the ivfTrain pattern run per SUBSPACE over RESIDUAL
     // subvectors (r = v − trained cell centroid — the FAISS by_residual
-    // default; the coarse chain below is the exact ivfSql trained-cell
-    // CTE set) with squared-L2 assignment, dense re-key of surviving
+    // default; ivfIndexCtes above is the shared coarse trained-cell CTE
+    // set) with squared-L2 assignment, dense re-key of surviving
     // codewords, packed-codebook + centroid-add reconstruction, then
     // sqSql's asymmetric scoring + re-rank.
-    val ivfIndexCtes =
-      s"""kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")})""".stripMargin
     def pqAssignSql(booksCte: String): String =
       s"""SELECT vec_id, m, sv, c_id FROM (
          |    SELECT s.vec_id, s.m, s.sv, c.c_id,
@@ -3636,10 +3627,7 @@ object LlmQueries {
     // PQ reconstruction chain's asymmetric scoring + exact re-rank.
     val ivfPqSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |$pqIndexCtes,
          |qp AS (
          |  SELECT q_id, qv, c_id AS centroid_id FROM (
@@ -3670,10 +3658,7 @@ object LlmQueries {
     // with sqSql's midpoint de-quantized asymmetric scoring + exact re-rank.
     val ivfSqSql =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |mm AS (SELECT dd.d AS d, min(v[dd.d]) AS mn, max(v[dd.d]) AS mx
          |       FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) AS d) dd GROUP BY 1),
          |c AS (SELECT e.vec_id,
@@ -3739,10 +3724,7 @@ object LlmQueries {
          |FROM fwd$tag f JOIN bwd$tag w ON w.b_id = f.b1 AND w.a1 = f.a_id)""".stripMargin
     val bitextPrefix =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |kc AS (SELECT LEAST($MaxCentroids, GREATEST($NumCentroids, CAST(floor(sqrt(count(*))) AS BIGINT))) AS nc FROM e),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nc FROM kc)),
-         |$ivfTrainCtes,
-         |assigned AS (${ivfAssignSql(s"c$KMeansIters")}),
+         |$ivfIndexCtes,
          |lab AS (SELECT vec_id, label FROM embeddings),
          |sa AS (SELECT a.vec_id AS a_id, a.v AS av, a.centroid_id AS cell
          |       FROM assigned a JOIN lab l ON l.vec_id = a.vec_id WHERE l.label % 2 = 0)""".stripMargin

@@ -312,8 +312,24 @@ object LoadHarness {
       catch { case e: Throwable => maintErr = s"${e.getClass.getSimpleName}: ${e.getMessage}" }
     })
     m.setDaemon(true); m.start()
-    val h2 = half("b", seconds - seconds / 2)
+    // half 2 keeps the writers ON until the induced maintenance finishes
+    // (bounded): the p99/zero-errors claim must cover the WHOLE vacuum
+    // window — a fixed 5 s half would measure only its first seconds
+    // (the recorded vacuum runs ~12 s). Chunks merge conservatively:
+    // worst chunk percentiles, summed counts.
+    var chunks = List(half("b0", seconds - seconds / 2))
+    var ci = 1
+    while (m.isAlive && chunks.map(_.seconds).sum < 120 && ci < 24) {
+      chunks = chunks :+ half(s"b$ci", 5)
+      ci += 1
+    }
     m.join(120000)
+    val h2 = chunks.reduce { (a, b) =>
+      Result(a.scenario, a.seconds + b.seconds, a.requests + b.requests,
+             a.events + b.events, a.errors + b.errors, a.rejected503 + b.rejected503,
+             math.max(a.p50Ms, b.p50Ms), math.max(a.p99Ms, b.p99Ms),
+             ok = true, minMs = math.min(a.minMs, b.minMs))
+    }
     val maintOk  = maintNote != null && maintErr == null && !m.isAlive
     // the CONTRACT is latency + correctness, not rate: the induced vacuum
     // deliberately saturates the box's cores (on one host the executors

@@ -152,11 +152,11 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("Window "), s"$q must not window the corpus")
     }
     // t18 is pure map-side scoring: the per-source rollup's exchange must
-    // be the only shuffle DOING WORK in the plan (the t14 scale shape).
-    // The docs() corpus-spread exchange (REPARTITION_BY_NUM — round 20's
-    // single-task adjudication) is exempt: it exists because the bench
-    // corpus is one parquet file; a real corpus has thousands of input
-    // splits and no such node.
+    // be the ONLY shuffle in the plan (the t14 scale shape). The opt-in
+    // corpus spread (round 20) is deliberately NOT used by t18 — its
+    // per-doc scoring is cheap enough that the spread's task overhead
+    // exceeds the parallelism gain — so any second exchange here is a
+    // regression, spread node included.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -164,10 +164,8 @@ class PlanAuditSpec extends AnyFunSuite {
       val exchanges = p.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
-      val working = exchanges.filterNot(
-        _.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM)
-      assert(working.size === 1,
-        s"t18: expected exactly the rollup exchange beyond the corpus spread, got ${working.size}:\n$p")
+      assert(exchanges.size === 1,
+        s"t18: expected exactly the rollup exchange, got ${exchanges.size}:\n$p")
     } finally graft.core.SessionMemo.release(s2)
   }
 
