@@ -26,9 +26,14 @@ import org.apache.spark.sql.SparkSession
   * harness IS the load it reads. Pulled out of the main sweep so the
   * adjudication rule itself is unit-testable. */
 object BenchRegime {
+  // extBusyPct is REQUIRED (no default): phaseQuiet treats a negative
+  // value as "/proc unavailable → pass", so a bracket constructed without
+  // the field would silently bypass the external-CPU gate and bias toward
+  // false-quiet stamps. Only measure() may produce the -1.0 sentinel, from
+  // an explicit /proc-read failure.
   final case class PhaseBracket(name: String, loadIn: Double, loadOut: Double,
                                 stealPct: Double, gates: Boolean,
-                                extBusyPct: Double = -1.0)
+                                extBusyPct: Double)
 
   /** Negative samples mean /proc was unavailable — excluded, same as the
     * old loadSamples convention. `maxExtBusy` is the external-CPU gate as
@@ -798,6 +803,42 @@ object Bench {
     // truth exists, measured against the exact brute-force dup-vector set
     // at that tau — isolating the recall cost of cell/bucket LOCALITY,
     // which is the only approximation these operators make.
+    //
+    // EXPECTED BANDS (r20 verdict #3 — documented like the d13/d3 qscale
+    // bands above, so a silent recall regression trips something). The
+    // corpus and every generator are deterministic, so at a given SF these
+    // numbers are EXACT across runs; the floors leave room only for the
+    // small-SF granularity of the truth sets. A quiet reading below a
+    // floor means a band/table/probe count or bucket cap changed and
+    // silently cut recall — the regression class this block exists to
+    // catch.
+    //  - d2_pair_recall: measured 1.000 at sf0.1. Banding catch rate is
+    //    1−(1−s^r)^b with r = RowsPerBand = 6, b = Bands = 2; the true
+    //    pairs (Jaccard ≥ 1/2 VERIFIED, so recall isolates banding loss)
+    //    in the synthetic corpus are near-identical (s ≈ 1 ⇒ s^6 ≈ 1),
+    //    so every truth pair shares a band. FLOOR 0.95: a sub-0.95
+    //    reading means Bands/RowsPerBand or the BandMaxBucket star-link
+    //    changed semantics, not noise.
+    //  - d10_jaccard_agreement: measured 0.846 at sf0.1. CROSS-METRIC
+    //    agreement, not recall: candidate generation is pigeonhole-
+    //    LOSSLESS for d10's own criterion (hamming ≤ SimHammingMax = 3
+    //    over SimBands = 4 disjoint 16-bit lanes leaves ≥ 1 lane exact),
+    //    so the ~15% shortfall is pairs whose Jaccard passes while their
+    //    64-bit SimHash differs in ≥ 4 bits — metric disagreement, stable
+    //    per corpus. FLOOR 0.80.
+    //  - semdedup_cell_recall: measured 0.929 at sf0.1. Misses are
+    //    tau-dup vectors whose every partner lies outside the
+    //    SemDeDupProbes = 12 probed cells (of ~√N trained); the probe
+    //    budget is the only approximation. FLOOR 0.90: a drop means the
+    //    probe count or the cell-count derivation moved.
+    //  - lsh_bucket_recall: measured 0.857 at sf0.1. A tau-dup is missed
+    //    only when the pair splits on ≥ 1 plane in EVERY one of
+    //    LshTables = 16 tables; at the probe tau = 0.5 (angle ≈ 60°,
+    //    per-plane split prob ⅓) a single pair at exactly tau matches
+    //    some table with p ≈ 1−(1−(2/3)^H)^16 ≈ 0.77 at H = 6 planes —
+    //    measured sits above because detection is per-vector (ANY
+    //    partner) and real pairs are tighter than tau. FLOOR 0.80: a
+    //    drop means LshTables/hyperplanesFor moved.
     val dedupRecall = bracket("dedup_recall") {
       if (only.nonEmpty) "null"
       else try {
@@ -1070,8 +1111,18 @@ object Bench {
         f""""regime":"$regime","load_gate":$maxLoad%.1f,"steal_gate":$maxSteal%.1f,""" +
         f""""ext_busy_gate":$maxExtBusy%.1f,"gate_waited_s":$gateWaitedS,""" +
         s""""phases":${BenchRegime.phasesJson(phaseBrackets.toSeq, maxExtBusy, maxSteal)}}"""
-    val healthJson = queryHealth.map { case (n, (b, sp, dr)) =>
-      s""""$n":{"memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr}"""
+    // query_health carries EVERY query (r20 verdict #6 — an always-empty
+    // block read as "checked" when it was merely never-churned): the warm
+    // rep spread (max−min over median, permille — computed from the same
+    // reps the medians come from) for all queries, plus the churn counters
+    // (memo builds / spill / dropped cached parts) for the queries that
+    // had any. The compact line's "churn" count stays churned-queries-only.
+    val healthJson = results.map { case (n, _, med, mn, mx) =>
+      val spread = if (med > 0) math.round(1000.0 * (mx - mn) / med) else 0L
+      val churn = queryHealth.get(n).map { case (b, sp, dr) =>
+        s""","memo_builds":$b,"spill_to_disk_bytes":$sp,"cached_parts_dropped":$dr"""
+      }.getOrElse("")
+      s""""$n":{"rep_spread_permille":$spread$churn}"""
     }.mkString("{", ",", "}")
 
     // TWO artifacts:
@@ -1091,9 +1142,18 @@ object Bench {
       s""""host":$hostJson,"query_health":$healthJson,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
-    // the committed full-run artifact with a near-empty one — they write a
-    // sibling file instead
-    val fullPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_FULL.partial.json"
+    // the committed full-run artifact with a near-empty one — and the old
+    // BENCH_FULL.partial.json sibling is retired (r20 verdict #6: a
+    // committed partial artifact invites "it was checked" misreads): a
+    // filtered run writes to a TEMP file and says where, leaving nothing
+    // in-repo.
+    val fullPath =
+      if (only.isEmpty) "BENCH_FULL.json"
+      else {
+        val p = java.nio.file.Files.createTempFile("graft-bench-partial-", ".json").toString
+        System.err.println(s"[graft-bench] filtered run (SPARK_GRAFT_BENCH_ONLY) — full JSON at $p, not in-repo")
+        p
+      }
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) => System.err.println(s"[graft-bench] $fullPath write failed: $e") }

@@ -20,11 +20,23 @@ object FsUtil {
 
   def deleteRecursively(root: String): Unit = deleteRecursively(Paths.get(root))
 
+  /** Scheme-aware recursive delete: a path with a URI scheme (hdfs://,
+    * s3a://, file://) goes through Hadoop's FileSystem — the index-root
+    * sidecars are object-store-resident on a real cluster — while a bare
+    * local path keeps the nio fast path. Best-effort like
+    * [[deleteRecursively]] (eviction/exit sweeps tolerate races). */
+  def deleteTree(path: String): Unit =
+    if (path.contains("://")) {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(hp, true)
+      ()
+    } else deleteRecursively(path)
+
   // paths swept when the JVM exits — ONE process-wide hook however many
   // callers register, so hooks never accumulate per session/fixture
   private val sweepOnExit = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val hookInstalled: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    sweepOnExit.forEach(p => try deleteRecursively(p) catch { case _: Exception => () })))
+    sweepOnExit.forEach(p => try deleteTree(p) catch { case _: Exception => () })))
 
   /** Delete `path` recursively at JVM shutdown (idempotent; an earlier
     * explicit delete just makes the sweep a no-op). */

@@ -974,14 +974,32 @@ object CorpusQueries {
       // detection windows PER DOC over positions (bounded by the doc's
       // own length — never a corpus-wide window): the islands trick,
       // pos − row_number.
-      val g = docs(s, dir)
+      //
+      // Gram KEY shape (round 21 — t25's int-tuple trick applied to the
+      // round-20 verdict's slowest warm median): NO gram string is ever
+      // built. Each word hashes once (codegen'd fnv32) and a gram is the
+      // fixed-width INT TUPLE (k1..k5) of its word hashes — the df
+      // exchange carries 5 ints instead of a ~30-char concatenated
+      // string. Hashed-tuple grouping equals exact-string grouping
+      // unless two distinct WORDS collide under fnv32 (~V²/2³³ — none in
+      // the test corpora; see the collision-bound note in CLAUDE.md);
+      // the DuckDB oracle intentionally keeps the exact string-gram
+      // formulation as the stronger independent check.
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val kCols = (1 to SubstrGramWords).map(j => s"k$j")
+      val gramTupleExpr =
+        s"""transform(sequence(1, size(wh) - ${SubstrGramWords - 1}),
+           |          i -> struct(${(0 until SubstrGramWords)
+                .map(j => s"element_at(wh, i + $j) AS k${j + 1}").mkString(", ")}))""".stripMargin
+      val g = docsSpread(s, dir)
         .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
         .filter(size(col("words")) >= SubstrGramWords)
-        .select(col("doc_id"), col("source"), posexplode(expr(
-          s"""transform(sequence(0, size(words) - $SubstrGramWords),
-             |          i -> array_join(slice(words, i + 1, $SubstrGramWords), ' '))""".stripMargin
-        )).as(Seq("pos", "gram")))
-      val uniq = g.groupBy("gram")
+        .withColumn("wh", expr("transform(words, w -> graft_fnv32(w))"))
+        .select(col("doc_id"), col("source"),
+                posexplode(expr(gramTupleExpr)).as(Seq("pos", "gk")))
+        .select(Seq(col("doc_id"), col("source"), col("pos")) ++
+                kCols.map(k => col(s"gk.$k").as(k)): _*)
+      val uniq = g.groupBy(kCols.head, kCols.tail: _*)
         .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"), min("pos").as("pos"))
         .filter(col("df") === 1)
         .select("doc_id", "pos")

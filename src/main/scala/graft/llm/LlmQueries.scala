@@ -582,7 +582,7 @@ object LlmQueries {
   private val pqCache = new graft.core.SessionMemo[(DataFrame, DataFrame, String)](onEvict = {
     case (b, c, side) =>
       b.unpersist(); c.unpersist()
-      try graft.core.FsUtil.deleteRecursively(java.nio.file.Paths.get(side))
+      try graft.core.FsUtil.deleteTree(side)
       catch { case scala.util.control.NonFatal(_) => () }
       ()
   })
@@ -663,7 +663,21 @@ object LlmQueries {
         // which IS the deployment shape: FAISS materializes exactly these
         // invlists (cell, code) next to the vectors. Parquet round-trips
         // ints and binary64 exactly, so oracle parity is untouched.
-        val side = java.nio.file.Files.createTempDirectory("graft-pq-sidecar-").toString
+        // INDEX ROOT (round 21): on a real cluster, executors cannot write
+        // parquet to a driver-local temp path — the sidecar root is
+        // configurable ($SPARK_GRAFT_INDEX_DIR or spark conf
+        // graft.index.root: an object-store URI every executor reaches),
+        // defaulting to a driver temp dir on local[*]. Each build writes a
+        // FRESH uuid-suffixed directory and never reads a pre-existing one
+        // (no cross-run caching — every invocation computes from the
+        // parquet inputs); eviction deletes it scheme-aware, and the
+        // FsUtil exit sweep covers a JVM that dies without evicting.
+        val side = sys.env.get("SPARK_GRAFT_INDEX_DIR")
+          .orElse(s.conf.getOption("graft.index.root"))
+          .map(_.stripSuffix("/"))
+          .map(r => s"$r/graft-pq-sidecar-${java.util.UUID.randomUUID()}")
+          .getOrElse(java.nio.file.Files.createTempDirectory("graft-pq-sidecar-").toString)
+        graft.core.FsUtil.deleteOnExit(side)
         bkm0.write.mode("overwrite").parquet(s"$side/bkm")
         codes0.write.mode("overwrite").parquet(s"$side/codes")
         val bkm = s.read.parquet(s"$side/bkm")

@@ -270,7 +270,19 @@ final class GraftScan(tableRoot: String, tableSchema: StructType, required: Stru
           if (s.size == files.size) {
             val relevant = EventTable.pruneDeleteFiles(s, dels)
             val posRows  = relevant.filter(_.content == 1).map(_.recordCount).sum
-            val eqRows   = relevant.filter(_.content == 2).map(_.recordCount).sum
+            // eq tombstones may match NO live row (deleteWhereEq's
+            // documented "harmless tombstone"), so their recordCount is
+            // an UPPER bound — an inflated one drags the estimate toward
+            // the unsafe wrong-broadcast direction. Clamp the eq weight
+            // at the rows positions leave unmasked (rawRows − posRows):
+            // the subtraction can then never exceed what any real mask
+            // union could cover. Within that bound a no-match tombstone
+            // still understates live rows — accepted and documented: the
+            // CDC contract makes tombstone batches predominantly real,
+            // and the clamp caps the worst case at table size.
+            val eqRows = math.min(
+              relevant.filter(_.content == 2).map(_.recordCount).sum,
+              math.max(0L, rawRows - posRows))
             if (posRows > 0L && eqRows > 0L) math.max(posRows, eqRows)
             else posRows + eqRows
           } else 0L
