@@ -1129,17 +1129,31 @@ object Bench {
     //  - BENCH_FULL.json: everything at full precision (queries median/min/
     //    first-touch, ingest, 10x, gateway scenario detail, micro) — written
     //    to the CWD so the official run leaves a complete record in-repo.
-    //  - ONE compact stdout line: the bench-driver artifact keeps only the
-    //    LAST ~2000 chars of output, and rounds 1–8 proved a >2k line is
-    //    stored as an unparseable fragment. Everything headline-worthy, 2dp,
-    //    guaranteed to fit the tail whole.
+    //  - driver-facing stdout lines (see the DRIVER CONTRACT comment below).
+    //
+    // Short query keys for the compact line: the driver artifact keeps only
+    // the LAST ~2000 chars of output (measured: every BENCH_r*.json tail is
+    // exactly 2000 chars), and 141 full names alone are ~3.4 KB — the map
+    // can never fit whole under full names. Keys are the MINIMAL UNIQUE
+    // PREFIX (>= 2 chars) of each query name within the declared set — a
+    // deterministic, collision-free, human-decodable abbreviation ("d6_" ->
+    // d6_dedup_clusters). The short->full map is recorded in BENCH_FULL.json
+    // as "query_keys" so any consumer can expand the compact line exactly.
+    val allNames = results.map(_._1)
+    val shortKey: Map[String, String] = allNames.map { n =>
+      val p = (2 to n.length).iterator.map(n.substring(0, _))
+        .find(pfx => allNames.count(_.startsWith(pfx)) == 1)
+      n -> p.getOrElse(n) // a name that is a strict prefix of another keeps its full form
+    }.toMap
+    val queryKeysJson =
+      results.map(r => s""""${shortKey(r._1)}":"${r._1}"""").mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""queries":${jmap(_._3)},"queries_min":${jmap(_._4)},"queries_max":${jmap(_._5)},""" +
       s""""first_touch":${jmap(_._2)},"first_touch_total":$firstTotal,""" +
       s""""stream_ingest":$ingest,"stream_ingest_10x":$ingest10x,"ann_recall":$annRecall,""" +
       s""""dedup_recall":$dedupRecall,"retrieval_quality":$retrievalQuality,""" +
       s""""query_scale":$qScale,"mor_compact":$morCompact,"maint_scale":$maintScale,""" +
-      s""""host":$hostJson,"query_health":$healthJson,""" +
+      s""""host":$hostJson,"query_health":$healthJson,"query_keys":$queryKeysJson,""" +
       s""""gateway":${gatewayFull._1},"sf":"$sfDir","micro":$microJson}"""
     // filtered iteration runs (SPARK_GRAFT_BENCH_ONLY) must never clobber
     // the committed full-run artifact with a near-empty one — and the old
@@ -1160,48 +1174,66 @@ object Bench {
 
     def q2(f: ((String, Double, Double, Double, Double)) => Double): String =
       results.map(r => f""""${r._1}":${f(r)}%.2f""").mkString("{", ",", "}")
+    def q2s(f: ((String, Double, Double, Double, Double)) => Double): String =
+      results.map(r => f""""${shortKey(r._1)}":${f(r)}%.2f""").mkString("{", ",", "}")
     val sfShort = sfDir.split('/').last
+    // DRIVER CONTRACT (restored in round 22 — PERF_r20/r21 had per_query:{}
+    // because the per-query map was shed to a "BENCH_FULL.json" pointer
+    // string the driver does not follow). Two stdout lines, BOTH valid JSON
+    // in the contract shape {"metric","value","unit","queries":{...},"sf"},
+    // BOTH with a REAL per-query medians map:
+    //  1. a FULL-NAME line (~3.6 KB at 141 queries) printed first — parseable
+    //    by a consumer reading full stdout;
+    //  2. a SHORT-KEY compact line (minimal-unique-prefix keys, 2dp) printed
+    //    LAST and kept under 1900 chars so it survives WHOLE inside the
+    //    driver artifact's measured 2000-char tail window (the only line
+    //    shape that has ever parsed — round 9's 1927-char map line).
+    // Printing full-first/short-last means the tail window always holds the
+    // complete short line; a full-stdout consumer sees the full-name line.
+    // Keys decode via BENCH_FULL.json "query_keys".
+    val driverFullLine =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"sf":"$sfShort",""" +
+        s""""queries":${q2(_._3)},""" +
+        s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
+        f""""regime":"$regime","full":"BENCH_FULL.json"}"""
     // micro with abbreviated keys (full names live in BENCH_FULL.json)
     val microCompact = Seq("write_64B_ops" -> "w64", "write_1KB_ops" -> "w1k",
       "write_4KB_ops" -> "w4k", "idempotent_dup_ops" -> "dup", "write_wal_64B_ops" -> "wal",
       "burst_1000_ops" -> "burst", "read_offset_ops" -> "rd", "mixed_80_20_ops" -> "mix")
       .foldLeft(microJson) { case (s, (from, to)) => s.replace(from, to) }
-    // The driver's artifact keeps only the LAST ~2000 stdout chars, so the
-    // line must fit WHOLE or its head is truncated into unparseable junk.
-    // As the query count grows the line grows with it — shed the
-    // lowest-priority blocks (micro, then gateway, then first_total; all
-    // live at full precision in BENCH_FULL.json) until it fits, and say so.
-    def assemble(micro: Boolean, gw: Boolean, ft: Boolean, qmap: Boolean = true): String =
-      f"""{"metric":"total","value":$total%.2f,"reps":$reps,"sf":"$sfShort",""" +
-        // host load start/after-sweep/end + the gate's mechanical verdict +
-        // warm-rep churn count: enough to adjudicate an elevated median
-        // from the compact line alone
-        f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f","regime":"$regime",""" +
-        // one char per phase (q/n, gateway lowercased-but-non-gating last):
-        // the compact line's per-phase adjudication trail
-        s""""ph":"${phaseBrackets.map(p =>
-          if (BenchRegime.phaseQuiet(p, maxExtBusy, maxSteal)) "q" else "n").mkString}",""" +
-        f""""churn":${queryHealth.size},""" +
-        (if (qmap) f""""queries":${q2(_._3)},"""
-         // the per-query map is the line's dominant block (~25 chars/query);
-         // past ~75 queries even a fully-shed line overflows the tail, so
-         // the last resort points at the committed full artifact instead
-         else s""""queries":"BENCH_FULL.json","n_queries":${results.size},""") +
-        (if (ft) f""""first_total":$firstTotal%.1f,""" else "") +
+    // The compact line must fit WHOLE in the tail window together with its
+    // sbt "[info] " prefix and the trailing "[success] Total time ..." line
+    // (~85 chars), so the budget is 1900. The queries map is never shed —
+    // it is the block the driver exists to read; shed the adjudication and
+    // probe blocks instead (all live at full precision in BENCH_FULL.json).
+    def assemble(micro: Boolean, gw: Boolean, qscale: Boolean, host: Boolean): String =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"sf":"$sfShort",""" +
+        (if (host)
+          // host load start/after-sweep/end + the gate's mechanical verdict
+          // (one char per phase: q/n) + warm-rep churn count: enough to
+          // adjudicate an elevated median from the compact line alone
+          f""""ld":"$loadStart%.1f,$loadAfterSweep%.1f,$loadEnd%.1f",""" +
+            s""""ph":"${phaseBrackets.map(p =>
+              if (BenchRegime.phaseQuiet(p, maxExtBusy, maxSteal)) "q" else "n").mkString}",""" +
+            f""""churn":${queryHealth.size},"""
+         else "") +
+        f""""regime":"$regime",""" +
+        s""""queries":${q2s(_._3)},""" +
         s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
-        s""""qscale":$qScaleCompact,""" +
+        (if (qscale) s""""qscale":$qScaleCompact,""" else "") +
         (if (gw) s""""gateway":$gatewayCompact,""" else "") +
         (if (micro) s""""micro":$microCompact,""" else "") +
-        s""""full":"BENCH_FULL.json"}"""
-    val rendered = Seq(assemble(true, true, true), assemble(false, true, true),
-      assemble(false, false, true), assemble(false, false, false),
-      assemble(false, false, false, qmap = false))
+        s""""keys":"BENCH_FULL.json query_keys","full":"BENCH_FULL.json"}"""
+    val rendered = Seq(assemble(true, true, true, true), assemble(false, true, true, true),
+      assemble(false, false, true, true), assemble(false, false, false, true),
+      assemble(false, false, false, false))
     val compact = rendered.find(_.length <= 1900).getOrElse(rendered.last)
     if (compact.length < rendered.head.length)
       System.err.println(s"[graft-bench] compact line shed blocks to fit the driver tail " +
         s"(${rendered.head.length} -> ${compact.length} chars); see BENCH_FULL.json")
     if (compact.length > 1900)
       System.err.println(s"[graft-bench] compact line ${compact.length} chars — may exceed the driver's tail capture")
+    println(driverFullLine)
     println(compact)
     spark.stop()
   }

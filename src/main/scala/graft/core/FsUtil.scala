@@ -23,12 +23,17 @@ object FsUtil {
   /** Scheme-aware recursive delete: a path with a URI scheme (hdfs://,
     * s3a://, file://) goes through Hadoop's FileSystem — the index-root
     * sidecars are object-store-resident on a real cluster — while a bare
-    * local path keeps the nio fast path. Best-effort like
-    * [[deleteRecursively]] (eviction/exit sweeps tolerate races). */
+    * local path keeps the nio fast path. The FileSystem opens with the
+    * ACTIVE SESSION's Hadoop conf ([[graft.iceberg.TableIO.hadoopConf]]):
+    * a bare `new Configuration()` never sees `spark.hadoop.*` settings
+    * (s3a credentials, endpoints, HA namenodes), so on the object-store
+    * deployment this path exists for every delete would throw, be
+    * swallowed by the best-effort catch, and leak the sidecar. Best-effort
+    * like [[deleteRecursively]] (eviction/exit sweeps tolerate races). */
   def deleteTree(path: String): Unit =
-    if (path.contains("://")) {
+    if (graft.iceberg.TableIO.hasScheme(path)) {
       val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(hp, true)
+      hp.getFileSystem(graft.iceberg.TableIO.hadoopConf()).delete(hp, true)
       ()
     } else deleteRecursively(path)
 

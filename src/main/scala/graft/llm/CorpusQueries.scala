@@ -274,7 +274,8 @@ object CorpusQueries {
 
   /** [[LlmQueries.spread]] applied to the corpus: opt-in for the queries
     * whose per-rep compute is single-task-dominated (t25, t23 — measured
-    * 3×/2× warm wins); everything else keeps the un-spread read (the
+    * 3×/2× warm wins — and d17, which joined in round 21 with the same
+    * posexplode-dominated profile); everything else keeps the un-spread read (the
     * universal spread taxed every mid-tier query ~0.5 s of task overhead
     * at bench scale — see spread()'s doc for both bounds). */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
@@ -976,15 +977,18 @@ object CorpusQueries {
       // pos − row_number.
       //
       // Gram KEY shape (round 21 — t25's int-tuple trick applied to the
-      // round-20 verdict's slowest warm median): NO gram string is ever
-      // built. Each word hashes once (codegen'd fnv32) and a gram is the
-      // fixed-width INT TUPLE (k1..k5) of its word hashes — the df
-      // exchange carries 5 ints instead of a ~30-char concatenated
+      // round-20 verdict's slowest warm median; hash WIDENED to 64 bits in
+      // round 22 per the r21 verdict): NO gram string is ever built. Each
+      // word hashes once (built-in codegen'd xxhash64) and a gram is the
+      // fixed-width LONG TUPLE (k1..k5) of its word hashes — the df
+      // exchange carries 5 longs instead of a ~30-char concatenated
       // string. Hashed-tuple grouping equals exact-string grouping
-      // unless two distinct WORDS collide under fnv32 (~V²/2³³ — none in
-      // the test corpora; see the collision-bound note in CLAUDE.md);
-      // the DuckDB oracle intentionally keeps the exact string-gram
-      // formulation as the stronger independent check.
+      // unless two distinct WORDS collide under the hash: at 32 bits the
+      // expected collision count is ~V²/2³³ (≈116 at V=10⁶ — near-certain
+      // at corpus scale); at 64 bits it is ~V²/2⁶⁵ (≈3·10⁻⁸ at V=10⁹ —
+      // see the collision-bound note in CLAUDE.md). The DuckDB oracle
+      // intentionally keeps the exact string-gram formulation as the
+      // stronger independent check.
       graft.functions.GraftFunctions.ensureRegistered(s)
       val kCols = (1 to SubstrGramWords).map(j => s"k$j")
       val gramTupleExpr =
@@ -994,7 +998,7 @@ object CorpusQueries {
       val g = docsSpread(s, dir)
         .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
         .filter(size(col("words")) >= SubstrGramWords)
-        .withColumn("wh", expr("transform(words, w -> graft_fnv32(w))"))
+        .withColumn("wh", expr("transform(words, w -> xxhash64(w))"))
         .select(col("doc_id"), col("source"),
                 posexplode(expr(gramTupleExpr)).as(Seq("pos", "gk")))
         .select(Seq(col("doc_id"), col("source"), col("pos")) ++

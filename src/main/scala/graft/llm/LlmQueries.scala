@@ -203,7 +203,7 @@ object LlmQueries {
     * mid-tier warm query ~0.5 s of task-scheduling overhead on tiny
     * local data (widened memoized frames, 32 tasks per stage). So the
     * explicit spread is opt-in per query: only chains whose single-task
-    * compute clearly exceeds the overhead (t25, t23) call it. A real
+    * compute clearly exceeds the overhead (t25, t23, d17) call it. A real
     * multi-split corpus passes through untouched — at 100 TB this
     * shuffle would move the whole corpus, and the input splits already
     * provide the parallelism. The split count is memoized per (session,
@@ -449,8 +449,42 @@ object LlmQueries {
     * k-means shape, with the argmax as a partial-aggregatable max_by over
     * a UNIQUE (c_sim, -c_id) key — map-side combine, no window
     * shuffle+sort, same tie-break as the oracle's row_number ordering.
-    * Both frames of the pair are persisted; onEvict drops both. */
-  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame)](onEvict = { case (c, a) => c.unpersist(); a.unpersist(); () })
+    *
+    * MATERIALIZED SIDECAR (round 22 — the r21 verdict's #3): persist
+    * caches data, not the plan, so every consumer of the trained frames
+    * used to inline the FULL KMeansIters training lineage into its own
+    * plan — ann_ivfpq_topk's constructor plan carried 274 Exchange nodes
+    * (plans/r21/ann_ivfpq_topk_before.txt), a re-ANALYSIS tax on every
+    * cold build and a planner hazard at scale. Both trained frames now
+    * round-trip through a parquet sidecar exactly like [[pqIndexFull]]'s
+    * codes (FAISS materializes the same artifacts: centroids + invlist
+    * assignments), re-rooting every consumer plan at a file scan bounded
+    * regardless of training iterations. Parquet round-trips binary64 and
+    * ints exactly, so oracle parity is untouched. Fresh uuid dir per
+    * build (no cross-run reuse); onEvict drops both frames AND the dir. */
+  private val ivfCache = new graft.core.SessionMemo[(DataFrame, DataFrame, String)](onEvict = {
+    case (c, a, side) =>
+      c.unpersist(); a.unpersist()
+      try graft.core.FsUtil.deleteTree(side)
+      catch { case scala.util.control.NonFatal(_) => () }
+      ()
+  })
+
+  /** Fresh uuid-suffixed sidecar directory under the configurable index
+    * root ($SPARK_GRAFT_INDEX_DIR / spark conf graft.index.root — an
+    * object-store URI every executor reaches on a real cluster),
+    * defaulting to a driver temp dir on local[*]. Registered with the
+    * FsUtil exit sweep; each build writes a FRESH dir and never reads a
+    * pre-existing one (no cross-run caching). */
+  private def sidecarDir(s: SparkSession, what: String): String = {
+    val side = sys.env.get("SPARK_GRAFT_INDEX_DIR")
+      .orElse(s.conf.getOption("graft.index.root"))
+      .map(_.stripSuffix("/"))
+      .map(r => s"$r/graft-$what-sidecar-${java.util.UUID.randomUUID()}")
+      .getOrElse(java.nio.file.Files.createTempDirectory(s"graft-$what-sidecar-").toString)
+    graft.core.FsUtil.deleteOnExit(side)
+    side
+  }
 
   /** Test/spec accessor: the trained cell assignment (vec_id, v,
     * centroid_id) — lets serial references (r5's mutual-NN spec) start
@@ -459,7 +493,12 @@ object LlmQueries {
   private[graft] def ivfAssignments(s: SparkSession, dir: String): DataFrame =
     ivfIndex(s, dir)._2
 
-  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def ivfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (cents, assigned, _) = ivfIndexFull(s, dir)
+    (cents, assigned)
+  }
+
+  private def ivfIndexFull(s: SparkSession, dir: String): (DataFrame, DataFrame, String) =
     {
       ivfCache.getOrElseUpdate(s, dir)({
         // persisted only for the duration of the build (KMeansIters + 1
@@ -498,16 +537,26 @@ object LlmQueries {
             .select(col("centroid_id").as("c_id"),
               expr("transform(pc, p -> cast(p.s as double) / (cast(p.n as double) * 1048576.0D))").as("cv"))
         }
-        // Persist the trained centroids too: they are re-broadcast by every
-        // probe-selection pass (ivfProbeAt, ann_ivfsq_topk) — without the
-        // persist each broadcast would replay the whole training chain.
-        val trained = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Materialize the trained index as a parquet sidecar (see the
+        // sidecar note at [[ivfCache]]): writing the centroids runs the
+        // training chain once (the old persist+count did the same work);
+        // reading them back re-roots every consumer — probe selection,
+        // ann_ivf_probe/2, ann_ivfsq/ivfpq, pqIndexFull's residual chain —
+        // at a bounded file scan instead of the KMeansIters lineage. Both
+        // frames stay persisted too: the centroids are re-broadcast by
+        // every probe-selection pass, the assignment is every consumer's
+        // corpus-side scan.
+        val side = sidecarDir(s, "ivf")
+        cents.write.mode("overwrite").parquet(s"$side/cents")
+        val trained = s.read.parquet(s"$side/cents")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         trained.count()
-        val assigned = assign(trained)
+        assign(trained).write.mode("overwrite").parquet(s"$side/assigned")
+        val assigned = s.read.parquet(s"$side/assigned")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         assigned.count() // materialize off `e` before releasing it
         e.unpersist()
-        (trained, assigned)
+        (trained, assigned, side)
       })
     }
 
@@ -664,20 +713,10 @@ object LlmQueries {
         // invlists (cell, code) next to the vectors. Parquet round-trips
         // ints and binary64 exactly, so oracle parity is untouched.
         // INDEX ROOT (round 21): on a real cluster, executors cannot write
-        // parquet to a driver-local temp path — the sidecar root is
-        // configurable ($SPARK_GRAFT_INDEX_DIR or spark conf
-        // graft.index.root: an object-store URI every executor reaches),
-        // defaulting to a driver temp dir on local[*]. Each build writes a
-        // FRESH uuid-suffixed directory and never reads a pre-existing one
-        // (no cross-run caching — every invocation computes from the
-        // parquet inputs); eviction deletes it scheme-aware, and the
+        // parquet to a driver-local temp path — [[sidecarDir]] resolves the
+        // configurable root; eviction deletes it scheme-aware, and the
         // FsUtil exit sweep covers a JVM that dies without evicting.
-        val side = sys.env.get("SPARK_GRAFT_INDEX_DIR")
-          .orElse(s.conf.getOption("graft.index.root"))
-          .map(_.stripSuffix("/"))
-          .map(r => s"$r/graft-pq-sidecar-${java.util.UUID.randomUUID()}")
-          .getOrElse(java.nio.file.Files.createTempDirectory("graft-pq-sidecar-").toString)
-        graft.core.FsUtil.deleteOnExit(side)
+        val side = sidecarDir(s, "pq")
         bkm0.write.mode("overwrite").parquet(s"$side/bkm")
         codes0.write.mode("overwrite").parquet(s"$side/codes")
         val bkm = s.read.parquet(s"$side/bkm")
