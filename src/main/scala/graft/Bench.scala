@@ -331,6 +331,8 @@ object Bench {
         () => llm.LlmQueries.evictPqIndex(spark, sfDir)),
       (Set("d3_embedding_neardup"),
         () => llm.LlmQueries.evictLshTables(spark, sfDir)),
+      (Set("r2_hybrid_retrieve"),
+        () => llm.LlmQueries.evictQposts(spark, sfDir)),
       (Set("t15_filter_funnel", "t15_funnel_ppl"),
         () => llm.CorpusQueries.evictFunnel(spark, sfDir)),
       (Set("t16_perplexity_filter", "t15_funnel_ppl"),

@@ -274,8 +274,9 @@ object CorpusQueries {
 
   /** [[LlmQueries.spread]] applied to the corpus: opt-in for the queries
     * whose per-rep compute is single-task-dominated (t25, t23 — measured
-    * 3×/2× warm wins — and d17, which joined in round 21 with the same
-    * posexplode-dominated profile); everything else keeps the un-spread read (the
+    * 3×/2× warm wins — d17, which joined in round 21 with the same
+    * posexplode-dominated profile, and t7 since round 22); everything
+    * else keeps the un-spread read (the
     * universal spread taxed every mid-tier query ~0.5 s of task overhead
     * at bench scale — see spread()'s doc for both bounds). */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
@@ -1276,16 +1277,28 @@ object CorpusQueries {
     },
 
     "t7_repetition" -> { (s, dir) =>
-      // duplicate-bigram permille per doc: 1000·(total − distinct) div total
-      // (LlmQueries' shared words/bigram exprs — the exact d4/d9 shingle
-      // shape); docs under 2 words carry no bigrams and are excluded,
-      // mirroring the d4/d9 filter
-      val d = docs(s, dir)
+      // duplicate-bigram permille per doc: 1000·(total − distinct) div
+      // total (LlmQueries' shared word split, same bigram pairing as the
+      // d4/d9 shingles); docs under 2 words carry no bigrams and are
+      // excluded, mirroring the d4/d9 filter (size(words) >= 2 ≡ the old
+      // size(bigrams) > 0 on the concatenated-string form).
+      // Round 22: the per-doc DISTINCT runs on fixed-width xxhash64
+      // word-hash PAIRS instead of concatenated "a b" strings — no
+      // per-bigram string is ever allocated (the d17/t25 hashed-key
+      // shape; PER-DOC vocabulary, so the collision bound in CLAUDE.md is
+      // ~10⁻⁴ per doc even at 32 bits — 64 used here), and nt needs no
+      // bigram array at all (size(words) − 1). The read joins the
+      // docsSpread opt-in list: the whole tokenize+distinct chain ran as
+      // ONE task on the single-split bench corpus (the t25 profile).
+      val d = docsSpread(s, dir)
         .withColumn("words", expr(LlmQueries.wordsExpr))
-        .withColumn("bigrams", expr(LlmQueries.bigramsExpr))
-        .filter(size(col("bigrams")) > 0)
-        .withColumn("nt", size(col("bigrams")).cast("long"))
-        .withColumn("nd", size(array_distinct(col("bigrams"))).cast("long"))
+        .filter(size(col("words")) >= 2)
+        .withColumn("wh", expr("transform(words, w -> xxhash64(w))"))
+        .withColumn("nt", (size(col("words")) - 1).cast("long"))
+        .withColumn("nd", expr(
+          """cast(size(array_distinct(zip_with(
+            |  slice(wh, 1, size(wh) - 1), slice(wh, 2, size(wh) - 1),
+            |  (a, b) -> named_struct('a', a, 'b', b)))) as bigint)""".stripMargin))
         .withColumn("rep_permille", expr("(1000 * (nt - nd)) div nt"))
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),

@@ -203,7 +203,7 @@ object LlmQueries {
     * mid-tier warm query ~0.5 s of task-scheduling overhead on tiny
     * local data (widened memoized frames, 32 tasks per stage). So the
     * explicit spread is opt-in per query: only chains whose single-task
-    * compute clearly exceeds the overhead (t25, t23, d17) call it. A real
+    * compute clearly exceeds the overhead (t25, t23, d17, t7) call it. A real
     * multi-split corpus passes through untouched — at 100 TB this
     * shuffle would move the whole corpus, and the input splits already
     * provide the parallelism. The split count is memoized per (session,
@@ -219,18 +219,37 @@ object LlmQueries {
   }
 
   /** The corpus arrives as a single parquet file at bench scale — spread it
-    * across the cluster before the compute-heavy lambdas (a 100 TB corpus
-    * has thousands of input splits and skips this shuffle). */
+    * across the cluster before the compute-heavy lambdas. CONDITIONAL since
+    * round 22 (guide §2.4 — remove shuffles outright): the blanket
+    * `repartition(col)` this replaces shuffled the ENTIRE corpus text on
+    * every consumer regardless of input layout; a real multi-split corpus
+    * (thousands of splits at 100 TB) now passes through untouched — the
+    * input splits already provide the parallelism — while the single-file
+    * bench corpus keeps the exact AQE-coalescible repartition it always
+    * had (local behavior, and the bench comparison, unchanged). Split
+    * counts come from the same memo [[spread]] uses: no job at
+    * construction, one planning pass per (session, path). */
+  private def spreadIfUnderSplit(s: SparkSession, df: DataFrame, key: String,
+                                 memoPath: String): DataFrame = {
+    val target = s.sessionState.conf.numShufflePartitions
+    val splits = splitCache.getOrElseUpdate(s, memoPath)(df.rdd.getNumPartitions)
+    if (splits >= math.max(2, target / 2)) df
+    else df.repartition(col(key))
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    val path = s"$dir/documents.parquet"
+    spreadIfUnderSplit(s, s.read.parquet(path), "doc_id", path)
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    s.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .repartition(col("vec_id"))
+    val path = s"$dir/embeddings.parquet"
+    spreadIfUnderSplit(s,
+      s.read.parquet(path)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", path)
   }
 
   /** Corpus size backing the derived index knobs ([[centroidsFor]],
@@ -508,8 +527,11 @@ object LlmQueries {
         val e = emb(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
         def assign(cents: DataFrame): DataFrame = {
-          val simToCent = expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))")
-          e.crossJoin(broadcast(cents))
+          // per-vector norm hoisted above the k-wide centroid cross join
+          // (round 22): one self-dot per vector, not per (vector, cell) —
+          // identical doubles, so training and the oracle are untouched
+          val simToCent = expr(s"${dot("v", "cv")} / (sqrt(vn2) * sqrt(${dot("cv", "cv")}))")
+          e.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(cents))
             .withColumn("c_sim", simToCent)
             .groupBy(col("vec_id"))
             .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
@@ -870,9 +892,12 @@ object LlmQueries {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val cosQ = s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"
-    val scored = e.crossJoin(broadcast(q))
+    // candidate scan scores with the hoisted per-vector norm (round 22 —
+    // same doubles as cosQ, one self-dot per vector instead of per pair);
+    // the bounded rel/red frames below keep the shared cosQ form.
+    val scored = e.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(cosQ))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
     val cand = topkPerQuery(scored, MmrCandidates)
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
     val cv = cand.join(e.select(col("vec_id"), col("v")), "vec_id")
@@ -905,9 +930,10 @@ object LlmQueries {
   private[graft] def ivfProbeAt(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
     val (cents, assigned) = ivfIndex(s, dir)
     val probes = probeSelect(assigned, cents, nProbes)
-    val scored = assigned.join(broadcast(probes), "centroid_id")
+    val scored = assigned.withColumn("vn2", expr(dot("v", "v")))
+      .join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
     topkPerQuery(scored, 3, col("centroid_id").cast("long"))
       .select(col("q_id"), col("rank"), col("neighbor_id"),
               col("payload").as("centroid_id"))
@@ -934,8 +960,9 @@ object LlmQueries {
     * assignment, with NO retraining. The batch never shuffles. */
   private def incrementalAssigned(s: SparkSession, dir: String): DataFrame = {
     val (cents, _) = ivfIndex(s, dir)
-    incrementalBatch(s, dir).crossJoin(broadcast(cents))
-      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+    incrementalBatch(s, dir).withColumn("vn2", expr(dot("v", "v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(vn2) * sqrt(${dot("cv", "cv")}))"))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
                   struct(col("c_sim").as("s"), (-col("c_id")).as("neg_id"))).as("best"))
@@ -951,9 +978,10 @@ object LlmQueries {
     val (cents, assigned) = ivfIndex(s, dir)
     val merged = assigned.unionByName(incrementalAssigned(s, dir))
     val probes = probeSelect(assigned, cents, IvfProbes)
-    val scored = merged.join(broadcast(probes), "centroid_id")
+    val scored = merged.withColumn("vn2", expr(dot("v", "v")))
+      .join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
     topkPerQuery(scored, 3, col("centroid_id").cast("long"))
       .select(col("q_id"), col("rank"), col("neighbor_id"),
               col("payload").as("centroid_id"))
@@ -967,9 +995,9 @@ object LlmQueries {
       .unionByName(incrementalBatch(s, dir))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = merged.crossJoin(broadcast(q))
+    val scored = merged.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+      .withColumn("sim", expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
     topkPerQuery(scored, 3)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
   }
@@ -1268,7 +1296,8 @@ object LlmQueries {
     *   - label centroids (centroidCache): e1_embedding_coherence,
     *     e2_embedding_outliers
     *   - r7 first-pass hits (rocchioFirstCache, driver-side Seq):
-    *     r7_rocchio_prf */
+    *     r7_rocchio_prf
+    *   - query-vocabulary postings (qpostsCache): r2_hybrid_retrieve */
   def evictSignatures(s: SparkSession, dir: String): Unit  = sigCache.remove(s, dir)
   def evictSimSignatures(s: SparkSession, dir: String): Unit = simSigCache.remove(s, dir)
   def evictClusters(s: SparkSession, dir: String): Unit    = clusterCache.remove(s, dir)
@@ -1282,6 +1311,18 @@ object LlmQueries {
     * bench warm reps reuse the bounded decision values. */
   private val rocchioFirstCache = new graft.core.SessionMemo[Seq[(Long, Long, Long)]]()
   def evictRocchioFirst(s: SparkSession, dir: String): Unit = rocchioFirstCache.remove(s, dir)
+
+  /** r2's lexical-arm postings restricted to the QUERY vocabulary, per
+    * (session, dir): (doc_id, w) pairs for w in the NumQueries query
+    * docs' distinct words — bounded by the query vocabulary's posting
+    * lists at any corpus scale (the slice of the inverted index a
+    * retrieval tier materializes per query batch). Persisted LAZILY (no
+    * job at construction) because the arm reads it twice per execution —
+    * the term-df fold and the scoring join — and each lazy reference
+    * would otherwise re-tokenize the whole corpus. Consumers: r2 only;
+    * Bench evicts after its reps (cacheLastConsumer). */
+  private val qpostsCache = new graft.core.SessionMemo[DataFrame](onEvict = { df => df.unpersist(); () })
+  def evictQposts(s: SparkSession, dir: String): Unit = qpostsCache.remove(s, dir)
 
   /** d12 family: one parquet sink per (sfDir, variant) — the pair sink
     * (variant "") and the overflow-audit sink (variant "#audit"). File
@@ -1475,9 +1516,12 @@ object LlmQueries {
     * graft_topk neighborhoods per endpoint, mutual-NN gate, all-integer
     * ratio margin (see r5's scale/parity notes). */
   private[llm] def bitextMine(a: DataFrame, b: DataFrame): DataFrame = {
-    val pairs = a.join(b, "cell")
+    // endpoint norms hoisted above the cell-local pair join (round 22):
+    // each endpoint self-dots once, not once per pair — identical doubles
+    val pairs = a.withColumn("an2", expr(dot("av", "av")))
+      .join(b.withColumn("bn2", expr(dot("bv", "bv"))), "cell")
       .withColumn("s1", expr(
-        s"1L + cast(floor((1.0D + ${dot("av", "bv")} / (sqrt(${dot("av", "av")}) * sqrt(${dot("bv", "bv")}))) * $BitextFp) as bigint)"))
+        s"1L + cast(floor((1.0D + ${dot("av", "bv")} / (sqrt(an2) * sqrt(bn2))) * $BitextFp) as bigint)"))
       .select(col("cell"), col("a_id"), col("b_id"), col("s1"))
     def side(key: String, other: String): DataFrame = pairs
       .groupBy(col(key), col("cell"))
@@ -1548,8 +1592,9 @@ object LlmQueries {
             // map-side admission against the broadcast trained centroids —
             // identical argmax + tie-break to the index's own assignment,
             // so the oracle can derive the cells from its assigned CTE
-            val b = batch.crossJoin(broadcast(cents))
-              .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+            val b = batch.withColumn("vn2", expr(dot("v", "v")))
+              .crossJoin(broadcast(cents))
+              .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(vn2) * sqrt(${dot("cv", "cv")}))"))
               .groupBy(col("vec_id"))
               .agg(max_by(struct(col("c_id").as("centroid_id"), col("v").as("v")),
                           struct(col("c_sim").as("s"), (-col("c_id")).as("neg_id"))).as("best"))
@@ -1599,8 +1644,12 @@ object LlmQueries {
   /** Bucket-local candidate pairs over a [[lshBucketed]] frame: self-join
     * ONLY within buckets (shuffles on the bucket id, never all-pairs). */
   private def bucketLocalPairs(b: DataFrame): DataFrame =
-    b.as("a")
-      .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket")).as("o"),
+    // endpoint norms attached BEFORE the bucket-local self-join (round
+    // 22): one self-dot per row per side, not per pair — consumers score
+    // with [[pairSimExpr]], the same doubles as cosSim("v", "ov")
+    b.withColumn("vn2", expr(dot("v", "v"))).as("a")
+      .join(b.select(col("vec_id").as("o_id"), col("v").as("ov"), col("bucket"))
+              .withColumn("on2", expr(dot("ov", "ov"))).as("o"),
             Seq("bucket"))
       .filter(col("vec_id") =!= col("o_id"))
 
@@ -1650,7 +1699,11 @@ object LlmQueries {
   private def lshTablePairs(b: DataFrame): DataFrame = {
     val x = b.select(col("vec_id"), col("v"), explode(col("bands")).as("band"))
       .select(col("vec_id"), col("v"), col("band.t").as("t"), col("band.bkt").as("bkt"))
-    x.join(x.select(col("vec_id").as("o_id"), col("v").as("ov"), col("t"), col("bkt")),
+    // endpoint norms hoisted above the band-local self-join (round 22 —
+    // see [[bucketLocalPairs]]); consumers score with [[pairSimExpr]]
+    x.withColumn("vn2", expr(dot("v", "v")))
+      .join(x.select(col("vec_id").as("o_id"), col("v").as("ov"), col("t"), col("bkt"))
+              .withColumn("on2", expr(dot("ov", "ov"))),
            Seq("t", "bkt"))
       .filter(col("vec_id") =!= col("o_id"))
   }
@@ -1671,9 +1724,10 @@ object LlmQueries {
   private def semProbePairs(s: SparkSession, dir: String): DataFrame = {
     val (cents, assigned) = ivfIndex(s, dir)
     val a = assigned.select(col("vec_id"), col("v"), col("centroid_id"))
-    val extras = a.crossJoin(broadcast(cents))
+    val extras = a.withColumn("vn2", expr(dot("v", "v")))
+      .crossJoin(broadcast(cents))
       .filter(col("c_id") =!= col("centroid_id"))
-      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("cv", "cv")}))"))
+      .withColumn("c_sim", expr(s"${dot("v", "cv")} / (sqrt(vn2) * sqrt(${dot("cv", "cv")}))"))
       .groupBy(col("vec_id"))
       .agg(graft.functions.TopKByScore.column(col("c_sim"), col("c_id"), lit(0L),
                                               SemDeDupProbes - 1).as("top"))
@@ -1682,11 +1736,22 @@ object LlmQueries {
       .join(a.select(col("vec_id"), col("v")), Seq("vec_id"))
     a.select(col("vec_id"), col("v"), col("centroid_id").as("pcell"))
       .unionAll(extras.select(col("vec_id"), col("v"), col("pcell")))
+      // endpoint norms attached BEFORE the cell-local pair join (round
+      // 22): each side self-dots once per row, not once per pair — the
+      // consumers' [[pairSimExpr]] reuses them, identical doubles
+      .withColumn("vn2", expr(dot("v", "v")))
       .join(a.select(col("vec_id").as("o_id"), col("v").as("ov"),
-                     col("centroid_id").as("pcell")),
+                     col("centroid_id").as("pcell"))
+              .withColumn("on2", expr(dot("ov", "ov"))),
             Seq("pcell"))
       .filter(col("vec_id") =!= col("o_id"))
   }
+
+  /** Pair cosine over the pair-generator outputs ([[semProbePairs]],
+    * [[bucketLocalPairs]], [[lshTablePairs]]) — the cosSim("v", "ov")
+    * doubles computed from the pre-join hoisted norms. */
+  private def pairSimExpr: String =
+    s"${dot("v", "ov")} / (sqrt(vn2) * sqrt(on2))"
 
   /** Exact embedding-space ground truth for the bench's dedup-recall
     * block: vectors with at least one OTHER vector at cosine ≥ tau, from
@@ -1713,14 +1778,14 @@ object LlmQueries {
     * approximation — the cosine itself is exact). */
   private[graft] def cellDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] =
     semProbePairs(s, dir)
-      .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
+      .filter(expr(s"$pairSimExpr >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
 
   /** Same probe for the BUCKET-LOCAL generator (d3's
     * [[lshTablePairs]] over [[lshTabled]]). */
   private[graft] def bucketDupVectorsAt(s: SparkSession, dir: String, tau: Double): Set[Long] =
     lshTablePairs(lshTabled(s, dir))
-      .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
+      .filter(expr(s"$pairSimExpr >= $tau"))
       .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
 
   /** Per-algorithm bucket audit backing the [[BandMaxBucket]] cap: bucket
@@ -2449,12 +2514,30 @@ object LlmQueries {
         .select(col("doc_id"), explode(array_distinct(expr(wordsExpr))).as("w"))
       val qterms = posts.filter(col("doc_id") < NumQueries)
         .select(col("doc_id").as("q_id"), col("w"))
-      val qw = posts.groupBy("w").agg(count(lit(1)).as("df"))
+      // §3.2 semi-join pre-filter (round 22): df is only ever read for
+      // words in the QUERY vocabulary (the groupBy's output joins straight
+      // onto broadcast(qterms)), yet the aggregation used to shuffle one
+      // partial count per (distinct word × map partition) — the ENTIRE
+      // corpus vocabulary. Dropping non-query words with a broadcast
+      // inner join BEFORE the exchange leaves each surviving word's count
+      // untouched (df = posts rows per word, and the filter is on the
+      // grouping key itself) while the df exchange shrinks from corpus-
+      // vocabulary-sized to query-vocabulary-sized (NumQueries docs'
+      // distinct words — broadcast-bounded at any corpus scale).
+      val qv = qterms.select("w").distinct()
+      // The filtered postings are read TWICE (df fold below, scoring join
+      // after) — memoize-persist them ([[qpostsCache]]) so one corpus
+      // tokenize serves both reads and every warm rep.
+      val qposts = qpostsCache.getOrElseUpdate(s, dir)(
+        posts.join(broadcast(qv), "w")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val qw = qposts
+        .groupBy("w").agg(count(lit(1)).as("df"))
         .join(broadcast(qterms), "w")
         .withColumn("idf_bits", expr(s"${RrfIdfScale}L - cast(length(bin(df)) as bigint)"))
         .select("q_id", "w", "idf_bits")
       val lexTop = topkPerQuery(
-        posts.join(broadcast(qw), "w")
+        qposts.join(broadcast(qw), "w")
           .filter(col("doc_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("doc_id"))
           .agg(sum("idf_bits").as("lex"))
@@ -2527,10 +2610,10 @@ object LlmQueries {
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
         .join(fb, "q_id")
         .select(col("q_id"), expr("zip_with(qv, fv, (a, b) -> a + b)").as("qv"))
-      val rescored = e.crossJoin(broadcast(q2))
+      val rescored = e.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(q2))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("sim",
-          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+          expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
       topkPerQuery(rescored, TopK)
         .join(broadcast(first.select(col("q_id"), col("neighbor_id"), col("rank").as("_fr"))),
               Seq("q_id", "neighbor_id"), "left")
@@ -2580,11 +2663,11 @@ object LlmQueries {
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
                 col("v").as("qv"))
-      val scored = e.crossJoin(broadcast(q))
+      val scored = e.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
         .withColumn(
           "sim",
-          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))"))
+          expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))"))
       topkPerQuery(scored, TopK, col("label").cast("long"))
         .select(col("q_id"), col("rank"), col("neighbor_id"),
                 col("payload").as("neighbor_label"))
@@ -2698,11 +2781,14 @@ object LlmQueries {
       // per-query top-k, folded through the bounded partial aggregate
       // (TakeOrdered shape) — the legitimate 100 TB brute-force plan:
       // no all-pairs crossJoin, and no full-corpus window on q_id.
-      val scored = e.crossJoin(broadcast(q))
+      // corpus-vector norm hoisted ABOVE the query join (round 22): vn2
+      // depends only on v, so it computes once per vector instead of once
+      // per (vector, query) pair — same doubles, half the scoring dots.
+      val scored = e.withColumn("vn2", expr(dot("v", "v"))).crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn(
           "sim",
-          expr(s"${dot("v", "qv")} / (sqrt(${dot("v", "v")}) * sqrt(${dot("qv", "qv")}))")
+          expr(s"${dot("v", "qv")} / (sqrt(vn2) * sqrt(${dot("qv", "qv")}))")
         )
       topkPerQuery(scored, TopK).select("q_id", "rank", "neighbor_id")
     },
@@ -2717,7 +2803,7 @@ object LlmQueries {
       // (task, vec_id), no window shuffle+sort of the pair frame, same
       // tie-break as the oracle's row_number (sim desc, o_id asc).
       bucketLocalPairs(lshBucketed(s, dir))
-        .withColumn("sim", expr(cosSim("v", "ov")))
+        .withColumn("sim", expr(pairSimExpr))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("bucket").cast("long").as("bucket"), col("o_id").as("nn_id")),
                     struct(col("sim").as("s"), (-col("o_id")).as("neg_id"))).as("best"))
@@ -2748,7 +2834,7 @@ object LlmQueries {
       val tau = 0.8
       val b = lshTabled(s, dir)
       val dups = lshTablePairs(b)
-        .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
+        .filter(expr(s"$pairSimExpr >= $tau"))
         .groupBy(col("vec_id"))
         .agg(min(col("o_id")).as("min_partner"),
              countDistinct(col("o_id")).as("n_neardups"))
@@ -2781,7 +2867,7 @@ object LlmQueries {
       val tau = 0.8
       val (_, assigned) = ivfIndex(s, dir)
       val dups = semProbePairs(s, dir)
-        .filter(expr(s"${cosSim("v", "ov")} >= $tau"))
+        .filter(expr(s"$pairSimExpr >= $tau"))
         .groupBy(col("vec_id"))
         .agg(min(col("o_id")).as("min_partner"), count(lit(1)).as("n_semdups"))
       assigned.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
@@ -2899,14 +2985,21 @@ object LlmQueries {
       // SqCandidates partial survivors do; [[exactRerank]] ranks the
       // BOUNDED survivor set (queries × SqCandidates rows) — fine at
       // any scale.
-      val scoredCodes = codes.crossJoin(broadcast(mm)).crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
+      // de-quantize ONCE per vector (round 22 — the pqTopkAt discipline):
+      // xhat and its norm depend only on (code, mm), so both compute
+      // BEFORE the query cross join; the old order re-ran the 64-lambda
+      // decode and its norm NumQueries times per vector. Same doubles —
+      // the reused xhat/xn2 are the identical expressions evaluated once.
+      val decoded = codes.crossJoin(broadcast(mm))
         .withColumn("xhat", expr(
           """transform(code, (c, d) ->
             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
             |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
             |  END)""".stripMargin))
-        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("xn2", expr(dot("xhat", "xhat")))
+      val scoredCodes = decoded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
       val cands = topkPerQuery(scoredCodes, SqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(q), "q_id")
@@ -2950,16 +3043,25 @@ object LlmQueries {
       // to the bounded survivor set from the tiny query frame.
       val qFrame = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val scoredCodes = codes.join(cells, "vec_id")
-        .join(broadcast(probes), "centroid_id")
-        .filter(col("vec_id") =!= col("q_id"))
+      // restrict to probed cells FIRST (the ann_ivfpq shape), then
+      // de-quantize ONCE per surviving vector (round 22 — xhat/xn2 depend
+      // only on (code, mm); the old order joined probes first, so a
+      // vector in a cell probed by several queries decoded per query).
+      // The probed-cell semi-join keeps the decode from touching
+      // unprobed cells — identical rows to the old inner probes join.
+      val probedCells = probes.select(col("centroid_id")).distinct()
+      val decoded = codes.join(cells, "vec_id")
+        .join(broadcast(probedCells), "centroid_id")
         .crossJoin(broadcast(mm))
         .withColumn("xhat", expr(
           """transform(code, (c, d) ->
             |  CASE WHEN mm[d].mx = mm[d].mn THEN mm[d].mn
             |       ELSE mm[d].mn + ((CAST(c AS DOUBLE) + 128.0D) + 0.5D) * (mm[d].mx - mm[d].mn) / 255.0D
             |  END)""".stripMargin))
-        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(${dot("xhat", "xhat")}) * sqrt(${dot("qv", "qv")}))"))
+        .withColumn("xn2", expr(dot("xhat", "xhat")))
+      val scoredCodes = decoded.join(broadcast(probes), "centroid_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(s"${dot("xhat", "qv")} / (sqrt(xn2) * sqrt(${dot("qv", "qv")}))"))
       val cands = topkPerQuery(scoredCodes, SqCandidates)
         .select(col("q_id"), col("neighbor_id").as("vec_id"))
         .join(broadcast(qFrame), "q_id")

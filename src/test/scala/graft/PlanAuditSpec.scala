@@ -52,6 +52,57 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("corpus spread opt-in list matches the plans: pinned-width spread ACTIVE in every member") {
+    // The docsSpread opt-in list (t25, t23, d17, t7) is maintained by hand —
+    // this pin keeps the LIST and the PLANS in sync: every member's plan
+    // must carry the pinned-width repartition on the single-split test
+    // corpus (an opted-in query whose spread silently stopped firing would
+    // fall back to one-task compute, the exact class the opt-in exists for).
+    Seq("t7_repetition", "t25_gopher_repetition", "t23_langid", "d17_substring_dedup")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("REPARTITION_BY_NUM"),
+          s"$q is on the docsSpread opt-in list but its plan shows no pinned-width " +
+            s"repartition — the list and the plan have desynchronized:\n${p.take(1500)}")
+      }
+    // and the fingerprint itself is meaningful: the same single-split
+    // corpus WITHOUT the spread must not match (synthetic violator —
+    // polices the detector, not just the members)
+    val violator = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "filter(split(lower(text), '\\\\s+'), w -> w != '')")).as("w"))
+      .groupBy("w").count()
+    assert(!violator.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"),
+      "the spread fingerprint must be absent from an un-spread explode chain")
+  }
+
+  test("trained IVF index is sidecar-rooted: consumer plans bounded regardless of training iterations") {
+    // Round 22: the trained centroids/assignments round-trip through a
+    // parquet sidecar — persist caches data, not the plan, and before the
+    // sidecar every consumer inlined the full KMeansIters Lloyd lineage
+    // (ann_ivfpq_topk's constructor plan carried 274 Exchange nodes). The
+    // assignment frame's own plan must root at a file scan with no trace
+    // of the training chain (1048576 is the fixed-point training constant;
+    // the assignment/probe expressions never use it).
+    val ap = llm.LlmQueries.ivfAssignments(spark, sf).queryExecution.optimizedPlan
+    val leaves = ap.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val cached = im.cachedPlan.toString
+        assert(cached.contains("parquet") && !cached.contains("1048576"),
+          s"assigned frame must cache a sidecar file scan, not the training chain:\n${cached.take(1500)}")
+      case l =>
+        assert(l.toString.contains("parquet"),
+          s"assigned frame leaf must be a parquet relation, got ${l.getClass.getSimpleName}")
+    }
+    // and the heaviest composed consumer stays bounded (the r21 verdict's
+    // DONE criterion: Exchange count well under the unrolled lineage's 274)
+    val n = "Exchange".r.findAllMatchIn(plan("ann_ivfpq_topk")).length
+    assert(n <= 60, s"ann_ivfpq_topk plan carries $n Exchange nodes — the training lineage is leaking back in")
+  }
+
   test("d2/d10 hot-bucket cap: ONE bounded band-key agg, broadcast hot set, no self-join, no sort") {
     // The BandMaxBucket guard folds the band frame through ONE
     // partial-aggregatable groupBy whose state is bounded (count + the cap
