@@ -1207,8 +1207,24 @@ object Bench {
     // sbt "[info] " prefix and the trailing "[success] Total time ..." line
     // (~85 chars), so the budget is 1900. The queries map is never shed —
     // it is the block the driver exists to read; shed the adjudication and
-    // probe blocks instead (all live at full precision in BENCH_FULL.json).
-    def assemble(micro: Boolean, gw: Boolean, qscale: Boolean, host: Boolean): String =
+    // probe blocks instead (all live at full precision in BENCH_FULL.json),
+    // then the keys/full pointers, then (last resort) the value precision:
+    // the fully-shed 2dp floor sits only ~20 chars under the budget at 141
+    // queries, so query growth needs rungs BELOW the full map or the next
+    // few additions reproduce the truncated-tail artifact (review finding,
+    // round 22). 1dp (±0.05 s) still resolves every non-noise claim — the
+    // measured rep-spread bands are wider.
+    //
+    // FILTERED runs (SPARK_GRAFT_BENCH_ONLY) keep FULL names instead:
+    // their short keys would be minimal within the WRONG (filtered) name
+    // set, and the committed query_keys map could not decode them; a
+    // filtered map is small enough to never need abbreviation.
+    def qmap(onedp: Boolean): String =
+      if (only.nonEmpty) q2(_._3)
+      else if (onedp) results.map(r => f""""${shortKey(r._1)}":${r._3}%.1f""").mkString("{", ",", "}")
+      else q2s(_._3)
+    def assemble(micro: Boolean, gw: Boolean, qscale: Boolean, host: Boolean,
+                 keys: Boolean = true, onedp: Boolean = false): String =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","reps":$reps,"sf":"$sfShort",""" +
         (if (host)
           // host load start/after-sweep/end + the gate's mechanical verdict
@@ -1220,15 +1236,18 @@ object Bench {
             f""""churn":${queryHealth.size},"""
          else "") +
         f""""regime":"$regime",""" +
-        s""""queries":${q2s(_._3)},""" +
+        s""""queries":${qmap(onedp)},""" +
         s""""stream_ingest":$ingestCompact,"stream_ingest_10x":$ingest10xCompact,""" +
         (if (qscale) s""""qscale":$qScaleCompact,""" else "") +
         (if (gw) s""""gateway":$gatewayCompact,""" else "") +
         (if (micro) s""""micro":$microCompact,""" else "") +
-        s""""keys":"BENCH_FULL.json query_keys","full":"BENCH_FULL.json"}"""
+        (if (keys && only.isEmpty) s""""keys":"BENCH_FULL.json query_keys",""" else "") +
+        s""""full":"BENCH_FULL.json"}"""
     val rendered = Seq(assemble(true, true, true, true), assemble(false, true, true, true),
       assemble(false, false, true, true), assemble(false, false, false, true),
-      assemble(false, false, false, false))
+      assemble(false, false, false, false),
+      assemble(false, false, false, false, keys = false),
+      assemble(false, false, false, false, keys = false, onedp = true))
     val compact = rendered.find(_.length <= 1900).getOrElse(rendered.last)
     if (compact.length < rendered.head.length)
       System.err.println(s"[graft-bench] compact line shed blocks to fit the driver tail " +

@@ -211,31 +211,28 @@ object LlmQueries {
     * session pays the physical-planning pass `df.rdd` implies — repeat
     * constructions (the sweep's reps, plan audits) hit the memo. */
   private val splitCache = new graft.core.SessionMemo[Int]()
-  private[llm] def spread(s: SparkSession, df: DataFrame, key: String, memoPath: String): DataFrame = {
+  /** ONE under-split decision for both spread forms (review finding, round
+    * 22 — two hand-maintained copies of the threshold/memo logic would
+    * desynchronize): `pinWidth = true` is the opt-in pinned spread above,
+    * `pinWidth = false` is the default-read AQE-coalescible form — an
+    * under-split source (the single-file bench corpus) repartitions so
+    * compute-heavy lambdas parallelize, while a real multi-split corpus
+    * (thousands of splits at 100 TB) passes through untouched: the
+    * blanket `repartition(col)` this replaced (rounds 2–21, guide §2.4)
+    * shuffled the ENTIRE corpus text/vectors on every consumer. */
+  private def spreadImpl(s: SparkSession, df: DataFrame, key: String,
+                         memoPath: String, pinWidth: Boolean): DataFrame = {
     val target = s.sessionState.conf.numShufflePartitions
     val splits = splitCache.getOrElseUpdate(s, memoPath)(df.rdd.getNumPartitions)
     if (splits >= math.max(2, target / 2)) df
-    else df.repartition(target, col(key))
-  }
-
-  /** The corpus arrives as a single parquet file at bench scale — spread it
-    * across the cluster before the compute-heavy lambdas. CONDITIONAL since
-    * round 22 (guide §2.4 — remove shuffles outright): the blanket
-    * `repartition(col)` this replaces shuffled the ENTIRE corpus text on
-    * every consumer regardless of input layout; a real multi-split corpus
-    * (thousands of splits at 100 TB) now passes through untouched — the
-    * input splits already provide the parallelism — while the single-file
-    * bench corpus keeps the exact AQE-coalescible repartition it always
-    * had (local behavior, and the bench comparison, unchanged). Split
-    * counts come from the same memo [[spread]] uses: no job at
-    * construction, one planning pass per (session, path). */
-  private def spreadIfUnderSplit(s: SparkSession, df: DataFrame, key: String,
-                                 memoPath: String): DataFrame = {
-    val target = s.sessionState.conf.numShufflePartitions
-    val splits = splitCache.getOrElseUpdate(s, memoPath)(df.rdd.getNumPartitions)
-    if (splits >= math.max(2, target / 2)) df
+    else if (pinWidth) df.repartition(target, col(key))
     else df.repartition(col(key))
   }
+  private[llm] def spread(s: SparkSession, df: DataFrame, key: String, memoPath: String): DataFrame =
+    spreadImpl(s, df, key, memoPath, pinWidth = true)
+  private def spreadIfUnderSplit(s: SparkSession, df: DataFrame, key: String,
+                                 memoPath: String): DataFrame =
+    spreadImpl(s, df, key, memoPath, pinWidth = false)
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
