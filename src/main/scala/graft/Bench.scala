@@ -61,6 +61,19 @@ object BenchRegime {
 }
 
 object Bench {
+  /** Minimal-unique-prefix short keys for the compact driver line: each
+    * name maps to its shortest prefix (>= 2 chars) that exactly one name
+    * in the set starts with; a name that is itself a strict prefix of
+    * another keeps its full form (no shorter prefix can be unique, and
+    * the full name still cannot collide with the longer name's key).
+    * Deterministic in the name set; collision-free by construction. */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] =
+    names.map { n =>
+      val p = (2 to n.length).iterator.map(n.substring(0, _))
+        .find(pfx => names.count(_.startsWith(pfx)) == 1)
+      n -> p.getOrElse(n)
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -1141,12 +1154,7 @@ object Bench {
     // deterministic, collision-free, human-decodable abbreviation ("d6_" ->
     // d6_dedup_clusters). The short->full map is recorded in BENCH_FULL.json
     // as "query_keys" so any consumer can expand the compact line exactly.
-    val allNames = results.map(_._1)
-    val shortKey: Map[String, String] = allNames.map { n =>
-      val p = (2 to n.length).iterator.map(n.substring(0, _))
-        .find(pfx => allNames.count(_.startsWith(pfx)) == 1)
-      n -> p.getOrElse(n) // a name that is a strict prefix of another keeps its full form
-    }.toMap
+    val shortKey: Map[String, String] = shortKeys(results.map(_._1))
     val queryKeysJson =
       results.map(r => s""""${shortKey(r._1)}":"${r._1}"""").mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +

@@ -90,4 +90,35 @@ class BenchRegimeSpec extends AnyFunSuite {
     assert(j.contains(""""name":"qscale"""") && j.contains(""""quiet":false"""))
     assert(j.contains(""""ext_busy_pct":35.00"""))
   }
+
+  test("shortKeys: collision-free, prefix-decodable, deterministic over the declared query set") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val keys  = Bench.shortKeys(names)
+    // total and collision-free: one key per name, all keys distinct
+    assert(keys.size === names.size)
+    assert(keys.values.toSet.size === names.size, "short keys must be unique")
+    // decodable: every key is a prefix of its own name and of NO other
+    // name that holds a different key mapping back to it ambiguously —
+    // i.e., a key either matches exactly one name as a prefix, or is a
+    // FULL name (the strict-prefix-of-another case, decoded exactly)
+    keys.foreach { case (n, k) =>
+      assert(n.startsWith(k), s"$k must prefix $n")
+      val matches = names.count(_.startsWith(k))
+      assert(matches == 1 || k == n, s"key $k matches $matches names and is not a full name")
+    }
+    // deterministic in the set, order-independent
+    assert(Bench.shortKeys(scala.util.Random.shuffle(names)) === keys)
+    // the driver line stays under budget: 141 keys at 2dp must fit the
+    // fully-shed compact form (the round-22 review finding's guard)
+    val mapChars = names.map(n => keys(n).length + 8).sum
+    assert(mapChars < 1800, s"short map estimate $mapChars chars — name growth needs new shed rungs")
+  }
+
+  test("shortKeys: a name that is a strict prefix of another keeps its full form, still unique") {
+    val keys = Bench.shortKeys(Seq("ann_ivf_probe", "ann_ivf_probe2", "agg_stats"))
+    assert(keys("ann_ivf_probe") === "ann_ivf_probe") // no unique prefix exists
+    assert(keys("ann_ivf_probe2") === "ann_ivf_probe2")
+    assert(keys("agg_stats") === "ag")
+    assert(keys.values.toSet.size === 3)
+  }
 }

@@ -631,6 +631,69 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  /** Serial EXACT-STRING-bigram twin of t7 — the reference the round-22
+    * hashed-pair distinct (xxhash64 word-hash tuples, no bigram strings)
+    * must agree with wherever no two distinct words collide. */
+  private def t7Naive(rows: Seq[(Long, String, String)]): Map[String, (Long, Long, Long, Long, Long)] = {
+    val perDoc = rows.flatMap { case (_, text, src) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.size < 2) None
+      else {
+        val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+        val nt = bgs.size.toLong
+        val nd = bgs.distinct.size.toLong
+        Some((src, nt, nd, (1000L * (nt - nd)) / nt))
+      }
+    }
+    perDoc.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.size.toLong, ds.map(_._2).sum, ds.map(_._3).sum,
+               ds.map(_._4).max, ds.count(_._4 >= 500L).toLong))
+    }
+  }
+
+  private def t7Rows(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long, Long, Long)] =
+    df.collect().map { r =>
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_bigrams"),
+          r.getAs[Long]("sum_distinct"), r.getAs[Long]("max_rep_permille"),
+          r.getAs[Long]("n_repetitious")))
+    }.toMap
+
+  test("t7 hashed-pair distinct equals the serial string-bigram scan") {
+    val got = t7Rows(CorpusQueries.queries("t7_repetition")(spark, dir))
+    assert(got == t7Naive(docs.map { case (id, text, src, _) => (id, text, src) }))
+    assert(got.values.map(t => t._2 - t._3).sum > 0,
+      "the corpus must contain at least one repeated bigram")
+  }
+
+  test("t7 fuzz: random repetitious corpora match the serial string-bigram scan") {
+    // tiny vocab forces heavy bigram repetition (including back-to-back
+    // repeats of the SAME word — the a-a bigram class); docs under 2
+    // words are planted to exercise the exclusion filter
+    val vocab = Seq("ax", "bo", "cu", "de")
+    val rnd   = new scala.util.Random(777)
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val n = 5 + rnd.nextInt(8)
+      val corpus = (0L until n.toLong).map { id =>
+        val len = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(2)            // 0-1 words: excluded class
+          case _ => 2 + rnd.nextInt(18)
+        }
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "), s"s${id % 2}")
+      }
+      val d = java.nio.file.Files.createTempDirectory(s"graft-t7-fuzz$trial-").toString
+      corpus.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      try {
+        val got = t7Rows(CorpusQueries.queries("t7_repetition")(spark, d))
+        assert(got == t7Naive(corpus),
+          s"trial $trial diverged on corpus:\n${corpus.mkString("\n")}")
+      } finally graft.core.FsUtil.deleteRecursively(d)
+    }
+  }
+
   test("t9 epoch shuffle: positions are a dense permutation matching the serial rank") {
     val rows = CorpusQueries.queries("t9_epoch_shuffle")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
