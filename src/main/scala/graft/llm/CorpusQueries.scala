@@ -1008,7 +1008,18 @@ object CorpusQueries {
         .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"), min("pos").as("pos"))
         .filter(col("df") === 1)
         .select("doc_id", "pos")
-      val dup = g.select("doc_id", "source", "pos")
+      // The anti-join side only consumes (doc_id, source, pos) — deriving
+      // it from `g` re-built the gram tuples (per-word hashing + struct
+      // posexplode over the whole corpus) just to throw them away (round
+      // 22, guide §1.2 per-task work). A plain integer sequence yields the
+      // IDENTICAL position range: posexplode over the gram transform is
+      // 0-based with size(words) − G + 1 elements, i.e. exactly
+      // sequence(0, size(words) − G).
+      val dup = docsSpread(s, dir)
+        .select(col("doc_id"), col("source"), expr(LlmQueries.wordsExpr).as("words"))
+        .filter(size(col("words")) >= SubstrGramWords)
+        .select(col("doc_id"), col("source"),
+                explode(expr(s"sequence(0, size(words) - $SubstrGramWords)")).as("pos"))
         .join(uniq, Seq("doc_id", "pos"), "left_anti")
       val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val perDoc = dup
